@@ -1,0 +1,132 @@
+"""Sources and sinks (SURVEY §2.1).
+
+Covers the reference's scan/sink surface (ai_powered_financial_analysis.py:
+S1 CSV py:203-214, S2 JSON py:334-338, S4 in-memory py:83/151-154, S7 JSON
+sink py:87/161-165, S8 CSV sink py:296-307) plus the engine defaults the
+reference only claimed (S3/S9 Parquet, Report.pdf §Experiments-1).
+
+Design notes for scale:
+- explicit schemas everywhere (no inferSchema extra pass over 100 TB);
+  ``read_csv``/``read_json`` take a schema and only fall back to inference
+  in the exploratory ``infer=True`` path.
+- no ``coalesce(1)`` before writes (reference anti-pattern, py:161/py:298):
+  output parallelism follows the data; callers can ``repartition`` by a
+  size policy if they need bounded file counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: driver-generated synthetic tables (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S3: Parquet scan — engine default (columnar, pushdown, pruning)."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    *,
+    infer: bool = False,
+) -> DataFrame:
+    """S1: CSV scan with the reference's quoting (py:205-209): header,
+    quote='"', escape='"' so embedded commas survive."""
+    reader = spark.read.options(header=True, quote='"', escape='"')
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S2: JSON-lines scan (py:334-338); explicit schema preferred."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def from_rows(spark: SparkSession, rows, schema: T.StructType) -> DataFrame:
+    """S4: in-memory source (py:83, py:151-154)."""
+    return spark.createDataFrame(rows, schema)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table from a scale-factor directory.
+
+    ``events`` carries a parquet TIMESTAMP(NANOS) column, which Spark's
+    TimestampType (µs) cannot represent — the reader hard-errors
+    (PARQUET_TYPE_ILLEGAL). The engine reads nanos as long
+    (spark.sql.legacy.parquet.nanosAsLong) and converts with exact integer
+    division `ts DIV 1000` → ``timestamp_micros`` (floor, matching DuckDB's
+    ``epoch_ns(ts) // 1000``). Float division would lose precision at
+    1.7e18 ns.
+    """
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every synthetic table as a temp view for the SQL surface."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    """S9: Parquet sink — engine default."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7: JSON sink (py:87, py:161-165) minus the coalesce(1)."""
+    df.write.mode(mode).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8: CSV sink (py:296-307) minus the coalesce(1)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def verify_roundtrip(spark: SparkSession, df: DataFrame, path: str, fmt: str = "parquet") -> int:
+    """S8 read-back verify (py:301-304): write then re-read and count."""
+    {"parquet": write_parquet, "json": write_json, "csv": write_csv}[fmt](df, path)
+    return spark.read.format(fmt).options(header=True).load(path).count()

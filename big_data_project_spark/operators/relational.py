@@ -1,0 +1,322 @@
+"""Relational operator closure (SURVEY §2.2 projections/filters, §2.7
+aggregations/joins/windows/sorts).
+
+The reference performs only trivial aggregation (count() at py:169/210/251/302)
+but declares "complex financial queries" (README.md:2) and "trend discovery"
+(README.md:33); this module is the engine closure that makes those claims real.
+Everything here compiles to Catalyst built-ins — predicate pushdown, column
+pruning, partial aggregation, AQE join selection all come for free because the
+plans are declarative.
+
+Scale notes (100 TB):
+- aggregations: partial (map-side) + final HashAggregate is automatic; group
+  keys here are low-cardinality so no skew salting is needed — for high-card
+  keys callers can pre-repartition.
+- joins: dimension tables (part, customer, nation, region, supplier) are
+  broadcast explicitly so fact-table scans never shuffle for them; fact-fact
+  joins (lineitem ⋈ orders) rely on sort-merge + AQE skew handling.
+- top-k: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — per
+  partition heap + single driver merge, no full sort, no full shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------------------
+# §2.2 projections / filters / column transforms
+# --------------------------------------------------------------------------
+
+def project_rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P1 (ref py:267-280 metadata_extraction): select + rename columns."""
+    return df.select(*[F.col(src).alias(dst) for src, dst in mapping.items()])
+
+
+def with_derived(df: DataFrame, name: str, expr: Column) -> DataFrame:
+    """P2 (ref py:281-282): derived column. The reference's record_id used
+    numeric `+` on strings → always-null double (SURVEY §1.4.2); the engine
+    intent is string concat — see functions.keys.record_id."""
+    return df.withColumn(name, expr)
+
+
+def filter_rows(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """P5 (ref py:70 + Report.pdf §Methodology-2 'filtering based on
+    sentiment and entities'): full predicate surface — pushed to the scan."""
+    return df.where(predicate)
+
+
+# --------------------------------------------------------------------------
+# §2.7 aggregations
+# --------------------------------------------------------------------------
+
+def dsum(expr: Column | str, scale: int = 2) -> Column:
+    """Exact, order-independent sum of a fixed-decimal double expression.
+
+    Doubles summed in parallel give summation-order-dependent low bits —
+    that breaks cross-engine value hashing AND makes reruns non-reproducible
+    on a real cluster. Casting each row to a decimal at the value's *natural*
+    scale (2 for prices, 4 for price×discount products, …) is exact — the
+    double is within ~1e-12·magnitude of the decimal grid point, so every
+    engine rounds to the same decimal regardless of tie rules — and the
+    decimal sum is then exact and order-free. The final cast back to double
+    is a single correctly-rounded conversion on both engines as long as the
+    scaled integer fits in 2^53 (sum·10^scale < 9e15 — holds through sf≥1
+    for this schema). DuckDB mirror:
+    ``CAST(sum(CAST(x AS DECIMAL(30,s))) AS DOUBLE)``.
+    """
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+
+
+def davg(expr: Column | str, scale: int = 2) -> Column:
+    """Order-independent mean: exact decimal sum ÷ count, in double."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return dsum(c, scale) / F.count(F.lit(1))
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """A2/A3/O1 flagship: TPC-H Q1-shape pricing summary on lineitem.
+
+    Exercises scan pushdown (shipdate filter reaches the Parquet reader),
+    partial+final hash aggregation, and multi-key sort.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def counts(lineitem: DataFrame) -> DataFrame:
+    """A1: count / count(distinct) per group (ref count(): py:169,210,251,302)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def rollup_agg(orders: DataFrame) -> DataFrame:
+    """A4: ROLLUP over (priority, status) with grouping-null markers."""
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+def cube_agg(orders: DataFrame) -> DataFrame:
+    """A4b: CUBE over (priority, status)."""
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def approx_distinct(lineitem: DataFrame) -> DataFrame:
+    """A5: approx_count_distinct (HLL++) — bound-tested, not hash-matched."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 joins
+# --------------------------------------------------------------------------
+
+def revenue_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """J1: fact ⋈ dim equi-join + aggregate. Customer is the smaller side but
+    grows with SF — broadcast is still right up to ~100M customers with AQE;
+    the explicit hint keeps the plan stable."""
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+def part_revenue_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """J2: broadcast join — part is a classic small dimension; the fact-table
+    scan stays shuffle-free."""
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def customer_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """J3: left outer join keeping order-less customers (count = 0)."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """J4a: left-semi join (EXISTS)."""
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """J4b: left-anti join (NOT EXISTS)."""
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def price_band_join(part: DataFrame, bands: DataFrame) -> DataFrame:
+    """J5a: theta (range) join — parts classified into price bands via a
+    non-equi predicate. The band table is tiny and broadcast, so the physical
+    plan is BroadcastNestedLoopJoin with O(|part|·|bands|) comparisons where
+    |bands| is a constant — linear in the fact table, safe at 100 TB."""
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            davg("p_retailprice").alias("avg_price"),
+        )
+    )
+
+
+def asof_latest_event(
+    events: DataFrame, left_type: str = "purchase", right_type: str = "click"
+) -> DataFrame:
+    """J5b: as-of join — for each `left_type` event, the most recent
+    `right_type` event of the same user at or before its timestamp.
+
+    Spark has no native ASOF JOIN. A range self-join is O(n²); instead the
+    engine uses the union+window trick: tag both sides, union, and take
+    `last(right_ts) ignore nulls` over a per-user time-ordered window. One
+    shuffle on user_id, linear in |events| — this survives 100 TB where the
+    naive join cannot.
+    """
+    tagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == right_type, F.col("ts")).alias("_r_ts"),
+        F.when(F.col("event_type") == right_type, F.col("event_id")).alias("_r_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        tagged.withColumn("asof_ts", F.last("_r_ts", ignorenulls=True).over(w))
+        .withColumn("asof_event_id", F.last("_r_id", ignorenulls=True).over(w))
+        .where(F.col("event_type") == left_type)
+        .select("user_id", "event_id", "value", "asof_event_id")
+    )
+
+
+def region_nation_matrix(region: DataFrame, nation: DataFrame) -> DataFrame:
+    """J6: bounded cross join (the primitive behind brute-force knn)."""
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+# --------------------------------------------------------------------------
+# §2.7 windows
+# --------------------------------------------------------------------------
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """W1: ranking window — top-k orders per customer by totalprice.
+    Tie-broken by o_orderkey so results are deterministic (SURVEY §1.4.5)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def event_value_delta(events: DataFrame) -> DataFrame:
+    """W2: analytic window — per-user delta vs previous event (lag)."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+def rolling_order_spend(orders: DataFrame, frame: int = 6) -> DataFrame:
+    """W3: frame-spec aggregate — rolling sum over the last `frame`+1 orders
+    per customer (ROWS frame; fully ordered by date+key ⇒ deterministic)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-frame, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 sort / top-k
+# --------------------------------------------------------------------------
+
+def top_parts_by_price(part: DataFrame, k: int = 10) -> DataFrame:
+    """O2: global top-k (TakeOrderedAndProject — heap per partition, single
+    merge; no full sort at scale). Ties broken by p_partkey."""
+    return (
+        part.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(k)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    )
+
+
+def ordered_lineitems(lineitem: DataFrame) -> DataFrame:
+    """O1: multi-key sort with explicit null ordering."""
+    return (
+        lineitem.select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy(
+            F.col("l_shipdate").desc_nulls_last(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(1000)
+    )

@@ -1,0 +1,38 @@
+"""Replicates the driver's correctness gate: every registry query with an
+oracle must match DuckDB exactly (columns, row count, values) at the test SF."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_project_spark.registry import REGISTRY
+from tests.conftest import assert_matches_oracle
+
+WITH_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_match(name, spark, duck, sf_dir):
+    q = REGISTRY[name]
+    df = q.build(spark, sf_dir)
+    assert_matches_oracle(df, duck, q.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(name, spark, sf_dir):
+    q = REGISTRY[name]
+    df = q.build(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    # queries()/oracle_sql() key contract
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
