@@ -1,0 +1,288 @@
+"""Deduplication family for LLM data pipelines (BASELINE.json north star:
+"dedup, similarity search, multimodal columns, text analysis ... designed for
+100 TB scale").
+
+Four tiers, by cost/fidelity:
+
+- exact       : hash-groupBy on a normalized fingerprint. One shuffle.
+- ngram       : exact n-gram-shingle Jaccard via shingle equi-join — the
+                *oracle-able* similarity op; quadratic in docs-per-shingle,
+                so at 100 TB it is the verifier for samples, not the scan.
+- minhash-LSH : the scale path. Per-doc signature (k hashes over shingles),
+                banded into buckets; only in-bucket pairs are compared.
+                Linear shuffles; no all-pairs stage anywhere.
+- simhash     : 64-bit near-dup fingerprint; hamming-adjacent candidates via
+                rotated prefix buckets.
+
+All hashing derives from md5 (stable across engines/sessions — Spark's
+``hash()`` is fine inside one engine but not a cross-system contract).
+No Python UDFs: signatures are built with explode + groupBy min, which
+keeps everything in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_project_spark.operators.cleaning import normalize_text_col
+from big_data_project_spark.operators.text import words_col
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by md5(normalized text); keep the smallest id as
+    the canonical copy. Output one row per distinct content."""
+    return (
+        df.select(F.md5(normalize_text_col(text)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup applied: keep the lowest-id row per content hash."""
+    w = Window.partitionBy(F.md5(normalize_text_col(text))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram shingles + exact Jaccard (oracle-able)
+# ---------------------------------------------------------------------------
+
+def shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles: for words w[0..m-1], the set
+    { w[i] + ' ' + ... + w[i+n-1] : 0 <= i <= m-n }."""
+    w = words_col(text)
+    idx = F.sequence(F.lit(0), F.size(w) - n)  # empty when size < n
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j + 1) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) pairs — the input of both exact Jaccard and
+    MinHash."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles_col(text, n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing ≥1 shingle.
+
+    Distributed shape: explode → self-equi-join on shingle → count common →
+    join set sizes → jaccard. Shuffles are linear in total shingles; the
+    join fan-out is quadratic per hot shingle, which is why the 100 TB path
+    is minhash_lsh_candidates (this operator is its correctness oracle)."""
+    sh = doc_shingles(df, text, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime 2^61-1: the classic universal-hash modulus.
+_P = (1 << 61) - 1
+
+
+def _shingle_base_hash() -> Column:
+    """Stable 60-bit integer from a shingle string (first 15 hex chars of
+    md5). conv() returns a string; cast to long."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures_agg(
+    shingled: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """MinHash signatures via posexplode + min + sorted collect — the
+    shuffle-lean formulation actually used by the engine."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+    base = shingled.select("doc_id", _shingle_base_hash().alias("x")).dropDuplicates(
+        ["doc_id", "x"]
+    )
+    hashes = F.array(
+        *[
+            (
+                (F.lit(a).cast("decimal(38,0)") * F.col("x") + F.lit(b)) % F.lit(_P)
+            ).cast("long")
+            for a, b in coeffs
+        ]
+    )
+    mins = (
+        base.select("doc_id", F.posexplode(hashes).alias("i", "h"))
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("hmin"))
+    )
+    return (
+        mins.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("hmin")))
+                ),
+                lambda s: s["hmin"],
+            ).alias("signature")
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (bands × rows-per-band),
+    bucket-join on (band_id, band_hash), emit distinct candidate pairs with
+    their estimated Jaccard (signature agreement rate).
+
+    100 TB shape: every stage is an equi-shuffle on bounded keys; candidate
+    fan-out is controlled by band width. No all-pairs comparison happens.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_agg(doc_shingles(df, text, id_col, n), num_hashes, seed)
+    banded = sig.select(
+        "doc_id",
+        "signature",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("a.signature"),
+                            F.col("b.signature"),
+                            lambda x, y: x == y,
+                        ),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: per-token md5-derived bit pattern, majority vote
+    per bit over the document. Output (doc_id, simhash long).
+
+    Bit j of the fingerprint is 1 iff sum over tokens of (±1 for token's
+    bit j) is positive. Built with explode + groupBy + bitwise ops — no UDF.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words_col(text)).alias("w")
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    tok = tok.select("doc_id", h.alias("h"))
+    votes = tok.select(
+        "doc_id",
+        F.array(
+            *[
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+                for j in range(bits - 4)  # 60 usable bits from 15 hex chars
+            ]
+        ).alias("bits"),
+    )
+    summed = votes.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.sum(F.element_at("bits", j + 1)).alias(f"b{j}")
+                for j in range(bits - 4)
+            ]
+        ).alias("sums")
+    )
+    fingerprint = F.lit(0).cast("long")
+    for j in range(bits - 4):
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(F.element_at("sums", j + 1) > 0, F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return summed.select("doc_id", fingerprint.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two long fingerprints (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,221 @@
+"""Text / NLP-deterministic operators (SURVEY §2.4) and the text-analysis
+closure for LLM data pipelines (language-ID, quality scoring, token counting,
+fingerprinting).
+
+Reference evidence: clean_text py:340-343, field coalescing py:412-422,
+doc-text assembly py:363-367, token/sentence stats py:589-590. NER (py:348-352)
+and sentiment (claimed README.md:7, absent from code) ship here as
+deterministic carriers — gazetteer/regex NER and lexicon sentiment — exactly
+the ORG/MONEY/DATE/PERCENT-style extraction validated in Report.pdf
+§Experiments-2; model-backed variants plug in behind the same column contract
+(see plugins.py) without entering the oracle surface.
+
+Everything is built from JVM-side column functions (regexp_*, split, size,
+aggregate) — no Python UDFs — so these run inside whole-stage codegen and
+scale linearly with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_project_spark.operators.cleaning import normalize_text_col
+
+# ---------------------------------------------------------------------------
+# N3/N4 field coalescing and document assembly
+# ---------------------------------------------------------------------------
+
+def coalesce_fields(df: DataFrame, candidates: list[str], out: str) -> DataFrame:
+    """N3 (py:412-422): first-present of candidate columns → one field."""
+    return df.withColumn(out, F.coalesce(*[F.col(c) for c in candidates]))
+
+
+def assemble_doc_text(
+    df: DataFrame, title: str, content: str, out: str = "text"
+) -> DataFrame:
+    """N4 (py:363-367): text = title + ' ' + content with null→'' on content."""
+    return df.withColumn(
+        out,
+        F.concat_ws(" ", F.col(title), F.coalesce(F.col(content), F.lit(""))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N5 token / text statistics
+# ---------------------------------------------------------------------------
+
+def words_col(col: Column | str) -> Column:
+    """Whitespace tokenization of already-trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), "\\s+")
+
+
+def token_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """N5 (py:589-590): word count, char count, distinct-word count, and
+    mean word length."""
+    w = words_col(text)
+    return df.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.length(F.col(text)).alias("n_chars"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        (
+            F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x))
+            / F.size(w)
+        ).alias("avg_word_len"),
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token counting for budget estimation: whitespace words + a crude
+    subword correction (words longer than 4 chars count ~len/4 tokens,
+    mirroring BPE's behavior on long words)."""
+    w = words_col(col)
+    return F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.greatest(F.lit(1), F.ceil(F.length(x) / 4)).cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N1 deterministic NER (gazetteer + regex), N2 lexicon sentiment
+# ---------------------------------------------------------------------------
+
+#: gazetteer for the synthetic corpus; real deployments swap the term list.
+NER_TERMS = ("spark", "join", "merge", "window", "stream", "vector")
+
+#: regex classes mirroring the reference's validated entity types
+#: (Report.pdf §Experiments-2: ORG/MONEY/DATE/PERCENT).
+NER_PATTERNS = {
+    "MONEY": r"\$[0-9][0-9,]*(?:\.[0-9]+)?",
+    "PERCENT": r"[0-9]+(?:\.[0-9]+)?%",
+    "DATE": r"[0-9]{4}-[0-9]{2}-[0-9]{2}",
+    "TICKER": r"\b[A-Z]{2,5}\b",
+}
+
+
+def ner_gazetteer(df: DataFrame, text: str = "text") -> DataFrame:
+    """N1 deterministic carrier: extract gazetteer terms as entities, one
+    output row per hit (U4: one row → many via explode)."""
+    pattern = r"\b(" + "|".join(NER_TERMS) + r")\b"
+    return df.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col(text), F.lit(pattern), 1)).alias(
+            "entity"
+        ),
+    )
+
+
+def ner_regex(df: DataFrame, text: str = "text") -> DataFrame:
+    """N1 regex classes: MONEY / PERCENT / DATE / TICKER spans."""
+    parts = [
+        df.select(
+            "doc_id",
+            F.lit(label).alias("entity_type"),
+            F.explode(
+                F.regexp_extract_all(F.col(text), F.lit(pat), 0)
+            ).alias("entity"),
+        )
+        for label, pat in NER_PATTERNS.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+#: AFINN-style micro-lexicon over the synthetic vocab.
+POSITIVE_WORDS = ("fast", "big")
+NEGATIVE_WORDS = ("slow", "small", "dup")
+
+
+def sentiment_lexicon(df: DataFrame, text: str = "text") -> DataFrame:
+    """N2 deterministic carrier: lexicon polarity score = #pos − #neg hits,
+    labeled positive/negative/neutral."""
+    pos_pat = r"\b(" + "|".join(POSITIVE_WORDS) + r")\b"
+    neg_pat = r"\b(" + "|".join(NEGATIVE_WORDS) + r")\b"
+    pos = F.size(F.regexp_extract_all(F.col(text), F.lit(pos_pat), 0))
+    neg = F.size(F.regexp_extract_all(F.col(text), F.lit(neg_pat), 0))
+    score = (pos - neg).alias("score")
+    return df.select(
+        "doc_id",
+        pos.alias("n_pos"),
+        neg.alias("n_neg"),
+        score,
+        F.when(pos - neg > 0, "positive")
+        .when(pos - neg < 0, "negative")
+        .otherwise("neutral")
+        .alias("sentiment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis closure: language ID, quality score, fingerprint
+# ---------------------------------------------------------------------------
+
+#: tiny per-language function-word lists (n-gram heuristic carrier).
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+}
+
+
+def _hits(text: str, words: tuple[str, ...]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.col(text), F.lit(pat), 0))
+
+
+def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Language ID via stopword-hit argmax (deterministic tie-break by
+    language code order en < de < es < fr via greatest-struct trick)."""
+    scored = df.select(
+        "doc_id",
+        *[
+            _hits(text, ws).alias(f"score_{lang}")
+            for lang, ws in LANG_STOPWORDS.items()
+        ],
+    )
+    # argmax with deterministic ties: pick lexicographically-first language
+    # among maxima (struct comparison: score first, then reversed-lang order).
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(len(LANG_STOPWORDS) - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(LANG_STOPWORDS)
+        ]
+    )
+    return scored.select(
+        "doc_id",
+        best["lang"].alias("detected_lang"),
+        best["s"].alias("stopword_hits"),
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Quality heuristics: length, stopword ratio, distinct-word (lexical
+    diversity) ratio — the standard cheap pre-filters for LLM training data."""
+    w = words_col(text)
+    n_words = F.size(w)
+    stop_hits = _hits(text, LANG_STOPWORDS["en"])
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (stop_hits / n_words).alias("stopword_ratio"),
+        (F.size(F.array_distinct(w)) / n_words).alias("diversity"),
+        F.when(n_words >= 20, 1).otherwise(0).alias("len_ok"),
+    )
+
+
+def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of normalized text — the exact-dedup key
+    and a stable doc identity for lineage."""
+    return df.select(
+        "doc_id", F.md5(normalize_text_col(text)).alias("fingerprint")
+    )

@@ -1,0 +1,217 @@
+"""Embedding / similarity-search operators (SURVEY §2.5) — the FAISS
+replacement.
+
+The reference collects the whole corpus to the driver, builds an in-process
+FAISS index and searches there (py:357-380, py:424-430, py:730-740). That is
+the scalability cliff this engine removes: embeddings live in a Parquet-backed
+``array<float>`` column, the query vector is broadcast, scoring happens
+JVM-side with higher-order functions, and top-k compiles to
+TakeOrderedAndProject (per-partition heap + single driver merge — no full
+sort, no collect).
+
+- E3 knn_search_l2  → score = Σ(x−y)², ORDER BY (score, vec_id) LIMIT k
+- E4 knn_search_ip  → score = Σ x·y (descending)
+- E4b cosine        → ip / (‖a‖·‖b‖)
+- E5 ANN            → random-hyperplane LSH buckets (sign bits, banded) —
+                      recall-gated vs E3/E4, the 100 TB path.
+- E6 top-k → rows   → join hits back to documents, truncate text.
+
+Determinism contract: element arithmetic is done in double after casting the
+float32 inputs, accumulating left-to-right — bit-identical to DuckDB's
+list_* functions over ::DOUBLE[] casts, so exact top-k is hash-matchable
+(ties broken by vec_id)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# score expressions (JVM-side, codegen'd)
+# ---------------------------------------------------------------------------
+
+def _d(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Inner product Σ a_i·b_i in double, left-to-right accumulation."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance Σ (a_i−b_i)². (No sqrt: ordering-equivalent and
+    avoids one more rounding step.)"""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# query-vector handling (E2)
+# ---------------------------------------------------------------------------
+
+def query_vector_of(embeddings: DataFrame, vec_id: int) -> DataFrame:
+    """Single-row DataFrame holding one stored vector as the query — the
+    deterministic stand-in for embed_query (E2, py:677-679). Broadcast into
+    the scoring join so the scan side never shuffles."""
+    return F.broadcast(
+        embeddings.where(F.col("vec_id") == vec_id).select(
+            F.col("embedding").alias("q")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact top-k (E3/E4)
+# ---------------------------------------------------------------------------
+
+def knn_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    metric: str = "ip",
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k over the embeddings table for a broadcast single-row
+    query. metric ∈ {ip, l2, cosine}. Deterministic: ties broken by vec_id.
+    """
+    scored = embeddings.crossJoin(query)
+    if metric == "ip":
+        score = dot("embedding", "q")
+        order = [F.col("score").desc(), F.col("vec_id").asc()]
+    elif metric == "cosine":
+        score = cosine("embedding", "q")
+        order = [F.col("score").desc(), F.col("vec_id").asc()]
+    elif metric == "l2":
+        score = l2_sq("embedding", "q")
+        order = [F.col("score").asc(), F.col("vec_id").asc()]
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = scored.select("vec_id", "label", score.alias("score"))
+    if exclude_vec_id is not None:
+        scored = scored.where(F.col("vec_id") != exclude_vec_id)
+    return scored.orderBy(*order).limit(k)
+
+
+def knn_join_documents(
+    hits: DataFrame, documents: DataFrame, truncate: int = 1000
+) -> DataFrame:
+    """E6 (py:380, py:459): map top-k hits back to document rows; truncate
+    text to bound downstream prompt size."""
+    return (
+        hits.join(documents, hits.vec_id == documents.doc_id)
+        .select(
+            "vec_id",
+            "score",
+            F.substring("text", 1, truncate).alias("snippet"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: random-hyperplane LSH (E5)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure-python LCG so no
+    numpy/driver state enters the plan)."""
+    state = seed & 0x7FFFFFFF or 1
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            v.append(state / float(1 << 30) - 1.0)
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket_col(emb: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of the embedding against each hyperplane, packed
+    into a long — the LSH bucket key."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    _d(emb),
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        for j, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    seed: int = 42,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Approximate top-k: candidates = rows sharing ≥1 LSH band with the
+    query (multi-probe via bands), then exact scoring only on candidates.
+
+    At 100 TB the bucketed table is precomputed & partitioned by band hash,
+    so a query touches only its buckets — the scan is pruned, not full.
+    Recall is tuned by (n_planes, n_bands); tests gate recall@k ≥ 0.9."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // n_bands
+    band_keys = lambda emb: [  # noqa: E731
+        F.shiftrightunsigned(lsh_bucket_col(emb, planes), b * per_band)
+        .bitwiseAND(F.lit((1 << per_band) - 1))
+        for b in range(n_bands)
+    ]
+    emb_banded = embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.posexplode(F.array(*band_keys("embedding"))).alias("band", "bkey"),
+    )
+    q_banded = query.select(
+        "q", F.posexplode(F.array(*band_keys("q"))).alias("band", "bkey")
+    )
+    cand = (
+        emb_banded.join(F.broadcast(q_banded), ["band", "bkey"])
+        .select("vec_id", "label", "embedding", "q")
+        .dropDuplicates(["vec_id"])
+    )
+    if metric == "cosine":
+        score, order = cosine("embedding", "q"), [F.col("score").desc(), F.col("vec_id")]
+    elif metric == "ip":
+        score, order = dot("embedding", "q"), [F.col("score").desc(), F.col("vec_id")]
+    else:
+        score, order = l2_sq("embedding", "q"), [F.col("score").asc(), F.col("vec_id")]
+    return (
+        cand.select("vec_id", "label", score.alias("score"))
+        .orderBy(*order)
+        .limit(k)
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from big_data_project_spark import io
-from big_data_project_spark.operators import cleaning, relational
+from big_data_project_spark.operators import cleaning, dedup, relational, text, vector
 
 
 @dataclass(frozen=True)
@@ -542,3 +542,427 @@ def oracle_sql() -> dict[str, str]:
 
 def headline_queries() -> dict[str, Query]:
     return {name: q for name, q in REGISTRY.items() if q.headline}
+
+
+# ===========================================================================
+# Text / NLP-deterministic carriers (§2.4) + text-analysis closure
+# ===========================================================================
+
+# The synthetic corpus has no punctuation/HTML, so normalize/NER queries
+# decorate the text in-query (identically on both sides) to exercise the
+# regex semantics for real.
+@register(
+    "c1_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               lower(concat('<b>', upper(substr(text, 1, 10)), '</b>! @', text)),
+               '<[^>]*>', '', 'g'),
+             '[^a-zA-Z0-9\\s]', '', 'g') AS normalized
+    FROM documents
+    """,
+)
+def c1_normalize_text(spark, sf_dir):
+    """C1 (ref py:340-343): lower → strip tags → strip punctuation, applied
+    to deterministically-decorated text."""
+    d = _t(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.lit("<b>"), F.upper(F.substring("text", 1, 10)), F.lit("</b>! @"), F.col("text")
+    )
+    return d.select(
+        "doc_id", cleaning.normalize_text_col(decorated).alias("normalized")
+    )
+
+
+@register(
+    "c2_trim_lower",
+    oracle="""
+    SELECT doc_id, lower(trim(concat('  ', upper(source), ' '))) AS src_clean
+    FROM documents
+    """,
+)
+def c2_trim_lower(spark, sf_dir):
+    """C2 (ref py:230-232): lower(trim(col)) on padded/upper-cased input."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("  "), F.upper("source"), F.lit(" ")).alias("src_clean"),
+    )
+    return cleaning.trim_lower(d, ["src_clean"])
+
+
+@register(
+    "n3_coalesce_fields",
+    oracle="""
+    SELECT doc_id, coalesce(nullif(lang, 'en'), source) AS picked
+    FROM documents
+    """,
+)
+def n3_coalesce_fields(spark, sf_dir):
+    """N3 (ref py:412-422): first-present of candidate fields."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.nullif(F.col("lang"), F.lit("en")).alias("cand1"),
+        F.col("source").alias("cand2"),
+    )
+    return text.coalesce_fields(d, ["cand1", "cand2"], "picked").select(
+        "doc_id", "picked"
+    )
+
+
+@register(
+    "n4_assemble_doc",
+    oracle="""
+    SELECT doc_id,
+           concat_ws(' ', source, coalesce(nullif(lang, 'zh'), '')) AS assembled
+    FROM documents
+    """,
+)
+def n4_assemble_doc(spark, sf_dir):
+    """N4 (ref py:363-367): title + ' ' + content with null→''."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.nullif(F.col("lang"), F.lit("zh")).alias("content")
+    )
+    return text.assemble_doc_text(d, "source", "content", "assembled").select(
+        "doc_id", "assembled"
+    )
+
+
+@register(
+    "n5_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(w) AS n_words,
+           length(text) AS n_chars,
+           len(list_distinct(w)) AS n_distinct_words,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+             AS avg_word_len
+    FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents)
+    """,
+)
+def n5_token_stats(spark, sf_dir):
+    """N5 (ref py:589-590): token/char/diversity stats."""
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "n5_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(w,
+                x -> CAST(greatest(1, ceil(length(x) / 4.0)) AS BIGINT)))
+             AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents)
+    """,
+)
+def n5_bpe_token_count(spark, sf_dir):
+    """Token counting (BPE-ish subword correction) for budget estimation."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.bpe_ish_token_count("text").alias("n_tokens"))
+
+
+@register(
+    "n1_ner_gazetteer",
+    oracle="""
+    SELECT doc_id, unnest(regexp_extract_all(text,
+           '\\b(spark|join|merge|window|stream|vector)\\b', 1)) AS entity
+    FROM documents
+    """,
+)
+def n1_ner_gazetteer(spark, sf_dir):
+    """N1 deterministic carrier: gazetteer NER, one row per hit (U4)."""
+    return text.ner_gazetteer(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "n1_ner_regex",
+    oracle="""
+    WITH decorated AS (
+      SELECT doc_id,
+             concat(text, ' $', CAST(doc_id AS VARCHAR), '.50 costs ',
+                    CAST(n_chars AS VARCHAR), '% on 2024-01-15 says ',
+                    upper(substr(source, 1, 3))) AS text
+      FROM documents)
+    SELECT doc_id, 'MONEY' AS entity_type,
+           unnest(regexp_extract_all(text, '\\$[0-9][0-9,]*(?:\\.[0-9]+)?')) AS entity
+    FROM decorated
+    UNION ALL
+    SELECT doc_id, 'PERCENT',
+           unnest(regexp_extract_all(text, '[0-9]+(?:\\.[0-9]+)?%'))
+    FROM decorated
+    UNION ALL
+    SELECT doc_id, 'DATE',
+           unnest(regexp_extract_all(text, '[0-9]{4}-[0-9]{2}-[0-9]{2}'))
+    FROM decorated
+    UNION ALL
+    SELECT doc_id, 'TICKER',
+           unnest(regexp_extract_all(text, '\\b[A-Z]{2,5}\\b'))
+    FROM decorated
+    """,
+)
+def n1_ner_regex(spark, sf_dir):
+    """N1 regex classes (MONEY/PERCENT/DATE/TICKER — the entity types
+    validated in Report.pdf §Experiments-2), over decorated text."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" $"), F.col("doc_id").cast("string"), F.lit(".50 costs "),
+            F.col("n_chars").cast("string"), F.lit("% on 2024-01-15 says "),
+            F.upper(F.substring("source", 1, 3)),
+        ).alias("text"),
+    )
+    return text.ner_regex(d)
+
+
+@register(
+    "n2_sentiment_lexicon",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\b(fast|big)\\b')) AS n_pos,
+           len(regexp_extract_all(text, '\\b(slow|small|dup)\\b')) AS n_neg,
+           len(regexp_extract_all(text, '\\b(fast|big)\\b'))
+             - len(regexp_extract_all(text, '\\b(slow|small|dup)\\b')) AS score,
+           CASE WHEN len(regexp_extract_all(text, '\\b(fast|big)\\b'))
+                     > len(regexp_extract_all(text, '\\b(slow|small|dup)\\b'))
+                THEN 'positive'
+                WHEN len(regexp_extract_all(text, '\\b(fast|big)\\b'))
+                     < len(regexp_extract_all(text, '\\b(slow|small|dup)\\b'))
+                THEN 'negative' ELSE 'neutral' END AS sentiment
+    FROM documents
+    """,
+)
+def n2_sentiment_lexicon(spark, sf_dir):
+    """N2 deterministic carrier: lexicon sentiment (claimed README.md:7,
+    absent from reference code — see SURVEY §2.4)."""
+    return text.sentiment_lexicon(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "tx_lang_id",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS detected_lang,
+           greatest(s_en, s_de, s_es, s_fr) AS stopword_hits
+    FROM (SELECT doc_id,
+                 len(regexp_extract_all(text, '\\b(the|a|of|and|is)\\b'))   AS s_en,
+                 len(regexp_extract_all(text, '\\b(der|die|das|und|ist)\\b')) AS s_de,
+                 len(regexp_extract_all(text, '\\b(el|la|de|y|es)\\b'))     AS s_es,
+                 len(regexp_extract_all(text, '\\b(le|la|et|les|est)\\b'))  AS s_fr
+          FROM documents)
+    """,
+)
+def tx_lang_id(spark, sf_dir):
+    """Language ID: stopword-hit argmax, deterministic tie-break."""
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "tx_quality_score",
+    oracle="""
+    SELECT doc_id,
+           len(w) AS n_words,
+           CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|is)\\b')) AS DOUBLE)
+             / len(w) AS stopword_ratio,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS diversity,
+           CASE WHEN len(w) >= 20 THEN 1 ELSE 0 END AS len_ok
+    FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents)
+    """,
+)
+def tx_quality_score(spark, sf_dir):
+    """Quality heuristics for training-data filtering."""
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "tx_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(lower(text), '<[^>]*>', '', 'g'),
+               '[^a-zA-Z0-9\\s]', '', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def tx_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of normalized text."""
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Dedup family (LLM-pipeline closure)
+# ===========================================================================
+
+@register(
+    "dd_exact_groups",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    )
+    SELECT md5(regexp_replace(regexp_replace(lower(text), '<[^>]*>', '', 'g'),
+               '[^a-zA-Z0-9\\s]', '', 'g')) AS content_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def dd_exact_groups(spark, sf_dir):
+    """Exact dedup groups. The corpus has no native dups, so it is unioned
+    with an id-shifted copy of itself — every group must come back with
+    n_copies=2 and the original id as keeper."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dedup_groups(corpus)
+
+
+@register(
+    "dd_jaccard_top_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+)
+def dd_jaccard_top_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard, top-20 most similar pairs — the oracle for the
+    MinHash-LSH scale path."""
+    pairs = dedup.jaccard_pairs(_t(spark, sf_dir, "documents"))
+    return pairs.orderBy(
+        F.col("jaccard").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(20)
+
+
+@register(
+    "dd_minhash_lsh",
+    oracle=None,
+    note="recall-gated vs dd_jaccard_top_pairs in pytest (non-SQL hash fns)",
+)
+def dd_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs — the 100 TB dedup path."""
+    return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd_simhash",
+    oracle=None,
+    note="property-tested in pytest (bit ops not portable to duckdb SQL)",
+)
+def dd_simhash(spark, sf_dir):
+    """SimHash 60-bit fingerprints."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Vector similarity search (§2.5)
+# ===========================================================================
+
+_VEC_SCORE_L2 = """list_sum(list_transform(
+        list_zip(CAST(embedding AS DOUBLE[]), CAST(q AS DOUBLE[])),
+        s -> (s[1] - s[2]) * (s[1] - s[2])))"""
+_VEC_SCORE_IP = "list_dot_product(CAST(embedding AS DOUBLE[]), CAST(q AS DOUBLE[]))"
+
+
+@register(
+    "e3_knn_l2",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label, {_VEC_SCORE_L2} AS score
+    FROM embeddings, qv
+    ORDER BY score, vec_id LIMIT 10
+    """,
+    headline=True,
+)
+def e3_knn_l2(spark, sf_dir):
+    """E3 (FAISS IndexFlatL2, ref py:371-380): exact L2 top-k, distributed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return vector.knn_topk(emb, vector.query_vector_of(emb, 0), k=10, metric="l2")
+
+
+@register(
+    "e4_knn_ip",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label, {_VEC_SCORE_IP} AS score
+    FROM embeddings, qv
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def e4_knn_ip(spark, sf_dir):
+    """E4 (FAISS IndexFlatIP, ref py:429-430): exact inner-product top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return vector.knn_topk(emb, vector.query_vector_of(emb, 0), k=10, metric="ip")
+
+
+@register(
+    "e4_knn_cosine",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           {_VEC_SCORE_IP}
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))))
+             AS score
+    FROM embeddings, qv
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def e4_knn_cosine(spark, sf_dir):
+    """Cosine top-k (embedding-similarity dedup/search carrier)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return vector.knn_topk(emb, vector.query_vector_of(emb, 0), k=10, metric="cosine")
+
+
+@register(
+    "e6_knn_documents",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    hits AS (
+      SELECT vec_id, {_VEC_SCORE_IP} AS score
+      FROM embeddings, qv
+      ORDER BY score DESC, vec_id LIMIT 5)
+    SELECT h.vec_id, h.score, substr(d.text, 1, 100) AS snippet
+    FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+    """,
+)
+def e6_knn_documents(spark, sf_dir):
+    """E6 (ref py:380): map top-k hits back to document rows + truncate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    hits = vector.knn_topk(emb, vector.query_vector_of(emb, 0), k=5, metric="ip")
+    return vector.knn_join_documents(
+        hits, _t(spark, sf_dir, "documents"), truncate=100
+    ).select("vec_id", "score", "snippet")
+
+
+@register(
+    "e5_ann_lsh",
+    oracle=None,
+    note="recall@10 >= 0.9 vs e4_knn_cosine gated in pytest",
+)
+def e5_ann_lsh(spark, sf_dir):
+    """E5 (FAISS IVFFlat, ref py:730-740): LSH-bucketed approximate top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return vector.ann_topk(emb, vector.query_vector_of(emb, 0), k=10)
