@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from big_data_project_spark import io
+from big_data_project_spark import streaming
 from big_data_project_spark.operators import cleaning, dedup, relational, text, vector
 
 
@@ -966,3 +967,58 @@ def e5_ann_lsh(spark, sf_dir):
     """E5 (FAISS IVFFlat, ref py:730-740): LSH-bucketed approximate top-k."""
     emb = _t(spark, sf_dir, "embeddings")
     return vector.ann_topk(emb, vector.query_vector_of(emb, 0), k=10)
+
+
+# ===========================================================================
+# Streaming closure (§2.8) — batch semantics of the streaming operators,
+# oracle-checked here; stream≡batch equivalence is pinned in
+# tests/test_streaming.py.
+# ===========================================================================
+
+@register(
+    "st_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', make_timestamp(epoch_ns(ts) // 1000))
+             AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def st_tumbling_hourly(spark, sf_dir):
+    """T2 batch semantics: tumbling-window count+sum per event type."""
+    return streaming.tumbling_window_agg(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "st_sessionize",
+    oracle="""
+    SELECT user_id, session_seq,
+           min(ts_us) AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT user_id, value, ts_us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM (
+        SELECT user_id, event_id, value, ts_us,
+               CASE WHEN epoch(ts_us)
+                         - lag(epoch(ts_us)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts_us, event_id)
+                         > 300
+                    OR lag(ts_us) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS brk
+        FROM (SELECT *, make_timestamp(epoch_ns(ts) // 1000) AS ts_us
+              FROM events)))
+    GROUP BY user_id, session_seq
+    """,
+)
+def st_sessionize(spark, sf_dir):
+    """T4 batch formulation: lag+cumsum sessionization (5-minute gap)."""
+    return streaming.sessionize_batch(_t(spark, sf_dir, "events"), 5)

@@ -1,0 +1,114 @@
+"""Streaming operators (T1–T7) as batch/stream-agnostic plan builders."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from big_data_project_spark.operators.relational import dsum
+
+#: event schema used for file-drop stream sources (events.parquet carries
+#: TIMESTAMP(NANOS); streamed fixtures re-emit it at µs so readStream works
+#: with the vanilla parquet source).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """T1: file-drop stream source with explicit schema (no inference pass,
+    required for streaming anyway)."""
+    return spark.readStream.format(fmt).schema(EVENTS_SCHEMA).load(path)
+
+
+def tumbling_window_agg(
+    events: DataFrame, width: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """T2 (+T5 when watermark set): per-window, per-type count and exact
+    value sum. Works identically on batch and stream inputs."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """T3: overlapping windows — each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """T4: native session windows (streaming-capable formulation)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """T4-batch: sessionization via lag + running sum of gap-breaks — the
+    classic batch formulation (one shuffle on user_id), used both as the
+    oracle for session_window_agg and as a standalone operator that also
+    yields per-event session ids (which session_window cannot)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    brk = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess = events.withColumn("session_seq", F.sum(brk).over(w))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total"),
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T6: stateful dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def write_stream_parquet(
+    df: DataFrame, path: str, checkpoint: str, mode: str = "append"
+):
+    """T7: parquet stream sink with checkpointing. Returns the query handle."""
+    return (
+        df.writeStream.outputMode(mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

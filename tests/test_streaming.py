@@ -1,0 +1,152 @@
+"""Streaming equivalence tests (SURVEY §5.2): each streaming operator's
+output must equal the batch computation of the same rows — the standard
+Structured Streaming test pattern (memory sink + processAllAvailable)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_spark import io
+from big_data_project_spark import streaming as st
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir):
+    """events re-emitted as µs-timestamp parquet files (several chunks, so
+    the stream source sees multiple input files)."""
+    d = tempfile.mkdtemp(prefix="bdps_events_")
+    ev = io.load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, df, name):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    out = spark.sql(f"SELECT * FROM {name}").collect()
+    q.stop()
+    return out
+
+
+def _rows_set(rows):
+    return {tuple(r) for r in rows}
+
+
+def test_tumbling_window_stream_equals_batch(spark, event_dir):
+    stream = st.read_event_stream(spark, event_dir)
+    got = _run_stream(spark, st.tumbling_window_agg(stream), "t2_out")
+    want = st.tumbling_window_agg(spark.read.parquet(event_dir)).collect()
+    assert _rows_set(got) == _rows_set(want)
+    assert len(want) > 10
+
+
+def test_sliding_window_stream_equals_batch(spark, event_dir):
+    stream = st.read_event_stream(spark, event_dir)
+    got = _run_stream(spark, st.sliding_window_agg(stream), "t3_out")
+    want = st.sliding_window_agg(spark.read.parquet(event_dir)).collect()
+    assert _rows_set(got) == _rows_set(want)
+    # sliding: each event in width/slide = 2 windows ⇒ more rows than tumbling
+    tumb = st.tumbling_window_agg(spark.read.parquet(event_dir)).collect()
+    assert len(want) > len(tumb)
+
+
+def test_session_window_stream_equals_batch_sessionize(spark, event_dir):
+    stream = st.read_event_stream(spark, event_dir)
+    got = _run_stream(spark, st.session_window_agg(stream, "5 minutes"), "t4_out")
+    # oracle: the lag+cumsum batch sessionizer must produce identical
+    # (start, user, count, total) tuples
+    want = (
+        st.sessionize_batch(spark.read.parquet(event_dir), 5)
+        .select("session_start", "user_id", "n_events", "total")
+        .collect()
+    )
+    assert _rows_set(got) == _rows_set(want)
+    assert len(want) > 100
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T5: a row arriving behind the watermark is dropped from the agg."""
+    d = str(tmp_path / "late_src")
+    on_time = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 12:00:00", 1, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 09:00:00", 1, "click", 1.0, "{}")],  # 3h behind max
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    on_time.write.mode("overwrite").parquet(d)
+    stream = st.read_event_stream(spark, d)
+    agg = st.tumbling_window_agg(stream, "1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t5_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    late.write.mode("append").parquet(d)  # arrives in a later micro-batch
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM t5_out").collect()
+    # append mode emits only finalized windows (watermark passed): the 10:00
+    # window finalizes once max ts hits 12:00; the late 09:00 row must NOT
+    # create/extend a window behind the watermark.
+    starts = {r.window_start.isoformat() for r in rows}
+    assert "2024-01-01T09:00:00" not in starts, rows
+
+
+def test_stream_dedup_counts_replays_once(spark, tmp_path):
+    d = str(tmp_path / "dup_src")
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, "click", 1.0, "{}") for i in range(5)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # write the same rows twice (replay)
+    df.write.mode("overwrite").parquet(d)
+    df.write.mode("append").parquet(d)
+
+    stream = st.read_event_stream(spark, d)
+    deduped = st.stream_dedup(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t6_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt6"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT event_id FROM t6_out").collect()
+    assert sorted(r.event_id for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_parquet_stream_sink_roundtrip(spark, event_dir, tmp_path):
+    """T7: end-to-end file sink — stream in, parquet out, counts equal."""
+    stream = st.read_event_stream(spark, event_dir)
+    q = st.write_stream_parquet(
+        stream.where(F.col("event_type") == "purchase"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt7"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(tmp_path / "sink")).count()
+    want = (
+        spark.read.parquet(event_dir).where(F.col("event_type") == "purchase").count()
+    )
+    assert got == want > 0
