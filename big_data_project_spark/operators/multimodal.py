@@ -1,0 +1,163 @@
+"""Multimodal columns (BASELINE.json north star: "multimodal columns").
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata —
+exactly how large training-data lakes store them (the bytes travel with the
+row; decode happens late, inside Arrow-batched Python stages). This module
+provides:
+
+- attach/inspect: binary payload columns, magic-byte sniffing, byte stats —
+  pure JVM column functions (oracle-matchable).
+- decode/featurize plumbing: ``mapInPandas`` stages with real schemas,
+  batching and partitioning, where the codec itself is stubbed (PIL/ffmpeg
+  are not in this container): ``decode=\"fake\"`` produces deterministic
+  features from the bytes; ``decode=\"strict\"`` raises NotImplementedError
+  at the stub boundary, which is the marked integration point for a real
+  codec.
+
+Scale notes: payload columns make rows wide — the operators here never
+shuffle the binary column (metadata is projected out first; Parquet column
+pruning keeps un-asked-for payloads on disk), and decode stages size their
+Arrow batches via spark.sql.execution.arrow.maxRecordsPerBatch rather than
+collecting anything."""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: magic prefixes (hex of first 4 bytes) → media type
+MAGIC = {
+    "89504E47": "image/png",
+    "FFD8FFE0": "image/jpeg",
+    "52494646": "audio/wav",  # RIFF
+    "1A45DFA3": "video/webm",
+}
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", out: str = "payload") -> DataFrame:
+    """Turn a text column into a binary payload column (UTF-8 bytes) — the
+    ingestion shape for blobs arriving via base64/raw fields."""
+    return df.withColumn(out, F.encode(F.col(text_col), "UTF-8"))
+
+
+def sniff_media_type(payload: str = "payload"):
+    """Magic-byte sniff as a column expression: hex of the first 4 bytes
+    looked up against known signatures."""
+    prefix = F.substring(F.hex(F.col(payload)), 1, 8)
+    expr = F.lit("application/octet-stream")
+    for magic, mtype in reversed(MAGIC.items()):
+        expr = F.when(prefix == magic, mtype).otherwise(expr)
+    return expr
+
+
+def binary_stats(df: DataFrame, payload: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Typed metadata for a payload column: byte length + sniffed type."""
+    return df.select(
+        id_col,
+        F.length(F.col(payload)).alias("n_bytes"),
+        sniff_media_type(payload).alias("media_type"),
+    )
+
+
+#: decoded-feature schema: fixed-length feature vector + declared shape.
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for a real image/audio decoder: fixed 'shape'
+    derived from the byte length, features from a sha256 rolling digest.
+    Marked fake — swap for PIL/torchvision/ffmpeg at the stub boundary."""
+    h = hashlib.sha256(payload).digest()
+    height = 1 + payload[0] % 64 if payload else 1
+    width = 1 + (len(payload) % 64)
+    feats = [
+        int.from_bytes(h[4 * i : 4 * i + 4], "big") / float(1 << 31) - 1.0
+        for i in range(dim)
+    ]
+    return height, width, feats
+
+
+def decode_features(
+    df: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    dim: int = 8,
+    decode: str = "fake",
+) -> DataFrame:
+    """Decode/feature-extract stage: Arrow-batched mapInPandas over the
+    payload column. The Spark-side plumbing (schema, batch iteration,
+    column pruning before the shuffle-free map) is real; the codec is the
+    stub. decode='strict' raises NotImplementedError — the marked seam
+    where PIL/ffmpeg plug in."""
+    if decode not in ("fake", "strict"):
+        raise ValueError("decode must be 'fake' or 'strict'")
+
+    pruned = df.select(id_col, payload)  # never carry unneeded columns
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode == "strict":
+                raise NotImplementedError(
+                    "real image/audio codecs are not available in this "
+                    "container; plug PIL/ffmpeg in here"
+                )
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload]):
+                data = bytes(b) if b is not None else b""
+                height, width, feats = _fake_decode(data, dim)
+                hexs = data[:4].hex().upper()
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "media_type": MAGIC.get(hexs, "application/octet-stream"),
+                        "height": height,
+                        "width": width,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return pruned.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+) -> DataFrame:
+    """'Frame sampling' plumbing for video-ish payloads: emit up to
+    max_frames byte-slices per payload (U4 one-row→many). Pure column ops:
+    the slicing itself is substring on binary — a real frame sampler would
+    replace the slice expression, the explode/partition shape stays."""
+    idx = F.sequence(
+        F.lit(0),
+        F.least(
+            F.lit(max_frames - 1),
+            F.floor(F.length(F.col(payload)) / every_n_bytes).cast("int"),
+        ),
+    )
+    return (
+        df.select(id_col, payload, F.explode(idx).alias("frame_no"))
+        .select(
+            id_col,
+            "frame_no",
+            F.substring(
+                F.col(payload), F.col("frame_no") * every_n_bytes + 1, every_n_bytes
+            ).alias("frame_bytes"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""RAG pipeline operators (SURVEY §2.6) — deterministic carriers.
+
+The reference's RAG loop (py:455-484, py:560-577, py:688-707) is driver-side
+LangChain: embed query → FAISS top-k → truncate(1000) → PromptTemplate →
+flan-t5 → heuristic evaluation. Here the deterministic stages are DataFrame
+column functions that run over *batches of queries*, and generation is a
+pluggable interface (plugins.py) excluded from the oracle surface.
+
+Retrieval itself is operators.vector (E2–E6); this module owns prompt
+assembly (R1), the pipeline composition (R3 minus generation), and the
+heuristic evaluator (R4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: the reference's prompt shape (py:462-477): context docs joined by blank
+#: lines, then the question.
+PROMPT_TEMPLATE = (
+    "Use the following context to answer the question.\n\n"
+    "Context:\n{context}\n\nQuestion: {question}\n\nAnswer:"
+)
+
+
+def assemble_prompt(
+    hits: DataFrame,
+    question: str,
+    rank_col: str = "score",
+    text_col: str = "snippet",
+    descending: bool = True,
+) -> DataFrame:
+    """R1 (py:459-477): order the retrieved snippets, join with blank lines,
+    fill the template. Ordering inside collect_list is made deterministic by
+    sorting an array of (rank, text) structs — not by relying on input order.
+    Output: single row (question, context, prompt)."""
+    rank = F.col(rank_col)
+    sortable = F.struct(
+        (rank * -1 if descending else rank).alias("r"), F.col(text_col).alias("t")
+    )
+    ctx = F.array_join(
+        F.transform(F.array_sort(F.collect_list(sortable)), lambda s: s["t"]),
+        "\n\n",
+    )
+    return hits.agg(
+        F.lit(question).alias("question"),
+        ctx.alias("context"),
+        F.concat(
+            F.lit("Use the following context to answer the question.\n\nContext:\n"),
+            ctx,
+            F.lit("\n\nQuestion: "),
+            F.lit(question),
+            F.lit("\n\nAnswer:"),
+        ).alias("prompt"),
+    )
+
+
+def _terms(col: Column) -> Column:
+    """Lowercased whitespace terms of a text column."""
+    return F.split(F.trim(F.lower(col)), "\\s+")
+
+
+def evaluate_response(
+    df: DataFrame,
+    question_col: str = "question",
+    answer_col: str = "answer",
+    context_col: str = "context",
+) -> DataFrame:
+    """R4 (py:579-594): heuristic accuracy / clarity / grounding scores as
+    column expressions, so evaluation runs over arbitrary batches of
+    (question, answer, context) rows.
+
+    - accuracy  : fraction of question terms present in the context
+                  (> 0.5 ⇒ 'High', else 'Low')
+    - clarity   : word count of the answer; 10..100 words ⇒ 'High'
+    - grounding : fraction of answer terms present in the context
+    """
+    q_terms = F.array_distinct(_terms(F.col(question_col)))
+    a_terms = F.array_distinct(_terms(F.col(answer_col)))
+    ctx_terms = _terms(F.col(context_col))
+
+    def coverage(terms: Column) -> Column:
+        hits = F.size(F.array_intersect(terms, ctx_terms))
+        return hits / F.size(terms)
+
+    accuracy = coverage(q_terms)
+    n_words = F.size(_terms(F.col(answer_col)))
+    grounding = coverage(a_terms)
+    return df.select(
+        question_col,
+        accuracy.alias("accuracy"),
+        F.when(accuracy > 0.5, "High").otherwise("Low").alias("accuracy_label"),
+        n_words.alias("answer_words"),
+        F.when((n_words >= 10) & (n_words <= 100), "High")
+        .otherwise("Low")
+        .alias("clarity_label"),
+        grounding.alias("grounding"),
+    )
+
+
+def run_retrieval(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    query: DataFrame,
+    question: str,
+    k: int = 7,
+    truncate: int = 1000,
+    metric: str = "ip",
+) -> DataFrame:
+    """R3 minus generation (py:455-484): retrieval → truncation → prompt.
+    Returns the one-row prompt DataFrame; a generator plugin maps it to an
+    answer (plugins.FlanT5Generator or any callable)."""
+    from big_data_project_spark.operators import vector
+
+    hits = vector.knn_topk(embeddings, query, k=k, metric=metric)
+    docs = vector.knn_join_documents(hits, documents, truncate=truncate)
+    return assemble_prompt(docs, question)

@@ -1,0 +1,158 @@
+"""Optional ML plugins (SURVEY §7: heavy deps behind interfaces).
+
+The deterministic engine never imports these at module load; every plugin
+degrades to a clearly-marked deterministic fallback so the core suite runs
+on vanilla pyspark. Reference parity:
+
+- Embedder            ↔ SentenceTransformers all-MiniLM-L6-v2 (py:354-375)
+- Generator           ↔ flan-t5-base via LangChain (py:446-453) — with the
+                        model handle CACHED, fixing the reload-per-query
+                        defect (py:479,703) that dominates baseline latency.
+- SparkNLP NER        ↔ PretrainedPipeline('recognize_entities_dl')
+                        (py:348-352)
+
+All inference runs through mapInPandas/pandas UDFs (Arrow batches), never
+row-at-a-time Python UDFs."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def hash_embed(text: str, dim: int = 16) -> list[float]:
+    """Deterministic fallback embedder (FIXTURES.md B4): per-dimension
+    sha256(text||i) → float in [-1, 1]. Stable across processes — usable in
+    golden tests where a real model would not be."""
+    out = []
+    for i in range(dim):
+        h = hashlib.sha256(f"{text}\x00{i}".encode()).digest()
+        v = int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0
+        out.append(v)
+    n = math.sqrt(sum(x * x for x in out)) or 1.0
+    return [x / n for x in out]
+
+
+class Embedder:
+    """E1: batched document embedding as a mapInPandas stage.
+
+    Tries sentence-transformers (all-MiniLM-L6-v2, dim 384 — py:354); when
+    unavailable (no package / no network) falls back to hash_embed with the
+    requested dim. ``Report.pdf §Methodology-3``: "Batch embedding was
+    implemented using PySpark UDFs" — this is that, done Arrow-batched."""
+
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2", dim: int = 384):
+        self.model_name = model_name
+        self.dim = dim
+
+    def available(self) -> bool:
+        try:  # pragma: no cover - environment-dependent
+            import sentence_transformers  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    def transform(
+        self, df: DataFrame, text_col: str = "text", out_col: str = "embedding"
+    ) -> DataFrame:
+        model_name, dim = self.model_name, self.dim
+        use_model = self.available()
+        fields = df.schema.fields
+        out_schema = T.StructType(
+            list(fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+        )
+
+        def embed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            model = None
+            if use_model:  # pragma: no cover - needs the package + weights
+                from sentence_transformers import SentenceTransformer
+
+                model = SentenceTransformer(model_name)
+            for pdf in it:
+                if model is not None:  # pragma: no cover
+                    vecs = model.encode(pdf[text_col].fillna("").tolist())
+                    pdf[out_col] = [v.tolist() for v in vecs]
+                else:
+                    pdf[out_col] = [
+                        hash_embed(t or "", dim) for t in pdf[text_col].tolist()
+                    ]
+                yield pdf
+
+        return df.mapInPandas(embed_batches, out_schema)
+
+
+class Generator:
+    """R2: pluggable text generation with a CACHED model handle.
+
+    The reference reloads flan-t5-base inside run_rag on every query
+    (py:479, py:703) — the dominant latency cost in BASELINE.md. Here the
+    pipeline is loaded once per process and reused. Fallback: a deterministic
+    extractive "generator" (first sentence of the context) so RAG plumbing
+    is testable without torch."""
+
+    _cached = None
+
+    def __init__(self, model_name: str = "google/flan-t5-base", max_new_tokens: int = 200):
+        self.model_name = model_name
+        self.max_new_tokens = max_new_tokens
+
+    def available(self) -> bool:
+        try:  # pragma: no cover
+            import transformers  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    def _pipeline(self):  # pragma: no cover - needs torch + weights
+        if Generator._cached is None:
+            from transformers import pipeline
+
+            Generator._cached = pipeline(
+                "text2text-generation",
+                model=self.model_name,
+                max_new_tokens=self.max_new_tokens,
+            )
+        return Generator._cached
+
+    def generate(self, prompt: str) -> str:
+        if self.available():  # pragma: no cover
+            return self._pipeline()(prompt)[0]["generated_text"]
+        # deterministic extractive fallback: first 30 words of the context
+        ctx = prompt.split("Context:\n", 1)[-1].split("\n\nQuestion:", 1)[0]
+        return " ".join(ctx.split()[:30])
+
+
+class SparkNLPNer:
+    """N1 model path: Spark NLP recognize_entities_dl (py:348-352).
+
+    Requires the spark-nlp JVM package on the classpath; ``available()``
+    gates it, and operators.text.ner_gazetteer/ner_regex are the
+    deterministic carriers the oracle actually checks."""
+
+    def available(self) -> bool:
+        try:  # pragma: no cover - needs the JVM package
+            import sparknlp  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    def transform(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        if not self.available():
+            raise NotImplementedError(
+                "spark-nlp not on the classpath; use operators.text.ner_* "
+                "deterministic carriers instead"
+            )
+        # pragma: no cover - mirrors py:348-352 with a proper pipeline
+        from sparknlp.pretrained import PretrainedPipeline
+
+        pipe = PretrainedPipeline("recognize_entities_dl", lang="en")
+        return pipe.transform(df.withColumnRenamed(text_col, "text"))

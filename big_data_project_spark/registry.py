@@ -21,7 +21,15 @@ from pyspark.sql import types as T
 
 from big_data_project_spark import io
 from big_data_project_spark import streaming
-from big_data_project_spark.operators import cleaning, dedup, relational, text, vector
+from big_data_project_spark.operators import (
+    cleaning,
+    dedup,
+    multimodal,
+    rag,
+    relational,
+    text,
+    vector,
+)
 
 
 @dataclass(frozen=True)
@@ -1022,3 +1030,158 @@ def st_tumbling_hourly(spark, sf_dir):
 def st_sessionize(spark, sf_dir):
     """T4 batch formulation: lag+cumsum sessionization (5-minute gap)."""
     return streaming.sessionize_batch(_t(spark, sf_dir, "events"), 5)
+
+
+# ===========================================================================
+# RAG deterministic carriers (§2.6)
+# ===========================================================================
+
+_RAG_QUESTION = "the spark join data stream"
+
+
+@register(
+    "r1_prompt_assembly",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    hits AS (
+      SELECT vec_id, {_VEC_SCORE_IP} AS score
+      FROM embeddings, qv
+      ORDER BY score DESC, vec_id LIMIT 7),
+    docs AS (
+      SELECT h.score, substr(d.text, 1, 1000) AS snippet
+      FROM hits h JOIN documents d ON h.vec_id = d.doc_id)
+    SELECT '{_RAG_QUESTION}' AS question,
+           string_agg(snippet, chr(10) || chr(10) ORDER BY -score, snippet)
+             AS context,
+           concat('Use the following context to answer the question.',
+                  chr(10), chr(10), 'Context:', chr(10),
+                  string_agg(snippet, chr(10) || chr(10) ORDER BY -score, snippet),
+                  chr(10), chr(10), 'Question: ', '{_RAG_QUESTION}',
+                  chr(10), chr(10), 'Answer:') AS prompt
+    FROM docs
+    """,
+)
+def r1_prompt_assembly(spark, sf_dir):
+    """R1 (ref py:459-477): retrieval → truncate → deterministic prompt."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return rag.run_retrieval(
+        emb,
+        _t(spark, sf_dir, "documents"),
+        vector.query_vector_of(emb, 0),
+        _RAG_QUESTION,
+        k=7,
+    )
+
+
+@register(
+    "r4_evaluate_response",
+    oracle=f"""
+    SELECT question,
+           CAST(len(list_intersect(q_terms, ctx_terms)) AS DOUBLE) / len(q_terms)
+             AS accuracy,
+           CASE WHEN CAST(len(list_intersect(q_terms, ctx_terms)) AS DOUBLE)
+                     / len(q_terms) > 0.5
+                THEN 'High' ELSE 'Low' END AS accuracy_label,
+           len(a_terms_all) AS answer_words,
+           CASE WHEN len(a_terms_all) BETWEEN 10 AND 100 THEN 'High' ELSE 'Low' END
+             AS clarity_label,
+           CAST(len(list_intersect(list_distinct(a_terms_all), ctx_terms)) AS DOUBLE)
+             / len(list_distinct(a_terms_all)) AS grounding
+    FROM (
+      SELECT doc_id,
+             '{_RAG_QUESTION}' AS question,
+             list_distinct(string_split_regex(trim(lower('{_RAG_QUESTION}')), '\\s+'))
+               AS q_terms,
+             string_split_regex(trim(lower(substr(text, 1, 120))), '\\s+')
+               AS a_terms_all,
+             string_split_regex(trim(lower(text)), '\\s+') AS ctx_terms
+      FROM documents)
+    """,
+)
+def r4_evaluate_response(spark, sf_dir):
+    """R4 (ref py:579-594): heuristic accuracy/clarity/grounding over a
+    batch of (question, answer, context) rows — answers are deterministic
+    text prefixes so the evaluator itself is what's tested."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.lit(_RAG_QUESTION).alias("question"),
+        F.substring("text", 1, 120).alias("answer"),
+        F.col("text").alias("context"),
+    )
+    return rag.evaluate_response(d)
+
+
+# ===========================================================================
+# Multimodal columns
+# ===========================================================================
+
+@register(
+    "mm_binary_stats",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN from_hex('89504E47') || encode(text)
+                  WHEN doc_id % 3 = 1
+                  THEN from_hex('52494646') || encode(text)
+                  ELSE encode(text) END AS payload
+      FROM documents)
+    SELECT doc_id,
+           octet_length(payload) AS n_bytes,
+           CASE substr(hex(payload), 1, 8)
+                WHEN '89504E47' THEN 'image/png'
+                WHEN 'FFD8FFE0' THEN 'image/jpeg'
+                WHEN '52494646' THEN 'audio/wav'
+                WHEN '1A45DFA3' THEN 'video/webm'
+                ELSE 'application/octet-stream' END AS media_type
+    FROM payloads
+    """,
+)
+def mm_binary_stats(spark, sf_dir):
+    """Multimodal metadata: byte length + magic-byte sniff over binary
+    payloads (synthesized with real PNG/RIFF magics from document text)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.unhex(F.lit("89504E47")), F.encode("text", "UTF-8")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.unhex(F.lit("52494646")), F.encode("text", "UTF-8")),
+        )
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    return multimodal.binary_stats(d.withColumn("payload", payload))
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH payloads AS (SELECT doc_id, encode(text) AS payload FROM documents)
+    SELECT doc_id, frame_no,
+           octet_length(payload) AS n_bytes_total
+    FROM payloads,
+         unnest(range(0, least(8, octet_length(payload) // 64 + 1))) t(frame_no)
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: per-payload byte-slice explosion. The oracle
+    checks the fan-out shape (doc, frame_no, total bytes); slice contents are
+    binary and engine-checked in pytest."""
+    d = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample(d)
+    return (
+        frames.join(d.select("doc_id", F.length("payload").alias("n_bytes_total")), "doc_id")
+        .select("doc_id", "frame_no", "n_bytes_total")
+    )
+
+
+@register(
+    "mm_decode_features",
+    oracle=None,
+    note="mapInPandas decode plumbing; codec stubbed (deterministic fake)",
+)
+def mm_decode_features(spark, sf_dir):
+    """Decode/feature-extract stage over binary payloads (Arrow-batched)."""
+    d = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_features(d)

@@ -1,0 +1,93 @@
+"""Behavioral tests for the RAG plumbing, plugins, and multimodal stages —
+the parts whose value is in shapes/semantics rather than SQL equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_spark import io, plugins
+from big_data_project_spark.operators import multimodal, rag, vector
+
+
+def test_prompt_contains_topk_snippets_in_rank_order(spark, sf_dir):
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    docs = io.load_table(spark, sf_dir, "documents")
+    q = vector.query_vector_of(emb, 0)
+    hits = vector.knn_topk(emb, q, k=3, metric="ip")
+    joined = vector.knn_join_documents(hits, docs, truncate=50)
+    row = rag.assemble_prompt(joined, "what is spark").collect()[0]
+    snippets = [r.snippet for r in joined.orderBy(F.col("score").desc()).collect()]
+    assert row.context == "\n\n".join(snippets)
+    assert row.prompt.startswith("Use the following context")
+    assert row.prompt.endswith("Answer:")
+    assert "what is spark" in row.prompt
+
+
+def test_evaluate_response_scores(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat", "the cat sat", "the cat sat on a mat today ok fine sure yes"),
+            ("dog bird", "unrelated words here", "the cat sat on a mat"),
+        ],
+        "question string, answer string, context string",
+    )
+    rows = {r.question: r for r in rag.evaluate_response(df).collect()}
+    assert rows["the cat"].accuracy == 1.0
+    assert rows["the cat"].accuracy_label == "High"
+    assert rows["dog bird"].accuracy == 0.0
+    assert rows["dog bird"].accuracy_label == "Low"
+    assert rows["dog bird"].grounding == 0.0
+
+
+def test_generator_fallback_is_deterministic_and_cached_interface():
+    gen = plugins.Generator()
+    prompt = "Use the following context to answer the question.\n\nContext:\nalpha beta gamma\n\nQuestion: q\n\nAnswer:"
+    a1, a2 = gen.generate(prompt), gen.generate(prompt)
+    assert a1 == a2 == "alpha beta gamma"
+
+
+def test_hash_embedder_mapinpandas(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world"), (3, "hello")],
+                               "doc_id long, text string")
+    out = plugins.Embedder(dim=16).transform(df).collect()
+    vecs = {r.doc_id: r.embedding for r in out}
+    assert len(vecs[1]) == 16
+    assert vecs[1] == vecs[3] != vecs[2]
+    norm = sum(x * x for x in vecs[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+
+
+def test_decode_features_fake_and_strict(spark):
+    df = spark.createDataFrame([(1, "some bytes"), (2, "other")],
+                               "doc_id long, text string")
+    d = multimodal.attach_binary(df)
+    feats = multimodal.decode_features(d).collect()
+    assert {r.doc_id for r in feats} == {1, 2}
+    assert all(len(r.features) == 8 for r in feats)
+    # determinism
+    again = multimodal.decode_features(d).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+    # strict mode surfaces the stub boundary
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.decode_features(d, decode="strict").collect()
+
+
+def test_frame_sample_slices(spark):
+    text = "x" * 200  # 200 bytes → frames at 0,64,128,192 (4 frames)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    frames = multimodal.frame_sample(multimodal.attach_binary(df)).collect()
+    assert [r.frame_no for r in sorted(frames, key=lambda r: r.frame_no)] == [0, 1, 2, 3]
+    total = b"".join(
+        bytes(r.frame_bytes) for r in sorted(frames, key=lambda r: r.frame_no)
+    )
+    assert total == text.encode()
+
+
+def test_sniff_media_type(spark):
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    png = df.withColumn(
+        "payload", F.concat(F.unhex(F.lit("89504E47")), F.lit(b"data"))
+    )
+    rows = multimodal.binary_stats(png).collect()
+    assert all(r.media_type == "image/png" for r in rows)
