@@ -1,0 +1,138 @@
+"""Golden tests for the reference-shaped pipelines (FIXTURES.md B): the SEC
+ETL and the CNBC/Reddit unification, on synthesized fixtures that contain
+every tricky behavior from SURVEY §1.4."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from big_data_project_spark.pipelines import sec, social
+
+SEC_HEADER = (
+    '"Ticker","Name","Sector","Asset Class","Market Value","Weight (%)",'
+    '"Notional Value","Quantity","Price","Location","Exchange","Currency",'
+    '"FX Rate","Market Currency","Accrual Date"'
+)
+
+SEC_ROWS = [
+    # comma-formatted money (the §1.4.1 cast-to-null trigger) + HTML-ish name
+    '"AAPL","APPLE <b>INC</b>!","Information Technology","Equity","559,365,151.11",'
+    '"5.16","559,365,151.11","4,305,127.00","129.93","United States","NASDAQ",'
+    '"USD","1","USD","-"',
+    # duplicate (Ticker,Name) with different values → dedup keeps min value
+    '"AAPL","APPLE <b>INC</b>!","Information Technology","Equity","100.00",'
+    '"1.00","100.00","10.00","99.00","United States","NASDAQ","USD","1","USD","-"',
+    # null sector → 'unknown'; plain decimals
+    '"MSFT","MICROSOFT CORP",,"Equity","0.02","2.5","0.02","5","250.10",'
+    '"United States","NASDAQ","USD","1","USD","Jan 01, 1970"',
+    # '-' sentinel ticker row survives (nullable key)
+    '"-","CASH COLLATERAL","Cash","Money Market","12.34","0.01","12.34","12",'
+    '"1.00","United States","NO MARKET (E.G. UNLISTED)","USD","1","USD","-"',
+]
+
+
+@pytest.fixture(scope="module")
+def sec_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("sec") / "SEC_filings.csv"
+    p.write_text(SEC_HEADER + "\n" + "\n".join(SEC_ROWS) + "\n")
+    return str(p)
+
+
+def test_sec_pipeline_golden(spark, sec_csv, tmp_path):
+    raw = sec.ingest(spark, sec_csv)
+    assert raw.count() == 4
+    assert [f.dataType.simpleString() for f in raw.schema.fields] == ["string"] * 15
+
+    cleaned = sec.clean(raw)
+    rows = {(r["Ticker"], r["Name"]): r for r in cleaned.collect()}
+    # dedup: one (aapl, apple inc) row, the min-market-value one kept
+    assert len(rows) == 3
+    aapl = rows[("aapl", "apple inc")]  # lowered, tags+punctuation stripped
+    assert aapl["Market Value"] == 100.0
+    msft = rows[("msft", "microsoft corp")]
+    assert msft["Sector"] == "unknown"
+    assert msft["Price"] == 250.10
+
+    meta = sec.extract_metadata(cleaned)
+    m = {r.record_id: r for r in meta.collect()}
+    assert "aapl_apple inc" in m
+    assert set(meta.columns) == {
+        "ticker", "company_name", "sector", "market_value", "weight_pct",
+        "quantity", "price", "location", "exchange", "currency", "record_id",
+    }
+
+    # store + read-back verify (S8/S9)
+    n = sec.store(spark, meta, str(tmp_path / "sec_out"))
+    assert n == 3
+
+
+def test_sec_money_parse_pre_dedup(spark, sec_csv):
+    cleaned = sec.clean(sec.ingest(spark, sec_csv))
+    # run clean without dedup by checking the big-money row via quantity col
+    # on the full pipeline instead: parse_money must handle separators
+    from big_data_project_spark.operators.cleaning import parse_money
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("559,365,151.11",), (None,), ("0.02",)], "v string")
+    got = [r.p for r in df.select(parse_money("v", 0.0).alias("p")).collect()]
+    assert got == [559365151.11, 0.0, 0.02]
+
+
+CNBC_1 = [
+    {"url": "https://cnbc.com/a1", "title": "Apple <b>soars</b>!",
+     "date": "2025-04-15 00:00:00", "content": "Apple stock gains 5% today."},
+    {"url": "https://cnbc.com/a2", "title": "Fed holds rates",
+     "date": "2025-04-16 00:00:00", "content": None},
+]
+CNBC_2 = [
+    {"url": "https://cnbc.com/b1", "title": "Tariffs bite",
+     "date": "2025-04-17 00:00:00", "content": "Markets slide on tariffs."},
+]
+REDDIT = [
+    {"Title": "YOLO on $TSLA 🚀", "URL": "https://reddit.com/p1",
+     "Upvotes": 100, "Comments_Count": 5, "Post_Time": "2025-04-19T19:41:52.000Z"},
+    {"Title": "loss porn", "URL": "https://reddit.com/p2",
+     "Upvotes": 1, "Comments_Count": 0, "Post_Time": "2025-04-21 07:29:17"},
+    {"Title": "", "URL": "https://reddit.com/p3",
+     "Upvotes": 0, "Comments_Count": 0, "Post_Time": "2025-04-21 07:30:00"},
+]
+
+
+@pytest.fixture(scope="module")
+def social_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("social")
+    for name, rows in (("cnbc1.json", CNBC_1), ("cnbc2.json", CNBC_2),
+                       ("reddit.json", REDDIT)):
+        (d / name).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    return str(d / "cnbc1.json"), str(d / "cnbc2.json"), str(d / "reddit.json")
+
+
+def test_social_pipeline_golden(spark, social_paths, tmp_path):
+    c1, c2, rd = social_paths
+    cnbc = social.load_cnbc(spark, c1, c2)
+    assert cnbc.count() == 3  # two files unioned by name
+
+    reddit = social.load_reddit(spark, rd)
+    ts = {r.url: r.ts for r in reddit.collect()}
+    # both timestamp formats parsed
+    assert ts["https://reddit.com/p1"].isoformat() == "2025-04-19T19:41:52"
+    assert ts["https://reddit.com/p2"].isoformat() == "2025-04-21T07:29:17"
+
+    docs = social.unify(cnbc, reddit)
+    rows = {r.url: r for r in docs.collect()}
+    # empty-text doc dropped (p3: empty title, no body)
+    assert "https://reddit.com/p3" not in rows
+    assert len(rows) == 5
+    # normalize_text applied: tags + punctuation gone, lowercased
+    assert rows["https://cnbc.com/a1"].text == "apple soars apple stock gains 5 today"
+    # null body tolerated
+    assert rows["https://cnbc.com/a2"].text == "fed holds rates"
+    # emoji and $ stripped
+    assert rows["https://reddit.com/p1"].text == "yolo on tsla"
+    # stable ids: distinct and deterministic
+    assert len({r.doc_id for r in rows.values()}) == 5
+
+    n = social.run(spark, [c1, c2], rd, str(tmp_path / "docs_out"))
+    assert n == 5
