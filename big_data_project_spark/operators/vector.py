@@ -191,20 +191,25 @@ def ann_topk(
     contract. Tests gate mean recall@10."""
     planes = _hyperplanes(dim, n_planes, seed)
     per_band = n_planes // n_bands
-    band_keys = lambda emb: [  # noqa: E731
-        F.shiftrightunsigned(lsh_bucket_col(emb, planes), b * per_band)
-        .bitwiseAND(F.lit((1 << per_band) - 1))
-        for b in range(n_bands)
-    ]
-    emb_banded = embeddings.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.posexplode(F.array(*band_keys("embedding"))).alias("band", "bkey"),
-    )
-    q_banded = query.select(
-        "q", F.posexplode(F.array(*band_keys("q"))).alias("band", "bkey")
-    )
+
+    def banded(df: DataFrame, emb: str, keep: list[str]) -> DataFrame:
+        # compute the n_planes-bit signature ONCE, then slice band keys out
+        # of it with shift/mask — recomputing the hyperplane dot products
+        # per band multiplies codegen size and runtime by n_bands.
+        sig = df.withColumn("_sig", lsh_bucket_col(emb, planes))
+        keys = F.array(
+            *[
+                F.shiftrightunsigned(F.col("_sig"), b * per_band)
+                .bitwiseAND(F.lit((1 << per_band) - 1))
+                for b in range(n_bands)
+            ]
+        )
+        return sig.select(
+            *keep, F.posexplode(keys).alias("band", "bkey")
+        )
+
+    emb_banded = banded(embeddings, "embedding", ["vec_id", "label", "embedding"])
+    q_banded = banded(query, "q", ["q"])
     cand = (
         emb_banded.join(F.broadcast(q_banded), ["band", "bkey"])
         .select("vec_id", "label", "embedding", "q")
