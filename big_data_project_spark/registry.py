@@ -1185,3 +1185,103 @@ def mm_decode_features(spark, sf_dir):
     """Decode/feature-extract stage over binary payloads (Arrow-batched)."""
     d = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
     return multimodal.decode_features(d)
+
+
+# ===========================================================================
+# SQL surface — multi-join analytics through spark.sql over registered views
+# (same Catalyst plans as the DataFrame API; exercises join reordering).
+# ===========================================================================
+
+_Q3_SQL = """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                AS DOUBLE) AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS {strtype}) AS order_day
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=_Q3_SQL.format(strtype="VARCHAR"),
+    headline=True,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shape: 3-way fact join + agg + top-k, via the SQL surface."""
+    io.register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(_Q3_SQL.format(strtype="STRING"))
+
+
+_Q5_SQL = """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier", oracle=_Q5_SQL, headline=True)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5-shape: 6-table join (Catalyst join reordering + broadcast of
+    every dimension), via the SQL surface."""
+    io.register_views(
+        spark, sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    return spark.sql(_Q5_SQL)
+
+
+@register(
+    "a2_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
+                         AS DECIMAL(30,2))) AS DOUBLE) AS qty_O,
+           CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
+                         AS DECIMAL(30,2))) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a2_pivot(spark, sf_dir):
+    """Pivot: per-returnflag quantity split by linestatus columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(relational.dsum("l_quantity"))
+        .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
+    )
+
+
+# ===========================================================================
+# UDF/UDAF surface (§2.9) — pandas-UDF paths, rows-only (Python arithmetic
+# is outside the cross-engine bit-exactness contract)
+# ===========================================================================
+
+@register(
+    "u3_weighted_avg_udaf",
+    oracle=None,
+    note="pandas GROUPED_AGG UDAF; checked vs SQL formulation in pytest",
+)
+def u3_weighted_avg_udaf(spark, sf_dir):
+    """U3: custom UDAF — discount-weighted mean price per returnflag via a
+    pandas GROUPED_AGG UDF (Arrow-batched)."""
+    from big_data_project_spark.functions.udafs import weighted_avg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_avg("l_extendedprice", "l_quantity").alias("weighted_price")
+    )

@@ -1,0 +1,64 @@
+"""Plan-shape regression tests: the scale guarantees (pushdown, pruning,
+broadcast, top-k heap, bounded shuffle counts) asserted via
+big_data_project_spark.plans, so a refactor that silently degrades the
+physical plan fails CI — not the 100 TB run."""
+
+from __future__ import annotations
+
+from big_data_project_spark import plans
+from big_data_project_spark.registry import REGISTRY
+
+
+def _df(name, spark, sf_dir):
+    return REGISTRY[name].build(spark, sf_dir)
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = _df("q1_pricing_summary", spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "LessThanOrEqual(l_shipdate" in pushed, pushed
+    cols = plans.read_schema_columns(df)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, (
+        f"column pruning lost: {cols}"
+    )
+    # partial+final agg over one shuffle (plus AQE read)
+    assert plans.num_shuffles(df) <= 2
+
+
+def test_p5_all_predicates_pushed(spark, sf_dir):
+    df = _df("p5_filter_project", spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    for frag in ("l_shipdate", "l_quantity", "l_returnflag"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("j1_revenue_by_segment", "j2_part_revenue_by_brand",
+                 "q3_shipping_priority", "q5_local_supplier"):
+        df = _df(name, spark, sf_dir)
+        assert plans.has_broadcast_join(df), f"{name} lost its broadcast join"
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    for name in ("o2_top_parts", "e3_knn_l2", "e4_knn_ip", "q3_shipping_priority"):
+        assert plans.is_take_ordered(_df(name, spark, sf_dir)), (
+            f"{name} does a full sort instead of TakeOrderedAndProject"
+        )
+
+
+def test_single_shuffle_operators(spark, sf_dir):
+    # window/as-of/sessionize/tumbling must stay one-shuffle shapes
+    for name, budget in (
+        ("w1_top_orders_per_customer", 1),
+        ("j5_asof_join", 1),
+        ("st_tumbling_hourly", 1),
+        ("w3_rolling_order_spend", 1),
+    ):
+        got = plans.num_shuffles(_df(name, spark, sf_dir))
+        assert got <= budget, f"{name}: {got} shuffles (budget {budget})"
+
+
+def test_exact_knn_never_shuffles_the_table(spark, sf_dir):
+    # broadcast query + TakeOrdered: zero Exchange on the embeddings side
+    df = _df("e3_knn_l2", spark, sf_dir)
+    assert plans.num_shuffles(df) == 0, plans.physical_plan(df)
