@@ -90,7 +90,7 @@ def evaluate_response(
         question_col,
         accuracy.alias("accuracy"),
         F.when(accuracy > 0.5, "High").otherwise("Low").alias("accuracy_label"),
-        n_words.alias("answer_words"),
+        n_words.cast("long").alias("answer_words"),
         F.when((n_words >= 10) & (n_words <= 100), "High")
         .otherwise("Low")
         .alias("clarity_label"),

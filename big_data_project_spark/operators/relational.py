@@ -263,7 +263,7 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= k)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -320,3 +320,32 @@ def ordered_lineitems(lineitem: DataFrame) -> DataFrame:
         )
         .limit(1000)
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side's key with a random
+    bucket and explode the (small) dim side across all buckets, so one hot
+    key spreads over `salt` reducers instead of melting a single one.
+
+    This is the manual fallback for when AQE's skew-join split
+    (spark.sql.adaptive.skewJoin, enabled by the session factory) cannot
+    help — e.g. a skewed *aggregation-input* join at 100 TB with a dim too
+    large to broadcast. rand() here only routes rows — it never affects
+    results — so the operator stays deterministic in output."""
+    salted_fact = fact.withColumn("_salt", (F.rand(42) * salt).cast("int"))
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_fact.join(
+        salted_dim,
+        (F.col(fact_key) == F.col(dim_key)) & (salted_fact._salt == salted_dim._salt),
+        how,
+    )
+    return out.drop("_salt")

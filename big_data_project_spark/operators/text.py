@@ -57,9 +57,9 @@ def token_stats(df: DataFrame, text: str = "text") -> DataFrame:
     w = words_col(text)
     return df.select(
         "doc_id",
-        F.size(w).alias("n_words"),
-        F.length(F.col(text)).alias("n_chars"),
-        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        F.size(w).cast("long").alias("n_words"),
+        F.length(F.col(text)).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_words"),
         (
             F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x))
             / F.size(w)
@@ -138,12 +138,11 @@ def sentiment_lexicon(df: DataFrame, text: str = "text") -> DataFrame:
     neg_pat = r"\b(" + "|".join(NEGATIVE_WORDS) + r")\b"
     pos = F.size(F.regexp_extract_all(F.col(text), F.lit(pos_pat), 0))
     neg = F.size(F.regexp_extract_all(F.col(text), F.lit(neg_pat), 0))
-    score = (pos - neg).alias("score")
     return df.select(
         "doc_id",
-        pos.alias("n_pos"),
-        neg.alias("n_neg"),
-        score,
+        pos.cast("long").alias("n_pos"),
+        neg.cast("long").alias("n_neg"),
+        (pos - neg).cast("long").alias("score"),
         F.when(pos - neg > 0, "positive")
         .when(pos - neg < 0, "negative")
         .otherwise("neutral")
@@ -194,7 +193,7 @@ def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
     return scored.select(
         "doc_id",
         best["lang"].alias("detected_lang"),
-        best["s"].alias("stopword_hits"),
+        best["s"].cast("long").alias("stopword_hits"),
     )
 
 
@@ -206,7 +205,7 @@ def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
     stop_hits = _hits(text, LANG_STOPWORDS["en"])
     return df.select(
         "doc_id",
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         (stop_hits / n_words).alias("stopword_ratio"),
         (F.size(F.array_distinct(w)) / n_words).alias("diversity"),
         F.when(n_words >= 20, 1).otherwise(0).alias("len_ok"),

@@ -1151,7 +1151,8 @@ def mm_binary_stats(spark, sf_dir):
         )
         .otherwise(F.encode("text", "UTF-8"))
     )
-    return multimodal.binary_stats(d.withColumn("payload", payload))
+    stats = multimodal.binary_stats(d.withColumn("payload", payload))
+    return stats.withColumn("n_bytes", F.col("n_bytes").cast("long"))
 
 
 @register(
@@ -1171,8 +1172,10 @@ def mm_frame_sample(spark, sf_dir):
     d = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
     frames = multimodal.frame_sample(d)
     return (
-        frames.join(d.select("doc_id", F.length("payload").alias("n_bytes_total")), "doc_id")
-        .select("doc_id", "frame_no", "n_bytes_total")
+        frames.join(
+            d.select("doc_id", F.length("payload").cast("long").alias("n_bytes_total")),
+            "doc_id",
+        ).select("doc_id", F.col("frame_no").cast("long").alias("frame_no"), "n_bytes_total")
     )
 
 
@@ -1284,4 +1287,72 @@ def u3_weighted_avg_udaf(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         weighted_avg("l_extendedprice", "l_quantity").alias("weighted_price")
+    )
+
+
+# ===========================================================================
+# Remaining closure: GROUPING SETS, JSON extraction, datetime functions
+# ===========================================================================
+
+_GS_SQL = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("a4_grouping_sets", oracle=_GS_SQL)
+def a4_grouping_sets(spark, sf_dir):
+    """A4c: explicit GROUPING SETS via the SQL surface."""
+    io.register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_GS_SQL)
+
+
+@register(
+    "p7_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def p7_json_extract(spark, sf_dir):
+    """Semi-structured access: pull a typed field out of the JSON props
+    column (the events table's nested payload)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "dt_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(extract(year FROM o_orderdate) AS BIGINT)  AS order_year,
+           CAST(extract(month FROM o_orderdate) AS BIGINT) AS order_month,
+           strftime(o_orderdate, '%Y-%m')                  AS order_ym,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start,
+           CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR)
+             AS order_quarter
+    FROM orders
+    """,
+)
+def dt_datetime_functions(spark, sf_dir):
+    """Datetime function surface: extract/format/diff/trunc."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_trunc("quarter", F.col("o_orderdate"))
+        .cast("date")
+        .cast("string")
+        .alias("order_quarter"),
     )

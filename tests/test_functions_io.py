@@ -78,3 +78,21 @@ def test_csv_reader_quoting(spark, tmp_path):
     p.write_text('a,b\n"1,234.56",x\n')
     df = io.read_csv(spark, str(p))
     assert df.collect()[0].a == "1,234.56"
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be invisible in the result set."""
+    from big_data_project_spark.operators.relational import salted_join
+
+    orders = io.load_table(spark, sf_dir, "orders")
+    customer = io.load_table(spark, sf_dir, "customer")
+    plain = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    salted = (
+        salted_join(orders, customer, "o_custkey", "c_custkey", salt=4)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
