@@ -22,7 +22,6 @@ collecting anything."""
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -76,20 +75,6 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(payload: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for a real image/audio decoder: fixed 'shape'
-    derived from the byte length, features from a sha256 rolling digest.
-    Marked fake — swap for PIL/torchvision/ffmpeg at the stub boundary."""
-    h = hashlib.sha256(payload).digest()
-    height = 1 + payload[0] % 64 if payload else 1
-    width = 1 + (len(payload) % 64)
-    feats = [
-        int.from_bytes(h[4 * i : 4 * i + 4], "big") / float(1 << 31) - 1.0
-        for i in range(dim)
-    ]
-    return height, width, feats
-
-
 def decode_features(
     df: DataFrame,
     payload: str = "payload",
@@ -106,8 +91,27 @@ def decode_features(
         raise ValueError("decode must be 'fake' or 'strict'")
 
     pruned = df.select(id_col, payload)  # never carry unneeded columns
+    magic = dict(MAGIC)
+    out_columns = [f.name for f in FEATURE_SCHEMA.fields]
 
+    # NOTE: the worker closure must be self-contained — module-level
+    # *functions* referenced here would be pickled by reference and the
+    # worker would need this package importable (not guaranteed when the
+    # host runs from an arbitrary cwd). Data globals (magic, out_columns)
+    # pickle by value and are safe.
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def fake_decode(data: bytes):
+            h = _hl.sha256(data).digest()
+            height = 1 + data[0] % 64 if data else 1
+            width = 1 + (len(data) % 64)
+            feats = [
+                int.from_bytes(h[4 * i : 4 * i + 4], "big") / float(1 << 31) - 1.0
+                for i in range(dim)
+            ]
+            return height, width, feats
+
         for pdf in it:
             if decode == "strict":
                 raise NotImplementedError(
@@ -117,18 +121,18 @@ def decode_features(
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload]):
                 data = bytes(b) if b is not None else b""
-                height, width, feats = _fake_decode(data, dim)
+                height, width, feats = fake_decode(data)
                 hexs = data[:4].hex().upper()
                 rows.append(
                     {
                         "doc_id": i,
-                        "media_type": MAGIC.get(hexs, "application/octet-stream"),
+                        "media_type": magic.get(hexs, "application/octet-stream"),
                         "height": height,
                         "width": width,
                         "features": feats,
                     }
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=out_columns)
 
     return pruned.mapInPandas(run, FEATURE_SCHEMA)
 

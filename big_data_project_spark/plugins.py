@@ -69,7 +69,21 @@ class Embedder:
             list(fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
         )
 
+        # worker closure must be self-contained: module-level functions
+        # (like hash_embed) would pickle by reference and require this
+        # package on the Python worker's path — not guaranteed.
         def embed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib as _hl
+            import math as _math
+
+            def _hash_embed(text: str) -> list:
+                vals = []
+                for i in range(dim):
+                    h = _hl.sha256(f"{text}\x00{i}".encode()).digest()
+                    vals.append(int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0)
+                n = _math.sqrt(sum(x * x for x in vals)) or 1.0
+                return [x / n for x in vals]
+
             model = None
             if use_model:  # pragma: no cover - needs the package + weights
                 from sentence_transformers import SentenceTransformer
@@ -81,7 +95,7 @@ class Embedder:
                     pdf[out_col] = [v.tolist() for v in vecs]
                 else:
                     pdf[out_col] = [
-                        hash_embed(t or "", dim) for t in pdf[text_col].tolist()
+                        _hash_embed(t or "") for t in pdf[text_col].tolist()
                     ]
                 yield pdf
 
