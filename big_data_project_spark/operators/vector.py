@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------------------
 # score expressions (JVM-side, codegen'd)
@@ -226,3 +227,121 @@ def ann_topk(
         .orderBy(*order)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup pairs (LSH blocking) and IVF ANN
+# ---------------------------------------------------------------------------
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_bands: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs: block by LSH band, score only in-block
+    candidates, keep cosine ≥ threshold. The all-pairs O(n²) comparison never
+    happens — candidate volume is governed by band width, so the op stays
+    join-shaped at 100 TB (the same shape as MinHash dedup, with hyperplane
+    signs instead of shingle minima)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // n_bands
+    sig = embeddings.select(
+        "vec_id", "embedding", lsh_bucket_col("embedding", planes).alias("_sig")
+    )
+    banded = sig.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_sig"), b * per_band)
+                    .bitwiseAND(F.lit((1 << per_band) - 1))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select("id_a", "id_b", cosine("ea", "eb").alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    metric: str = "ip",
+) -> DataFrame:
+    """E5b: IVF ANN — FAISS IVFFlat parity (reference py:730-740,
+    nlist=100, train+add, probe).
+
+    Coarse quantizer = a deterministic sample of the corpus itself (every
+    stride-th vector by vec_id — no iterative training, fully reproducible);
+    each vector is assigned to its nearest centroid (one broadcast join —
+    the 'add' phase); a query probes the n_probe nearest lists and scores
+    exactly inside them. At 100 TB the assignment is precomputed and the
+    table is partitioned by list_id, so a probe prunes the scan to
+    n_probe/n_lists of the data."""
+    # centroids: a deterministic modulo sample — no global sort/window (a
+    # row_number over the whole table would single-partition at scale).
+    total = embeddings.count()
+    stride = max(1, total // n_lists)
+    centroids = F.broadcast(
+        embeddings.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
+        .orderBy("vec_id")
+        .limit(n_lists)
+        .select(F.col("vec_id").alias("list_id"), F.col("embedding").alias("centroid"))
+    )
+    # assignment ("add"): nearest centroid per vector
+    assign_w = Window.partitionBy("vec_id").orderBy("dist", "list_id")
+    assigned = (
+        embeddings.crossJoin(centroids)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "list_id",
+            l2_sq("embedding", "centroid").alias("dist"),
+        )
+        .withColumn("_r", F.row_number().over(assign_w))
+        .where(F.col("_r") == 1)
+        .select("vec_id", "label", "embedding", "list_id")
+    )
+    # probe: n_probe nearest lists to the query
+    probed = F.broadcast(
+        centroids.crossJoin(query)
+        .select("list_id", l2_sq("centroid", "q").alias("qdist"))
+        .orderBy("qdist", "list_id")
+        .limit(n_probe)
+        .select("list_id")
+    )
+    cand = assigned.join(probed, "list_id").crossJoin(query)
+    if metric == "ip":
+        score, order = dot("embedding", "q"), [F.col("score").desc(), F.col("vec_id")]
+    elif metric == "cosine":
+        score, order = cosine("embedding", "q"), [F.col("score").desc(), F.col("vec_id")]
+    else:
+        score, order = l2_sq("embedding", "q"), [F.col("score").asc(), F.col("vec_id")]
+    return cand.select("vec_id", "label", score.alias("score")).orderBy(*order).limit(k)

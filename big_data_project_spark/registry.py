@@ -1356,3 +1356,115 @@ def dt_datetime_functions(spark, sf_dir):
         .cast("string")
         .alias("order_quarter"),
     )
+
+
+# ===========================================================================
+# Percentiles, correlated subquery, unpivot, sliding window oracle
+# ===========================================================================
+
+@register(
+    "a6_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)       AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a6_percentiles(spark, sf_dir):
+    """A5b: exact interpolated percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition and match
+    bitwise on identical input doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75_price"),
+    )
+
+
+_Q17_SQL = """
+    SELECT p_brand,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS small_qty_revenue,
+           count(*) AS n_small
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    GROUP BY p_brand
+"""
+
+
+@register("q17_correlated_subquery", oracle=_Q17_SQL)
+def q17_correlated_subquery(spark, sf_dir):
+    """TPC-H Q17-shape: correlated scalar subquery (Catalyst decorrelates to
+    an aggregate+join). Quantities are integral so the per-part avg is exact
+    on both engines and the threshold comparison cannot flip."""
+    io.register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q17_SQL)
+
+
+@register(
+    "o3_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    """,
+)
+def o3_unpivot(spark, sf_dir):
+    """Unpivot/melt: wide → long."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").cast("double").alias("custkey")
+    ).withColumnRenamed("o_totalprice", "totalprice")
+    return o.unpivot(
+        ["o_orderkey"], ["totalprice", "custkey"], "metric", "value"
+    )
+
+
+@register(
+    "st_sliding_halfhour",
+    oracle="""
+    SELECT ws AS window_start, event_type, count(*) AS n FROM (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL 30 minutes, tsu),
+                     time_bucket(INTERVAL 30 minutes, tsu) - INTERVAL 30 minutes])
+               AS ws
+      FROM (SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS tsu
+            FROM events))
+    GROUP BY ws, event_type
+    """,
+)
+def st_sliding_halfhour(spark, sf_dir):
+    """T3 batch semantics: 1-hour windows sliding every 30 minutes — each
+    event lands in exactly two windows."""
+    return streaming.sliding_window_agg(
+        _t(spark, sf_dir, "events"), "1 hour", "30 minutes"
+    )
+
+
+# ===========================================================================
+# Embedding near-dup + IVF ANN (north-star closure)
+# ===========================================================================
+
+@register(
+    "dd_embedding_neardup",
+    oracle=None,
+    note="LSH-bucketed cosine pairs; recall-gated vs brute force in pytest",
+)
+def dd_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via LSH blocking — the vector
+    analogue of MinHash dedup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return vector.cosine_neardup_pairs(emb, threshold=0.5)
+
+
+@register(
+    "e5_ann_ivf",
+    oracle=None,
+    note="IVF (FAISS IVFFlat parity, ref py:730-740); recall-gated in pytest",
+)
+def e5_ann_ivf(spark, sf_dir):
+    """E5b: IVF-style ANN — coarse quantizer + probed inverted lists."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return vector.ivf_topk(emb, vector.query_vector_of(emb, 0), k=10)

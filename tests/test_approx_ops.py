@@ -93,3 +93,50 @@ def test_exact_dedup_drops_copies(spark):
     ids = sorted(r.doc_id for r in kept)
     # normalization makes 1 and 2 identical; lowest id wins
     assert ids == [1, 3], ids
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    recalls = []
+    for qid in (0, 7, 42):
+        q = vector.query_vector_of(emb, qid)
+        exact = {r.vec_id for r in vector.knn_topk(emb, q, k=10, metric="ip").collect()}
+        approx = {r.vec_id for r in vector.ivf_topk(emb, q, k=10, n_probe=6).collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_cosine_neardup_matches_bruteforce(spark, sf_dir):
+    emb = io.load_table(spark, sf_dir, "embeddings").limit(200)
+    # brute force ground truth at a low threshold (uniform data has no
+    # high-cosine pairs)
+    a, b = emb.alias("a"), emb.alias("b")
+    brute = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            vector.cosine("a.embedding", "b.embedding").alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.4)
+    )
+    truth = {(r.id_a, r.id_b) for r in brute.collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in vector.cosine_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    assert got <= truth, "LSH blocking must never invent pairs"
+    if truth:
+        assert len(got & truth) / len(truth) >= 0.5, (len(got & truth), len(truth))
+
+
+def test_cosine_neardup_finds_planted_duplicates(spark):
+    import math
+    base = [math.sin(i * 0.7) for i in range(64)]
+    near = [v + (0.001 if i % 2 else -0.001) for i, v in enumerate(base)]
+    far = [math.cos(i * 1.3) for i in range(64)]
+    rows = [(0, base, 0), (1, near, 0), (2, far, 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in
+             vector.cosine_neardup_pairs(df, threshold=0.99).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
