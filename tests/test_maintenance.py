@@ -1,0 +1,87 @@
+"""Tests for lake-maintenance operators: bucketed shuffle-free joins,
+MERGE upserts, SCD2 history, partition pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_spark import io, plans
+from big_data_project_spark.operators import maintenance as mt
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    return str(tmp_path_factory.mktemp("wh"))
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    orders = io.load_table(spark, sf_dir, "orders")
+    lineitem = io.load_table(spark, sf_dir, "lineitem")
+    mt.write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 4
+    )
+    mt.write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 4
+    )
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    joined = a.join(b, a.o_orderkey == b.l_orderkey)
+    # co-bucketed tables: sort-merge join with ZERO Exchange
+    assert plans.num_shuffles(joined) == 0, plans.physical_plan(joined)
+    # and it still returns the right rows
+    plain = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
+    assert joined.count() == plain
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    out = {r.id: (r.name, r.v) for r in mt.merge_upsert(target, updates, "id").collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_scd2_history(spark):
+    cur = spark.createDataFrame(
+        [(1, "gold", "2024-01-01", None), (2, "silver", "2024-01-01", None)],
+        "id long, tier string, valid_from string, valid_to string",
+    ).select(
+        "id", "tier",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+    )
+    upd = spark.createDataFrame(
+        [(1, "platinum", "2024-06-01"),   # changed → close + new version
+         (2, "silver", "2024-06-01"),     # unchanged → no-op
+         (3, "bronze", "2024-06-01")],    # new key → insert
+        "id long, tier string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    hist = mt.scd2_apply(cur, upd, "id", "ts", ["tier"])
+    rows = sorted(
+        ((r.id, r.tier, r.valid_to is None) for r in hist.collect())
+    )
+    assert rows == [
+        (1, "gold", False),       # closed out
+        (1, "platinum", True),    # new open version
+        (2, "silver", True),      # untouched
+        (3, "bronze", True),      # inserted
+    ]
+    latest = {r.id: r.tier for r in mt.latest_version(hist, "id", "valid_from").collect()}
+    assert latest == {1: "platinum", 2: "silver", 3: "bronze"}
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    events = io.load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_day")
+    mt.write_partitioned_by_day(events, out, "ts")
+    scan = spark.read.parquet(out).where(F.col("dt") == "2024-01-05")
+    plan = plans.formatted_plan(scan)
+    assert "PartitionFilters" in plan and "dt" in plan
+    # count matches an unpartitioned filter
+    want = events.where(F.to_date("ts") == "2024-01-05").count()
+    assert scan.count() == want > 0
