@@ -16,6 +16,16 @@ def warehouse(spark, tmp_path_factory):
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    import shutil
+
+    # a previous session may have left managed-table directories behind with
+    # no catalog entry (in-memory catalog) — saveAsTable then errors with
+    # LOCATION_ALREADY_EXISTS, so clear both catalog and location first.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
     orders = io.load_table(spark, sf_dir, "orders")
     lineitem = io.load_table(spark, sf_dir, "lineitem")
     mt.write_bucketed(
