@@ -1468,3 +1468,169 @@ def e5_ann_ivf(spark, sf_dir):
     """E5b: IVF-style ANN — coarse quantizer + probed inverted lists."""
     emb = _t(spark, sf_dir, "embeddings")
     return vector.ivf_topk(emb, vector.query_vector_of(emb, 0), k=10)
+
+
+# ===========================================================================
+# Final closure batch: outer join, analytic windows, string/array functions,
+# scalar subquery, Q10-shape returned-item report
+# ===========================================================================
+
+@register(
+    "j3_full_outer",
+    oracle="""
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+           a.n_f AS n_f, b.n_o AS n_o
+    FROM (SELECT o_custkey, count(*) AS n_f FROM orders
+          WHERE o_orderstatus = 'F' GROUP BY o_custkey) a
+    FULL OUTER JOIN
+         (SELECT o_custkey, count(*) AS n_o FROM orders
+          WHERE o_orderstatus = 'O' GROUP BY o_custkey) b
+    ON a.o_custkey = b.o_custkey
+    """,
+)
+def j3_full_outer(spark, sf_dir):
+    """J3b: full outer join with nulls on both sides."""
+    o = _t(spark, sf_dir, "orders")
+    a = (
+        o.where("o_orderstatus = 'F'")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_f"))
+    )
+    b = (
+        o.where("o_orderstatus = 'O'")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_o"))
+    )
+    # USING-style join key: Spark already emits one coalesced o_custkey
+    return a.join(b, "o_custkey", "full_outer").select(
+        F.col("o_custkey").alias("custkey"), "n_f", "n_o"
+    )
+
+
+@register(
+    "w2_lead_first_last",
+    oracle="""
+    SELECT user_id, event_id,
+           lead(event_id) OVER w                    AS next_event,
+           first_value(event_id) OVER w             AS first_event,
+           nth_value(event_id, 2) OVER w            AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w2_lead_first_last(spark, sf_dir):
+    """W2b: lead / first_value / nth_value analytic windows."""
+    from pyspark.sql.window import Window
+
+    base = Window.partitionBy("user_id").orderBy("event_id")
+    w = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.lead("event_id").over(base).alias("next_event"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+    )
+
+
+@register(
+    "p8_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                           AS uname,
+           substr(c_name, 1, 8)                    AS prefix,
+           replace(c_name, 'Customer', 'Cust')     AS replaced,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           CAST(length(c_name) AS BIGINT)          AS name_len,
+           CAST(strpos(c_name, '#') AS BIGINT)     AS hash_pos,
+           reverse(c_mktsegment)                   AS rseg,
+           repeat(c_mktsegment, 2)                 AS seg2
+    FROM customer
+    """,
+)
+def p8_string_functions(spark, sf_dir):
+    """String-function surface: case, slice, replace, pad, locate, reverse."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("replaced"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
+        F.reverse(F.col("c_mktsegment")).alias("rseg"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("seg2"),
+    )
+
+
+@register(
+    "a7_array_agg",
+    oracle="""
+    SELECT n_regionkey,
+           list(n_name ORDER BY n_name)                     AS nations,
+           CAST(len(list(n_name)) AS BIGINT)                AS n_nations,
+           list_contains(list(n_name ORDER BY n_name), 'NATION_3') AS has_n3,
+           list(n_name ORDER BY n_name)[1]                  AS first_nation
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def a7_array_agg(spark, sf_dir):
+    """Array aggregation + array functions: collect (sorted for
+    determinism), size, contains, element access."""
+    n = _t(spark, sf_dir, "nation")
+    nations = F.array_sort(F.collect_list("n_name"))
+    return n.groupBy("n_regionkey").agg(
+        nations.alias("nations"),
+        F.size(F.collect_list("n_name")).cast("long").alias("n_nations"),
+        F.array_contains(nations, "NATION_3").alias("has_n3"),
+        F.element_at(nations, 1).alias("first_nation"),
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders
+                                WHERE o_orderdate < TIMESTAMP '1996-01-01')
+    """,
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery in a predicate. Not exactly grid-aligned
+    — but the avg is computed from a decimal-exact sum on both sides via the
+    same SQL, so the threshold is bit-identical."""
+    io.register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders
+                                    WHERE o_orderdate < TIMESTAMP '1996-01-01')
+        """
+    )
+
+
+_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                AS DOUBLE) AS revenue,
+           c_mktsegment
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_SQL, headline=True)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10-shape: top-20 customers by returned-item revenue."""
+    io.register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(_Q10_SQL)

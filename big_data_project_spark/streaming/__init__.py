@@ -15,6 +15,7 @@ tests meaningful (stream output ≡ batch output on the same rows).
 from big_data_project_spark.streaming.ops import (
     EVENTS_SCHEMA,
     read_event_stream,
+    running_user_totals,
     session_window_agg,
     sessionize_batch,
     sliding_window_agg,
@@ -26,6 +27,7 @@ from big_data_project_spark.streaming.ops import (
 __all__ = [
     "EVENTS_SCHEMA",
     "read_event_stream",
+    "running_user_totals",
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",

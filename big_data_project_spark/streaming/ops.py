@@ -112,3 +112,44 @@ def write_stream_parquet(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event count and value total, maintained across micro-batches.
+
+    This is the engine's template for operators Structured Streaming lacks
+    natively (per-key accumulators, custom sessionization, model state):
+    state is a tiny (count, total) tuple per user_id, updates are
+    Arrow-batched, and the output emits one row per user per micro-batch.
+    The closure is self-contained (no module-level references) so it works
+    regardless of the worker's import path."""
+    import pandas as pd  # local: keep the closure self-contained
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

@@ -1,0 +1,116 @@
+"""Property-based tests (SURVEY §5.2) for the §1.4 semantics gotchas:
+normalize_text vs a Python-re reference model, comma-money parsing,
+concat_ws null behavior, deterministic dedup. Hypothesis generates the
+corpus; Spark evaluates in one batch per test for speed."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_project_spark.operators import cleaning
+
+# printable-ish text including html tags, punctuation, unicode
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=60,
+    ).map(lambda s: s.replace("\x00", "")),
+    min_size=1,
+    max_size=20,
+)
+
+
+def py_normalize(s: str) -> str:
+    """The reference's clean_text (py:340-343) as a plain-Python model."""
+    s = s.lower()
+    s = re.sub(r"<[^>]*>", "", s)
+    # re.ASCII: Java's \s (Spark regexp_replace) is ASCII-only — Python's
+    # unicode \s would additionally match NBSP/NEL and diverge.
+    s = re.sub(r"[^a-zA-Z0-9\s]", "", s, flags=re.ASCII)
+    return s
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(TEXTS)
+def test_normalize_text_matches_python_model(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r.i: r.n
+        for r in df.select("i", cleaning.normalize_text_col("t").alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_normalize(t), (t, got[i], py_normalize(t))
+
+
+MONEYS = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(min_value=0, max_value=1e12, allow_nan=False).map(
+            lambda v: f"{v:,.2f}"
+        ),
+        st.floats(min_value=0, max_value=1e6, allow_nan=False).map(
+            lambda v: f"{v:.2f}"
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(MONEYS)
+def test_parse_money_matches_python_model(spark, moneys):
+    df = spark.createDataFrame([(i, m) for i, m in enumerate(moneys)], "i long, m string")
+    got = {
+        r.i: r.p
+        for r in df.select(
+            "i", cleaning.parse_money("m", default=0.0).alias("p")
+        ).collect()
+    }
+    for i, m in enumerate(moneys):
+        want = 0.0 if m is None else float(m.replace(",", ""))
+        assert got[i] == want, (m, got[i], want)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_dedup_deterministic_is_stable_and_minimal(spark, rows):
+    """For every key the kept row is exactly min(tiebreak); row count equals
+    the number of distinct keys; repeated runs agree."""
+    df = spark.createDataFrame(
+        [(a, b, c) for a, b, c in rows], "k1 int, k2 int, v int"
+    )
+    out1 = {
+        (r.k1, r.k2): r.v
+        for r in cleaning.dedup_deterministic(df, ["k1", "k2"], ["v"]).collect()
+    }
+    out2 = {
+        (r.k1, r.k2): r.v
+        for r in cleaning.dedup_deterministic(df, ["k1", "k2"], ["v"]).collect()
+    }
+    assert out1 == out2
+    want = {}
+    for a, b, c in rows:
+        key = (a, b)
+        want[key] = min(want.get(key, c), c)
+    assert out1 == want
+
+
+def test_record_id_null_behavior(spark):
+    """concat_ws skips nulls (unlike SQL || which nulls out) — the §1.4.2
+    intent: a null ticker still yields a usable id."""
+    df = spark.createDataFrame(
+        [("aapl", "apple"), (None, "cash"), ("msft", None)], "t string, n string"
+    )
+    got = [r.rid for r in df.select(cleaning.record_id("t", "n").alias("rid")).collect()]
+    assert got == ["aapl_apple", "cash", "msft"]

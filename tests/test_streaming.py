@@ -150,3 +150,36 @@ def test_parquet_stream_sink_roundtrip(spark, event_dir, tmp_path):
         spark.read.parquet(event_dir).where(F.col("event_type") == "purchase").count()
     )
     assert got == want > 0
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    """T-closure: custom applyInPandasWithState operator keeps per-user
+    state across micro-batches — totals after batch 2 include batch 1."""
+    d = str(tmp_path / "stateful_src")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1 = mk([(1, "2024-01-01 10:00:00", 1, "click", 10.0, "{}"),
+             (2, "2024-01-01 10:01:00", 2, "click", 5.0, "{}")])
+    b2 = mk([(3, "2024-01-01 10:02:00", 1, "click", 7.0, "{}")])
+
+    b1.write.mode("overwrite").parquet(d)
+    stream = st.read_event_stream(spark, d)
+    q = (
+        st.running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(d)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) n, max(total_value) t FROM t_state GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: (r.n, r.t) for r in rows}
+    assert got == {1: (2, 17.0), 2: (1, 5.0)}, got
