@@ -1569,20 +1569,22 @@ def p8_string_functions(spark, sf_dir):
     "a7_array_agg",
     oracle="""
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name)                     AS nations,
-           CAST(len(list(n_name)) AS BIGINT)                AS n_nations,
+           array_to_string(list(n_name ORDER BY n_name), ',')      AS nations_csv,
+           CAST(len(list(n_name)) AS BIGINT)                       AS n_nations,
            list_contains(list(n_name ORDER BY n_name), 'NATION_3') AS has_n3,
-           list(n_name ORDER BY n_name)[1]                  AS first_nation
+           list(n_name ORDER BY n_name)[1]                         AS first_nation
     FROM nation GROUP BY n_regionkey
     """,
 )
 def a7_array_agg(spark, sf_dir):
     """Array aggregation + array functions: collect (sorted for
-    determinism), size, contains, element access."""
+    determinism), size, contains, element access. The array itself is
+    emitted joined to a string — array-typed outputs stringify differently
+    per engine/pandas and would break value hashing."""
     n = _t(spark, sf_dir, "nation")
     nations = F.array_sort(F.collect_list("n_name"))
     return n.groupBy("n_regionkey").agg(
-        nations.alias("nations"),
+        F.array_join(nations, ",").alias("nations_csv"),
         F.size(F.collect_list("n_name")).cast("long").alias("n_nations"),
         F.array_contains(nations, "NATION_3").alias("has_n3"),
         F.element_at(nations, 1).alias("first_nation"),
