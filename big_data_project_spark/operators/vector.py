@@ -345,3 +345,32 @@ def ivf_topk(
     else:
         score, order = l2_sq("embedding", "q"), [F.col("score").asc(), F.col("vec_id")]
     return cand.select("vec_id", "label", score.alias("score")).orderBy(*order).limit(k)
+
+
+def knn_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "ip",
+) -> DataFrame:
+    """Batched exact top-k: many query vectors at once. `queries` carries
+    (qid, q); the query set is broadcast, scores are computed in one pass
+    over the table, and per-query top-k is a window (one shuffle on qid,
+    each query's heap built in parallel). This is the serving-path shape:
+    N queries cost one scan, not N scans."""
+    scored = embeddings.crossJoin(F.broadcast(queries))
+    if metric == "ip":
+        score = dot("embedding", "q")
+        order = [F.col("score").desc(), F.col("vec_id")]
+    elif metric == "cosine":
+        score = cosine("embedding", "q")
+        order = [F.col("score").desc(), F.col("vec_id")]
+    else:
+        score = l2_sq("embedding", "q")
+        order = [F.col("score").asc(), F.col("vec_id")]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        scored.select("qid", "vec_id", "label", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+    )

@@ -1636,3 +1636,82 @@ def q10_returned_items(spark, sf_dir):
     """TPC-H Q10-shape: top-20 customers by returned-item revenue."""
     io.register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(_Q10_SQL)
+
+
+# ===========================================================================
+# Batch vector serving, TF-IDF, column profiling
+# ===========================================================================
+
+@register(
+    "e7_knn_batch",
+    oracle=f"""
+    WITH qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings
+                WHERE vec_id IN (0, 7, 42)),
+    scored AS (
+      SELECT qid, e.vec_id, e.label, {_VEC_SCORE_IP} AS score
+      FROM embeddings e, qv)
+    SELECT qid, vec_id, label, score, rn FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def e7_knn_batch(spark, sf_dir):
+    """E7: batched top-k — N query vectors answered in ONE scan of the
+    table (broadcast query set + per-qid window), the serving-path shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    return vector.knn_topk_batch(emb, queries, k=5, metric="ip")
+
+
+@register(
+    "tx_tf_idf",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, tf.term, tf, df,
+           tf * (CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS tfidf
+    FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+    """,
+)
+def tx_tf_idf(spark, sf_dir):
+    """TF-IDF (ratio idf — integer-exact, oracle-stable; ln variant is
+    rows-only via use_log=True)."""
+    return text.tf_idf(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "a8_profile_columns",
+    oracle="""
+    SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT c_custkey) AS n_distinct,
+           min(CAST(c_custkey AS VARCHAR)) AS min_str,
+           max(CAST(c_custkey AS VARCHAR)) AS max_str
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*),
+           CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT c_mktsegment),
+           min(CAST(c_mktsegment AS VARCHAR)), max(CAST(c_mktsegment AS VARCHAR))
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', count(*),
+           CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT c_acctbal),
+           min(CAST(c_acctbal AS VARCHAR)), max(CAST(c_acctbal AS VARCHAR))
+    FROM customer
+    """,
+)
+def a8_profile_columns(spark, sf_dir):
+    """Data profiling: per-column stats summary (ANALYZE-style)."""
+    return relational.profile_columns(
+        _t(spark, sf_dir, "customer"), ["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
