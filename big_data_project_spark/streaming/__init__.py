@@ -14,6 +14,7 @@ tests meaningful (stream output ≡ batch output on the same rows).
 
 from big_data_project_spark.streaming.ops import (
     EVENTS_SCHEMA,
+    purchases_with_recent_clicks,
     read_event_stream,
     running_user_totals,
     session_window_agg,
@@ -21,6 +22,7 @@ from big_data_project_spark.streaming.ops import (
     sliding_window_agg,
     stream_dedup,
     tumbling_window_agg,
+    upsert_sink,
     write_stream_parquet,
 )
 
@@ -34,4 +36,6 @@ __all__ = [
     "sessionize_batch",
     "stream_dedup",
     "write_stream_parquet",
+    "purchases_with_recent_clicks",
+    "upsert_sink",
 ]

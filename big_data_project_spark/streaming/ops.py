@@ -153,3 +153,50 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+def purchases_with_recent_clicks(
+    purchases: DataFrame, clicks: DataFrame, within: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to same-user
+    clicks in the preceding `within`. Both sides must be watermarked so the
+    join state is bounded — the streaming analogue of the as-of pattern.
+    Works on batch DataFrames too (the watermark is a no-op there)."""
+    p = purchases.withWatermark("ts", within).alias("p")
+    c = clicks.withWatermark("ts", within).alias("c")
+    return p.join(
+        c,
+        F.expr(
+            f"""p.user_id = c.user_id
+                AND c.ts BETWEEN p.ts - INTERVAL {within} AND p.ts"""
+        ),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.value").alias("purchase_value"),
+    )
+
+
+def upsert_sink(df: DataFrame, target_path: str, checkpoint: str, key: str):
+    """T7b: exactly-once-style upsert sink via foreachBatch + MERGE
+    emulation — each micro-batch is merged into the parquet target by key
+    (idempotent on replay for same-key updates)."""
+    from big_data_project_spark.operators.maintenance import merge_upsert
+
+    def do_merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            current = spark.read.parquet(target_path)
+            merged = merge_upsert(current, batch_df, key)
+        except Exception:  # first batch: target doesn't exist yet
+            merged = batch_df
+        # localCheckpoint: materialize BEFORE overwriting the files we read
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(do_merge)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
