@@ -99,3 +99,32 @@ def write_partitioned_by_day(
     df.withColumn(partition_col, F.to_date(F.col(ts_col))).write.mode(
         "overwrite"
     ).partitionBy(partition_col).parquet(path)
+
+
+def compact(spark: SparkSession, path: str, target_files: int) -> int:
+    """Small-file compaction: rewrite a parquet directory into N files.
+    The small-files problem is THE silent killer of 100 TB scans (one task
+    per tiny file); compaction after streaming/incremental writes restores
+    scan efficiency. Returns the resulting file count."""
+    df = spark.read.parquet(path)
+    # localCheckpoint materializes before we overwrite the files being read
+    df.localCheckpoint(eager=True).repartition(target_files).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return (
+        spark.read.parquet(path).rdd.getNumPartitions()
+    )
+
+
+def merge_aggregate_state(
+    state: DataFrame, batch: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new batch's partial
+    aggregates (n, total) into the stored state — the scalable alternative
+    to recomputing a 100 TB aggregate per load. Counts and decimal-exact
+    sums are decomposable; averages derive at read time."""
+    merged = state.unionByName(batch)
+    return merged.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("total").cast("decimal(30,2)")).cast("double").alias("total"),
+    )

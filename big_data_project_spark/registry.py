@@ -1715,3 +1715,159 @@ def a8_profile_columns(spark, sf_dir):
     return relational.profile_columns(
         _t(spark, sf_dir, "customer"), ["c_custkey", "c_mktsegment", "c_acctbal"]
     )
+
+
+# ===========================================================================
+# Null handling, conditionals, range frames, IN-subquery, bitwise, variance
+# ===========================================================================
+
+@register(
+    "p9_null_surface",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P')                       AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'P'), 'proc')     AS nvl_status,
+           (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F') AS nullsafe_is_f,
+           CASE WHEN o_totalprice > 250000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                              AS price_band,
+           least(o_totalprice, 200000.0)                    AS capped,
+           greatest(o_totalprice, 50000.0)                  AS floored
+    FROM orders
+    """,
+)
+def p9_null_surface(spark, sf_dir):
+    """Null-handling + conditional surface: nullif/coalesce/null-safe
+    equality (<=>)/CASE/least/greatest."""
+    o = _t(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("proc")).alias("nvl_status"),
+        status_or_null.eqNullSafe(F.lit("F")).alias("nullsafe_is_f"),
+        F.when(F.col("o_totalprice") > 250000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.least(F.col("o_totalprice"), F.lit(200000.0)).alias("capped"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored"),
+    )
+
+
+@register(
+    "w3_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_90d
+    FROM orders
+    """,
+)
+def w3_range_frame(spark, sf_dir):
+    """W3b: RANGE frame over event-time — trailing-90-day spend per
+    customer (rangeBetween needs a numeric sort key → epoch seconds).
+    Deterministic despite same-day ties: RANGE frames include ALL peers of
+    the current sort value, so the frame set is order-independent; the
+    decimal sum keeps the total exact."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        # NTZ timestamps can't cast straight to long; go via TIMESTAMP
+        # (session tz pinned UTC → epoch matches DuckDB's epoch()).
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_90d"),
+    )
+
+
+_IN_SQL = """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+      AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_quantity > 49)
+"""
+
+
+@register("q_in_subquery", oracle=_IN_SQL)
+def q_in_subquery(spark, sf_dir):
+    """IN / NOT IN subquery predicates (semi/anti under the hood)."""
+    io.register_views(spark, sf_dir, ["orders", "customer", "lineitem"])
+    return spark.sql(_IN_SQL)
+
+
+@register(
+    "a9_bitwise_agg",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS and_ln,
+           bit_or(l_linenumber)  AS or_ln,
+           bit_xor(l_orderkey)   AS xor_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a9_bitwise_agg(spark, sf_dir):
+    """Bitwise aggregates (order-independent by construction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("and_ln"),
+        F.bit_or("l_linenumber").alias("or_ln"),
+        F.bit_xor("l_orderkey").alias("xor_ok"),
+    )
+
+
+@register(
+    "a10_variance_deterministic",
+    oracle="""
+    SELECT l_returnflag,
+           (CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+            - CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+              * CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*))
+           / count(*) AS var_pop_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a10_variance_deterministic(spark, sf_dir):
+    """Population variance via the sum-of-squares identity over EXACT
+    decimal sums — the built-in var_pop merges partial (mean, M2) states in
+    partition order and is not bit-reproducible across engines/runs; this
+    formulation is, with identical arithmetic on both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    sum_sq = relational.dsum(F.col("l_quantity") * F.col("l_quantity"))
+    sum_q = relational.dsum("l_quantity")
+    n = F.count("*")
+    return li.groupBy("l_returnflag").agg(
+        ((sum_sq - sum_q * sum_q / n) / n).alias("var_pop_qty")
+    )
+
+
+@register(
+    "p10_regexp_surface",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '(spark|stream)\\s+(\\w+)', 2) AS word_after,
+           regexp_matches(text, 'join.*merge')                 AS has_join_then_merge
+    FROM documents
+    WHERE regexp_matches(text, '\\bvector\\b')
+    """,
+)
+def p10_regexp_surface(spark, sf_dir):
+    """Regex surface: rlike filter + group extraction."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.col("text").rlike(r"\bvector\b")).select(
+        "doc_id",
+        F.regexp_extract("text", r"(spark|stream)\s+(\w+)", 2).alias("word_after"),
+        F.col("text").rlike("join.*merge").alias("has_join_then_merge"),
+    )

@@ -95,3 +95,27 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # count matches an unpartitioned filter
     want = events.where(F.to_date("ts") == "2024-01-05").count()
     assert scan.count() == want > 0
+
+
+def test_compact_restores_file_count(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "fragmented")
+    io.load_table(spark, sf_dir, "orders").repartition(16).write.parquet(out)
+    import glob
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 16
+    before = spark.read.parquet(out).count()
+    mt.compact(spark, out, 2)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 2
+    assert spark.read.parquet(out).count() == before
+
+
+def test_merge_aggregate_state_equals_full_recompute(spark, sf_dir):
+    orders = io.load_table(spark, sf_dir, "orders")
+    part1 = orders.where("o_orderkey % 2 = 0")
+    part2 = orders.where("o_orderkey % 2 = 1")
+    agg = lambda df: df.groupBy("o_orderstatus").agg(  # noqa: E731
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double").alias("total"),
+    )
+    incremental = mt.merge_aggregate_state(agg(part1), agg(part2), ["o_orderstatus"])
+    full = agg(orders)
+    assert sorted(map(tuple, incremental.collect())) == sorted(map(tuple, full.collect()))

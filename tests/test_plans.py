@@ -62,3 +62,13 @@ def test_exact_knn_never_shuffles_the_table(spark, sf_dir):
     # broadcast query + TakeOrdered: zero Exchange on the embeddings side
     df = _df("e3_knn_l2", spark, sf_dir)
     assert plans.num_shuffles(df) == 0, plans.physical_plan(df)
+
+
+def test_q17_decorrelates_to_join(spark, sf_dir):
+    """The correlated scalar subquery must compile to an aggregate+join,
+    not a per-row subquery execution."""
+    df = _df("q17_correlated_subquery", spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Join" in plan
+    # no leftover uncorrelated-scalar-subquery nodes executing per row
+    assert "InSubqueryExec" not in plan
