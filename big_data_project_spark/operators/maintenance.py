@@ -51,12 +51,17 @@ def scd2_apply(
     upd = updates.select(
         key, *attrs, F.col(ts_col).alias("valid_from")
     ).withColumn("valid_to", F.lit(None).cast("timestamp"))
+    # Null-safe change detection: `<>` evaluates to NULL when either side is
+    # NULL, silently missing NULL→value / value→NULL transitions; negated
+    # eqNullSafe (`<=>`) treats NULL as a comparable value.
+    changed_pred = None
+    for a in attrs:
+        term = ~F.col(f"u.{a}").eqNullSafe(F.col(f"c.{a}"))
+        changed_pred = term if changed_pred is None else (changed_pred | term)
     changed_keys = (
         updates.alias("u")
         .join(current.where(F.col("valid_to").isNull()).alias("c"), key)
-        .where(
-            " OR ".join(f"u.{a} <> c.{a}" for a in attrs)
-        )
+        .where(changed_pred)
         .select(key, F.col(f"u.{ts_col}").alias("_close_ts"))
     )
     closed = (
@@ -101,18 +106,60 @@ def write_partitioned_by_day(
     ).partitionBy(partition_col).parquet(path)
 
 
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem handle for a path (works for file://, hdfs://...)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath, _ = _fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Stage-and-swap rewrite of a path the plan may be reading from.
+
+    The new data is fully written to ``path__stage`` (reading the original
+    files, which are untouched during the write), then the original directory
+    is renamed aside and the stage renamed in — so there is no moment where
+    the only copy of the data is a deleted directory or executor-local
+    checkpoint blocks. An executor/driver loss mid-write leaves the original
+    intact (at worst plus a stale ``__stage``/``__old`` sibling, cleaned on
+    the next run). Directory rename is atomic on HDFS/local posix; on object
+    stores (S3A) it is copy+delete — pair with a manifest committer there."""
+    spark = df.sparkSession
+    fs, hpath, jvm = _fs(spark, path)
+    stage = jvm.org.apache.hadoop.fs.Path(path + "__stage")
+    old = jvm.org.apache.hadoop.fs.Path(path + "__old")
+    if fs.exists(stage):
+        fs.delete(stage, True)
+    if fs.exists(old):
+        fs.delete(old, True)
+    df.write.mode("overwrite").parquet(path + "__stage")
+    existed = fs.exists(hpath)
+    if existed:
+        fs.rename(hpath, old)
+    fs.rename(stage, hpath)
+    if existed:
+        fs.delete(old, True)
+
+
 def compact(spark: SparkSession, path: str, target_files: int) -> int:
     """Small-file compaction: rewrite a parquet directory into N files.
     The small-files problem is THE silent killer of 100 TB scans (one task
     per tiny file); compaction after streaming/incremental writes restores
-    scan efficiency. Returns the resulting file count."""
-    df = spark.read.parquet(path)
-    # localCheckpoint materializes before we overwrite the files being read
-    df.localCheckpoint(eager=True).repartition(target_files).write.mode(
-        "overwrite"
-    ).parquet(path)
-    return (
-        spark.read.parquet(path).rdd.getNumPartitions()
+    scan efficiency. Crash-safe via stage-and-swap (atomic_overwrite).
+    Returns the resulting data-file count."""
+    df = spark.read.parquet(path).repartition(target_files)
+    atomic_overwrite(df, path)
+    fs, hpath, _ = _fs(spark, path)
+    return sum(
+        1
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().endswith(".parquet")
     )
 
 

@@ -72,7 +72,8 @@ def evaluate_response(
 
     - accuracy  : fraction of question terms present in the context
                   (> 0.5 ⇒ 'High', else 'Low')
-    - clarity   : word count of the answer; 10..100 words ⇒ 'High'
+    - clarity   : reference semantics (py:588-590): word count < 100 AND
+                  sentence count > 1, where sentences = count('.') + 1
     - grounding : fraction of answer terms present in the context
     """
     q_terms = F.array_distinct(_terms(F.col(question_col)))
@@ -85,13 +86,18 @@ def evaluate_response(
 
     accuracy = coverage(q_terms)
     n_words = F.size(_terms(F.col(answer_col)))
+    n_sentences = (
+        F.length(answer_col) - F.length(F.replace(F.col(answer_col), F.lit(".")))
+        + F.lit(1)
+    )
     grounding = coverage(a_terms)
     return df.select(
         question_col,
         accuracy.alias("accuracy"),
         F.when(accuracy > 0.5, "High").otherwise("Low").alias("accuracy_label"),
         n_words.cast("long").alias("answer_words"),
-        F.when((n_words >= 10) & (n_words <= 100), "High")
+        n_sentences.cast("long").alias("answer_sentences"),
+        F.when((n_words < 100) & (n_sentences > 1), "High")
         .otherwise("Low")
         .alias("clarity_label"),
         grounding.alias("grounding"),

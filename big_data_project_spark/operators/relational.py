@@ -351,25 +351,47 @@ def salted_join(
     return out.drop("_salt")
 
 
-def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, columns: list[str], exact: bool = False
+) -> DataFrame:
     """Data-profiling summary: one output row per column with count, nulls,
-    distincts, min/max (stringified for a uniform schema). The scan is read
-    once per column-agg set but Catalyst collapses the union into parallel
-    aggregates over the cached/shared scan — at 100 TB, run it on a sample
-    or on Parquet footer stats first."""
-    parts = []
+    distincts, min/max (stringified for a uniform schema).
+
+    SINGLE PASS: all per-column statistics are computed in ONE aggregate over
+    one scan (pinned by ``test_profile_single_scan``), then the 1×(5N) row is
+    exploded to N rows driver-free. With ``exact=False`` (default, the 100 TB
+    path) distincts use approx_count_distinct — HLL++ sketches merge map-side,
+    so the pass stays a straight partial+final agg. ``exact=True`` switches to
+    countDistinct for small/verification profiles (Spark plans multi-column
+    exact distinct via Expand — still one scan, but rows×N in the shuffle, so
+    don't do it on 15 columns of 100 TB)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in columns:
-        parts.append(
-            df.agg(
-                F.lit(c).alias("column_name"),
-                F.count("*").alias("n_rows"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
-                F.countDistinct(c).alias("n_distinct"),
-                F.min(F.col(c).cast("string")).alias("min_str"),
-                F.max(F.col(c).cast("string")).alias("max_str"),
+        nd = F.countDistinct(c) if exact else F.approx_count_distinct(c)
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"_null_{c}"),
+            nd.cast("long").alias(f"_nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"_null_{c}").alias("n_null"),
+                        F.col(f"_nd_{c}").alias("n_distinct"),
+                        F.col(f"_min_{c}").alias("min_str"),
+                        F.col(f"_max_{c}").alias("max_str"),
+                    )
+                    for c in columns
+                ]
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        ).alias("p"),
+    )
+    return stacked.select(
+        "p.column_name", "n_rows", "p.n_null", "p.n_distinct", "p.min_str", "p.max_str"
+    )

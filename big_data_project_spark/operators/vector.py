@@ -286,50 +286,92 @@ def cosine_neardup_pairs(
     )
 
 
-def ivf_topk(
+def build_ivf(
     embeddings: DataFrame,
-    query: DataFrame,
-    k: int = 10,
     n_lists: int = 16,
-    n_probe: int = 4,
-    metric: str = "ip",
-) -> DataFrame:
-    """E5b: IVF ANN — FAISS IVFFlat parity (reference py:730-740,
-    nlist=100, train+add, probe).
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """E5b build phase: IVF coarse quantizer + list assignment — FAISS
+    IVFFlat 'train + add' parity (reference py:730-740, nlist=100).
 
-    Coarse quantizer = a deterministic sample of the corpus itself (every
-    stride-th vector by vec_id — no iterative training, fully reproducible);
-    each vector is assigned to its nearest centroid (one broadcast join —
-    the 'add' phase); a query probes the n_probe nearest lists and scores
-    exactly inside them. At 100 TB the assignment is precomputed and the
-    table is partitioned by list_id, so a probe prunes the scan to
-    n_probe/n_lists of the data."""
-    # centroids: a deterministic modulo sample — no global sort/window (a
-    # row_number over the whole table would single-partition at scale).
-    total = embeddings.count()
-    stride = max(1, total // n_lists)
-    centroids = F.broadcast(
-        embeddings.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
-        .orderBy("vec_id")
-        .limit(n_lists)
-        .select(F.col("vec_id").alias("list_id"), F.col("embedding").alias("centroid"))
+    Fully LAZY: returns ``(centroids, assigned)`` as unexecuted plans — no
+    Spark job runs at build time (pinned by ``test_ivf_build_is_lazy``).
+    Centroid seeding is a deterministic hash-bucket representative: each
+    vector hashes to one of ``n_lists`` buckets and the minimum-hash vector
+    of each bucket becomes that list's centroid — a uniform reservoir-style
+    sample computed with ONE map-side-combining groupBy (no count(), no
+    global sort, no window over a single partition). Assignment ('add') is a
+    broadcast of the ≤n_lists centroids against the corpus, reduced with a
+    map-side-combining min_by per vec_id.
+
+    At 100 TB: run once, persist ``assigned`` partitioned by list_id, and
+    optionally sharpen the seed centroids with :func:`kmeans_refine` (each
+    step is one shuffle). ``ivf_probe`` then prunes every query's scan to
+    n_probe/n_lists of the data via partition pruning on list_id."""
+    h = F.xxhash64(F.col("vec_id"), F.lit(seed))
+    bucketed = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.pmod(h, F.lit(n_lists)).cast("int").alias("list_id"),
+        h.alias("_h"),
     )
-    # assignment ("add"): nearest centroid per vector
-    assign_w = Window.partitionBy("vec_id").orderBy("dist", "list_id")
+    centroids = (
+        bucketed.groupBy("list_id")
+        .agg(F.min_by("embedding", F.struct("_h", "vec_id")).alias("centroid"))
+    )
+    cdim = F.broadcast(centroids)
     assigned = (
-        embeddings.crossJoin(centroids)
+        embeddings.crossJoin(cdim)
         .select(
             "vec_id",
             "label",
             "embedding",
             "list_id",
-            l2_sq("embedding", "centroid").alias("dist"),
+            l2_sq("embedding", "centroid").alias("_dist"),
         )
-        .withColumn("_r", F.row_number().over(assign_w))
-        .where(F.col("_r") == 1)
-        .select("vec_id", "label", "embedding", "list_id")
+        .groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.first("embedding").alias("embedding"),
+            F.min_by("list_id", F.struct("_dist", "list_id")).alias("list_id"),
+        )
     )
-    # probe: n_probe nearest lists to the query
+    return centroids, assigned
+
+
+def kmeans_refine(assigned: DataFrame) -> DataFrame:
+    """One lazy Lloyd step: new centroid = element-wise mean of each list's
+    members. posexplode → (list_id, pos) avg → re-assemble, so the heavy
+    stage is a partial-aggregating groupBy on (list_id, pos) — balanced even
+    when lists are skewed. Repeat build→refine→re-assign to taste; each
+    iteration is one shuffle, nothing touches the driver."""
+    return (
+        assigned.select("list_id", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("list_id", "pos")
+        .agg(F.avg("val").alias("val"))
+        .groupBy("list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"].cast("float"),
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_probe(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    metric: str = "ip",
+) -> DataFrame:
+    """E5b probe phase: score the query against the (small, broadcast)
+    centroid table to pick the n_probe nearest lists, then score exactly
+    only inside those lists. With ``assigned`` persisted partitioned by
+    list_id this is a partition-pruned scan of n_probe/n_lists of the
+    corpus."""
     probed = F.broadcast(
         centroids.crossJoin(query)
         .select("list_id", l2_sq("centroid", "q").alias("qdist"))
@@ -345,6 +387,21 @@ def ivf_topk(
     else:
         score, order = l2_sq("embedding", "q"), [F.col("score").asc(), F.col("vec_id")]
     return cand.select("vec_id", "label", score.alias("score")).orderBy(*order).limit(k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    metric: str = "ip",
+    seed: int = 42,
+) -> DataFrame:
+    """Convenience composition: build_ivf + ivf_probe in one lazy plan (the
+    one-shot form; persistent serving should keep the build output)."""
+    centroids, assigned = build_ivf(embeddings, n_lists=n_lists, seed=seed)
+    return ivf_probe(centroids, assigned, query, k=k, n_probe=n_probe, metric=metric)
 
 
 def knn_topk_batch(

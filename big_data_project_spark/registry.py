@@ -1083,13 +1083,16 @@ def r1_prompt_assembly(spark, sf_dir):
                      / len(q_terms) > 0.5
                 THEN 'High' ELSE 'Low' END AS accuracy_label,
            len(a_terms_all) AS answer_words,
-           CASE WHEN len(a_terms_all) BETWEEN 10 AND 100 THEN 'High' ELSE 'Low' END
-             AS clarity_label,
+           length(answer) - length(replace(answer, '.', '')) + 1 AS answer_sentences,
+           CASE WHEN len(a_terms_all) < 100
+                 AND length(answer) - length(replace(answer, '.', '')) + 1 > 1
+                THEN 'High' ELSE 'Low' END AS clarity_label,
            CAST(len(list_intersect(list_distinct(a_terms_all), ctx_terms)) AS DOUBLE)
              / len(list_distinct(a_terms_all)) AS grounding
     FROM (
       SELECT doc_id,
              '{_RAG_QUESTION}' AS question,
+             substr(text, 1, 120) AS answer,
              list_distinct(string_split_regex(trim(lower('{_RAG_QUESTION}')), '\\s+'))
                AS q_terms,
              string_split_regex(trim(lower(substr(text, 1, 120))), '\\s+')
@@ -1711,9 +1714,13 @@ def tx_tf_idf(spark, sf_dir):
     """,
 )
 def a8_profile_columns(spark, sf_dir):
-    """Data profiling: per-column stats summary (ANALYZE-style)."""
+    """Data profiling: per-column stats summary (ANALYZE-style). exact=True
+    so distinct counts hash-match the oracle; default approx mode is the
+    100 TB path (bound-tested in test_profile_approx_bounds)."""
     return relational.profile_columns(
-        _t(spark, sf_dir, "customer"), ["c_custkey", "c_mktsegment", "c_acctbal"]
+        _t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_mktsegment", "c_acctbal"],
+        exact=True,
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark import SparkConf
 from pyspark.sql import SparkSession
 
 
@@ -35,9 +36,18 @@ def get_spark(
     )
     driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
+    builder = SparkSession.builder
+    # Respect an externally-set master (spark-submit --master, MASTER env,
+    # spark.master conf): only default to local[N] when none is configured,
+    # so the same factory attaches to a real cluster unchanged.
+    if not (
+        os.environ.get("MASTER")
+        or os.environ.get("SPARK_MASTER")
+        or SparkConf().contains("spark.master")
+    ):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -181,18 +181,27 @@ def purchases_with_recent_clicks(
 def upsert_sink(df: DataFrame, target_path: str, checkpoint: str, key: str):
     """T7b: exactly-once-style upsert sink via foreachBatch + MERGE
     emulation — each micro-batch is merged into the parquet target by key
-    (idempotent on replay for same-key updates)."""
-    from big_data_project_spark.operators.maintenance import merge_upsert
+    (idempotent on replay for same-key updates).
+
+    First-batch detection is an explicit FileSystem existence check, NOT a
+    bare try/except — a transient read failure or a merge bug must fail the
+    micro-batch (and be retried from the checkpoint), never be misread as
+    'target missing' and silently overwrite history with one batch. The
+    rewrite itself is stage-and-swap (maintenance.atomic_overwrite), so an
+    executor loss mid-write cannot destroy the previous target."""
+    from big_data_project_spark.operators.maintenance import (
+        atomic_overwrite,
+        merge_upsert,
+        path_exists,
+    )
 
     def do_merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            current = spark.read.parquet(target_path)
-            merged = merge_upsert(current, batch_df, key)
-        except Exception:  # first batch: target doesn't exist yet
+        if path_exists(spark, target_path):
+            merged = merge_upsert(spark.read.parquet(target_path), batch_df, key)
+        else:
             merged = batch_df
-        # localCheckpoint: materialize BEFORE overwriting the files we read
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+        atomic_overwrite(merged, target_path)
 
     return (
         df.writeStream.outputMode("update")

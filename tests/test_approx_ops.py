@@ -140,3 +140,38 @@ def test_cosine_neardup_finds_planted_duplicates(spark):
     pairs = {(r.id_a, r.id_b): r.cos_sim for r in
              vector.cosine_neardup_pairs(df, threshold=0.99).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
+
+
+def test_ivf_build_is_lazy(spark, sf_dir):
+    """build_ivf must not run ANY Spark job — centroid seeding and list
+    assignment are lazy plans (the round-1 implementation ran a count())."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf-build-probe", "laziness probe")
+    try:
+        centroids, assigned = vector.build_ivf(emb, n_lists=8)
+        jobs = sc.statusTracker().getJobIdsForGroup("ivf-build-probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == [], f"build_ivf ran jobs: {jobs}"
+    # the plans are sound once executed
+    assert centroids.count() <= 8
+    assert assigned.count() == emb.count()
+
+
+def test_kmeans_refine_shapes_and_recall(spark, sf_dir):
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = vector.build_ivf(emb, n_lists=8)
+    refined = vector.kmeans_refine(assigned)
+    rows = refined.collect()
+    assert 0 < len(rows) <= 8
+    assert all(len(r.centroid) == 64 for r in rows)
+    # probing refined centroids still finds neighbors
+    q = vector.query_vector_of(emb, 0)
+    c2, a2 = vector.build_ivf(emb, n_lists=8)
+    exact = {r.vec_id for r in vector.knn_topk(emb, q, k=10, metric="ip").collect()}
+    got = {
+        r.vec_id
+        for r in vector.ivf_probe(refined, a2, q, k=10, n_probe=4, metric="ip").collect()
+    }
+    assert len(exact & got) / 10 >= 0.3, (exact, got)

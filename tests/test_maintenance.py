@@ -119,3 +119,42 @@ def test_merge_aggregate_state_equals_full_recompute(spark, sf_dir):
     incremental = mt.merge_aggregate_state(agg(part1), agg(part2), ["o_orderstatus"])
     full = agg(orders)
     assert sorted(map(tuple, incremental.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_scd2_null_transitions(spark):
+    """NULL→value and value→NULL attribute changes must be detected (the
+    null-unsafe `<>` predicate silently misses both)."""
+    cur = spark.createDataFrame(
+        [(1, None, "2024-01-01", None), (2, "silver", "2024-01-01", None)],
+        "id long, tier string, valid_from string, valid_to string",
+    ).select(
+        "id", "tier",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+    )
+    upd = spark.createDataFrame(
+        [(1, "gold", "2024-06-01"),   # NULL → value: must close + insert
+         (2, None, "2024-06-01")],    # value → NULL: must close + insert
+        "id long, tier string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = mt.scd2_apply(cur, upd, "id", "ts", ["tier"])
+    rows = sorted(
+        (r.id, r.tier or "", r.valid_to is None) for r in hist.collect()
+    )
+    assert rows == [
+        (1, "", False), (1, "gold", True),
+        (2, "", True), (2, "silver", False),
+    ], rows
+
+
+def test_atomic_overwrite_stages_then_swaps(spark, tmp_path):
+    path = str(tmp_path / "swap_target")
+    spark.range(10).write.parquet(path)
+    df = spark.read.parquet(path).withColumn("id", F.col("id") * 2)
+    mt.atomic_overwrite(df, path)
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == [i * 2 for i in range(10)]
+    # no stage/old leftovers
+    import os
+    assert not os.path.exists(path + "__stage")
+    assert not os.path.exists(path + "__old")

@@ -72,3 +72,22 @@ def test_q17_decorrelates_to_join(spark, sf_dir):
     assert "Join" in plan
     # no leftover uncorrelated-scalar-subquery nodes executing per row
     assert "InSubqueryExec" not in plan
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """profile_columns must compute all per-column stats in ONE scan
+    (the round-1 implementation unioned one agg per column)."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import relational
+
+    df = relational.profile_columns(
+        io.load_table(spark, sf_dir, "customer"),
+        ["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    plan = plans.physical_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    # approx mode: straight partial+final agg, no Expand
+    assert "Expand" not in plan, plan
+    rows = {r.column_name: r for r in df.collect()}
+    assert rows["c_custkey"].n_null == 0
+    assert rows["c_custkey"].n_rows == rows["c_mktsegment"].n_rows

@@ -127,3 +127,20 @@ def test_rag_end_to_end_pipeline(spark, sf_dir):
     assert scored.grounding == 1.0
     assert 0.0 <= scored.accuracy <= 1.0
     embedded.unpersist()
+
+
+def test_clarity_sentence_rule_matches_reference(spark):
+    """Reference py:588-590: clarity High iff word_count < 100 AND
+    sentence_count (= count('.') + 1) > 1."""
+    df = spark.createDataFrame(
+        [
+            ("q", "one sentence no period", "ctx"),
+            ("q2", "two sentences. here it is.", "ctx"),
+            ("q3", ". ".join(["word"] * 120), "ctx"),  # >100 words, many '.'
+        ],
+        "question string, answer string, context string",
+    )
+    rows = {r.question: r for r in rag.evaluate_response(df).collect()}
+    assert rows["q"].answer_sentences == 1 and rows["q"].clarity_label == "Low"
+    assert rows["q2"].answer_sentences == 3 and rows["q2"].clarity_label == "High"
+    assert rows["q3"].clarity_label == "Low"
