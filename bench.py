@@ -42,17 +42,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    print(line)
+    # local per-run history so round-over-round per-query regressions are
+    # greppable without reconstructing them from the driver's BENCH_r*.json
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"),
+            "a",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

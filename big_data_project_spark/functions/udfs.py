@@ -1,0 +1,31 @@
+"""Row-wise and vectorized UDF surface (SURVEY §2.9 U1/U2, P6).
+
+Deterministic string/integer transforms so both UDF execution paths are
+driver-oracle-checkable (the semantics are mirrorable in ANSI SQL even though
+execution goes through the Python worker / Arrow batches).
+
+NOTE: no ``from __future__ import annotations`` here — pandas_udf infers the
+eval type from *live* annotations, and PEP-563 stringification breaks it.
+"""
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf, udf
+from pyspark.sql.types import LongType, StringType
+
+
+@udf(StringType())
+def tag_name(name):
+    """U1/P6: row-at-a-time Python UDF — deterministic string transform
+    (upper + length suffix). Kept OFF the hot path by design: this is the
+    slow row-per-row pickled boundary the engine avoids; it exists to prove
+    the escape hatch works."""
+    if name is None:
+        return None
+    return name.upper() + ":" + str(len(name))
+
+
+@pandas_udf(LongType())
+def scaled_qty(qty: pd.Series, line: pd.Series) -> pd.Series:
+    """U2: vectorized (Arrow-batched) scalar pandas UDF — integer-exact
+    arithmetic (qty*10 + linenumber), ~10-100x the row UDF's throughput."""
+    return (qty.astype("int64") * 10 + line.astype("int64")).astype("int64")

@@ -122,8 +122,10 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """S8: CSV sink (py:296-307) minus the coalesce(1)."""
-    df.write.mode(mode).option("header", True).csv(path)
+    """S8: CSV sink (py:296-307) minus the coalesce(1). Quote/escape match
+    read_csv (quote='"', escape='"' — RFC-4180 doubled quotes), so embedded
+    commas and quotes roundtrip bit-for-bit."""
+    df.write.mode(mode).options(header=True, quote='"', escape='"').csv(path)
 
 
 def verify_roundtrip(spark: SparkSession, df: DataFrame, path: str, fmt: str = "parquet") -> int:

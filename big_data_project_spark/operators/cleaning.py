@@ -104,7 +104,10 @@ def parse_money(col: Column | str, default: float | None = None) -> Column:
     then coalesce the default (the reference null-defaulted *before* the
     cast, which never fired)."""
     c = F.col(col) if isinstance(col, str) else col
-    parsed = F.regexp_replace(c, ",", "").cast("double")
+    # try_cast, not cast: under ANSI semantics (Spark 4 default) a garbage
+    # value ('N/A', stray unicode quotes in the real SEC feed) must become
+    # NULL → default, not fail the job 90 TB into a scan.
+    parsed = F.regexp_replace(c, ",", "").try_cast("double")
     if default is not None:
         parsed = F.coalesce(parsed, F.lit(float(default)))
     return parsed

@@ -121,3 +121,65 @@ def run_retrieval(
     hits = vector.knn_topk(embeddings, query, k=k, metric=metric)
     docs = vector.knn_join_documents(hits, documents, truncate=truncate)
     return assemble_prompt(docs, question)
+
+
+def generate_answers(
+    prompts: DataFrame, prompt_col: str = "prompt", out_col: str = "answer"
+) -> DataFrame:
+    """R2 as a distributed stage: map a batch of prompts to answers via
+    mapInPandas (Arrow-batched — N prompts cost one pass, vs the reference
+    reloading flan-t5 per query, py:479/py:703).
+
+    The worker closure is self-contained and mirrors plugins.Generator:
+    transformers when importable, else the deterministic extractive fallback
+    (first 30 words of the context section) — so the composition is
+    oracle-checkable in the fallback environment."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(prompts.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+
+    def gen_batches(it):
+        try:  # pragma: no cover - needs torch + weights
+            from transformers import pipeline
+
+            model = pipeline("text2text-generation", model="google/flan-t5-base")
+        except ImportError:
+            model = None
+        for pdf in it:
+            if model is not None:  # pragma: no cover
+                pdf[out_col] = [
+                    model(p)[0]["generated_text"] for p in pdf[prompt_col]
+                ]
+            else:
+                pdf[out_col] = [
+                    " ".join(
+                        p.split("Context:\n", 1)[-1]
+                        .split("\n\nQuestion:", 1)[0]
+                        .split()[:30]
+                    )
+                    for p in pdf[prompt_col]
+                ]
+            yield pdf
+
+    return prompts.mapInPandas(gen_batches, out_schema)
+
+
+def run_rag(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    query: DataFrame,
+    question: str,
+    k: int = 7,
+    truncate: int = 1000,
+    metric: str = "ip",
+) -> DataFrame:
+    """R3 full composition (py:688-707): retrieve → prompt → generate →
+    evaluate, entirely as DataFrame stages (one row per question here; the
+    same plan serves batches of questions via knn_topk_batch)."""
+    prompts = run_retrieval(
+        embeddings, documents, query, question, k=k, truncate=truncate, metric=metric
+    )
+    answered = generate_answers(prompts)
+    return evaluate_response(answered)

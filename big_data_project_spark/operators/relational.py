@@ -126,7 +126,10 @@ def cube_agg(orders: DataFrame) -> DataFrame:
     """A4b: CUBE over (priority, status)."""
     return (
         orders.cube("o_orderpriority", "o_orderstatus")
-        .agg(F.count("*").alias("n_orders"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
     )
 
 

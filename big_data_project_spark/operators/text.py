@@ -51,12 +51,12 @@ def words_col(col: Column | str) -> Column:
     return F.split(F.trim(c), "\\s+")
 
 
-def token_stats(df: DataFrame, text: str = "text") -> DataFrame:
+def token_stats(df: DataFrame, text: str = "text", with_bpe: bool = False) -> DataFrame:
     """N5 (py:589-590): word count, char count, distinct-word count, and
-    mean word length."""
+    mean word length; with_bpe adds the BPE-ish token estimate so the whole
+    token-accounting family is one scan."""
     w = words_col(text)
-    return df.select(
-        "doc_id",
+    cols = [
         F.size(w).cast("long").alias("n_words"),
         F.length(F.col(text)).cast("long").alias("n_chars"),
         F.size(F.array_distinct(w)).cast("long").alias("n_distinct_words"),
@@ -64,7 +64,10 @@ def token_stats(df: DataFrame, text: str = "text") -> DataFrame:
             F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x))
             / F.size(w)
         ).alias("avg_word_len"),
-    )
+    ]
+    if with_bpe:
+        cols.append(bpe_ish_token_count(text).alias("n_tokens"))
+    return df.select("doc_id", *cols)
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
@@ -168,6 +171,21 @@ def _hits(text: str, words: tuple[str, ...]) -> Column:
     return F.size(F.regexp_extract_all(F.col(text), F.lit(pat), 0))
 
 
+def _lang_best(score_of) -> Column:
+    """Argmax-with-deterministic-ties struct: pick the declaration-first
+    language among score maxima (struct comparison: score, then priority)."""
+    return F.greatest(
+        *[
+            F.struct(
+                score_of(lang).alias("s"),
+                F.lit(len(LANG_STOPWORDS) - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(LANG_STOPWORDS)
+        ]
+    )
+
+
 def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
     """Language ID via stopword-hit argmax (deterministic tie-break by
     language code order en < de < es < fr via greatest-struct trick)."""
@@ -178,18 +196,7 @@ def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
             for lang, ws in LANG_STOPWORDS.items()
         ],
     )
-    # argmax with deterministic ties: pick lexicographically-first language
-    # among maxima (struct comparison: score first, then reversed-lang order).
-    best = F.greatest(
-        *[
-            F.struct(
-                F.col(f"score_{lang}").alias("s"),
-                F.lit(len(LANG_STOPWORDS) - i).alias("prio"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, lang in enumerate(LANG_STOPWORDS)
-        ]
-    )
+    best = _lang_best(lambda lang: F.col(f"score_{lang}"))
     return scored.select(
         "doc_id",
         best["lang"].alias("detected_lang"),
@@ -220,11 +227,35 @@ def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def text_profile(df: DataFrame, text: str = "text") -> DataFrame:
+    """One-scan text-analysis profile: the per-document columns of
+    lang_id + quality_score + fingerprint computed in a SINGLE select (no
+    self-joins, no repeated scans — at 100 TB the three analyses share one
+    pass over the corpus)."""
+    w = words_col(text)
+    n_words = F.size(w)
+    best = _lang_best(lambda lang: _hits(text, LANG_STOPWORDS[lang]))
+    return df.select(
+        "doc_id",
+        best["lang"].alias("detected_lang"),
+        best["s"].cast("long").alias("stopword_hits"),
+        n_words.cast("long").alias("n_words"),
+        (_hits(text, LANG_STOPWORDS["en"]) / n_words).alias("stopword_ratio"),
+        (F.size(F.array_distinct(w)) / n_words).alias("diversity"),
+        F.when(n_words >= 20, 1).otherwise(0).alias("len_ok"),
+        F.md5(normalize_text_col(text)).alias("fingerprint"),
+    )
+
+
 def tf_idf(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", use_log: bool = False
 ) -> DataFrame:
     """TF-IDF over whitespace terms. One explode + two aggregations — the
     standard two-shuffle shape (by (doc, term), then by term broadcast back).
+
+    LAZY: the corpus size N enters the plan as a broadcast single-row
+    aggregate (no driver-side count() action — building the plan runs no
+    job, and N is computed in the same execution as everything else).
 
     use_log=False keeps idf as the raw ratio (N+1)/(df+1): integer-exact
     division is bit-stable across engines (oracle-matchable), while log's
@@ -235,14 +266,18 @@ def tf_idf(
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = df.count()
-    idf = (F.lit(float(n_docs + 1)) / (F.col("df") + 1))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    idf = (F.col("_n_docs") + 1.0) / (F.col("df") + 1)
     if use_log:
         idf = F.log(idf)
-    return tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        (F.col("tf") * idf).alias("tfidf"),
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * idf).alias("tfidf"),
+        )
     )

@@ -136,3 +136,79 @@ def test_social_pipeline_golden(spark, social_paths, tmp_path):
 
     n = social.run(spark, [c1, c2], rd, str(tmp_path / "docs_out"))
     assert n == 5
+
+
+# ---------------------------------------------------------------------------
+# Real reference data (not fixtures): the pipelines over the files the
+# reference itself processes — capability parity on actual inputs.
+# ---------------------------------------------------------------------------
+
+import os
+
+REF = "/root/reference"
+HAS_REF = os.path.exists(f"{REF}/SEC_filings.csv")
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference checkout not present")
+def test_sec_pipeline_on_real_reference_data(spark):
+    """Pin the invariants the reference observably violates (ipynb cells
+    21-23): all 2,622 rows survive clean+dedup (no collapsed keys in the
+    real feed), comma-formatted Market Value parses non-null (cell 22 shows
+    the reference nulling it), record_id is a non-null string (cell 23
+    shows a null double)."""
+    from pyspark.sql import functions as F
+
+    out = sec.extract_metadata(
+        sec.clean(sec.ingest(spark, f"{REF}/SEC_filings.csv"))
+    )
+    assert out.count() == 2622
+    # §1.4.1 fix: money parses (0.0 fills only true nulls/garbage)
+    mv = out.agg(
+        F.count(F.when(F.col("market_value").isNull(), 1)).alias("nulls"),
+        F.count(F.when(F.col("market_value") > 0, 1)).alias("positive"),
+    ).collect()[0]
+    assert mv.nulls == 0
+    assert mv.positive > 2500  # the overwhelming majority are real amounts
+    # §1.4.2 fix: record_id = 'ticker_name' string, never null
+    rid = out.where(
+        F.col("record_id").isNull() | (F.length("record_id") == 0)
+    ).count()
+    assert rid == 0
+    assert dict(out.dtypes)["record_id"] == "string"
+    # spot-pin one known row (AAPL survives cleaning with parsed money)
+    aapl = out.where(F.col("ticker") == "aapl").collect()
+    assert len(aapl) == 1
+    assert abs(aapl[0].market_value - 559365151.11) < 1e-6
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference checkout not present")
+def test_social_pipeline_on_real_reference_data(spark):
+    """39 CNBC articles + 500 reddit posts load; unification emits 538 docs:
+    the one drop is the reddit post titled only '🎢', whose normalized text
+    is empty — the engine's empty-doc filter removes it (the reference would
+    carry an empty document into its FAISS corpus; divergence documented)."""
+    from pyspark.sql import functions as F
+
+    cnbc = social.load_cnbc(
+        spark,
+        f"{REF}/CNBC_financial_news_1.json",
+        f"{REF}/CNBC_financial_articles_2.json",
+    )
+    reddit = social.load_reddit(spark, f"{REF}/reddit_posts.json")
+    assert cnbc.count() == 39
+    assert reddit.count() == 500
+    docs = social.unify(cnbc, reddit)
+    assert docs.count() == 538
+    by_src = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src == {"cnbc": 39, "reddit": 499}
+    # doc ids are stable and non-null; timestamps parsed for both formats
+    assert docs.where(F.col("doc_id").isNull()).count() == 0
+    assert docs.where(F.col("ts").isNull()).count() == 0
+    # the real feed contains 2 articles present in BOTH CNBC files (the
+    # reference's positional union, py:336, silently carries them too);
+    # keyed dedup closes the gap: 538 rows → 536 unique docs
+    assert docs.select("doc_id").distinct().count() == 536
+    from big_data_project_spark.operators import cleaning
+
+    deduped = cleaning.dedup_deterministic(docs, ["doc_id"], ["url"])
+    assert deduped.count() == 536

@@ -40,7 +40,7 @@ def test_dim_joins_broadcast(spark, sf_dir):
 
 
 def test_topk_compiles_to_take_ordered(spark, sf_dir):
-    for name in ("o2_top_parts", "e3_knn_l2", "e4_knn_ip", "q3_shipping_priority"):
+    for name in ("o2_top_parts", "e3_knn_l2", "q3_shipping_priority"):
         assert plans.is_take_ordered(_df(name, spark, sf_dir)), (
             f"{name} does a full sort instead of TakeOrderedAndProject"
         )
@@ -52,7 +52,8 @@ def test_single_shuffle_operators(spark, sf_dir):
         ("w1_top_orders_per_customer", 1),
         ("j5_asof_join", 1),
         ("st_tumbling_hourly", 1),
-        ("w3_rolling_order_spend", 1),
+        ("w3_frames", 1),
+        ("w2_offsets", 1),
     ):
         got = plans.num_shuffles(_df(name, spark, sf_dir))
         assert got <= budget, f"{name}: {got} shuffles (budget {budget})"
