@@ -247,6 +247,84 @@ def text_profile(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 100,
+    overlap: int = 20,
+    text: str = "text",
+) -> DataFrame:
+    """Training-data / RAG chunking: split each document into overlapping
+    word windows (one output row per chunk). Pure JVM array expressions —
+    sequence of start offsets, slice, join — so chunking a 100 TB corpus is
+    a narrow map stage (no shuffle, no Python).
+
+    chunk_id is the window ordinal; n_words the actual (possibly short,
+    tail) chunk length."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    w = words_col(text)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(step)
+    )
+    exploded = df.select(
+        "doc_id", w.alias("_w"), F.explode(starts).alias("_start")
+    )
+    chunk = F.slice(F.col("_w"), F.col("_start") + 1, chunk_size)
+    return (
+        exploded.select(
+            "doc_id",
+            (F.col("_start") / step).cast("long").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_words"),
+        )
+        .where(F.col("n_words") > 0)
+    )
+
+
+#: PII patterns (redaction carriers; swap for production-grade lists).
+#: Order matters: SSN before PHONE — the phone pattern (digits+dashes)
+#: would otherwise consume SSN-shaped spans.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    (r"\+?[0-9][0-9\-]{6,}[0-9]", "[PHONE]"),
+)
+
+
+def redact_pii(df: DataFrame, text: str = "text", out: str = "redacted") -> DataFrame:
+    """PII scrubbing for training-data curation: regex-redact emails, phone
+    numbers and SSN-shaped spans to typed placeholder tokens. A chain of
+    regexp_replace column expressions — whole-stage-codegen'd, linear."""
+    c: Column = F.col(text)
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return df.withColumn(out, c)
+
+
+def repetition_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Boilerplate/repetition detector (Gopher-style quality rule): the
+    fraction of duplicated word trigrams, 1 − distinct/total, computed as a
+    per-row array expression (no explode, no shuffle)."""
+    w = words_col(text)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    n_tri = F.size(tri)
+    score = F.when(
+        n_tri > 0,
+        1.0 - F.size(F.array_distinct(tri)) / n_tri,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        n_tri.cast("long").alias("n_trigrams"),
+        score.alias("repetition_ratio"),
+    )
+
+
 def tf_idf(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", use_log: bool = False
 ) -> DataFrame:

@@ -2160,6 +2160,108 @@ def q18_large_orders(spark, sf_dir):
 
 
 # ===========================================================================
+# LLM training-data curation closure: chunking, PII redaction, repetition
+# ===========================================================================
+
+@register(
+    "tx_chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(s // 40 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(w, s + 1, s + 50), ' ') AS chunk_text,
+           CAST(len(list_slice(w, s + 1, s + 50)) AS BIGINT) AS n_words
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents),
+         unnest(range(0, greatest(len(w), 1), 40)) t(s)
+    WHERE len(list_slice(w, s + 1, s + 50)) > 0
+    """,
+)
+def tx_chunk_documents(spark, sf_dir):
+    """Overlapping word-window chunking (50-word chunks, 10-word overlap) —
+    the RAG/training-data segmentation op, one narrow map stage."""
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=50, overlap=10
+    )
+
+
+@register(
+    "tx_redact_pii",
+    oracle="""
+    WITH decorated AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@example.com or +1-555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' ssn 123-45-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+               AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g'),
+             '\\+?[0-9][0-9\\-]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+    FROM decorated
+    """,
+)
+def tx_redact_pii(spark, sf_dir):
+    """PII redaction over text decorated with synthesized email/phone/SSN
+    spans (the corpus itself is PII-free) — regexp_replace chain, both
+    engines applying the identical patterns."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return text.redact_pii(d).select("doc_id", "redacted")
+
+
+@register(
+    "tx_repetition_score",
+    oracle="""
+    WITH decorated AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN concat(text, ' ', text)   -- planted full repetition
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(tri) AS BIGINT) AS n_trigrams,
+           CASE WHEN len(tri) > 0
+                THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+                ELSE 0.0 END AS repetition_ratio
+    FROM (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(w) - 1, 2)),
+                            i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS tri
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM decorated))
+    """,
+)
+def tx_repetition_score(spark, sf_dir):
+    """Gopher-style repetition quality rule: duplicated-trigram ratio over a
+    corpus with planted repetition (every 5th doc doubled) — per-row array
+    expression, no explode/shuffle."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.repetition_score(d)
+
+
+# ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is
 # re-ordered value-first: every SURVEY §2 operator family is represented in

@@ -158,3 +158,52 @@ def test_atomic_overwrite_stages_then_swaps(spark, tmp_path):
     import os
     assert not os.path.exists(path + "__stage")
     assert not os.path.exists(path + "__old")
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Files written along the Morton curve of (o_custkey, o_totalprice)
+    must let footer-stats pruning skip most files for a selective filter on
+    EITHER column — a lexicographic sort only achieves that for its leading
+    key."""
+    import pyarrow.parquet as pq
+    import glob
+
+    orders = io.load_table(spark, sf_dir, "orders")
+    zpath = str(tmp_path / "orders_z")
+    mt.write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], n_files=16)
+    # same data, random layout, same file count
+    rpath = str(tmp_path / "orders_r")
+    orders.repartition(16).write.parquet(rpath)
+
+    def files_admitting(path, col, val):
+        n = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            hit = False
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    c = rgm.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        if c.statistics.min <= val <= c.statistics.max:
+                            hit = True
+            n += 1 if hit else 0
+        return n
+
+    lo_ck, hi_ck = [
+        (r[0], r[1])
+        for r in orders.agg(F.min("o_custkey"), F.max("o_custkey")).collect()
+    ][0]
+    mid_ck = int((lo_ck + hi_ck) // 2)
+    z_ck = files_admitting(zpath, "o_custkey", mid_ck)
+    r_ck = files_admitting(rpath, "o_custkey", mid_ck)
+    z_tp = files_admitting(zpath, "o_totalprice", 200000.0)
+    r_tp = files_admitting(rpath, "o_totalprice", 200000.0)
+    # random layout: virtually every file admits the value
+    assert r_ck >= 15 and r_tp >= 15
+    # z-ordered: a selective point lookup touches a fraction of files on
+    # BOTH dimensions
+    assert z_ck <= r_ck // 2, (z_ck, r_ck)
+    assert z_tp <= r_tp // 2, (z_tp, r_tp)
+    # and the data survives intact
+    assert spark.read.parquet(zpath).count() == orders.count()

