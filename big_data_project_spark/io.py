@@ -46,10 +46,22 @@ def read_csv(
     schema: T.StructType | None = None,
     *,
     infer: bool = False,
+    multiline: bool = False,
 ) -> DataFrame:
     """S1: CSV scan with the reference's quoting (py:205-209): header,
-    quote='"', escape='"' so embedded commas survive."""
-    reader = spark.read.options(header=True, quote='"', escape='"')
+    quote='"', escape='"' so embedded commas survive.
+
+    ``multiline=True`` additionally parses quoted fields that span physical
+    lines (RFC-4180). The reference's line-split read silently breaks such
+    records in half (SEC_filings.csv has 9 of them → the ipynb's "2,622
+    rows" are 2,613 records plus 9 mangled halves); per SURVEY §1.4 the
+    engine implements the parse *intent* and documents the divergence.
+    Scale note: multiline CSV is not line-splittable — Spark parses each
+    file whole — so feeds that need it should arrive as many medium files
+    (or be rewritten to parquet at the edge), not one 100 TB blob."""
+    reader = spark.read.options(
+        header=True, quote='"', escape='"', multiLine=multiline
+    )
     if schema is not None:
         reader = reader.schema(schema)
     elif infer:

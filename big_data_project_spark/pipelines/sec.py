@@ -54,8 +54,10 @@ MONEY_COLUMNS = ("Market Value", "Weight (%)", "Notional Value", "Quantity", "Pr
 
 
 def ingest(spark: SparkSession, path: str) -> DataFrame:
-    """S1 (py:203-214): CSV scan with the reference's quoting."""
-    return io.read_csv(spark, path, schema=RAW_SCHEMA)
+    """S1 (py:203-214): CSV scan with the reference's quoting, plus correct
+    RFC-4180 multiline parsing (the reference's line-split read breaks the
+    feed's 9 quoted-newline records in half — §1.4-style intent fix)."""
+    return io.read_csv(spark, path, schema=RAW_SCHEMA, multiline=True)
 
 
 def clean(df: DataFrame) -> DataFrame:

@@ -103,7 +103,8 @@ def unify(*feeds: DataFrame) -> DataFrame:
             "ts",
             "text",
             "source",
-            F.length(F.col("text")).alias("n_chars"),
+            # long, not int: DuckDB length() is BIGINT (determinism contract)
+            F.length(F.col("text")).cast("long").alias("n_chars"),
         )
     )
     return out

@@ -1030,8 +1030,12 @@ def st_tumbling_hourly(spark, sf_dir):
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
     FROM (
       SELECT user_id, value, ts_us,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             -- CAST: DuckDB's windowed sum(int) is HUGEINT (→ float64 in the
+             -- driver's pandas hash); Spark's is BIGINT. Align per the
+             -- determinism contract or the hash flips on 1.0 vs 1.
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT)
                AS session_seq
       FROM (
         SELECT user_id, event_id, value, ts_us,
@@ -2070,10 +2074,50 @@ _REF_DIR = "/root/reference"
 
 @register(
     "pl_sec_real_data",
-    oracle=None,
+    # Full hash-matched oracle over the SAME file DuckDB reads directly.
+    # Two-arg trim(x, ' ') mirrors Spark's ASCII-space-only F.trim (DuckDB's
+    # one-arg trim strips unicode whitespace — the feed has a U+00A0 ticker).
+    oracle=r"""
+    WITH raw AS (
+      SELECT * FROM read_csv('/root/reference/SEC_filings.csv',
+                             header=true, quote='"', escape='"',
+                             all_varchar=true)
+    ),
+    nulled AS (
+      SELECT nullif(trim("Ticker", ' '), '-') AS t0,
+             nullif(trim("Name", ' '), '-') AS n0,
+             nullif(trim("Sector", ' '), '-') AS s0,
+             * FROM raw
+    ),
+    cleaned AS (
+      SELECT
+        lower(trim(t0, ' ')) AS ticker,
+        regexp_replace(regexp_replace(lower(lower(trim(n0, ' '))),
+                                      '<[^>]*>', '', 'g'),
+                       '[^a-zA-Z0-9\s]', '', 'g') AS company_name,
+        coalesce(lower(trim(s0, ' ')), 'unknown') AS sector,
+        coalesce(try_cast(regexp_replace("Market Value", ',', '', 'g') AS DOUBLE), 0.0) AS market_value,
+        coalesce(try_cast(regexp_replace("Weight (%)", ',', '', 'g') AS DOUBLE), 0.0)   AS weight_pct,
+        coalesce(try_cast(regexp_replace("Quantity", ',', '', 'g') AS DOUBLE), 0.0)     AS quantity,
+        coalesce(try_cast(regexp_replace("Price", ',', '', 'g') AS DOUBLE), 0.0)        AS price,
+        "Location" AS location, "Exchange" AS exchange, "Currency" AS currency
+      FROM nulled
+    ),
+    dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY ticker, company_name
+                                   ORDER BY market_value, quantity, price) AS rn
+      FROM cleaned
+    )
+    SELECT ticker, company_name, sector, market_value, weight_pct, quantity,
+           price, location, exchange, currency,
+           concat_ws('_', ticker, company_name) AS record_id
+    FROM dedup WHERE rn = 1
+    """,
     note=(
         "runs pipelines.sec on the reference's actual SEC_filings.csv "
-        "(2,622 rows); invariants pinned in tests/test_pipelines.py goldens"
+        "(2,613 RFC-4180 records; the reference's line-split read mangles "
+        "9 quoted-newline rows into the ipynb's '2,622'); invariants also "
+        "pinned in tests/test_pipelines.py goldens"
     ),
 )
 def pl_sec_real_data(spark, sf_dir):
@@ -2107,7 +2151,53 @@ def pl_sec_real_data(spark, sf_dir):
 
 @register(
     "pl_social_real_data",
-    oracle=None,
+    # Full hash-matched oracle: DuckDB reads the same three JSON-lines feeds.
+    # The doc_id mirror re-implements Spark's conv(substr(md5(url),1,15),16,10)
+    # as a shift-accumulate over the 15 hex digits (60 bits < int64; no
+    # float power — 16^14 exceeds double's 2^53 integer range).
+    oracle=r"""
+    WITH cnbc_raw AS (
+      SELECT * FROM read_json('/root/reference/CNBC_financial_news_1.json',
+          format='newline_delimited',
+          columns={url: 'VARCHAR', title: 'VARCHAR', date: 'VARCHAR', content: 'VARCHAR'})
+      UNION ALL
+      SELECT * FROM read_json('/root/reference/CNBC_financial_articles_2.json',
+          format='newline_delimited',
+          columns={url: 'VARCHAR', title: 'VARCHAR', date: 'VARCHAR', content: 'VARCHAR'})
+    ),
+    cnbc AS (
+      SELECT url, title, strptime(date, '%Y-%m-%d %H:%M:%S') AS ts,
+             content AS body, 'cnbc' AS source
+      FROM cnbc_raw
+    ),
+    reddit AS (
+      SELECT "URL" AS url, "Title" AS title,
+             coalesce(try_strptime("Post_Time", '%Y-%m-%dT%H:%M:%S.%fZ'),
+                      try_strptime("Post_Time", '%Y-%m-%d %H:%M:%S')) AS ts,
+             CAST(NULL AS VARCHAR) AS body, 'reddit' AS source
+      FROM read_json('/root/reference/reddit_posts.json',
+          format='newline_delimited',
+          columns={Title: 'VARCHAR', URL: 'VARCHAR', Upvotes: 'INTEGER',
+                   Comments_Count: 'INTEGER', Post_Time: 'VARCHAR'})
+    ),
+    unioned AS (SELECT * FROM cnbc UNION ALL SELECT * FROM reddit),
+    txt AS (
+      SELECT url, ts, source,
+             trim(regexp_replace(regexp_replace(
+               lower(trim(concat_ws(' ', coalesce(title, ''), coalesce(body, '')), ' ')),
+               '<[^>]*>', '', 'g'), '[^a-zA-Z0-9\s]', '', 'g'), ' ') AS text
+      FROM unioned
+    ),
+    withhash AS (
+      SELECT *, substr(md5(url), 1, 15) AS h FROM txt WHERE length(text) > 0
+    )
+    SELECT CAST(list_sum(list_transform(range(1, 16), i ->
+             CAST(strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)
+             * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT) AS doc_id,
+           url, ts, text, source,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM withhash
+    """,
     note=(
         "runs pipelines.social on the reference's CNBC (20+19 docs) and "
         "reddit (500 posts) JSON feeds; goldens in tests/test_pipelines.py"

@@ -152,16 +152,18 @@ HAS_REF = os.path.exists(f"{REF}/SEC_filings.csv")
 @pytest.mark.skipif(not HAS_REF, reason="reference checkout not present")
 def test_sec_pipeline_on_real_reference_data(spark):
     """Pin the invariants the reference observably violates (ipynb cells
-    21-23): all 2,622 rows survive clean+dedup (no collapsed keys in the
-    real feed), comma-formatted Market Value parses non-null (cell 22 shows
-    the reference nulling it), record_id is a non-null string (cell 23
-    shows a null double)."""
+    21-23): the feed parses to 2,613 RFC-4180 records (the reference's
+    line-split read mangles 9 quoted-newline rows into its '2,622'), all
+    survive clean+dedup (no collapsed keys in the real feed),
+    comma-formatted Market Value parses non-null (cell 22 shows the
+    reference nulling it), record_id is a non-null string (cell 23 shows a
+    null double)."""
     from pyspark.sql import functions as F
 
     out = sec.extract_metadata(
         sec.clean(sec.ingest(spark, f"{REF}/SEC_filings.csv"))
     )
-    assert out.count() == 2622
+    assert out.count() == 2613
     # §1.4.1 fix: money parses (0.0 fills only true nulls/garbage)
     mv = out.agg(
         F.count(F.when(F.col("market_value").isNull(), 1)).alias("nulls"),
