@@ -119,6 +119,20 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def recover_interrupted_swap(spark: SparkSession, path: str) -> bool:
+    """If a previous stage-and-swap died between its two renames, the only
+    copy of the data sits at ``path__old`` with ``path`` missing — restore
+    it. Returns True when a recovery was performed. Safe to call anytime
+    (no-op when the live path exists)."""
+    fs, hpath, jvm = _fs(spark, path)
+    old = jvm.org.apache.hadoop.fs.Path(path + "__old")
+    if fs.exists(old) and not fs.exists(hpath):
+        if not fs.rename(old, hpath):
+            raise IOError(f"recovery rename failed: {path}__old -> {path}")
+        return True
+    return False
+
+
 def atomic_overwrite(df: DataFrame, path: str) -> None:
     """Stage-and-swap rewrite of a path the plan may be reading from.
 
@@ -127,22 +141,38 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     is renamed aside and the stage renamed in — so there is no moment where
     the only copy of the data is a deleted directory or executor-local
     checkpoint blocks. An executor/driver loss mid-write leaves the original
-    intact (at worst plus a stale ``__stage``/``__old`` sibling, cleaned on
-    the next run). Directory rename is atomic on HDFS/local posix; on object
-    stores (S3A) it is copy+delete — pair with a manifest committer there."""
+    intact (at worst plus a stale ``__stage``/``__old`` sibling). A loss in
+    the between-renames window leaves the data under ``__old``; the next
+    call (or ``recover_interrupted_swap``) renames it back instead of
+    deleting it. Hadoop ``FileSystem.rename`` reports failure by returning
+    False rather than raising — every return value is checked, and a failed
+    swap-in rolls the original back so the live path is never left missing.
+    Directory rename is atomic on HDFS/local posix; on object stores (S3A)
+    it is copy+delete — pair with a manifest committer there."""
     spark = df.sparkSession
     fs, hpath, jvm = _fs(spark, path)
     stage = jvm.org.apache.hadoop.fs.Path(path + "__stage")
     old = jvm.org.apache.hadoop.fs.Path(path + "__old")
     if fs.exists(stage):
         fs.delete(stage, True)
+    # __old present: either a completed run's leftover (live path exists →
+    # safe to drop) or an interrupted swap's only copy (live path missing →
+    # restore it BEFORE the write below tries to read the live path).
     if fs.exists(old):
-        fs.delete(old, True)
+        if fs.exists(hpath):
+            fs.delete(old, True)
+        elif not fs.rename(old, hpath):
+            raise IOError(f"recovery rename failed: {path}__old -> {path}")
     df.write.mode("overwrite").parquet(path + "__stage")
     existed = fs.exists(hpath)
-    if existed:
-        fs.rename(hpath, old)
-    fs.rename(stage, hpath)
+    if existed and not fs.rename(hpath, old):
+        raise IOError(f"rename failed: {path} -> {path}__old")
+    if not fs.rename(stage, hpath):
+        if existed and not fs.rename(old, hpath):
+            raise IOError(
+                f"swap-in AND rollback failed; data is at {path}__old"
+            )
+        raise IOError(f"rename failed: {path}__stage -> {path} (rolled back)")
     if existed:
         fs.delete(old, True)
 
@@ -166,8 +196,14 @@ def compact(spark: SparkSession, path: str, target_files: int) -> int:
 def zorder_value(cols: list[str], mins: list[str], maxs: list[str], bits: int = 16):
     """Z-order (Morton) interleave of N columns, each min-max scaled to a
     ``bits``-bit integer. Pure column expression (shift/mask/or), so the
-    curve value costs nothing at scale."""
+    curve value costs nothing at scale.
+
+    ``bits`` is clamped to 63 // n_cols: the interleave's top bit position is
+    n*bits-1, and bit 63 is the sign bit of a Spark long — without the clamp,
+    4+ columns at the default 16 bits push high values negative and break
+    the Morton ordering."""
     n = len(cols)
+    bits = min(bits, 63 // n)
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         rng = F.col(hi) - F.col(lo)

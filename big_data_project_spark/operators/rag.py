@@ -145,7 +145,11 @@ def generate_answers(
             from transformers import pipeline
 
             model = pipeline("text2text-generation", model="google/flan-t5-base")
-        except ImportError:
+        except Exception:
+            # broad on purpose: transformers may import fine but fail to
+            # LOAD (no network for weights → OSError, missing torch backend,
+            # incompatible cache). Any model failure must fall back to the
+            # deterministic extractive path, not kill every task.
             model = None
         for pdf in it:
             if model is not None:  # pragma: no cover

@@ -307,10 +307,17 @@ def repetition_score(df: DataFrame, text: str = "text") -> DataFrame:
     fraction of duplicated word trigrams, 1 − distinct/total, computed as a
     per-row array expression (no explode, no shuffle)."""
     w = words_col(text)
+    # try_element_at, not element_at: for docs under 3 words the sequence
+    # still emits index 1, and under ANSI mode (Spark 4 default) an
+    # out-of-bounds element_at fails the whole job. NULL-on-miss matches the
+    # DuckDB oracle's w[i] semantics (concat_ws skips NULLs on both engines).
     tri = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
         lambda i: F.concat_ws(
-            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            " ",
+            F.try_element_at(w, i),
+            F.try_element_at(w, i + 1),
+            F.try_element_at(w, i + 2),
         ),
     )
     n_tri = F.size(tri)

@@ -37,12 +37,20 @@ def get_spark(
     driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = SparkSession.builder
-    # Respect an externally-set master (spark-submit --master, MASTER env,
-    # spark.master conf): only default to local[N] when none is configured,
-    # so the same factory attaches to a real cluster unchanged.
+    # Respect an externally-set master: only default to local[N] when none is
+    # configured, so the same factory attaches to a real cluster unchanged.
+    # spark-submit's --master can't be seen via SparkConf() before a
+    # SparkContext exists (the Python-side conf ignores loadDefaults), so
+    # check the submit env vars it DOES populate: PYSPARK_SUBMIT_ARGS carries
+    # the full arg string, SPARK_SUBMIT_OPTS any -Dspark.master override.
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "") + " " + os.environ.get(
+        "SPARK_SUBMIT_OPTS", ""
+    )
     if not (
         os.environ.get("MASTER")
         or os.environ.get("SPARK_MASTER")
+        or "--master" in submit_args
+        or "spark.master" in submit_args
         or SparkConf().contains("spark.master")
     ):
         builder = builder.master(f"local[{cpus}]")

@@ -207,3 +207,52 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert z_tp <= r_tp // 2, (z_tp, r_tp)
     # and the data survives intact
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_atomic_overwrite_recovers_interrupted_swap(spark, tmp_path):
+    """Crash window: a previous run died after renaming the live path aside
+    (path missing, __old holds the only copy). The next atomic_overwrite
+    must restore __old instead of deleting it — and path_exists-based
+    callers (upsert_sink first-batch detection) see the recovered data."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "swap_target")
+    spark.range(5).write.parquet(path)
+    # simulate dying between rename(path -> __old) and rename(__stage -> path)
+    shutil.move(path, path + "__old")
+    assert not os.path.exists(path)
+
+    assert mt.recover_interrupted_swap(spark, path) is True
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(5))
+    assert not os.path.exists(path + "__old")
+
+    # same recovery inline in atomic_overwrite: reads-from-self still works
+    shutil.move(path, path + "__old")
+    df = spark.range(3).selectExpr("id")
+    mt.atomic_overwrite(df, path)
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [0, 1, 2]
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__stage")
+
+
+def test_zorder_value_stays_off_sign_bit(spark):
+    """4+ columns at the default 16 bits would reach bit 63 (the long sign
+    bit) without the clamp, flipping high-valued rows negative and breaking
+    the curve order."""
+    df = spark.createDataFrame(
+        [(1000.0, 1000.0, 1000.0, 1000.0), (0.0, 0.0, 0.0, 0.0)],
+        "a double, b double, c double, d double",
+    ).crossJoin(
+        spark.createDataFrame(
+            [(0.0, 1000.0)], "lo double, hi double"
+        )
+    )
+    z = mt.zorder_value(
+        ["a", "b", "c", "d"], ["lo", "lo", "lo", "lo"], ["hi", "hi", "hi", "hi"]
+    )
+    vals = [r.z for r in df.select(z.alias("z")).collect()]
+    assert all(v >= 0 for v in vals), vals
+    # max-corner must sort above min-corner
+    assert max(vals) == vals[0] or vals[0] > vals[1]

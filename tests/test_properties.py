@@ -155,3 +155,19 @@ def test_repetition_score_discriminates(spark):
     scores = {r.doc_id: r.repetition_ratio for r in tx.repetition_score(df).collect()}
     assert scores[1] == 0.0
     assert scores[2] > 0.5
+
+
+def test_repetition_score_short_docs_no_ansi_error(spark):
+    """Docs with <3 words must not trip ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    (Spark 4 default); they score 0 repetition via the try_element_at path."""
+    from big_data_project_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, ""), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in tx.repetition_score(df).collect()}
+    assert len(rows) == 4
+    for d in (1, 2, 3):
+        assert rows[d].repetition_ratio == 0.0
+    assert rows[4].n_trigrams == 1
