@@ -41,12 +41,19 @@ def scd2_apply(
     key: str,
     ts_col: str,
     attrs: list[str],
+    broadcast_changed_keys: bool = False,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: close out current versions that
     changed, append the new versions, keep full history.
 
     current schema: key, attrs..., valid_from, valid_to (null = open).
     updates schema: key, attrs..., ts_col.
+
+    ``broadcast_changed_keys`` opts INTO a broadcast of the changed-key set
+    for trickle loads where the caller knows churn is tiny. Default off: a
+    full-churn batch makes changed_keys as large as the dimension itself,
+    and a mandatory broadcast would OOM the executors — the default plain
+    join lets AQE broadcast it only when it measures small.
     """
     upd = updates.select(
         key, *attrs, F.col(ts_col).alias("valid_from")
@@ -64,9 +71,10 @@ def scd2_apply(
         .where(changed_pred)
         .select(key, F.col(f"u.{ts_col}").alias("_close_ts"))
     )
+    ck = F.broadcast(changed_keys) if broadcast_changed_keys else changed_keys
     closed = (
         current.alias("c")
-        .join(F.broadcast(changed_keys).alias("k"), key, "left")
+        .join(ck.alias("k"), key, "left")
         .select(
             "c.*",
             F.when(

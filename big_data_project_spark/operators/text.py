@@ -336,7 +336,17 @@ def tf_idf(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", use_log: bool = False
 ) -> DataFrame:
     """TF-IDF over whitespace terms. One explode + two aggregations — the
-    standard two-shuffle shape (by (doc, term), then by term broadcast back).
+    standard two-shuffle shape (by (doc, term), then an equi-join back on
+    term).
+
+    The per-term document-frequency table is deliberately NOT broadcast-
+    hinted: its cardinality is the corpus vocabulary, which at 100 TB is
+    billions of terms — a mandatory broadcast OOMs every executor. The term
+    join is a plain shuffle equi-join (both sides already hash-partitioned
+    on term from the aggregations, so AQE typically elides one exchange) and
+    AQE's size-based planning still broadcasts dfreq automatically whenever
+    it is actually small. Only the single-row corpus-size aggregate keeps an
+    explicit broadcast.
 
     LAZY: the corpus size N enters the plan as a broadcast single-row
     aggregate (no driver-side count() action — building the plan runs no
@@ -356,7 +366,7 @@ def tf_idf(
     if use_log:
         idf = F.log(idf)
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -58,6 +58,14 @@ def num_shuffles(df: DataFrame) -> int:
     )
 
 
+def num_broadcast_hints(df: DataFrame) -> int:
+    """Count MANDATORY broadcasts (user hints) in the resolved logical plan.
+    Distinct from has_broadcast_join: AQE may freely choose a broadcast when
+    a side measures small — that is fine at any scale — but a hint forces it
+    regardless of size, which an operator over unbounded input must not do."""
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     p = physical_plan(df)
     return "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p

@@ -256,3 +256,34 @@ def test_zorder_value_stays_off_sign_bit(spark):
     assert all(v >= 0 for v in vals), vals
     # max-corner must sort above min-corner
     assert max(vals) == vals[0] or vals[0] > vals[1]
+
+
+def test_scd2_full_churn_no_mandatory_broadcast(spark):
+    """A 100%-churn update batch (every key changes) must both produce the
+    right history and carry NO forced broadcast of the changed-key set —
+    at scale changed_keys is as large as the dimension on such batches."""
+    n = 200
+    cur = (
+        spark.range(n)
+        .selectExpr(
+            "id",
+            "concat('tier_', id % 3) AS tier",
+            "timestamp'2024-01-01' AS valid_from",
+            "CAST(NULL AS timestamp) AS valid_to",
+        )
+    )
+    upd = spark.range(n).selectExpr(
+        "id",
+        "concat('tier_', (id + 1) % 3) AS tier",  # every row changes
+        "timestamp'2024-06-01' AS ts",
+    )
+    hist = mt.scd2_apply(cur, upd, "id", "ts", ["tier"])
+    assert plans.num_broadcast_hints(hist) == 0, "churn-sized broadcast forced"
+    rows = hist.collect()
+    assert len(rows) == 2 * n  # every key: one closed + one open version
+    open_rows = [r for r in rows if r.valid_to is None]
+    closed_rows = [r for r in rows if r.valid_to is not None]
+    assert len(open_rows) == n and len(closed_rows) == n
+    # opt-in path still available for trickle loads
+    hinted = mt.scd2_apply(cur, upd, "id", "ts", ["tier"], broadcast_changed_keys=True)
+    assert plans.num_broadcast_hints(hinted) == 1

@@ -92,3 +92,18 @@ def test_profile_single_scan(spark, sf_dir):
     rows = {r.column_name: r for r in df.collect()}
     assert rows["c_custkey"].n_null == 0
     assert rows["c_custkey"].n_rows == rows["c_mktsegment"].n_rows
+
+
+def test_tf_idf_term_join_not_broadcast_hinted(spark, sf_dir):
+    """The per-term document-frequency join must not force a broadcast —
+    dfreq's cardinality is the corpus vocabulary (billions of terms at
+    100 TB). Exactly one hint remains: the single-row corpus-size aggregate.
+    AQE stays free to broadcast dfreq when it actually measures small."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import text as tx
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    out = tx.tf_idf(docs)
+    assert plans.num_broadcast_hints(out) == 1, (
+        "expected only the single-row N broadcast"
+    )
