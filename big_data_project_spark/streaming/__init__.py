@@ -23,6 +23,7 @@ from big_data_project_spark.streaming.ops import (
     stream_dedup,
     tumbling_window_agg,
     upsert_sink,
+    user_totals_batch,
     write_stream_parquet,
 )
 
@@ -38,4 +39,5 @@ __all__ = [
     "write_stream_parquet",
     "purchases_with_recent_clicks",
     "upsert_sink",
+    "user_totals_batch",
 ]

@@ -193,10 +193,16 @@ def upsert_sink(df: DataFrame, target_path: str, checkpoint: str, key: str):
         atomic_overwrite,
         merge_upsert,
         path_exists,
+        recover_interrupted_swap,
     )
 
     def do_merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # A crash between atomic_overwrite's two renames leaves the history
+        # only under __old with the live path missing; restore BEFORE the
+        # existence check, or this batch would be misread as the first one
+        # and the recovered history dropped.
+        recover_interrupted_swap(spark, target_path)
         if path_exists(spark, target_path):
             merged = merge_upsert(spark.read.parquet(target_path), batch_df, key)
         else:
@@ -209,3 +215,33 @@ def upsert_sink(df: DataFrame, target_path: str, checkpoint: str, key: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`running_user_totals`: the same Arrow-batched
+    per-user fold via applyInPandas (applyInPandasWithState is stream-only
+    in Spark). The value total accumulates in exact integer cents — the
+    2-decimal feed is representable exactly, so the result is independent of
+    pandas' pairwise-summation order and hash-matches a DECIMAL(30,2)-sum
+    oracle. One shuffle on user_id; state is one row per user."""
+    import pandas as pd  # local: keep the closure self-contained
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    def fold(pdf):
+        cents = int((pdf["value"] * 100).round().astype("int64").sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(fold, out_schema)

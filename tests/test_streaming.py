@@ -238,3 +238,19 @@ def test_foreachbatch_upsert_sink(spark, tmp_path):
     q.stop()
     final = {r.event_id: r.value for r in spark.read.parquet(target).collect()}
     assert final == {1: 9.0, 2: 2.0, 3: 3.0}, final
+
+
+def test_session_native_equals_batch_at_sf001(spark):
+    """Guard the T4 pair against drift at a 10× larger corpus than the
+    stream≡batch fixture: the native session_window aggregation and the
+    lag+cumsum batch sessionizer must agree exactly at sf0.01 (9,9xx
+    sessions, real gap-boundary collisions)."""
+    from big_data_project_spark import io as eio
+
+    ev = eio.load_table(spark, "/root/testdata/sf0.01", "events")
+    cols = ["user_id", "session_start", "n_events", "total"]
+    native = st.session_window_agg(ev, "5 minutes").select(*cols)
+    batch = st.sessionize_batch(ev, 5).select(*cols)
+    ns, bs = _rows_set(native.collect()), _rows_set(batch.collect())
+    assert len(ns) > 5000
+    assert ns == bs
