@@ -1,0 +1,90 @@
+"""Training-data curation operators: deterministic sampling, dataset
+splitting, per-source quotas.
+
+None of these exist in the reference (its corpus is 539 documents, py:412-422
+— it keeps everything); they are part of the LLM-data-pipeline closure: at
+100 TB you never take "10% of the corpus" with a random() filter, because
+reruns must select the SAME rows (cache reuse, resumable jobs, reproducible
+ablations) and the selection must not need a shuffle or a global count.
+
+All three operators key off a content-stable md5 bucket of a key column:
+
+- pure map-side (no shuffle, no count(), no state) except the quota cap's
+  single window shuffle;
+- engine-portable: md5 is md5, so the DuckDB oracles reproduce the exact
+  row selection (same trick as pipelines.social's doc ids);
+- stratification-ready: the key can be a composite (e.g. domain + doc id).
+
+The 60-bit bucket (15 hex digits → < 2^60) is uniform enough for permille
+sampling; rates are expressed in permille to keep the cut an integer compare
+(no float-boundary drift between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: modulus of the sampling bucket — permille resolution.
+BUCKETS = 1000
+
+
+def hash_bucket(key: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform bucket in [0, BUCKETS): the first 15 hex digits
+    of md5(key || seed) as an integer, mod 1000. Content-stable — the same
+    row lands in the same bucket on every run, cluster, and engine."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(f"#{seed}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(BUCKETS))
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, permille: int, seed: int = 0
+) -> DataFrame:
+    """Keep ~permille/1000 of the rows, chosen by content hash of ``key`` —
+    a reproducible Bernoulli sample. Pure narrow filter: pushes to the scan
+    side of any downstream join, costs no shuffle, needs no corpus count."""
+    return df.where(hash_bucket(key, seed) < permille)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    val_permille: int = 100,
+    test_permille: int = 100,
+    seed: int = 0,
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row to 'train' / 'val' / 'test' by content hash — the
+    standard leakage-safe corpus split (a document's split never changes as
+    the corpus grows, and near-duplicate handling can share the same key).
+    Map-side column derivation, no shuffle."""
+    b = hash_bucket(key, seed)
+    return df.withColumn(
+        out,
+        F.when(b < test_permille, F.lit("test"))
+        .when(b < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def cap_per_key(
+    df: DataFrame, key: str, order_by: str, n: int, descending: bool = True
+) -> DataFrame:
+    """Per-source quota: keep at most ``n`` rows per ``key``, preferring the
+    highest (default) ``order_by`` — the domain-balancing step of corpus
+    assembly (no single source may dominate the mixture). One hash-shuffle
+    window on key; ties broken by the order column only, so callers should
+    pass a unique tiebreaker expression when order values repeat."""
+    oc = F.col(order_by).desc() if descending else F.col(order_by).asc()
+    w = Window.partitionBy(key).orderBy(oc)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -23,6 +23,7 @@ from big_data_project_spark import io
 from big_data_project_spark import streaming
 from big_data_project_spark.operators import (
     cleaning,
+    curation,
     dedup,
     multimodal,
     rag,
@@ -2418,6 +2419,71 @@ def tx_repetition_score(spark, sf_dir):
         .alias("text"),
     )
     return text.repetition_score(d)
+
+
+# ===========================================================================
+# Curation closure: deterministic sampling / splitting / quotas — the
+# reproducible-selection operators of corpus assembly (operators/curation.py).
+# The oracle reproduces Spark's md5 bucket with the same shift-accumulate
+# hex decode as pl_social_real_data's doc ids.
+# ===========================================================================
+
+_CU_BUCKET = """CAST(list_sum(list_transform(range(1, 16), i ->
+      CAST(strpos('0123456789abcdef',
+                  substr(substr(md5(concat(CAST(doc_id AS VARCHAR), '#7')), 1, 15),
+                         CAST(i AS INT), 1)) - 1 AS BIGINT)
+      * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT) % 1000"""
+
+
+@register(
+    "cu_deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE {_CU_BUCKET} < 100
+    """,
+)
+def cu_deterministic_sample(spark, sf_dir):
+    """~10% reproducible Bernoulli sample by content hash — rerun-stable
+    (unlike rand()-filter sampling), shuffle-free, count-free."""
+    return curation.deterministic_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", permille=100, seed=7
+    ).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "cu_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_CU_BUCKET} < 100 THEN 'test'
+                WHEN {_CU_BUCKET} < 200 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def cu_train_val_test(spark, sf_dir):
+    """Leakage-safe 80/10/10 corpus split by content hash: a document's
+    split never changes as the corpus grows. Map-side only."""
+    return curation.train_val_test_split(
+        _t(spark, sf_dir, "documents"), "doc_id", seed=7
+    ).select("doc_id", "split")
+
+
+@register(
+    "cu_cap_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id DESC) AS rn
+      FROM documents) t
+    WHERE rn <= 20
+    """,
+)
+def cu_cap_per_source(spark, sf_dir):
+    """Per-source quota (domain balancing): at most 20 docs per source,
+    deterministic tiebreak on the unique doc_id. One window shuffle."""
+    return curation.cap_per_key(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", 20
+    ).select("doc_id", "source")
 
 
 # ===========================================================================

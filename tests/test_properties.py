@@ -171,3 +171,60 @@ def test_repetition_score_short_docs_no_ansi_error(spark):
     for d in (1, 2, 3):
         assert rows[d].repetition_ratio == 0.0
     assert rows[4].n_trigrams == 1
+
+
+def test_curation_sample_split_properties(spark, sf_dir):
+    """Deterministic sampling/splitting: rerun-stable selection, rate within
+    binomial tolerance, splits disjoint+exhaustive, sample ⊂ corpus."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import curation as cu
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    n = docs.count()
+
+    s1 = cu.deterministic_sample(docs, "doc_id", permille=100, seed=7)
+    s2 = cu.deterministic_sample(docs, "doc_id", permille=100, seed=7)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # rerun-stable
+    assert 0.03 * n <= len(ids1) <= 0.25 * n  # ~10% within wide tolerance
+    # different seed → different (but still ~10%) selection
+    ids3 = {
+        r.doc_id
+        for r in cu.deterministic_sample(docs, "doc_id", permille=100, seed=8)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids3 != ids1
+
+    split = cu.train_val_test_split(docs, "doc_id", seed=7)
+    counts = {
+        r.split: r.n
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == n
+    assert counts["train"] > counts["val"] + counts["test"]
+
+
+def test_curation_cap_per_key(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import curation as cu
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    capped = cu.cap_per_key(docs, "source", "doc_id", 5)
+    per = capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r.n <= 5 for r in per)
+    # kept rows are each source's HIGHEST doc_ids
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").desc())
+    top = {
+        (r.source, r.doc_id)
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "doc_id")
+        .collect()
+    }
+    got = {(r.source, r.doc_id) for r in capped.select("source", "doc_id").collect()}
+    assert got == top
