@@ -107,3 +107,27 @@ def test_tf_idf_term_join_not_broadcast_hinted(spark, sf_dir):
     assert plans.num_broadcast_hints(out) == 1, (
         "expected only the single-row N broadcast"
     )
+
+
+def test_curation_ops_are_map_side_only(spark, sf_dir):
+    """Deterministic sampling and splitting must stay pure narrow filters/
+    projections — zero Exchange — or sampling 1% of 100 TB would pay a
+    shuffle it doesn't need."""
+    for name in ("cu_deterministic_sample", "cu_train_val_test"):
+        df = _df(name, spark, sf_dir)
+        assert plans.num_shuffles(df) == 0, (name, plans.physical_plan(df))
+
+
+def test_stateful_batch_twins_shuffle_once(spark, sf_dir):
+    """The per-user fold is one hash shuffle on user_id; the interval join
+    must be an equi-join on user_id (range as post-condition), never a
+    cartesian/nested-loop over unbounded sides."""
+    totals = _df("st_running_totals_batch", spark, sf_dir)
+    assert plans.num_shuffles(totals) <= 1, plans.physical_plan(totals)
+    ij = _df("st_interval_join", spark, sf_dir)
+    p = plans.physical_plan(ij)
+    assert "CartesianProduct" not in p, p
+    # equi-key present: either SMJ/SHJ on user_id or a size-based broadcast
+    # hash join — both keyed; BroadcastNestedLoop would mean the equi-key
+    # was lost and state is unbounded at scale
+    assert "BroadcastNestedLoopJoin" not in p, p
