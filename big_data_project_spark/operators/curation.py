@@ -88,3 +88,39 @@ def cap_per_key(
         .where(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Sequence packing for training: assign documents to ~``budget``-token
+    packs (the pretraining step that concatenates short docs so no context
+    window is wasted). Next-fit by running token count: a doc joins the pack
+    its token-prefix starts in, so packs average the budget and an oversized
+    doc simply spans its own packs.
+
+    Scale shape: the naive packer needs a GLOBAL ordered scan (one
+    partition). Here docs hash into ``n_shards`` independent shards and the
+    running sum is a per-shard window — n_shards parallel one-shuffle
+    windows, each bounded; shard count scales with the cluster.
+
+    Determinism: pick a power-of-two budget and the boundary division is
+    exact in binary floating point on every engine (the registry oracle
+    relies on this)."""
+    from big_data_project_spark.operators.text import words_col
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        F.size(words_col(text)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return d.withColumn(
+        "pack_id",
+        F.floor((cum - F.col("n_tokens")) / float(budget)).cast("long"),
+    )

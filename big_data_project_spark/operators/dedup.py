@@ -272,3 +272,29 @@ def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two long fingerprints (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Llama pretraining recipe): drop
+    every corpus document sharing at least one exact word ``n``-gram with
+    the evaluation set, so test answers cannot leak into training data.
+
+    Distributed shape: explode both sides to (id, shingle), distinct the
+    (small) eval shingle set, one semi-join on shingle to find contaminated
+    ids, one anti-join to drop them — all hash equi-joins, linear shuffles,
+    no broadcast hint (the eval set is usually small and AQE will broadcast
+    it when it measures so, but nothing forces that at 100 TB)."""
+    cg = doc_shingles(corpus, text, id_col, n)
+    eg = doc_shingles(eval_df, text, id_col, n).select("shingle").distinct()
+    contaminated = (
+        cg.join(eg, "shingle", "left_semi")
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

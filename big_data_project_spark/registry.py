@@ -2469,6 +2469,63 @@ def cu_train_val_test(spark, sf_dir):
 
 
 @register(
+    "cu_pack_token_budget",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def cu_pack_token_budget(spark, sf_dir):
+    """Sequence packing: next-fit by running token count within hash shards
+    (512 = power of two → the boundary division is FP-exact on both
+    engines). n_shards independent windows, no global sort."""
+    return curation.pack_by_token_budget(
+        _t(spark, sf_dir, "documents"), budget=512, n_shards=8
+    )
+
+
+@register(
+    "dd_decontaminate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source,
+                      string_split_regex(trim(text), '\\s+') AS ws
+               FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 8
+                    THEN list_transform(range(1, len(ws) - 6),
+                           i -> array_to_string(list_slice(ws, i, i + 7), ' '))
+                    ELSE []::VARCHAR[] END)) AS shingle
+      FROM w),
+    ev AS (SELECT DISTINCT shingle FROM g WHERE {_CU_BUCKET.replace("md5(concat(CAST(doc_id", "md5(concat(CAST(g.doc_id")} < 50),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM g
+      WHERE EXISTS (SELECT 1 FROM ev WHERE ev.shingle = g.shingle))
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+    """,
+)
+def dd_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over a planted leak: the 'eval set' is a
+    5% hash sample OF the corpus itself, so its documents are guaranteed
+    leaked — the operator must drop exactly the docs sharing an 8-gram with
+    them (the sampled docs plus any incidental overlaps)."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = curation.deterministic_sample(docs, "doc_id", permille=50, seed=7)
+    return dedup.decontaminate(docs, eval_df, n=8).select("doc_id", "source")
+
+
+@register(
     "cu_cap_per_source",
     oracle="""
     SELECT doc_id, source FROM (

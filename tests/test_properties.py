@@ -228,3 +228,53 @@ def test_curation_cap_per_key(spark, sf_dir):
     }
     got = {(r.source, r.doc_id) for r in capped.select("source", "doc_id").collect()}
     assert got == top
+
+
+def test_decontaminate_removes_planted_leak(spark, sf_dir):
+    """Eval set sampled FROM the corpus → every eval doc is leaked by
+    construction and must be dropped; survivors share no 8-gram with eval."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import curation as cu
+    from big_data_project_spark.operators import dedup as dd
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    eval_df = cu.deterministic_sample(docs, "doc_id", permille=50, seed=7)
+    eval_ids = {r.doc_id for r in eval_df.select("doc_id").collect()}
+    assert eval_ids  # non-trivial plant
+    clean = dd.decontaminate(docs, eval_df, n=8)
+    clean_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert clean_ids.isdisjoint(eval_ids)
+    assert len(clean_ids) <= docs.count() - len(eval_ids)
+    # survivors share no shingle with the eval set
+    overlap = (
+        dd.doc_shingles(clean, n=8)
+        .join(dd.doc_shingles(eval_df, n=8).select("shingle").distinct(),
+              "shingle", "left_semi")
+        .count()
+    )
+    assert overlap == 0
+
+
+def test_pack_by_token_budget_properties(spark, sf_dir):
+    """Every doc assigned exactly once; pack ids are contiguous from 0 per
+    shard; consecutive docs in a shard land in the same or a later pack."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import curation as cu
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    packed = cu.pack_by_token_budget(docs, budget=512, n_shards=8)
+    rows = packed.collect()
+    assert len(rows) == docs.count()
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        assert rs[0].pack_id == 0
+        # monotone packing, no skipped budget boundary beyond doc granularity
+        for a, b in zip(rs, rs[1:]):
+            assert b.pack_id >= a.pack_id
+        # a pack's token prefix stays within one budget step of its index
+        cum = 0
+        for r in rs:
+            assert r.pack_id == cum // 512
+            cum += r.n_tokens
