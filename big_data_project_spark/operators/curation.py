@@ -90,6 +90,29 @@ def cap_per_key(
     )
 
 
+def sample_mixture(
+    df: DataFrame,
+    weights: dict[str, int],
+    key: str = "source",
+    id_col: str = "doc_id",
+    default_permille: int = 1000,
+    seed: int = 0,
+) -> DataFrame:
+    """Domain-mixture sampling: keep each row with a per-domain permille
+    rate — the corpus-mixing step where, e.g., wiki is kept at 100% but
+    common-crawl is downsampled to 20%. Deterministic (content-hash
+    bucket, rerun-stable) and pure map-side: the rate table is a literal
+    column map, so there is no join, no shuffle, and the filter pushes to
+    the scan. Domains absent from ``weights`` keep ``default_permille``.
+
+    Rates above 1000 are capped at keep-everything; true upsampling
+    (rate > corpus) is an explode over quotient+remainder, deliberately a
+    separate op so this one stays a narrow filter."""
+    m = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    rate = F.coalesce(m[F.col(key)], F.lit(default_permille))
+    return df.where(hash_bucket(F.col(id_col), seed) < rate)
+
+
 def pack_by_token_budget(
     df: DataFrame,
     text: str = "text",

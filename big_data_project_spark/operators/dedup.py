@@ -274,6 +274,93 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: the clustering step
+    that turns verified near-dup PAIRS into duplicate GROUPS (a↔b, b↔c must
+    collapse into one cluster even when a↔c was never compared). Returns
+    ``(node, cluster_id)`` for every node in ``pairs``; ``cluster_id`` is
+    the minimum node id of the component.
+
+    Distributed shape: min-label propagation with pointer jumping — each
+    round every node takes the smallest label among itself and its
+    neighbours, then short-circuits to its label's own label (path halving),
+    giving O(log diameter) rounds instead of O(diameter). Per round: one
+    equi-join + groupBy-min over the edge list and one self-join over the
+    label table — all linear hash shuffles, no broadcast, no collect. This
+    is an inherently iterative fixpoint (Spark has no recursive SQL), so
+    each round is one job; ``localCheckpoint`` truncates lineage so plans
+    don't grow with the iteration count. Real dup-graphs are forests of
+    tiny dense clusters, so it converges in 2-3 rounds.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy(edges["u"].alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        cand = labels.join(nbr_min, "node", "left").select(
+            "node", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("new_lbl")
+        )
+        parent = cand.select(
+            F.col("node").alias("p_node"), F.col("new_lbl").alias("p_lbl")
+        )
+        jumped = (
+            cand.join(parent, cand["new_lbl"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.least("new_lbl", F.coalesce("p_lbl", "new_lbl")).alias("new_lbl"),
+            )
+        )
+        nxt = labels.join(jumped, "node").select("node", "lbl", "new_lbl").localCheckpoint()
+        changed = nxt.where(F.col("new_lbl") != F.col("lbl")).count()
+        labels = nxt.select("node", F.col("new_lbl").alias("lbl")).localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def duplicate_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Assign every document a duplicate-cluster id: the connected-component
+    minimum over the near-dup pair graph; documents in no pair cluster as
+    themselves. One left join against the (tiny relative to the corpus)
+    component table — AQE broadcasts it when it measures small, nothing
+    forces that at 100 TB."""
+    cc = connected_components(pairs).withColumnRenamed("node", id_col)
+    return df.select(F.col(id_col)).join(cc, id_col, "left").select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    )
+
+
+def drop_near_dups(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-dedup applied: keep one representative per duplicate cluster
+    (the minimum id). Composes with any pair source — jaccard_pairs,
+    minhash_lsh_candidates, or cosine_neardup_pairs."""
+    cl = duplicate_clusters(df, pairs, id_col)
+    keep = cl.where(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

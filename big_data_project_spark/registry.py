@@ -2526,6 +2526,110 @@ def dd_decontaminate(spark, sf_dir):
 
 
 @register(
+    "e5_lsh_recall",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label, score FROM (
+      SELECT vec_id, label,
+             {_VEC_SCORE_IP}
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))))
+               AS score
+      FROM embeddings, qv
+      ORDER BY score DESC, vec_id LIMIT 10)
+    """,
+    note=(
+        "driver-visible ANN evidence (VERDICT r2 item 5): the oracle is the"
+        " EXACT cosine top-10 — the LSH path (16 planes x 8 two-bit bands,"
+        " a band-pruned scan, never all-pairs) must reproduce it"
+        " value-for-value, i.e. recall@10 = 1.0 at this scale. Looser"
+        " configs are recall-gated in pytest instead"
+    ),
+)
+def e5_lsh_recall(spark, sf_dir):
+    """ANN quality a driver hash can see: at 16 hyperplanes / 8 bands the
+    banded LSH candidate set provably contains the true top-10 at the gate
+    scales, so scoring candidates exactly equals the exact cosine top-10 —
+    the oracle states the exact answer, the engine gets there through the
+    pruned path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = vector.query_vector_of(emb, 0)
+    return vector.ann_topk(
+        emb, q, k=10, n_planes=16, n_bands=8, metric="cosine"
+    ).select("vec_id", "label", "score")
+
+
+@register(
+    "dd_dup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+    lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+    """,
+)
+def dd_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: Jaccard-verified pairs (>= 0.5 over word
+    3-grams) collapsed into duplicate clusters by connected components
+    (min-label propagation + pointer jumping; the oracle mirrors the
+    fixpoint with a recursive transitive-closure CTE). a~b, b~c land in one
+    cluster even though a~c was never compared — the step pair-based dedup
+    alone cannot express."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, min_jaccard=0.5)
+    return dedup.duplicate_clusters(docs, pairs).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
+@register(
+    "cu_mixture_weights",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_CU_BUCKET} < CASE source
+        WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+        WHEN 'src2' THEN 250  WHEN 'src3' THEN 0
+        ELSE 100 END
+    """,
+)
+def cu_mixture_weights(spark, sf_dir):
+    """Domain-mixture sampling: per-source keep rates (src0 kept whole,
+    src1 half, src2 quarter, src3 dropped, the rest 10%) via the same
+    content-hash bucket as the other curation ops. Pure map-side filter —
+    the rate table is a literal column map, no join."""
+    return curation.sample_mixture(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 1000, "src1": 500, "src2": 250, "src3": 0},
+        default_permille=100,
+        seed=7,
+    ).select("doc_id", "source")
+
+
+@register(
     "cu_cap_per_source",
     oracle="""
     SELECT doc_id, source FROM (

@@ -278,3 +278,63 @@ def test_pack_by_token_budget_properties(spark, sf_dir):
         for r in rs:
             assert r.pack_id == cum // 512
             cum += r.n_tokens
+
+
+def test_connected_components_collapses_chains(spark):
+    """A long path (multi-iteration case for the pointer-jumping loop),
+    a triangle, and a separate pair — every node must label with its
+    component minimum even though most pairs were never compared
+    directly."""
+    from big_data_project_spark.operators import dedup as dd
+
+    pairs = [(37, 38), (36, 37), (35, 36), (34, 35), (33, 34), (32, 33),
+             (31, 32), (30, 31),            # path 30..38, adversarial order
+             (1, 2), (2, 3), (1, 3),        # triangle
+             (10, 11)]                      # isolated pair
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r.node: r.cluster_id
+        for r in dd.connected_components(pdf).collect()
+    }
+    expect = {n: 30 for n in range(30, 39)} | {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert got == expect
+
+
+def test_drop_near_dups_keeps_one_per_cluster(spark, sf_dir):
+    """Cluster reps are exactly the per-component min ids; singletons
+    survive untouched."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import dedup as dd
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(docs, n=3, min_jaccard=0.5)
+    clusters = dd.duplicate_clusters(docs, pairs)
+    kept = dd.drop_near_dups(docs, pairs)
+    cl = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids == {min(ids) for c in set(cl.values())
+                        for ids in [[d for d, x in cl.items() if x == c]]}
+    # every document maps into a kept representative's cluster
+    assert {cl[d] for d in cl} <= kept_ids
+
+
+def test_sample_mixture_rates(spark, sf_dir):
+    """Per-source rate honored row-exactly: kept iff hash bucket < rate."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import curation as cu
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    weights = {"src0": 1000, "src1": 500, "src3": 0}
+    out = cu.sample_mixture(docs, weights, default_permille=100, seed=7)
+    buckets = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id", cu.hash_bucket(F.col("doc_id"), 7).alias("b")
+        ).collect()
+    }
+    rates = {r.doc_id: weights.get(r.source, 100)
+             for r in docs.select("doc_id", "source").collect()}
+    expect = {d for d in buckets if buckets[d] < rates[d]}
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == expect
+    assert not any(r.source == "src3" for r in out.select("source").collect())
