@@ -113,6 +113,33 @@ def sample_mixture(
     return df.where(hash_bucket(F.col(id_col), seed) < rate)
 
 
+def upsample_mixture(
+    df: DataFrame,
+    weights: dict[str, int],
+    key: str = "source",
+    id_col: str = "doc_id",
+    default_permille: int = 1000,
+    seed: int = 0,
+) -> DataFrame:
+    """Mixture weighting with true upsampling: a row whose domain rate is
+    ``r`` permille is emitted ``r // 1000`` times, plus once more when its
+    hash bucket < ``r % 1000`` — deterministic per row, expected
+    multiplicity exactly r/1000 (rate 2500 = every row twice, half the rows
+    a third time). The epoch-repeat step of corpus mixing (e.g. wiki seen
+    2.5x per epoch while common-crawl is subsampled).
+
+    Map-side explode over a per-row repeat range — no shuffle, no join; the
+    emitted ``copy_idx`` keeps replicas distinguishable downstream."""
+    m = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    rate = F.coalesce(m[F.col(key)], F.lit(default_permille)).cast("long")
+    n = (F.floor(rate / 1000) + (hash_bucket(F.col(id_col), seed) < rate % 1000).cast("long")).cast("long")
+    # sequence(1, 0) would DESCEND in Spark — guard the empty case explicitly
+    reps = F.when(n >= 1, F.sequence(F.lit(1).cast("long"), n)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return df.withColumn("copy_idx", F.explode(reps))
+
+
 def pack_by_token_budget(
     df: DataFrame,
     text: str = "text",

@@ -766,6 +766,7 @@ def n2_sentiment_lexicon(spark, sf_dir):
 
 @register(
     "tx_text_analysis",
+    headline=True,
     oracle="""
     SELECT doc_id,
            CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
@@ -802,6 +803,7 @@ def tx_text_analysis(spark, sf_dir):
 
 @register(
     "dd_exact_groups",
+    headline=True,
     oracle="""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
@@ -2496,6 +2498,7 @@ def cu_pack_token_budget(spark, sf_dir):
 
 @register(
     "dd_decontaminate",
+    headline=True,
     oracle=f"""
     WITH w AS (SELECT doc_id, source,
                       string_split_regex(trim(text), '\\s+') AS ws
@@ -2627,6 +2630,36 @@ def cu_mixture_weights(spark, sf_dir):
         default_permille=100,
         seed=7,
     ).select("doc_id", "source")
+
+
+@register(
+    "cu_upsample",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1000
+                              WHEN 'src2' THEN 500  ELSE 0 END AS BIGINT)
+               AS rate,
+             {_CU_BUCKET} AS b
+      FROM documents)
+    SELECT doc_id, source,
+           unnest(range(1, rate // 1000
+                           + CASE WHEN b < rate % 1000 THEN 1 ELSE 0 END
+                           + 1)) AS copy_idx
+    FROM r
+    """,
+)
+def cu_upsample(spark, sf_dir):
+    """Epoch-repeat upsampling: src0 at 2.5x (two copies + hash-chosen half
+    a third), src1 kept once, src2 halved, everything else dropped —
+    deterministic multiplicity via the shared content-hash bucket, pure
+    map-side explode."""
+    return curation.upsample_mixture(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 2500, "src1": 1000, "src2": 500},
+        default_permille=0,
+        seed=7,
+    ).select("doc_id", "source", "copy_idx")
 
 
 @register(

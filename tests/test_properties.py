@@ -338,3 +338,35 @@ def test_sample_mixture_rates(spark, sf_dir):
     got = {r.doc_id for r in out.select("doc_id").collect()}
     assert got == expect
     assert not any(r.source == "src3" for r in out.select("source").collect())
+
+
+def test_upsample_mixture_multiplicity(spark, sf_dir):
+    """rate // 1000 copies per row, +1 when bucket < rate % 1000; rate-0
+    domains vanish; copy_idx enumerates 1..n."""
+    from collections import Counter
+
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import curation as cu
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    out = cu.upsample_mixture(
+        docs, {"src0": 2500, "src1": 1000, "src2": 500}, default_permille=0,
+        seed=7,
+    )
+    rows = out.select("doc_id", "source", "copy_idx").collect()
+    buckets = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id", cu.hash_bucket(F.col("doc_id"), 7).alias("b")
+        ).collect()
+    }
+    rates = {"src0": 2500, "src1": 1000, "src2": 500}
+    counts = Counter((r.doc_id) for r in rows)
+    for r in docs.select("doc_id", "source").collect():
+        rate = rates.get(r.source, 0)
+        expect = rate // 1000 + (1 if buckets[r.doc_id] < rate % 1000 else 0)
+        assert counts.get(r.doc_id, 0) == expect, (r.doc_id, r.source)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())
