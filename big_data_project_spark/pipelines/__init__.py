@@ -5,4 +5,8 @@
           §1.4 semantics fixes.
 - social: CNBC/Reddit normalize + unify (py:99-174, py:334-345) into one
           document table.
+- curation: the LLM-corpus assembly line (dedup → near-dup cluster drop →
+          decontaminate → quality gate → mixture → split → pack) as one
+          composed program; no reference counterpart — part of the
+          training-data closure.
 """

@@ -1,0 +1,63 @@
+"""End-to-end training-data curation: the full LLM-corpus assembly line as
+ONE composed engine program —
+
+    exact dedup → near-dup clustering drop → benchmark decontamination →
+    quality gate → domain-mixture sample → train/val/test split →
+    sequence packing
+
+Every stage is an operator the engine already verifies in isolation; the
+composition exists so a user gets the whole recipe (and the registry gets a
+single value-hashed oracle proving the stages compose, not just pass
+individually — `pl_curation_e2e`).
+
+Scale shape (sum of parts, no new shuffles introduced by composing):
+fingerprint window + shingle joins + pair-graph components (pair graph ≪
+corpus) + eval semi/anti joins + map-side gates/mixes/splits + per-shard
+packing windows. Nothing collects, nothing broadcasts unconditionally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_project_spark.operators import curation, dedup
+from big_data_project_spark.operators.text import words_col
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    min_words: int = 20,
+    min_diversity: float = 0.3,
+    mixture: dict[str, int] | None = None,
+    default_permille: int = 1000,
+    budget: int = 512,
+    n_shards: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Run the whole curation line over a ``documents``-shaped frame
+    (doc_id, source, text). Returns one row per surviving document with its
+    split assignment and pack location:
+    ``(doc_id, source, split, shard, n_tokens, pack_id)``."""
+    d = dedup.drop_exact_dups(docs)
+    pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
+    d = dedup.drop_near_dups(d, pairs)
+    if eval_df is not None:
+        d = dedup.decontaminate(d, eval_df, n=8)
+    w = words_col("text")
+    d = d.where(
+        (F.size(w) >= min_words)
+        & ((F.size(F.array_distinct(w)) / F.size(w)) >= min_diversity)
+    )
+    if mixture is not None:
+        d = curation.sample_mixture(
+            d, mixture, default_permille=default_permille, seed=seed
+        )
+    split = curation.train_val_test_split(d, "doc_id", seed=seed).select(
+        "doc_id", "source", "split"
+    )
+    packed = curation.pack_by_token_budget(d, budget=budget, n_shards=n_shards)
+    return split.join(packed, "doc_id").select(
+        "doc_id", "source", "split", "shard", "n_tokens", "pack_id"
+    )

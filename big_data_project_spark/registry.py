@@ -2663,6 +2663,111 @@ def cu_upsample(spark, sf_dir):
 
 
 @register(
+    "pl_curation_e2e",
+    oracle=f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\\s+') AS w,
+             md5(regexp_replace(regexp_replace(lower(text), '<[^>]*>', '', 'g'),
+                 '[^a-zA-Z0-9\\s]', '', 'g')) AS fp
+      FROM documents),
+    d1 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM base)
+      WHERE rn = 1),
+    sh3 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM d1),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+    lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u),
+    d2 AS (
+      SELECT d1.* FROM d1 LEFT JOIN lbl ON lbl.doc_id = d1.doc_id
+      WHERE coalesce(lbl.cluster_id, d1.doc_id) = d1.doc_id),
+    evg AS (
+      SELECT DISTINCT unnest(CASE WHEN len(w) >= 8
+               THEN list_transform(range(1, len(w) - 6),
+                      i -> array_to_string(list_slice(w, i, i + 7), ' '))
+               ELSE []::VARCHAR[] END) AS shingle
+      FROM base WHERE {_CU_BUCKET} < 50),
+    g8 AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 8
+               THEN list_transform(range(1, len(w) - 6),
+                      i -> array_to_string(list_slice(w, i, i + 7), ' '))
+               ELSE []::VARCHAR[] END)) AS shingle
+      FROM d2),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM g8
+      WHERE EXISTS (SELECT 1 FROM evg WHERE evg.shingle = g8.shingle)),
+    d3 AS (
+      SELECT * FROM d2
+      WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d2.doc_id)),
+    d4 AS (
+      SELECT * FROM d3
+      WHERE len(w) >= 20
+        AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3),
+    d5 AS (
+      SELECT * FROM d4
+      WHERE {_CU_BUCKET} < CASE source
+          WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500 WHEN 'src3' THEN 0
+          ELSE 800 END),
+    d6 AS (
+      SELECT doc_id, source,
+             CASE WHEN {_CU_BUCKET} < 100 THEN 'test'
+                  WHEN {_CU_BUCKET} < 200 THEN 'val'
+                  ELSE 'train' END AS split,
+             doc_id % 8 AS shard,
+             CAST(len(w) AS BIGINT) AS n_tokens
+      FROM d5),
+    c AS (
+      SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d6)
+    SELECT doc_id, source, split, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def pl_curation_e2e(spark, sf_dir):
+    """The whole corpus-assembly line, value-hashed end to end: exact dedup
+    → near-dup component drop → decontamination against a 5%% hash-sampled
+    eval set → length+diversity quality gate → domain mixture → split →
+    sequence packing. Proves the curation operators COMPOSE — each stage's
+    oracle CTE feeds the next exactly as each operator feeds the next."""
+    from big_data_project_spark.pipelines.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = curation.deterministic_sample(docs, "doc_id", permille=50, seed=7)
+    return curate_corpus(
+        docs,
+        eval_df=eval_df,
+        min_words=20,
+        min_diversity=0.3,
+        mixture={"src0": 1000, "src1": 500, "src3": 0},
+        default_permille=800,
+        seed=7,
+    )
+
+
+@register(
     "cu_cap_per_source",
     oracle="""
     SELECT doc_id, source FROM (

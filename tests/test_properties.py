@@ -370,3 +370,29 @@ def test_upsample_mixture_multiplicity(spark, sf_dir):
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r.copy_idx)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())
+
+
+def test_curate_corpus_invariants(spark, sf_dir):
+    """Composition invariants the per-stage oracles can't state: output is
+    duplicate-free (no surviving pair at the jaccard gate), decontaminated
+    (no eval doc survives), quality-gated, and src3-free."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import curation as cu
+    from big_data_project_spark.operators import dedup as dd
+    from big_data_project_spark.pipelines.curation import curate_corpus
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    eval_df = cu.deterministic_sample(docs, "doc_id", permille=50, seed=7)
+    out = curate_corpus(
+        docs, eval_df=eval_df, mixture={"src0": 1000, "src1": 500, "src3": 0},
+        default_permille=800, seed=7,
+    ).cache()
+    assert out.count() > 0
+    assert out.where(F.col("source") == "src3").count() == 0
+    eval_ids = {r.doc_id for r in eval_df.select("doc_id").collect()}
+    assert {r.doc_id for r in out.select("doc_id").collect()}.isdisjoint(eval_ids)
+    survivors = docs.join(out.select("doc_id"), "doc_id", "left_semi")
+    assert dd.jaccard_pairs(survivors, n=3, min_jaccard=0.5).count() == 0
+    assert survivors.where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) < 20
+    ).count() == 0
