@@ -2827,7 +2827,11 @@ _PRIORITY = [
     "c5_setops",
     # text/NLP carriers (N1-N5, U4)
     "n1_ner_gazetteer",
-    "n1_ner_regex",
+    # n1_ner_regex moved past the window in round 3: N1 stays covered by
+    # n1_ner_gazetteer (regex NER keeps its identical in-repo oracle gate);
+    # the freed slot gives the end-to-end curation pipeline a driver row —
+    # the composition of the whole LLM-data story under one value hash.
+    "pl_curation_e2e",
     "n2_sentiment_lexicon",
     "n34_coalesce_assemble",
     "n5_token_stats",

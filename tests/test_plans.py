@@ -131,3 +131,33 @@ def test_stateful_batch_twins_shuffle_once(spark, sf_dir):
     # hash join — both keyed; BroadcastNestedLoop would mean the equi-key
     # was lost and state is unbounded at scale
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_mixture_ops_are_map_side_only(spark, sf_dir):
+    """Mixture sampling and epoch-repeat upsampling are literal-map lookups
+    plus a narrow filter/explode — zero Exchange; a rates-table join here
+    would tax every corpus pass at 100 TB."""
+    for name in ("cu_mixture_weights", "cu_upsample"):
+        df = _df(name, spark, sf_dir)
+        assert plans.num_shuffles(df) == 0, (name, plans.physical_plan(df))
+
+
+def test_pack_by_token_budget_shuffles_once(spark, sf_dir):
+    """Sequence packing is n_shards parallel running-sum windows — exactly
+    one hash shuffle on shard, never a global single-partition sort."""
+    df = _df("cu_pack_token_budget", spark, sf_dir)
+    assert plans.num_shuffles(df) <= 1, plans.physical_plan(df)
+    assert "SinglePartition" not in plans.physical_plan(df)
+
+
+def test_decontaminate_no_forced_broadcast(spark, sf_dir):
+    """Decontamination must not HINT a broadcast of the eval shingle set —
+    an eval suite can be arbitrarily large; AQE may still choose one at
+    runtime when the measured size is small."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import dedup as dd
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    ev = docs.limit(20)
+    df = dd.decontaminate(docs, ev, n=8)
+    assert plans.num_broadcast_hints(df) == 0, plans.physical_plan(df)
