@@ -140,6 +140,32 @@ def upsample_mixture(
     return df.withColumn("copy_idx", F.explode(reps))
 
 
+def token_report(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    text: str = "text",
+) -> DataFrame:
+    """Token accounting: docs / total / min / max / mean tokens per group —
+    the numbers a mixture design is built from ("how many src-X tokens do
+    we actually have?"). One partial+final hash aggregate; mean derived
+    from the decimal-exact sum so the report hash-matches across engines."""
+    from big_data_project_spark.operators.text import words_col
+
+    gc = group_cols if group_cols is not None else ["source"]
+    n = F.size(words_col(text)).cast("long")
+    return (
+        df.select(*gc, n.alias("_n"))
+        .groupBy(*gc)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.min("_n").alias("min_tokens"),
+            F.max("_n").alias("max_tokens"),
+            (F.sum("_n") / F.count("*")).alias("avg_tokens"),
+        )
+    )
+
+
 def pack_by_token_budget(
     df: DataFrame,
     text: str = "text",

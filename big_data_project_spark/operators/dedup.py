@@ -332,7 +332,9 @@ def connected_components(
         )
         nxt = labels.join(jumped, "node").select("node", "lbl", "new_lbl").localCheckpoint()
         changed = nxt.where(F.col("new_lbl") != F.col("lbl")).count()
-        labels = nxt.select("node", F.col("new_lbl").alias("lbl")).localCheckpoint()
+        # narrow projection over the already-checkpointed nxt — no second
+        # materialization per round
+        labels = nxt.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
     return labels.select("node", F.col("lbl").alias("cluster_id"))

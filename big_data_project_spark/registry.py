@@ -2768,6 +2768,34 @@ def pl_curation_e2e(spark, sf_dir):
 
 
 @register(
+    "cu_token_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CASE WHEN {_CU_BUCKET} < 100 THEN 'test'
+                  WHEN {_CU_BUCKET} < 200 THEN 'val'
+                  ELSE 'train' END AS split,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+      FROM documents)
+    SELECT source, split,
+           count(*) AS n_docs,
+           sum(n) AS total_tokens,
+           min(n) AS min_tokens,
+           max(n) AS max_tokens,
+           CAST(sum(n) AS DOUBLE) / count(*) AS avg_tokens
+    FROM t GROUP BY source, split
+    """,
+)
+def cu_token_report(spark, sf_dir):
+    """Token accounting per (source, split) — the input numbers of mixture
+    design. One partial+final hash aggregate over a narrow projection."""
+    d = curation.train_val_test_split(
+        _t(spark, sf_dir, "documents"), "doc_id", seed=7
+    )
+    return curation.token_report(d, group_cols=["source", "split"])
+
+
+@register(
     "cu_cap_per_source",
     oracle="""
     SELECT doc_id, source FROM (
