@@ -108,9 +108,18 @@ def sample_mixture(
     Rates above 1000 are capped at keep-everything; true upsampling
     (rate > corpus) is an explode over quotient+remainder, deliberately a
     separate op so this one stays a narrow filter."""
-    m = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
-    rate = F.coalesce(m[F.col(key)], F.lit(default_permille))
+    rate = _rate_col(weights, key, default_permille)
     return df.where(hash_bucket(F.col(id_col), seed) < rate)
+
+
+def _rate_col(weights: dict[str, int], key: str, default_permille: int) -> Column:
+    """Literal-map rate lookup; an empty weights dict means 'uniform default
+    rate' (create_map() with zero args types as map<void,void> and would
+    fail the string lookup, so the empty case short-circuits)."""
+    if not weights:
+        return F.lit(default_permille)
+    m = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    return F.coalesce(m[F.col(key)], F.lit(default_permille))
 
 
 def upsample_mixture(
@@ -130,8 +139,7 @@ def upsample_mixture(
 
     Map-side explode over a per-row repeat range — no shuffle, no join; the
     emitted ``copy_idx`` keeps replicas distinguishable downstream."""
-    m = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
-    rate = F.coalesce(m[F.col(key)], F.lit(default_permille)).cast("long")
+    rate = _rate_col(weights, key, default_permille).cast("long")
     n = (F.floor(rate / 1000) + (hash_bucket(F.col(id_col), seed) < rate % 1000).cast("long")).cast("long")
     # sequence(1, 0) would DESCEND in Spark — guard the empty case explicitly
     reps = F.when(n >= 1, F.sequence(F.lit(1).cast("long"), n)).otherwise(
@@ -186,12 +194,15 @@ def pack_by_token_budget(
 
     Determinism: pick a power-of-two budget and the boundary division is
     exact in binary floating point on every engine (the registry oracle
-    relies on this)."""
+    relies on this). Sharding uses the module's content-hash bucket (not a
+    numeric modulus) so any id type works — a string id under pmod would
+    silently cast to NULL and collapse every row into one NULL-shard
+    window, the exact global scan this operator exists to avoid."""
     from big_data_project_spark.operators.text import words_col
 
     d = df.select(
         F.col(id_col).alias("doc_id"),
-        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        F.pmod(hash_bucket(F.col(id_col), 0), F.lit(n_shards)).alias("shard"),
         F.size(words_col(text)).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy("doc_id")

@@ -337,6 +337,11 @@ def connected_components(
         labels = nxt.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
+    else:  # loop exhausted without a fixpoint — labels would be WRONG
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (pointer jumping needs ~log2(diameter) rounds)"
+        )
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 

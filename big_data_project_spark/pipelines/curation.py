@@ -39,7 +39,14 @@ def curate_corpus(
     """Run the whole curation line over a ``documents``-shaped frame
     (doc_id, source, text). Returns one row per surviving document with its
     split assignment and pack location:
-    ``(doc_id, source, split, shard, n_tokens, pack_id)``."""
+    ``(doc_id, source, split, shard, n_tokens, pack_id)``.
+
+    ``mixture=None`` skips the sampling stage entirely; ``mixture={}``
+    applies ``default_permille`` uniformly. The split stage hashes with
+    ``seed + 1``, NOT the mixture's seed: with a shared bucket, mixture
+    rates <= 200 permille would keep exactly the bucket range the split
+    assigns to test/val and the training set would come out EMPTY — the
+    stages must subsample independently."""
     d = dedup.drop_exact_dups(docs)
     pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
     d = dedup.drop_near_dups(d, pairs)
@@ -54,7 +61,7 @@ def curate_corpus(
         d = curation.sample_mixture(
             d, mixture, default_permille=default_permille, seed=seed
         )
-    split = curation.train_val_test_split(d, "doc_id", seed=seed).select(
+    split = curation.train_val_test_split(d, "doc_id", seed=seed + 1).select(
         "doc_id", "source", "split"
     )
     packed = curation.pack_by_token_budget(d, budget=budget, n_shards=n_shards)

@@ -2430,11 +2430,18 @@ def tx_repetition_score(spark, sf_dir):
 # hex decode as pl_social_real_data's doc ids.
 # ===========================================================================
 
-_CU_BUCKET = """CAST(list_sum(list_transform(range(1, 16), i ->
+def _cu_bucket(seed: int, id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of curation.hash_bucket for a given seed: shift-
+    accumulate decode of the first 15 md5 hex digits (no conv() in DuckDB;
+    integer shifts keep it exact), mod 1000."""
+    return f"""CAST(list_sum(list_transform(range(1, 16), i ->
       CAST(strpos('0123456789abcdef',
-                  substr(substr(md5(concat(CAST(doc_id AS VARCHAR), '#7')), 1, 15),
+                  substr(substr(md5(concat(CAST({id_expr} AS VARCHAR), '#{seed}')), 1, 15),
                          CAST(i AS INT), 1)) - 1 AS BIGINT)
       * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT) % 1000"""
+
+
+_CU_BUCKET = _cu_bucket(7)
 
 
 @register(
@@ -2472,10 +2479,10 @@ def cu_train_val_test(spark, sf_dir):
 
 @register(
     "cu_pack_token_budget",
-    oracle=r"""
+    oracle=f"""
     WITH t AS (
-      SELECT doc_id, doc_id % 8 AS shard,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      SELECT doc_id, ({_cu_bucket(0)}) % 8 AS shard,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
                AS n_tokens
       FROM documents),
     c AS (
@@ -2510,7 +2517,7 @@ def cu_pack_token_budget(spark, sf_dir):
                            i -> array_to_string(list_slice(ws, i, i + 7), ' '))
                     ELSE []::VARCHAR[] END)) AS shingle
       FROM w),
-    ev AS (SELECT DISTINCT shingle FROM g WHERE {_CU_BUCKET.replace("md5(concat(CAST(doc_id", "md5(concat(CAST(g.doc_id")} < 50),
+    ev AS (SELECT DISTINCT shingle FROM g WHERE {_CU_BUCKET} < 50),
     contaminated AS (
       SELECT DISTINCT doc_id FROM g
       WHERE EXISTS (SELECT 1 FROM ev WHERE ev.shingle = g.shingle))
@@ -2563,15 +2570,17 @@ def e5_lsh_recall(spark, sf_dir):
     ).select("vec_id", "label", "score")
 
 
-@register(
-    "dd_dup_clusters",
-    oracle="""
-    WITH RECURSIVE sh AS (
+def _jaccard_cc_ctes(base: str) -> str:
+    """Shared oracle fragment (dd_dup_clusters + pl_curation_e2e — ONE copy
+    so the two can't drift): word-3-gram shingles over ``base`` (any
+    relation exposing doc_id + w) → Jaccard >= 0.5 pairs → recursive
+    transitive closure → per-node component minimum in ``lbl``. Must sit
+    inside a WITH RECURSIVE list."""
+    return f"""sh AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(range(1, len(w) - 1),
                     i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-            FROM documents)),
+      FROM {base}),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -2589,7 +2598,18 @@ def e5_lsh_recall(spark, sf_dir):
       UNION
       SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
     lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-            FROM reach GROUP BY u)
+            FROM reach GROUP BY u)"""
+
+
+_WORDS_BASE = (
+    "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)"
+)
+
+
+@register(
+    "dd_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_cc_ctes(_WORDS_BASE)}
     SELECT d.doc_id,
            CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
     FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
@@ -2677,28 +2697,7 @@ def cu_upsample(spark, sf_dir):
         SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         FROM base)
       WHERE rn = 1),
-    sh3 AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
-             i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
-      FROM d1),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT id_a, id_b FROM common
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
-    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
-            UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
-    reach(u, v) AS (
-      SELECT u, v FROM sym
-      UNION
-      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
-    lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-            FROM reach GROUP BY u),
+    {_jaccard_cc_ctes("d1")},
     d2 AS (
       SELECT d1.* FROM d1 LEFT JOIN lbl ON lbl.doc_id = d1.doc_id
       WHERE coalesce(lbl.cluster_id, d1.doc_id) = d1.doc_id),
@@ -2731,10 +2730,10 @@ def cu_upsample(spark, sf_dir):
           ELSE 800 END),
     d6 AS (
       SELECT doc_id, source,
-             CASE WHEN {_CU_BUCKET} < 100 THEN 'test'
-                  WHEN {_CU_BUCKET} < 200 THEN 'val'
+             CASE WHEN {_cu_bucket(8)} < 100 THEN 'test'
+                  WHEN {_cu_bucket(8)} < 200 THEN 'val'
                   ELSE 'train' END AS split,
-             doc_id % 8 AS shard,
+             ({_cu_bucket(0)}) % 8 AS shard,
              CAST(len(w) AS BIGINT) AS n_tokens
       FROM d5),
     c AS (

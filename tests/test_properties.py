@@ -231,15 +231,20 @@ def test_curation_cap_per_key(spark, sf_dir):
 
 
 def test_decontaminate_removes_planted_leak(spark, sf_dir):
-    """Eval set sampled FROM the corpus → every eval doc is leaked by
-    construction and must be dropped; survivors share no 8-gram with eval."""
+    """Eval set sampled FROM the corpus → every eval doc of >= n words is
+    leaked by construction and must be dropped (a shorter doc has no
+    n-gram, so the operator structurally cannot flag it — the guarantee is
+    n-gram overlap, not identity); survivors share no 8-gram with eval."""
     from big_data_project_spark import io
     from big_data_project_spark.operators import curation as cu
     from big_data_project_spark.operators import dedup as dd
 
     docs = io.load_table(spark, sf_dir, "documents")
     eval_df = cu.deterministic_sample(docs, "doc_id", permille=50, seed=7)
-    eval_ids = {r.doc_id for r in eval_df.select("doc_id").collect()}
+    leakable = eval_df.where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 8
+    )
+    eval_ids = {r.doc_id for r in leakable.select("doc_id").collect()}
     assert eval_ids  # non-trivial plant
     clean = dd.decontaminate(docs, eval_df, n=8)
     clean_ids = {r.doc_id for r in clean.select("doc_id").collect()}
@@ -396,3 +401,36 @@ def test_curate_corpus_invariants(spark, sf_dir):
     assert survivors.where(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) < 20
     ).count() == 0
+
+
+def test_sample_mixture_empty_weights_uniform_default(spark, sf_dir):
+    """mixture={} means 'uniform default rate' — must not crash on the
+    zero-arg create_map and must equal a plain deterministic sample."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import curation as cu
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    got = {r.doc_id for r in
+           cu.sample_mixture(docs, {}, default_permille=200, seed=7)
+           .select("doc_id").collect()}
+    want = {r.doc_id for r in
+            cu.deterministic_sample(docs, "doc_id", permille=200, seed=7)
+            .select("doc_id").collect()}
+    assert got == want
+    up = cu.upsample_mixture(docs, {}, default_permille=500, seed=7)
+    assert up.count() == len({r.doc_id for r in
+        cu.deterministic_sample(docs, "doc_id", permille=500, seed=7)
+        .select("doc_id").collect()})
+
+
+def test_curate_corpus_split_survives_aggressive_mixture(spark, sf_dir):
+    """Regression: mixture sampling and the split stage hash with
+    different seeds — a shared bucket at rate <= 200 permille kept exactly
+    the test/val bucket range and emptied the train split."""
+    from big_data_project_spark import io
+    from big_data_project_spark.pipelines.curation import curate_corpus
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    out = curate_corpus(docs, mixture={}, default_permille=200, seed=7)
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert "train" in splits, splits
