@@ -368,6 +368,106 @@ def drop_near_dups(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     return df.join(keep, id_col, "left_semi")
 
 
+def line_doc_counts(
+    df: DataFrame, text: str = "text", sep: str = "\n", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-line document frequency ``(line, n_docs)`` — the profiling half of
+    Falcon-style boilerplate removal ("this cookie banner appears in 4M
+    pages"). One explode + one count-distinct hash aggregate."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text), sep, -1)).alias("line"),
+    )
+    return lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+
+
+def remove_hot_lines(
+    df: DataFrame,
+    max_docs: int = 30,
+    text: str = "text",
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    out: str = "text_clean",
+) -> DataFrame:
+    """Falcon-style line-level dedup: delete every line that occurs in more
+    than ``max_docs`` distinct documents (boilerplate — nav bars, cookie
+    banners, license headers) and reconstruct each document from its
+    surviving lines in original order. Adds ``out`` (cleaned text; empty
+    string when every line was boilerplate) and ``n_lines_kept``.
+
+    Distributed shape, all linear in corpus size: posexplode (narrow) →
+    count-distinct hash aggregate on line → anti-join on line (the hot set
+    is tiny relative to the corpus; AQE broadcasts it when it measures
+    small, nothing forces that) → per-document re-aggregation ordered by
+    line position → one id-equi-join back to the input. No all-pairs stage,
+    no Python, no collect.
+
+    ``sep`` is used as a split regex AND a literal re-join separator, so it
+    must be a plain separator string (no regex metacharacters)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text), sep, -1)).alias("_pos", "_line"),
+    )
+    hot = (
+        lines.groupBy("_line")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .where(F.col("_nd") > max_docs)
+        .select("_line")
+    )
+    kept = lines.join(hot, "_line", "left_anti")
+    # collect_list is order-nondeterministic after the shuffle; the struct
+    # sort on (_pos, _line) restores document order deterministically.
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias(out),
+        F.count("*").cast("long").alias("n_lines_kept"),
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(out, F.coalesce(F.col(out), F.lit("")))
+        .withColumn(
+            "n_lines_kept",
+            F.coalesce("n_lines_kept", F.lit(0).cast("long")),
+        )
+    )
+
+
+def dedup_against_snapshot(
+    new_df: DataFrame,
+    snapshot_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup for a growing corpus: drop rows of ``new_df`` whose
+    normalized content already exists in ``snapshot_df`` (the corpus as of
+    the last run), then exact-dedup within the batch itself. The shape every
+    recurring crawl ingest needs — never re-dedup the full corpus, only the
+    delta.
+
+    Distributed shape: the snapshot side reduces to a distinct fingerprint
+    column (at 100 TB this is the persisted fingerprint index, not a rescan
+    of the corpus — pass ``snapshot_df`` as that index and the md5 is
+    computed over whatever column ``text`` names), one anti equi-join on the
+    hash. No broadcast hint: the snapshot is the BIG side; AQE picks the
+    join strategy."""
+    snap_fp = snapshot_df.select(
+        F.md5(normalize_text_col(text)).alias("_snap_hash")
+    ).distinct()
+    batch = drop_exact_dups(new_df, text, id_col)
+    return (
+        batch.withColumn("_fp", F.md5(normalize_text_col(text)))
+        .join(snap_fp, F.col("_fp") == F.col("_snap_hash"), "left_anti")
+        .drop("_fp")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

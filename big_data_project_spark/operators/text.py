@@ -247,6 +247,149 @@ def text_profile(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def quality_rule_flags(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len_x10: int = 30,
+    max_mean_word_len_x10: int = 100,
+    max_dup_trigram_permille: int = 50,
+    min_stopword_hits: int = 2,
+    min_alpha_permille: int = 700,
+) -> DataFrame:
+    """Gopher/C4-style rule-based quality filtering: one row per document
+    with the raw counters and a 0/1 flag per rule plus the combined
+    ``keep``. Rules (each a published pretraining-filter heuristic):
+
+    - word count within [min_words, max_words]
+    - mean word length within [3.0, 10.0] (x10 fixed-point parameters)
+    - duplicated word-trigram rate <= max permille (boilerplate/repetition)
+    - at least ``min_stopword_hits`` function-word hits (gibberish guard)
+    - >= ``min_alpha_permille`` of words purely alphabetic (symbol-soup
+      guard)
+
+    Every comparison is integer arithmetic on exact counters (mean word
+    length as 10*chars vs threshold*words, rates as permille cross-
+    multiplication) — no float thresholds, so the decision is bit-identical
+    on every engine and the whole operator is oracle-able. One scan, no
+    shuffle; the words array is bound ONCE (see shingles_col on why
+    re-evaluating split inside a lambda is quadratic)."""
+    b = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text).alias("_t"),
+        words_col(text).alias("_w"),
+    )
+    e = _quality_exprs(
+        F.col("_w"),
+        "_t",
+        min_words,
+        max_words,
+        min_mean_word_len_x10,
+        max_mean_word_len_x10,
+        max_dup_trigram_permille,
+        min_stopword_hits,
+        min_alpha_permille,
+    )
+    return b.select("doc_id", *[c.alias(name) for name, c in e.items()])
+
+
+def _quality_exprs(
+    w: Column,
+    text_col: str,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len_x10: int,
+    max_mean_word_len_x10: int,
+    max_dup_trigram_permille: int,
+    min_stopword_hits: int,
+    min_alpha_permille: int,
+) -> dict[str, Column]:
+    """The rule expressions over an already-BOUND words array ``w`` (never
+    pass a raw split here — see shingles_col on quadratic re-evaluation
+    inside lambdas)."""
+    n = F.size(w).cast("long")
+    total_chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.try_element_at(w, i),
+            F.try_element_at(w, i + 1),
+            F.try_element_at(w, i + 2),
+        ),
+    )
+    n_tri = F.when(n >= 3, n - 2).otherwise(F.lit(0)).cast("long")
+    n_dup = (
+        F.when(n >= 3, (n - 2) - F.size(F.array_distinct(tri)))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    stop = _hits(text_col, LANG_STOPWORDS["en"]).cast("long")
+    alpha = F.size(F.filter(w, lambda x: x.rlike("^[A-Za-z]+$"))).cast("long")
+    len_ok = (n >= min_words) & (n <= max_words)
+    word_len_ok = (10 * total_chars >= min_mean_word_len_x10 * n) & (
+        10 * total_chars <= max_mean_word_len_x10 * n
+    )
+    repetition_ok = 1000 * n_dup <= max_dup_trigram_permille * n_tri
+    stopword_ok = stop >= min_stopword_hits
+    alpha_ok = 1000 * alpha >= min_alpha_permille * n
+    return {
+        "n_words": n,
+        "total_chars": total_chars,
+        "n_dup_trigrams": n_dup,
+        "stopword_hits": stop,
+        "n_alpha_words": alpha,
+        "len_ok": len_ok.cast("int"),
+        "word_len_ok": word_len_ok.cast("int"),
+        "repetition_ok": repetition_ok.cast("int"),
+        "stopword_ok": stopword_ok.cast("int"),
+        "alpha_ok": alpha_ok.cast("int"),
+        "keep": (
+            len_ok & word_len_ok & repetition_ok & stopword_ok & alpha_ok
+        ).cast("int"),
+    }
+
+
+def filter_quality(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len_x10: int = 30,
+    max_mean_word_len_x10: int = 100,
+    max_dup_trigram_permille: int = 50,
+    min_stopword_hits: int = 2,
+    min_alpha_permille: int = 700,
+) -> DataFrame:
+    """Apply the quality rules as a FILTER: rows of ``df`` (all original
+    columns) whose document passes every rule. A pure narrow filter — the
+    words array is bound in a stacked projection, the keep decision is
+    computed inline, and the temporaries dropped — so the operator costs no
+    shuffle and pushes through any downstream join."""
+    e = _quality_exprs(
+        F.col("_qw"),
+        text,
+        min_words,
+        max_words,
+        min_mean_word_len_x10,
+        max_mean_word_len_x10,
+        max_dup_trigram_permille,
+        min_stopword_hits,
+        min_alpha_permille,
+    )
+    return (
+        df.withColumn("_qw", words_col(text))
+        .withColumn("_qkeep", e["keep"])
+        .where(F.col("_qkeep") == 1)
+        .drop("_qw", "_qkeep")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int = 100,

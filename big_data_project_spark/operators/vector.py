@@ -286,6 +286,26 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ALL pairs with cosine >= threshold, by exhaustive comparison — the
+    correctness oracle for cosine_neardup_pairs (same relationship as
+    jaccard_pairs to minhash_lsh_candidates). Quadratic in the table size:
+    run it on samples/blocks to verify the LSH-blocked scan path, never as
+    the 100 TB scan itself."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("_ea"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("_eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("_ea", "_eb").alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def build_ivf(
     embeddings: DataFrame,
     n_lists: int = 16,

@@ -2813,6 +2813,181 @@ def cu_cap_per_source(spark, sf_dir):
 
 
 # ===========================================================================
+# LLM-pipeline closure, round 3: boilerplate line removal, quality-rule
+# filtering, incremental dedup, and the exact cosine near-dup oracle.
+# ===========================================================================
+
+@register(
+    "dd_line_dedup",
+    oracle="""
+    WITH wt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents),
+    lined AS (SELECT doc_id, array_to_string(list_transform(range(1, len(w)+1, 2),
+                i -> concat_ws(' ', w[i], w[i+1])), chr(10)) AS text FROM wt),
+    ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                  unnest(range(1, len(string_split(text, chr(10)))+1)) AS pos
+           FROM lined),
+    hot AS (SELECT line FROM ln GROUP BY line HAVING count(DISTINCT doc_id) > 15),
+    kept AS (SELECT * FROM ln WHERE line NOT IN (SELECT line FROM hot)),
+    reb AS (SELECT doc_id,
+                   array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean,
+                   count(*) AS n_lines_kept
+            FROM kept GROUP BY doc_id)
+    SELECT l.doc_id, coalesce(r.text_clean, '') AS text_clean,
+           CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+    FROM lined l LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def dd_line_dedup(spark, sf_dir):
+    """Falcon-style boilerplate line removal: lines occurring in more than
+    15 distinct documents are deleted corpus-wide, documents rebuilt from
+    surviving lines in order. The corpus has no newlines, so the entry first
+    forms deterministic 2-word lines (median line doc-frequency 14 at
+    sf0.01 — the threshold genuinely splits hot from cold). Linear shape:
+    explode, count-distinct agg, anti-join, ordered re-agg."""
+    bound = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.words_col("text").alias("_w")
+    )
+    w = F.col("_w")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(2))
+    lined = bound.select(
+        "doc_id",
+        F.array_join(
+            F.transform(idx, lambda i: F.array_join(F.slice(w, i, 2), " ")),
+            "\n",
+        ).alias("text"),
+    )
+    return dedup.remove_hot_lines(lined, max_docs=15).select(
+        "doc_id", "text_clean", "n_lines_kept"
+    )
+
+
+@register(
+    "dd_cosine_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))))
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[]))))
+            >= 0.4
+    """,
+)
+def dd_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs, EXACT: every pair with cosine >= 0.4 (59
+    pairs at sf0.01 — the synthetic embeddings top out at 0.51, so 0.4 is
+    the discriminating band). This is the hash-matched verification oracle
+    for the LSH-blocked scan path (vector.cosine_neardup_pairs, whose
+    band-recall is gated in pytest); the score expression is the e4-proven
+    bit-stable double fold, so the threshold decision itself is
+    engine-exact."""
+    return vector.cosine_pairs_exact(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "dd_incremental",
+    oracle="""
+    WITH snap AS (
+      SELECT md5(regexp_replace(regexp_replace(lower(text), '<[^>]*>', '', 'g'),
+                 '[^a-zA-Z0-9\\s]', '', 'g')) AS h
+      FROM documents WHERE doc_id < 300),
+    newbatch AS (
+      SELECT doc_id + 10000 AS doc_id, text, source
+      FROM documents WHERE doc_id >= 200),
+    b AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(regexp_replace(lower(text), '<[^>]*>', '', 'g'),
+                 '[^a-zA-Z0-9\\s]', '', 'g')) AS fp
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY md5(regexp_replace(regexp_replace(lower(text),
+                             '<[^>]*>', '', 'g'), '[^a-zA-Z0-9\\s]', '', 'g'))
+              ORDER BY doc_id) AS rn
+            FROM newbatch)
+      WHERE rn = 1)
+    SELECT doc_id, source FROM b
+    WHERE fp NOT IN (SELECT h FROM snap)
+    """,
+)
+def dd_incremental(spark, sf_dir):
+    """Incremental (snapshot-delta) dedup: the corpus as of the last run is
+    docs 0-299; the new crawl batch re-delivers docs 200-499 under fresh
+    ids (+10000). The 100 re-crawled contents must be dropped against the
+    snapshot fingerprints, the 200 genuinely-new docs survive. One distinct
+    + one anti equi-join, no broadcast hint (the snapshot is the BIG side
+    at scale)."""
+    d = _t(spark, sf_dir, "documents")
+    snapshot = d.where(F.col("doc_id") < 300)
+    new = d.where(F.col("doc_id") >= 200).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "source"
+    )
+    return dedup.dedup_against_snapshot(new, snapshot).select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "tx_quality_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, text,
+                      string_split_regex(trim(text), '\\s+') AS w
+               FROM documents),
+    m AS (SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n_words,
+            CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+              AS total_chars,
+            CAST(CASE WHEN len(w) >= 3 THEN (len(w) - 2) - len(list_distinct(
+                   list_transform(range(1, len(w) - 1),
+                                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))
+                 ELSE 0 END AS BIGINT) AS n_dup_trigrams,
+            CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|is)\\b'))
+              AS BIGINT) AS stopword_hits,
+            CAST(len(list_filter(w, x -> regexp_full_match(x, '[A-Za-z]+')))
+              AS BIGINT) AS n_alpha_words
+          FROM t),
+    f AS (SELECT *,
+            CASE WHEN n_words >= 30 AND n_words <= 100000 THEN 1 ELSE 0 END
+              AS len_ok,
+            CASE WHEN 10 * total_chars >= 30 * n_words
+                  AND 10 * total_chars <= 100 * n_words THEN 1 ELSE 0 END
+              AS word_len_ok,
+            CASE WHEN 1000 * n_dup_trigrams <=
+                   50 * (CASE WHEN n_words >= 3 THEN n_words - 2 ELSE 0 END)
+                 THEN 1 ELSE 0 END AS repetition_ok,
+            CASE WHEN stopword_hits >= 2 THEN 1 ELSE 0 END AS stopword_ok,
+            CASE WHEN 1000 * n_alpha_words >= 700 * n_words THEN 1 ELSE 0 END
+              AS alpha_ok
+          FROM m)
+    SELECT doc_id, n_words, total_chars, n_dup_trigrams, stopword_hits,
+           n_alpha_words, len_ok, word_len_ok, repetition_ok, stopword_ok,
+           alpha_ok,
+           len_ok * word_len_ok * repetition_ok * stopword_ok * alpha_ok
+             AS keep
+    FROM f
+    """,
+)
+def tx_quality_filter(spark, sf_dir):
+    """Gopher/C4-style rule-based quality flags over the corpus: exact
+    counters + one 0/1 flag per rule + combined keep. Every threshold
+    compare is integer arithmetic (fixed-point mean word length, permille
+    cross-multiplication), so the decision — not just the counters — is
+    engine-exact. At sf0.01 the rules genuinely discriminate: ~106 docs
+    fail min-words, ~112 fail the stopword floor."""
+    return text.quality_rule_flags(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is
 # re-ordered value-first: every SURVEY §2 operator family is represented in

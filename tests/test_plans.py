@@ -161,3 +161,37 @@ def test_decontaminate_no_forced_broadcast(spark, sf_dir):
     ev = docs.limit(20)
     df = dd.decontaminate(docs, ev, n=8)
     assert plans.num_broadcast_hints(df) == 0, plans.physical_plan(df)
+
+
+def test_remove_hot_lines_no_forced_broadcast(spark, sf_dir):
+    """Line-level dedup must not HINT a broadcast of the hot-line set (its
+    size is corpus-dependent); the doc-rebuild stays linear — no
+    SinglePartition stage anywhere."""
+    df = _df("dd_line_dedup", spark, sf_dir)
+    assert plans.num_broadcast_hints(df) == 0, plans.physical_plan(df)
+    assert "SinglePartition" not in plans.physical_plan(df)
+
+
+def test_dedup_against_snapshot_no_forced_broadcast(spark, sf_dir):
+    """The snapshot fingerprint side is the BIG side at 100 TB — a forced
+    broadcast would OOM; the anti-join must stay a plain equi-join."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import dedup as dd
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    new = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    df = dd.dedup_against_snapshot(new, docs)
+    assert plans.num_broadcast_hints(df) == 0, plans.physical_plan(df)
+
+
+def test_filter_quality_is_narrow(spark, sf_dir):
+    """The quality filter is a pure map-side filter: zero shuffles, so it
+    composes under any downstream join without its own stage."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import text as tx
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    df = tx.filter_quality(docs)
+    assert plans.num_shuffles(df) == 0, plans.physical_plan(df)

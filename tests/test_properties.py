@@ -434,3 +434,71 @@ def test_curate_corpus_split_survives_aggressive_mixture(spark, sf_dir):
     out = curate_corpus(docs, mixture={}, default_permille=200, seed=7)
     splits = {r.split for r in out.select("split").distinct().collect()}
     assert "train" in splits, splits
+
+
+def test_remove_hot_lines_semantics(spark):
+    """Boilerplate line in > max_docs docs is deleted everywhere; cold
+    lines survive in original order; an all-boilerplate doc comes back as
+    the empty string with n_lines_kept=0."""
+    from big_data_project_spark.operators import dedup as dd
+
+    rows = [
+        (1, "intro one\nCOOKIE BANNER\nbody of one"),
+        (2, "COOKIE BANNER\nsecond doc text"),
+        (3, "third doc\nCOOKIE BANNER\ntail three"),
+        (4, "COOKIE BANNER"),
+        (5, "unique five\nalso unique"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.text_clean, r.n_lines_kept)
+        for r in dd.remove_hot_lines(df, max_docs=3).collect()
+    }
+    assert out[1] == ("intro one\nbody of one", 2)
+    assert out[2] == ("second doc text", 1)
+    assert out[3] == ("third doc\ntail three", 2)
+    assert out[4] == ("", 0)  # doc was pure boilerplate
+    assert out[5] == ("unique five\nalso unique", 2)
+    counts = {
+        r.line: r.n_docs for r in dd.line_doc_counts(df).collect()
+    }
+    assert counts["COOKIE BANNER"] == 4
+
+
+def test_dedup_against_snapshot(spark):
+    """Re-crawled content (same text, new id) is dropped against the
+    snapshot; in-batch exact dups collapse; genuinely new docs survive."""
+    from big_data_project_spark.operators import dedup as dd
+
+    snapshot = spark.createDataFrame(
+        [(1, "old doc alpha"), (2, "old doc beta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "old doc alpha"),   # re-crawl of snapshot content
+            (11, "fresh gamma"),
+            (12, "fresh gamma"),     # in-batch dup
+            (13, "fresh delta"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        r.doc_id for r in dd.dedup_against_snapshot(new, snapshot).collect()
+    )
+    assert got == [11, 13]
+
+
+def test_filter_quality_matches_flags(spark, sf_dir):
+    """filter_quality (the narrow-filter surface) must keep exactly the
+    keep=1 rows of quality_rule_flags (the reporting surface) — the two
+    share one expression set by construction; this guards the contract."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import text as tx
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    flags = tx.quality_rule_flags(docs)
+    want = {r.doc_id for r in flags.where(F.col("keep") == 1).collect()}
+    got = {r.doc_id for r in tx.filter_quality(docs).select("doc_id").collect()}
+    assert got == want
+    n_all = docs.count()
+    assert 0 < len(want) < n_all  # rules discriminate on this corpus
