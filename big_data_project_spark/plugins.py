@@ -47,11 +47,16 @@ class Embedder:
     requested dim. ``Report.pdf §Methodology-3``: "Batch embedding was
     implemented using PySpark UDFs" — this is that, done Arrow-batched."""
 
-    def __init__(self, model_name: str = "all-MiniLM-L6-v2", dim: int = 384):
+    def __init__(self, model_name: str | None = "all-MiniLM-L6-v2", dim: int = 384):
+        #: ``model_name=None`` pins the deterministic hash-embed branch even
+        #: when sentence-transformers is importable — the oracle entries
+        #: depend on this (a model result is not engine-mirrorable).
         self.model_name = model_name
         self.dim = dim
 
     def available(self) -> bool:
+        if self.model_name is None:
+            return False
         try:  # pragma: no cover - environment-dependent
             import sentence_transformers  # noqa: F401
 

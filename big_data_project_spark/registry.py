@@ -2987,6 +2987,96 @@ def tx_quality_filter(spark, sf_dir):
     return text.quality_rule_flags(_t(spark, sf_dir, "documents"))
 
 
+_HEX_SEG = """CAST(list_sum(list_transform(range({a}, {b}), j ->
+    CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INT), 1)) - 1 AS BIGINT)
+    * (CAST(1 AS BIGINT) << CAST(4 * ({b} - 1 - j) AS INT)))) AS BIGINT)"""
+
+#: first 8 bytes of a sha256 hex digest as the exactly-rounded double
+#: x/2^63 - 1 (hi*2^32+lo rounds once to double = correct rounding of the
+#: 64-bit integer; the subsequent /2^63 is an exact power-of-two scale).
+_SHA_U64_UNIT = (
+    f"(({_HEX_SEG.format(a=1, b=9)}) * 4294967296.0"
+    f" + ({_HEX_SEG.format(a=9, b=17)})) / 9223372036854775808.0 - 1.0"
+)
+
+
+@register(
+    "e1_hash_embed",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, i,
+        {_SHA_U64_UNIT.replace("hx", "sha256(text || chr(0) || CAST(i AS VARCHAR))")} AS x
+      FROM documents, unnest(range(0, 8)) AS u(i)),
+    n AS (SELECT doc_id,
+                 sqrt(list_reduce(list_prepend(0.0, list(x * x ORDER BY i)),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v GROUP BY doc_id)
+    SELECT v.doc_id, CAST(v.i AS INTEGER) AS i, CAST(v.x / n.nrm AS REAL) AS val
+    FROM v JOIN n USING (doc_id)
+    """,
+)
+def e1_hash_embed(spark, sf_dir):
+    """E1's deterministic branch, VALUE-hashed: the mapInPandas embedding
+    stage pinned to the hash-embed fallback (Embedder(model_name=None)),
+    dim 8, exploded to (doc_id, i, val) so no array column enters the
+    compare. The oracle reproduces sha256 -> uint64 -> unit interval ->
+    L2 normalize bit-for-bit (left-fold sum via list_reduce, float32 cast
+    both sides). The 384-dim model branch remains rows-only in
+    e1_embed_documents (a model output is not engine-mirrorable)."""
+    from big_data_project_spark.plugins import Embedder
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = Embedder(model_name=None, dim=8).transform(docs)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("i", "val")
+    )
+
+
+@register(
+    "mm_decode_oracle",
+    oracle="""
+    WITH b AS (SELECT doc_id, text, sha256(text) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents)
+    SELECT doc_id,
+           'application/octet-stream' AS media_type,
+           CAST(CASE WHEN nb = 0 THEN 1
+                     ELSE 1 + ascii(substr(text, 1, 1)) % 64 END AS INTEGER)
+             AS height,
+           CAST(1 + nb % 64 AS INTEGER) AS width,
+           CAST(i AS INTEGER) AS i,
+           CAST(CAST(list_sum(list_transform(range(8*i + 1, 8*i + 9), j ->
+                  CAST(strpos('0123456789abcdef',
+                              substr(hx, CAST(j AS INT), 1)) - 1 AS BIGINT)
+                  * (CAST(1 AS BIGINT) << CAST(4 * (8*i + 8 - j) AS INT))))
+                AS BIGINT) / 2147483648.0 - 1.0 AS REAL) AS val
+    FROM b, unnest(range(0, 8)) AS u(i)
+    """,
+)
+def mm_decode_oracle(spark, sf_dir):
+    """The multimodal decode stage's deterministic codec, VALUE-hashed:
+    attach_binary (UTF-8 payload) -> mapInPandas fake decode -> features
+    exploded to scalar rows. The oracle mirrors the sha256-derived feature
+    math exactly (4-byte ints / 2^31 - 1 are all exactly representable
+    doubles — no rounding-order concern) and the height/width byte rules
+    (ascii == first byte on this ASCII corpus). media_type is the
+    octet-stream constant: ASCII text cannot carry a binary magic prefix,
+    while the Spark side still computes the sniff genuinely. The strict
+    branch stays the marked NotImplementedError seam; mm_decode_features
+    keeps the rows-only row for the 500-doc default shape."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = multimodal.decode_features(
+        multimodal.attach_binary(docs), dim=8
+    )
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "height",
+        "width",
+        F.posexplode("features").alias("i", "val"),
+    )
+
+
 # ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is
