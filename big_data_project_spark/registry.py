@@ -1050,14 +1050,10 @@ def st_tumbling_hourly(spark, sf_dir):
     return streaming.tumbling_window_agg(_t(spark, sf_dir, "events"))
 
 
-@register(
-    "st_sessionize",
-    oracle="""
-    SELECT user_id, session_seq,
-           min(ts_us) AS session_start,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
-    FROM (
+#: shared 5-minute-gap session derivation (st_sessionize + st_session_native
+#: — ONE copy so the two oracles cannot drift). Yields rows carrying
+#: (user_id, value, ts_us, session_seq).
+_SESSION_ROWS_SQL = """(
       SELECT user_id, value, ts_us,
              -- CAST: DuckDB's windowed sum(int) is HUGEINT (→ float64 in the
              -- driver's pandas hash); Spark's is BIGINT. Align per the
@@ -1076,13 +1072,46 @@ def st_tumbling_hourly(spark, sf_dir):
                                         ORDER BY ts_us, event_id) IS NULL
                     THEN 1 ELSE 0 END AS brk
         FROM (SELECT *, make_timestamp(epoch_ns(ts) // 1000) AS ts_us
-              FROM events)))
+              FROM events)))"""
+
+
+@register(
+    "st_sessionize",
+    oracle=f"""
+    SELECT user_id, session_seq,
+           min(ts_us) AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM {_SESSION_ROWS_SQL}
     GROUP BY user_id, session_seq
     """,
 )
 def st_sessionize(spark, sf_dir):
     """T4 batch formulation: lag+cumsum sessionization (5-minute gap)."""
     return streaming.sessionize_batch(_t(spark, sf_dir, "events"), 5)
+
+
+@register(
+    "st_session_native",
+    oracle=f"""
+    SELECT user_id,
+           min(ts_us) AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM {_SESSION_ROWS_SQL}
+    GROUP BY user_id, session_seq
+    """,
+)
+def st_session_native(spark, sf_dir):
+    """T4's NATIVE path (F.session_window — the streaming-capable
+    formulation) under the same gap-islands oracle as the lag+cumsum batch
+    twin: both must produce identical sessions (also pinned against each
+    other at sf0.01 in tests/test_streaming.py). session_window cannot
+    expose a session ordinal, so the oracle drops session_seq from the
+    projection while still grouping by it."""
+    return streaming.session_window_agg(
+        _t(spark, sf_dir, "events"), "5 minutes"
+    ).select("user_id", "session_start", "n_events", "total")
 
 
 @register(
@@ -3030,6 +3059,95 @@ def e1_hash_embed(spark, sf_dir):
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("i", "val")
     )
+
+
+@register(
+    "dd_simhash",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(string_split_regex(trim(text), '\\s+')) AS w
+                 FROM documents),
+    h AS (SELECT doc_id,
+                 {_HEX_SEG.format(a=1, b=16).replace("hx", "md5(w)")} AS h
+          FROM tok),
+    v AS (SELECT doc_id, j,
+                 sum(CASE WHEN ((h >> CAST(j AS INT)) & 1) = 1
+                          THEN 1 ELSE -1 END) AS s
+          FROM h, unnest(range(0, 60)) AS u(j)
+          GROUP BY doc_id, j)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0
+                         THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM v GROUP BY doc_id
+    """,
+)
+def dd_simhash(spark, sf_dir):
+    """SimHash fingerprints, VALUE-hashed: 60 usable bits from the first 15
+    md5 hex digits per token, per-bit ±1 majority vote — all integer
+    arithmetic, so the fingerprint itself (not just its distribution) is
+    engine-exact. The hamming-bucket candidate generation stays under
+    dd_approx_suite / pytest (its rotated-prefix blocking is
+    recall-shaped, not value-shaped)."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+_Z_INTERLEAVE = " + ".join(
+    f"(((s{j} >> {i}) & 1) << {i * 2 + j})"
+    for i in range(16)
+    for j in range(2)
+)
+
+
+@register(
+    "mt_zorder",
+    oracle=f"""
+    WITH m AS (SELECT min(CAST(o_custkey AS DOUBLE)) AS mn0,
+                      max(CAST(o_custkey AS DOUBLE)) AS mx0,
+                      min(o_totalprice) AS mn1,
+                      max(o_totalprice) AS mx1
+               FROM orders),
+    s AS (SELECT o_orderkey,
+            least(CAST(floor(
+              (CASE WHEN mx0 - mn0 > 0
+                    THEN (CAST(o_custkey AS DOUBLE) - mn0) / (mx0 - mn0)
+                    ELSE 0.0 END) * 65535) AS BIGINT), 65535) AS s0,
+            least(CAST(floor(
+              (CASE WHEN mx1 - mn1 > 0
+                    THEN (o_totalprice - mn1) / (mx1 - mn1)
+                    ELSE 0.0 END) * 65535) AS BIGINT), 65535) AS s1
+          FROM orders, m)
+    SELECT o_orderkey, CAST({_Z_INTERLEAVE} AS BIGINT) AS zval
+    FROM s
+    """,
+)
+def mt_zorder(spark, sf_dir):
+    """Z-order (Morton) curve values for the lake-maintenance family,
+    VALUE-hashed: min-max scale two order columns to 16-bit integers (the
+    domain bounds enter as a broadcast single-row aggregate — lazy, no
+    driver action) and interleave their bits. The scaling divide is one
+    IEEE expression evaluated identically on both engines; everything
+    after floor() is integer shifts, so the curve value is engine-exact.
+    write_zordered range-partitions on exactly this value."""
+    from big_data_project_spark.operators import maintenance
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("double").alias("ck"),
+        F.col("o_totalprice").cast("double").alias("tp"),
+    )
+    agg = F.broadcast(
+        base.agg(
+            F.min("ck").alias("_min_ck"),
+            F.max("ck").alias("_max_ck"),
+            F.min("tp").alias("_min_tp"),
+            F.max("tp").alias("_max_tp"),
+        )
+    )
+    z = maintenance.zorder_value(
+        ["ck", "tp"], ["_min_ck", "_min_tp"], ["_max_ck", "_max_tp"], bits=16
+    )
+    return base.crossJoin(agg).select("o_orderkey", z.alias("zval"))
 
 
 @register(
