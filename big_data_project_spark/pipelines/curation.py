@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from big_data_project_spark.operators import curation, dedup
-from big_data_project_spark.operators.text import words_col
+from big_data_project_spark.operators.text import filter_quality, words_col
 
 
 def curate_corpus(
@@ -52,10 +52,14 @@ def curate_corpus(
     d = dedup.drop_near_dups(d, pairs)
     if eval_df is not None:
         d = dedup.decontaminate(d, eval_df, n=8)
+    # full Gopher/C4 rule set (word count, mean word length, dup-trigram
+    # rate, stopword floor, alpha ratio — all integer-exact thresholds;
+    # round 3 replaced the bare word-count gate) plus the lexical-diversity
+    # rule the rule set doesn't carry.
+    d = filter_quality(d, min_words=min_words)
     w = words_col("text")
     d = d.where(
-        (F.size(w) >= min_words)
-        & ((F.size(F.array_distinct(w)) / F.size(w)) >= min_diversity)
+        (F.size(F.array_distinct(w)) / F.size(w)) >= min_diversity
     )
     if mixture is not None:
         d = curation.sample_mixture(

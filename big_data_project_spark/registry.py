@@ -2749,8 +2749,23 @@ def cu_upsample(spark, sf_dir):
       SELECT * FROM d2
       WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d2.doc_id)),
     d4 AS (
+      -- full quality-rule gate (mirrors tx_quality_filter's oracle at
+      -- min_words=20) + the pipeline's extra lexical-diversity rule
       SELECT * FROM d3
-      WHERE len(w) >= 20
+      WHERE len(w) >= 20 AND len(w) <= 100000
+        AND 10 * CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+              >= 30 * len(w)
+        AND 10 * CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+              <= 100 * len(w)
+        AND 1000 * (CASE WHEN len(w) >= 3
+                         THEN (len(w) - 2) - len(list_distinct(
+                                list_transform(range(1, len(w) - 1),
+                                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))
+                         ELSE 0 END)
+              <= 50 * (CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END)
+        AND len(regexp_extract_all(text, '\\b(the|a|of|and|is)\\b')) >= 2
+        AND 1000 * len(list_filter(w, x -> regexp_full_match(x, '[A-Za-z]+')))
+              >= 700 * len(w)
         AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3),
     d5 AS (
       SELECT * FROM d4
@@ -2848,6 +2863,7 @@ def cu_cap_per_source(spark, sf_dir):
 
 @register(
     "dd_line_dedup",
+    headline=True,
     oracle="""
     WITH wt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
                 FROM documents),
@@ -2968,6 +2984,7 @@ def dd_incremental(spark, sf_dir):
 
 @register(
     "tx_quality_filter",
+    headline=True,
     oracle="""
     WITH t AS (SELECT doc_id, text,
                       string_split_regex(trim(text), '\\s+') AS w
@@ -3253,8 +3270,12 @@ _PRIORITY = [
     "j2_part_revenue_by_brand",
     "j3_customer_order_stats",
     "j4_semi_anti",
-    "j5_price_band_join",
+    # J5 keeps one window slot (as-of, the harder semantics); the freed slot
+    # makes E1's deterministic embedding branch driver-green — E1 was the
+    # only §2 ID whose driver row was rows-only for a value-hashable op.
+    # j5_price_band_join stays registered under the identical pytest gate.
     "j5_asof_join",
+    "e1_hash_embed",
     "j6_cross_join",
     # windows + ordering (W1-W3, O1-O2)
     "w1_top_orders_per_customer",
