@@ -128,6 +128,53 @@ def jaccard_pairs(
     return out
 
 
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """EXACT Jaccard computed only for the given candidate ``pairs``
+    (id_a, id_b) — the verify half of the blocked-dedup recipe: LSH
+    proposes, this confirms. Cost is linear in candidates × shingles-per-
+    doc (each candidate pair expands to its own shingle rows, never the
+    corpus cross product), so it composes with minhash_lsh_candidates into
+    a fully scale-shaped near-dedup: block → verify → cluster → drop."""
+    sh = doc_shingles(df, text, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    p = pairs.select("id_a", "id_b")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("_idb"), F.col("shingle").alias("_sb"))
+    common = (
+        p.join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("_idb")) & (F.col("_sa") == F.col("_sb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------

@@ -272,6 +272,25 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def order_distribution_windows(orders: DataFrame, tiles: int = 4) -> DataFrame:
+    """W-surface closure: distribution window functions — ntile bucketing,
+    percent_rank, cume_dist — per order priority, price-descending. One
+    hash shuffle on the partition key like every other window here.
+    percent_rank/cume_dist are single IEEE divisions of small exact
+    integers, so the doubles are engine-identical (oracle-matchable
+    without rounding)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(tiles).over(w).cast("long").alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 def event_value_delta(events: DataFrame) -> DataFrame:
     """W2: analytic window — per-user delta vs previous event (lag)."""
     w = Window.partitionBy("user_id").orderBy("event_id")

@@ -35,6 +35,7 @@ def curate_corpus(
     budget: int = 512,
     n_shards: int = 8,
     seed: int = 7,
+    pair_source: str = "exact",
 ) -> DataFrame:
     """Run the whole curation line over a ``documents``-shaped frame
     (doc_id, source, text). Returns one row per surviving document with its
@@ -46,9 +47,27 @@ def curate_corpus(
     ``seed + 1``, NOT the mixture's seed: with a shared bucket, mixture
     rates <= 200 permille would keep exactly the bucket range the split
     assigns to test/val and the training set would come out EMPTY — the
-    stages must subsample independently."""
+    stages must subsample independently.
+
+    ``pair_source`` picks the near-dup pair generator:
+
+    - ``"exact"`` (default): all-pairs n-gram Jaccard — engine-mirrorable
+      (the pl_curation_e2e oracle), but its shingle self-join is quadratic
+      per hot shingle. Correctness reference and small/medium corpora.
+    - ``"lsh"``: MinHash-LSH candidates verified by exact Jaccard on the
+      candidate pairs only — the 100 TB path (linear shuffles, no
+      all-pairs stage; the verify join touches just the blocked
+      candidates). Band recall < 1 can only MISS pairs, never invent
+      them, so every exact-mode survivor also survives lsh mode
+      (asserted in tests)."""
     d = dedup.drop_exact_dups(docs)
-    pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
+    if pair_source == "exact":
+        pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
+    elif pair_source == "lsh":
+        cand = dedup.minhash_lsh_candidates(d, n=3).select("id_a", "id_b")
+        pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
+    else:
+        raise ValueError("pair_source must be 'exact' or 'lsh'")
     d = dedup.drop_near_dups(d, pairs)
     if eval_df is not None:
         d = dedup.decontaminate(d, eval_df, n=8)

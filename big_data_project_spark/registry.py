@@ -3079,6 +3079,28 @@ def e1_hash_embed(spark, sf_dir):
 
 
 @register(
+    "w4_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def w4_distribution(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist) —
+    the last window-function family without a registry row. The rank
+    ratios are single divisions of exact small integers, bit-identical
+    across engines."""
+    return relational.order_distribution_windows(
+        _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
     "dd_simhash",
     oracle=f"""
     WITH tok AS (SELECT doc_id,

@@ -502,3 +502,36 @@ def test_filter_quality_matches_flags(spark, sf_dir):
     assert got == want
     n_all = docs.count()
     assert 0 < len(want) < n_all  # rules discriminate on this corpus
+
+
+def test_jaccard_verify_agrees_with_allpairs(spark, sf_dir):
+    """jaccard_verify on ALL qualifying pairs must equal jaccard_pairs —
+    same exact scores, just restricted to a candidate list."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import dedup as dd
+
+    docs = io.load_table(spark, sf_dir, "documents").limit(60)
+    allp = dd.jaccard_pairs(docs, n=3)
+    ver = dd.jaccard_verify(docs, allp.select("id_a", "id_b"), n=3)
+    a = {(r.id_a, r.id_b): r.jaccard for r in allp.collect()}
+    b = {(r.id_a, r.id_b): r.jaccard for r in ver.collect()}
+    assert a == b
+    assert a  # non-trivial
+
+
+def test_curate_corpus_lsh_mode_superset_of_exact(spark, sf_dir):
+    """LSH blocking can only MISS near-dup pairs, never invent them, so
+    fewer docs are dropped: every exact-mode survivor must also survive
+    lsh mode, and both modes must agree on all downstream columns for the
+    shared docs."""
+    from big_data_project_spark import io
+    from big_data_project_spark.pipelines.curation import curate_corpus
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    exact = {r.doc_id: (r.split, r.shard, r.n_tokens)
+             for r in curate_corpus(docs, pair_source="exact").collect()}
+    lsh = {r.doc_id: (r.split, r.shard, r.n_tokens)
+           for r in curate_corpus(docs, pair_source="lsh").collect()}
+    assert set(exact) <= set(lsh)
+    for k in exact:
+        assert exact[k] == lsh[k]
