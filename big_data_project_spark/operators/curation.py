@@ -174,6 +174,24 @@ def token_report(
     )
 
 
+def pack_manifest(packed: DataFrame, budget: int = 512) -> DataFrame:
+    """Training-readiness report over pack_by_token_budget output: one row
+    per (shard, pack) with document count, token total, first document, and
+    fill ratio vs the budget — the numbers that tell you whether packing is
+    wasting context windows. One partial+final hash aggregate; fill_ratio
+    divides by the power-of-two budget, so the double is exact on every
+    engine."""
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .withColumn("fill_ratio", F.col("total_tokens") / float(budget))
+    )
+
+
 def pack_by_token_budget(
     df: DataFrame,
     text: str = "text",

@@ -414,6 +414,41 @@ def drop_near_dups(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     return df.join(keep, id_col, "left_semi")
 
 
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    group_col: str = "source",
+) -> DataFrame:
+    """Decontamination AUDIT: per ``group_col``, how many documents are
+    contaminated (share an exact word n-gram with the eval set) vs clean —
+    the report you read before deciding to drop. Same shingle semi-join as
+    ``decontaminate`` plus one hash aggregate; emitting counts instead of
+    the surviving rows costs one extra join against the (tiny) contaminated
+    id set."""
+    cg = doc_shingles(corpus, text, id_col, n)
+    eg = doc_shingles(eval_df, text, id_col, n).select("shingle").distinct()
+    contaminated = (
+        cg.join(eg, "shingle", "left_semi")
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+        .withColumn("_dirty", F.lit(1))
+    )
+    return (
+        corpus.join(contaminated, id_col, "left")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("_dirty", F.lit(0))).alias("n_contaminated"),
+            (F.count("*") - F.sum(F.coalesce("_dirty", F.lit(0)))).alias(
+                "n_clean"
+            ),
+        )
+    )
+
+
 def line_doc_counts(
     df: DataFrame, text: str = "text", sep: str = "\n", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2506,10 +2506,9 @@ def cu_train_val_test(spark, sf_dir):
     ).select("doc_id", "split")
 
 
-@register(
-    "cu_pack_token_budget",
-    oracle=f"""
-    WITH t AS (
+#: shared packing derivation (cu_pack_token_budget + cu_pack_manifest —
+#: ONE copy so the doc-level and manifest views cannot drift).
+_PACK_CTES = f"""t AS (
       SELECT doc_id, ({_cu_bucket(0)}) % 8 AS shard,
              CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
                AS n_tokens
@@ -2517,10 +2516,18 @@ def cu_train_val_test(spark, sf_dir):
     c AS (
       SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM t)
-    SELECT doc_id, shard, n_tokens,
-           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
-    FROM c
+      FROM t),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+      FROM c)"""
+
+
+@register(
+    "cu_pack_token_budget",
+    oracle=f"""
+    WITH {_PACK_CTES}
+    SELECT doc_id, shard, n_tokens, pack_id FROM packed
     """,
 )
 def cu_pack_token_budget(spark, sf_dir):
@@ -2532,11 +2539,10 @@ def cu_pack_token_budget(spark, sf_dir):
     )
 
 
-@register(
-    "dd_decontaminate",
-    headline=True,
-    oracle=f"""
-    WITH w AS (SELECT doc_id, source,
+#: shared decontamination derivation (dd_decontaminate +
+#: dd_contamination_report — ONE copy so the drop and the audit cannot
+#: drift): 8-gram shingles, 5%-hash-sampled eval set, contaminated ids.
+_DECON_CTES = f"""w AS (SELECT doc_id, source,
                       string_split_regex(trim(text), '\\s+') AS ws
                FROM documents),
     g AS (
@@ -2549,7 +2555,14 @@ def cu_pack_token_budget(spark, sf_dir):
     ev AS (SELECT DISTINCT shingle FROM g WHERE {_CU_BUCKET} < 50),
     contaminated AS (
       SELECT DISTINCT doc_id FROM g
-      WHERE EXISTS (SELECT 1 FROM ev WHERE ev.shingle = g.shingle))
+      WHERE EXISTS (SELECT 1 FROM ev WHERE ev.shingle = g.shingle))"""
+
+
+@register(
+    "dd_decontaminate",
+    headline=True,
+    oracle=f"""
+    WITH {_DECON_CTES}
     SELECT d.doc_id, d.source FROM documents d
     WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
     """,
@@ -3076,6 +3089,50 @@ def e1_hash_embed(spark, sf_dir):
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("i", "val")
     )
+
+
+@register(
+    "dd_contamination_report",
+    oracle=f"""
+    WITH {_DECON_CTES}
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(count(*) - sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM documents d LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dd_contamination_report(spark, sf_dir):
+    """Per-source decontamination audit (same planted 5%-sample eval set
+    as dd_decontaminate, same shared SQL derivation): contaminated vs
+    clean counts — the report read before committing to the drop."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = curation.deterministic_sample(docs, "doc_id", permille=50, seed=7)
+    return dedup.contamination_report(docs, eval_df, n=8)
+
+
+@register(
+    "cu_pack_manifest",
+    oracle=f"""
+    WITH {_PACK_CTES}
+    SELECT shard, pack_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc,
+           CAST(sum(n_tokens) AS BIGINT) / 512.0 AS fill_ratio
+    FROM packed GROUP BY shard, pack_id
+    """,
+)
+def cu_pack_manifest(spark, sf_dir):
+    """Per-pack training-readiness manifest over the sequence packer:
+    (shard, pack) → docs, tokens, first doc, fill ratio. Shares the
+    packing CTEs with cu_pack_token_budget so the two views cannot
+    drift."""
+    packed = curation.pack_by_token_budget(
+        _t(spark, sf_dir, "documents"), budget=512, n_shards=8
+    )
+    return curation.pack_manifest(packed, budget=512)
 
 
 @register(

@@ -195,3 +195,17 @@ def test_filter_quality_is_narrow(spark, sf_dir):
     docs = io.load_table(spark, sf_dir, "documents")
     df = tx.filter_quality(docs)
     assert plans.num_shuffles(df) == 0, plans.physical_plan(df)
+
+
+def test_round3_entries_shuffle_budgets(spark, sf_dir):
+    """Pin the new entries' plan shapes: distribution windows are one hash
+    shuffle; simhash is explode + one partial+final aggregate; the
+    embedding oracle stage is a pure narrow mapInPandas + explode (zero
+    exchanges)."""
+    for name, budget in (
+        ("w4_distribution", 1),
+        ("dd_simhash", 1),
+        ("e1_hash_embed", 0),
+    ):
+        got = plans.num_shuffles(_df(name, spark, sf_dir))
+        assert got <= budget, (name, got, plans.physical_plan(_df(name, spark, sf_dir)))
