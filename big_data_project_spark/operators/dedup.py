@@ -194,15 +194,17 @@ def minhash_signatures_agg(
       partial aggregation collapses each partition to one row per doc
       BEFORE the shuffle, so shuffle volume is docs·k longs, not
       docs·shingles·k rows."""
+    # expression strings: one py4j call per aggregate and one for the
+    # array assembly (the Column-object form paid seconds of driver-side
+    # py4j chatter building 64 nested min(xxhash64) objects per call).
     mins = shingled.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
+            F.expr(f"min(xxhash64(shingle, {seed + i})) AS h{i}")
             for i in range(num_hashes)
         ]
     )
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
-    )
+    sig = ", ".join(f"h{i}" for i in range(num_hashes))
+    return mins.selectExpr("doc_id", f"array({sig}) AS signature")
 
 
 def minhash_lsh_candidates(
@@ -223,25 +225,21 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_agg(doc_shingles(df, text, id_col, n), num_hashes, seed)
+    band_exprs = ", ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(
+            f"element_at(signature, {b * rows_per_band + r + 1})"
+            for r in range(rows_per_band)
+        )
+        + "))"
+        for b in range(bands)
+    )
     banded = sig.select(
         "doc_id",
         "signature",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.element_at("signature", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
+        F.posexplode(F.expr(f"array({band_exprs})")).alias(
+            "band_id", "band_hash"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -288,31 +286,32 @@ def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words_col(text)).alias("w")
     )
-    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
-    tok = tok.select("doc_id", h.alias("h"))
     # majority vote via bit-extraction sums: sum over tokens of ±1 for bit j
     # is positive  ⟺  2·sum(bit_j) > n_tokens. Extracting the bit directly
     # in the aggregate (shift+mask on the single long) keeps the pre-shuffle
     # row at one long instead of a 60-element vote array — measured ~2× at
     # sf0.1 — and partial aggregation still collapses per partition.
+    # The wide expressions are built as SQL strings (one py4j call each,
+    # one for the whole fingerprint) — the Column-object formulation spent
+    # ~1.8s PER CALL in driver-side py4j chatter building 60 aggregates
+    # plus a 60-deep OR chain; execution is identical.
     n_bits = bits - 4  # 60 usable bits from 15 hex chars
+    tok = tok.selectExpr(
+        "doc_id", "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) AS h"
+    )
     summed = tok.groupBy("doc_id").agg(
         F.count("*").alias("_n"),
         *[
-            F.sum(
-                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1).cast("long"))
-            ).alias(f"b{j}")
+            F.expr(f"sum(shiftrightunsigned(h, {j}) & CAST(1 AS BIGINT)) AS b{j}")
             for j in range(n_bits)
         ],
     )
-    fingerprint = F.lit(0).cast("long")
-    for j in range(n_bits):
-        fingerprint = fingerprint.bitwiseOR(
-            F.when(
-                2 * F.col(f"b{j}") > F.col("_n"), F.lit(1 << j).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return summed.select("doc_id", fingerprint.alias("simhash"))
+    # disjoint bit positions: + is OR
+    fingerprint = " + ".join(
+        f"if(2 * b{j} > _n, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+        for j in range(n_bits)
+    )
+    return summed.selectExpr("doc_id", f"{fingerprint} AS simhash")
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

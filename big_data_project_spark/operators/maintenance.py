@@ -212,22 +212,24 @@ def zorder_value(cols: list[str], mins: list[str], maxs: list[str], bits: int = 
     the Morton ordering."""
     n = len(cols)
     bits = min(bits, 63 // n)
-    scaled = []
-    for c, lo, hi in zip(cols, mins, maxs):
-        rng = F.col(hi) - F.col(lo)
-        frac = F.when(rng > 0, (F.col(c) - F.col(lo)) / rng).otherwise(F.lit(0.0))
-        scaled.append(
-            F.least(
-                F.floor(frac * ((1 << bits) - 1)).cast("long"),
-                F.lit((1 << bits) - 1).cast("long"),
-            )
-        )
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, s in enumerate(scaled):
-            bit = F.shiftrightunsigned(s, i).bitwiseAND(F.lit(1).cast("long"))
-            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
-    return z
+    mask = (1 << bits) - 1
+    # one SQL string, one py4j call: the Column-object formulation (n*bits
+    # nested OR/shift objects) spent multiple driver-side SECONDS per call
+    # in py4j chatter before any task ran. Whole-stage codegen CSE
+    # de-duplicates the repeated scaled subexpressions; scaled values are
+    # non-negative so >> matches the previous unsigned shift.
+    scaled = [
+        f"least(floor((CASE WHEN (({hi}) - ({lo})) > 0 "
+        f"THEN (({c}) - ({lo})) / (({hi}) - ({lo})) ELSE 0.0 END) "
+        f"* {mask}), CAST({mask} AS BIGINT))"
+        for c, lo, hi in zip(cols, mins, maxs)
+    ]
+    terms = " + ".join(
+        f"(((({scaled[j]}) >> {i}) & CAST(1 AS BIGINT)) << {i * n + j})"
+        for i in range(bits)
+        for j in range(n)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
 
 
 def write_zordered(

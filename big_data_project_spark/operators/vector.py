@@ -143,29 +143,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_col(emb: Column | str, planes: list[list[float]]) -> Column:
+def lsh_bucket_col(emb: str, planes: list[list[float]]) -> Column:
     """Sign-bit signature of the embedding against each hyperplane, packed
-    into a long — the LSH bucket key."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    _d(emb),
-                    F.array(*[F.lit(w) for w in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), j),
-        ).otherwise(F.lit(0).cast("long"))
+    into a long — the LSH bucket key.
+
+    Built as ONE SQL expression string: the Column-object form paid a
+    py4j round trip per hyperplane weight (planes × dim F.lit calls —
+    seconds of driver time per query at 12×64). Float literals are
+    emitted as ``repr(w)D`` — Python's repr is the shortest exact
+    round-trip and Spark parses D-suffixed literals with
+    Double.parseDouble, so the plan carries bit-identical weights."""
+    terms = " + ".join(
+        "IF(aggregate(zip_with(transform({e}, v -> CAST(v AS DOUBLE)), "
+        "array({ws}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0, "
+        "CAST({bit} AS BIGINT), CAST(0 AS BIGINT))".format(
+            e=emb,
+            ws=", ".join(f"{w!r}D" for w in plane),
+            bit=1 << j,
+        )
         for j, plane in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    )
+    return F.expr(f"({terms})")
 
 
 def ann_topk(
