@@ -535,3 +535,86 @@ def test_curate_corpus_lsh_mode_superset_of_exact(spark, sf_dir):
     assert set(exact) <= set(lsh)
     for k in exact:
         assert exact[k] == lsh[k]
+
+
+def test_operators_tolerate_empty_corpus(spark):
+    """Every curation/dedup operator must run (and return zero rows, not
+    throw) on an empty documents-shaped frame — the first micro-batch of a
+    new feed is empty, and a 100 TB job that dies on an empty partition of
+    work is not operable."""
+    from pyspark.sql import types as T
+
+    from big_data_project_spark.operators import curation as cu
+    from big_data_project_spark.operators import dedup as dd
+    from big_data_project_spark.operators import text as tx
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    empty = spark.createDataFrame([], schema)
+    outs = [
+        dd.drop_exact_dups(empty),
+        dd.jaccard_pairs(empty),
+        dd.remove_hot_lines(empty),
+        dd.dedup_against_snapshot(empty, empty),
+        dd.decontaminate(empty, empty),
+        dd.contamination_report(empty, empty),
+        dd.simhash(empty),
+        tx.quality_rule_flags(empty),
+        tx.filter_quality(empty),
+        cu.deterministic_sample(empty, "doc_id", 500),
+        cu.sample_mixture(empty, {"a": 10}),
+        cu.upsample_mixture(empty, {"a": 2500}),
+        cu.pack_by_token_budget(empty),
+        cu.pack_manifest(cu.pack_by_token_budget(empty)),
+        cu.token_report(empty),
+    ]
+    for df in outs:
+        assert df.count() == 0
+
+
+def test_quality_rules_match_python_model(spark):
+    """quality_rule_flags vs a plain-Python model of the same rules on
+    adversarial texts (short docs, symbol soup, heavy repetition)."""
+    import re as _re
+
+    from big_data_project_spark.operators import text as tx
+
+    texts = [
+        "",                                      # empty-ish (split -> [''])
+        "one",
+        "a b",
+        "the cat sat on the mat and it was the best of mats",
+        "$$$ %% ## !! ?? **",                    # symbol soup
+        ("spam ham " * 40).strip(),              # pure 2-word repetition
+        "the " + "supercalifragilistic " * 25 + "a of and is end",
+        "the a of and is " + "word " * 30,
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.asDict() for r in tx.quality_rule_flags(df).collect()}
+
+    for i, t in rows:
+        w = _re.split(r"\s+", t.strip())
+        n = len(w)
+        chars = sum(len(x) for x in w)
+        tri = [" ".join(w[j:j + 3]) for j in range(n - 2)] if n >= 3 else []
+        ndup = (n - 2) - len(set(tri)) if n >= 3 else 0
+        stop = len(_re.findall(r"\b(the|a|of|and|is)\b", t))
+        alpha = sum(1 for x in w if _re.fullmatch(r"[A-Za-z]+", x))
+        g = got[i]
+        assert g["n_words"] == n, (i, g)
+        assert g["total_chars"] == chars, (i, g)
+        assert g["n_dup_trigrams"] == ndup, (i, g)
+        assert g["stopword_hits"] == stop, (i, g)
+        assert g["n_alpha_words"] == alpha, (i, g)
+        keep = (
+            30 <= n <= 100_000
+            and 30 * n <= 10 * chars <= 100 * n
+            and 1000 * ndup <= 50 * max(n - 2, 0)
+            and stop >= 2
+            and 1000 * alpha >= 700 * n
+        )
+        assert g["keep"] == int(keep), (i, g)
