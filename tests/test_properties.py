@@ -618,3 +618,21 @@ def test_quality_rules_match_python_model(spark):
             and 1000 * alpha >= 700 * n
         )
         assert g["keep"] == int(keep), (i, g)
+
+
+def test_deterministic_sample_xxh64_fast_path(spark, sf_dir):
+    """The xxh64 bucket variant must be rerun-stable, roughly honor the
+    permille rate, and select a different-but-valid subset than md5."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import curation as cu
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    a = {r.doc_id for r in
+         cu.deterministic_sample(docs, "doc_id", 300, seed=7, hash_fn="xxh64")
+         .select("doc_id").collect()}
+    b = {r.doc_id for r in
+         cu.deterministic_sample(docs, "doc_id", 300, seed=7, hash_fn="xxh64")
+         .select("doc_id").collect()}
+    assert a == b  # rerun-stable
+    assert 0.15 * n <= len(a) <= 0.45 * n  # ~300 permille
