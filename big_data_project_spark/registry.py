@@ -3246,6 +3246,69 @@ def mt_zorder(spark, sf_dir):
     return base.crossJoin(agg).select("o_orderkey", z.alias("zval"))
 
 
+_RAG_QTEXT = "key agg row scan"
+
+
+@register(
+    "pl_rag_index_e2e",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, CAST(s // 40 AS BIGINT) AS chunk_id,
+             array_to_string(list_slice(w, s + 1, s + 50), ' ') AS chunk_text
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents),
+           unnest(range(0, greatest(len(w), 1), 40)) t(s)
+      WHERE len(list_slice(w, s + 1, s + 50)) > 0),
+    cv AS (
+      SELECT doc_id, chunk_id, i,
+        {_SHA_U64_UNIT.replace("hx", "sha256(chunk_text || chr(0) || CAST(i AS VARCHAR))")} AS x
+      FROM ch, unnest(range(0, 8)) AS u(i)),
+    cn AS (SELECT doc_id, chunk_id,
+                  sqrt(list_reduce(list_prepend(0.0, list(x * x ORDER BY i)),
+                                   (a, b) -> a + b)) AS nrm
+           FROM cv GROUP BY doc_id, chunk_id),
+    ce AS (SELECT cv.doc_id, cv.chunk_id,
+                  list(CAST(CAST(cv.x / cn.nrm AS REAL) AS DOUBLE)
+                       ORDER BY cv.i) AS v
+           FROM cv JOIN cn USING (doc_id, chunk_id)
+           GROUP BY cv.doc_id, cv.chunk_id),
+    q0 AS (SELECT i,
+        {_SHA_U64_UNIT.replace("hx", f"sha256('{_RAG_QTEXT}' || chr(0) || CAST(i AS VARCHAR))")} AS x
+      FROM unnest(range(0, 8)) AS u(i)),
+    qn AS (SELECT sqrt(list_reduce(list_prepend(0.0, list(x * x ORDER BY i)),
+                                   (a, b) -> a + b)) AS nrm FROM q0),
+    qv AS (SELECT list(CAST(CAST(x / (SELECT nrm FROM qn) AS REAL) AS DOUBLE)
+                       ORDER BY i) AS q FROM q0)
+    SELECT ce.doc_id, ce.chunk_id, list_dot_product(ce.v, qv.q) AS score
+    FROM ce, qv
+    ORDER BY score DESC, doc_id, chunk_id LIMIT 10
+    """,
+)
+def pl_rag_index_e2e(spark, sf_dir):
+    """RAG indexing line, value-hashed END TO END: chunk (50-word windows,
+    10 overlap) -> embed every chunk (the mapInPandas stage, deterministic
+    branch) -> exact inner-product top-10 against an embedded query
+    string. Composes tx_chunk_documents + e1_hash_embed + e3-style scoring
+    under ONE oracle — the chunk->embed->search shape every RAG deployment
+    runs, with the embedding math mirrored bit-for-bit in SQL."""
+    from big_data_project_spark.plugins import Embedder
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = text.chunk_documents(docs, chunk_size=50, overlap=10)
+    embedder = Embedder(model_name=None, dim=8)
+    emb = embedder.transform(chunks, text_col="chunk_text")
+    q = embedder.transform(
+        spark.createDataFrame([(_RAG_QTEXT,)], ["chunk_text"]),
+        text_col="chunk_text",
+    ).select(F.col("embedding").alias("q"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "doc_id", "chunk_id", vector.dot("embedding", "q").alias("score")
+    )
+    return scored.orderBy(
+        F.col("score").desc(), "doc_id", "chunk_id"
+    ).limit(10)
+
+
 @register(
     "mm_decode_oracle",
     oracle="""
