@@ -3246,6 +3246,39 @@ def mt_zorder(spark, sf_dir):
     return base.crossJoin(agg).select("o_orderkey", z.alias("zval"))
 
 
+@register(
+    "j7_salted_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def j7_salted_join(spark, sf_dir):
+    """Skew-resistant salted join, proven VALUE-INVISIBLE: the oracle is
+    the PLAIN join — salting only routes rows across reducers (rand() is
+    dropped before output), so results must be identical to the unsalted
+    equi-join. The manual fallback for skew AQE cannot split (skewed
+    aggregation-input joins with a non-broadcastable dim)."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1995-01-01"
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    j = relational.salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8)
+    return j.groupBy("o_orderkey", "o_custkey").agg(
+        relational.dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 _RAG_QTEXT = "key agg row scan"
 
 
