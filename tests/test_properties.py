@@ -636,3 +636,17 @@ def test_deterministic_sample_xxh64_fast_path(spark, sf_dir):
          .select("doc_id").collect()}
     assert a == b  # rerun-stable
     assert 0.15 * n <= len(a) <= 0.45 * n  # ~300 permille
+
+
+def test_pack_by_token_budget_string_ids(spark):
+    """Regression: sharding hashes the id content — a STRING doc id must
+    spread across shards (under pmod it silently cast to NULL and every
+    row collapsed into one global window)."""
+    from big_data_project_spark.operators import curation as cu
+
+    rows = [(f"doc-{i}", "w " * 40) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = cu.pack_by_token_budget(df, budget=64, n_shards=8)
+    shards = {r.shard for r in out.select("shard").distinct().collect()}
+    assert len(shards) >= 4, shards  # spread, not collapsed
+    assert out.where(F.col("shard").isNull()).count() == 0
