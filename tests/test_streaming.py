@@ -254,3 +254,47 @@ def test_session_native_equals_batch_at_sf001(spark):
     ns, bs = _rows_set(native.collect()), _rows_set(batch.collect())
     assert len(ns) > 5000
     assert ns == bs
+
+
+def test_streaming_document_curation_equals_batch(spark, sf_dir):
+    """The curation surface is streaming-safe: quality filtering is a
+    stateless narrow filter and exact dedup maps to
+    dropDuplicatesWithinWatermark, so a document FEED (crawl output
+    arriving as files) curates to exactly the batch result. Append mode —
+    no aggregation state involved."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from big_data_project_spark.operators import text as tx
+
+    d = tempfile.mkdtemp(prefix="bdps_docs_")
+    try:
+        docs = io.load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        docs.repartition(4).write.mode("overwrite").parquet(d)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).parquet(d)
+        curated = tx.filter_quality(stream).dropDuplicates(["doc_id"])
+        q = (
+            curated.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cur_out")
+            .start()
+        )
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.sql("SELECT doc_id FROM cur_out").collect()}
+        q.stop()
+        want = {r.doc_id for r in tx.filter_quality(docs).select("doc_id").collect()}
+        assert got == want
+        assert got  # non-trivial
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
