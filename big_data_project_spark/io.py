@@ -93,13 +93,21 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table from a scale-factor directory.
 
-    ``events`` carries a parquet TIMESTAMP(NANOS) column, which Spark's
-    TimestampType (µs) cannot represent — the reader hard-errors
-    (PARQUET_TYPE_ILLEGAL). The engine reads nanos as long
-    (spark.sql.legacy.parquet.nanosAsLong) and converts with exact integer
-    division `ts DIV 1000` → ``timestamp_micros`` (floor, matching DuckDB's
-    ``epoch_ns(ts) // 1000``). Float division would lose precision at
-    1.7e18 ns.
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations; the reader normalizes both to TimestampType (µs, session
+    tz = UTC) so every downstream operator sees one type:
+
+    - parquet TIMESTAMP(NANOS): Spark's TimestampType (µs) cannot represent
+      it — the reader hard-errors (PARQUET_TYPE_ILLEGAL). Read nanos as long
+      (spark.sql.legacy.parquet.nanosAsLong) and convert with exact integer
+      division ``ts DIV 1000`` → ``timestamp_micros`` (floor, matching
+      DuckDB's ``epoch_ns(ts) // 1000``). Float division would lose
+      precision at 1.7e18 ns.
+    - parquet timestamp[us] with isAdjustedToUTC=false: Spark 4 infers
+      TIMESTAMP_NTZ (inferTimestampNTZ default-on), which rejects numeric
+      casts (``cast(ntz as long)`` is a type error). Cast NTZ → timestamp:
+      with the session tz pinned to UTC this is value-identical to DuckDB's
+      naive-TIMESTAMP read.
     """
     if name == "events":
         return _load_events(spark, sf_dir)
@@ -109,8 +117,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
