@@ -175,3 +175,44 @@ def test_kmeans_refine_shapes_and_recall(spark, sf_dir):
         for r in vector.ivf_probe(refined, a2, q, k=10, n_probe=4, metric="ip").collect()
     }
     assert len(exact & got) / 10 >= 0.3, (exact, got)
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    kept = vector.semantic_dedup(emb, n_clusters=8, threshold=0.4)
+    kp = kept.toPandas()
+    n_total = emb.count()
+    # discriminating at this corpus: some drops, most survive
+    assert 0 < len(kp) < n_total
+    # every kept id is a real id, each appears once, cluster ids in range
+    assert kp.vec_id.is_unique
+    assert kp.cluster_id.between(0, 7).all()
+    # defining invariant of greedy keep-first: among kept rows, no
+    # same-cluster pair reaches the threshold
+    k = kept.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = k.select(
+        "cluster_id", F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
+    )
+    b = k.select(
+        "cluster_id", F.col("vec_id").alias("idb"), F.col("embedding").alias("eb")
+    )
+    offenders = (
+        a.join(b, "cluster_id")
+        .where(F.col("ida") < F.col("idb"))
+        .where(vector.cosine("ea", "eb") >= 0.4)
+    )
+    assert offenders.count() == 0
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    import math
+
+    base = [float(math.sin(i * 0.7)) for i in range(16)]
+    near = [v + (0.001 if i % 2 else -0.001) for i, v in enumerate(base)]
+    far = [float(math.cos(i * 1.3)) for i in range(16)]
+    rows = [(0, base), (1, near), (2, far)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one cluster => the planted near-dup pair lands together; greedy
+    # keep-first must keep 0 and drop 1, and keep the unrelated 2
+    kept = {r.vec_id for r in vector.semantic_dedup(df, n_clusters=1, threshold=0.95).collect()}
+    assert kept == {0, 2}
