@@ -241,3 +241,71 @@ def pack_by_token_budget(
         "pack_id",
         F.floor((cum - F.col("n_tokens")) / float(budget)).cast("long"),
     )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of an absolute URL — the normalization every crawl
+    pipeline runs before URL-level dedup (the C4/RefinedWeb recipe):
+
+    - scheme and host lowercased (path case is PRESERVED — paths are
+      case-sensitive by RFC 3986);
+    - leading ``www.`` and the scheme's default port (``:80`` http /
+      ``:443`` https) stripped from the host;
+    - fragment dropped;
+    - repeated slashes in the path collapsed, one trailing slash stripped,
+      empty path normalized to ``/``;
+    - tracking query parameters removed (``utm_*``, ``fbclid``, ``gclid``,
+      ``ref``), remaining parameters sorted bytewise, empty query dropped.
+
+    Pure JVM column expression (regexp + higher-order array functions, all
+    codegen'd — no UDF, applies map-side with zero shuffles). Expects an
+    absolute ``scheme://...`` URL; anything else passes through the same
+    string surgery unchanged-in-spirit (no exceptions thrown)."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    scheme = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, "^www\\.", "")
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .otherwise(host)
+    )
+    tail = F.regexp_replace(rest, "^[^/?#]*", "")
+    tail = F.regexp_replace(tail, "#.*$", "")
+    path = F.regexp_extract(tail, "^([^?]*)", 1)
+    query = F.regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="),
+        )
+    )
+    qjoined = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qjoined != "", F.concat(F.lit("?"), qjoined)).otherwise(""),
+    )
+
+
+def dedup_by_url(
+    df: DataFrame, url: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup: keep exactly one row (smallest ``id_col``) per
+    canonical URL. Adds ``canonical_url``. One window shuffle on the
+    canonical key — the same deterministic keep-first shape as
+    ``cleaning.dedup_deterministic``."""
+    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col))
+    return (
+        df.withColumn("canonical_url", canonicalize_url(url))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -3236,6 +3236,91 @@ def dd_semantic(spark, sf_dir):
     )
 
 
+@register(
+    "cu_url_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END
+              || upper(source) || '.Example.COM'
+              || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+              || '/Docs//' || CAST(doc_id % 7 AS VARCHAR)
+              || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+              || '?utm_source=feed&b=2&a=1'
+              || CASE WHEN doc_id % 4 = 0 THEN '&fbclid=xyz' ELSE '' END
+              || '#sec' || CAST(doc_id % 2 AS VARCHAR)) AS url
+      FROM documents),
+    p1 AS (SELECT doc_id,
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+           FROM raw),
+    p2 AS (SELECT doc_id, scheme,
+             regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+                            '^www\\.', '') AS host0,
+             regexp_replace(regexp_replace(rest, '^[^/?#]*', ''), '#.*$', '')
+               AS tail
+           FROM p1),
+    p3 AS (SELECT doc_id, scheme,
+             CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                  WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+                  ELSE host0 END AS host,
+             regexp_extract(tail, '^([^?]*)', 1) AS path0,
+             regexp_extract(tail, '^[^?]*\\?(.*)$', 1) AS query
+           FROM p2),
+    p4 AS (SELECT doc_id, scheme, host,
+             regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'), '/$', '')
+               AS path1,
+             list_aggregate(list_sort(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT regexp_matches(p,
+                       '^(utm_[^=]*|fbclid|gclid|ref)='))),
+                'string_agg', '&') AS q
+           FROM p3),
+    canon AS (SELECT doc_id,
+                scheme || '://' || host ||
+                CASE WHEN path1 = '' THEN '/' ELSE path1 END ||
+                CASE WHEN q IS NOT NULL AND q <> '' THEN '?' || q ELSE '' END
+                  AS canonical_url
+              FROM p4)
+    SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def cu_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (the C4/RefinedWeb crawl
+    recipe). The corpus has no URL column, so the entry first builds
+    deterministic messy URLs (case-mangled scheme/host, www., default
+    port, doubled and trailing slashes, tracking params, fragments) whose
+    construction is mirrored verbatim in the oracle; canonicalization then
+    collapses 500 raw URLs to 140 canonical groups — every branch of the
+    normalizer fires, and the full canonical string (not just the group
+    count) is value-hashed. Map-side expression + one groupBy shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://")
+        ),
+        F.upper("source"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs//"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b=2&a=1"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("&fbclid=xyz")).otherwise(
+            F.lit("")
+        ),
+        F.lit("#sec"),
+        (F.col("doc_id") % 2).cast("string"),
+    )
+    return (
+        d.withColumn("url", url)
+        .withColumn("canonical_url", curation.canonicalize_url("url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
 _Z_INTERLEAVE = " + ".join(
     f"(((s{j} >> {i}) & 1) << {i * 2 + j})"
     for i in range(16)

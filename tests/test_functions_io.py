@@ -96,3 +96,47 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         .count()
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_canonicalize_url_branches(spark):
+    from big_data_project_spark.operators import curation
+
+    cases = [
+        # scheme+host lowercased, www + default port stripped, fragment
+        # dropped, tracking params dropped, params sorted, // collapsed,
+        # trailing slash stripped
+        ("HTTPS://WWW.Ex.COM:443/A//b/?utm_source=x&b=2&a=1#f",
+         "https://ex.com/A/b?a=1&b=2"),
+        # http default port; path case preserved
+        ("http://Ex.com:80/Path/", "http://ex.com/Path"),
+        # non-default port survives; empty path -> /
+        ("https://ex.com:8443?b=1", "https://ex.com:8443/?b=1"),
+        # ftp: no default-port rule (only http/https have one), port kept;
+        # ref/fbclid/gclid dropped
+        ("ftp://Ex.com:21/x?ref=a&fbclid=b&gclid=c&z=9",
+         "ftp://ex.com:21/x?z=9"),
+        # all params tracking -> query dropped entirely
+        ("https://ex.com/x?utm_a=1&utm_b=2", "https://ex.com/x"),
+        # bare root
+        ("https://WWW.EX.com", "https://ex.com/"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    got = df.select(
+        "expected", curation.canonicalize_url("url").alias("canonical")
+    ).collect()
+    for r in got:
+        assert r.canonical == r.expected, (r.canonical, r.expected)
+
+
+def test_dedup_by_url_keeps_smallest_id(spark):
+    from big_data_project_spark.operators import curation
+
+    rows = [
+        (3, "https://ex.com/a?b=2&a=1"),
+        (1, "HTTPS://WWW.ex.com:443/a/?a=1&b=2&utm_x=1#frag"),
+        (2, "https://ex.com/other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = curation.dedup_by_url(df).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0].canonical_url == "https://ex.com/a?a=1&b=2"
