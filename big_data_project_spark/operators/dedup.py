@@ -572,3 +572,50 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def novelty_report(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus — the scoring
+    form of :func:`decontaminate` (drop is a special case of score): for
+    each corpus document, how many of its distinct word ``n``-grams already
+    appear anywhere in ``reference``. Output per corpus document:
+    ``n_grams`` (distinct n-grams), ``n_seen`` (of those, present in the
+    reference), ``novelty_permille`` = ⌊1000·(n_grams−n_seen)/n_grams⌋ —
+    integer floor division, so the score itself is engine-exact. Documents
+    too short to form an n-gram score 1000 (vacuously novel).
+
+    Distributed shape: explode both sides to distinct (id, shingle), the
+    reference reduces to a distinct shingle set, one semi-join marks seen
+    shingles, two hash aggregates per doc, one id-join back to the corpus
+    ids — all linear, no broadcast hints (AQE broadcasts the reference
+    when it measures small)."""
+    cg = doc_shingles(corpus, text, id_col, n).distinct()
+    ref = doc_shingles(reference, text, id_col, n).select("shingle").distinct()
+    totals = cg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    seen = (
+        cg.join(ref, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_seen"))
+    )
+    report = (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(seen, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"),
+        )
+    )
+    return report.withColumn(
+        "novelty_permille",
+        F.when(F.col("n_grams") == 0, F.lit(1000).cast("long")).otherwise(
+            F.expr("(1000 * (n_grams - n_seen)) DIV n_grams")
+        ),
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_project_spark.operators.cleaning import normalize_text_col
 
@@ -519,3 +520,29 @@ def tf_idf(
             (F.col("tf") * idf).alias("tfidf"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame, text: str = "text", min_count: int = 2, top_k: int = 256
+) -> DataFrame:
+    """Corpus vocabulary for tokenizer training prep: the ``top_k`` most
+    frequent whitespace tokens with at least ``min_count`` occurrences,
+    ranked by (count desc, term asc). Output ``(term, n, rank)``.
+
+    Distributed shape: explode → one map-side-combining count aggregate →
+    TakeOrderedAndProject top-k (never a global sort of the vocabulary —
+    a 100 TB corpus has billions of distinct terms, but only k survive).
+    The rank window runs AFTER the limit, over the k-row result: a
+    single-partition window over ``top_k`` rows is a driver-bounded
+    constant, not a scale term."""
+    tok = df.select(F.explode(words_col(text)).alias("term")).where(
+        F.col("term") != ""
+    )
+    counts = tok.groupBy("term").agg(F.count("*").alias("n"))
+    top = (
+        counts.where(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), "term")
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("n").desc(), "term")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

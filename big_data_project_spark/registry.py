@@ -3321,6 +3321,70 @@ def cu_url_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "dd_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)),
+    ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 100),
+    c AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ref)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+          FROM sh WHERE doc_id >= 100 GROUP BY doc_id),
+    ids AS (SELECT doc_id FROM documents WHERE doc_id >= 100)
+    SELECT ids.doc_id,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_seen, 0) AS n_seen,
+           CASE WHEN coalesce(n_grams, 0) = 0 THEN 1000
+                ELSE (1000 * (n_grams - n_seen)) // n_grams
+           END AS novelty_permille
+    FROM ids LEFT JOIN c ON ids.doc_id = c.doc_id
+    """,
+)
+def dd_novelty(spark, sf_dir):
+    """N-gram novelty scoring — the graded form of benchmark
+    decontamination: docs 0-99 act as the reference set, every doc ≥100 is
+    scored by how many of its distinct 3-grams the reference already
+    contains. Genuinely discriminating at sf0.01 (n_seen spans 0-91, mean
+    overlap ~20%); the permille score is integer floor division, so the
+    values — not just the counts — are engine-exact. Same linear
+    explode/semi-join shape as dd_decontaminate."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.novelty_report(
+        d.where(F.col("doc_id") >= 100), d.where(F.col("doc_id") < 100), n=3
+    )
+
+
+@register(
+    "tx_vocab",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+          FROM tok WHERE term <> '' GROUP BY term),
+    t AS (SELECT term, n FROM c WHERE n >= 2 ORDER BY n DESC, term LIMIT 256)
+    SELECT term, n,
+           CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+    FROM t
+    """,
+)
+def tx_vocab(spark, sf_dir):
+    """Vocabulary build (tokenizer-training prep): top-256 tokens by corpus
+    frequency with min_count 2, deterministically ranked. The heavy stage
+    is one count aggregate + TakeOrderedAndProject — the vocabulary of a
+    100 TB corpus never takes a global sort, only k rows survive to the
+    rank window."""
+    return text.build_vocab(
+        _t(spark, sf_dir, "documents"), min_count=2, top_k=256
+    )
+
+
 _Z_INTERLEAVE = " + ".join(
     f"(((s{j} >> {i}) & 1) << {i * 2 + j})"
     for i in range(16)

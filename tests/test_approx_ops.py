@@ -216,3 +216,43 @@ def test_semantic_dedup_drops_planted_duplicate(spark):
     # keep-first must keep 0 and drop 1, and keep the unrelated 2
     kept = {r.vec_id for r in vector.semantic_dedup(df, n_clusters=1, threshold=0.95).collect()}
     assert kept == {0, 2}
+
+
+def test_novelty_report_bounds_and_decontaminate_consistency(spark, sf_dir):
+    d = io.load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 100)
+    ref = d.where(F.col("doc_id") < 100)
+    rep = dedup.novelty_report(corpus, ref, n=3).toPandas()
+    assert len(rep) == corpus.count()
+    assert rep.novelty_permille.between(0, 1000).all()
+    assert (rep.n_seen <= rep.n_grams).all()
+    # a doc fully covered by the reference must score 0; a doc sharing
+    # nothing scores 1000
+    overlap_free = rep[rep.n_seen == 0]
+    assert (overlap_free.novelty_permille == 1000).all()
+
+
+def test_novelty_short_doc_is_vacuously_novel(spark):
+    corpus = spark.createDataFrame(
+        [(1, "two words"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(0, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    rep = {r.doc_id: r for r in dedup.novelty_report(corpus, ref, n=3).collect()}
+    assert rep[1].n_grams == 0 and rep[1].novelty_permille == 1000
+    # "alpha beta gamma" seen, "beta gamma delta" not -> 500
+    assert rep[2].n_grams == 2 and rep[2].n_seen == 1
+    assert rep[2].novelty_permille == 500
+
+
+def test_build_vocab_rank_and_threshold(spark):
+    from big_data_project_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a b b c c c rare"), (2, "c b a a")], "doc_id long, text string"
+    )
+    out = text_ops.build_vocab(docs, min_count=2, top_k=2).collect()
+    # counts: c=4, b=3, a=3, rare=1; top-2 = c then a (tie a<b broken asc)
+    assert [(r.term, r.n, r.rank) for r in out] == [("c", 4, 1), ("a", 3, 2)]
