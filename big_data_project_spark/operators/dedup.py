@@ -179,8 +179,25 @@ def jaccard_verify(
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
 
+_MINHASH_P = 2147483647  # 2^31 − 1, prime: a·x+b stays under 2^62 in a long
+
+
+def md5_affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (aᵢ, bᵢ) multipliers for the classical universal-hash
+    MinHash family hᵢ(x) = (aᵢ·x + bᵢ) mod p over p = 2³¹−1. One shared
+    source for the Spark expressions AND the registry's DuckDB oracle
+    generator, so the two cannot drift."""
+    return [
+        ((2654435761 * (i + 1)) % _MINHASH_P or 1, (40503 * (i + 1) + 7) % _MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures_agg(
-    shingled: DataFrame, num_hashes: int = 64, seed: int = 42
+    shingled: DataFrame,
+    num_hashes: int = 64,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures as ONE hash-aggregate: sig[i] = min over shingles
     of xxhash64(shingle, seed+i).
@@ -193,16 +210,36 @@ def minhash_signatures_agg(
     - groupBy(doc_id).agg(min(h_0)..min(h_k)) instead of posexplode+groupBy:
       partial aggregation collapses each partition to one row per doc
       BEFORE the shuffle, so shuffle volume is docs·k longs, not
-      docs·shingles·k rows."""
+      docs·shingles·k rows.
+
+    ``hash_fn="md5_affine"`` switches to the classical universal family
+    hᵢ(x) = (aᵢ·x + bᵢ) mod 2³¹−1 over x = the 60-bit md5 segment of the
+    shingle — ~2× slower than xxhash64 but ENGINE-EXACT (md5 + integer
+    arithmetic exist identically in DuckDB), which upgrades MinHash/LSH
+    from rows-only to value-hash-checkable by the driver. The md5 is
+    computed once per shingle row, not once per hash function."""
     # expression strings: one py4j call per aggregate and one for the
     # array assembly (the Column-object form paid seconds of driver-side
     # py4j chatter building 64 nested min(xxhash64) objects per call).
-    mins = shingled.groupBy("doc_id").agg(
-        *[
-            F.expr(f"min(xxhash64(shingle, {seed + i})) AS h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    if hash_fn == "md5_affine":
+        hashed = shingled.selectExpr(
+            "doc_id",
+            "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+            f" % {_MINHASH_P} AS _hx",
+        )
+        mins = hashed.groupBy("doc_id").agg(
+            *[
+                F.expr(f"min(({a} * _hx + {b}) % {_MINHASH_P}) AS h{i}")
+                for i, (a, b) in enumerate(md5_affine_params(num_hashes))
+            ]
+        )
+    else:
+        mins = shingled.groupBy("doc_id").agg(
+            *[
+                F.expr(f"min(xxhash64(shingle, {seed + i})) AS h{i}")
+                for i in range(num_hashes)
+            ]
+        )
     sig = ", ".join(f"h{i}" for i in range(num_hashes))
     return mins.selectExpr("doc_id", f"array({sig}) AS signature")
 
@@ -215,6 +252,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows-per-band),
     bucket-join on (band_id, band_hash), emit distinct candidate pairs with
@@ -222,9 +260,14 @@ def minhash_lsh_candidates(
 
     100 TB shape: every stage is an equi-shuffle on bounded keys; candidate
     fan-out is controlled by band width. No all-pairs comparison happens.
-    """
+
+    ``hash_fn="md5_affine"`` makes the whole candidate generation
+    engine-exact (see :func:`minhash_signatures_agg`) — banding is md5 over
+    decimal-rendered signature components, identical in DuckDB."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_agg(doc_shingles(df, text, id_col, n), num_hashes, seed)
+    sig = minhash_signatures_agg(
+        doc_shingles(df, text, id_col, n), num_hashes, seed, hash_fn=hash_fn
+    )
     band_exprs = ", ".join(
         "md5(concat_ws('_', "
         + ", ".join(

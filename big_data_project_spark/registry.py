@@ -3385,6 +3385,89 @@ def tx_vocab(spark, sf_dir):
     )
 
 
+# --- engine-exact MinHash/LSH (md5_affine mode) oracle fragments: the
+# (a_i, b_i) constants come from dedup.md5_affine_params — ONE source for
+# the Spark expressions and this SQL, so they cannot drift.
+_MH_K, _MH_BANDS = 16, 4
+_MH_RPB = _MH_K // _MH_BANDS
+_MH_MINS = ",\n           ".join(
+    f"min(({a} * hx + {b}) % {dedup._MINHASH_P}) AS h{i}"
+    for i, (a, b) in enumerate(dedup.md5_affine_params(_MH_K))
+)
+_MH_BASE = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)),
+    hxt AS (SELECT doc_id,
+                   ({_HEX_SEG.format(a=1, b=16).replace("hx", "md5(shingle)")})
+                     % {dedup._MINHASH_P} AS hx
+            FROM sh),
+    sigs AS (SELECT doc_id, {_MH_MINS} FROM hxt GROUP BY doc_id)"""
+
+
+@register(
+    "dd_minhash_sig",
+    oracle=_MH_BASE
+    + "\n    "
+    + " UNION ALL ".join(
+        f"SELECT doc_id, CAST({i} AS INT) AS i, h{i} AS h FROM sigs"
+        for i in range(_MH_K)
+    ),
+)
+def dd_minhash_sig(spark, sf_dir):
+    """MinHash signatures in engine-exact md5_affine mode, exploded to
+    (doc_id, i, h) and VALUE-hashed — the driver checks the signature
+    numbers themselves, upgrading the MinHash family from the rows-only
+    dd_approx_suite to a full hash row. Same one-hash-aggregate shape as
+    the xxhash64 production mode (shuffle = docs·k longs)."""
+    sig = dedup.minhash_signatures_agg(
+        dedup.doc_shingles(_t(spark, sf_dir, "documents")),
+        _MH_K,
+        hash_fn="md5_affine",
+    )
+    return sig.select("doc_id", F.posexplode("signature").alias("i", "h"))
+
+
+@register(
+    "dd_lsh_candidates",
+    oracle=_MH_BASE
+    + f""",
+    bands AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"h{b * _MH_RPB + r}" for r in range(_MH_RPB))
+        + ")) AS key FROM sigs"
+        for b in range(_MH_BANDS)
+    )}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(({" + ".join(
+               f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+               for i in range(_MH_K)
+           )}) AS DOUBLE) / {float(_MH_K)} AS est_jaccard
+    FROM cand JOIN sigs sa ON sa.doc_id = id_a
+              JOIN sigs sb ON sb.doc_id = id_b
+    """,
+)
+def dd_lsh_candidates(spark, sf_dir):
+    """The FULL LSH candidate generation — shingle → md5-affine signature →
+    band digest → bucket join → estimated Jaccard — value-hashed end to
+    end (est_jaccard divides by 16, a power of two, so even the estimate
+    is bit-exact). 40 candidate pairs at sf0.01. The xxhash64 production
+    mode keeps its recall gates in pytest; this row proves the pipeline's
+    arithmetic."""
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        hash_fn="md5_affine",
+    )
+
+
 _Z_INTERLEAVE = " + ".join(
     f"(((s{j} >> {i}) & 1) << {i * 2 + j})"
     for i in range(16)

@@ -256,3 +256,20 @@ def test_build_vocab_rank_and_threshold(spark):
     out = text_ops.build_vocab(docs, min_count=2, top_k=2).collect()
     # counts: c=4, b=3, a=3, rare=1; top-2 = c then a (tie a<b broken asc)
     assert [(r.term, r.n, r.rank) for r in out] == [("c", 4, 1), ("a", 3, 2)]
+
+
+def test_md5_affine_minhash_estimates_jaccard(spark):
+    # identical docs -> est_jaccard 1.0 under the engine-exact hash family,
+    # near-dups -> high estimate; the md5_affine mode must behave like a
+    # real MinHash, not just hash-match its own oracle
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    variant = base.replace("lazy", "sleepy")
+    docs = [(0, base), (1, variant), (2, "alpha beta gamma delta " * 5),
+            (3, "alpha beta gamma delta " * 5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cand = dedup.minhash_lsh_candidates(
+        df, num_hashes=64, bands=16, hash_fn="md5_affine"
+    )
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in cand.collect()}
+    assert est[(2, 3)] == 1.0
+    assert (0, 1) in est and est[(0, 1)] >= 0.5
