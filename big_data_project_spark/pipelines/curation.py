@@ -36,6 +36,7 @@ def curate_corpus(
     n_shards: int = 8,
     seed: int = 7,
     pair_source: str = "exact",
+    lsh_hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Run the whole curation line over a ``documents``-shaped frame
     (doc_id, source, text). Returns one row per surviving document with its
@@ -59,12 +60,16 @@ def curate_corpus(
       all-pairs stage; the verify join touches just the blocked
       candidates). Band recall < 1 can only MISS pairs, never invent
       them, so every exact-mode survivor also survives lsh mode
-      (asserted in tests)."""
+      (asserted in tests). ``lsh_hash_fn="md5_affine"`` makes the block
+      stage engine-exact too (see minhash_signatures_agg) — the whole
+      lsh-mode line then carries a value-hash oracle (dd_near_dedup_lsh)."""
     d = dedup.drop_exact_dups(docs)
     if pair_source == "exact":
         pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
     elif pair_source == "lsh":
-        cand = dedup.minhash_lsh_candidates(d, n=3).select("id_a", "id_b")
+        cand = dedup.minhash_lsh_candidates(
+            d, n=3, hash_fn=lsh_hash_fn
+        ).select("id_a", "id_b")
         pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
     else:
         raise ValueError("pair_source must be 'exact' or 'lsh'")

@@ -3468,6 +3468,60 @@ def dd_lsh_candidates(spark, sf_dir):
     )
 
 
+@register(
+    "dd_near_dedup_lsh",
+    oracle=_MH_BASE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + f""",
+    bands AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"h{b * _MH_RPB + r}" for r in range(_MH_RPB))
+        + ")) AS key FROM sigs"
+        for b in range(_MH_BANDS)
+    )}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS n_common
+               FROM cand c
+               JOIN sh a ON a.doc_id = c.id_a
+               JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+               GROUP BY c.id_a, c.id_b),
+    pairs AS (SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+                    >= 0.5),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+    lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u)
+    SELECT d.doc_id, d.source FROM documents d
+    LEFT JOIN lbl l ON l.doc_id = d.doc_id
+    WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id
+    """,
+)
+def dd_near_dedup_lsh(spark, sf_dir):
+    """The 100 TB near-dedup line END TO END under one value hash: md5-
+    affine MinHash-LSH blocking → exact Jaccard verified on the blocked
+    candidates only → connected components → keep the minimum-id
+    representative per cluster. No all-pairs stage exists anywhere in the
+    plan — the only quadratic term is per LSH bucket — yet every surviving
+    document id is engine-exact against a recursive-CTE closure oracle.
+    This is the scale path of curate_corpus(pair_source='lsh'),
+    driver-checkable for the first time."""
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(
+        d, num_hashes=_MH_K, bands=_MH_BANDS, hash_fn="md5_affine"
+    ).select("id_a", "id_b")
+    pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
+    return dedup.drop_near_dups(d, pairs).select("doc_id", "source")
+
+
 _Z_INTERLEAVE = " + ".join(
     f"(((s{j} >> {i}) & 1) << {i * 2 + j})"
     for i in range(16)

@@ -273,3 +273,23 @@ def test_md5_affine_minhash_estimates_jaccard(spark):
     est = {(r.id_a, r.id_b): r.est_jaccard for r in cand.collect()}
     assert est[(2, 3)] == 1.0
     assert (0, 1) in est and est[(0, 1)] >= 0.5
+
+
+def test_near_dedup_lsh_superset_of_exact_pairs(spark, sf_dir):
+    # LSH blocking can only MISS pairs vs all-pairs Jaccard, never invent
+    # them, so exact-mode survivors are a subset of lsh-mode survivors
+    d = io.load_table(spark, sf_dir, "documents")
+    exact_pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
+    exact_keep = {
+        r.doc_id for r in dedup.drop_near_dups(d, exact_pairs).select("doc_id").collect()
+    }
+    cand = dedup.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, hash_fn="md5_affine"
+    ).select("id_a", "id_b")
+    lsh_pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
+    lsh_keep = {
+        r.doc_id for r in dedup.drop_near_dups(d, lsh_pairs).select("doc_id").collect()
+    }
+    assert exact_keep <= lsh_keep
+    # and the blocking actually fires at sf0.01: some docs are dropped
+    assert len(lsh_keep) < d.count()
