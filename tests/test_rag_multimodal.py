@@ -166,3 +166,17 @@ def test_real_generator_smoke():  # pragma: no cover - env-dependent
     gen = plugins.Generator()
     a = gen.generate("Answer yes or no: is water wet?")
     assert isinstance(a, str) and len(a) > 0
+
+
+def test_average_hash_identical_payloads_collide(spark):
+    docs = spark.createDataFrame(
+        [(1, "same content"), (2, "same content"), (3, "different thing")],
+        "doc_id long, text string",
+    )
+    feats = multimodal.decode_features(multimodal.attach_binary(docs), dim=8)
+    h = {r.doc_id: r.ahash for r in multimodal.average_hash(feats).collect()}
+    assert h[1] == h[2]
+    assert 0 <= h[1] < 256
+    # different payloads are overwhelmingly likely to differ somewhere in
+    # 8 sha256-derived bits; pin it for this fixed corpus
+    assert h[1] != h[3]
