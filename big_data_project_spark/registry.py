@@ -3795,6 +3795,598 @@ def ts_gapfill(spark, sf_dir):
 
 
 # ===========================================================================
+# TPC-H closure: the remaining q-series shapes, adapted to the reduced
+# synthetic schema (no partsupp, no commit/receipt dates, no phone/container/
+# mfgr columns — q2/q4/q9/q11/q12/q16/q19/q20/q21/q22 keep their plan SHAPE
+# with predicates re-expressed over the columns that exist, exactly like the
+# established q17/q18 entries). Subquery-heavy shapes run the SAME SQL text
+# on Spark and DuckDB (Catalyst decorrelates; the oracle IS the query);
+# join/agg shapes are DataFrame-API builders with broadcast hints on true
+# dimension tables and a mirrored SQL oracle.
+# ===========================================================================
+
+_Q2_SQL = """
+    SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE' AND p_size = 15
+      AND s_acctbal = (SELECT min(s2.s_acctbal)
+                       FROM supplier s2, lineitem l2, nation n2, region r2
+                       WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+                         AND s2.s_nationkey = n2.n_nationkey
+                         AND n2.n_regionkey = r2.r_regionkey
+                         AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal, p_partkey, s_name LIMIT 100
+"""
+
+
+@register("q2_min_acctbal_supplier", oracle=_Q2_SQL)
+def q2_min_acctbal_supplier(spark, sf_dir):
+    """TPC-H Q2-shape: per-part correlated scalar MIN over a region-filtered
+    join (ps_supplycost is absent from the schema; s_acctbal plays the
+    minimized measure). Catalyst decorrelates to an aggregate + join; the
+    ORDER BY includes every projected tie-breaker so LIMIT is deterministic
+    across engines."""
+    io.register_views(
+        spark, sf_dir, ["part", "supplier", "lineitem", "nation", "region"]
+    )
+    return spark.sql(_Q2_SQL)
+
+
+_Q4_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+"""
+
+
+@register("q4_priority_late", oracle=_Q4_SQL)
+def q4_priority_late(spark, sf_dir):
+    """TPC-H Q4-shape: EXISTS with a correlated date-arithmetic predicate
+    (l_commitdate/l_receiptdate are absent; "late" = shipped >60 days after
+    order). Catalyst rewrites to a left-semi hash join on l_orderkey — one
+    shuffle, no row explosion from multi-line orders."""
+    io.register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_Q4_SQL)
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    headline=True,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: the pure scan query — every predicate pushes to the parquet
+    reader, projection prunes to 4 columns, and the single-group aggregate is
+    a map-side partial + 1-row final. At 100 TB this is the I/O-bound floor:
+    the plan must be scan→partial→exchange(1)→final with nothing else
+    (pinned in tests/test_plans.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.expr("CAST(l_extendedprice * l_discount AS DECIMAL(30,4))"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(volume AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_8')
+              OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7'))
+            AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                               AND TIMESTAMP '1996-12-31') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bidirectional nation-pair trade volume by ship year. The
+    two nation roles broadcast (25 rows each); supplier and customer are the
+    small sides of their fact joins; the only large shuffle is
+    lineitem⋈orders on orderkey. The pair disjunction sits AFTER both
+    nation joins so each fact row is tested once."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_7"))
+    joined = (
+        li.where(F.col("l_shipdate").between("1995-01-01", "1996-12-31"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_3'
+                         THEN CAST(volume AS DECIMAL(30,4))
+                         ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(30,4))) AS DOUBLE) AS mkt_share
+    FROM (SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+               region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+            AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                AND TIMESTAMP '1996-12-31'
+            AND p_type = 'ECONOMY') all_nations
+    GROUP BY o_year
+    """,
+    headline=True,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: one nation's share of a region's market for one part type,
+    by order year — conditional decimal sum over total decimal sum, divided
+    as doubles (both engines divide the identical exact-decimal-derived
+    doubles, so the quotient is bitwise stable). part/supplier/nation/region
+    all broadcast; lineitem⋈orders is the single big shuffle. The p_type
+    filter prunes the part side BEFORE its join, so the fact rows surviving
+    to the wide join are already ~1/6th."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n1 = n.select("n_nationkey", "n_regionkey")
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    vol = F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))")
+    zero = F.lit(0).cast("decimal(30,4)")
+    return joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(vol).cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(sum(CAST(amount AS DECIMAL(30,4))) AS DOUBLE) AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%widget%') profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9-shape: profit by supplier nation and order year for parts
+    matching a name pattern (ps_supplycost is absent, so amount = net
+    revenue; the join tree and rollup are Q9's). The LIKE prunes part
+    before its broadcast join — at 100 TB the selective dimension filter
+    runs first so the fact⋈orders shuffle carries only matching rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(
+        F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))"))
+        .cast("double")
+        .alias("sum_profit")
+    )
+
+
+_Q11_SQL = """
+    SELECT l_suppkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS value
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) >
+           (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+            FROM lineitem) * 0.011
+"""
+
+
+@register("q11_revenue_concentration", oracle=_Q11_SQL)
+def q11_revenue_concentration(spark, sf_dir):
+    """TPC-H Q11-shape: groups whose aggregate exceeds a fraction of the
+    global total (partsupp is absent; supplier revenue plays value). The
+    scalar subquery computes once and broadcasts as a literal into the
+    HAVING filter — two scans, no per-group recomputation. Both sides of
+    the comparison are exact-decimal-derived doubles scaled by the same
+    double literal, so the threshold cannot flip across engines."""
+    io.register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_Q11_SQL)
+
+
+@register(
+    "q12_late_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_priority(spark, sf_dir):
+    """TPC-H Q12-shape: priority CASE-counts over late shipments
+    (l_shipmode/l_commitdate absent; lateness = shipped >60 days after
+    order, grouped by returnflag). The shipdate range is pushed to the scan;
+    the cross-column date comparison evaluates post-join, which is the only
+    place it can."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey
+         ) c_orders
+    GROUP BY c_count
+    """,
+    headline=True,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: order-count histogram including zero-order customers —
+    left outer join with an extra non-equi ON condition (o_comment regex is
+    absent; a priority class plays the exclusion), count per customer, then
+    a second aggregate over the counts. Two shuffles by necessity (custkey,
+    then c_count); the second input is one row per customer, so the
+    histogram shuffle is tiny."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(30,4))
+                         ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE) * 100.0
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,4))) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14: promo revenue share for one month — broadcast part join,
+    conditional decimal sum / total decimal sum as doubles, ×100 applied to
+    the numerator exactly as the oracle does (same operation order → same
+    float result)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    vol = F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))")
+    zero = F.lit(0).cast("decimal(30,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).cast(
+                    "double"
+                )
+                * 100.0
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_SQL)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: the max-revenue supplier for a quarter — a CTE referenced
+    twice (once joined, once reduced to a scalar max). Equality against the
+    max of exact-decimal-derived doubles keeps ties deterministic; Spark
+    evaluates the CTE per reference (cheap here: one lineitem quarter),
+    DuckDB materializes — results identical."""
+    io.register_views(spark, sf_dir, ["lineitem", "supplier"])
+    return spark.sql(_Q15_SQL)
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11' AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16-shape: distinct-supplier counts per part attribute triple
+    with a NOT IN supplier exclusion (partsupp absent — lineitem is the
+    supplier↔part bridge; the comment-LIKE exclusion became an acctbal
+    filter). s_suppkey is non-nullable so NOT IN ≡ left-anti join, which is
+    how it's built; count(DISTINCT) goes through Spark's two-phase distinct
+    aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#11")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    excluded = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 1000).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_join",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_join(spark, sf_dir):
+    """TPC-H Q19-shape: disjunctive multi-attribute predicates straddling
+    the join (container/shipmode absent; brand×size×quantity triples keep
+    the OR-of-ANDs shape). Catalyst extracts the common l_partkey equi-key
+    so the join stays hash-based with the disjunction as a post-join filter,
+    and pushes the derivable single-side bounds (quantity ∈ [1,30],
+    size ∈ [1,15]) down to the scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(
+                F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_Q20_SQL = """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) > 300.0)
+      AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 13)
+"""
+
+
+@register("q20_excess_suppliers", oracle=_Q20_SQL)
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20-shape: suppliers who moved heavy volume of one part type
+    in one year, restricted to a nation set — nested IN over an aggregated
+    HAVING subquery plus a dimension IN (partsupp/0.5·avail is absent; the
+    absolute-quantity threshold keeps the agg-then-semijoin shape). Both
+    INs become left-semi joins; the aggregate runs once over the
+    scan-pruned year."""
+    io.register_views(spark, sf_dir, ["supplier", "lineitem", "part", "nation"])
+    return spark.sql(_Q20_SQL)
+
+
+_Q21_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+@register("q21_sole_blame", oracle=_Q21_SQL)
+def q21_sole_blame(spark, sf_dir):
+    """TPC-H Q21-shape: the sole-at-fault supplier query — EXISTS (another
+    supplier shares the order) AND NOT EXISTS (any other supplier also
+    flagged), both correlated on a non-equal suppkey (receiptdate/commitdate
+    absent; returnflag='R' marks the fault). Catalyst plans the pair as a
+    left-semi plus a left-anti join on l_orderkey — three passes over
+    lineitem, each hash-partitioned the same way, no nested-loop anywhere."""
+    io.register_views(spark, sf_dir, ["supplier", "lineitem", "orders", "nation"])
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+    FROM (SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode, c_acctbal
+          FROM customer
+          WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,2)))
+                                         AS DOUBLE) / count(*)
+                             FROM customer WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '2000-01-01')) custsale
+    GROUP BY cntrycode
+"""
+
+
+@register("q22_dormant_customers", oracle=_Q22_SQL)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22-shape: above-average-balance customers with no recent
+    orders, grouped by a derived code (c_phone is absent; custkey mod 7
+    plays country code, dormancy = no orders since 2000). The scalar avg —
+    expressed as exact-decimal sum / count to kill summation-order noise —
+    evaluates once; the NOT EXISTS is a left-anti join against the
+    date-pruned orders scan."""
+    io.register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_Q22_SQL)
+
+
+# ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is
 # re-ordered value-first: every SURVEY §2 operator family is represented in

@@ -209,3 +209,56 @@ def test_round3_entries_shuffle_budgets(spark, sf_dir):
     ):
         got = plans.num_shuffles(_df(name, spark, sf_dir))
         assert got <= budget, (name, got, plans.physical_plan(_df(name, spark, sf_dir)))
+
+
+def test_q6_is_pure_scan_aggregate(spark, sf_dir):
+    """Q6 is the I/O floor: every predicate pushed to the parquet scan, read
+    schema pruned to exactly the 4 referenced columns, and one partial+final
+    aggregate (a single SinglePartition exchange carrying one row/task)."""
+    df = _df("q6_forecast_revenue", spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    cols = plans.read_schema_columns(df)
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+    assert plans.num_shuffles(df) <= 1, plans.physical_plan(df)
+
+
+def test_exists_shapes_decorrelate_to_hash_joins(spark, sf_dir):
+    """Q4's EXISTS and Q21's EXISTS+NOT EXISTS must compile to semi/anti
+    hash joins — a nested-loop fallback would be quadratic in lineitem."""
+    q4 = plans.physical_plan(_df("q4_priority_late", spark, sf_dir))
+    assert "LeftSemi" in q4, q4
+    q21 = plans.physical_plan(_df("q21_sole_blame", spark, sf_dir))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21, q21
+    for p in (q4, q21):
+        assert "CartesianProduct" not in p
+
+
+def test_tpch_dim_joins_broadcast(spark, sf_dir):
+    """The new multi-join shapes keep every true dimension on the broadcast
+    side; the only hash shuffles are fact⋈fact."""
+    for name in (
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q14_promo_effect",
+        "q19_disjunctive_join",
+    ):
+        df = _df(name, spark, sf_dir)
+        assert plans.has_broadcast_join(df), f"{name} lost its broadcast join"
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    """NOT IN over the non-nullable supplier key must be a left-anti hash
+    join, not a filter over a collected subquery."""
+    p = plans.physical_plan(_df("q16_supplier_part_count", spark, sf_dir))
+    assert "LeftAnti" in p, p
+
+
+def test_q13_histogram_shuffle_budget(spark, sf_dir):
+    """Q13 needs the custkey shuffle and the tiny histogram shuffle; the
+    per-customer aggregate must reuse the join's partitioning rather than
+    re-exchange."""
+    df = _df("q13_customer_distribution", spark, sf_dir)
+    assert plans.num_shuffles(df) <= 4, plans.physical_plan(df)
