@@ -662,3 +662,86 @@ def novelty_report(
             F.expr("(1000 * (n_grams - n_seen)) DIV n_grams")
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level exact-substring dedup (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better": remove repeated substrings, not just whole
+# documents). The reference has no analogue; this is the missing granularity
+# between whole-document exact dedup and line_dedup.
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    docs: DataFrame, n: int = 5, min_count: int = 2,
+    text: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document report of duplicated n-gram spans: every maximal token
+    range covered by word n-grams that occur >= ``min_count`` times in the
+    corpus, merged into non-overlapping spans. Returns one row per document
+    that contains at least one such span: ``(doc_id, n_spans, dup_tokens,
+    total_tokens, dup_permille)``.
+
+    The suffix-array formulation of the paper is inherently sequential; the
+    distributed equivalent used here is positional n-gram counting:
+
+    1. tokenize once, emit (doc, pos, xxhash64(gram)) — narrow map stages;
+       the 64-bit hash (not the gram text) is what shuffles, so shuffle
+       width is constant regardless of n;
+    2. one groupBy(gh) to find grams with global count >= min_count, one
+       hash join back to positions (both shuffles keyed on the hash, which
+       is uniform by construction — no skew);
+    3. islands-and-gaps span merge per document: a lag window flags a new
+       island whenever the next duplicated position starts more than n-1
+       tokens after the previous (uniform-length intervals make the running
+       max of ends unnecessary), a running sum numbers the islands, and a
+       groupBy collapses each island to (min_pos, max_pos + n - 1);
+    4. per-doc rollup to span count / covered tokens / permille.
+
+    Everything is whole-stage-codegen Catalyst; memory per task is bounded
+    by partition size, never by document count. The hash substitutes for
+    gram equality (a 64-bit collision would merge two unrelated grams);
+    at the paper's scale that chance is ~(grams²)/2⁶⁵ — accepted, as in
+    the MinHash family above."""
+    w = F.split(F.trim(F.col(text)), r"\s+")
+    toks = docs.select(F.col(id_col).alias("doc_id"), w.alias("w")).where(
+        F.size("w") >= n
+    )
+    grams = toks.select(
+        "doc_id",
+        F.size("w").alias("total_tokens"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {int(n)}),"
+                f" i -> concat_ws(' ', slice(w, i + 1, {int(n)})))"
+            )
+        ).alias("pos", "gram"),
+    ).select("doc_id", "total_tokens", "pos", F.xxhash64("gram").alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    occ = grams.join(dup, "gh").select("doc_id", "total_tokens", "pos")
+    byd = Window.partitionBy("doc_id").orderBy("pos")
+    run = byd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = occ.withColumn(
+        "is_new",
+        F.when(F.col("pos") - F.lag("pos").over(byd) < n, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("island", F.sum("is_new").over(run))
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.first("total_tokens").alias("total_tokens"),
+        F.min("pos").alias("s"),
+        (F.max("pos") + n - 1).alias("e"),
+    )
+    covered = F.sum(F.col("e") - F.col("s") + 1)
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        covered.cast("long").alias("dup_tokens"),
+        F.first("total_tokens").cast("long").alias("total_tokens"),
+        F.floor(covered * 1000.0 / F.first("total_tokens"))
+        .cast("long")
+        .alias("dup_permille"),
+    )

@@ -1,0 +1,110 @@
+"""Behavioral / event-stream analytics over the events table: funnels,
+retention cohorts, transition matrices. The reference has no event
+analytics (its events are documents), but an analytics engine serving the
+same users needs the classic clickstream trio; all three are pure
+Catalyst plans with full DuckDB oracles.
+
+Scale shapes (all keyed by user_id, the natural even-cardinality key):
+
+- funnel            : K sequential "first occurrence after previous step"
+                      reductions — K groupBy+join rounds, each shuffling
+                      only the users still alive in the funnel (monotone
+                      shrinking), never the full event log more than once
+                      per step.
+- retention_cohorts : two aggregates over one join; the join's build side
+                      is one row per user.
+- transitions       : one window shuffle (user_id), then a tiny
+                      (n_event_types²) aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def funnel(events: DataFrame, steps: Sequence[str] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered funnel: users who performed each step strictly after their
+    (earliest qualifying) previous step. Returns one row per step with the
+    surviving-user count.
+
+    Each stage is ``min(ts) after previous stage's ts`` — the textbook
+    sequential-funnel reduction. Stage k's input is pre-filtered to one
+    event type AND semi-joined to stage k-1's survivors, so per-stage
+    shuffle volume shrinks monotonically; no per-user event array is ever
+    collected (the collect_list formulation OOMs on power users at scale).
+    """
+    reached: DataFrame | None = None
+    per_step = []
+    for i, step in enumerate(steps):
+        stage = events.where(F.col("event_type") == step)
+        if reached is None:
+            cur = stage.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                stage.join(reached, "user_id")
+                .where(F.col("ts") > F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        reached = cur
+        per_step.append(
+            cur.agg(F.count("*").alias("n_users")).select(
+                F.lit(f"{i + 1}:{step}").alias("step"), "n_users"
+            )
+        )
+    out = per_step[0]
+    for df in per_step[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention matrix: cohort = ISO week of each user's first
+    event; one row per (cohort_week, week_offset) with the count of
+    distinct users from that cohort active in that week.
+
+    Spark and DuckDB agree on ``date_trunc('week', ...)`` (both truncate
+    to Monday), so cohort boundaries are engine-exact. The offset is
+    day-difference // 7 on already-truncated weeks — always a whole
+    number of weeks, no partial-week rounding ambiguity."""
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+def transitions(events: DataFrame) -> DataFrame:
+    """Event-type transition counts (first-order Markov matrix): for each
+    user's time-ordered event sequence, count (event_type → next type)
+    pairs. Tie-broken by event_id so the ordering — and therefore the
+    counts — are deterministic across engines and runs."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -25,6 +25,7 @@ from big_data_project_spark.operators import (
     cleaning,
     curation,
     dedup,
+    events as ev,
     multimodal,
     rag,
     relational,
@@ -3907,10 +3908,11 @@ def q6_forecast_revenue(spark, sf_dir):
 )
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7: bidirectional nation-pair trade volume by ship year. The
-    two nation roles broadcast (25 rows each); supplier and customer are the
-    small sides of their fact joins; the only large shuffle is
-    lineitem⋈orders on orderkey. The pair disjunction sits AFTER both
-    nation joins so each fact row is tested once."""
+    two nation roles carry mandatory broadcast hints (25 rows at every SF);
+    supplier/customer scale with the data, so their join strategy is
+    AQE-decided. The only unavoidable large shuffle is lineitem⋈orders on
+    orderkey. The pair disjunction sits AFTER both nation joins so each
+    fact row is tested once."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -3925,11 +3927,15 @@ def q7_volume_shipping(spark, sf_dir):
     pair = (
         (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_8")
     ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_7"))
+    # broadcast hints ONLY on nation (25 rows at every SF). part/supplier/
+    # customer scale with the data — AQE broadcasts them when they measure
+    # small, and falls back to shuffle joins at 100 TB where a mandatory
+    # hint would OOM the executors.
     joined = (
         li.where(F.col("l_shipdate").between("1995-01-01", "1996-12-31"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(pair)
@@ -3974,7 +3980,9 @@ def q8_market_share(spark, sf_dir):
     by order year — conditional decimal sum over total decimal sum, divided
     as doubles (both engines divide the identical exact-decimal-derived
     doubles, so the quotient is bitwise stable). part/supplier/nation/region
-    all broadcast; lineitem⋈orders is the single big shuffle. The p_type
+    nation/region carry mandatory broadcast hints (fixed 25/5 rows);
+    part/supplier/customer scale with SF so AQE decides their joins;
+    lineitem⋈orders is the single unavoidable big shuffle. The p_type
     filter prunes the part side BEFORE its join, so the fact rows surviving
     to the wide join are already ~1/6th."""
     li = _t(spark, sf_dir, "lineitem")
@@ -3990,13 +3998,15 @@ def q8_market_share(spark, sf_dir):
     n2 = n.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
     )
+    # hints only on the fixed-size nation/region dims; part/supplier scale
+    # with SF, so their joins are AQE-decided (broadcast when small).
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
         .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
     )
     vol = F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))")
@@ -4039,10 +4049,12 @@ def q9_product_profit(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    # nation is the only mandatory broadcast; the LIKE-pruned part and
+    # supplier still scale with SF, so AQE decides their join strategy.
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     )
     return joined.groupBy(
@@ -4173,8 +4185,9 @@ def q14_promo_effect(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     vol = F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))")
     zero = F.lit(0).cast("decimal(30,4)")
+    # part scales with SF — join strategy is AQE-decided, not hinted
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).cast(
@@ -4239,11 +4252,11 @@ def q16_supplier_part_count(spark, sf_dir):
     excluded = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 1000).select(
         "s_suppkey"
     )
+    # the filtered part subset and excluded-supplier set both scale with
+    # SF — AQE picks broadcast when they measure small
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(
-            F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti"
-        )
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -4289,8 +4302,9 @@ def q19_disjunctive_join(spark, sf_dir):
             & F.col("l_quantity").between(20, 30)
         )
     )
+    # part scales with SF — AQE-decided join strategy
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
             F.sum(
@@ -4384,6 +4398,125 @@ def q22_dormant_customers(spark, sf_dir):
     date-pruned orders scan."""
     io.register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_Q22_SQL)
+
+
+# ===========================================================================
+# Span-level substring dedup + behavioral event analytics (funnel /
+# retention / transitions) — all fully value-hashed.
+# ===========================================================================
+
+@register(
+    "dd_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(w) - 3, 1))) t(i)
+      WHERE len(w) >= 5),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    occ AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 5
+                  THEN 0 ELSE 1 END AS is_new
+      FROM occ),
+    isl AS (
+      SELECT doc_id, pos,
+             CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS island
+      FROM brk),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+      FROM isl GROUP BY doc_id, island)
+    SELECT sp.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+           CAST(any_value(len(t.w)) AS BIGINT) AS total_tokens,
+           CAST(floor(sum(e - s + 1) * 1000.0 / any_value(len(t.w))) AS BIGINT)
+             AS dup_permille
+    FROM spans sp JOIN toks t ON sp.doc_id = t.doc_id
+    GROUP BY sp.doc_id
+    """,
+)
+def dd_span_dedup(spark, sf_dir):
+    """Span-level exact-substring dedup (Lee et al.): per-doc merged spans
+    of corpus-repeated 5-grams, with covered-token counts and permille.
+    The DuckDB oracle mirrors the whole line — positional grams (slicing
+    w[i:i+4] = 5 tokens), global count filter, lag/sum islands merge, and
+    the final rollup; the Spark side shuffles 64-bit gram hashes instead
+    of gram text but produces the identical position sets."""
+    return dedup.duplicate_spans(_t(spark, sf_dir, "documents"), n=5)
+
+
+_EV_SRC = """(SELECT event_id, user_id, event_type,
+                     make_timestamp(epoch_ns(ts) // 1000) AS ts
+              FROM events)"""
+
+
+@register(
+    "ev_funnel",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EV_SRC} e),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view'
+           GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT step, CAST(n_users AS BIGINT) AS n_users FROM (
+      SELECT '1:view' AS step, (SELECT count(*) FROM s1) AS n_users
+      UNION ALL SELECT '2:click', (SELECT count(*) FROM s2)
+      UNION ALL SELECT '3:purchase', (SELECT count(*) FROM s3))
+    """,
+)
+def ev_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel: survivors per step, each step's
+    event strictly after the user's earliest qualifying previous step."""
+    return ev.funnel(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "ev_retention_cohorts",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EV_SRC} e),
+    firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM ev GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+                  AS BIGINT) AS week_offset
+      FROM ev e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def ev_retention_cohorts(spark, sf_dir):
+    """Weekly retention matrix: users active k weeks after their first-seen
+    week, grouped by cohort. Monday-truncated weeks agree across engines."""
+    return ev.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "ev_transitions",
+    oracle=f"""
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM (SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM {_EV_SRC} e)
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def ev_transitions(spark, sf_dir):
+    """First-order Markov transition counts over each user's time-ordered
+    event sequence, tie-broken by event_id for cross-engine determinism."""
+    return ev.transitions(_t(spark, sf_dir, "events"))
 
 
 # ===========================================================================

@@ -236,8 +236,9 @@ def test_exists_shapes_decorrelate_to_hash_joins(spark, sf_dir):
 
 
 def test_tpch_dim_joins_broadcast(spark, sf_dir):
-    """The new multi-join shapes keep every true dimension on the broadcast
-    side; the only hash shuffles are fact⋈fact."""
+    """The new multi-join shapes end up with broadcast joins at test scale
+    (hinted for fixed-size nation/region, AQE-chosen for everything else);
+    the only hash shuffles are fact⋈fact."""
     for name in (
         "q7_volume_shipping",
         "q8_market_share",
@@ -247,6 +248,25 @@ def test_tpch_dim_joins_broadcast(spark, sf_dir):
     ):
         df = _df(name, spark, sf_dir)
         assert plans.has_broadcast_join(df), f"{name} lost its broadcast join"
+
+
+def test_tpch_hints_only_on_fixed_size_dims(spark, sf_dir):
+    """Mandatory broadcast hints are allowed ONLY for nation/region (25/5
+    rows at every SF). part/supplier/customer scale with the data — a hint
+    there OOMs a 100 TB run, so those joins must stay AQE-decided."""
+    for name, max_hints in (
+        ("q7_volume_shipping", 2),   # two nation roles
+        ("q8_market_share", 3),      # nation ×2 + region
+        ("q9_product_profit", 1),    # nation
+        ("q14_promo_effect", 0),
+        ("q16_supplier_part_count", 0),
+        ("q19_disjunctive_join", 0),
+        ("q13_customer_distribution", 0),
+        ("q12_late_priority", 0),
+        ("q6_forecast_revenue", 0),
+    ):
+        got = plans.num_broadcast_hints(_df(name, spark, sf_dir))
+        assert got <= max_hints, (name, got, max_hints)
 
 
 def test_q16_not_in_is_anti_join(spark, sf_dir):
@@ -262,3 +282,17 @@ def test_q13_histogram_shuffle_budget(spark, sf_dir):
     re-exchange."""
     df = _df("q13_customer_distribution", spark, sf_dir)
     assert plans.num_shuffles(df) <= 4, plans.physical_plan(df)
+
+
+def test_span_dedup_and_event_ops_shuffle_budgets(spark, sf_dir):
+    """Span dedup: gram-hash agg + join back + one doc_id window, with the
+    island/doc rollups reusing the window's partitioning — bounded, not
+    per-stage re-exchanged. Transitions: the user_id window shuffle plus
+    the tiny type-pair aggregate."""
+    for name, budget in (
+        ("dd_span_dedup", 5),
+        ("ev_transitions", 2),
+        ("ev_retention_cohorts", 5),
+    ):
+        got = plans.num_shuffles(_df(name, spark, sf_dir))
+        assert got <= budget, (name, got, plans.physical_plan(_df(name, spark, sf_dir)))

@@ -680,3 +680,72 @@ def test_gapfill_time_series_semantics(spark):
     last = out[(1, "2024-03-01 18:00:00")]
     assert last.n == 1 and last.total == 2.5 and last.total_ffill == 2.5
     assert out[(2, "2024-03-02 06:00:00")].n == 1
+
+
+def test_duplicate_spans_crafted(spark):
+    """Hand-checkable span merge: two docs sharing one 5-gram phrase
+    embedded at different offsets, plus an internally-repeated doc and a
+    doc with no duplication."""
+    from big_data_project_spark.operators import dedup as dd
+
+    phrase = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"x1 x2 {phrase} y1 y2"),                 # shared phrase at pos 2
+        (2, f"{phrase} z1 z2 z3 z4 z5"),              # shared phrase at pos 0
+        (3, f"{phrase} mid1 mid2 {phrase}"),          # internal repeat too
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8"),               # unique, no dup grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dd.duplicate_spans(docs, n=5).collect()
+    }
+    assert set(got) == {1, 2, 3}            # doc 4 has no duplicated spans
+    assert got[1]["n_spans"] == 1 and got[1]["dup_tokens"] == 5
+    assert got[1]["total_tokens"] == 9
+    assert got[2]["n_spans"] == 1 and got[2]["dup_tokens"] == 5
+    # doc 3: phrase at pos 0 and pos 7 -> two islands (gap 7 >= n)
+    assert got[3]["n_spans"] == 2 and got[3]["dup_tokens"] == 10
+    assert got[3]["dup_permille"] == 1000 * 10 // 12
+
+
+def test_funnel_is_strictly_sequential(spark):
+    """A user who purchases BEFORE clicking must not count as completing
+    view->click->purchase; min-after-previous semantics, not set-contains."""
+    from big_data_project_spark.operators import events as ev
+
+    rows = [
+        # user 1: view t1, click t2, purchase t3 -> completes
+        (1, 1, "view", "2024-01-01 00:00:00"),
+        (2, 1, "click", "2024-01-01 01:00:00"),
+        (3, 1, "purchase", "2024-01-01 02:00:00"),
+        # user 2: purchase first, then view+click -> stops at click
+        (4, 2, "purchase", "2024-01-01 00:00:00"),
+        (5, 2, "view", "2024-01-01 01:00:00"),
+        (6, 2, "click", "2024-01-01 02:00:00"),
+        # user 3: only views
+        (7, 3, "view", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).select("event_id", "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {r["step"]: r["n_users"] for r in ev.funnel(df).collect()}
+    assert got == {"1:view": 3, "2:click": 2, "3:purchase": 1}
+
+
+def test_transitions_counts_are_per_user_ordered(spark):
+    from big_data_project_spark.operators import events as ev
+
+    rows = [
+        (1, 1, "view", "2024-01-01 00:00:00"),
+        (2, 1, "click", "2024-01-01 01:00:00"),
+        (3, 2, "view", "2024-01-01 00:30:00"),
+        (4, 2, "click", "2024-01-01 00:45:00"),
+        (5, 2, "view", "2024-01-01 00:50:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).select("event_id", "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {(r["from_type"], r["to_type"]): r["n"] for r in ev.transitions(df).collect()}
+    # no cross-user pair (user1.click -> user2.view must not appear)
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
