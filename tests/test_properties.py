@@ -749,3 +749,70 @@ def test_transitions_counts_are_per_user_ordered(spark):
     got = {(r["from_type"], r["to_type"]): r["n"] for r in ev.transitions(df).collect()}
     # no cross-user pair (user1.click -> user2.view must not appear)
     assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def _py_duplicate_spans(docs, n=3, min_count=2):
+    """Plain-Python model of dedup.duplicate_spans."""
+    toks = {d: t.strip().split() for d, t in docs}
+    toks = {d: w for d, w in toks.items() if len(w) >= n and t_nonempty(w)}
+    from collections import Counter
+
+    counts = Counter()
+    positions = {}
+    for d, w in toks.items():
+        grams = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+        positions[d] = grams
+        counts.update(grams)
+    out = {}
+    for d, grams in positions.items():
+        pos = [i for i, g in enumerate(grams) if counts[g] >= min_count]
+        if not pos:
+            continue
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] < n:  # overlaps previous island
+                spans[-1] = (spans[-1][0], p)
+            else:
+                spans.append((p, p))
+        merged = [(s, e + n - 1) for s, e in spans]
+        dup_tokens = sum(e - s + 1 for s, e in merged)
+        total = len(toks[d])
+        out[d] = {
+            "n_spans": len(merged),
+            "dup_tokens": dup_tokens,
+            "total_tokens": total,
+            "dup_permille": int(dup_tokens * 1000.0 / total // 1),
+        }
+    return out
+
+
+def t_nonempty(w):
+    return len(w) > 0 and any(x for x in w)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=15).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_duplicate_spans_matches_python_model(spark, texts):
+    """Tiny alphabet => dense duplicate 3-grams; the Spark islands merge
+    must agree with the sequential reference model on every doc."""
+    from big_data_project_spark.operators import dedup as dd
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: {
+            "n_spans": r["n_spans"],
+            "dup_tokens": r["dup_tokens"],
+            "total_tokens": r["total_tokens"],
+            "dup_permille": r["dup_permille"],
+        }
+        for r in dd.duplicate_spans(docs, n=3).collect()
+    }
+    want = _py_duplicate_spans(rows, n=3)
+    assert got == want
