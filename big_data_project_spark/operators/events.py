@@ -108,3 +108,85 @@ def transitions(events: DataFrame) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM segmentation: per-user recency (days since last event, measured
+    against the corpus max timestamp), frequency (event count), monetary
+    (sum of purchase values, decimal-exact), each cut into quartiles.
+
+    Quartiles use exact percentile THRESHOLDS (one tiny global aggregate,
+    broadcast back) rather than a global ntile — ntile needs a total order
+    over all users in one partition, which is exactly the
+    single-partition-sort anti-pattern at scale. Threshold comparisons
+    keep the whole scoring narrow."""
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(
+            F.expr(
+                "CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END"
+                " AS DECIMAL(30,2))"
+            )
+        )
+        .cast("double")
+        .alias("monetary"),
+    )
+    gmax = events.agg(F.max("ts").alias("gmax"))
+    rfm = per_user.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        F.datediff("gmax", "last_ts").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    th = rfm.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c}_p{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def quartile(c: str, invert: bool) -> F.Column:
+        # low recency is GOOD -> invert so 4 is always the best bucket
+        score = (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c}_p25")).cast("int")
+            + (F.col(c) > F.col(f"{c}_p50")).cast("int")
+            + (F.col(c) > F.col(f"{c}_p75")).cast("int")
+        )
+        return (F.lit(5) - score if invert else score).cast("long")
+
+    return rfm.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        quartile("recency_days", invert=True).alias("r_score"),
+        quartile("frequency", invert=False).alias("f_score"),
+        quartile("monetary", invert=False).alias("m_score"),
+    )
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch revenue attribution: each purchase is credited to the
+    user's most recent non-purchase event strictly before it (first
+    purchase with no prior touch credits 'none'). One user_id window, then
+    a constant-size aggregate by attributed type."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = events.withColumn(
+        "touch", F.last(touch, ignorenulls=True).over(w)
+    ).where(F.col("event_type") == "purchase")
+    return attributed.groupBy(
+        F.coalesce("touch", F.lit("none")).alias("touch_type")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.expr("CAST(value AS DECIMAL(30,2))"))
+        .cast("double")
+        .alias("attributed_value"),
+    )

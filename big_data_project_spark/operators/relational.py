@@ -474,3 +474,56 @@ def gapfill_time_series(
             F.last("total", ignorenulls=True).over(w).alias("total_ffill"),
         )
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    step: str = "1 hour",
+    trailing: int = 24,
+    min_periods: int = 12,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over bucketed counts: bucket rows
+    into fixed ``step`` windows per key, then score each bucket's count
+    against the mean/std of its ``trailing`` preceding buckets (classic
+    metrics-monitoring shape). Buckets with fewer than ``min_periods``
+    history buckets are dropped; zero-variance windows yield NULL zscore.
+
+    Cross-engine determinism: window counts are integers, so the trailing
+    sum / sum-of-squares are EXACT; mean, variance, and z are then single
+    chains of IEEE double ops written identically in the DuckDB oracle —
+    bit-identical results, no rounding needed. The sum-of-squares term
+    squares via double (exact to 2⁵³) to avoid int64 overflow on huge
+    windows.
+
+    Distributed shape: one (key, bucket) hash aggregate, then ONE per-key
+    ordered window carrying three running aggregates — no self-join, no
+    per-bucket subqueries."""
+    bucket = F.window(F.col(ts), step)["start"]
+    counts = df.groupBy(F.col(key).alias("key"), bucket.alias("bucket_start")).agg(
+        F.count("*").alias("n")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_start")
+        .rowsBetween(-trailing, -1)
+    )
+    stats = counts.select(
+        "key",
+        "bucket_start",
+        "n",
+        F.count("n").over(w).alias("w_n"),
+        F.sum("n").over(w).alias("w_s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("w_ss"),
+    ).where(F.col("w_n") >= min_periods)
+    var = F.expr("(w_ss - CAST(w_s AS DOUBLE) * w_s / w_n) / (w_n - 1)")
+    z = F.when(var > 0, (F.col("n") - F.expr("w_s / w_n")) / F.sqrt(var))
+    return stats.select(
+        "key",
+        "bucket_start",
+        "n",
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

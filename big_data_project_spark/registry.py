@@ -4450,7 +4450,7 @@ def dd_span_dedup(spark, sf_dir):
     return dedup.duplicate_spans(_t(spark, sf_dir, "documents"), n=5)
 
 
-_EV_SRC = """(SELECT event_id, user_id, event_type,
+_EV_SRC = """(SELECT event_id, user_id, event_type, value,
                      make_timestamp(epoch_ns(ts) // 1000) AS ts
               FROM events)"""
 
@@ -4502,6 +4502,79 @@ def ev_retention_cohorts(spark, sf_dir):
 
 
 @register(
+    "ev_rfm",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EV_SRC} e),
+    per_user AS (
+      SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+             CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+                           ELSE 0.0 END AS DECIMAL(30,2))) AS DOUBLE) AS monetary
+      FROM ev GROUP BY user_id),
+    gm AS (SELECT max(ts) AS gmax FROM ev),
+    rfm AS (
+      SELECT user_id,
+             CAST(datediff('day', last_ts, gmax) AS BIGINT) AS recency_days,
+             frequency, monetary
+      FROM per_user, gm),
+    th AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r25,
+             quantile_cont(recency_days, 0.50) AS r50,
+             quantile_cont(recency_days, 0.75) AS r75,
+             quantile_cont(frequency, 0.25)    AS f25,
+             quantile_cont(frequency, 0.50)    AS f50,
+             quantile_cont(frequency, 0.75)    AS f75,
+             quantile_cont(monetary, 0.25)     AS m25,
+             quantile_cont(monetary, 0.50)     AS m50,
+             quantile_cont(monetary, 0.75)     AS m75
+      FROM rfm)
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(5 - (1 + (CASE WHEN recency_days > r25 THEN 1 ELSE 0 END)
+                       + (CASE WHEN recency_days > r50 THEN 1 ELSE 0 END)
+                       + (CASE WHEN recency_days > r75 THEN 1 ELSE 0 END))
+                AS BIGINT) AS r_score,
+           CAST(1 + (CASE WHEN frequency > f25 THEN 1 ELSE 0 END)
+                  + (CASE WHEN frequency > f50 THEN 1 ELSE 0 END)
+                  + (CASE WHEN frequency > f75 THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_score,
+           CAST(1 + (CASE WHEN monetary > m25 THEN 1 ELSE 0 END)
+                  + (CASE WHEN monetary > m50 THEN 1 ELSE 0 END)
+                  + (CASE WHEN monetary > m75 THEN 1 ELSE 0 END)
+                AS BIGINT) AS m_score
+    FROM rfm, th
+    """,
+)
+def ev_rfm(spark, sf_dir):
+    """RFM segmentation with exact-percentile quartile thresholds (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, the proven a6 pattern) instead
+    of a global ntile — no single-partition total sort anywhere."""
+    return ev.rfm_segments(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "ev_attribution",
+    oracle=f"""
+    SELECT coalesce(touch, 'none') AS touch_type,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS attributed_value
+    FROM (SELECT event_type, value,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+          FROM {_EV_SRC} e)
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch, 'none')
+    """,
+)
+def ev_attribution(spark, sf_dir):
+    """Last-touch revenue attribution: purchases credited to the user's
+    most recent prior non-purchase event (or 'none'), decimal-exact value
+    sums — one user_id window + a constant-size aggregate."""
+    return ev.last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+@register(
     "ev_transitions",
     oracle=f"""
     SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
@@ -4517,6 +4590,124 @@ def ev_transitions(spark, sf_dir):
     """First-order Markov transition counts over each user's time-ordered
     event sequence, tie-broken by event_id for cross-engine determinism."""
     return ev.transitions(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "ts_anomaly",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS key,
+             time_bucket(INTERVAL 1 hour, tsu) AS bucket_start,
+             count(*) AS n
+      FROM (SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS tsu
+            FROM events)
+      GROUP BY 1, 2),
+    w AS (
+      SELECT key, bucket_start, CAST(n AS BIGINT) AS n,
+             CAST(count(n) OVER win AS BIGINT)     AS w_n,
+             CAST(sum(n) OVER win AS BIGINT)       AS w_s,
+             CAST(sum(n * n) OVER win AS BIGINT)   AS w_ss
+      FROM b
+      WINDOW win AS (PARTITION BY key ORDER BY bucket_start
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT key, bucket_start, n,
+           CASE WHEN (w_ss - CAST(w_s AS DOUBLE) * w_s / w_n) / (w_n - 1) > 0
+                THEN (n - w_s / w_n)
+                     / sqrt((w_ss - CAST(w_s AS DOUBLE) * w_s / w_n) / (w_n - 1))
+           END AS zscore,
+           coalesce(abs(CASE WHEN (w_ss - CAST(w_s AS DOUBLE) * w_s / w_n)
+                                  / (w_n - 1) > 0
+                             THEN (n - w_s / w_n)
+                                  / sqrt((w_ss - CAST(w_s AS DOUBLE) * w_s / w_n)
+                                         / (w_n - 1))
+                        END) > 3.0, false) AS is_anomaly
+    FROM w WHERE w_n >= 12
+    """,
+)
+def ts_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection over hourly per-type event counts
+    (24-bucket trailing baseline, ≥12 history buckets). Counts are exact
+    integers, so the mean/variance/z chain is the same IEEE double sequence
+    on both engines — value-hashed with no rounding. One hash aggregate +
+    one per-key window; plan-pinned ≤2 shuffles."""
+    return relational.rolling_zscore(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "a11_corr_deterministic",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM (SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem)
+      GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+    FROM m
+    """,
+)
+def a11_corr_deterministic(spark, sf_dir):
+    """Pearson correlation the deterministic way (a10's variance pattern
+    extended to two variables): built-in `corr()` accumulates doubles in
+    partition order, so its low bits are not a cross-engine contract.
+    Here both variables are integerized (quantity is integral; price →
+    cents), the five moment sums and the covariance/variance numerators
+    are EXACT integer arithmetic (DECIMAL(38,0) on Spark, HUGEINT in
+    DuckDB), and the only floating-point ops are two sqrts, one multiply
+    and one divide on identical inputs — single non-fusable instructions,
+    so no FMA-contraction divergence is possible (a compound
+    `n*sxx - sx*sx` in doubles was observed 1 ULP apart across engines).
+    Cents scaling cancels: correlation is scale-invariant. Same single
+    partial+final aggregate shape as a plain groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
+    )
+    m = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,0))")).alias("sxy"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).alias("sxx"),
+        F.sum(F.expr("CAST(y * y AS DECIMAL(38,0))")).alias("syy"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+        ).alias("corr_qty_price"),
+    )
+
+
+_A12_SQL = """
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CAST(floor(o_totalprice / 25000.0) AS BIGINT)
+"""
+
+
+@register("a12_histogram", oracle=_A12_SQL)
+def a12_histogram(spark, sf_dir):
+    """Fixed-width histogram (25k-wide price bins): binning is a narrow
+    floor-division expression — one double divide + floor on identical
+    inputs, deterministic — followed by one hash aggregate. Same SQL text
+    runs on both engines (width_bucket is Spark-only, so the portable
+    arithmetic form is the contract)."""
+    io.register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_A12_SQL)
 
 
 # ===========================================================================

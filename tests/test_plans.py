@@ -296,3 +296,11 @@ def test_span_dedup_and_event_ops_shuffle_budgets(spark, sf_dir):
     ):
         got = plans.num_shuffles(_df(name, spark, sf_dir))
         assert got <= budget, (name, got, plans.physical_plan(_df(name, spark, sf_dir)))
+
+
+def test_ts_anomaly_shuffle_budget(spark, sf_dir):
+    """One (key,bucket) hash aggregate + one per-key window; the window must
+    reuse the aggregate's partitioning where possible — never more than the
+    two keyed exchanges."""
+    got = plans.num_shuffles(_df("ts_anomaly", spark, sf_dir))
+    assert got <= 2, (got, plans.physical_plan(_df("ts_anomaly", spark, sf_dir)))

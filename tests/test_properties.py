@@ -816,3 +816,86 @@ def test_duplicate_spans_matches_python_model(spark, texts):
     }
     want = _py_duplicate_spans(rows, n=3)
     assert got == want
+
+
+def test_last_touch_attribution_crafted(spark):
+    """Purchases credit the most recent PRIOR non-purchase touch; a
+    purchase with no prior touch credits 'none'; later touches do not
+    retro-credit earlier purchases."""
+    from big_data_project_spark.operators import events as ev
+
+    rows = [
+        (1, 1, "purchase", 10.0, "2024-01-01 00:00:00"),  # no prior -> none
+        (2, 1, "click", 0.0, "2024-01-01 01:00:00"),
+        (3, 1, "purchase", 20.0, "2024-01-01 02:00:00"),  # -> click
+        (4, 2, "view", 0.0, "2024-01-01 00:00:00"),
+        (5, 2, "purchase", 5.0, "2024-01-01 01:00:00"),   # -> view
+        (6, 2, "purchase", 7.0, "2024-01-01 02:00:00"),   # still view (no newer touch)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts_s string"
+    ).select("event_id", "user_id", "event_type", "value", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {
+        r["touch_type"]: (r["n_purchases"], r["attributed_value"])
+        for r in ev.last_touch_attribution(df).collect()
+    }
+    assert got == {"none": (1, 10.0), "click": (1, 20.0), "view": (2, 12.0)}
+
+
+def test_rfm_scores_invert_recency(spark):
+    """Most-recent user gets r_score 4 (best); heaviest spender gets
+    m_score 4; scores are quartile-threshold based, in [1, 4]."""
+    from big_data_project_spark.operators import events as ev
+
+    rows = []
+    eid = 0
+    # 8 users: user u's last event is day u+1, purchase value 10*u
+    for u in range(8):
+        rows.append((eid, u, "purchase", 10.0 * u, f"2024-01-0{u + 1} 00:00:00"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts_s string"
+    ).select("event_id", "user_id", "event_type", "value", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {r["user_id"]: r.asDict() for r in ev.rfm_segments(df).collect()}
+    assert got[7]["recency_days"] == 0 and got[7]["r_score"] == 4
+    assert got[0]["recency_days"] == 7 and got[0]["r_score"] == 1
+    assert got[7]["m_score"] == 4 and got[0]["m_score"] == 1
+    for r in got.values():
+        for k in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[k] <= 4
+
+
+def test_rolling_zscore_flags_spike(spark):
+    """An alternating 4/6 per-hour series with one 50-event spike: the
+    spike bucket is the only anomaly. A second, perfectly flat series
+    (zero variance) must yield NULL zscores — not a crash, not a flag."""
+    from big_data_project_spark.operators import relational as rel
+
+    rows = []
+    eid = 0
+    for h in range(30):
+        # 'click': alternating 4/6 history, spike of 50 at hour 28
+        n = 50 if h == 28 else (4 if h % 2 == 0 else 6)
+        for i in range(n):
+            rows.append((eid, "click", 1 + h // 24, h % 24, i % 60))
+            eid += 1
+        for i in range(5):  # 'view': flat 5/hour -> zero variance
+            rows.append((eid, "view", 1 + h // 24, h % 24, i))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, day int, hour int, minute int"
+    ).select(
+        "event_id",
+        "event_type",
+        F.expr(
+            "make_timestamp(2024, 1, day, hour, minute, 0)"
+        ).alias("ts"),
+    )
+    out = rel.rolling_zscore(df, key="event_type", min_periods=12).collect()
+    anomalies = [r for r in out if r["is_anomaly"]]
+    assert len(anomalies) == 1 and anomalies[0]["n"] == 50
+    assert anomalies[0]["key"] == "click"
+    flat = [r for r in out if r["key"] == "view"]
+    assert flat and all(r["zscore"] is None for r in flat), (
+        "expected zero-variance buckets to carry NULL zscore"
+    )
