@@ -492,11 +492,11 @@ def rolling_zscore(
     history buckets are dropped; zero-variance windows yield NULL zscore.
 
     Cross-engine determinism: window counts are integers, so the trailing
-    sum / sum-of-squares are EXACT; mean, variance, and z are then single
-    chains of IEEE double ops written identically in the DuckDB oracle —
-    bit-identical results, no rounding needed. The sum-of-squares term
-    squares via double (exact to 2⁵³) to avoid int64 overflow on huge
-    windows.
+    sum / sum-of-squares are EXACT int64; mean, variance, and z are then
+    single chains of IEEE double ops written identically in the DuckDB
+    oracle — bit-identical results, no rounding needed. (int64 overflows
+    the squares sum only past ~6×10⁸ events per bucket — and loudly,
+    under ANSI mode, not silently.)
 
     Distributed shape: one (key, bucket) hash aggregate, then ONE per-key
     ordered window carrying three running aggregates — no self-join, no

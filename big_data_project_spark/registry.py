@@ -4439,6 +4439,7 @@ def q22_dormant_customers(spark, sf_dir):
     FROM spans sp JOIN toks t ON sp.doc_id = t.doc_id
     GROUP BY sp.doc_id
     """,
+    headline=True,
 )
 def dd_span_dedup(spark, sf_dir):
     """Span-level exact-substring dedup (Lee et al.): per-doc merged spans
@@ -4623,6 +4624,7 @@ def ev_transitions(spark, sf_dir):
                         END) > 3.0, false) AS is_anomaly
     FROM w WHERE w_n >= 12
     """,
+    headline=True,
 )
 def ts_anomaly(spark, sf_dir):
     """Rolling z-score anomaly detection over hourly per-type event counts
@@ -4688,6 +4690,25 @@ def a11_corr_deterministic(spark, sf_dir):
             "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
         ).alias("corr_qty_price"),
     )
+
+
+_P11_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS edit_dist
+    FROM customer
+    WHERE levenshtein(c_name, 'Customer#000000042') <= 2
+"""
+
+
+@register("p11_fuzzy_match", oracle=_P11_SQL)
+def p11_fuzzy_match(spark, sf_dir):
+    """Fuzzy string matching surface: Levenshtein edit distance (identical
+    dynamic-programming definition in both engines), filtering to
+    near-matches of a probe key — the building block for fuzzy-join
+    blocking. Narrow map + filter; no shuffle. Same SQL text on both
+    engines."""
+    io.register_views(spark, sf_dir, ["customer"])
+    return spark.sql(_P11_SQL)
 
 
 _A12_SQL = """
