@@ -702,10 +702,9 @@ def duplicate_spans(
     gram equality (a 64-bit collision would merge two unrelated grams);
     at the paper's scale that chance is ~(grams²)/2⁶⁵ — accepted, as in
     the MinHash family above."""
-    w = F.split(F.trim(F.col(text)), r"\s+")
-    toks = docs.select(F.col(id_col).alias("doc_id"), w.alias("w")).where(
-        F.size("w") >= n
-    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), words_col(text).alias("w")
+    ).where(F.size("w") >= n)
     grams = toks.select(
         "doc_id",
         F.size("w").alias("total_tokens"),
@@ -725,9 +724,12 @@ def duplicate_spans(
     occ = grams.join(dup, "gh").select("doc_id", "total_tokens", "pos")
     byd = Window.partitionBy("doc_id").orderBy("pos")
     run = byd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # merge overlapping AND adjacent intervals: the previous gram covers
+    # tokens [prev, prev+n-1], so a gram starting at prev+n continues the
+    # same contiguous duplicated range (break only when the gap exceeds n)
     islands = occ.withColumn(
         "is_new",
-        F.when(F.col("pos") - F.lag("pos").over(byd) < n, F.lit(0)).otherwise(
+        F.when(F.col("pos") - F.lag("pos").over(byd) <= n, F.lit(0)).otherwise(
             F.lit(1)
         ),
     ).withColumn("island", F.sum("is_new").over(run))

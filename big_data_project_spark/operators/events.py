@@ -37,6 +37,8 @@ def funnel(events: DataFrame, steps: Sequence[str] = ("view", "click", "purchase
     shuffle volume shrinks monotonically; no per-user event array is ever
     collected (the collect_list formulation OOMs on power users at scale).
     """
+    if not steps:
+        raise ValueError("funnel() requires at least one step")
     reached: DataFrame | None = None
     per_step = []
     for i, step in enumerate(steps):
@@ -132,7 +134,9 @@ def rfm_segments(events: DataFrame) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    gmax = events.agg(F.max("ts").alias("gmax"))
+    # global max derives from the per-user aggregate — no second scan of
+    # the fact table
+    gmax = per_user.agg(F.max("last_ts").alias("gmax"))
     rfm = per_user.crossJoin(F.broadcast(gmax)).select(
         "user_id",
         F.datediff("gmax", "last_ts").cast("long").alias("recency_days"),

@@ -3979,9 +3979,9 @@ def q8_market_share(spark, sf_dir):
     """TPC-H Q8: one nation's share of a region's market for one part type,
     by order year — conditional decimal sum over total decimal sum, divided
     as doubles (both engines divide the identical exact-decimal-derived
-    doubles, so the quotient is bitwise stable). part/supplier/nation/region
-    nation/region carry mandatory broadcast hints (fixed 25/5 rows);
-    part/supplier/customer scale with SF so AQE decides their joins;
+    doubles, so the quotient is bitwise stable). Only the fixed-size
+    nation/region dims carry mandatory broadcast hints (25/5 rows at any
+    SF); part/supplier/customer scale with SF so AQE decides their joins;
     lineitem⋈orders is the single unavoidable big shuffle. The p_type
     filter prunes the part side BEFORE its join, so the fact rows surviving
     to the wide join are already ~1/6th."""
@@ -4418,7 +4418,7 @@ def q22_dormant_customers(spark, sf_dir):
     occ AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
     brk AS (
       SELECT doc_id, pos,
-             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 5
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
                   THEN 0 ELSE 1 END AS is_new
       FROM occ),
     isl AS (

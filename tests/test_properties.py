@@ -694,19 +694,24 @@ def test_duplicate_spans_crafted(spark):
         (2, f"{phrase} z1 z2 z3 z4 z5"),              # shared phrase at pos 0
         (3, f"{phrase} mid1 mid2 {phrase}"),          # internal repeat too
         (4, "u1 u2 u3 u4 u5 u6 u7 u8"),               # unique, no dup grams
+        (5, f"{phrase} {phrase}"),                    # back-to-back: one range
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         r["doc_id"]: r.asDict()
         for r in dd.duplicate_spans(docs, n=5).collect()
     }
-    assert set(got) == {1, 2, 3}            # doc 4 has no duplicated spans
+    assert set(got) == {1, 2, 3, 5}         # doc 4 has no duplicated spans
     assert got[1]["n_spans"] == 1 and got[1]["dup_tokens"] == 5
     assert got[1]["total_tokens"] == 9
     assert got[2]["n_spans"] == 1 and got[2]["dup_tokens"] == 5
-    # doc 3: phrase at pos 0 and pos 7 -> two islands (gap 7 >= n)
+    # doc 3: phrase at pos 0 and pos 7 -> gap 7 > n -> two islands
     assert got[3]["n_spans"] == 2 and got[3]["dup_tokens"] == 10
     assert got[3]["dup_permille"] == 1000 * 10 // 12
+    # doc 5: duplicated grams at pos 0 and pos 5 (gap == n) cover tokens
+    # [0,4] and [5,9] — one contiguous maximal range, ONE span
+    assert got[5]["n_spans"] == 1 and got[5]["dup_tokens"] == 10
+    assert got[5]["dup_permille"] == 1000
 
 
 def test_funnel_is_strictly_sequential(spark):
@@ -770,7 +775,8 @@ def _py_duplicate_spans(docs, n=3, min_count=2):
             continue
         spans = []
         for p in pos:
-            if spans and p - spans[-1][1] < n:  # overlaps previous island
+            # merge overlap AND adjacency (gap == n continues the range)
+            if spans and p - spans[-1][1] <= n:
                 spans[-1] = (spans[-1][0], p)
             else:
                 spans.append((p, p))
