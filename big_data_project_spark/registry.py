@@ -3758,6 +3758,35 @@ def mm_ahash(spark, sf_dir):
 
 
 @register(
+    "mm_perceptual_dedup",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    v AS (SELECT doc_id, {_AH_VALS} FROM b),
+    h AS (SELECT doc_id, {_AH_BITS} AS ahash FROM v)
+    SELECT ahash, count(*) AS n_docs, min(doc_id) AS representative
+    FROM h GROUP BY ahash HAVING count(*) >= 2
+    """,
+)
+def mm_perceptual_dedup(spark, sf_dir):
+    """The multimodal line end to end: binary payload → Arrow-batched
+    decode → perceptual average-hash → hash-bucket dedup (buckets with
+    ≥2 members, canonical representative = min doc_id). This is image
+    near-dup dedup composed onto the engine-exact fingerprint of mm_ahash
+    — one hash aggregate on an 8-bit key after pure narrow stages."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = multimodal.decode_features(multimodal.attach_binary(docs), dim=8)
+    hashes = multimodal.average_hash(feats)
+    return (
+        hashes.groupBy("ahash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("representative"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@register(
     "ts_gapfill",
     oracle="""
     WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS t, value
@@ -4449,6 +4478,62 @@ def dd_span_dedup(spark, sf_dir):
     the final rollup; the Spark side shuffles 64-bit gram hashes instead
     of gram text but produces the identical position sets."""
     return dedup.duplicate_spans(_t(spark, sf_dir, "documents"), n=5)
+
+
+@register(
+    "cu_span_gate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(w) - 3, 1))) t(i)
+      WHERE len(w) >= 5),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    occ AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                  THEN 0 ELSE 1 END AS is_new
+      FROM occ),
+    isl AS (
+      SELECT doc_id, pos,
+             CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS island
+      FROM brk),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+      FROM isl GROUP BY doc_id, island),
+    permille AS (
+      SELECT sp.doc_id,
+             CAST(floor(sum(e - s + 1) * 1000.0 / any_value(len(t.w)))
+                  AS BIGINT) AS dup_permille
+      FROM spans sp JOIN toks t ON sp.doc_id = t.doc_id
+      GROUP BY sp.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.dup_permille, 0) AS BIGINT) AS dup_permille
+    FROM documents d LEFT JOIN permille p ON d.doc_id = p.doc_id
+    WHERE coalesce(p.dup_permille, 0) <= 400
+    """,
+)
+def cu_span_gate(spark, sf_dir):
+    """Span dedup as a corpus GATE (the operator's actual pipeline role):
+    keep documents whose duplicated-span coverage is ≤400‰, reporting each
+    survivor's permille. Docs with no duplicated spans pass at 0. The
+    report side is the dd_span_dedup line; the gate is one left anti-ish
+    join back to the corpus on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    report = dedup.duplicate_spans(docs, n=5).select("doc_id", "dup_permille")
+    return (
+        docs.select("doc_id")
+        .join(report, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_permille", F.lit(0)).cast("long").alias("dup_permille"),
+        )
+        .where(F.col("dup_permille") <= 400)
+    )
 
 
 _EV_SRC = """(SELECT event_id, user_id, event_type, value,
