@@ -674,6 +674,7 @@ def novelty_report(
 def duplicate_spans(
     docs: DataFrame, n: int = 5, min_count: int = 2,
     text: str = "text", id_col: str = "doc_id",
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Per-document report of duplicated n-gram spans: every maximal token
     range covered by word n-grams that occur >= ``min_count`` times in the
@@ -684,24 +685,31 @@ def duplicate_spans(
     The suffix-array formulation of the paper is inherently sequential; the
     distributed equivalent used here is positional n-gram counting:
 
-    1. tokenize once, emit (doc, pos, xxhash64(gram)) — narrow map stages;
-       the 64-bit hash (not the gram text) is what shuffles, so shuffle
-       width is constant regardless of n;
-    2. one count-window over the gram hash marks globally-repeated grams
-       in a single keyed shuffle (uniform 64-bit key — no skew); no
-       join-back, so the corpus is tokenized exactly once;
+    1. tokenize, emit (doc, pos, xxhash64(gram)) — narrow map stages; the
+       64-bit hash (not the gram text) is what shuffles, so shuffle width
+       is constant regardless of n;
+    2. find grams with global count >= min_count. Default (``skew_safe``):
+       groupBy(gh) + equi-join back — the map-side partial aggregate
+       collapses hot grams BEFORE the shuffle, and the join-back is an
+       AQE-skew-splittable SMJ, so a boilerplate gram repeated across
+       millions of documents (exactly what this operator exists to find)
+       cannot concentrate on one task. ``skew_safe=False`` switches to a
+       single count-window over gh — one fewer corpus pass (~40% faster
+       at small scale) but a window partition holds EVERY occurrence of
+       its hottest gram (no partial agg, and AQE skew handling does not
+       apply to window operators): safe only when no gram is hot.
     3. islands-and-gaps span merge per document: a lag window flags a new
-       island whenever the next duplicated position starts more than n-1
+       island whenever the next duplicated position starts more than n
        tokens after the previous (uniform-length intervals make the running
        max of ends unnecessary), a running sum numbers the islands, and a
        groupBy collapses each island to (min_pos, max_pos + n - 1);
     4. per-doc rollup to span count / covered tokens / permille.
 
-    Everything is whole-stage-codegen Catalyst; memory per task is bounded
-    by partition size, never by document count. The hash substitutes for
-    gram equality (a 64-bit collision would merge two unrelated grams);
-    at the paper's scale that chance is ~(grams²)/2⁶⁵ — accepted, as in
-    the MinHash family above."""
+    Everything is whole-stage-codegen Catalyst; in the default mode memory
+    per task is bounded by partition size, never by corpus or document
+    count. The hash substitutes for gram equality (a 64-bit collision
+    would merge two unrelated grams); at the paper's scale that chance is
+    ~(grams²)/2⁶⁵ — accepted, as in the MinHash family above."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), words_col(text).alias("w")
     ).where(F.size("w") >= n)
@@ -715,17 +723,22 @@ def duplicate_spans(
             )
         ).alias("pos", "gram"),
     ).select("doc_id", "total_tokens", "pos", F.xxhash64("gram").alias("gh"))
-    # one pass: a count window over the gram hash marks duplicated grams in
-    # the SAME shuffle that a groupBy would cost, without the join-back that
-    # would re-tokenize the corpus a second time (measured ~25% of the
-    # operator's runtime at sf0.1)
-    occ = (
-        grams.withColumn(
-            "cnt", F.count("*").over(Window.partitionBy("gh"))
+    if skew_safe:
+        dup = (
+            grams.groupBy("gh")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= min_count)
+            .select("gh")
         )
-        .where(F.col("cnt") >= min_count)
-        .select("doc_id", "total_tokens", "pos")
-    )
+        occ = grams.join(dup, "gh").select("doc_id", "total_tokens", "pos")
+    else:
+        occ = (
+            grams.withColumn(
+                "cnt", F.count("*").over(Window.partitionBy("gh"))
+            )
+            .where(F.col("cnt") >= min_count)
+            .select("doc_id", "total_tokens", "pos")
+        )
     byd = Window.partitionBy("doc_id").orderBy("pos")
     run = byd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # merge overlapping AND adjacent intervals: the previous gram covers

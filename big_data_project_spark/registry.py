@@ -3773,9 +3773,7 @@ def mm_perceptual_dedup(spark, sf_dir):
     ≥2 members, canonical representative = min doc_id). This is image
     near-dup dedup composed onto the engine-exact fingerprint of mm_ahash
     — one hash aggregate on an 8-bit key after pure narrow stages."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    feats = multimodal.decode_features(multimodal.attach_binary(docs), dim=8)
-    hashes = multimodal.average_hash(feats)
+    hashes = mm_ahash(spark, sf_dir)  # the registered fingerprint query
     return (
         hashes.groupBy("ahash")
         .agg(

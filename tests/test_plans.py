@@ -285,12 +285,13 @@ def test_q13_histogram_shuffle_budget(spark, sf_dir):
 
 
 def test_span_dedup_and_event_ops_shuffle_budgets(spark, sf_dir):
-    """Span dedup: ONE gram-hash window shuffle (count-over-hash replaced
-    the agg + join-back, which re-tokenized the corpus) + one doc_id
-    window whose partitioning the island/doc rollups reuse. Transitions:
-    the user_id window shuffle plus the tiny type-pair aggregate."""
+    """Span dedup (skew-safe default): gram-hash partial+final aggregate,
+    AQE-skew-splittable join-back, one doc_id window whose partitioning
+    the island/doc rollups reuse — bounded, not per-stage re-exchanged.
+    Transitions: the user_id window shuffle plus the tiny type-pair
+    aggregate."""
     for name, budget in (
-        ("dd_span_dedup", 2),
+        ("dd_span_dedup", 5),
         ("ev_transitions", 2),
         ("ev_retention_cohorts", 5),
     ):

@@ -905,3 +905,64 @@ def test_rolling_zscore_flags_spike(spark):
     assert flat and all(r["zscore"] is None for r in flat), (
         "expected zero-variance buckets to carry NULL zscore"
     )
+
+
+def test_duplicate_spans_modes_agree(spark, sf_dir):
+    """The skew-safe groupBy+join scan and the single-pass window scan
+    must produce identical reports (the window mode exists only as a
+    small-corpus fast path)."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import dedup as dd
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    a = {tuple(r) for r in dd.duplicate_spans(docs, n=5, skew_safe=True).collect()}
+    b = {tuple(r) for r in dd.duplicate_spans(docs, n=5, skew_safe=False).collect()}
+    assert a == b and a
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),                      # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 50),                     # minute offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_matches_python_model(spark, events):
+    """Random event logs: the distributed min-after-previous funnel must
+    agree with a sequential reference implementation."""
+    from big_data_project_spark.operators import events as ev
+
+    rows = [
+        (i, u, t, f"2024-01-01 00:{m:02d}:00") for i, (u, t, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    steps = ("view", "click", "purchase")
+    got = {r["step"]: r["n_users"] for r in ev.funnel(df, steps).collect()}
+
+    # sequential model: per user, earliest chain of strictly-increasing ts
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for i, (u, t, m) in enumerate(events):
+        by_user[u].append((m, i, t))
+    want = {f"{k + 1}:{s}": 0 for k, s in enumerate(steps)}
+    for u, evs in by_user.items():
+        evs.sort()
+        prev_t = None
+        for k, s in enumerate(steps):
+            cand = [m for m, _, t in evs if t == s and (prev_t is None or m > prev_t)]
+            if not cand:
+                break
+            prev_t = min(cand)
+            want[f"{k + 1}:{s}"] += 1
+    assert got == want
