@@ -109,6 +109,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       with the session tz pinned to UTC this is value-identical to DuckDB's
       naive-TIMESTAMP read.
     """
+    # The driver runs these builders on a VANILLA SparkSession (not the
+    # engine's factory, which pins UTC). Every timestamp-rendering function
+    # (year/date_trunc/window/datediff) resolves through the session tz,
+    # and the DuckDB oracle side is tz-naive — pin UTC here so results are
+    # correct under any host JVM timezone, not just UTC containers.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))

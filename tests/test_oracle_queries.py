@@ -36,3 +36,19 @@ def test_entry_smoke(spark):
     # queries()/oracle_sql() key contract
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_queries_are_timezone_robust(spark, duck, sf_dir):
+    """The grading driver uses a VANILLA SparkSession whose timezone is the
+    host JVM default — not the engine factory's pinned UTC. load_table must
+    re-pin UTC itself, or every timestamp-rendering query (windows,
+    date_trunc, year) silently shifts against the tz-naive DuckDB oracle on
+    a non-UTC host."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in ("st_tumbling_hourly", "q1_pricing_summary", "ev_retention_cohorts"):
+            q = REGISTRY[name]
+            assert_matches_oracle(q.build(spark, sf_dir), duck, q.oracle)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
