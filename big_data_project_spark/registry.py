@@ -4586,6 +4586,94 @@ def ev_retention_cohorts(spark, sf_dir):
 
 
 @register(
+    "p13_array_functions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents),
+    a AS (
+      SELECT doc_id, w[1:5] AS head5, w[3:8] AS mid6
+      FROM t WHERE len(w) >= 8)
+    SELECT doc_id,
+           list_sort(list_distinct(list_intersect(head5, mid6)))  AS common,
+           list_sort(list_distinct(list_concat(head5, mid6)))     AS united,
+           list_sort(list_distinct(
+             list_filter(head5, x -> NOT list_contains(mid6, x)))) AS only_head,
+           CAST(len(list_distinct(list_concat(head5, mid6))) AS BIGINT)
+             AS n_union
+    FROM a
+    """,
+)
+def p13_array_functions(spark, sf_dir):
+    """Collections surface: slice / intersect / union / except / distinct /
+    sort over word arrays — pure narrow expressions, zero shuffle. The
+    DuckDB mirror spells the same set algebra with list_* functions
+    (array_except ≡ filter-not-contains); both sides sort and distinct so
+    engine-internal set ordering never leaks into the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    a = docs.select(
+        "doc_id",
+        F.slice(w, 1, 5).alias("head5"),
+        F.slice(w, 3, 6).alias("mid6"),
+    ).where(F.size(w) >= 8)
+    return a.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(F.array_intersect("head5", "mid6"))).alias(
+            "common"
+        ),
+        F.sort_array(F.array_distinct(F.array_union("head5", "mid6"))).alias(
+            "united"
+        ),
+        F.sort_array(F.array_distinct(F.array_except("head5", "mid6"))).alias(
+            "only_head"
+        ),
+        F.size(F.array_distinct(F.array_union("head5", "mid6")))
+        .cast("long")
+        .alias("n_union"),
+    )
+
+
+@register(
+    "ev_paths",
+    oracle=f"""
+    SELECT path, count(*) AS n FROM (
+      SELECT event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS path
+      FROM {_EV_SRC} e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def ev_paths(spark, sf_dir):
+    """Top-20 three-step event-type paths (path/journey analysis): two
+    leads over the per-user time-ordered window, then a tiny path
+    aggregate — one user_id shuffle, TakeOrdered for the top-k."""
+    ev_t = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev_t.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).alias("third"),
+    ).where(F.col("third").isNotNull())
+    return (
+        p.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+@register(
     "ev_rfm",
     oracle=f"""
     WITH ev AS (SELECT * FROM {_EV_SRC} e),
