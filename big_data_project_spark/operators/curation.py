@@ -210,6 +210,7 @@ def pack_by_token_budget(
     id_col: str = "doc_id",
     budget: int = 512,
     n_shards: int = 8,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sequence packing for training: assign documents to ~``budget``-token
     packs (the pretraining step that concatenates short docs so no context
@@ -227,11 +228,16 @@ def pack_by_token_budget(
     relies on this). Sharding uses the module's content-hash bucket (not a
     numeric modulus) so any id type works — a string id under pmod would
     silently cast to NULL and collapse every row into one NULL-shard
-    window, the exact global scan this operator exists to avoid."""
+    window, the exact global scan this operator exists to avoid.
+
+    ``carry`` projects extra input columns through unchanged, so a caller
+    composing split + pack (curate_corpus) needs one pass instead of a
+    join-back."""
     from big_data_project_spark.operators.text import words_col
 
     d = df.select(
         F.col(id_col).alias("doc_id"),
+        *carry,
         F.pmod(hash_bucket(F.col(id_col), 0), F.lit(n_shards)).alias("shard"),
         F.size(words_col(text)).cast("long").alias("n_tokens"),
     )

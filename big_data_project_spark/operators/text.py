@@ -47,9 +47,12 @@ def assemble_doc_text(
 # ---------------------------------------------------------------------------
 
 def words_col(col: Column | str) -> Column:
-    """Whitespace tokenization of already-trimmed text."""
+    """Whitespace tokenization. Empty / whitespace-only text tokenizes to
+    an EMPTY array — split() alone returns [''] (size 1), which would count
+    every empty document as one word in token accounting, chunking, and
+    packing."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), "\\s+")
+    return F.filter(F.split(F.trim(c), "\\s+"), lambda x: x != "")
 
 
 def token_stats(df: DataFrame, text: str = "text", with_bpe: bool = False) -> DataFrame:
@@ -61,9 +64,11 @@ def token_stats(df: DataFrame, text: str = "text", with_bpe: bool = False) -> Da
         F.size(w).cast("long").alias("n_words"),
         F.length(F.col(text)).cast("long").alias("n_chars"),
         F.size(F.array_distinct(w)).cast("long").alias("n_distinct_words"),
-        (
-            F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x))
-            / F.size(w)
+        # try_divide: an empty doc has 0 words — NULL mean, not an ANSI
+        # DIVIDE_BY_ZERO job abort
+        F.try_divide(
+            F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)),
+            F.size(w),
         ).alias("avg_word_len"),
     ]
     if with_bpe:
@@ -214,8 +219,9 @@ def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
     return df.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
-        (stop_hits / n_words).alias("stopword_ratio"),
-        (F.size(F.array_distinct(w)) / n_words).alias("diversity"),
+        # try_divide: 0-word docs yield NULL ratios, not an ANSI job abort
+        F.try_divide(stop_hits, n_words).alias("stopword_ratio"),
+        F.try_divide(F.size(F.array_distinct(w)), n_words).alias("diversity"),
         F.when(n_words >= 20, 1).otherwise(0).alias("len_ok"),
     )
 
@@ -241,8 +247,11 @@ def text_profile(df: DataFrame, text: str = "text") -> DataFrame:
         best["lang"].alias("detected_lang"),
         best["s"].cast("long").alias("stopword_hits"),
         n_words.cast("long").alias("n_words"),
-        (_hits(text, LANG_STOPWORDS["en"]) / n_words).alias("stopword_ratio"),
-        (F.size(F.array_distinct(w)) / n_words).alias("diversity"),
+        # try_divide: 0-word docs yield NULL ratios, not an ANSI job abort
+        F.try_divide(_hits(text, LANG_STOPWORDS["en"]), n_words).alias(
+            "stopword_ratio"
+        ),
+        F.try_divide(F.size(F.array_distinct(w)), n_words).alias("diversity"),
         F.when(n_words >= 20, 1).otherwise(0).alias("len_ok"),
         F.md5(normalize_text_col(text)).alias("fingerprint"),
     )
@@ -428,11 +437,15 @@ def chunk_documents(
 
 #: PII patterns (redaction carriers; swap for production-grade lists).
 #: Order matters: SSN before PHONE — the phone pattern (digits+dashes)
-#: would otherwise consume SSN-shaped spans.
+#: would otherwise consume SSN-shaped spans. The PHONE pattern requires
+#: NANP-ish group shapes ([+cc-]3-4 or 3-3-4) rather than "any 8+ chars of
+#: digits and dashes": the loose form redacted every ISO date (2025-04-19)
+#: and invoice-number range in the corpus. No lookarounds — the DuckDB
+#: oracle mirror runs on RE2, which has none.
 PII_PATTERNS = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
-    (r"\+?[0-9][0-9\-]{6,}[0-9]", "[PHONE]"),
+    (r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}\b", "[PHONE]"),
 )
 
 
@@ -464,7 +477,10 @@ def repetition_score(df: DataFrame, text: str = "text") -> DataFrame:
             F.try_element_at(w, i + 2),
         ),
     )
-    n_tri = F.size(tri)
+    # guard like _quality_exprs: under 3 words the sequence still emits one
+    # fake (partial) trigram — report 0, not 1, so corpus trigram totals
+    # don't overcount short docs
+    n_tri = F.when(F.size(w) >= 3, F.size(tri)).otherwise(F.lit(0))
     score = F.when(
         n_tri > 0,
         1.0 - F.size(F.array_distinct(tri)) / n_tri,

@@ -82,17 +82,21 @@ def curate_corpus(
     # rule the rule set doesn't carry.
     d = filter_quality(d, min_words=min_words)
     w = words_col("text")
+    # try_divide: Catalyst may reorder this predicate ahead of the quality
+    # gate that removes 0-word docs; a NULL ratio filters false (dropped)
+    # instead of aborting the job under ANSI mode
     d = d.where(
-        (F.size(F.array_distinct(w)) / F.size(w)) >= min_diversity
+        F.try_divide(F.size(F.array_distinct(w)), F.size(w)) >= min_diversity
     )
     if mixture is not None:
         d = curation.sample_mixture(
             d, mixture, default_permille=default_permille, seed=seed
         )
-    split = curation.train_val_test_split(d, "doc_id", seed=seed + 1).select(
-        "doc_id", "source", "split"
-    )
-    packed = curation.pack_by_token_budget(d, budget=budget, n_shards=n_shards)
-    return split.join(packed, "doc_id").select(
-        "doc_id", "source", "split", "shard", "n_tokens", "pack_id"
-    )
+    # split is a pure map-side column — derive it in the same pass the
+    # packer consumes and carry it through, instead of forking the whole
+    # upstream line into two branches recombined by a shuffle join (the
+    # fork re-executed every dedup/decontaminate/quality stage twice)
+    d = curation.train_val_test_split(d, "doc_id", seed=seed + 1)
+    return curation.pack_by_token_budget(
+        d, budget=budget, n_shards=n_shards, carry=("source", "split")
+    ).select("doc_id", "source", "split", "shard", "n_tokens", "pack_id")

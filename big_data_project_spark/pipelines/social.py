@@ -63,7 +63,10 @@ def load_cnbc(spark: SparkSession, *paths: str) -> DataFrame:
     return df.select(
         F.col("url"),
         F.col("title"),
-        F.to_timestamp("date", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        # try_to_timestamp, not to_timestamp: under Spark 4 ANSI defaults a
+        # single malformed date would abort the whole job; NULL-on-miss is
+        # the pipeline contract (same rule parse_post_time documents)
+        F.try_to_timestamp(F.col("date"), F.lit("yyyy-MM-dd HH:mm:ss")).alias("ts"),
         F.col("content").alias("body"),
         F.lit("cnbc").alias("source"),
     )

@@ -131,15 +131,21 @@ class Generator:
             return False
 
     def _pipeline(self):  # pragma: no cover - needs torch + weights
-        if Generator._cached is None:
+        # cache keyed by construction params: a second Generator with a
+        # different model or token budget must not silently reuse the first
+        key = (self.model_name, self.max_new_tokens)
+        if Generator._cached is None or Generator._cached[0] != key:
             from transformers import pipeline
 
-            Generator._cached = pipeline(
-                "text2text-generation",
-                model=self.model_name,
-                max_new_tokens=self.max_new_tokens,
+            Generator._cached = (
+                key,
+                pipeline(
+                    "text2text-generation",
+                    model=self.model_name,
+                    max_new_tokens=self.max_new_tokens,
+                ),
             )
-        return Generator._cached
+        return Generator._cached[1]
 
     def generate(self, prompt: str) -> str:
         if self.available():  # pragma: no cover

@@ -2393,7 +2393,7 @@ def tx_chunk_documents(spark, sf_dir):
                regexp_replace(text,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g'),
-             '\\+?[0-9][0-9\\-]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+             '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}\\b', '[PHONE]', 'g') AS redacted
     FROM decorated
     """,
 )
@@ -2425,12 +2425,13 @@ def tx_redact_pii(spark, sf_dir):
                   ELSE text END AS text
       FROM documents)
     SELECT doc_id,
-           CAST(len(tri) AS BIGINT) AS n_trigrams,
-           CASE WHEN len(tri) > 0
+           CAST(CASE WHEN len(w) >= 3 THEN len(tri) ELSE 0 END AS BIGINT)
+             AS n_trigrams,
+           CASE WHEN len(w) >= 3 AND len(tri) > 0
                 THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
                 ELSE 0.0 END AS repetition_ratio
     FROM (
-      SELECT doc_id,
+      SELECT doc_id, w,
              list_transform(range(1, greatest(len(w) - 1, 2)),
                             i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS tri
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w

@@ -583,7 +583,7 @@ def test_quality_rules_match_python_model(spark):
     from big_data_project_spark.operators import text as tx
 
     texts = [
-        "",                                      # empty-ish (split -> [''])
+        "",                                      # empty: tokenizes to 0 words
         "one",
         "a b",
         "the cat sat on the mat and it was the best of mats",
@@ -597,7 +597,8 @@ def test_quality_rules_match_python_model(spark):
     got = {r.doc_id: r.asDict() for r in tx.quality_rule_flags(df).collect()}
 
     for i, t in rows:
-        w = _re.split(r"\s+", t.strip())
+        # filter the '' artifact like words_col: empty doc = 0 words
+        w = [x for x in _re.split(r"\s+", t.strip()) if x]
         n = len(w)
         chars = sum(len(x) for x in w)
         tri = [" ".join(w[j:j + 3]) for j in range(n - 2)] if n >= 3 else []
@@ -966,3 +967,43 @@ def test_funnel_matches_python_model(spark, events):
             prev_t = min(cand)
             want[f"{k + 1}:{s}"] += 1
     assert got == want
+
+
+def test_empty_docs_tokenize_to_zero(spark):
+    """Empty / whitespace-only text is 0 words, not 1 (split alone yields
+    ['']): token accounting, chunking, and packing must all see 0."""
+    from big_data_project_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two")], "doc_id long, text string"
+    )
+    stats = {r.doc_id: r.n_words for r in tx.token_stats(df).collect()}
+    assert stats == {1: 0, 2: 0, 3: 2}
+    # an empty doc emits no chunks at all
+    chunks = tx.chunk_documents(df, chunk_size=5, overlap=1)
+    assert {r["doc_id"] for r in chunks.collect()} == {3}
+
+
+def test_redact_pii_spares_iso_dates(spark):
+    """The PHONE pattern must not consume ISO dates or plain numeric
+    ranges — only phone-shaped digit groups."""
+    from big_data_project_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "on 2025-04-19 call +1-555-0147 or 555-123-4567 re 2024-2026")],
+        "doc_id long, text string",
+    )
+    out = tx.redact_pii(df).collect()[0].redacted
+    assert "2025-04-19" in out and "2024-2026" in out
+    assert "+1-555-0147" not in out and "555-123-4567" not in out
+
+
+def test_funnel_empty_steps_raises(spark):
+    from big_data_project_spark.operators import events as ev
+
+    df = spark.createDataFrame([], "event_id long, user_id long, event_type string, ts timestamp")
+    try:
+        ev.funnel(df, steps=())
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
