@@ -158,6 +158,15 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def verify_roundtrip(spark: SparkSession, df: DataFrame, path: str, fmt: str = "parquet") -> int:
-    """S8 read-back verify (py:301-304): write then re-read and count."""
+    """S8 read-back verify (py:301-304): write then re-read and count.
+
+    The CSV read-back uses the SAME quote/escape/multiLine options as
+    write_csv — the default reader splits quoted fields containing
+    newlines into extra records, failing the verify on a correct write."""
     {"parquet": write_parquet, "json": write_json, "csv": write_csv}[fmt](df, path)
-    return spark.read.format(fmt).options(header=True).load(path).count()
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.options(
+            header=True, quote='"', escape='"', multiLine=True
+        )
+    return reader.load(path).count()

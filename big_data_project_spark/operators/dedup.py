@@ -385,8 +385,12 @@ def connected_components(
     don't grow with the iteration count. Real dup-graphs are forests of
     tiny dense clusters, so it converges in 2-3 rounds.
     """
+    # NO cast: min-label propagation only needs an orderable id type, and a
+    # cast("long") silently turned string doc ids into NULLs — every edge
+    # dropped, near-dedup a no-op. Labels keep the caller's id type so the
+    # cluster_id IS a real document id (drop_near_dups compares them).
     e = pairs.select(
-        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).where(F.col("u") != F.col("v"))
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -55,7 +55,21 @@ def scd2_apply(
     and a mandatory broadcast would OOM the executors — the default plain
     join lets AQE broadcast it only when it measures small.
     """
-    upd = updates.select(
+    # ONE update per key per apply: a batch may carry several updates for
+    # the same key — applying them all would fan out the close join (every
+    # current row duplicated per update row) and leave multiple open
+    # versions. Keep the latest by ts (attr-tuple tiebreak for determinism);
+    # intermediate same-batch states are not representable in a single
+    # SCD2 apply and are intentionally collapsed.
+    wk = Window.partitionBy(key).orderBy(
+        F.col(ts_col).desc(), *[F.col(a).desc_nulls_last() for a in attrs]
+    )
+    upd_latest = (
+        updates.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upd = upd_latest.select(
         key, *attrs, F.col(ts_col).alias("valid_from")
     ).withColumn("valid_to", F.lit(None).cast("timestamp"))
     # Null-safe change detection: `<>` evaluates to NULL when either side is
@@ -65,12 +79,21 @@ def scd2_apply(
     for a in attrs:
         term = ~F.col(f"u.{a}").eqNullSafe(F.col(f"c.{a}"))
         changed_pred = term if changed_pred is None else (changed_pred | term)
-    changed_keys = (
-        updates.alias("u")
-        .join(current.where(F.col("valid_to").isNull()).alias("c"), key)
-        .where(changed_pred)
-        .select(key, F.col(f"u.{ts_col}").alias("_close_ts"))
+    # Classify against the OPEN row via a left join with an explicit
+    # presence marker: "apply" = no open row exists (brand-new key OR a key
+    # whose versions were all closed out — the update must REOPEN it, not
+    # vanish) or the open row's attrs differ.
+    open_cur = current.where(F.col("valid_to").isNull()).select(
+        key, *attrs, F.lit(1).alias("_has_open")
     )
+    classified = upd_latest.alias("u").join(open_cur.alias("c"), key, "left")
+    to_apply = classified.where(
+        F.col("_has_open").isNull() | changed_pred
+    ).select(key, F.col(f"u.{ts_col}").alias("_close_ts"))
+    # Only keys that HAVE an open row to close participate in the close.
+    changed_keys = classified.where(
+        F.col("_has_open").isNotNull() & changed_pred
+    ).select(key, F.col(f"u.{ts_col}").alias("_close_ts"))
     ck = F.broadcast(changed_keys) if broadcast_changed_keys else changed_keys
     closed = (
         current.alias("c")
@@ -87,11 +110,8 @@ def scd2_apply(
         .drop("valid_to")
         .withColumnRenamed("_new_valid_to", "valid_to")
     )
-    new_keys = updates.join(current, key, "left_anti").select(
-        key, *attrs, F.col(ts_col).alias("valid_from")
-    ).withColumn("valid_to", F.lit(None).cast("timestamp"))
-    new_versions = upd.join(changed_keys.select(key), key, "left_semi")
-    return closed.unionByName(new_versions).unionByName(new_keys)
+    new_versions = upd.join(to_apply.select(key), key, "left_semi")
+    return closed.unionByName(new_versions)
 
 
 def latest_version(history: DataFrame, key: str, order_col: str) -> DataFrame:
@@ -270,14 +290,18 @@ def write_zordered(
 
 
 def merge_aggregate_state(
-    state: DataFrame, batch: DataFrame, keys: list[str]
+    state: DataFrame, batch: DataFrame, keys: list[str], scale: int = 2
 ) -> DataFrame:
     """Incremental aggregate maintenance: fold a new batch's partial
     aggregates (n, total) into the stored state — the scalable alternative
     to recomputing a 100 TB aggregate per load. Counts and decimal-exact
-    sums are decomposable; averages derive at read time."""
+    sums are decomposable; averages derive at read time. ``scale`` is the
+    total's natural decimal scale (pass 4 for price×discount-grade values —
+    the previous hardcoded 2 silently rounded them)."""
     merged = state.unionByName(batch)
     return merged.groupBy(*keys).agg(
         F.sum("n").alias("n"),
-        F.sum(F.col("total").cast("decimal(30,2)")).cast("double").alias("total"),
+        F.sum(F.col("total").cast(f"decimal(30,{scale})"))
+        .cast("double")
+        .alias("total"),
     )

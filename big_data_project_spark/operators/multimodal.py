@@ -148,13 +148,21 @@ def frame_sample(
     max_frames byte-slices per payload (U4 one-row→many). Pure column ops:
     the slicing itself is substring on binary — a real frame sampler would
     replace the slice expression, the explode/partition shape stays."""
-    idx = F.sequence(
-        F.lit(0),
-        F.least(
-            F.lit(max_frames - 1),
-            F.floor(F.length(F.col(payload)) / every_n_bytes).cast("int"),
+    # last full-or-partial frame starts at floor((len-1)/n): the old
+    # floor(len/n) bound emitted one extra ZERO-LENGTH frame whenever the
+    # payload length was an exact multiple of every_n_bytes; empty payloads
+    # emit no frames at all
+    n_bytes = F.length(F.col(payload))
+    idx = F.when(
+        n_bytes > 0,
+        F.sequence(
+            F.lit(0),
+            F.least(
+                F.lit(max_frames - 1),
+                F.floor((n_bytes - 1) / every_n_bytes).cast("int"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(id_col, payload, F.explode(idx).alias("frame_no"))
         .select(

@@ -42,15 +42,15 @@ def assemble_prompt(
         F.transform(F.array_sort(F.collect_list(sortable)), lambda s: s["t"]),
         "\n\n",
     )
+    # build from PROMPT_TEMPLATE so the exported constant and the actual
+    # prompt cannot drift apart
+    pre, rest = PROMPT_TEMPLATE.split("{context}")
+    mid, post = rest.split("{question}")
     return hits.agg(
         F.lit(question).alias("question"),
         ctx.alias("context"),
         F.concat(
-            F.lit("Use the following context to answer the question.\n\nContext:\n"),
-            ctx,
-            F.lit("\n\nQuestion: "),
-            F.lit(question),
-            F.lit("\n\nAnswer:"),
+            F.lit(pre), ctx, F.lit(mid), F.lit(question), F.lit(post)
         ).alias("prompt"),
     )
 
@@ -120,7 +120,9 @@ def run_retrieval(
 
     hits = vector.knn_topk(embeddings, query, k=k, metric=metric)
     docs = vector.knn_join_documents(hits, documents, truncate=truncate)
-    return assemble_prompt(docs, question)
+    # l2 scores are DISTANCES (lower = more relevant): sort ascending so
+    # the best hit leads the prompt context, not the worst of the k
+    return assemble_prompt(docs, question, descending=(metric != "l2"))
 
 
 def generate_answers(

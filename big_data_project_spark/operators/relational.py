@@ -72,9 +72,11 @@ def dsum(expr: Column | str, scale: int = 2) -> Column:
 
 
 def davg(expr: Column | str, scale: int = 2) -> Column:
-    """Order-independent mean: exact decimal sum ÷ count, in double."""
+    """Order-independent mean: exact decimal sum ÷ count of NON-NULL values
+    (SQL AVG semantics — dividing by count(*) deflates the mean of any
+    nullable measure, e.g. a left-join output), in double."""
     c = F.col(expr) if isinstance(expr, str) else expr
-    return dsum(c, scale) / F.count(F.lit(1))
+    return F.try_divide(dsum(c, scale), F.count(c))
 
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
@@ -229,6 +231,14 @@ def asof_latest_event(
     `last(right_ts) ignore nulls` over a per-user time-ordered window. One
     shuffle on user_id, linear in |events| — this survives 100 TB where the
     naive join cannot.
+
+    Tie rule: events sharing a timestamp are sequenced by event_id, so a
+    right-type event at EXACTLY the left event's timestamp matches only
+    when its event_id precedes the left event's (the window cannot look
+    past the current row). The DuckDB oracle mirrors the same (ts,
+    event_id) ordering, so both engines agree; callers needing
+    inclusive-simultaneous semantics should sequence right rows first via
+    an explicit priority column.
     """
     tagged = events.select(
         "user_id",
@@ -361,6 +371,11 @@ def salted_join(
     help — e.g. a skewed *aggregation-input* join at 100 TB with a dim too
     large to broadcast. rand() here only routes rows — it never affects
     results — so the operator stays deterministic in output."""
+    if how != "inner":
+        # an outer join would emit every unmatched dim row once PER SALT
+        # BUCKET (the dim side is exploded across all buckets); only the
+        # inner form is fan-out-safe
+        raise ValueError("salted_join supports how='inner' only")
     salted_fact = fact.withColumn("_salt", (F.rand(42) * salt).cast("int"))
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -393,8 +408,10 @@ def profile_columns(
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"_null_{c}"),
             nd.cast("long").alias(f"_nd_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"_min_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"_max_{c}"),
+            # min/max on the NATIVE type, stringified after — casting first
+            # would give numeric columns lexicographic bounds ('10' < '9')
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
         ]
     wide = df.agg(*aggs)
     stacked = wide.select(

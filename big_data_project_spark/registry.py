@@ -1291,7 +1291,9 @@ def mm_binary_stats(spark, sf_dir):
     SELECT doc_id, frame_no,
            octet_length(payload) AS n_bytes_total
     FROM payloads,
-         unnest(range(0, least(8, octet_length(payload) // 64 + 1))) t(frame_no)
+         unnest(range(0, least(8, (octet_length(payload) - 1) // 64 + 1)))
+           t(frame_no)
+    WHERE octet_length(payload) > 0
     """,
 )
 def mm_frame_sample(spark, sf_dir):
@@ -1764,20 +1766,20 @@ def tx_tf_idf(spark, sf_dir):
     SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
            CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            count(DISTINCT c_custkey) AS n_distinct,
-           min(CAST(c_custkey AS VARCHAR)) AS min_str,
-           max(CAST(c_custkey AS VARCHAR)) AS max_str
+           CAST(min(c_custkey) AS VARCHAR) AS min_str,
+           CAST(max(c_custkey) AS VARCHAR) AS max_str
     FROM customer
     UNION ALL
     SELECT 'c_mktsegment', count(*),
            CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT c_mktsegment),
-           min(CAST(c_mktsegment AS VARCHAR)), max(CAST(c_mktsegment AS VARCHAR))
+           CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
     FROM customer
     UNION ALL
     SELECT 'c_acctbal', count(*),
            CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT c_acctbal),
-           min(CAST(c_acctbal AS VARCHAR)), max(CAST(c_acctbal AS VARCHAR))
+           CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR)
     FROM customer
     """,
 )

@@ -287,3 +287,54 @@ def test_scd2_full_churn_no_mandatory_broadcast(spark):
     # opt-in path still available for trickle loads
     hinted = mt.scd2_apply(cur, upd, "id", "ts", ["tier"], broadcast_changed_keys=True)
     assert plans.num_broadcast_hints(hinted) == 1
+
+
+def test_scd2_multi_update_batch_single_open_version(spark):
+    """A batch with several updates for one key must apply only the latest
+    (one close, one new open version) — not fan out the close join or
+    leave multiple open rows."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    cur = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00", None)],
+        "k long, attr string, valid_from string, valid_to string",
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    upd = spark.createDataFrame(
+        [(1, "b", "2024-02-01 00:00:00"), (1, "c", "2024-03-01 00:00:00")],
+        "k long, attr string, ts string",
+    ).select("k", "attr", F.col("ts").cast("timestamp").alias("ts"))
+    out = mt.scd2_apply(cur, upd, "k", "ts", ["attr"]).collect()
+    assert len(out) == 2  # one closed original + ONE new open version
+    open_rows = [r for r in out if r["valid_to"] is None]
+    assert len(open_rows) == 1 and open_rows[0]["attr"] == "c"
+    closed_rows = [r for r in out if r["valid_to"] is not None]
+    assert len(closed_rows) == 1 and closed_rows[0]["attr"] == "a"
+    # the close timestamp is the applied (latest) update's ts
+    assert str(closed_rows[0]["valid_to"]).startswith("2024-03-01")
+
+
+def test_scd2_reopens_fully_closed_key(spark):
+    """An update for a key whose versions are ALL closed must append a new
+    open version (previously it vanished: not 'changed' — no open row to
+    compare — and not 'new' — the key exists in current)."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    cur = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00", "2024-02-01 00:00:00")],
+        "k long, attr string, valid_from string, valid_to string",
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    upd = spark.createDataFrame(
+        [(1, "b", "2024-03-01 00:00:00")], "k long, attr string, ts string"
+    ).select("k", "attr", F.col("ts").cast("timestamp").alias("ts"))
+    out = mt.scd2_apply(cur, upd, "k", "ts", ["attr"]).collect()
+    assert len(out) == 2
+    open_rows = [r for r in out if r["valid_to"] is None]
+    assert len(open_rows) == 1 and open_rows[0]["attr"] == "b"

@@ -1007,3 +1007,70 @@ def test_funnel_empty_steps_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_connected_components_string_ids(spark):
+    """Near-dedup must work for STRING doc ids: the old cast('long') turned
+    them into NULLs and silently dropped every edge."""
+    from big_data_project_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_c", "doc_b"), ("doc_x", "doc_y")],
+        "id_a string, id_b string",
+    )
+    got = {r["node"]: r["cluster_id"] for r in dd.connected_components(pairs).collect()}
+    assert got == {
+        "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+        "doc_x": "doc_x", "doc_y": "doc_x",
+    }
+    docs = spark.createDataFrame(
+        [("doc_a", "t"), ("doc_b", "t"), ("doc_c", "t"), ("doc_x", "t"),
+         ("doc_y", "t"), ("doc_z", "t")],
+        "doc_id string, text string",
+    )
+    kept = {r["doc_id"] for r in dd.drop_near_dups(docs, pairs).select("doc_id").collect()}
+    assert kept == {"doc_a", "doc_x", "doc_z"}
+
+
+def test_profile_minmax_is_numeric_not_lexicographic(spark):
+    from big_data_project_spark.operators import relational as rel
+
+    df = spark.createDataFrame([(9,), (10,), (200,)], "x int")
+    row = rel.profile_columns(df, ["x"], exact=True).collect()[0]
+    assert row["min_str"] == "9" and row["max_str"] == "200"
+
+
+def test_verify_roundtrip_multiline_csv(spark, tmp_path):
+    from big_data_project_spark import io
+
+    df = spark.createDataFrame([(1, "a\nb"), (2, "plain")], "i long, t string")
+    n = io.verify_roundtrip(spark, df, str(tmp_path / "rt"), fmt="csv")
+    assert n == 2
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import relational as rel
+
+    o = io.load_table(spark, sf_dir, "orders")
+    c = io.load_table(spark, sf_dir, "customer")
+    try:
+        rel.salted_join(o, c, "o_custkey", "c_custkey", how="full")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_frame_sample_exact_multiple_no_empty_frame(spark):
+    from big_data_project_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "x" * 64), (2, "y" * 65), (3, "")], "doc_id long, text string"
+    )
+    frames = mm.frame_sample(mm.attach_binary(df))
+    by_doc = {}
+    for r in frames.collect():
+        by_doc.setdefault(r["doc_id"], []).append(len(r["frame_bytes"]))
+    assert by_doc[1] == [64]          # exact multiple: ONE full frame
+    assert sorted(by_doc[2]) == [1, 64]  # 65 bytes: full frame + 1-byte tail
+    assert 3 not in by_doc            # empty payload: no frames
