@@ -1949,6 +1949,28 @@ def s_roundtrip_parquet(spark, sf_dir):
     return io.read_parquet(spark, path)
 
 
+@register(
+    "s_roundtrip_orc",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_totalprice >= 400000
+    """,
+)
+def s_roundtrip_orc(spark, sf_dir):
+    """ORC sink → scan roundtrip (the columnar alternative Spark ships
+    natively): the oracle reads the ORIGINAL table, so the hash only
+    matches if the ORC write+read-back preserved every value bit-for-bit —
+    widening the sink surface beyond parquet/csv/json."""
+    df = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 400000)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+    path = _tmpdir("rt_orc") + "/data"
+    df.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
 #: S4 in-memory rows for the text roundtrip (quote/escape stress included).
 _MEM_ROWS = [
     (1, 'plain value', 1.5),
