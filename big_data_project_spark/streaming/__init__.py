@@ -16,6 +16,7 @@ from big_data_project_spark.streaming.ops import (
     EVENTS_SCHEMA,
     purchases_with_recent_clicks,
     read_event_stream,
+    anomaly_stream,
     running_user_totals,
     session_window_agg,
     sessionize_batch,
@@ -30,6 +31,7 @@ from big_data_project_spark.streaming.ops import (
 __all__ = [
     "EVENTS_SCHEMA",
     "read_event_stream",
+    "anomaly_stream",
     "running_user_totals",
     "tumbling_window_agg",
     "sliding_window_agg",

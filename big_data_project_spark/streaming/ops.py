@@ -245,3 +245,104 @@ def user_totals_batch(events: DataFrame) -> DataFrame:
         )
 
     return events.groupBy("user_id").applyInPandas(fold, out_schema)
+
+
+def anomaly_stream(
+    events: DataFrame,
+    step_seconds: int = 3600,
+    trailing: int = 24,
+    min_periods: int = 12,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of :func:`relational.rolling_zscore`: per event-type
+    rolling z-score anomaly detection maintained across micro-batches via
+    applyInPandasWithState.
+
+    State per key = (open_bucket, open_count, trailing closed-bucket
+    counts). A bucket closes — and is scored against the trailing window —
+    when a LATER bucket first appears for the key; rows for already-closed
+    buckets are dropped (the state-op analogue of a one-bucket watermark;
+    on in-order replay the output equals the batch operator minus each
+    key's final, still-open bucket — asserted in tests). Buckets split
+    across micro-batches merge into the open count before closing, so
+    micro-batch boundaries never change results. Scoring mirrors the batch
+    chain operation-for-operation in IEEE doubles (Python floats ARE IEEE
+    doubles), so the z-scores are bit-identical, and buckets with fewer
+    than ``min_periods`` closed predecessors are skipped exactly like the
+    batch filter."""
+    import datetime as _dt
+
+    import pandas as pd  # local: keep the closure self-contained
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("bucket_start", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("zscore", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("open_bucket", T.LongType()),
+            T.StructField("open_n", T.LongType()),
+            T.StructField("hist", T.ArrayType(T.LongType())),
+        ]
+    )
+    step = int(step_seconds)
+    keep, min_p, thr = int(trailing), int(min_periods), float(threshold)
+
+    def update(key, pdf_iter, state):
+        import math
+
+        if state.exists:
+            open_b, open_n, hist = state.get
+            hist = list(hist)
+        else:
+            open_b, open_n, hist = None, 0, []
+        counts: dict[int, int] = {}
+        for pdf in pdf_iter:
+            buckets = (pdf["ts"].astype("int64") // 1_000_000_000) // step
+            for b, c in buckets.value_counts().items():
+                counts[int(b)] = counts.get(int(b), 0) + int(c)
+        rows = []
+        for b in sorted(counts):
+            c = counts[b]
+            if open_b is None:
+                open_b, open_n = b, c
+                continue
+            if b == open_b:
+                open_n += c
+                continue
+            if b < open_b:  # late row for an already-closed bucket: drop
+                continue
+            # a later bucket arrived: close and score the open one
+            w = hist[-keep:]
+            wn = len(w)
+            if wn >= min_p:
+                s = sum(w)
+                ss = sum(x * x for x in w)
+                var = (ss - float(s) * s / wn) / (wn - 1)
+                z = (open_n - s / wn) / math.sqrt(var) if var > 0 else None
+                rows.append(
+                    (
+                        key[0],
+                        _dt.datetime.utcfromtimestamp(open_b * step),
+                        open_n,
+                        z,
+                        bool(z is not None and abs(z) > thr),
+                    )
+                )
+            hist.append(open_n)
+            hist = hist[-keep:]
+            open_b, open_n = b, c
+        state.update((open_b, open_n, hist))
+        yield pd.DataFrame(
+            rows, columns=["key", "bucket_start", "n", "zscore", "is_anomaly"]
+        )
+
+    keyed = events.select(F.col("event_type").alias("key"), "ts")
+    return keyed.groupBy("key").applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -298,3 +298,85 @@ def test_streaming_document_curation_equals_batch(spark, sf_dir):
         assert got  # non-trivial
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_anomaly_stream_equals_batch_minus_open_buckets(spark, event_dir):
+    """Streaming rolling z-score == the batch operator restricted to CLOSED
+    buckets (everything except each key's final bucket, which the stream
+    still holds open). Scores must be bit-identical — both sides run the
+    same IEEE double chain on exact integer window sums."""
+    from big_data_project_spark.operators import relational as rel
+
+    stream = st.read_event_stream(spark, event_dir)
+    q = (
+        st.anomaly_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("anom_out")
+        .start()
+    )
+    q.processAllAvailable()
+    got = spark.sql("SELECT * FROM anom_out").collect()
+    q.stop()
+    batch = rel.rolling_zscore(spark.read.parquet(event_dir))
+    last_per_key = (
+        batch.groupBy("key").agg(F.max("bucket_start").alias("_last"))
+    )
+    want = (
+        batch.join(last_per_key, "key")
+        .where(F.col("bucket_start") < F.col("_last"))
+        .drop("_last")
+        .collect()
+    )
+    assert _rows_set(got) == _rows_set(want)
+    assert len(want) > 100
+
+
+def test_anomaly_stream_across_microbatches(spark, tmp_path):
+    """Bucket counts accumulate across micro-batches: a bucket split over
+    two batches merges before closing; state carries the trailing window."""
+    d = str(tmp_path / "anom_src")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # hour buckets for key 'click': h0=2, h1=4(split 3+1), h2=2, h3=1(open)
+    b1 = mk(
+        [(1, "2024-01-01 00:10:00", 1, "click", 0.0, "{}"),
+         (2, "2024-01-01 00:20:00", 1, "click", 0.0, "{}"),
+         (3, "2024-01-01 01:05:00", 1, "click", 0.0, "{}"),
+         (4, "2024-01-01 01:15:00", 1, "click", 0.0, "{}"),
+         (5, "2024-01-01 01:25:00", 1, "click", 0.0, "{}")]
+    )
+    b2 = mk(
+        [(6, "2024-01-01 01:55:00", 1, "click", 0.0, "{}"),   # merges into h1
+         (7, "2024-01-01 02:30:00", 1, "click", 0.0, "{}"),   # closes h1
+         (8, "2024-01-01 02:40:00", 1, "click", 0.0, "{}"),
+         (9, "2024-01-01 03:10:00", 1, "click", 0.0, "{}")]   # closes h2
+    )
+    b1.write.mode("overwrite").parquet(d)
+    stream = st.read_event_stream(spark, d)
+    q = (
+        st.anomaly_stream(stream, trailing=3, min_periods=2, threshold=3.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("anom_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
+        .start()
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(d)
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (str(r.bucket_start), r.n): r.zscore
+        for r in spark.sql("SELECT * FROM anom_state").collect()
+    }
+    # h1 closes with n=4 (3 from b1 + 1 from b2) but history has only 1
+    # bucket (< min_periods) -> not emitted; h2 closes with n=2, history
+    # [2, 4] -> mean 3, var 2, z = (2-3)/sqrt(2)
+    assert ("2024-01-01 02:00:00", 2) in rows
+    import math
+
+    assert abs(rows[("2024-01-01 02:00:00", 2)] - (2 - 3) / math.sqrt(2)) < 1e-12
+    assert len(rows) == 1
