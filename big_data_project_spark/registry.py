@@ -2622,7 +2622,12 @@ def dd_decontaminate(spark, sf_dir):
         " EXACT cosine top-10 — the LSH path (16 planes x 8 two-bit bands,"
         " a band-pruned scan, never all-pairs) must reproduce it"
         " value-for-value, i.e. recall@10 = 1.0 at this scale. Looser"
-        " configs are recall-gated in pytest instead"
+        " configs are recall-gated in pytest instead. Measured scale"
+        " boundary (full oracle sweep, round 3): recall@10 is 1.0 at"
+        " sf0.001 and sf0.01 (the driver gate) and 9/10 at sf0.1 — the"
+        " expected LSH behavior as the top-10 cosine margin tightens with"
+        " corpus size; larger corpora raise n_bands or verify candidates"
+        " exactly (dd_near_dedup_lsh's shape) rather than claim exactness"
     ),
 )
 def e5_lsh_recall(spark, sf_dir):
