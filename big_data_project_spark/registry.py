@@ -26,6 +26,7 @@ from big_data_project_spark.operators import (
     curation,
     dedup,
     events as ev,
+    graph,
     multimodal,
     rag,
     relational,
@@ -4930,6 +4931,102 @@ def a12_histogram(spark, sf_dir):
     arithmetic form is the contract)."""
     io.register_views(spark, sf_dir, ["orders"])
     return spark.sql(_A12_SQL)
+
+
+def _pagerank_sql(iterations: int = 3, dp: int = 850) -> tuple[str, str]:
+    """Unrolled DuckDB mirror of graph.pagerank's integer chain: same edge
+    derivation, same `div` fixed-point arithmetic, one CTE pair per
+    iteration. DuckDB's `//` floors and Spark's `div` truncates — identical
+    on the all-positive quantities here. sum(BIGINT) is HUGEINT in DuckDB,
+    so it is cast back per the repo's type-alignment contract."""
+    scale = graph.RANK_SCALE
+    parts = [
+        """
+    WITH p AS (
+      SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o.o_custkey AS VARCHAR) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    e AS (SELECT src, dst FROM p
+          UNION SELECT dst AS src, src AS dst FROM p),
+    nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    cnt AS (SELECT count(*) AS n FROM nd),
+    od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),"""
+        + f"""
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) // (SELECT n FROM cnt) AS r
+           FROM nd)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+    s{i} AS (SELECT e.dst AS node, CAST(sum(r{i - 1}.r // od.deg) AS BIGINT) AS s
+             FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node
+                    JOIN od ON e.src = od.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT nd.node,
+               CAST({(1000 - dp) * scale} AS BIGINT)
+                 // (1000 * (SELECT n FROM cnt))
+               + ({dp} * coalesce(s{i}.s, CAST(0 AS BIGINT))) // 1000 AS r
+             FROM nd LEFT JOIN s{i} ON nd.node = s{i}.node)""")
+    return "".join(parts), f"r{iterations}"
+
+
+_GR_SQL_CTES, _GR_LAST = _pagerank_sql()
+
+_GR_PAGERANK_SQL = (
+    _GR_SQL_CTES
+    + f"""
+    SELECT node, r AS rank_pico,
+           CAST(r AS DOUBLE) / CAST({graph.RANK_SCALE} AS DOUBLE) AS pagerank
+    FROM {_GR_LAST}
+    """
+)
+
+
+def _trade_graph_edges(spark, sf_dir):
+    """supplier⇄customer trade graph: an edge each way for every
+    (supplier, customer) pair connected through an order."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+@register("gr_pagerank", oracle=_GR_PAGERANK_SQL)
+def gr_pagerank(spark, sf_dir):
+    """Deterministic fixed-point PageRank (3 sweeps, d=0.85) over the
+    supplier⇄customer trade graph — the domain-quality-prior rank a
+    web-corpus curation pipeline derives from its link graph (Common Crawl
+    host ranks). Integer pico-unit arithmetic makes the result order-free
+    (plain hash SUM per sweep — no per-node contribution array, so a
+    10^9-in-link hot host cannot OOM an executor) and bit-equal to the
+    unrolled DuckDB chain, IEEE double rendering included."""
+    return graph.pagerank(_trade_graph_edges(spark, sf_dir), iterations=3)
+
+
+_GR_WEIGHTS_SQL = (
+    _GR_SQL_CTES
+    + f""",
+    mx AS (SELECT max(r) AS mx FROM {_GR_LAST})
+    SELECT node,
+           least(r // greatest(mx // 1000, CAST(1 AS BIGINT)),
+                 CAST(1000 AS BIGINT)) AS weight_permille
+    FROM {_GR_LAST}, mx
+    """
+)
+
+
+@register("gr_rank_weights", oracle=_GR_WEIGHTS_SQL)
+def gr_rank_weights(spark, sf_dir):
+    """PageRank → integer permille mixture weights (rank / max, scaled to
+    0..1000): the join point between the link-graph prior and
+    curation.sample_mixture's rate map. Integer-exact end to end; the max
+    is the only broadcast (single row)."""
+    ranks = graph.pagerank(_trade_graph_edges(spark, sf_dir), iterations=3)
+    return graph.source_rank_weights(ranks)
 
 
 # ===========================================================================
