@@ -544,3 +544,93 @@ def rolling_zscore(
         z.alias("zscore"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def _bloom_pos(key: str, i: int, n_bits: int, hash_fn: str) -> Column:
+    """Position of hash i of ``key`` in a ``n_bits``-bit Bloom filter.
+    ``md5`` (default) is the cross-engine contract — DuckDB reproduces it
+    with the repo's shift-accumulate hex decode; ``xxh64`` is the Spark-only
+    fast path (one JVM hash vs an md5 + string conv per probe)."""
+    if hash_fn == "md5":
+        return F.expr(
+            f"CAST(conv(substring(md5(concat(CAST({key} AS STRING), '#', '{i}')),"
+            f" 1, 15), 16, 10) AS BIGINT) % {n_bits}"
+        )
+    if hash_fn == "xxh64":
+        return F.expr(f"pmod(xxhash64(CAST({key} AS STRING), {i}), {n_bits})")
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
+def bloom_bitmap(
+    build: DataFrame,
+    key: str,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Build a fixed-size Bloom filter over ``build[key]`` as ONE row holding
+    a ``map<bigint, bigint>`` of 63-bit words (``bloom`` column; bit 63 —
+    the sign bit — is never used, so the same words are legal in any engine
+    without unsigned-shift games).
+
+    Scale shape: k narrow hash expressions + one groupBy-bit_or whose output
+    is bounded by ``n_bits/63`` words REGARDLESS of build cardinality — the
+    filter size is a parameter, exactly like Spark's own injected runtime
+    bloom filter (FPR, not memory, degrades as the build side grows). The
+    single-row map is therefore always broadcast-legal."""
+    pos = build.select(
+        F.explode(
+            F.array(*[_bloom_pos(key, i, n_bits, hash_fn) for i in range(k)])
+        ).alias("pos")
+    )
+    words = pos.groupBy(F.expr("pos div 63").alias("word_idx")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")).alias(
+            "bits"
+        )
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "bits"))).alias(
+            "bloom"
+        )
+    )
+
+
+def bloom_prune_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Semi-join ``probe`` to ``build`` with an explicit Bloom runtime
+    filter: probe rows are pre-filtered by k map lookups into the broadcast
+    bitmap (a pure NARROW stage — no shuffle, no explode fan-out), and only
+    the surviving candidates enter the exact semi join. False positives are
+    removed by the semi join, false negatives are impossible (every true
+    key's bits are set), so the result is VALUE-IDENTICAL to the plain semi
+    join — the oracle proves the pruning invisible, a pytest proves it
+    actually prunes.
+
+    This is the manual form of Spark's runtime row-level filtering, for when
+    the optimizer can't inject one (probe and build prepared in separate
+    jobs, or the build side is an intermediate the planner can't see
+    through). At 100 TB the win is shuffle-input volume: the narrow bloom
+    stage drops non-matching probe rows BEFORE the join exchange."""
+    bm = F.broadcast(bloom_bitmap(build, build_key, n_bits, k, hash_fn))
+    cand = probe.crossJoin(bm)
+    hit = None
+    for i in range(k):
+        cand = cand.withColumn(
+            f"_bp{i}", _bloom_pos(probe_key, i, n_bits, hash_fn)
+        )
+        check = F.expr(
+            f"(coalesce(try_element_at(bloom, _bp{i} div 63),"
+            f" CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(_bp{i} % 63 AS INT))) != 0"
+        )
+        hit = check if hit is None else (hit & check)
+    cand = cand.where(hit).drop("bloom", *[f"_bp{i}" for i in range(k)])
+    keys = build.select(F.col(build_key)).distinct()
+    return cand.join(keys, cand[probe_key] == keys[build_key], "left_semi")

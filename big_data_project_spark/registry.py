@@ -5029,6 +5029,50 @@ def gr_rank_weights(spark, sf_dir):
     return graph.source_rank_weights(ranks)
 
 
+@register(
+    "j8_bloom_prune_join",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT'
+                           AND o_orderdate >= DATE '1997-01-01')
+    GROUP BY l_returnflag
+    """,
+)
+def j8_bloom_prune_join(spark, sf_dir):
+    """Explicit Bloom runtime filter ahead of a fact⋈fact semi join, proven
+    VALUE-INVISIBLE: the oracle is the PLAIN semi join. The k md5 probes +
+    broadcast word-map membership test drop non-matching lineitem rows in a
+    narrow stage BEFORE the join exchange; the exact semi join then removes
+    the (bounded-FPR) false positives. The manual form of Spark's runtime
+    row-level filtering, for build sides the planner can't see through —
+    at 100 TB the saved shuffle-input volume is the whole game."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1997-01-01")
+        )
+        .select("o_orderkey")
+    )
+    pruned = relational.bloom_prune_join(
+        li, urgent, "l_orderkey", "o_orderkey"
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        relational.dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("revenue"),
+    )
+
+
 # ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is
