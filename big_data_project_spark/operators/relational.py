@@ -548,9 +548,10 @@ def rolling_zscore(
 
 def _bloom_pos(key: str, i: int, n_bits: int, hash_fn: str) -> Column:
     """Position of hash i of ``key`` in a ``n_bits``-bit Bloom filter.
-    ``md5`` (default) is the cross-engine contract — DuckDB reproduces it
-    with the repo's shift-accumulate hex decode; ``xxh64`` is the Spark-only
-    fast path (one JVM hash vs an md5 + string conv per probe)."""
+    ``xxh64`` (default) is the scale path — one codegen'd JVM hash per
+    probe; ``md5`` is the cross-engine contract (an md5 + string conv per
+    probe, ~10× the filter cost) that DuckDB reproduces with the repo's
+    shift-accumulate hex decode — the oracle entry pins it explicitly."""
     if hash_fn == "md5":
         return F.expr(
             f"CAST(conv(substring(md5(concat(CAST({key} AS STRING), '#', '{i}')),"
@@ -566,7 +567,7 @@ def bloom_bitmap(
     key: str,
     n_bits: int = 1 << 20,
     k: int = 4,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """Build a fixed-size Bloom filter over ``build[key]`` as ONE row holding
     a ``map<bigint, bigint>`` of 63-bit words (``bloom`` column; bit 63 —
@@ -602,7 +603,7 @@ def bloom_prune_join(
     build_key: str,
     n_bits: int = 1 << 20,
     k: int = 4,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """Semi-join ``probe`` to ``build`` with an explicit Bloom runtime
     filter: probe rows are pre-filtered by k map lookups into the broadcast

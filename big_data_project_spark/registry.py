@@ -5063,7 +5063,7 @@ def j8_bloom_prune_join(spark, sf_dir):
         .select("o_orderkey")
     )
     pruned = relational.bloom_prune_join(
-        li, urgent, "l_orderkey", "o_orderkey"
+        li, urgent, "l_orderkey", "o_orderkey", hash_fn="md5"
     )
     return pruned.groupBy("l_returnflag").agg(
         F.count("*").alias("n_lines"),

@@ -32,7 +32,7 @@ def test_bloom_prefilter_is_superset_and_actually_prunes(spark):
     every true match (no false negatives — a bloom law, not a probability)
     and, at this key density, far fewer rows than the raw probe side."""
     probe, build = _probe_build(spark)
-    bm = F.broadcast(R.bloom_bitmap(build, "bk"))
+    bm = F.broadcast(R.bloom_bitmap(build, "bk", hash_fn="md5"))
     cand = probe.crossJoin(bm)
     hit = None
     for i in range(4):
