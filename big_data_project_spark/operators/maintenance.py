@@ -305,3 +305,32 @@ def merge_aggregate_state(
         .cast("double")
         .alias("total"),
     )
+
+
+def distinct_sketches(
+    df: DataFrame, group_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group HLL sketch state over ``value_col`` (Datasketches HLL_4,
+    Spark's hll_sketch_agg) — the persistable partial for incremental
+    COUNT(DISTINCT) rollups: store one small binary per (day, key) at
+    ingest, answer any coarser-grained distinct question later by merging
+    sketches, never rescanning the fact table. Sketch size is bounded by
+    2^lg_k registers regardless of input cardinality; the aggregate is
+    partial+final like any hash agg."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(int(lg_k))).alias("hll")
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame, rollup_cols: list[str]
+) -> DataFrame:
+    """Union per-group sketches up to a coarser grouping and estimate.
+    hll_union_agg is associative/commutative on the register arrays, so
+    the estimate is independent of merge order and partitioning — and
+    EQUALS the single-pass sketch over the union of the inputs (asserted
+    in tests), which is what makes the stored partials trustworthy.
+    Shuffle volume is sketches (KB each), not rows."""
+    return sketches.groupBy(*rollup_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("distinct_est")
+    )

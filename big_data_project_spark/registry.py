@@ -4894,6 +4894,86 @@ def a11_corr_deterministic(spark, sf_dir):
     )
 
 
+@register(
+    "a13_linreg_deterministic",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM (SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem)
+      GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents
+    FROM m
+    """,
+)
+def a13_linreg_deterministic(spark, sf_dir):
+    """Per-group OLS regression (price-cents on quantity) via a11's exact
+    integer moments: built-in regr_slope/regr_intercept accumulate doubles
+    in partition order, so their low bits are not a cross-engine contract.
+    Both the slope and the intercept are expressed as ONE division of two
+    exactly-computed integers (intercept = (sy·sxx − sx·sxy)/(n·sxx −
+    sx·sx) — the closed form with no float multiply-subtract chain, which
+    a11 observed drifting 1 ULP across engines via FMA contraction). Same
+    partial+final aggregate shape as a plain groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
+    )
+    m = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,0))")).alias("sxy"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).alias("sxx"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)"
+        ).alias("slope_cents"),
+        F.expr(
+            "CAST(sy * sxx - sx * sxy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)"
+        ).alias("intercept_cents"),
+    )
+
+
+@register(
+    "mt_hll_distinct",
+    oracle=None,
+    note="rows-only BY DESIGN: Datasketches HLL estimates are exact only in "
+    "sparse range (true at sf<=0.01, drifts ~1% at sf0.1), so no value-hash "
+    "contract; determinism + accuracy are pytest-gated "
+    "(test_hll_merge_equals_single_pass, test_hll_estimate_error_bound).",
+)
+def mt_hll_distinct(spark, sf_dir):
+    """Incremental COUNT(DISTINCT) via persisted HLL partials: daily
+    (day, event_type) sketches merged up to event_type — the rollup shape
+    that answers distinct-users questions at 100 TB without rescanning the
+    fact table (shuffle volume = KB-sized sketches, not rows). Merge is
+    register-wise max: associative, order-free, and equal to the
+    single-pass sketch (asserted in tests)."""
+    from big_data_project_spark.operators import maintenance
+
+    ev = _t(spark, sf_dir, "events")
+    daily = maintenance.distinct_sketches(
+        ev.withColumn("day", F.to_date("ts")), ["day", "event_type"], "user_id"
+    )
+    return maintenance.merge_distinct_sketches(daily, ["event_type"])
+
+
 _P11_SQL = """
     SELECT c_custkey, c_name,
            CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS edit_dist

@@ -338,3 +338,51 @@ def test_scd2_reopens_fully_closed_key(spark):
     assert len(out) == 2
     open_rows = [r for r in out if r["valid_to"] is None]
     assert len(open_rows) == 1 and open_rows[0]["attr"] == "b"
+
+
+def test_hll_merge_equals_single_pass(spark, sf_dir):
+    """The stored-partials contract: merging daily sketches must give the
+    SAME estimate as sketching the whole table in one pass (register-wise
+    max is associative/order-free), or persisted partials would not be
+    trustworthy."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import maintenance as mt
+
+    ev = io.load_table(spark, sf_dir, "events")
+    daily = mt.distinct_sketches(
+        ev.withColumn("day", F.to_date("ts")), ["day", "event_type"], "user_id"
+    )
+    merged = {
+        r["event_type"]: r["distinct_est"]
+        for r in mt.merge_distinct_sketches(daily, ["event_type"]).collect()
+    }
+    single = {
+        r["event_type"]: r["distinct_est"]
+        for r in mt.merge_distinct_sketches(
+            mt.distinct_sketches(ev, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    assert merged == single and len(merged) > 0
+
+
+def test_hll_estimate_error_bound(spark, sf_dir):
+    """lg_k=12 keeps relative error ~1.6%/sqrt; assert a loose 3% gate
+    against exact distinct counts."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import maintenance as mt
+
+    ev = io.load_table(spark, sf_dir, "events")
+    est = {
+        r["event_type"]: r["distinct_est"]
+        for r in mt.merge_distinct_sketches(
+            mt.distinct_sketches(ev, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for k, x in exact.items():
+        assert abs(est[k] - x) <= max(1, 0.03 * x)
