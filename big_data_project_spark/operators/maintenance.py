@@ -334,3 +334,51 @@ def merge_distinct_sketches(
     return sketches.groupBy(*rollup_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("distinct_est")
     )
+
+
+def collect_file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Zone-map index: per data FILE, row count and min/max of each listed
+    column — built ONCE per write/compaction (a single scan), persisted
+    small (one row per file), then consulted by every later query via
+    :func:`skipping_scan`. This is the external form of parquet's own
+    row-group stats: row-group skipping needs every footer opened; a
+    persisted file-level index prunes before ANY footer I/O — at 100 TB
+    (millions of files) that is the difference between a driver listing
+    and a cluster-wide metadata storm."""
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def prune_files(stats_rows, col: str, lo, hi) -> list[str]:
+    """Files whose [min,max] zone intersects [lo, hi]. A file with NULL
+    min/max has no non-null values for ``col`` and can never satisfy a
+    range predicate, so it is pruned. ``stats_rows`` is the COLLECTED
+    stats table — one row per file, bounded by file count (Spark's own
+    file index is likewise driver-side)."""
+    keep = []
+    for r in stats_rows:
+        mn, mx = r[f"{col}_min"], r[f"{col}_max"]
+        if mn is None or mx is None:
+            continue
+        if mx < lo or mn > hi:
+            continue
+        keep.append(r["file"])
+    return keep
+
+
+def skipping_scan(
+    spark: SparkSession, path: str, stats: DataFrame, col: str, lo, hi
+) -> DataFrame:
+    """Range query over a parquet layout using the zone map: read ONLY the
+    files whose zones intersect [lo, hi], then apply the residual predicate
+    (zones are necessary, not sufficient). Value-identical to the full
+    filtered scan by construction — the oracle entry proves it. If every
+    file is pruned the full path is read with the same predicate (parquet
+    footer stats then skip all row groups; correct either way)."""
+    keep = prune_files(stats.collect(), col, lo, hi)
+    cond = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    src = spark.read.parquet(*keep) if keep else spark.read.parquet(path)
+    return src.where(cond)

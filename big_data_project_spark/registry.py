@@ -4974,6 +4974,53 @@ def mt_hll_distinct(spark, sf_dir):
     return maintenance.merge_distinct_sketches(daily, ["event_type"])
 
 
+@register(
+    "mt_zone_skipping",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <= TIMESTAMP '1996-08-31 23:59:59'
+    GROUP BY date_trunc('month', l_shipdate)
+    """,
+)
+def mt_zone_skipping(spark, sf_dir):
+    """File-level zone-map data skipping, proven VALUE-INVISIBLE: lineitem
+    is laid out range-clustered on l_shipdate (the write-side half of the
+    contract — zone maps only prune what layout co-locates), a one-scan
+    min/max-per-file index is collected, and a 6-month range query reads
+    ONLY the files whose zones intersect — the oracle is the plain filtered
+    scan of the ORIGINAL table, so pruning must not change a single value.
+    The pruning-actually-prunes half is pinned in pytest
+    (test_zone_skipping_reads_fewer_files)."""
+    from big_data_project_spark.operators import maintenance
+
+    cols = ["l_shipdate", "l_extendedprice", "l_discount"]
+    base = _t(spark, sf_dir, "lineitem").select(*cols)
+    path = _tmpdir("zonemap") + "/data"
+    base.repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(path)
+    stats = maintenance.collect_file_stats(
+        spark.read.parquet(path), ["l_shipdate"]
+    )
+    import datetime as _dt
+
+    scan = maintenance.skipping_scan(
+        spark, path, stats, "l_shipdate",
+        _dt.datetime(1996, 3, 1), _dt.datetime(1996, 8, 31, 23, 59, 59),
+    )
+    return scan.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("ship_month")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        relational.dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("revenue"),
+    )
+
+
 _P11_SQL = """
     SELECT c_custkey, c_name,
            CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS edit_dist

@@ -386,3 +386,41 @@ def test_hll_estimate_error_bound(spark, sf_dir):
     }
     for k, x in exact.items():
         assert abs(est[k] - x) <= max(1, 0.03 * x)
+
+
+def test_zone_skipping_reads_fewer_files(spark, sf_dir, tmp_path):
+    """The pruning half of the zone-map contract: a narrow range over a
+    range-clustered layout must read a strict subset of the files, and the
+    result must equal the full filtered scan."""
+    import datetime as dt
+
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "zones")
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    li.repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(path)
+    stats = mt.collect_file_stats(spark.read.parquet(path), ["l_shipdate"])
+    rows = stats.collect()
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1996, 6, 30)
+    kept = mt.prune_files(rows, "l_shipdate", lo, hi)
+    assert 0 < len(kept) < len(rows)
+    got = mt.skipping_scan(spark, path, stats, "l_shipdate", lo, hi)
+    want = spark.read.parquet(path).where(
+        (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") <= F.lit(hi))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_zone_skipping_all_null_zone_is_pruned(spark):
+    """A file whose stats row has NULL min/max (all-null column) can never
+    match a range predicate and must be pruned, not crash the comparison."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    rows = [
+        {"file": "f1", "x_min": None, "x_max": None},
+        {"file": "f2", "x_min": 5, "x_max": 10},
+    ]
+    assert mt.prune_files(rows, "x", 0, 100) == ["f2"]
