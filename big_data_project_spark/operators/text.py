@@ -562,3 +562,51 @@ def build_vocab(
     )
     w = Window.orderBy(F.col("n").desc(), "term")
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def inverted_index(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df_permille: int = 1000,
+) -> DataFrame:
+    """Positional inverted index build (the search/RAG index shape): one
+    row per (term, doc) with term frequency and the 0-based position list
+    (comma-joined string — the cross-engine value contract; a list column's
+    rendering differs between engines). ``min_df`` drops hapaxes,
+    ``max_df_permille`` drops stopwords by RELATIVE document frequency —
+    the cap that keeps a 100 TB index build skew-safe: the hottest terms
+    (the ones that would melt a posting-list reducer) are exactly the ones
+    the cap excludes, and the df-filter runs on the already-aggregated
+    (term, df) table, never on raw postings. Per-(term, doc) position
+    lists are bounded by document length. Shape: one posexplode + two hash
+    aggregates + one equi-join; the only broadcast is the single-row
+    corpus count."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words_col(text)).alias("pos", "term"),
+    )
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("pos")), lambda x: x.cast("string")
+            ),
+        ).alias("positions"),
+    )
+    n_row = F.broadcast(docs.agg(F.count("*").alias("_n")))
+    dfreq = (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .crossJoin(n_row)
+        .where(
+            (F.col("df") >= min_df)
+            & (F.col("df") * 1000 <= F.lit(int(max_df_permille)) * F.col("_n"))
+        )
+        .select("term", "df")
+    )
+    return postings.join(dfreq, "term").select(
+        "term", "doc_id", "tf", "positions", "df"
+    )

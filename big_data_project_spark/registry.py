@@ -5021,6 +5021,105 @@ def mt_zone_skipping(spark, sf_dir):
     )
 
 
+@register(
+    "st_enrich_dim",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def st_enrich_dim(spark, sf_dir):
+    """Stream-static enrichment join, batch semantics: decorate the event
+    stream with a customer dimension (user_id = c_custkey in the synthetic
+    schema) and aggregate by segment. Same function runs on readStream —
+    stream ≡ batch asserted in test_enrich_stream_equals_batch. The dim is
+    broadcast (true dimension, bounded); inner join drops events with no
+    dim row, the enrichment contract here."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = streaming.enrich_stream(ev, cust, "user_id", "c_custkey", "inner")
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        relational.dsum("value", 2).alias("total_value"),
+    )
+
+
+@register(
+    "a14_winsorize",
+    oracle="""
+    WITH th AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, th.lo), th.hi) AS value_winsorized
+    FROM events e JOIN th USING (event_type)
+    """,
+)
+def a14_winsorize(spark, sf_dir):
+    """Winsorization (outlier capping to per-group [p05, p95]) — the
+    data-cleaning clamp a training pipeline applies to heavy-tailed
+    numerics before normalization. Exact interpolated percentiles (the
+    a6-proven cross-engine contract) computed in one tiny per-group
+    aggregate, joined back (plain equi-join — group count scales with key
+    cardinality, so no forced broadcast; AQE broadcasts when small), then
+    a narrow least/greatest clamp. The clamp itself moves no bits through
+    float arithmetic — outputs are copies of inputs or thresholds."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    th = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return ev.join(th, "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "value_winsorized"
+        ),
+    )
+
+
+@register(
+    "tx_inverted_index",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    tok AS (
+      SELECT doc_id, w[CAST(i AS BIGINT)] AS term,
+             CAST(i - 1 AS BIGINT) AS pos
+      FROM d, unnest(range(1, len(w) + 1)) AS u(i)),
+    p AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+             array_to_string(list(pos ORDER BY pos), ',') AS positions
+      FROM tok GROUP BY term, doc_id),
+    f AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM p GROUP BY term
+      HAVING count(*) >= 2
+         AND count(*) * 1000 <= 800 * (SELECT count(*) FROM documents))
+    SELECT p.term, p.doc_id, p.tf, p.positions, f.df
+    FROM p JOIN f USING (term)
+    """,
+)
+def tx_inverted_index(spark, sf_dir):
+    """Positional inverted index over the documents table (min_df=2,
+    max_df 80% — the stopword cap that keeps posting lists skew-safe),
+    position lists value-hashed as comma-joined strings. The search-index
+    build every RAG/retrieval deployment runs next to its embedding
+    index."""
+    return text.inverted_index(
+        _t(spark, sf_dir, "documents"), min_df=2, max_df_permille=800
+    )
+
+
 _P11_SQL = """
     SELECT c_custkey, c_name,
            CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS edit_dist

@@ -14,6 +14,7 @@ tests meaningful (stream output ≡ batch output on the same rows).
 
 from big_data_project_spark.streaming.ops import (
     EVENTS_SCHEMA,
+    enrich_stream,
     purchases_with_recent_clicks,
     read_event_stream,
     anomaly_stream,
@@ -39,6 +40,7 @@ __all__ = [
     "sessionize_batch",
     "stream_dedup",
     "write_stream_parquet",
+    "enrich_stream",
     "purchases_with_recent_clicks",
     "upsert_sink",
     "user_totals_batch",

@@ -217,6 +217,26 @@ def upsert_sink(df: DataFrame, target_path: str, checkpoint: str, key: str):
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    event_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the standard "decorate the event
+    stream with a dimension" shape. The dim side is hinted broadcast: a
+    per-micro-batch shuffle of the stream would rebuild exchange state
+    every trigger, while the broadcast ships the (bounded) dim once per
+    batch; Spark re-plans the static side each micro-batch, so a dim
+    backed by files picks up slowly-changing updates between triggers.
+    Written against plain DataFrames, so the same function serves batch
+    (the oracle twin) and readStream."""
+    return events.join(
+        F.broadcast(dim), F.col(event_key) == F.col(dim_key), how
+    )
+
+
 def user_totals_batch(events: DataFrame) -> DataFrame:
     """Batch twin of :func:`running_user_totals`: the same Arrow-batched
     per-user fold via applyInPandas (applyInPandasWithState is stream-only

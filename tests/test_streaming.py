@@ -380,3 +380,27 @@ def test_anomaly_stream_across_microbatches(spark, tmp_path):
 
     assert abs(rows[("2024-01-01 02:00:00", 2)] - (2 - 3) / math.sqrt(2)) < 1e-12
     assert len(rows) == 1
+
+
+def test_enrich_stream_equals_batch(spark, sf_dir, event_dir):
+    """Stream-static dim join: streaming the events through enrich_stream +
+    segment aggregate must equal the batch run of the same function."""
+    cust = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def pipeline(ev):
+        return (
+            st.enrich_stream(
+                ev.select("user_id", "value"), cust, "user_id", "c_custkey",
+                "inner",
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+
+    got = _run_stream(spark, pipeline(st.read_event_stream(spark, event_dir)),
+                      "enrich_out")
+    want = pipeline(spark.read.parquet(event_dir)).collect()
+    assert _rows_set(got) == _rows_set(want)
+    assert len(want) > 1
