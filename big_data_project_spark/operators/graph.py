@@ -132,3 +132,73 @@ def source_rank_weights(
             F.lit(1000).cast("long"),
         ).alias("weight_permille"),
     )
+
+
+def rank_weight_map(weights: "DataFrame", node_col: str = "node") -> dict[str, int]:
+    """Collect :func:`source_rank_weights` output into the literal
+    ``{source: permille}`` dict that ``curation.sample_mixture`` consumes —
+    the join point between the link-graph prior and mixture sampling.
+    Driver-side by design: the weight table has one row per SOURCE/domain
+    (thousands at web scale, not corpus-sized), the same bounded
+    cardinality every mixture-rate map already assumes."""
+    return {
+        r[node_col]: int(r["weight_permille"]) for r in weights.collect()
+    }
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count of the undirected simple graph induced by
+    ``edges`` (any direction, duplicates tolerated). Returns one row:
+    ``(n_nodes, n_edges, n_triangles)``.
+
+    Scale shape — the degree-orientation trick: every edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, which bounds
+    each node's out-degree by O(sqrt(m)) on any graph, so the wedge
+    self-join (the quadratic step of naive triangle counting) fans out by
+    at most sqrt(m) per edge instead of by the hottest node's full degree
+    — a celebrity node with 10^7 neighbours contributes wedges only
+    through its (few) higher-degree peers. Each triangle is counted
+    exactly once, at its lowest-(degree, id) corner. Three linear hash
+    joins + one groupBy; no broadcast hints.
+
+    The oracle mirrors the NAIVE a<b<c triple join — a different plan
+    that must produce the identical count, which is what proves the
+    orientation transformation semantics-preserving."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("x"))
+        .unionByName(e.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    j = e.join(
+        deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+    # a < b always (canonical), so the tie case orients a -> b
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = j.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2, (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v"))
+    ).select(
+        F.least(F.col("o1.v"), F.col("o2.v")).alias("a"),
+        F.greatest(F.col("o1.v"), F.col("o2.v")).alias("b"),
+    )
+    tri = F.broadcast(wedges.join(e, ["a", "b"]).agg(F.count("*").alias("n_triangles")))
+    nn = F.broadcast(deg.agg(F.count("*").alias("n_nodes")))
+    ne = F.broadcast(e.agg(F.count("*").alias("n_edges")))
+    return nn.crossJoin(ne).crossJoin(tri)

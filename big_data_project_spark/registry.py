@@ -5120,6 +5120,54 @@ def tx_inverted_index(spark, sf_dir):
     )
 
 
+@register(
+    "gr_triangles",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    pr AS (
+      SELECT a.s AS s1, b.s AS s2, count(*) AS n
+      FROM p a JOIN p b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s),
+    th AS (SELECT quantile_cont(n, 0.9) AS t FROM pr),
+    ce AS (SELECT s1 AS a, s2 AS b FROM pr, th WHERE n >= t),
+    nd AS (SELECT a AS x FROM ce UNION SELECT b FROM ce),
+    tri AS (
+      SELECT count(*) AS n
+      FROM ce e1 JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT (SELECT count(*) FROM nd) AS n_nodes,
+           (SELECT count(*) FROM ce) AS n_edges,
+           (SELECT n FROM tri) AS n_triangles
+    """,
+)
+def gr_triangles(spark, sf_dir):
+    """Exact triangle count over the supplier co-service graph (edge when
+    two suppliers share >= p90-many customers — a quantile threshold so the
+    graph stays comparably sparse at every SF). The Spark side runs the
+    degree-ORIENTED wedge join (out-degree bounded O(sqrt(m)), hot-node
+    safe); the oracle runs the NAIVE a<b<c triple join — two different
+    plans whose counts must agree exactly, proving the orientation
+    transformation semantics-preserving."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    a, b = p.alias("pa"), p.alias("pb")
+    pairs = (
+        a.join(b, (F.col("pa.c") == F.col("pb.c")) & (F.col("pa.s") < F.col("pb.s")))
+        .groupBy(F.col("pa.s").alias("s1"), F.col("pb.s").alias("s2"))
+        .agg(F.count("*").alias("n"))
+    )
+    th = F.broadcast(pairs.agg(F.expr("percentile(n, 0.9)").alias("t")))
+    edges = pairs.crossJoin(th).where(F.col("n") >= F.col("t"))
+    return graph.triangle_count(edges, "s1", "s2")
+
+
 _P11_SQL = """
     SELECT c_custkey, c_name,
            CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS edit_dist

@@ -3,6 +3,8 @@ identical integer fixed-point chain, plus structural properties."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from big_data_project_spark.operators import graph
 
 
@@ -77,3 +79,56 @@ def test_source_rank_weights_bounds(spark):
     }
     assert w[top] == 1000  # the max node saturates
     assert all(0 <= v <= 1000 for v in w.values())
+
+
+def test_pagerank_drives_mixture_sampling(spark):
+    """Composition contract: pagerank -> permille weights -> sample_mixture.
+    The high-rank source keeps (almost) everything; the low-rank source is
+    downsampled roughly in rank proportion."""
+    from big_data_project_spark.operators import curation
+
+    # 'good' is linked by everyone and spreads its own mass across all
+    # leaves (a hub); 'bad' only links out, so it keeps base rank only
+    edges = (
+        [(f"u{i}", "good") for i in range(6)]
+        + [("good", f"u{i}") for i in range(6)]
+        + [("bad", "good")]
+    )
+    ranks = graph.pagerank(spark.createDataFrame(edges, ["src", "dst"]), iterations=3)
+    rates = graph.rank_weight_map(graph.source_rank_weights(ranks))
+    assert rates["good"] == 1000 and rates["bad"] < rates["good"]
+
+    docs = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'good' ELSE 'bad' END AS source"
+    )
+    kept = curation.sample_mixture(docs, rates, key="source")
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src.get("good", 0) == 1000  # rate 1000 keeps all
+    expected_bad = rates["bad"]  # ~permille of 1000 docs
+    assert abs(by_src.get("bad", 0) - expected_bad) < 150
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Oriented wedge-join count vs an itertools brute force, on a messy
+    edge list (duplicates, both directions, self-loops)."""
+    import itertools
+
+    raw = [(i % 13, (i * 7 + 3) % 13) for i in range(60)] + [
+        (5, 5), (1, 2), (2, 1), (3, 7), (7, 3),
+    ]
+    und = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    row = graph.triangle_count(
+        spark.createDataFrame(raw, ["src", "dst"])
+    ).collect()[0]
+    assert row["n_triangles"] == expected
+    assert row["n_edges"] == len(und)
+    assert row["n_nodes"] == len(nodes)
