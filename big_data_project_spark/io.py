@@ -81,6 +81,19 @@ def read_json(
     return reader.json(path)
 
 
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text-lines source (one row per line, column ``value``) — the
+    lowest-common-denominator feed format (logs, WET extracts, plain-text
+    dumps). Splittable and schema-free; callers parse lines downstream."""
+    return spark.read.text(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Raw text sink: one line per row; input must be a single string
+    column."""
+    df.write.mode(mode).text(path)
+
+
 def from_rows(spark: SparkSession, rows, schema: T.StructType) -> DataFrame:
     """S4: in-memory source (py:83, py:151-154)."""
     return spark.createDataFrame(rows, schema)

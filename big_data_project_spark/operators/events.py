@@ -194,3 +194,42 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+def ohlc_bars(events: DataFrame, unit: str = "hour") -> DataFrame:
+    """Time-series resampling to OHLC bars (the financial downsampling the
+    reference's domain implies but never ships): per (event_type, bucket)
+    open/high/low/close of ``value`` plus volume and an exact decimal
+    turnover. Open/close are selected by ``row_number`` over (ts, event_id)
+    — a total order, so the bars are deterministic across engines and
+    partitionings (``first``/``last`` aggregates are not). One window
+    shuffle on (event_type, bucket); the rollup reuses the same
+    partitioning."""
+    w_a = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bucketed = events.select(
+        "event_type",
+        F.date_trunc(unit, "ts").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    ranked = bucketed.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("volume"),
+        F.sum(F.expr("CAST(value AS DECIMAL(30,2))"))
+        .cast("double")
+        .alias("turnover"),
+    )

@@ -5168,6 +5168,54 @@ def gr_triangles(spark, sf_dir):
     return graph.triangle_count(edges, "s1", "s2")
 
 
+@register(
+    "s_roundtrip_rawtext",
+    oracle="""
+    SELECT text AS value FROM documents
+    """,
+)
+def s_roundtrip_rawtext(spark, sf_dir):
+    """Raw text-lines sink → source roundtrip (the WET-dump / log-feed
+    format): every document written as one line and read back; the oracle
+    reads the ORIGINAL table, so the hash only matches if the text sink
+    preserved every byte and every duplicate line. (Synthetic documents
+    are single-line; multi-line text needs a framed format — that is the
+    s_roundtrip_text csv/json territory.)"""
+    docs = _t(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    path = _tmpdir("rawtext") + "/data"
+    io.write_text(docs, path)
+    return io.read_text(spark, path)
+
+
+@register(
+    "ts_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS volume,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS turnover
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def ts_ohlc(spark, sf_dir):
+    """Time-series resampling to hourly OHLC bars — the financial
+    downsampling shape of the reference's domain. Open/close picked by a
+    (ts, event_id) total order (first/last aggregates are partition-order
+    dependent and would not be a contract); turnover is the decimal-exact
+    sum. One window shuffle, reused by the rollup."""
+    return ev.ohlc_bars(_t(spark, sf_dir, "events"))
+
+
 _P11_SQL = """
     SELECT c_custkey, c_name,
            CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS edit_dist
