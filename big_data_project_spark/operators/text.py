@@ -610,3 +610,74 @@ def inverted_index(
     return postings.join(dfreq, "term").select(
         "term", "doc_id", "tf", "positions", "df"
     )
+
+
+def bm25_score_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """The per-(doc, term) BM25 term-score expression over columns
+    ``tf, df, dl, n_docs, sum_dl`` — ONE string used verbatim by both the
+    Spark plan (F.expr) and the DuckDB oracle, so the float chain cannot
+    drift between engines. The idf is the RATIO form (N+1)/(df+1) — the
+    repo's oracle-stable idf (ln's last ULP varies by libm; see tf_idf):
+    monotone in df like log-idf, so rankings agree where it matters. All
+    literals are embedded via repr() so both parsers see the identical
+    decimal string."""
+    k1p1, k1r, br = repr(k1 + 1.0), repr(float(k1)), repr(float(b))
+    return (
+        f"((n_docs + CAST(1.0 AS DOUBLE)) / (df + CAST(1.0 AS DOUBLE)))"
+        f" * ((tf * CAST({k1p1} AS DOUBLE))"
+        f" / (tf + CAST({k1r} AS DOUBLE)"
+        f" * (CAST(1.0 AS DOUBLE) - CAST({br} AS DOUBLE)"
+        f" + CAST({br} AS DOUBLE) * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical top-k (ratio idf — see :func:`bm25_score_sql`):
+    ``(doc_id, score)``, ordered by (score desc, doc_id), k rows.
+
+    Scale shape: term frequencies are computed ONLY for the query's terms —
+    the `isin` filter runs before any aggregation, so the shuffled volume
+    is (matching docs × query length), not the corpus vocabulary; document
+    lengths are one corpus-wide count aggregate (in production, a stored
+    column maintained at ingest); corpus stats are a single broadcast row.
+    The per-doc score folds term scores in term order — a bounded list
+    (≤ query length), not a corpus-sized array. Top-k compiles to
+    TakeOrderedAndProject."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words_col(text)).alias("term")
+    )
+    tfq = (
+        toks.where(F.col("term").isin(*[str(t) for t in query_terms]))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    dfq = tfq.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+    )
+    ts = (
+        tfq.join(dl, "doc_id")
+        .join(dfq, "term")
+        .crossJoin(stats)
+        .select("doc_id", "term", F.expr(bm25_score_sql(k1, b)).alias("ts"))
+    )
+    score = ts.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "ts"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["ts"],
+        ).alias("score")
+    )
+    return score.orderBy(F.col("score").desc(), "doc_id").limit(k)

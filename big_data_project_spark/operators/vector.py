@@ -532,3 +532,28 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti").select(id_col, "cluster_id")
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked candidate lists (the hybrid-search
+    combiner: lexical BM25 ∪ vector kNN): per id, sum of
+    ``scale div (k_rrf + rank)`` over every list containing it, plus the
+    list-membership count. INTEGER RRF — floor division makes the scores
+    exact integers, so the fusion is order-free, partitioning-independent
+    and engine-exact (the float 1/(k+r) form would need an ordered fold).
+    Inputs carry ``(id_col, rank)`` with rank 1-based; output ordered
+    consumers re-rank by (rrf_score desc, id)."""
+    u = ranked_lists[0].select(id_col, "rank")
+    for r in ranked_lists[1:]:
+        u = u.unionByName(r.select(id_col, "rank"))
+    return u.groupBy(id_col).agg(
+        F.sum(
+            F.expr(f"CAST({int(scale)} AS BIGINT) div ({int(k_rrf)} + rank)")
+        ).alias("rrf_score"),
+        F.count("*").cast("long").alias("n_lists"),
+    )

@@ -5216,6 +5216,128 @@ def ts_ohlc(spark, sf_dir):
     return ev.ohlc_bars(_t(spark, sf_dir, "events"))
 
 
+# --- hybrid retrieval (BM25 ∪ embedding kNN → integer RRF). The BM25 term
+# score comes from text.bm25_score_sql — ONE string for the Spark expr and
+# this SQL, so the float chain cannot drift.
+_HY_TERMS = ("key", "agg", "row", "scan")
+_HY_TERMS_SQL = ", ".join(f"'{t}'" for t in _HY_TERMS)
+_HY_QTEXT = " ".join(_HY_TERMS)
+_HY_QSHA = _SHA_U64_UNIT.replace(
+    "hx", f"sha256('{_HY_QTEXT}' || chr(0) || CAST(i AS VARCHAR))"
+)
+
+_BM25_CTES = rf"""
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tok WHERE term IN ({_HY_TERMS_SQL}) GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tfq GROUP BY term),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    ts AS (SELECT tfq.doc_id, tfq.term, {text.bm25_score_sql()} AS ts
+           FROM tfq JOIN dl USING (doc_id) JOIN dfq USING (term), st),
+    bm AS (SELECT doc_id,
+                  list_reduce(list_prepend(0.0, list(ts ORDER BY term)),
+                              (a, b) -> a + b) AS score
+           FROM ts GROUP BY doc_id)"""
+
+
+@register(
+    "tx_bm25",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def tx_bm25(spark, sf_dir):
+    """BM25 lexical top-10 (ratio idf — the repo's oracle-stable idf; ln's
+    last ULP varies by libm), scores value-hashed. Query-term pre-filter
+    keeps the shuffled volume at (matching docs × query length); corpus
+    stats are one broadcast row; the per-doc fold is bounded by query
+    length. The lexical half of hybrid retrieval."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bm25_topk(docs, list(_HY_TERMS), k=10)
+
+
+@register(
+    "pl_hybrid_retrieval",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    lex AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 10)),
+    v AS (SELECT doc_id, i,
+      {_SHA_U64_UNIT.replace("hx", "sha256(text || chr(0) || CAST(i AS VARCHAR))")} AS x
+      FROM documents, unnest(range(0, 8)) AS u(i)),
+    n2 AS (SELECT doc_id,
+                  sqrt(list_reduce(list_prepend(0.0, list(x * x ORDER BY i)),
+                                   (a, b) -> a + b)) AS nrm
+           FROM v GROUP BY doc_id),
+    ve AS (SELECT v.doc_id,
+                  list(CAST(CAST(v.x / n2.nrm AS REAL) AS DOUBLE)
+                       ORDER BY v.i) AS emb
+           FROM v JOIN n2 USING (doc_id) GROUP BY v.doc_id),
+    q0 AS (SELECT i, {_HY_QSHA} AS x
+      FROM unnest(range(0, 8)) AS u(i)),
+    qn AS (SELECT sqrt(list_reduce(list_prepend(0.0, list(x * x ORDER BY i)),
+                                   (a, b) -> a + b)) AS nrm FROM q0),
+    qv AS (SELECT list(CAST(CAST(x / (SELECT nrm FROM qn) AS REAL) AS DOUBLE)
+                       ORDER BY i) AS q FROM q0),
+    vs AS (SELECT ve.doc_id, list_dot_product(ve.emb, qv.q) AS score
+           FROM ve, qv),
+    vec AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM (SELECT * FROM vs ORDER BY score DESC, doc_id LIMIT 10)),
+    uni AS (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+    SELECT doc_id,
+           CAST(sum(CAST(1000000000 AS BIGINT) // (60 + rank)) AS BIGINT)
+             AS rrf_score,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM uni GROUP BY doc_id
+    """,
+)
+def pl_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval end to end under ONE value hash: BM25 lexical
+    top-10 ∪ embedding inner-product top-10 (deterministic hash-embed
+    branch, the e1/pl_rag machinery) fused by integer reciprocal-rank
+    fusion — the lexical+vector+RRF shape production RAG search runs.
+    Integer RRF (scale div (60+rank)) keeps the fusion order-free and
+    engine-exact; both candidate lists rank by (score desc, doc_id), and
+    the rank windows run AFTER the top-10 cut, so the single-partition
+    sort touches 10 rows, not the corpus."""
+    from pyspark.sql.window import Window
+
+    from big_data_project_spark.plugins import Embedder
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tiny = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = text.bm25_topk(docs, list(_HY_TERMS), k=10).select(
+        "doc_id", F.row_number().over(tiny).cast("long").alias("rank")
+    )
+    embedder = Embedder(model_name=None, dim=8)
+    emb = embedder.transform(docs)
+    q = embedder.transform(
+        spark.createDataFrame([(_HY_QTEXT,)], ["text"])
+    ).select(F.col("embedding").alias("q"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "doc_id", vector.dot("embedding", "q").alias("score")
+    )
+    vec = (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", F.row_number().over(tiny).cast("long").alias("rank"))
+    )
+    return vector.rrf_fuse([lex, vec])
+
+
 _P11_SQL = """
     SELECT c_custkey, c_name,
            CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS edit_dist

@@ -1,0 +1,38 @@
+"""Hybrid-retrieval semantics: BM25 ranking behavior and integer RRF laws."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_project_spark.operators import text, vector
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    rows = [
+        (1, "join aaa bbb"),
+        (2, "join join join"),
+        (3, "completely unrelated words here"),
+        (4, "join aaa bbb ccc ddd eee fff ggg"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.bm25_topk(docs, ["join"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids  # no query term -> no row
+    assert set(ids) == {1, 2, 4}
+    # same length, higher tf wins; same tf, shorter doc wins
+    assert ids[0] == 2 and ids.index(1) < ids.index(4)
+
+
+def test_rrf_fusion_rewards_presence_in_both_lists(spark):
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(12, 1), (13, 2)], ["doc_id", "rank"])
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["n_lists"])
+        for r in vector.rrf_fuse([a, b]).collect()
+    }
+    # doc 12 appears in both lists (ranks 3 and 1) and must beat doc 10
+    # (single list, rank 1)
+    assert out[12][1] == 2 and out[10][1] == 1
+    assert out[12][0] == 10**9 // 63 + 10**9 // 61
+    assert out[10][0] == 10**9 // 61
+    assert out[12][0] > out[10][0]
