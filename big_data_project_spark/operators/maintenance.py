@@ -382,3 +382,30 @@ def skipping_scan(
     cond = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     src = spark.read.parquet(*keep) if keep else spark.read.parquet(path)
     return src.where(cond)
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """CDC-style snapshot diff: one row per key present in either snapshot
+    with ``status`` ∈ added / removed / changed / unchanged (null-safe
+    column comparison — NULL→value and value→NULL are changes, NULL→NULL
+    is not). The audit run before committing a MERGE/SCD2 apply, and the
+    delta extractor when upstream can't emit one. Single full-outer hash
+    join on the key; comparisons are narrow expressions."""
+    o = old.select(F.col(key).alias("_ok"), *[F.col(c).alias(f"_o_{c}") for c in cols])
+    n = new.select(F.col(key).alias("_nk"), *[F.col(c).alias(f"_n_{c}") for c in cols])
+    j = o.join(n, o["_ok"] == n["_nk"], "full_outer")
+    differs = None
+    for c in cols:
+        d = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        differs = d if differs is None else (differs | d)
+    status = (
+        F.when(F.col("_ok").isNull(), F.lit("added"))
+        .when(F.col("_nk").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce("_ok", "_nk").alias(key), status.alias("status")
+    )

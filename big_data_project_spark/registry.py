@@ -5216,6 +5216,55 @@ def ts_ohlc(spark, sf_dir):
     return ev.ohlc_bars(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "mt_table_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 10 <> 0),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders),
+    j AS (SELECT old.o_orderkey AS ok, new.o_orderkey AS nk,
+                 old.o_totalprice AS op, new.o_totalprice AS np,
+                 old.o_orderstatus AS os, new.o_orderstatus AS ns
+          FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+    SELECT coalesce(ok, nk) AS o_orderkey,
+           CASE WHEN ok IS NULL THEN 'added'
+                WHEN nk IS NULL THEN 'removed'
+                WHEN (op IS DISTINCT FROM np) OR (os IS DISTINCT FROM ns)
+                  THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM j
+    """,
+)
+def mt_table_diff(spark, sf_dir):
+    """CDC snapshot diff on a synthetic old/new pair (every 10th key new in
+    the new snapshot, every 7th price bumped): per-key added / removed /
+    changed / unchanged via ONE null-safe full-outer join — the audit run
+    before committing a MERGE, and the delta extractor feeding
+    dedup_against_snapshot / merge_upsert when upstream can't emit one."""
+    from big_data_project_spark.operators import maintenance
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return maintenance.table_diff(
+        old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+
+
 # --- hybrid retrieval (BM25 ∪ embedding kNN → integer RRF). The BM25 term
 # score comes from text.bm25_score_sql — ONE string for the Spark expr and
 # this SQL, so the float chain cannot drift.

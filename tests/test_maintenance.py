@@ -424,3 +424,22 @@ def test_zone_skipping_all_null_zone_is_pruned(spark):
         {"file": "f2", "x_min": 5, "x_max": 10},
     ]
     assert mt.prune_files(rows, "x", 0, 100) == ["f2"]
+
+
+def test_table_diff_statuses(spark):
+    from big_data_project_spark.operators import maintenance as mt
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c"), (4, None), (5, "e")], "k long, v string"
+    )
+    out = {r["k"]: r["status"] for r in mt.table_diff(old, new, "k", ["v"]).collect()}
+    assert out == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",   # NULL -> value IS a change
+        4: "changed",   # value -> NULL IS a change
+        5: "added",
+    }
