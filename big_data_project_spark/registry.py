@@ -5189,6 +5189,7 @@ def s_roundtrip_rawtext(spark, sf_dir):
 
 @register(
     "ts_ohlc",
+    headline=True,
     oracle="""
     WITH r AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket, value,
@@ -5316,6 +5317,7 @@ def tx_bm25(spark, sf_dir):
 
 @register(
     "pl_hybrid_retrieval",
+    headline=True,
     oracle=f"""
     WITH {_BM25_CTES},
     lex AS (SELECT doc_id,
