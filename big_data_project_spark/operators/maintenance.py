@@ -393,6 +393,8 @@ def table_diff(
     is not). The audit run before committing a MERGE/SCD2 apply, and the
     delta extractor when upstream can't emit one. Single full-outer hash
     join on the key; comparisons are narrow expressions."""
+    if not cols:
+        raise ValueError("table_diff requires at least one compare column")
     o = old.select(F.col(key).alias("_ok"), *[F.col(c).alias(f"_o_{c}") for c in cols])
     n = new.select(F.col(key).alias("_nk"), *[F.col(c).alias(f"_n_{c}") for c in cols])
     j = o.join(n, o["_ok"] == n["_nk"], "full_outer")

@@ -579,6 +579,8 @@ def bloom_bitmap(
     filter size is a parameter, exactly like Spark's own injected runtime
     bloom filter (FPR, not memory, degrades as the build side grows). The
     single-row map is therefore always broadcast-legal."""
+    if k < 1 or n_bits < 64:
+        raise ValueError("bloom filter needs k >= 1 and n_bits >= 64")
     pos = build.select(
         F.explode(
             F.array(*[_bloom_pos(key, i, n_bits, hash_fn) for i in range(k)])
@@ -619,6 +621,8 @@ def bloom_prune_join(
     jobs, or the build side is an intermediate the planner can't see
     through). At 100 TB the win is shuffle-input volume: the narrow bloom
     stage drops non-matching probe rows BEFORE the join exchange."""
+    if k < 1 or n_bits < 64:
+        raise ValueError("bloom filter needs k >= 1 and n_bits >= 64")
     bm = F.broadcast(bloom_bitmap(build, build_key, n_bits, k, hash_fn))
     cand = probe.crossJoin(bm)
     hit = None

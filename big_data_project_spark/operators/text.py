@@ -651,6 +651,8 @@ def bm25_topk(
     The per-doc score folds term scores in term order — a bounded list
     (≤ query length), not a corpus-sized array. Top-k compiles to
     TakeOrderedAndProject."""
+    if not query_terms:
+        raise ValueError("bm25_topk requires at least one query term")
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(words_col(text)).alias("term")
     )

@@ -548,6 +548,8 @@ def rrf_fuse(
     and engine-exact (the float 1/(k+r) form would need an ordered fold).
     Inputs carry ``(id_col, rank)`` with rank 1-based; output ordered
     consumers re-rank by (rrf_score desc, id)."""
+    if not ranked_lists:
+        raise ValueError("rrf_fuse requires at least one ranked list")
     u = ranked_lists[0].select(id_col, "rank")
     for r in ranked_lists[1:]:
         u = u.unionByName(r.select(id_col, "rank"))
