@@ -1074,3 +1074,58 @@ def test_frame_sample_exact_multiple_no_empty_frame(spark):
     assert by_doc[1] == [64]          # exact multiple: ONE full frame
     assert sorted(by_doc[2]) == [1, 64]  # 65 bytes: full frame + 1-byte tail
     assert 3 not in by_doc            # empty payload: no frames
+
+
+EDGE_LISTS = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(EDGE_LISTS)
+def test_triangle_count_property_matches_bruteforce(spark, raw):
+    """graph.triangle_count (oriented wedge join) vs itertools brute force
+    over arbitrary messy edge lists."""
+    import itertools
+
+    from big_data_project_spark.operators import graph
+
+    und = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    row = graph.triangle_count(
+        spark.createDataFrame(raw, ["src", "dst"])
+    ).collect()[0]
+    assert (row["n_triangles"], row["n_edges"]) == (expected, len(und))
+
+
+KEY_SETS = st.tuples(
+    st.sets(st.integers(0, 5000), min_size=1, max_size=80),   # build keys
+    st.sets(st.integers(0, 5000), min_size=1, max_size=200),  # probe keys
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(KEY_SETS)
+def test_bloom_prune_join_property_no_false_negatives(spark, keys):
+    """Bloom law: the pruned semi join equals the plain semi join for ANY
+    build/probe key sets (false positives die at the exact join; false
+    negatives are structurally impossible)."""
+    from big_data_project_spark.operators import relational as R
+
+    build_keys, probe_keys = keys
+    build = spark.createDataFrame([(k,) for k in build_keys], "bk long")
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "pk long")
+    got = sorted(
+        r.pk
+        for r in R.bloom_prune_join(
+            probe, build, "pk", "bk", n_bits=1 << 12, k=3
+        ).collect()
+    )
+    assert got == sorted(build_keys & probe_keys)
