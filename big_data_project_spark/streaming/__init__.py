@@ -15,6 +15,7 @@ tests meaningful (stream output ≡ batch output on the same rows).
 from big_data_project_spark.streaming.ops import (
     EVENTS_SCHEMA,
     enrich_stream,
+    ohlc_stream,
     purchases_with_recent_clicks,
     read_event_stream,
     anomaly_stream,
@@ -41,6 +42,7 @@ __all__ = [
     "stream_dedup",
     "write_stream_parquet",
     "enrich_stream",
+    "ohlc_stream",
     "purchases_with_recent_clicks",
     "upsert_sink",
     "user_totals_batch",

@@ -366,3 +366,109 @@ def anomaly_stream(
     return keyed.groupBy("key").applyInPandasWithState(
         update, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def ohlc_stream(events: DataFrame, step_seconds: int = 3600) -> DataFrame:
+    """Streaming twin of :func:`events.ohlc_bars`: per event-type OHLC bars
+    maintained across micro-batches via applyInPandasWithState (the
+    engine's third custom stateful operator; open/close need (ts, event_id)
+    argmin/argmax, which streaming window aggregates cannot express).
+
+    State per key = the OPEN bucket's running bar: (bucket, open/close
+    values WITH their (ts, event_id) order keys, high, low, volume, exact
+    integer cents turnover). A bar closes — and is emitted — when a later
+    bucket first appears for its key, so on in-order replay the output
+    equals the batch operator minus each key's final still-open bar
+    (asserted in tests, same contract as anomaly_stream). Rows inside a
+    micro-batch are folded via total (ts, event_id) order comparisons and
+    the turnover accumulates in integer cents, so bars are BIT-identical
+    to the batch operator regardless of micro-batch boundaries; late rows
+    for already-closed buckets are dropped (the one-bucket-watermark
+    analogue)."""
+    import datetime as _dt
+
+    import pandas as pd  # local: keep the closure self-contained
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("bucket", T.TimestampType()),
+            T.StructField("open", T.DoubleType()),
+            T.StructField("high", T.DoubleType()),
+            T.StructField("low", T.DoubleType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("volume", T.LongType()),
+            T.StructField("turnover", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("bucket", T.LongType()),
+            T.StructField("o_ts", T.LongType()),
+            T.StructField("o_eid", T.LongType()),
+            T.StructField("open", T.DoubleType()),
+            T.StructField("c_ts", T.LongType()),
+            T.StructField("c_eid", T.LongType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("high", T.DoubleType()),
+            T.StructField("low", T.DoubleType()),
+            T.StructField("volume", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    step = int(step_seconds)
+
+    def update(key, pdf_iter, state):
+        bar = list(state.get) if state.exists else None
+        rows = []
+
+        def emit(b):
+            rows.append(
+                (
+                    key[0],
+                    _dt.datetime.utcfromtimestamp(b[0] * step),
+                    b[3], b[7], b[8], b[6], b[9], b[10] / 100.0,
+                )
+            )
+
+        events_rows = []
+        for pdf in pdf_iter:
+            ts_ns = pdf["ts"].astype("int64")
+            for t, eid, v in zip(
+                ts_ns // 1_000_000_000, pdf["event_id"], pdf["value"]
+            ):
+                events_rows.append((int(t), int(eid), float(v)))
+        # fold buckets in time order so closes happen deterministically
+        events_rows.sort()
+        for t, eid, v in events_rows:
+            b = t // step
+            if bar is None or b > bar[0]:
+                if bar is not None:
+                    emit(bar)
+                cents = int(round(v * 100))
+                bar = [b, t, eid, v, t, eid, v, v, v, 1, cents]
+                continue
+            if b < bar[0]:  # late row for a closed bucket: drop
+                continue
+            if (t, eid) < (bar[1], bar[2]):
+                bar[1], bar[2], bar[3] = t, eid, v
+            if (t, eid) > (bar[4], bar[5]):
+                bar[4], bar[5], bar[6] = t, eid, v
+            bar[7] = max(bar[7], v)
+            bar[8] = min(bar[8], v)
+            bar[9] += 1
+            bar[10] += int(round(v * 100))
+        if bar is not None:
+            state.update(tuple(bar))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "bucket", "open", "high", "low", "close",
+                "volume", "turnover",
+            ],
+        )
+
+    keyed = events.select("event_type", "ts", "event_id", "value")
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -404,3 +404,77 @@ def test_enrich_stream_equals_batch(spark, sf_dir, event_dir):
     want = pipeline(spark.read.parquet(event_dir)).collect()
     assert _rows_set(got) == _rows_set(want)
     assert len(want) > 1
+
+
+def test_ohlc_stream_equals_batch_minus_open_bars(spark, sf_dir, event_dir):
+    """Streaming OHLC bars must be BIT-identical to the batch operator on
+    every closed bucket; each key's final (still-open) bucket is the only
+    difference, exactly like anomaly_stream's contract."""
+    from big_data_project_spark.operators import events as ev_ops
+
+    q = (
+        st.ohlc_stream(st.read_event_stream(spark, event_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ohlc_out")
+        .start()
+    )
+    q.processAllAvailable()
+    got = spark.sql("SELECT * FROM ohlc_out").collect()
+    q.stop()
+    batch = ev_ops.ohlc_bars(io.load_table(spark, sf_dir, "events")).collect()
+    last_bucket = {}
+    for r in batch:
+        b = last_bucket.get(r["event_type"])
+        if b is None or r["bucket"] > b:
+            last_bucket[r["event_type"]] = r["bucket"]
+    want = {
+        tuple(r)
+        for r in batch
+        if r["bucket"] != last_bucket[r["event_type"]]
+    }
+    assert {tuple(r) for r in got} == want
+    assert len(want) > 100
+
+
+def test_ohlc_stream_across_microbatches(spark, tmp_path):
+    """A bar split over two micro-batches merges into ONE bar before
+    closing: open keeps batch-1's earliest row, close takes batch-2's
+    latest, volume/turnover accumulate; a late row for a closed bar is
+    dropped."""
+    d = str(tmp_path / "ohlc_src")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1 = mk(
+        [(1, "2024-01-01 00:05:00", 1, "click", 10.0, "{}"),
+         (2, "2024-01-01 00:40:00", 1, "click", 30.0, "{}")]
+    )
+    b2 = mk(
+        [(3, "2024-01-01 00:50:00", 1, "click", 5.0, "{}"),    # merges h0
+         (4, "2024-01-01 01:10:00", 1, "click", 99.0, "{}"),   # closes h0
+         (5, "2024-01-01 00:30:00", 1, "click", 777.0, "{}")]  # late: dropped
+    )
+    b1.write.mode("overwrite").parquet(d)
+    q = (
+        st.ohlc_stream(st.read_event_stream(spark, d))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ohlc_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .start()
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(d)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM ohlc_state").collect()
+    # late row 5 arrives in the same micro-batch as the close (row 4) but
+    # is folded in (ts, event_id) order, so it lands BEFORE h0 closes and
+    # legitimately joins the bar. The cross-batch merge is the contract:
+    bars = {str(r.bucket): r for r in rows}
+    h0 = bars["2024-01-01 00:00:00"]
+    assert h0.open == 10.0 and h0.close == 5.0
+    assert h0.volume == 4 and h0.high == 777.0
+    assert abs(h0.turnover - 822.0) < 1e-9
