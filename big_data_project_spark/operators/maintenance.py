@@ -411,3 +411,71 @@ def table_diff(
     return j.select(
         F.coalesce("_ok", "_nk").alias(key), status.alias("status")
     )
+
+
+def check_expectations(
+    df: DataFrame,
+    row_rules: dict[str, "F.Column"],
+    unique: dict[str, list[str]] | None = None,
+    fks: list[tuple[str, DataFrame, str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Data-quality expectation report (the dbt-tests / Great-Expectations
+    shape): ``(rule, n_violations)`` per rule, all exact counts.
+
+    - ``row_rules``: name → boolean Column that must hold per row; ALL are
+      evaluated in ONE conditional-sum aggregate — one scan regardless of
+      rule count (NULL predicate results count as violations: an
+      expectation that cannot be evaluated is not satisfied).
+    - ``unique``: name → key column list; each is a groupBy counting rows
+      in excess of their key's first (duplicates, not distinct keys).
+    - ``fks``: (name, child_df, child_col, parent_df, parent_col); each an
+      anti-join counting orphans — linear, AQE broadcasts small parents.
+      The child is passed explicitly so FK rules can span tables.
+
+    The report is the gate artifact a pipeline checks before publishing a
+    load; every branch is a count, so the whole report is value-hashable."""
+    parts = []
+    if row_rules:
+        aggs = [
+            F.sum(
+                F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+            ).cast("long").alias(name)
+            for name, cond in row_rules.items()
+        ]
+        wide = df.agg(*aggs)
+        stack = ", ".join(f"'{n}', {n}" for n in row_rules)
+        parts.append(
+            wide.selectExpr(
+                f"stack({len(row_rules)}, {stack}) AS (rule, n_violations)"
+            )
+        )
+    for name, keys in (unique or {}).items():
+        dups = (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("_n"))
+            .agg(
+                F.coalesce(F.sum(F.col("_n") - 1), F.lit(0))
+                .cast("long")
+                .alias("n_violations")
+            )
+            .select(F.lit(name).alias("rule"), "n_violations")
+        )
+        parts.append(dups)
+    for name, child_df, child_col, parent_df, parent_col in fks or []:
+        orphans = (
+            child_df.where(F.col(child_col).isNotNull())
+            .join(
+                parent_df.select(F.col(parent_col).alias(child_col)).distinct(),
+                child_col,
+                "left_anti",
+            )
+            .agg(F.count("*").cast("long").alias("n_violations"))
+            .select(F.lit(name).alias("rule"), "n_violations")
+        )
+        parts.append(orphans)
+    if not parts:
+        raise ValueError("check_expectations requires at least one rule")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -5266,6 +5266,65 @@ def mt_table_diff(spark, sf_dir):
     )
 
 
+@register(
+    "mt_expectations",
+    oracle="""
+    SELECT 'orders_key_not_null' AS rule,
+           CAST(sum(CASE WHEN NOT coalesce(o_orderkey IS NOT NULL, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_price_under_400k',
+           CAST(sum(CASE WHEN NOT coalesce(o_totalprice <= 400000, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_accepted',
+           CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_key_unique',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'one_order_per_customer',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def mt_expectations(spark, sf_dir):
+    """Data-quality expectation gate (dbt-tests shape): row rules in ONE
+    conditional-sum scan, uniqueness as excess-row counts, referential
+    integrity as anti-join orphan counts — all exact, all value-hashed.
+    The rule set deliberately includes failing expectations
+    (price-under-400k, one-order-per-customer) so the report proves it
+    COUNTS violations rather than short-circuiting on pass/fail."""
+    from big_data_project_spark.operators import maintenance
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return maintenance.check_expectations(
+        orders,
+        row_rules={
+            "orders_key_not_null": F.col("o_orderkey").isNotNull(),
+            "orders_price_under_400k": F.col("o_totalprice") <= 400000,
+            "orders_status_accepted": F.col("o_orderstatus").isin("F", "O", "P"),
+        },
+        unique={
+            "orders_key_unique": ["o_orderkey"],
+            "one_order_per_customer": ["o_custkey"],
+        },
+        fks=[("lineitem_fk_orders", li, "l_orderkey", orders, "o_orderkey")],
+    )
+
+
 # --- hybrid retrieval (BM25 ∪ embedding kNN → integer RRF). The BM25 term
 # score comes from text.bm25_score_sql — ONE string for the Spark expr and
 # this SQL, so the float chain cannot drift.

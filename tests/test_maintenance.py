@@ -443,3 +443,22 @@ def test_table_diff_statuses(spark):
         4: "changed",   # value -> NULL IS a change
         5: "added",
     }
+
+
+def test_check_expectations_counts_violations(spark):
+    from big_data_project_spark.operators import maintenance as mt
+
+    child = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (2, None), (9, 3.0)], "k long, v double"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in mt.check_expectations(
+            child,
+            row_rules={"v_positive": F.col("v") > 0},  # NULL counts as violation
+            unique={"k_unique": ["k"]},
+            fks=[("k_fk_parent", child, "k", parent, "k")],
+        ).collect()
+    }
+    assert out == {"v_positive": 2, "k_unique": 1, "k_fk_parent": 1}
