@@ -5325,6 +5325,41 @@ def mt_expectations(spark, sf_dir):
     )
 
 
+@register(
+    "j9_fuzzy_blocked_join",
+    oracle="""
+    WITH probe AS (
+      SELECT c_custkey AS probe_key,
+             substr(c_name, 1, length(c_name) - 1) || 'X' AS probe_name
+      FROM customer WHERE c_custkey % 150 = 0)
+    SELECT p.probe_key, c.c_custkey,
+           CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS edit_dist
+    FROM probe p, customer c
+    WHERE levenshtein(p.probe_name, c.c_name) <= 1
+    """,
+)
+def j9_fuzzy_blocked_join(spark, sf_dir):
+    """Scalable fuzzy join, proven VALUE-IDENTICAL to the quadratic scan:
+    corrupted customer names (last char → 'X') matched back at edit
+    distance ≤ 1 via q-gram count-filter blocking + Levenshtein verify.
+    The oracle is the NAIVE all-pairs filter, so the blocking must be
+    complete — which the count filter guarantees even though every name
+    shares the 'Customer#0…' prefix (naive shared-gram blocking would
+    degenerate to all-pairs there; the length-scaled threshold is what
+    keeps it selective)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    probe = cust.where(F.col("c_custkey") % 150 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("probe_name"),
+    )
+    return relational.fuzzy_join(
+        probe, cust, "probe_key", "c_custkey", "probe_name", "c_name",
+        max_dist=1,
+    )
+
+
 # --- hybrid retrieval (BM25 ∪ embedding kNN → integer RRF). The BM25 term
 # score comes from text.bm25_score_sql — ONE string for the Spark expr and
 # this SQL, so the float chain cannot drift.

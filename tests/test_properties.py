@@ -1129,3 +1129,48 @@ def test_bloom_prune_join_property_no_false_negatives(spark, keys):
         ).collect()
     )
     assert got == sorted(build_keys & probe_keys)
+
+
+NAME_PAIRS = st.tuples(
+    st.lists(st.text(alphabet="abcX#0123", min_size=0, max_size=12),
+             min_size=1, max_size=12, unique=True),
+    st.lists(st.text(alphabet="abcX#0123", min_size=0, max_size=12),
+             min_size=1, max_size=12, unique=True),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(NAME_PAIRS)
+def test_fuzzy_join_property_equals_allpairs(spark, sides):
+    """Count-filter blocking + short-string complement must equal the naive
+    all-pairs Levenshtein filter on ANY inputs — including strings too
+    short to own a q-gram."""
+    from big_data_project_spark.operators import relational as R
+
+    ls, rs = sides
+    left = spark.createDataFrame(list(enumerate(ls)), "lid long, lname string")
+    right = spark.createDataFrame(list(enumerate(rs)), "rid long, rname string")
+    got = sorted(
+        (r.lid, r.rid, r.edit_dist)
+        for r in R.fuzzy_join(
+            left, right, "lid", "rid", "lname", "rname", max_dist=1
+        ).collect()
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (i, j, lev(a, b))
+        for i, a in enumerate(ls)
+        for j, b in enumerate(rs)
+        if lev(a, b) <= 1
+    )
+    assert got == want
