@@ -228,10 +228,13 @@ def enrich_stream(
     stream with a dimension" shape. The dim side is hinted broadcast: a
     per-micro-batch shuffle of the stream would rebuild exchange state
     every trigger, while the broadcast ships the (bounded) dim once per
-    batch; Spark re-plans the static side each micro-batch, so a dim
-    backed by files picks up slowly-changing updates between triggers.
-    Written against plain DataFrames, so the same function serves batch
-    (the oracle twin) and readStream."""
+    batch. NOTE the dim snapshot is pinned at plan time for plain-parquet
+    dims (the file index is cached; overwriting the dim mid-stream raises
+    FILE_NOT_EXIST — verified empirically, not just documented): to pick
+    up slowly-changing dims, re-read the dim inside a foreachBatch join
+    (see ``upsert_sink`` for the foreachBatch pattern) or back it with a
+    transactional table format. Written against plain DataFrames, so the
+    same function serves batch (the oracle twin) and readStream."""
     return events.join(
         F.broadcast(dim), F.col(event_key) == F.col(dim_key), how
     )
