@@ -15,6 +15,7 @@ tests meaningful (stream output ≡ batch output on the same rows).
 from big_data_project_spark.streaming.ops import (
     EVENTS_SCHEMA,
     enrich_stream,
+    enrich_stream_fresh,
     ohlc_stream,
     purchases_with_recent_clicks,
     read_event_stream,
@@ -42,6 +43,7 @@ __all__ = [
     "stream_dedup",
     "write_stream_parquet",
     "enrich_stream",
+    "enrich_stream_fresh",
     "ohlc_stream",
     "purchases_with_recent_clicks",
     "upsert_sink",

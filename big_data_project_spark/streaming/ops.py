@@ -475,3 +475,36 @@ def ohlc_stream(events: DataFrame, step_seconds: int = 3600) -> DataFrame:
     return keyed.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def enrich_stream_fresh(
+    df: DataFrame,
+    dim_path: str,
+    target_path: str,
+    checkpoint: str,
+    event_key: str,
+    dim_key: str,
+    how: str = "left",
+):
+    """Slowly-changing-dim enrichment: the foreachBatch answer to
+    :func:`enrich_stream`'s plan-time-pinned dim snapshot. Each micro-batch
+    re-reads the dim path fresh (a NEW DataFrame per batch — nothing cached
+    from the streaming plan), joins, and appends to the parquet sink, so a
+    dim rewritten between triggers is reflected in the very next batch.
+    Costs one dim read per trigger — the price of freshness; keep triggers
+    coarse or the dim compacted."""
+
+    def do_enrich(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        joined = batch_df.join(
+            F.broadcast(dim), F.col(event_key) == F.col(dim_key), how
+        )
+        joined.write.mode("append").parquet(target_path)
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(do_enrich)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

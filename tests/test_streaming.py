@@ -478,3 +478,33 @@ def test_ohlc_stream_across_microbatches(spark, tmp_path):
     assert h0.open == 10.0 and h0.close == 5.0
     assert h0.volume == 4 and h0.high == 777.0
     assert abs(h0.turnover - 822.0) < 1e-9
+
+
+def test_enrich_stream_fresh_picks_up_dim_updates(spark, tmp_path):
+    """The foreachBatch variant must reflect a dim REWRITTEN between
+    triggers in the next batch — the exact scenario where the plan-pinned
+    static join raises FILE_NOT_EXIST (see enrich_stream docstring)."""
+    d = str(tmp_path / "src")
+    dimd = str(tmp_path / "dim")
+    sink = str(tmp_path / "sink")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    spark.createDataFrame([(1, "segA"), (2, "segA")], "k long, seg string") \
+        .write.mode("overwrite").parquet(dimd)
+    mk([(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}")]) \
+        .write.mode("overwrite").parquet(d)
+    q = st.enrich_stream_fresh(
+        st.read_event_stream(spark, d), dimd, sink,
+        str(tmp_path / "ckpt"), "user_id", "k", "inner",
+    )
+    q.processAllAvailable()
+    spark.createDataFrame([(1, "segA"), (2, "segB")], "k long, seg string") \
+        .write.mode("overwrite").parquet(dimd)
+    mk([(2, "2024-01-01 11:00:00", 2, "click", 1.0, "{}")]) \
+        .write.mode("append").parquet(d)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.event_id, r.seg) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "segA"), (2, "segB")}
