@@ -735,3 +735,45 @@ def fuzzy_join(
         F.col("_rid").alias(right_id),
         "edit_dist",
     )
+
+
+def ewma_level(
+    events: DataFrame,
+    alpha_permille: int = 300,
+    unit: str = "hour",
+    key: str = "event_type",
+    ts: str = "ts",
+) -> DataFrame:
+    """Final EWMA level of per-bucket event counts, per key — the smoothed
+    baseline a monitoring pipeline carries forward (the recursive cousin of
+    rolling_zscore's windowed baseline). s₀ = x₀, sₜ = (α·xₜ + (1−α)·sₜ₋₁)
+    with α in permille, computed ENTIRELY in integer milli-units (s scaled
+    ×1000, floor division per step), so the chain is exact, order-free in
+    its inputs (the fold order is pinned by bucket), and engine-equal.
+
+    Per-key bucket series are folded as a sorted in-memory list — bounded
+    by the CALENDAR (buckets per key = hours in the data's time range),
+    not by corpus size, which is what makes the collect safe at 100 TB.
+    One count aggregate + one per-key fold."""
+    if not (0 <= alpha_permille <= 1000):
+        raise ValueError("alpha_permille must be in [0, 1000]")
+    a, b = int(alpha_permille), 1000 - int(alpha_permille)
+    counts = events.groupBy(
+        F.col(key).alias("key"), F.date_trunc(unit, ts).alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n"))
+    arr = counts.groupBy("key").agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "n"))).alias("xs")
+    )
+    level = F.aggregate(
+        F.expr("slice(xs, 2, greatest(size(xs) - 1, 0))"),
+        F.expr("CAST(element_at(xs, 1).n * 1000 AS BIGINT)"),
+        lambda acc, x: F.floor(
+            (F.lit(a) * x["n"] * 1000 + F.lit(b) * acc) / F.lit(1000)
+        ).cast("long"),
+    )
+    return arr.select(
+        "key",
+        F.size("xs").cast("long").alias("n_buckets"),
+        level.alias("level_milli"),
+        (level / F.lit(1000.0)).alias("level"),
+    )

@@ -5218,6 +5218,35 @@ def ts_ohlc(spark, sf_dir):
 
 
 @register(
+    "ts_ewma",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    a AS (SELECT key, list(n ORDER BY bucket) AS xs FROM c GROUP BY key)
+    SELECT key, CAST(len(xs) AS BIGINT) AS n_buckets,
+           CAST(list_reduce(
+                  list_prepend(xs[1] * 1000, list_slice(xs, 2, len(xs))),
+                  (s, x) -> (300 * x * 1000 + 700 * s) // 1000)
+                AS BIGINT) AS level_milli,
+           CAST(list_reduce(
+                  list_prepend(xs[1] * 1000, list_slice(xs, 2, len(xs))),
+                  (s, x) -> (300 * x * 1000 + 700 * s) // 1000)
+                AS BIGINT) / CAST(1000 AS DOUBLE) AS level
+    FROM a
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Integer EWMA (α=0.3) of hourly event counts per type — the smoothed
+    monitoring baseline, exact by construction: milli-unit state + floor
+    division per step means no float accumulates anywhere, so the level is
+    a pure function of the series. The per-key fold list is bounded by the
+    calendar, never the corpus."""
+    return relational.ewma_level(_t(spark, sf_dir, "events"))
+
+
+@register(
     "mt_table_diff",
     oracle="""
     WITH old AS (
