@@ -305,3 +305,46 @@ def test_ts_anomaly_shuffle_budget(spark, sf_dir):
     two keyed exchanges."""
     got = plans.num_shuffles(_df("ts_anomaly", spark, sf_dir))
     assert got <= 2, (got, plans.physical_plan(_df("ts_anomaly", spark, sf_dir)))
+
+
+def test_bm25_topk_compiles_to_take_ordered(spark, sf_dir):
+    df = _df("tx_bm25", spark, sf_dir)
+    assert plans.is_take_ordered(df)
+
+
+def test_winsorize_has_no_forced_broadcast(spark, sf_dir):
+    """The per-group threshold table scales with key cardinality — AQE may
+    broadcast it when small, but a mandatory hint would OOM at high-card
+    keys."""
+    assert plans.num_broadcast_hints(_df("a14_winsorize", spark, sf_dir)) == 0
+
+
+def test_inverted_index_broadcasts_only_corpus_count(spark, sf_dir):
+    """The single-row corpus count is the only legal hint; the df table
+    scales with vocabulary and must stay AQE-decided."""
+    assert plans.num_broadcast_hints(_df("tx_inverted_index", spark, sf_dir)) == 1
+
+
+def test_pagerank_has_no_cartesian_and_bounded_hints(spark, sf_dir):
+    """Per sweep the only broadcast is the single-row node count (the
+    BroadcastNestedLoopJoin it feeds is a 1-row cross, not a cartesian
+    blowup); degree/rank joins must stay plain hash joins."""
+    df = _df("gr_pagerank", spark, sf_dir)
+    assert "CartesianProduct" not in plans.physical_plan(df)
+
+
+def test_ohlc_and_ewma_shuffle_budgets(spark, sf_dir):
+    """OHLC: the window and the rollup share (event_type, bucket)
+    partitioning — one data shuffle (+ possible AQE read). EWMA: one count
+    aggregate + one per-key fold."""
+    assert plans.num_shuffles(_df("ts_ohlc", spark, sf_dir)) <= 2
+    assert plans.num_shuffles(_df("ts_ewma", spark, sf_dir)) <= 2
+
+
+def test_table_diff_and_expectations_shuffle_budgets(spark, sf_dir):
+    """Diff: one full-outer hash join. Expectations: each rule family is a
+    scan + bounded aggregate; nothing multiplies the fact table."""
+    assert plans.num_shuffles(_df("mt_table_diff", spark, sf_dir)) <= 3
+    assert "CartesianProduct" not in plans.physical_plan(
+        _df("mt_expectations", spark, sf_dir)
+    )
