@@ -5218,6 +5218,50 @@ def ts_ohlc(spark, sf_dir):
 
 
 @register(
+    "w5_rolling_median",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             list_sort(list(o_totalprice) OVER win)[4] AS rolling_median,
+             count(*) OVER win AS wn
+      FROM orders
+      WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT o_custkey, o_orderkey, rolling_median
+    FROM w WHERE wn = 7
+    """,
+)
+def w5_rolling_median(spark, sf_dir):
+    """Rolling MEDIAN over a 7-row trailing frame (the robust-baseline
+    window no rank/avg window covers): per customer, ordered by
+    (o_orderdate, o_orderkey), the 4th element of the sorted frame —
+    an exact element COPY, not an interpolation, so the double is
+    engine-exact by construction. Frame lists are bounded by the frame
+    size (7), never the partition; one window shuffle. Emitted only for
+    full frames — a 4-of-5 'median' is a different statistic."""
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.element_at(
+                F.sort_array(F.collect_list("o_totalprice").over(win)), 4
+            ).alias("rolling_median"),
+            F.count("*").over(win).alias("_wn"),
+        )
+        .where(F.col("_wn") == 7)
+        .drop("_wn")
+    )
+
+
+@register(
     "ts_ewma",
     oracle="""
     WITH c AS (
