@@ -44,6 +44,7 @@ def pagerank(
     dst: str = "dst",
     damping_permille: int = 850,
     iterations: int = 3,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -60,19 +61,39 @@ def pagerank(
     the input (no tolerance threshold to drift across engines) and mirrors
     how production rank sweeps checkpoint per pass.
 
-    Duplicate edges are collapsed first (``distinct``), matching the
-    unweighted formulation.
+    Duplicate edges are collapsed first (``distinct``; with ``weight`` set,
+    duplicate (src, dst) weights are SUMMED), matching the unweighted /
+    weighted formulations respectively.
+
+    ``weight`` (an integer column) switches the out-degree split to
+    weighted proportions: contribution along e = floor(r·w(e) / W(u)) with
+    W(u) the node's total out-weight — computed via the exact staged
+    identity ``(r div W)·w + ((r mod W)·w) div W`` so the product never
+    exceeds int64 as long as W(u)·max_w < 2^63 (true for count- or
+    permille-scaled weights; raise-scale weights before calling if not).
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     if not (0 <= damping_permille <= 1000):
         raise ValueError("damping_permille must be in [0, 1000]")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint()
-    )
+    base_cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    nn = F.col(src).isNotNull() & F.col(dst).isNotNull()
+    if weight is None:
+        e = (
+            edges.select(*base_cols)
+            .where(nn)
+            .distinct()
+            .withColumn("w", F.lit(1).cast("long"))
+            .localCheckpoint()
+        )
+    else:
+        e = (
+            edges.select(*base_cols, F.col(weight).cast("long").alias("w"))
+            .where(nn & (F.col("w") > 0))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint()
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -81,7 +102,7 @@ def pagerank(
     )
     # Single-row node count: the one legal broadcast (bounded by construction).
     n_row = F.broadcast(nodes.agg(F.count("*").alias("_n")))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("deg")).localCheckpoint()
 
     dp = int(damping_permille)
     ranks = (
@@ -93,7 +114,11 @@ def pagerank(
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(outdeg, "src")
-            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                # exact floor(r*w/deg) without the int64-overflowing product
+                F.expr("(r div deg) * w + ((r % deg) * w) div deg").alias("c"),
+            )
         )
         summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (

@@ -5595,31 +5595,52 @@ def a12_histogram(spark, sf_dir):
     return spark.sql(_A12_SQL)
 
 
-def _pagerank_sql(iterations: int = 3, dp: int = 850) -> tuple[str, str]:
+def _pagerank_sql(
+    iterations: int = 3, dp: int = 850, weighted: bool = False
+) -> tuple[str, str]:
     """Unrolled DuckDB mirror of graph.pagerank's integer chain: same edge
     derivation, same `div` fixed-point arithmetic, one CTE pair per
     iteration. DuckDB's `//` floors and Spark's `div` truncates — identical
     on the all-positive quantities here. sum(BIGINT) is HUGEINT in DuckDB,
-    so it is cast back per the repo's type-alignment contract."""
+    so it is cast back per the repo's type-alignment contract. ``weighted``
+    mirrors the staged exact floor(r·w/W) identity over line-count edge
+    weights."""
     scale = graph.RANK_SCALE
-    parts = [
-        """
+    if weighted:
+        edges_sql = """
+    WITH p AS (
+      SELECT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o.o_custkey AS VARCHAR) AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst, w FROM p
+          UNION ALL SELECT dst AS src, src AS dst, w FROM p),"""
+        contrib = "(r{prev}.r // od.deg) * e.w + ((r{prev}.r % od.deg) * e.w) // od.deg"
+    else:
+        edges_sql = """
     WITH p AS (
       SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
                       'c' || CAST(o.o_custkey AS VARCHAR) AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-    e AS (SELECT src, dst FROM p
-          UNION SELECT dst AS src, src AS dst FROM p),
+    e AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM p
+          UNION ALL
+          SELECT dst AS src, src AS dst, CAST(1 AS BIGINT) AS w FROM p),"""
+        contrib = "r{prev}.r // od.deg"
+    parts = [
+        edges_sql
+        + """
     nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
     cnt AS (SELECT count(*) AS n FROM nd),
-    od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),"""
+    od AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY src),"""
         + f"""
     r0 AS (SELECT node, CAST({scale} AS BIGINT) // (SELECT n FROM cnt) AS r
            FROM nd)"""
     ]
     for i in range(1, iterations + 1):
+        c = contrib.format(prev=i - 1)
         parts.append(f""",
-    s{i} AS (SELECT e.dst AS node, CAST(sum(r{i - 1}.r // od.deg) AS BIGINT) AS s
+    s{i} AS (SELECT e.dst AS node, CAST(sum({c}) AS BIGINT) AS s
              FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node
                     JOIN od ON e.src = od.src
              GROUP BY e.dst),
@@ -5655,6 +5676,44 @@ def _trade_graph_edges(spark, sf_dir):
     return p.unionByName(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+
+
+_GR_W_CTES, _GR_W_LAST = _pagerank_sql(weighted=True)
+
+_GR_PAGERANK_W_SQL = (
+    _GR_W_CTES
+    + f"""
+    SELECT node, r AS rank_pico,
+           CAST(r AS DOUBLE) / CAST({graph.RANK_SCALE} AS DOUBLE) AS pagerank
+    FROM {_GR_W_LAST}
+    """
+)
+
+
+@register("gr_pagerank_weighted", oracle=_GR_PAGERANK_W_SQL)
+def gr_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank over the trade graph — edge weight = number of
+    order LINES between the supplier and customer, so rank mass follows
+    trade volume, not mere connectivity. The weighted split uses the
+    staged exact identity (r div W)·w + ((r mod W)·w) div W, keeping the
+    whole chain in int64 with no overflow and bit-equal to the unrolled
+    DuckDB mirror."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    edges = p.unionByName(
+        p.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+        )
+    )
+    return graph.pagerank(edges, iterations=3, weight="w")
 
 
 @register("gr_pagerank", oracle=_GR_PAGERANK_SQL)

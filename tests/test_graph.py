@@ -132,3 +132,28 @@ def test_triangle_count_matches_bruteforce(spark):
     assert row["n_triangles"] == expected
     assert row["n_edges"] == len(und)
     assert row["n_nodes"] == len(nodes)
+
+
+def test_weighted_pagerank_follows_weight_mass(spark):
+    """With all structure equal, the destination of the heavier edge must
+    outrank the lighter one, and the unweighted call must equal weight=1."""
+    edges = [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank_pico"]
+        for r in graph.pagerank(df, iterations=3, weight="w").collect()
+    }
+    assert got["b"] > got["c"]
+    uw = {
+        r["node"]: r["rank_pico"]
+        for r in graph.pagerank(
+            df.select("src", "dst"), iterations=3
+        ).collect()
+    }
+    ones = {
+        r["node"]: r["rank_pico"]
+        for r in graph.pagerank(
+            df.withColumn("w", F.lit(1)), iterations=3, weight="w"
+        ).collect()
+    }
+    assert uw == ones
