@@ -683,3 +683,27 @@ def bm25_topk(
         ).alias("score")
     )
     return score.orderBy(F.col("score").desc(), "doc_id").limit(k)
+
+
+def extract_keywords(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by TF-IDF
+    (ratio idf — the engine's oracle-stable weighting), deterministically
+    tie-broken by term. One rank window per document on top of the tf_idf
+    shape; frame size is the document's distinct-term count, bounded by
+    document length."""
+    from pyspark.sql.window import Window
+
+    scored = tf_idf(df, text=text, id_col=id_col)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf")
+    )

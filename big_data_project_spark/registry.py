@@ -5218,6 +5218,38 @@ def ts_ohlc(spark, sf_dir):
 
 
 @register(
+    "tx_keywords",
+    oracle=r"""
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf * ((n_docs + 1.0) / (df + 1)) AS tfidf
+      FROM tf JOIN dfreq USING (term), n)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS BIGINT)
+             AS rank,
+           term, tfidf
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def tx_keywords(spark, sf_dir):
+    """Per-document keyword extraction: top-3 TF-IDF terms (ratio idf),
+    tie-broken by term — the doc-tagging step of corpus indexing. Rank
+    window bounded by per-doc vocabulary."""
+    return text.extract_keywords(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), k=3
+    )
+
+
+@register(
     "w5_rolling_median",
     oracle="""
     WITH w AS (
