@@ -707,3 +707,53 @@ def extract_keywords(
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tfidf")
     )
+
+
+def collocations(
+    df: DataFrame,
+    text: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus collocation extraction: top-``k`` adjacent word pairs by
+    LIFT — N·c(a,b) / (c(a)·c(b)) — the association measure that, unlike
+    PMI, needs no logarithm (its log is PMI, so the RANKING is identical)
+    and therefore stays a single integer-product division: engine-exact.
+    ``min_count`` drops noise pairs. Shape: one bigram explode + three
+    count aggregates + two equi-joins on the unigram (AQE-decided — the
+    unigram table is the vocabulary and must not be broadcast-hinted) +
+    TakeOrderedAndProject."""
+    w = words_col(text)
+    # sequence(1, 0) DESCENDS in Spark and ANSI array indexing aborts on
+    # out-of-bounds — docs with < 2 words must yield an EMPTY pair list
+    bigrams = df.select(w.alias("w")).select(
+        F.explode(
+            F.expr(
+                "transform(CASE WHEN size(w) >= 2 THEN sequence(1, size(w) - 1)"
+                " ELSE CAST(array() AS array<int>) END,"
+                " i -> struct(w[i - 1] AS a, w[i] AS b))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    cab = bigrams.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+    uni = (
+        df.select(F.explode(w).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_row = F.broadcast(
+        uni.agg(F.sum("c").cast("long").alias("_n"))
+    )
+    scored = (
+        cab.where(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("t").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("t").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(n_row)
+        .select(
+            "a", "b", "c_ab",
+            F.expr("CAST(c_ab * _n AS DOUBLE) / CAST(c_a * c_b AS DOUBLE)").alias(
+                "lift"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "a", "b").limit(k)

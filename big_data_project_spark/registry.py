@@ -5250,6 +5250,85 @@ def tx_keywords(spark, sf_dir):
 
 
 @register(
+    "mt_partition_pruning",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-11'
+    GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+    """,
+)
+def mt_partition_pruning(spark, sf_dir):
+    """Hive-partitioned layout roundtrip under partition pruning, proven
+    VALUE-INVISIBLE: events rewritten date-partitioned (dt=YYYY-MM-DD
+    directories), re-read with a dt-filter that prunes to 3 of the
+    directories, aggregated — the oracle runs the plain timestamp filter
+    on the ORIGINAL table, so the layout + pruning must not change a
+    value. The pruning-actually-prunes half is already pinned in
+    test_partitioned_write_prunes; this row makes the layout's
+    correctness driver-visible."""
+    import datetime as _dt
+
+    from big_data_project_spark.operators import maintenance
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    path = _tmpdir("partprune") + "/data"
+    maintenance.write_partitioned_by_day(ev, path, "ts")
+    back = spark.read.parquet(path).where(
+        F.col("dt").between(
+            F.lit(_dt.date(2024, 1, 8)), F.lit(_dt.date(2024, 1, 10))
+        )
+    )
+    return back.groupBy(
+        # partition values come back as DATE; stringify so the compare is
+        # type-stable against DuckDB's pandas date rendering
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n"),
+        relational.dsum("value", 2).alias("total"),
+    )
+
+
+@register(
+    "tx_collocations",
+    oracle=r"""
+    WITH wl AS (
+      SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    bg AS (
+      SELECT w[CAST(i AS BIGINT)] AS a, w[CAST(i + 1 AS BIGINT)] AS b
+      FROM wl, unnest(range(1, greatest(len(w), 1))) AS u(i)),
+    cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM bg GROUP BY a, b),
+    uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(w) AS t FROM wl) GROUP BY t),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS _n FROM uni)
+    SELECT cab.a, cab.b, cab.c_ab,
+           CAST(cab.c_ab * n._n AS DOUBLE)
+             / CAST(ua.c * ub.c AS DOUBLE) AS lift
+    FROM cab
+    JOIN uni ua ON ua.t = cab.a
+    JOIN uni ub ON ub.t = cab.b, n
+    WHERE cab.c_ab >= 5
+    ORDER BY lift DESC, cab.a, cab.b LIMIT 20
+    """,
+)
+def tx_collocations(spark, sf_dir):
+    """Top-20 adjacent-word collocations by LIFT (min count 5): the
+    association ranking of PMI without its logarithm — one integer-product
+    division, engine-exact. Unigram/bigram tables scale with vocabulary,
+    so their joins stay AQE-decided (only the single-row token total is
+    broadcast); top-k is TakeOrderedAndProject."""
+    return text.collocations(
+        _t(spark, sf_dir, "documents").select("text"), min_count=5, k=20
+    )
+
+
+@register(
     "w5_rolling_median",
     oracle="""
     WITH w AS (
