@@ -534,6 +534,231 @@ def semantic_dedup(
     return assigned.join(dropped, id_col, "left_anti").select(id_col, "cluster_id")
 
 
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed-vector ANN, the memory-scale path
+# ---------------------------------------------------------------------------
+
+def pq_subvectors(
+    df: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    emb_col: str = "embedding",
+    keep: tuple[str, ...] = ("vec_id",),
+) -> DataFrame:
+    """Split each vector into ``m`` contiguous subvectors of dim/m, one row
+    per (row, subspace): the long-format input of every PQ stage. Pure
+    narrow projection (inline of an array of slices) — no shuffle."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("s"),
+                F.slice(_d(emb_col), s * dsub + 1, dsub).alias("sub"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(*keep, F.inline(parts))
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """PQ 'train': one codebook of ``n_codes`` centroids per subspace.
+
+    Centroid seeding follows the engine's verifiable scheme (build_ivf /
+    semantic_dedup): each (vector, subspace) md5-hashes to a code bucket and
+    the minimum-hash subvector of the bucket becomes that code's centroid —
+    ONE map-side-combining groupBy over m·N tiny rows, engine-exact and
+    mirrorable in SQL. Sharpen with per-subspace Lloyd steps offline if
+    recall needs it (refined centroids trade oracle-exactness for quality,
+    same trade as kmeans_refine).
+
+    Returns (s, code, centroid) — m·n_codes rows, always broadcast-sized
+    (a 16×256 book for 1024-d vectors is 16 KB of floats)."""
+    sub = pq_subvectors(embeddings, m=m, dim=dim, emb_col=emb_col, keep=(id_col,))
+    hh = F.expr(
+        f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), '|', "
+        "CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        sub.withColumn("_hh", hh)
+        .groupBy("s", F.pmod(F.col("_hh"), F.lit(n_codes)).alias("code"))
+        .agg(F.min_by("sub", "_hh").alias("centroid"))
+    )
+
+
+def pq_refine_codebooks(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """One per-subspace Lloyd step: re-assign every subvector to its nearest
+    code, then replace each centroid with the element-wise mean of its
+    members. Same trade as kmeans_refine — float-mean centroids sharpen
+    recall but are no longer oracle-exact, so refinement is the offline
+    quality knob while the seed path carries verification. Each step is one
+    balanced (s, code, pos) partial-agg shuffle; repeat to taste."""
+    enc = pq_encode(
+        embeddings, codebooks, m=m, dim=dim, id_col=id_col, emb_col=emb_col, keep=()
+    )
+    sub = pq_subvectors(embeddings, m=m, dim=dim, emb_col=emb_col, keep=(id_col,))
+    return (
+        sub.join(enc, [id_col, "s"])
+        .select("s", "code", F.posexplode("sub").alias("pos", "val"))
+        .groupBy("s", "code", "pos")
+        .agg(F.avg("val").alias("val"))
+        .groupBy("s", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda x: x["val"],
+            ).alias("centroid")
+        )
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """PQ 'add': assign every (vector, subspace) its nearest centroid's code
+    (L2, ties to the smaller code). Output long format ``(id, *keep, s,
+    code)`` — the compressed index, m small ints per vector instead of dim
+    floats (64 floats → 4 codes = 64× less state to scan).
+
+    Shape: broadcast the m·n_codes codebook against the subvector stream,
+    reduce with a map-side-combining min_by per (id, s) — one shuffle of
+    (id, s, code), never of the scored cross product."""
+    sub = pq_subvectors(
+        embeddings, m=m, dim=dim, emb_col=emb_col, keep=(id_col, *keep)
+    )
+    scored = sub.join(F.broadcast(codebooks), "s").select(
+        id_col,
+        *keep,
+        "s",
+        "code",
+        l2_sq("sub", "centroid").alias("_dist"),
+    )
+    return scored.groupBy(id_col, "s").agg(
+        *[F.first(c).alias(c) for c in keep],
+        F.min_by("code", F.struct("_dist", "code")).alias("code"),
+    )
+
+
+def pq_pack_codes(
+    encoded: DataFrame, id_col: str = "vec_id", keep: tuple[str, ...] = ("label",)
+) -> DataFrame:
+    """Long (id, s, code) → one row per id with the s-ordered code array —
+    the storage layout of the compressed index."""
+    return encoded.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in keep],
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))), lambda x: x["code"]
+        ).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    codebooks: DataFrame,
+    encoded: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    keep: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — FAISS IVFPQ's scoring
+    half, the memory-scale serving path: the query precomputes its distance
+    to every centroid (m·n_codes doubles, broadcast), and each stored vector
+    scores as the SUM of m table lookups — no float vector is ever read.
+
+    Deterministic and engine-exact (lookup values are the proven l2 fold;
+    the per-vector sum folds in subspace order), so the approximation itself
+    is value-hashable. Approximate by construction: gate recall vs knn_topk
+    in tests, never hash ADC against exact scores."""
+    qsub = pq_subvectors(query, m=m, dim=dim, emb_col="q", keep=())
+    dtab = F.broadcast(
+        qsub.join(codebooks, "s").select(
+            "s", "code", l2_sq("sub", "centroid").alias("qd")
+        )
+    )
+    per = (
+        encoded.join(dtab, ["s", "code"])
+        .groupBy(id_col)
+        .agg(
+            *[F.first(c).alias(c) for c in keep],
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "qd"))),
+                    lambda x: x["qd"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adist"),
+        )
+    )
+    return per.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str = "label",
+    order_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Chunk→document embedding pooling: element-wise mean of each group's
+    vectors, folded in ``order_col`` order (the standard way a document
+    embedding is derived from its chunk embeddings after ``chunk_documents``
+    + ``Embedder``; reference parity: the corpus matrix built row-by-row at
+    py:424-426 is this op's driver-side ancestor).
+
+    Engine-exact: the per-group sum is an explicit LEFT-ASSOCIATED fold of
+    the order-sorted vector sequence (acc = v₁, then +v₂, …), then one
+    element-wise division by the group size — both engines execute the
+    identical IEEE chain, so even the pooled doubles are value-hashable
+    (DuckDB mirror: ``list(... ORDER BY) → list_reduce → list_transform``).
+
+    Distributed shape: ONE map-side-combining groupBy. collect_list holds a
+    single group's chunk vectors — chunks-per-document is bounded (a doc has
+    tens of chunks), so state per key is KBs regardless of corpus size. At
+    100 TB this is the same one-shuffle shape as any hash aggregate; nothing
+    touches the driver."""
+    g = df.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), _d(emb_col).alias("e")))
+        ).alias("_sorted"),
+        F.count("*").cast("long").alias("n_vecs"),
+    )
+    seq = F.transform(F.col("_sorted"), lambda s: s["e"])
+    summed = F.aggregate(
+        F.slice(seq, 2, F.size(seq) - 1),
+        F.element_at(seq, 1),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    return g.select(
+        group_col,
+        "n_vecs",
+        F.transform(summed, lambda v: v / F.col("n_vecs")).alias("pooled"),
+    )
+
+
 def rrf_fuse(
     ranked_lists: list[DataFrame],
     id_col: str = "doc_id",

@@ -1742,6 +1742,37 @@ def e7_knn_batch(spark, sf_dir):
 
 
 @register(
+    "e8_mean_pool",
+    oracle="""
+    WITH g AS (
+      SELECT label,
+             list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS seq,
+             CAST(count(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY label),
+    p AS (SELECT label, n_vecs,
+                 list_transform(
+                   list_reduce(seq, (acc, x) ->
+                     list_transform(range(1, len(acc) + 1), i -> acc[i] + x[i])),
+                   v -> v / n_vecs) AS pooled
+          FROM g)
+    SELECT label, n_vecs, CAST(i - 1 AS INTEGER) AS i, pooled[i] AS val
+    FROM p, (SELECT unnest(range(1, 65)) AS i)
+    """,
+)
+def e8_mean_pool(spark, sf_dir):
+    """E8: chunk→document embedding pooling — element-wise mean per group,
+    folded in vec_id order so the IEEE sum chain is identical on both
+    engines and the pooled doubles themselves are value-hashed (exploded
+    to (label, i, val) — house rule: no array column enters the compare).
+    One map-side-combining groupBy; bounded per-key state (chunks/doc)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pooled = vector.mean_pool(emb, group_col="label", order_col="vec_id")
+    return pooled.select(
+        "label", "n_vecs", F.posexplode("pooled").alias("i", "val")
+    )
+
+
+@register(
     "tx_tf_idf",
     oracle="""
     WITH terms AS (
@@ -3266,6 +3297,89 @@ def dd_semantic(spark, sf_dir):
     return vector.semantic_dedup(
         _t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.4
     )
+
+
+#: PQ oracle fragments (m=4 subspaces × 16 dims, n_codes=16): subvector
+#: slice, the proven left-fold L2, and the shared train+encode CTE chain.
+_PQ_SUB = (
+    "(CAST(embedding AS DOUBLE[]))"
+    "[CAST(s*16+1 AS BIGINT):CAST(s*16+16 AS BIGINT)]"
+)
+_PQ_L2 = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " z -> (z[1]-z[2])*(z[1]-z[2])))"
+)
+_PQ_HH = _HEX_SEG.format(a=1, b=16).replace(
+    "hx", "md5(CAST(vec_id AS VARCHAR) || '|' || CAST(s AS VARCHAR))"
+)
+_PQ_CTES = f"""
+    sub AS (
+      SELECT vec_id, label, s, {_PQ_SUB} AS sub
+      FROM embeddings, (SELECT unnest(range(0, 4)) AS s)),
+    hhs AS (
+      SELECT vec_id, label, s, sub, {_PQ_HH} AS hh FROM sub),
+    cb AS (SELECT s, hh % 16 AS code, arg_min(sub, hh) AS centroid
+           FROM hhs GROUP BY 1, 2),
+    encd AS (SELECT h.vec_id, h.label, h.s, c.code,
+                    {_PQ_L2.format(a="h.sub", b="c.centroid")} AS d
+             FROM hhs h JOIN cb c USING (s)),
+    enc AS (SELECT vec_id, label, s, code FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                           ORDER BY d, code) AS rn
+              FROM encd) WHERE rn = 1)"""
+
+
+@register(
+    "e9_pq_encode",
+    oracle=f"""
+    WITH {_PQ_CTES}
+    SELECT vec_id, label, s, code FROM enc
+    """,
+)
+def e9_pq_encode(spark, sf_dir):
+    """E9: product-quantization train+encode — each 64-float vector
+    compressed to 4 codes against md5-seeded per-subspace codebooks
+    (4×16 centroids, broadcast). The full chain — bucketing, centroid
+    pick, subspace L2, argmin tie-break — is engine-exact, so the
+    compressed index itself is value-hashed (long (vec_id, s, code)
+    format — no array column enters the compare; pq_pack_codes is the
+    storage pivot). At 100 TB the codes table is 64× smaller than the
+    vectors it stands in for."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = vector.pq_codebooks(emb, m=4, n_codes=16, dim=64)
+    return vector.pq_encode(emb, cb, m=4, dim=64)
+
+
+@register(
+    "e9_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
+    qsub AS (SELECT s,
+                    (CAST(qe AS DOUBLE[]))
+                      [CAST(s*16+1 AS BIGINT):CAST(s*16+16 AS BIGINT)] AS qs
+             FROM q, (SELECT unnest(range(0, 4)) AS s)),
+    dtab AS (SELECT c.s, c.code,
+                    {_PQ_L2.format(a="q.qs", b="c.centroid")} AS qd
+             FROM qsub q JOIN cb c USING (s)),
+    adc AS (SELECT e.vec_id, any_value(e.label) AS label,
+                   list_sum(list(d.qd ORDER BY e.s)) AS adist
+            FROM enc e JOIN dtab d USING (s, code) GROUP BY e.vec_id)
+    SELECT vec_id, label, adist FROM adc ORDER BY adist, vec_id LIMIT 10
+    """,
+)
+def e9_pq_adc_topk(spark, sf_dir):
+    """E9b: asymmetric-distance top-k over the PQ codes — the query
+    precomputes its distance to all 64 centroids (broadcast table) and
+    every stored vector scores as 4 integer-keyed lookups + an ordered
+    fold; no float vector is read at query time. Deterministic, so the
+    approximation is value-hashed; recall vs exact kNN is gated in
+    tests/test_approx_ops.py (never hashed — PQ is quantized by design)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = vector.pq_codebooks(emb, m=4, n_codes=16, dim=64)
+    enc = vector.pq_encode(emb, cb, m=4, dim=64)
+    q = vector.query_vector_of(emb, 3)
+    return vector.pq_adc_topk(cb, enc, q, k=10, m=4, dim=64)
 
 
 @register(

@@ -293,3 +293,69 @@ def test_near_dedup_lsh_superset_of_exact_pairs(spark, sf_dir):
     assert exact_keep <= lsh_keep
     # and the blocking actually fires at sf0.01: some docs are dropped
     assert len(lsh_keep) < d.count()
+
+
+def _pq_quant_error(spark, emb, cb):
+    """Mean total quantization error Σ_s ||sub - centroid[code]||² per vec."""
+    enc = vector.pq_encode(emb, cb, m=4, dim=64, keep=())
+    sub = vector.pq_subvectors(emb, m=4, dim=64, keep=("vec_id",))
+    per = (
+        sub.join(enc, ["vec_id", "s"])
+        .join(cb, ["s", "code"])
+        .select(vector.l2_sq("sub", "centroid").alias("e"))
+        .agg(F.avg("e").alias("err"))
+        .collect()[0]
+    )
+    return per.err
+
+
+def test_pq_refine_reduces_quantization_error(spark, sf_dir):
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    cb0 = vector.pq_codebooks(emb, m=4, n_codes=16, dim=64)
+    cb1 = vector.pq_refine_codebooks(emb, cb0, m=4, dim=64)
+    e0 = _pq_quant_error(spark, emb, cb0)
+    e1 = _pq_quant_error(spark, emb, cb1)
+    # Lloyd monotonicity: mean-update + re-assign never increases SSE
+    assert e1 <= e0 + 1e-9, (e0, e1)
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    emb = io.load_table(spark, sf_dir, "embeddings").cache()
+    cb = vector.pq_codebooks(emb, m=4, n_codes=16, dim=64)
+    for _ in range(3):
+        cb = vector.pq_refine_codebooks(emb, cb, m=4, dim=64)
+    cb = cb.cache()
+    enc = vector.pq_encode(emb, cb, m=4, dim=64).cache()
+    hits = 0
+    for qid in (0, 3, 7, 42, 99):
+        q = vector.query_vector_of(emb, qid)
+        exact = {r.vec_id for r in vector.knn_topk(emb, q, k=10, metric="l2").collect()}
+        adc = {r.vec_id for r in vector.pq_adc_topk(cb, enc, q, k=30, m=4, dim=64).collect()}
+        hits += len(exact & adc)
+    # uniform-random 64-d vectors are PQ's adversarial case (distance
+    # concentration, no cluster structure); the gate pins "clearly better
+    # than the 6% random-chance overlap", not production recall — real
+    # embedding corpora cluster and do far better. Deterministic: 0.52
+    # measured at this exact config.
+    assert hits / 50 >= 0.35, hits
+
+
+def test_pq_codes_compress_and_cover(spark, sf_dir):
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    cb = vector.pq_codebooks(emb, m=4, n_codes=16, dim=64)
+    packed = vector.pq_pack_codes(vector.pq_encode(emb, cb, m=4, dim=64))
+    rows = packed.collect()
+    assert len(rows) == emb.count()  # every vector encoded exactly once
+    for r in rows[:20]:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_mean_pool_matches_hand_mean(spark):
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 3.0]), (1, 1, [3.0, 5.0]), (2, 5, [2.0, 2.0])],
+        "grp long, ord long, embedding array<float>",
+    )
+    out = {r.grp: r for r in vector.mean_pool(df, "grp", "ord").collect()}
+    assert out[1].pooled == [2.0, 4.0] and out[1].n_vecs == 2
+    assert out[2].pooled == [2.0, 2.0] and out[2].n_vecs == 1
