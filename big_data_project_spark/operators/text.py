@@ -757,3 +757,174 @@ def collocations(
         )
     )
     return scored.orderBy(F.col("lift").desc(), "a", "b").limit(k)
+
+
+def _bigrams_col(text: str) -> Column:
+    """Per-row adjacent word pairs as an array<struct<a,b>> — empty (never
+    failing) for docs under 2 words, ANSI-safe."""
+    return F.expr(
+        "transform(CASE WHEN size(_w) >= 2 THEN sequence(1, size(_w) - 1)"
+        " ELSE CAST(array() AS array<int>) END,"
+        " i -> struct(_w[i - 1] AS a, _w[i] AS b))"
+    )
+
+
+def train_lm_bigrams(df: DataFrame, text: str = "text") -> DataFrame:
+    """Bigram language-model counts from a reference corpus:
+    ``(a, b, c_ab, c_a)`` where c_a = occurrences of ``a`` as a bigram
+    context (Σ_b c_ab), so c_ab/c_a is the conditional p(b|a).
+
+    This is the count half of a CCNet-style fluency model (Wenzek et al.
+    2020 score web text with a reference-corpus LM and keep the fluent
+    band): train once on the trusted corpus, broadcast nothing — the model
+    IS a table, joined by the scorer. Shape: one bigram explode + two
+    map-side-combining counts + one equi-join on the context word; the
+    model table is vocabulary-sized, so it is deliberately NOT
+    broadcast-hinted (the TF-IDF lesson — AQE broadcasts it when small)."""
+    bg = df.select(words_col(text).alias("_w")).select(
+        F.explode(_bigrams_col(text)).alias("bg")
+    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    cab = bg.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+    ca = bg.groupBy("a").agg(F.count("*").cast("long").alias("c_a"))
+    return cab.join(ca, "a")
+
+
+def lm_fluency(
+    df: DataFrame,
+    lm: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a trained bigram LM — the quality signal
+    CCNet derives from perplexity, in engine-exact integer form:
+
+    - ``known_permille``: share of the doc's bigrams the LM has seen
+      (coverage — low for gibberish/out-of-domain text);
+    - ``mean_p_permille``: mean over the doc's bigrams of the conditional
+      permille ``1000·c_ab div c_a`` (0 for unseen) — a monotone proxy of
+      the add-zero-smoothed LM likelihood, kept in integers so the score
+      is value-hashable (a float log-perplexity chain is not
+      cross-engine-stable; the RANKING this produces is what the
+      keep/drop band consumes).
+
+    Docs with < 2 words get n_bigrams = 0 and NULL permilles (not a
+    crash, not a fake score). Shape: bigram explode → one equi-join
+    against the LM table on (a, b) → one groupBy(id) — all linear, skew
+    bounded by hot bigrams which AQE splits."""
+    bg = df.select(F.col(id_col), words_col(text).alias("_w")).select(
+        id_col, F.explode_outer(_bigrams_col(text)).alias("bg")
+    ).select(id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    j = bg.join(lm, ["a", "b"], "left").select(
+        id_col,
+        F.col("a").isNotNull().cast("long").alias("_is_bg"),
+        F.coalesce(
+            (F.lit(1000) * F.col("c_ab")).cast("long"), F.lit(0)
+        ).alias("_num"),
+        F.coalesce(F.col("c_a"), F.lit(1)).alias("_den"),
+        (F.col("c_ab").isNotNull()).cast("long").alias("_known"),
+    )
+    per = j.groupBy(id_col).agg(
+        F.sum("_is_bg").cast("long").alias("n_bigrams"),
+        F.sum("_known").cast("long").alias("n_known"),
+        F.sum(F.expr("_num div _den")).cast("long").alias("_psum"),
+    )
+    return per.select(
+        id_col,
+        "n_bigrams",
+        "n_known",
+        F.expr(
+            "CASE WHEN n_bigrams > 0 THEN 1000 * n_known div n_bigrams END"
+        ).cast("long").alias("known_permille"),
+        F.expr(
+            "CASE WHEN n_bigrams > 0 THEN _psum div n_bigrams END"
+        ).cast("long").alias("mean_p_permille"),
+    )
+
+
+def hash_bucket(col: Column | str, n_buckets: int) -> Column:
+    """md5-derived feature bucket in [0, n_buckets) — the vocabulary-free
+    feature hashing trick (fastText/Vowpal): fixed-width feature space, no
+    vocab table to build, ship, or grow. md5 (not xxhash64) so the bucket
+    is engine-exact / oracle-mirrorable."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(n_buckets)).cast("long")
+
+
+def train_hashed_classifier(
+    df: DataFrame,
+    label_col: str,
+    text: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Distill a binary document label into hashed-unigram weights — the
+    quality-classifier recipe (fastText-style model distilled from rules
+    or LLM judgments, à la FineWeb-Edu) with naive-Bayes-ish training that
+    is one aggregation pass and integer-exact:
+
+    per bucket: ``w_milli = 1000·(n₁+1) div (n₀+n₁+2) − prior`` — the
+    add-one-smoothed share of the bucket's token occurrences that come
+    from label-1 documents, centered on the GLOBAL token-level label-1
+    share (centering on 500 instead lets class imbalance push every
+    weight positive and the scorer degenerates to always-predict-
+    majority). Output ``(bucket, n0, n1, w_milli)`` — at most
+    ``n_buckets`` rows, a genuinely broadcast-safe model (fixed width by
+    construction, unlike a vocabulary)."""
+    toks = df.select(F.col(label_col).cast("long").alias("_y"),
+                     F.explode(words_col(text)).alias("t"))
+    per_bucket = (
+        toks.groupBy(hash_bucket("t", n_buckets).alias("bucket"))
+        .agg(
+            F.sum(1 - F.col("_y")).cast("long").alias("n0"),
+            F.sum("_y").cast("long").alias("n1"),
+        )
+    )
+    prior = F.broadcast(
+        per_bucket.agg(
+            F.expr(
+                "CAST(1000 * (sum(n1) + 1) div (sum(n0) + sum(n1) + 2)"
+                " AS BIGINT)"
+            ).alias("_prior")
+        )
+    )
+    return per_bucket.crossJoin(prior).select(
+        "bucket", "n0", "n1",
+        F.expr("1000 * (n1 + 1) div (n0 + n1 + 2) - _prior")
+        .cast("long").alias("w_milli"),
+    )
+
+
+def classify_hashed(
+    df: DataFrame,
+    weights: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """Inference for the hashed linear classifier: score = Σ over token
+    occurrences of the token bucket's weight (unseen buckets 0), predicted
+    = score > threshold. The model is broadcast (≤ n_buckets rows — safe
+    by construction); scoring is a narrow explode + broadcast join + one
+    groupBy(id): the 100 TB shape of every model-based quality gate."""
+    toks = df.select(
+        F.col(id_col), F.explode_outer(words_col(text)).alias("t")
+    ).withColumn("bucket", hash_bucket("t", n_buckets))
+    # null token (empty doc) → null bucket → no match; left join keeps the row
+    scored = toks.join(
+        F.broadcast(weights.select("bucket", "w_milli")), "bucket", "left"
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum(F.col("t").isNotNull().cast("long")).cast("long")
+            .alias("n_tokens"),
+            F.coalesce(F.sum("w_milli"), F.lit(0)).cast("long")
+            .alias("score_milli"),
+        )
+        .select(
+            id_col, "n_tokens", "score_milli",
+            (F.col("score_milli") > threshold_milli).cast("int")
+            .alias("predicted"),
+        )
+    )

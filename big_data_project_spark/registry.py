@@ -3109,9 +3109,138 @@ def tx_quality_filter(spark, sf_dir):
     return text.quality_rule_flags(_t(spark, sf_dir, "documents"))
 
 
+#: filtered whitespace tokenization (words_col semantics: empty text → [])
+_DK_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+
+#: per-doc adjacent bigram stream shared by the LM entries
+_LM_BG_CTES = f"""
+    t AS (SELECT doc_id, {_DK_WORDS} AS w FROM documents),
+    bg AS (SELECT doc_id, bgs.a AS a, bgs.b AS b FROM (
+             SELECT doc_id,
+                    unnest(list_transform(range(1, len(w)),
+                           i -> struct_pack(a := w[i], b := w[i+1]))) AS bgs
+             FROM t WHERE len(w) >= 2)),
+    lm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+           FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    ctx AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a
+            FROM bg WHERE doc_id % 2 = 0 GROUP BY 1),
+    lmj AS (SELECT l.a, l.b, l.c_ab, c.c_a FROM lm l JOIN ctx c USING (a))"""
+
+
+@register(
+    "tx_lm_fluency",
+    oracle=f"""
+    WITH {_LM_BG_CTES},
+    sc AS (SELECT g.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(sum(CASE WHEN j.c_ab IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_known,
+                  CAST(sum(CASE WHEN j.c_ab IS NOT NULL
+                                THEN (1000 * j.c_ab) // j.c_a ELSE 0 END)
+                       AS BIGINT) AS psum
+           FROM bg g LEFT JOIN lmj j USING (a, b) GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           coalesce(sc.n_known, 0) AS n_known,
+           CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+                THEN CAST(1000 * sc.n_known // sc.n_bigrams AS BIGINT) END
+             AS known_permille,
+           CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+                THEN CAST(sc.psum // sc.n_bigrams AS BIGINT) END
+             AS mean_p_permille
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def tx_lm_fluency(spark, sf_dir):
+    """CCNet-style LM fluency scoring (Wenzek et al. 2020): train a bigram
+    LM on the trusted half of the corpus (even doc_ids), score every doc's
+    bigram coverage and mean conditional probability against it — in
+    integer permille, so the quality signal itself is value-hashed (float
+    log-perplexity is not cross-engine-stable; this proxy preserves its
+    ranking). Shape: explode → vocabulary-sized equi-join (NOT
+    broadcast-hinted) → one groupBy; short docs score NULL, not crash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = text.train_lm_bigrams(docs.where(F.col("doc_id") % 2 == 0))
+    return text.lm_fluency(docs, lm)
+
+
+#: shared lexical teacher label for the distillation entry — "more
+#: {fast,big} than {slow,small} tokens" — mirrored verbatim on both
+#: engines. Deliberately lexical: the synthetic corpus draws every doc
+#: from the same small vocabulary, so a surface-statistics label (length,
+#: alpha share) carries no token-level signal for a bag-of-words student.
+_CLS_LABEL_SQL = f"""
+    lab AS (SELECT doc_id, text, {_DK_WORDS} AS w FROM documents),
+    lby AS (SELECT doc_id, text, w,
+                   CASE WHEN len(list_filter(w, x -> x = 'fast' OR x = 'big'))
+                         > len(list_filter(w, x -> x = 'slow' OR x = 'small'))
+                        THEN 1 ELSE 0 END AS y
+            FROM lab)"""
+
 _HEX_SEG = """CAST(list_sum(list_transform(range({a}, {b}), j ->
     CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INT), 1)) - 1 AS BIGINT)
     * (CAST(1 AS BIGINT) << CAST(4 * ({b} - 1 - j) AS INT)))) AS BIGINT)"""
+
+#: md5 feature-hash bucket of token `tk` in [0, 1024) — text.hash_bucket's
+#: SQL mirror.
+_CLS_BUCKET = _HEX_SEG.format(a=1, b=16).replace("hx", "md5(tk)") + " % 1024"
+
+
+@register(
+    "tx_classifier",
+    oracle=f"""
+    WITH {_CLS_LABEL_SQL},
+    tr AS (SELECT y, unnest(w) AS tk FROM lby WHERE doc_id % 2 = 0),
+    wt AS (SELECT {_CLS_BUCKET} AS bucket,
+                  CAST(sum(1 - y) AS BIGINT) AS n0,
+                  CAST(sum(y) AS BIGINT) AS n1
+           FROM tr GROUP BY 1),
+    pri AS (SELECT CAST(1000 * (sum(n1) + 1) // (sum(n0) + sum(n1) + 2)
+                        AS BIGINT) AS p FROM wt),
+    wm AS (SELECT bucket,
+                  CAST(1000 * (n1 + 1) // (n0 + n1 + 2) - p AS BIGINT)
+                    AS w_milli
+           FROM wt, pri),
+    te AS (SELECT doc_id, unnest(w) AS tk FROM lby WHERE doc_id % 2 = 1),
+    teb AS (SELECT doc_id, {_CLS_BUCKET} AS bucket FROM te),
+    sc AS (SELECT t.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(coalesce(sum(w.w_milli), 0) AS BIGINT) AS score_milli
+           FROM teb t LEFT JOIN wm w USING (bucket) GROUP BY 1)
+    SELECT l.doc_id,
+           coalesce(sc.n_tokens, 0) AS n_tokens,
+           coalesce(sc.score_milli, 0) AS score_milli,
+           CASE WHEN coalesce(sc.score_milli, 0) > 0 THEN 1 ELSE 0 END
+             AS predicted,
+           l.y AS actual
+    FROM lby l LEFT JOIN sc USING (doc_id)
+    WHERE l.doc_id % 2 = 1
+    """,
+)
+def tx_classifier(spark, sf_dir):
+    """Hashed linear quality classifier — the fastText-shaped model-based
+    gate (FineWeb-Edu recipe: distill a judgment into a cheap linear
+    scorer, run it over the whole corpus): vocabulary-free md5 feature
+    hashing into 1024 buckets, one-pass add-one-smoothed training on the
+    even-doc_id half against a lexical teacher rule, broadcast-model
+    scoring of the held-out half. Training, weights, scores AND the
+    predict decision are integer-exact, so the whole distillation loop is
+    value-hashed; held-out agreement with the teacher label is gated in
+    tests/test_properties.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = text.words_col("text")
+    y = (
+        F.size(F.filter(w, lambda x: (x == "fast") | (x == "big")))
+        > F.size(F.filter(w, lambda x: (x == "slow") | (x == "small")))
+    ).cast("long")
+    lby = docs.select("doc_id", "text", y.alias("y"))
+    weights = text.train_hashed_classifier(
+        lby.where(F.col("doc_id") % 2 == 0), "y"
+    )
+    out = text.classify_hashed(lby.where(F.col("doc_id") % 2 == 1), weights)
+    return out.join(
+        lby.select("doc_id", F.col("y").cast("long").alias("actual")), "doc_id"
+    )
 
 #: first 8 bytes of a sha256 hex digest as the exactly-rounded double
 #: x/2^63 - 1 (hi*2^32+lo rounds once to double = correct rounding of the

@@ -1174,3 +1174,74 @@ def test_fuzzy_join_property_equals_allpairs(spark, sides):
         if lev(a, b) <= 1
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# LM fluency + hashed classifier semantic gates
+# ---------------------------------------------------------------------------
+
+def test_lm_fluency_discriminates_fluent_from_shuffled(spark):
+    from big_data_project_spark.operators import text as tx
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran to the cat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    lm = tx.train_lm_bigrams(train)
+    score = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),     # all bigrams seen
+            (101, "mat sat dog ran on cat the"), # adjacency destroyed
+            (102, "zebra quark flux"),           # fully out-of-vocabulary
+            (103, "single"),                     # < 2 words → no bigrams
+            (104, ""),                           # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.lm_fluency(score, lm).collect()}
+    assert out[100].known_permille == 1000
+    assert out[100].mean_p_permille > out[101].mean_p_permille
+    assert out[101].known_permille < 1000
+    assert out[102].known_permille == 0 and out[102].mean_p_permille == 0
+    assert out[103].n_bigrams == 0 and out[103].known_permille is None
+    assert out[104].n_bigrams == 0 and out[104].mean_p_permille is None
+
+
+def test_hashed_classifier_distills_teacher_rule(spark, sf_dir):
+    """Held-out agreement with the lexical teacher rule must beat the
+    majority-class baseline by a wide margin (deterministic: 0.876 at
+    sf0.001, 0.800 at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.registry import REGISTRY
+
+    df = REGISTRY["tx_classifier"].build(spark, sf_dir)
+    r = df.agg(
+        F.avg((F.col("predicted") == F.col("actual")).cast("double")).alias("acc"),
+        F.avg(F.col("actual").cast("double")).alias("base"),
+    ).collect()[0]
+    majority = max(r.base, 1 - r.base)
+    assert r.acc >= 0.75, r
+    assert r.acc > majority + 0.1, (r.acc, majority)
+
+
+def test_hashed_classifier_weights_recover_rule_tokens(spark):
+    """The distilled weights must rank the teacher's positive tokens above
+    its negative tokens."""
+    from big_data_project_spark.operators import text as tx
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta"]
+    for i in range(40):
+        pos = i % 2 == 0
+        toks = (["fast", "big"] * 3 if pos else ["slow", "small"] * 3) + words
+        rows.append((i, " ".join(toks), 1 if pos else 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y long")
+    w = {r.bucket: r.w_milli for r in tx.train_hashed_classifier(df, "y").collect()}
+
+    def bucket_of(tok):
+        import hashlib
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 1024
+
+    assert w[bucket_of("fast")] > w[bucket_of("alpha")] > w[bucket_of("slow")]
+    assert w[bucket_of("big")] > 0 > w[bucket_of("small")]
