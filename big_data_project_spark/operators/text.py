@@ -928,3 +928,112 @@ def classify_hashed(
             .alias("predicted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: distributed training + merge-chain encoding
+# ---------------------------------------------------------------------------
+
+#: symbol-stream separator for the string-fold BPE representation. Words
+#: containing \x01 would corrupt the stream — impossible for whitespace-split
+#: tokens of text that treats control chars as noise; asserted nowhere hot.
+BPE_SEP = "\x01"
+
+
+def bpe_wrap(col: Column | str) -> Column:
+    """Word → wrapped symbol stream: each character becomes ``\\x01c\\x01``,
+    so a merge of (a, b) is exactly one non-regex string replace of
+    ``\\x01a\\x01\\x01b\\x01`` — replace() scans left-to-right over
+    non-overlapping occurrences, which IS classic BPE's greedy pass
+    ('xxx' + merge (x,x) → [xx, x]). Same semantics in DuckDB's replace,
+    so encodes are value-hashable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "(.)", BPE_SEP + "$1" + BPE_SEP)
+
+
+def bpe_apply_merges(col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a rank-ordered merge list to a wrapped symbol stream — one
+    narrow string replace per merge, no Python in the hot path."""
+    for a, b in merges:
+        col = F.replace(
+            col,
+            F.lit(BPE_SEP + a + BPE_SEP + BPE_SEP + b + BPE_SEP),
+            F.lit(BPE_SEP + a + b + BPE_SEP),
+        )
+    return col
+
+
+def bpe_symbols(col: Column) -> Column:
+    """Wrapped stream → symbol array."""
+    return F.filter(F.split(col, BPE_SEP), lambda x: x != "")
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a trained (or fixed) merge list: whitespace
+    pre-tokenization, then the per-word merge chain. Returns the
+    ``(id_col, token)`` stream. Entirely narrow (explode + string ops) —
+    the 100 TB cost is one map pass; the model is a literal in the plan."""
+    words = df.select(F.col(id_col), F.explode(words_col(text)).alias("w"))
+    toks = bpe_symbols(bpe_apply_merges(bpe_wrap("w"), merges))
+    return words.select(id_col, F.explode(toks).alias("token"))
+
+
+def train_bpe(
+    df: DataFrame,
+    text: str = "text",
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Classic BPE training (Sennrich et al. 2016), distributed the way it
+    scales: aggregate the corpus ONCE into (distinct word, count) — the
+    only pass whose cost is corpus-sized — then iterate merges over the
+    vocabulary table. Each iteration counts weighted adjacent symbol pairs
+    (one small shuffle over distinct words) and takes the global argmax
+    (count desc, then pair asc — deterministic tie-break); the driver holds
+    only the merge list, i.e. the model. This is the standard trade: BPE
+    training is inherently sequential in its merge choices, so the
+    iteration count, not the corpus size, bounds the driver round-trips.
+
+    Stops early when the best pair's count drops below ``min_pair_count``.
+    Returns the rank-ordered merge list for :func:`bpe_encode`."""
+    wc = (
+        df.select(F.explode(words_col(text)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .persist()
+    )
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            syms = bpe_symbols(bpe_apply_merges(bpe_wrap("w"), merges))
+            pairs = wc.select(
+                "cnt", syms.alias("s")
+            ).select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(CASE WHEN size(s) >= 2 THEN"
+                        " sequence(1, size(s) - 1)"
+                        " ELSE CAST(array() AS array<int>) END,"
+                        " i -> struct(s[i - 1] AS a, s[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0].c < min_pair_count:
+                break
+            merges.append((top[0].a, top[0].b))
+    finally:
+        wc.unpersist()
+    return merges

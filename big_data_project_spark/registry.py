@@ -3181,6 +3181,51 @@ _HEX_SEG = """CAST(list_sum(list_transform(range({a}, {b}), j ->
     CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INT), 1)) - 1 AS BIGINT)
     * (CAST(1 AS BIGINT) << CAST(4 * ({b} - 1 - j) AS INT)))) AS BIGINT)"""
 
+#: fixed rank-ordered merge list for the value-hashed BPE encode entry —
+#: cascading merges ('t','a')→('ta','b')→… so multi-level subwords form;
+#: the SAME constant generates both the Spark replace chain and the DuckDB
+#: mirror. Learned merges (train_bpe) are exercised in pytest — they are
+#: chosen at runtime and a static oracle string cannot embed them.
+_BPE_FIXED = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "p"), ("sp", "a"), ("a", "r"), ("e", "a"),
+]
+
+
+def _bpe_sql(col: str) -> str:
+    """DuckDB mirror of bpe_wrap + bpe_apply_merges(_BPE_FIXED)."""
+    e = f"regexp_replace({col}, '(.)', chr(1) || '\\1' || chr(1), 'g')"
+    for a, b in _BPE_FIXED:
+        pat = f"chr(1) || '{a}' || chr(1) || chr(1) || '{b}' || chr(1)"
+        rep = f"chr(1) || '{a}{b}' || chr(1)"
+        e = f"replace({e}, {pat}, {rep})"
+    return e
+
+
+@register(
+    "tx_bpe_vocab",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_DK_WORDS}) AS w FROM documents),
+    tok AS (SELECT unnest(list_filter(string_split({_bpe_sql("w")}, chr(1)),
+                                      x -> x != '')) AS token
+            FROM w)
+    SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+    """,
+)
+def tx_bpe_vocab(spark, sf_dir):
+    """BPE tokenization, value-hashed: the corpus token histogram after an
+    8-merge chain. Each merge is one non-regex string replace over the
+    separator-wrapped symbol stream — replace()'s left-to-right
+    non-overlapping scan IS BPE's greedy pass, and DuckDB's replace has
+    identical semantics, so the encode (not just its counts) is
+    engine-exact. Narrow map stages + one histogram shuffle; the trained
+    path (train_bpe → same encoder) is gated in tests against a classic
+    pure-Python reference implementation."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = text.bpe_encode(docs, _BPE_FIXED)
+    return toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+
+
 #: md5 feature-hash bucket of token `tk` in [0, 1024) — text.hash_bucket's
 #: SQL mirror.
 _CLS_BUCKET = _HEX_SEG.format(a=1, b=16).replace("hx", "md5(tk)") + " % 1024"

@@ -1245,3 +1245,76 @@ def test_hashed_classifier_weights_recover_rule_tokens(spark):
 
     assert w[bucket_of("fast")] > w[bucket_of("alpha")] > w[bucket_of("slow")]
     assert w[bucket_of("big")] > 0 > w[bucket_of("small")]
+
+
+# ---------------------------------------------------------------------------
+# BPE training vs the classic sequential reference algorithm
+# ---------------------------------------------------------------------------
+
+def _ref_bpe(word_counts, n_merges, min_pair_count=2):
+    """Sennrich et al. 2016, pure Python: greedy pair merges over the
+    (word, count) vocabulary, ties broken (count desc, pair asc)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_train_bpe_matches_reference(spark):
+    from big_data_project_spark.operators import text as tx
+
+    corpus = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new newer"),
+        (2, "wide wider widest wide wide wider"),
+        (3, "low new wide widest"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = tx.train_bpe(df, n_merges=10)
+
+    counts: dict[str, int] = {}
+    for _, t in corpus:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    want, ref_vocab = _ref_bpe(counts, 10)
+    assert got == want, (got, want)
+
+    # encoding with the learned merges reproduces the reference vocab split
+    enc = tx.bpe_encode(df, got)
+    got_tokens = {}
+    for r in enc.groupBy("token").count().collect():
+        got_tokens[r.token] = r["count"]
+    want_tokens: dict[str, int] = {}
+    for syms, c in ref_vocab.items():
+        for s in syms:
+            want_tokens[s] = want_tokens.get(s, 0) + c
+    assert got_tokens == want_tokens, (got_tokens, want_tokens)
+
+
+def test_train_bpe_stops_below_min_count(spark):
+    from big_data_project_spark.operators import text as tx
+
+    df = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
+    # every pair occurs once → below min_pair_count=2 → no merges at all
+    assert tx.train_bpe(df, n_merges=5, min_pair_count=2) == []
