@@ -233,3 +233,40 @@ def ohlc_bars(events: DataFrame, unit: str = "hour") -> DataFrame:
         .cast("double")
         .alias("turnover"),
     )
+
+
+def seasonal_profile(events: DataFrame, value: str = "value") -> DataFrame:
+    """Calendar-seasonality baseline: mean value per (event_type,
+    day-of-week, hour-of-day) cell against the event type's global mean —
+    the profile a monitoring stack divides by to de-season a metric
+    before anomaly logic (ts_anomaly's rolling z-score catches level
+    shifts; this catches "Tuesday 9am is always high").
+
+    Exactness: cell and global means are decimal-exact sums divided by
+    counts (the davg pattern), and seasonal_ratio is one double division
+    of identical operands on both engines — fully value-hashable. Shape:
+    two partial-agg shuffles (cells, then per-type rollup) + one
+    broadcast-sized join back (cells per type ≤ 7×24)."""
+    from big_data_project_spark.operators.relational import davg
+
+    cells = (
+        events.groupBy(
+            "event_type",
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            davg(value, 2).alias("mean_value"),
+        )
+    )
+    glob = events.groupBy("event_type").agg(davg(value, 2).alias("global_mean"))
+    return cells.join(F.broadcast(glob), "event_type").select(
+        "event_type",
+        "dow",
+        "hour",
+        "n_events",
+        "mean_value",
+        "global_mean",
+        (F.col("mean_value") / F.col("global_mean")).alias("seasonal_ratio"),
+    )

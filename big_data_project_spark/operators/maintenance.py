@@ -479,3 +479,63 @@ def check_expectations(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# versioned snapshots (time travel)
+# ---------------------------------------------------------------------------
+
+def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed snapshot versions under ``path`` (ascending). A version is
+    a ``v=N`` directory — the stage dir is invisible until its checked
+    rename, so partial writes never appear here."""
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Append-only versioned store: each call commits the DataFrame as the
+    next ``path/v=N`` snapshot and returns N. Old versions are immutable —
+    readers pin a version (time travel) or take the latest; no reader is
+    ever invalidated by a writer (contrast atomic_overwrite, which swaps
+    in place). Crash-safe: data lands in a stage dir first and the commit
+    is one checked rename — a died write leaves only a stale stage dir,
+    which the next writer clears. Retention is the caller's policy (drop
+    old ``v=`` dirs when their readers drain)."""
+    spark = df.sparkSession
+    fs, hpath, jvm = _fs(spark, path)
+    n = (snapshot_versions(spark, path) or [0])[-1] + 1
+    stage = jvm.org.apache.hadoop.fs.Path(f"{path}/__stage_v{n}")
+    if fs.exists(stage):
+        fs.delete(stage, True)
+    df.write.mode("overwrite").parquet(str(stage.toString()))
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/v={n}")
+    if fs.exists(final):  # concurrent writer won the version — do not clobber
+        fs.delete(stage, True)
+        raise IOError(f"snapshot v={n} already committed at {path}")
+    if not fs.rename(stage, final):
+        raise IOError(f"snapshot commit rename failed: {stage} -> {final}")
+    return n
+
+
+def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read one committed snapshot (default: latest). Version pinning is
+    the time-travel read: concurrent new snapshots never change what a
+    pinned reader sees."""
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v={v} not found at {path} (have {versions})")
+    return spark.read.parquet(f"{path}/v={v}")

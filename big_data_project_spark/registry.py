@@ -2003,6 +2003,65 @@ def s_roundtrip_orc(spark, sf_dir):
     return spark.read.orc(path)
 
 
+@register(
+    "mt_time_travel",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_totalprice >= 400000
+    """,
+)
+def mt_time_travel(spark, sf_dir):
+    """Versioned snapshot store (time travel): commit v1, commit a v2 with
+    doubled prices, then read v=1 PINNED. The oracle is the v1 expression
+    on the ORIGINAL table — the hash only matches if the pinned read
+    returns the old snapshot bit-for-bit, untouched by the newer commit.
+    Commits are stage+checked-rename (a died writer leaves a stale stage
+    dir, never a visible partial version); versions are immutable, so
+    readers and writers never race — the Delta/Iceberg read contract in
+    one directory convention."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    df = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 400000)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+    path = _tmpdir("tt") + "/snapshots"
+    v1 = mt.write_snapshot(df, path)
+    mt.write_snapshot(
+        df.withColumn("o_totalprice", F.col("o_totalprice") * 2), path
+    )
+    return mt.read_snapshot(spark, path, version=v1)
+
+
+@register(
+    "s_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+)
+def s_schema_evolution(spark, sf_dir):
+    """Schema-evolution read: two parquet writes into one dataset with
+    DIFFERENT schemas (the second adds c_acctbal — the standard additive
+    column migration), then one mergeSchema scan. The oracle reconstructs
+    the union with typed NULLs, so the hash proves old files surface the
+    new column as NULL and new files keep their values — the contract a
+    100 TB lake needs to add columns without rewriting history."""
+    cust = _t(spark, sf_dir, "customer")
+    path = _tmpdir("evo") + "/data"
+    cust.where(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name").write.mode(
+        "append"
+    ).parquet(path)
+    cust.where(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 #: S4 in-memory rows for the text roundtrip (quote/escape stress included).
 _MEM_ROWS = [
     (1, 'plain value', 1.5),
@@ -5687,6 +5746,35 @@ def ts_ewma(spark, sf_dir):
     a pure function of the series. The per-key fold list is bounded by the
     calendar, never the corpus."""
     return relational.ewma_level(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "ts_seasonal",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(extract('dow' FROM ts) + 1 AS INTEGER) AS dow,
+             CAST(extract('hour' FROM ts) AS INTEGER) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / count(value)
+               AS mean_value
+      FROM events GROUP BY 1, 2, 3),
+    gm AS (
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / count(value)
+               AS global_mean
+      FROM events GROUP BY 1)
+    SELECT c.event_type, c.dow, c.hour, c.n_events, c.mean_value,
+           g.global_mean, c.mean_value / g.global_mean AS seasonal_ratio
+    FROM cells c JOIN gm g USING (event_type)
+    """,
+)
+def ts_seasonal(spark, sf_dir):
+    """Hour-of-week seasonal baseline per event type: decimal-exact cell
+    and global means, ratio as one double division — the de-seasoning
+    profile for metric monitoring, value-hashed including the IEEE
+    ratios. Spark dayofweek (Sun=1) aligned with DuckDB dow+1."""
+    return ev.seasonal_profile(_t(spark, sf_dir, "events"))
 
 
 @register(

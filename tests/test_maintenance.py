@@ -462,3 +462,55 @@ def test_check_expectations_counts_violations(spark):
         ).collect()
     }
     assert out == {"v_positive": 2, "k_unique": 1, "k_fk_parent": 1}
+
+
+# ---------------------------------------------------------------------------
+# versioned snapshots (time travel)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_versions_and_time_travel(spark, tmp_path):
+    from big_data_project_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "snaps")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df2 = spark.createDataFrame([(1, "a2"), (3, "c")], "k long, v string")
+    assert mt.snapshot_versions(spark, path) == []
+    assert mt.write_snapshot(df1, path) == 1
+    assert mt.write_snapshot(df2, path) == 2
+    assert mt.snapshot_versions(spark, path) == [1, 2]
+    v1 = {(r.k, r.v) for r in mt.read_snapshot(spark, path, 1).collect()}
+    latest = {(r.k, r.v) for r in mt.read_snapshot(spark, path).collect()}
+    assert v1 == {(1, "a"), (2, "b")}
+    assert latest == {(1, "a2"), (3, "c")}
+
+
+def test_snapshot_stale_stage_is_invisible_and_cleared(spark, tmp_path):
+    """A writer that died after staging but before the commit rename must
+    leave no visible version; the next writer commits normally."""
+    import os
+
+    from big_data_project_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "snaps")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    mt.write_snapshot(df, path)
+    # simulate a died writer: stage dir for the next version, never renamed
+    os.makedirs(path + "/__stage_v2")
+    with open(path + "/__stage_v2/part-junk", "w") as f:
+        f.write("junk")
+    assert mt.snapshot_versions(spark, path) == [1]
+    assert mt.write_snapshot(df, path) == 2
+    assert mt.snapshot_versions(spark, path) == [1, 2]
+
+
+def test_read_snapshot_missing_version_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from big_data_project_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "snaps")
+    with _pytest.raises(FileNotFoundError):
+        mt.read_snapshot(spark, path)
+    mt.write_snapshot(spark.createDataFrame([(1,)], "k long"), path)
+    with _pytest.raises(FileNotFoundError):
+        mt.read_snapshot(spark, path, version=9)
