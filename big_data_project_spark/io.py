@@ -69,6 +69,59 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    corrupt_col: str = "_corrupt_record",
+    multiline: bool = False,
+) -> DataFrame:
+    """S1b: PERMISSIVE CSV scan that KEEPS malformed rows instead of
+    silently nulling or dropping them — the audited-ingest contract a real
+    feed needs (a 100 TB crawl always contains breakage; the pipeline must
+    count and quarantine it, not guess). Rows that fail the schema land
+    with their raw line in ``corrupt_col`` and NULL typed columns; clean
+    rows carry NULL there. Split with :func:`split_corrupt`.
+
+    The frame is eagerly cached: Spark computes the corrupt column only
+    when the same scan materializes both it and the data columns —
+    filtering on it from a fresh scan raises instead (the documented
+    Spark restriction)."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.options(
+            header=True,
+            quote='"',
+            escape='"',
+            multiLine=multiline,
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord=corrupt_col,
+        )
+        .schema(full)
+        .csv(path)
+    )
+    df.persist()
+    return df
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean rows without the audit column, quarantine rows as raw text).
+    Write the quarantine to a dead-letter path and alert on its count —
+    never swallow it."""
+    from pyspark.sql import functions as F
+
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return clean, bad
+
+
 def read_json(
     spark: SparkSession,
     path: str,

@@ -227,3 +227,50 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     nn = F.broadcast(deg.agg(F.count("*").alias("n_nodes")))
     ne = F.broadcast(e.agg(F.count("*").alias("n_edges")))
     return nn.crossJoin(ne).crossJoin(tri)
+
+
+def neighbor_jaccard(
+    bipartite: DataFrame,
+    left: str = "s",
+    right: str = "c",
+    min_common: int = 1,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most-similar left-node pairs by neighbor-set Jaccard over a
+    bipartite edge table — item-item collaborative similarity ("suppliers
+    serving the same customers", "docs sharing links"), and the
+    graph-side cousin of n-gram Jaccard dedup.
+
+    Candidate pairs come from a wedge join on the shared right node —
+    only pairs with ≥ ``min_common`` common neighbors ever exist, never
+    all-pairs; the intersection size IS the wedge count, and the union is
+    deg(a)+deg(b)−inter from a degree table, so the whole score is three
+    integers (exact, value-hashable; jaccard_permille = 1000·inter div
+    union). Hot right-nodes bound the wedge fan-out exactly as in
+    triangle_count — cap or sample degenerate hubs upstream."""
+    e = bipartite.select(F.col(left).alias("n"), F.col(right).alias("r")).distinct()
+    deg = e.groupBy("n").agg(F.count("*").cast("long").alias("deg"))
+    a, b = e.alias("ja"), e.alias("jb")
+    inter = (
+        a.join(b, (F.col("ja.r") == F.col("jb.r")) & (F.col("ja.n") < F.col("jb.n")))
+        .groupBy(F.col("ja.n").alias("na"), F.col("jb.n").alias("nb"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+        .where(F.col("n_inter") >= min_common)
+    )
+    j = (
+        inter.join(deg.select(F.col("n").alias("na"), F.col("deg").alias("da")), "na")
+        .join(deg.select(F.col("n").alias("nb"), F.col("deg").alias("db")), "nb")
+        .select(
+            "na",
+            "nb",
+            "n_inter",
+            (F.col("da") + F.col("db") - F.col("n_inter")).alias("n_union"),
+        )
+        .withColumn(
+            "jaccard_permille",
+            F.expr("CAST(1000 * n_inter div n_union AS BIGINT)"),
+        )
+    )
+    return j.orderBy(
+        F.col("jaccard_permille").desc(), "na", "nb"
+    ).limit(k)

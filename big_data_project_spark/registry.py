@@ -3240,6 +3240,32 @@ _HEX_SEG = """CAST(list_sum(list_transform(range({a}, {b}), j ->
     CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INT), 1)) - 1 AS BIGINT)
     * (CAST(1 AS BIGINT) << CAST(4 * ({b} - 1 - j) AS INT)))) AS BIGINT)"""
 
+@register(
+    "u4_ngram_udtf",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DK_WORDS} AS w FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 1),
+                        i -> struct_pack(pos := i - 1,
+                                         ngram := concat_ws(' ', w[i], w[i+1],
+                                                            w[i+2])))) AS g
+          FROM t)
+    SELECT doc_id, CAST(g.pos AS INTEGER) AS pos, g.ngram AS ngram FROM g
+    """,
+)
+def u4_ngram_udtf(spark, sf_dir):
+    """U4 through the REAL Python UDTF surface (Spark 4 table functions):
+    word trigrams with positions fanned out via LATERAL — the one-row→many
+    contract executed by a Python worker instead of a JVM explode, and
+    still value-hashed against the pure-SQL mirror. The JVM explode
+    formulation stays the 100 TB hot path (tests pin the two identical);
+    this entry proves the imperative-UDTF escape hatch is exact."""
+    from big_data_project_spark.functions.udtfs import ngram_explode_udtf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_explode_udtf(docs, n=3)
+
+
 #: fixed rank-ordered merge list for the value-hashed BPE encode entry —
 #: cascading merges ('t','a')→('ta','b')→… so multi-level subwords form;
 #: the SAME constant generates both the Spark replace chain and the DuckDB
@@ -5465,6 +5491,45 @@ def tx_inverted_index(spark, sf_dir):
     return text.inverted_index(
         _t(spark, sf_dir, "documents"), min_df=2, max_df_permille=800
     )
+
+
+@register(
+    "gr_similar_suppliers",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM p GROUP BY s),
+    inter AS (
+      SELECT a.s AS na, b.s AS nb, CAST(count(*) AS BIGINT) AS n_inter
+      FROM p a JOIN p b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    j AS (
+      SELECT i.na, i.nb, i.n_inter,
+             da.deg + db.deg - i.n_inter AS n_union,
+             CAST(1000 * i.n_inter // (da.deg + db.deg - i.n_inter)
+                  AS BIGINT) AS jaccard_permille
+      FROM inter i
+      JOIN deg da ON da.s = i.na
+      JOIN deg db ON db.s = i.nb)
+    SELECT na, nb, n_inter, n_union, jaccard_permille
+    FROM j ORDER BY jaccard_permille DESC, na, nb LIMIT 20
+    """,
+)
+def gr_similar_suppliers(spark, sf_dir):
+    """Item-item collaborative similarity: top-20 supplier pairs by
+    neighbor-set Jaccard over the supplier–customer bipartite graph.
+    Candidates exist only through shared customers (wedge join — no
+    all-pairs stage), intersection = wedge count, union from the degree
+    table: three exact integers, so the similarity itself is
+    value-hashed. Same hot-node bound as triangle counting."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+    )
+    return graph.neighbor_jaccard(p, min_common=3, k=20)
 
 
 @register(

@@ -140,3 +140,71 @@ def test_dedup_by_url_keeps_smallest_id(spark):
     out = curation.dedup_by_url(df).orderBy("doc_id").collect()
     assert [r.doc_id for r in out] == [1, 2]
     assert out[0].canonical_url == "https://ex.com/a?a=1&b=2"
+
+
+def test_udtf_ngrams_equals_jvm_explode(spark, sf_dir):
+    """The Python UDTF fan-out must agree row-for-row with the JVM
+    transform/explode formulation (the hot-path twin)."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark import io
+    from big_data_project_spark.functions.udtfs import ngram_explode_udtf
+    from big_data_project_spark.operators.text import words_col
+
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {(r.doc_id, r.pos, r.ngram) for r in ngram_explode_udtf(docs, 3).collect()}
+    jvm = docs.select(
+        "doc_id", words_col("text").alias("w")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(CASE WHEN size(w) >= 3 THEN sequence(0, size(w) - 3)"
+                " ELSE CAST(array() AS array<int>) END,"
+                " i -> struct(i AS pos,"
+                " concat_ws(' ', w[i], w[i+1], w[i+2]) AS ngram))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").cast("int").alias("pos"), "g.ngram")
+    want = {(r.doc_id, r.pos, r.ngram) for r in jvm.collect()}
+    assert got == want
+
+
+def test_udtf_ngrams_short_and_empty_docs(spark):
+    from big_data_project_spark.functions.udtfs import ngram_explode_udtf
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None), (4, "  x   y  z ")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.pos, r.ngram) for r in ngram_explode_udtf(df, 3).collect()}
+    assert rows == {(4, 0, "x y z")}
+
+
+def test_read_csv_audited_quarantines_malformed(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from big_data_project_spark import io
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "k,v,amount\n"
+        "1,alpha,10.5\n"
+        "2,beta,not_a_number\n"      # type breakage → corrupt
+        "3,\"gamma, quoted\",7.25\n"  # embedded comma, clean
+        "4,delta\n"                   # missing column → corrupt
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    df = io.read_csv_audited(spark, str(p), schema)
+    clean, bad = io.split_corrupt(df)
+    got = {(r.k, r.v, r.amount) for r in clean.collect()}
+    assert got == {(1, "alpha", 10.5), (3, "gamma, quoted", 7.25)}
+    raw = {r.raw_line for r in bad.collect()}
+    assert raw == {"2,beta,not_a_number", "4,delta"}
+    df.unpersist()

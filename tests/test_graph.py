@@ -157,3 +157,33 @@ def test_weighted_pagerank_follows_weight_mass(spark):
         ).collect()
     }
     assert uw == ones
+
+
+def test_neighbor_jaccard_matches_bruteforce(spark):
+    from big_data_project_spark.operators import graph
+
+    edges = [
+        ("s1", "c1"), ("s1", "c2"), ("s1", "c3"),
+        ("s2", "c2"), ("s2", "c3"), ("s2", "c4"),
+        ("s3", "c9"),                       # disjoint — must not appear
+        ("s4", "c1"), ("s4", "c2"), ("s4", "c3"), ("s4", "c4"),
+        ("s1", "c1"),                       # duplicate edge tolerated
+    ]
+    df = spark.createDataFrame(edges, "s string, c string")
+    got = {
+        (r.na, r.nb): (r.n_inter, r.n_union, r.jaccard_permille)
+        for r in graph.neighbor_jaccard(df, min_common=1, k=10).collect()
+    }
+
+    nbrs = {}
+    for s, c in edges:
+        nbrs.setdefault(s, set()).add(c)
+    want = {}
+    ss = sorted(nbrs)
+    for i, a in enumerate(ss):
+        for b in ss[i + 1:]:
+            inter = len(nbrs[a] & nbrs[b])
+            if inter >= 1:
+                union = len(nbrs[a] | nbrs[b])
+                want[(a, b)] = (inter, union, 1000 * inter // union)
+    assert got == want, (got, want)
