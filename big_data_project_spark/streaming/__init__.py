@@ -27,6 +27,7 @@ from big_data_project_spark.streaming.ops import (
     stream_dedup,
     tumbling_window_agg,
     upsert_sink,
+    versioned_upsert_sink,
     user_totals_batch,
     write_stream_parquet,
 )

@@ -508,3 +508,37 @@ def enrich_stream_fresh(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def versioned_upsert_sink(df: DataFrame, target_path: str, checkpoint: str, key: str):
+    """T7c: upsert sink with TIME TRAVEL — each micro-batch merges into the
+    latest snapshot by key and commits the result as a NEW immutable
+    version (maintenance.write_snapshot), so downstream consumers can pin
+    the table as-of any micro-batch while the stream keeps writing
+    (training-data reproducibility: the dataloader pins v=N, the feed
+    rolls on). Each commit rewrites the merged table — right for dim-to-
+    medium tables; for append-heavy facts use the plain parquet sink and
+    partition pruning instead. Replay safety: a retried batch re-merges
+    the same keys and commits an extra version with identical content —
+    duplicate VERSIONS, never duplicate or lost ROWS."""
+    from big_data_project_spark.operators.maintenance import (
+        merge_upsert,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    def do_commit(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if snapshot_versions(spark, target_path):
+            merged = merge_upsert(read_snapshot(spark, target_path), batch_df, key)
+        else:
+            merged = batch_df
+        write_snapshot(merged, target_path)
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(do_commit)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -508,3 +508,38 @@ def test_enrich_stream_fresh_picks_up_dim_updates(spark, tmp_path):
     q.stop()
     got = {(r.event_id, r.seg) for r in spark.read.parquet(sink).collect()}
     assert got == {(1, "segA"), (2, "segB")}
+
+
+def test_versioned_upsert_sink_time_travel(spark, tmp_path):
+    """Each micro-batch commits an immutable snapshot version; pinning v1
+    still returns the pre-update table after batch 2 lands."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    src_dir = str(tmp_path / "vsink_src")
+    target = str(tmp_path / "vsink_target")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1 = mk([(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+             (2, "2024-01-01 10:01:00", 2, "click", 2.0, "{}")])
+    b2 = mk([(1, "2024-01-01 10:05:00", 1, "click", 9.0, "{}"),
+             (3, "2024-01-01 10:06:00", 3, "click", 3.0, "{}")])
+
+    b1.write.mode("overwrite").parquet(src_dir)
+    q = st.versioned_upsert_sink(
+        st.read_event_stream(spark, src_dir), target, str(tmp_path / "ckpt_v"),
+        "event_id",
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(src_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    assert mt.snapshot_versions(spark, target) == [1, 2]
+    v1 = {r.event_id: r.value
+          for r in mt.read_snapshot(spark, target, 1).collect()}
+    latest = {r.event_id: r.value
+              for r in mt.read_snapshot(spark, target).collect()}
+    assert v1 == {1: 1.0, 2: 2.0}, v1
+    assert latest == {1: 9.0, 2: 2.0, 3: 3.0}, latest
