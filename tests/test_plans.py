@@ -348,3 +348,32 @@ def test_table_diff_and_expectations_shuffle_budgets(spark, sf_dir):
     assert "CartesianProduct" not in plans.physical_plan(
         _df("mt_expectations", spark, sf_dir)
     )
+
+
+def test_pq_and_classifier_broadcast_models(spark, sf_dir):
+    """PQ's codebook and the hashed classifier's weight table are
+    fixed-width models — their joins must stay broadcast, never shuffle
+    the scored stream."""
+    for name in ("e9_pq_encode", "e9_pq_adc_topk", "tx_classifier"):
+        df = _df(name, spark, sf_dir)
+        assert plans.has_broadcast_join(df), f"{name} lost its broadcast model join"
+
+
+def test_lm_fluency_no_forced_vocab_broadcast(spark, sf_dir):
+    """The bigram LM table is vocabulary-sized — a mandatory broadcast
+    would OOM at 100 TB (the TF-IDF lesson). AQE may still choose one at
+    runtime; the PLAN must not force it."""
+    df = _df("tx_lm_fluency", spark, sf_dir)
+    assert plans.num_broadcast_hints(df) == 0, plans.physical_plan(df)
+
+
+def test_mean_pool_single_shuffle(spark, sf_dir):
+    df = _df("e8_mean_pool", spark, sf_dir)
+    assert plans.num_shuffles(df) <= 1, plans.physical_plan(df)
+
+
+def test_bpe_vocab_single_shuffle(spark, sf_dir):
+    """Encode is narrow (explode + string replaces); only the histogram
+    groupBy may shuffle."""
+    df = _df("tx_bpe_vocab", spark, sf_dir)
+    assert plans.num_shuffles(df) <= 1, plans.physical_plan(df)
