@@ -539,3 +539,86 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
     if v not in versions:
         raise FileNotFoundError(f"snapshot v={v} not found at {path} (have {versions})")
     return spark.read.parquet(f"{path}/v={v}")
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile partials (fixed-grid histogram sketches)
+# ---------------------------------------------------------------------------
+
+def quantile_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Per-group fixed-grid histogram sketch over ``value_col``: one
+    ``(group, bin, n)`` row per occupied bin — the persistable partial for
+    incremental PERCENTILES (the quantile cousin of distinct_sketches):
+    store per-(day, key) histograms at ingest, answer any coarser-grained
+    percentile later by ADDING histograms, never rescanning the facts.
+
+    All integers: bin = clamp(floor((v − lo)·n_bins/(hi − lo))), so
+    merging is exact addition, order-free, partition-independent — and the
+    merged sketch EQUALS the single-pass sketch over the unioned input
+    (asserted in tests). Values outside [lo, hi) clamp into the edge bins;
+    estimate error is bounded by one bin width (hi − lo)/n_bins. Sketch
+    size ≤ n_bins rows per group regardless of row count."""
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * n_bins / (F.lit(float(hi) - float(lo))))
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("long")
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame,
+    rollup_cols: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Add per-group histograms up to a coarser grouping and read the
+    quantiles off the cumulative counts: estimate = the UPPER edge of the
+    first bin whose cumulative count reaches q·N (error ≤ one bin width).
+    Shuffle volume is histograms (≤ n_bins rows per group), not facts. The
+    cumulative walk folds the bin list in order — integer-exact, so even
+    the float bin-edge output is engine-stable."""
+    width = (float(hi) - float(lo)) / n_bins
+    merged = sketches.groupBy(*rollup_cols, "bin").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    hist = merged.groupBy(*rollup_cols).agg(
+        F.array_sort(F.collect_list(F.struct("bin", "n"))).alias("_h"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    cols = [*rollup_cols, "n_rows"]
+    out = hist
+    for q in quantiles:
+        # first bin with cumulative >= ceil(q * n_rows); integer target
+        target = F.ceil(F.lit(q) * F.col("n_rows")).cast("long")
+        qbin = F.aggregate(
+            F.col("_h"),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(-1).cast("long").alias("pick"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["n"]).alias("cum"),
+                F.when(
+                    (acc["pick"] < 0) & (acc["cum"] + x["n"] >= target), x["bin"]
+                ).otherwise(acc["pick"]).alias("pick"),
+            ),
+            lambda acc: acc["pick"],
+        )
+        name = f"p{int(q * 100)}"
+        out = out.withColumn(
+            name, F.lit(float(lo)) + (qbin + 1) * F.lit(width)
+        )
+        cols.append(name)
+    return out.select(*cols)

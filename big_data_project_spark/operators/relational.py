@@ -777,3 +777,19 @@ def ewma_level(
         level.alias("level_milli"),
         (level / F.lit(1000.0)).alias("level"),
     )
+
+
+def mode_agg(df: DataFrame, group: str, value: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent value, ties to the
+    SMALLEST value — both Spark's mode() and DuckDB's mode() leave ties
+    unspecified, so the engine spells the tie-break out (count desc, value
+    asc) and the result is value-hashable. Two map-side-combining
+    aggregations ((group, value) counts, then a min_by reduce per group);
+    no window, no sort."""
+    counts = df.groupBy(group, value).agg(F.count("*").cast("long").alias("_c"))
+    return counts.groupBy(group).agg(
+        F.min_by(value, F.struct(F.negate(F.col("_c")), F.col(value))).alias(
+            "mode_value"
+        ),
+        F.max("_c").cast("long").alias("mode_count"),
+    )

@@ -5814,6 +5814,82 @@ def ts_ewma(spark, sf_dir):
 
 
 @register(
+    "mt_quantile_partials",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+             CAST(least(127, greatest(0,
+               CAST(floor((o_totalprice - 0.0) * 128 / 600000.0) AS BIGINT)))
+               AS BIGINT) AS bin
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    h AS (SELECT o_orderpriority, bin, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2),
+    c AS (SELECT *,
+                 sum(n) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+                 sum(n) OVER (PARTITION BY o_orderpriority) AS nr
+          FROM h),
+    q AS (SELECT o_orderpriority,
+                 CAST(max(nr) AS BIGINT) AS n_rows,
+                 min(CASE WHEN cum >= ceil(0.5 * nr) THEN bin END) AS b50,
+                 min(CASE WHEN cum >= ceil(0.9 * nr) THEN bin END) AS b90,
+                 min(CASE WHEN cum >= ceil(0.99 * nr) THEN bin END) AS b99
+          FROM c GROUP BY 1)
+    SELECT o_orderpriority, n_rows,
+           0.0 + (b50 + 1) * (600000.0 / 128) AS p50,
+           0.0 + (b90 + 1) * (600000.0 / 128) AS p90,
+           0.0 + (b99 + 1) * (600000.0 / 128) AS p99
+    FROM q
+    """,
+)
+def mt_quantile_partials(spark, sf_dir):
+    """Incremental percentiles via mergeable histogram partials — the
+    quantile cousin of mt_hll_distinct: per-(priority, day) fixed-grid
+    sketches are ADDED up to per-priority percentiles (KB shuffle, facts
+    never rescanned). The oracle computes the SINGLE-PASS histogram — the
+    hash only matches because merging day partials is exact integer
+    addition, proving the stored partials trustworthy; estimate error ≤
+    one bin width is gated against exact percentiles in pytest."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "day", F.to_date("o_orderdate")
+    )
+    sk = mt.quantile_sketches(
+        o, ["o_orderpriority", "day"], "o_totalprice", 0.0, 600000.0, 128
+    )
+    return mt.merge_quantile_sketches(
+        sk, ["o_orderpriority"], 0.0, 600000.0, 128
+    )
+
+
+@register(
+    "a15_mode",
+    oracle="""
+    WITH c AS (SELECT o_orderstatus, o_orderpriority,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM orders GROUP BY 1, 2),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY c DESC, o_orderpriority) AS rn,
+                 max(c) OVER (PARTITION BY o_orderstatus) AS mc
+          FROM c)
+    SELECT o_orderstatus, o_orderpriority AS mode_value,
+           CAST(mc AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def a15_mode(spark, sf_dir):
+    """Deterministic MODE aggregate: most frequent order priority per
+    status, ties to the smallest value — both engines' native mode()
+    leaves ties unspecified, so the engine spells the tie-break out and
+    the result hashes. Two partial-agg shuffles, no window on the Spark
+    side (the oracle's window is DuckDB-only)."""
+    return relational.mode_agg(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+@register(
     "ts_seasonal",
     oracle="""
     WITH cells AS (

@@ -514,3 +514,66 @@ def test_read_snapshot_missing_version_raises(spark, tmp_path):
     mt.write_snapshot(spark.createDataFrame([(1,)], "k long"), path)
     with _pytest.raises(FileNotFoundError):
         mt.read_snapshot(spark, path, version=9)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile partials
+# ---------------------------------------------------------------------------
+
+def test_quantile_sketch_merge_equals_single_pass(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import maintenance as mt
+
+    o = io.load_table(spark, sf_dir, "orders").withColumn(
+        "day", F.to_date("o_orderdate")
+    )
+    merged = mt.quantile_sketches(
+        o, ["o_orderpriority", "day"], "o_totalprice", 0.0, 600000.0, 64
+    ).groupBy("o_orderpriority", "bin").agg(F.sum("n").cast("long").alias("n"))
+    single = mt.quantile_sketches(
+        o, ["o_orderpriority"], "o_totalprice", 0.0, 600000.0, 64
+    )
+    got = {(r.o_orderpriority, r.bin): r.n for r in merged.collect()}
+    want = {(r.o_orderpriority, r.bin): r.n for r in single.collect()}
+    assert got == want
+
+
+def test_quantile_estimate_within_bin_width(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import maintenance as mt
+
+    o = io.load_table(spark, sf_dir, "orders")
+    n_bins, lo, hi = 128, 0.0, 600000.0
+    width = (hi - lo) / n_bins
+    sk = mt.quantile_sketches(o, ["o_orderstatus"], "o_totalprice", lo, hi, n_bins)
+    est = {
+        r.o_orderstatus: (r.p50, r.p90, r.p99)
+        for r in mt.merge_quantile_sketches(
+            sk, ["o_orderstatus"], lo, hi, n_bins
+        ).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.qs
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("qs"))
+        .collect()
+    }
+    for k, (p50, p90, p99) in est.items():
+        for got, want in zip((p50, p90, p99), exact[k]):
+            assert abs(got - want) <= width + 1e-9, (k, got, want, width)
+
+
+def test_quantile_sketch_clamps_out_of_range(spark):
+    from big_data_project_spark.operators import maintenance as mt
+
+    df = spark.createDataFrame(
+        [("a", -50.0), ("a", 999999.0), ("a", 50.0), ("a", None)],
+        "g string, v double",
+    )
+    rows = {(r.bin): r.n for r in mt.quantile_sketches(df, ["g"], "v", 0.0, 100.0, 10).collect()}
+    # -50 clamps to bin 0 (with 50.0 → bin 5), 999999 clamps to bin 9, null dropped
+    assert rows == {0: 1, 5: 1, 9: 1}, rows
