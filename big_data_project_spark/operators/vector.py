@@ -784,3 +784,64 @@ def rrf_fuse(
         ).alias("rrf_score"),
         F.count("*").cast("long").alias("n_lists"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    rel_col: str = "score",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) of a
+    retrieval head: greedily pick argmax λ·relevance − (1−λ)·max-sim-to-
+    already-selected — the standard diversity pass between retrieval and
+    prompt assembly (k near-duplicate passages waste the whole context
+    window; RAG quality is recall × diversity).
+
+    Input is a CANDIDATE HEAD (top-N of knn/hybrid retrieval) — bounded by
+    construction, so the pairwise-sim join is N², not corpus². The greedy
+    loop unrolls into the plan (k lazy argmax stages, no collect); plan
+    size grows ~2× per step, so keep k ≤ ~8 — beyond that, rerank the head
+    driver-side (it is k·N floats). Every arithmetic step (cosine fold,
+    λ-combination, tie-break by id) is engine-exact, so MMR's SELECTIONS
+    AND SCORES are value-hashable."""
+    cand = candidates.select(
+        F.col(id_col), F.col(emb_col), F.col(rel_col).alias("_rel")
+    )
+    a = cand.select(F.col(id_col).alias("_ia"), F.col(emb_col).alias("_ea"))
+    b = cand.select(F.col(id_col).alias("_ib"), F.col(emb_col).alias("_eb"))
+    sims = a.join(b, F.col("_ia") != F.col("_ib")).select(
+        "_ia", "_ib", cosine("_ea", "_eb").alias("_sim")
+    )
+    selected = (
+        cand.orderBy(F.col("_rel").desc(), F.col(id_col))
+        .limit(1)
+        .select(
+            id_col,
+            F.lit(1).cast("long").alias("rank"),
+            F.col("_rel").alias("mmr_score"),
+        )
+    )
+    for step in range(2, k + 1):
+        sel_ids = selected.select(F.col(id_col).alias("_ib"))
+        maxsim = (
+            sims.join(sel_ids, "_ib")
+            .groupBy("_ia")
+            .agg(F.max("_sim").alias("_ms"))
+        )
+        nxt = (
+            cand.join(selected.select(id_col), id_col, "left_anti")
+            .join(maxsim, cand[id_col] == F.col("_ia"))
+            .select(
+                id_col,
+                F.lit(step).cast("long").alias("rank"),
+                (F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * F.col("_ms"))
+                .alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), F.col(id_col))
+            .limit(1)
+        )
+        selected = selected.unionByName(nxt)
+    return selected

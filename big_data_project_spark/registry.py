@@ -3641,6 +3641,58 @@ def e9_pq_adc_topk(spark, sf_dir):
     return vector.pq_adc_topk(cb, enc, q, k=10, m=4, dim=64)
 
 
+def _mmr_sql(k: int = 5) -> str:
+    """Unrolled greedy MMR oracle (λ=0.75 — dyadic, so 1−λ=0.25 is exact
+    on both engines): one argmax CTE per step over the same candidate
+    head and pairwise-sim table the Spark plan uses."""
+    parts = [
+        f"""qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 5),
+    cand AS (SELECT vec_id, embedding, {_VEC_SCORE_IP} AS rel
+             FROM embeddings, qv ORDER BY rel DESC, vec_id LIMIT 20),
+    sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                    {_PAIR_COS.format(x="a", y="b")} AS sim
+             FROM cand a JOIN cand b ON a.vec_id != b.vec_id),
+    sel1 AS (SELECT vec_id, CAST(1 AS BIGINT) AS rank, rel AS mmr_score
+             FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"""
+    ]
+    for step in range(2, k + 1):
+        prev = f"sel{step - 1}"
+        parts.append(
+            f"""s{step} AS (SELECT c.vec_id, CAST({step} AS BIGINT) AS rank,
+                       0.75 * c.rel - 0.25 * ms.m AS mmr_score
+                FROM cand c
+                JOIN (SELECT ia, max(sim) AS m FROM sims
+                      WHERE ib IN (SELECT vec_id FROM {prev}) GROUP BY ia) ms
+                  ON ms.ia = c.vec_id
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+                ORDER BY mmr_score DESC, c.vec_id LIMIT 1),
+    sel{step} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{step})"""
+        )
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT vec_id, rank, mmr_score FROM sel{k}"
+
+
+@register("e10_mmr_rerank", oracle=_mmr_sql(5))
+def e10_mmr_rerank(spark, sf_dir):
+    """E10: maximal-marginal-relevance diversity rerank of a retrieval
+    head — the standard pass between retrieval and prompt assembly (near-
+    duplicate passages waste the context window). Top-20 IP candidates
+    for query vec 5, then 5 greedy steps of λ·rel − (1−λ)·max-sim-to-
+    selected, unrolled lazily into the plan (no collect). Every step —
+    cosine fold, λ-combination (dyadic 0.75 so both engines' literals are
+    the same double), argmax tie-break — is engine-exact, so MMR's
+    selections AND scores hash. Diversity-vs-topk behavior is gated in
+    tests/test_retrieval.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = vector.query_vector_of(emb, 5)
+    cand = (
+        emb.crossJoin(q)
+        .select("vec_id", "embedding", vector.dot("embedding", "q").alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(20)
+    )
+    return vector.mmr_rerank(cand, k=5, lam=0.75)
+
+
 @register(
     "cu_url_dedup",
     oracle="""

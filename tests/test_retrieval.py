@@ -36,3 +36,42 @@ def test_rrf_fusion_rewards_presence_in_both_lists(spark):
     assert out[12][0] == 10**9 // 63 + 10**9 // 61
     assert out[10][0] == 10**9 // 61
     assert out[12][0] > out[10][0]
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity rerank
+# ---------------------------------------------------------------------------
+
+def test_mmr_lambda_one_reduces_to_topk(spark):
+    import math
+
+    from big_data_project_spark.operators import vector
+
+    rows = [
+        (i, [math.sin(i * 0.31 + j * 0.7) for j in range(8)], 10.0 - i)
+        for i in range(8)
+    ]
+    cand = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, score double"
+    )
+    out = vector.mmr_rerank(cand, k=4, lam=1.0).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [0, 1, 2, 3]  # pure relevance order
+
+
+def test_mmr_spreads_across_clusters(spark):
+    """Candidates: 3 near-identical copies of the top hit + one distinct
+    direction. Plain top-3 takes the three copies; MMR must include the
+    distinct one."""
+    from big_data_project_spark.operators import vector
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e1b = [0.999, 0.001, 0.0, 0.0]
+    e1c = [0.998, 0.002, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    cand = spark.createDataFrame(
+        [(1, e1, 1.00), (2, e1b, 0.99), (3, e1c, 0.98), (4, e2, 0.50)],
+        "vec_id long, embedding array<float>, score double",
+    )
+    picked = {r.vec_id for r in vector.mmr_rerank(cand, k=3, lam=0.5).collect()}
+    assert 4 in picked, picked
+    assert 1 in picked  # first pick is still the top-relevance hit
