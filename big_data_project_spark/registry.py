@@ -3318,6 +3318,7 @@ _CLS_BUCKET = _HEX_SEG.format(a=1, b=16).replace("hx", "md5(tk)") + " % 1024"
 
 @register(
     "tx_classifier",
+    headline=True,
     oracle=f"""
     WITH {_CLS_LABEL_SQL},
     tr AS (SELECT y, unnest(w) AS tk FROM lby WHERE doc_id % 2 = 0),
@@ -3611,6 +3612,7 @@ def e9_pq_encode(spark, sf_dir):
 
 @register(
     "e9_pq_adc_topk",
+    headline=True,
     oracle=f"""
     WITH {_PQ_CTES},
     q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
