@@ -3373,6 +3373,107 @@ def tx_classifier(spark, sf_dir):
         lby.select("doc_id", F.col("y").cast("long").alias("actual")), "doc_id"
     )
 
+
+@register(
+    "pl_ccnet_e2e",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text FROM documents),
+    dd AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(regexp_replace(regexp_replace(lower(text),
+                         '<[^>]*>', '', 'g'), '[^a-zA-Z0-9\\s]', '', 'g'))
+          ORDER BY doc_id) AS rn
+        FROM corpus) WHERE rn = 1),
+    t AS (SELECT doc_id, {_DK_WORDS} AS w FROM dd),
+    bg AS (SELECT doc_id, bgs.a AS a, bgs.b AS b FROM (
+             SELECT doc_id,
+                    unnest(list_transform(range(1, len(w)),
+                           i -> struct_pack(a := w[i], b := w[i+1]))) AS bgs
+             FROM t WHERE len(w) >= 2)),
+    lm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+           FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    ctx AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a
+            FROM bg WHERE doc_id % 2 = 0 GROUP BY 1),
+    lmj AS (SELECT l.a, l.b, l.c_ab, c.c_a FROM lm l JOIN ctx c USING (a)),
+    fl AS (SELECT g.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(sum(CASE WHEN j.c_ab IS NOT NULL
+                                THEN (1000 * j.c_ab) // j.c_a ELSE 0 END)
+                       AS BIGINT) AS psum
+           FROM bg g LEFT JOIN lmj j USING (a, b) GROUP BY 1),
+    flp AS (SELECT doc_id, n_bigrams,
+                   CAST(psum // n_bigrams AS BIGINT) AS mean_p_permille
+            FROM fl WHERE n_bigrams > 0),
+    lby AS (SELECT t.doc_id, t.w,
+                   CASE WHEN len(list_filter(w, x -> x = 'fast' OR x = 'big'))
+                         > len(list_filter(w, x -> x = 'slow' OR x = 'small'))
+                        THEN 1 ELSE 0 END AS y
+            FROM t),
+    tr AS (SELECT y, unnest(w) AS tk FROM lby WHERE doc_id % 2 = 0),
+    wt AS (SELECT {_CLS_BUCKET} AS bucket,
+                  CAST(sum(1 - y) AS BIGINT) AS n0,
+                  CAST(sum(y) AS BIGINT) AS n1
+           FROM tr GROUP BY 1),
+    pri AS (SELECT CAST(1000 * (sum(n1) + 1) // (sum(n0) + sum(n1) + 2)
+                        AS BIGINT) AS p FROM wt),
+    wm AS (SELECT bucket,
+                  CAST(1000 * (n1 + 1) // (n0 + n1 + 2) - p AS BIGINT)
+                    AS w_milli
+           FROM wt, pri),
+    te AS (SELECT doc_id, unnest(w) AS tk FROM lby),
+    teb AS (SELECT doc_id, {_CLS_BUCKET} AS bucket FROM te),
+    sc AS (SELECT t2.doc_id,
+                  CAST(coalesce(sum(w.w_milli), 0) AS BIGINT) AS score_milli
+           FROM teb t2 LEFT JOIN wm w USING (bucket) GROUP BY 1)
+    SELECT d.doc_id, d.source, f.n_bigrams, f.mean_p_permille, s.score_milli
+    FROM dd d
+    JOIN flp f USING (doc_id)
+    JOIN sc s USING (doc_id)
+    WHERE f.mean_p_permille BETWEEN 32 AND 35 AND s.score_milli > 0
+    """,
+)
+def pl_ccnet_e2e(spark, sf_dir):
+    """The CCNet + FineWeb curation line END TO END under one value hash:
+    exact dedup (the corpus is doubled so the stage genuinely fires:
+    1000→500) → bigram-LM fluency scored against the trusted (even-id)
+    half → keep the MIDDLE fluency band (CCNet keeps the middle
+    perplexity band — the head is boilerplate, the tail is noise) → hashed
+    quality-classifier gate (score > 0). Every stage — the dedup
+    tie-break, LM integer permille, the classifier's trained weights and
+    decision — is engine-exact, so the driver hashes the surviving corpus
+    itself. One dedup shuffle + vocabulary-sized LM join + broadcast
+    classifier model: the 100 TB shape of the whole recipe."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    d1 = dedup.drop_exact_dups(corpus)
+    lm = text.train_lm_bigrams(d1.where(F.col("doc_id") % 2 == 0))
+    fl = text.lm_fluency(d1, lm).where(F.col("n_bigrams") > 0)
+    w = text.words_col("text")
+    y = (
+        F.size(F.filter(w, lambda x: (x == "fast") | (x == "big")))
+        > F.size(F.filter(w, lambda x: (x == "slow") | (x == "small")))
+    ).cast("long")
+    lby = d1.select("doc_id", "text", y.alias("y"))
+    weights = text.train_hashed_classifier(
+        lby.where(F.col("doc_id") % 2 == 0), "y"
+    )
+    cls = text.classify_hashed(lby, weights)
+    return (
+        d1.join(fl.select("doc_id", "n_bigrams", "mean_p_permille"), "doc_id")
+        .join(cls.select("doc_id", "score_milli"), "doc_id")
+        .where(
+            F.col("mean_p_permille").between(32, 35) & (F.col("score_milli") > 0)
+        )
+        .select("doc_id", "source", "n_bigrams", "mean_p_permille", "score_milli")
+    )
+
+
 #: first 8 bytes of a sha256 hex digest as the exactly-rounded double
 #: x/2^63 - 1 (hi*2^32+lo rounds once to double = correct rounding of the
 #: 64-bit integer; the subsequent /2^63 is an exact power-of-two scale).
