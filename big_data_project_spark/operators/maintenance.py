@@ -511,7 +511,14 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     in place). Crash-safe: data lands in a stage dir first and the commit
     is one checked rename — a died write leaves only a stale stage dir,
     which the next writer clears. Retention is the caller's policy (drop
-    old ``v=`` dirs when their readers drain)."""
+    old ``v=`` dirs when their readers drain).
+
+    Writer concurrency: version allocation is check-then-rename, so TWO
+    SIMULTANEOUS writers can race the same N (Hadoop rename onto an
+    existing directory nests rather than failing). The contract is
+    single-writer — exactly what the streaming sink provides (one query,
+    serial micro-batches); multi-writer coordination needs a lock/log
+    layer (Delta/Iceberg territory) by design."""
     spark = df.sparkSession
     fs, hpath, jvm = _fs(spark, path)
     n = (snapshot_versions(spark, path) or [0])[-1] + 1
@@ -600,8 +607,12 @@ def merge_quantile_sketches(
     cols = [*rollup_cols, "n_rows"]
     out = hist
     for q in quantiles:
-        # first bin with cumulative >= ceil(q * n_rows); integer target
-        target = F.ceil(F.lit(q) * F.col("n_rows")).cast("long")
+        # first bin where cum/n_rows >= q, decided by INTEGER cross-
+        # multiplication (cum·100 >= q100·n_rows): a float q·n_rows target
+        # is a cross-engine trap — double(0.9) > 0.9, so Spark's
+        # ceil(0.9·n) lands one above DuckDB's DECIMAL ceil whenever
+        # n_rows is a multiple of 10.
+        q100 = int(round(q * 100))
         qbin = F.aggregate(
             F.col("_h"),
             F.struct(
@@ -611,12 +622,14 @@ def merge_quantile_sketches(
             lambda acc, x: F.struct(
                 (acc["cum"] + x["n"]).alias("cum"),
                 F.when(
-                    (acc["pick"] < 0) & (acc["cum"] + x["n"] >= target), x["bin"]
+                    (acc["pick"] < 0)
+                    & ((acc["cum"] + x["n"]) * 100 >= q100 * F.col("n_rows")),
+                    x["bin"],
                 ).otherwise(acc["pick"]).alias("pick"),
             ),
             lambda acc: acc["pick"],
         )
-        name = f"p{int(q * 100)}"
+        name = f"p{q100}"
         out = out.withColumn(
             name, F.lit(float(lo)) + (qbin + 1) * F.lit(width)
         )

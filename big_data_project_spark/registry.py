@@ -5985,9 +5985,9 @@ def ts_ewma(spark, sf_dir):
           FROM h),
     q AS (SELECT o_orderpriority,
                  CAST(max(nr) AS BIGINT) AS n_rows,
-                 min(CASE WHEN cum >= ceil(0.5 * nr) THEN bin END) AS b50,
-                 min(CASE WHEN cum >= ceil(0.9 * nr) THEN bin END) AS b90,
-                 min(CASE WHEN cum >= ceil(0.99 * nr) THEN bin END) AS b99
+                 min(CASE WHEN cum * 100 >= 50 * nr THEN bin END) AS b50,
+                 min(CASE WHEN cum * 100 >= 90 * nr THEN bin END) AS b90,
+                 min(CASE WHEN cum * 100 >= 99 * nr THEN bin END) AS b99
           FROM c GROUP BY 1)
     SELECT o_orderpriority, n_rows,
            0.0 + (b50 + 1) * (600000.0 / 128) AS p50,
