@@ -14,17 +14,31 @@ needs imperative Python per row.
 
 from __future__ import annotations
 
+import itertools
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import udtf
+
+
+#: Java's \s character class — ASCII only. Python's str.split()/re \s are
+#: Unicode-aware, which would diverge from the JVM twin (words_col) and
+#: the DuckDB oracle on e.g. non-breaking spaces in web text.
+_JVM_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+#: per-call temp-view sequence (process-unique names)
+_VIEW_SEQ = itertools.count()
 
 
 @udtf(returnType="pos: int, ngram: string")
 class WordNGrams:
     """Sliding word n-grams with positions — deterministic, so the UDTF
-    path can be value-hashed against a pure-SQL mirror."""
+    path can be value-hashed against a pure-SQL mirror. Tokenization
+    matches Java's ``\\s+`` exactly (ASCII whitespace), not Python's
+    Unicode split."""
 
     def eval(self, text: str, n: int):  # noqa: D102 - UDTF contract
-        ws = [w for w in (text or "").split() if w]
+        ws = [w for w in _JVM_WS.split(text or "") if w]
         for i in range(max(0, len(ws) - n + 1)):
             yield i, " ".join(ws[i : i + n])
 
@@ -37,9 +51,15 @@ def ngram_explode_udtf(
     formulation — tests pin the two identical."""
     spark = df.sparkSession
     spark.udtf.register("bdps_word_ngrams", WordNGrams)
-    view = f"bdps_udtf_src_{abs(hash((id_col, text, n))) % 10**8}"
+    # unique per call: a shared name would race concurrent callers onto
+    # each other's DataFrame; dropped right after — spark.sql resolves
+    # the plan eagerly, so the returned DataFrame no longer needs it
+    view = f"bdps_udtf_src_{next(_VIEW_SEQ)}"
     df.createOrReplaceTempView(view)
-    return spark.sql(
-        f"SELECT d.{id_col}, g.pos, g.ngram "
-        f"FROM {view} d, LATERAL bdps_word_ngrams(d.{text}, {int(n)}) g"
-    )
+    try:
+        return spark.sql(
+            f"SELECT d.{id_col}, g.pos, g.ngram "
+            f"FROM {view} d, LATERAL bdps_word_ngrams(d.{text}, {int(n)}) g"
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -84,10 +84,11 @@ def read_csv_audited(
     with their raw line in ``corrupt_col`` and NULL typed columns; clean
     rows carry NULL there. Split with :func:`split_corrupt`.
 
-    The frame is eagerly cached: Spark computes the corrupt column only
-    when the same scan materializes both it and the data columns —
-    filtering on it from a fresh scan raises instead (the documented
-    Spark restriction)."""
+    The frame is persisted (lazily — materialized at the first action):
+    Spark computes the corrupt column only when the same scan
+    materializes both it and the data columns — filtering on it from a
+    fresh scan raises instead (the documented Spark restriction). The
+    caller owns the cache entry: unpersist() when done with the split."""
     full = T.StructType(
         list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
     )

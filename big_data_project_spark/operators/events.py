@@ -245,10 +245,10 @@ def seasonal_profile(events: DataFrame, value: str = "value") -> DataFrame:
     Exactness: cell and global means are decimal-exact sums divided by
     counts (the davg pattern), and seasonal_ratio is one double division
     of identical operands on both engines — fully value-hashable. Shape:
-    two partial-agg shuffles (cells, then per-type rollup) + one
-    broadcast-sized join back (cells per type ≤ 7×24)."""
-    from big_data_project_spark.operators.relational import davg
-
+    ONE scan of the facts (the per-type global mean rolls up from the
+    cells' decimal partials — decimal addition is associative, so the
+    rollup equals the direct global sum exactly), then a broadcast-sized
+    join back (cells per type ≤ 7×24)."""
     cells = (
         events.groupBy(
             "event_type",
@@ -257,10 +257,24 @@ def seasonal_profile(events: DataFrame, value: str = "value") -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            davg(value, 2).alias("mean_value"),
+            F.sum(F.col(value).cast("decimal(30,2)")).alias("_dsum"),
+            F.count(value).cast("long").alias("_nv"),
         )
     )
-    glob = events.groupBy("event_type").agg(davg(value, 2).alias("global_mean"))
+    glob = cells.groupBy("event_type").agg(
+        F.try_divide(
+            F.sum("_dsum").cast("double"), F.sum("_nv")
+        ).alias("global_mean")
+    )
+    cells = cells.select(
+        "event_type",
+        "dow",
+        "hour",
+        "n_events",
+        F.try_divide(F.col("_dsum").cast("double"), F.col("_nv")).alias(
+            "mean_value"
+        ),
+    )
     return cells.join(F.broadcast(glob), "event_type").select(
         "event_type",
         "dow",

@@ -597,6 +597,16 @@ def merge_quantile_sketches(
     cumulative walk folds the bin list in order — integer-exact, so even
     the float bin-edge output is engine-stable."""
     width = (float(hi) - float(lo)) / n_bins
+    # the integer cross-multiplication below works on a centile grid; a
+    # q that is not a whole centile would silently mistarget (0.999 →
+    # p100) and near-equal quantiles would collide on one output name
+    for q in quantiles:
+        if abs(q * 100 - round(q * 100)) > 1e-9 or not (0 < q <= 1):
+            raise ValueError(
+                f"quantile {q} not on the centile grid (use n/100, 0<q<=1)"
+            )
+    if len({int(round(q * 100)) for q in quantiles}) != len(quantiles):
+        raise ValueError(f"duplicate centiles in {quantiles}")
     merged = sketches.groupBy(*rollup_cols, "bin").agg(
         F.sum("n").cast("long").alias("n")
     )

@@ -759,13 +759,15 @@ def collocations(
     return scored.orderBy(F.col("lift").desc(), "a", "b").limit(k)
 
 
-def _bigrams_col(text: str) -> Column:
-    """Per-row adjacent word pairs as an array<struct<a,b>> — empty (never
-    failing) for docs under 2 words, ANSI-safe."""
+def _bigrams_col(words_alias: str = "_w") -> Column:
+    """Per-row adjacent word pairs as an array<struct<a,b>> over an
+    already-projected words-array column named ``words_alias`` — empty
+    (never failing) for docs under 2 words, ANSI-safe."""
+    w = words_alias
     return F.expr(
-        "transform(CASE WHEN size(_w) >= 2 THEN sequence(1, size(_w) - 1)"
-        " ELSE CAST(array() AS array<int>) END,"
-        " i -> struct(_w[i - 1] AS a, _w[i] AS b))"
+        f"transform(CASE WHEN size({w}) >= 2 THEN sequence(1, size({w}) - 1)"
+        f" ELSE CAST(array() AS array<int>) END,"
+        f" i -> struct({w}[i - 1] AS a, {w}[i] AS b))"
     )
 
 
@@ -782,7 +784,7 @@ def train_lm_bigrams(df: DataFrame, text: str = "text") -> DataFrame:
     model table is vocabulary-sized, so it is deliberately NOT
     broadcast-hinted (the TF-IDF lesson — AQE broadcasts it when small)."""
     bg = df.select(words_col(text).alias("_w")).select(
-        F.explode(_bigrams_col(text)).alias("bg")
+        F.explode(_bigrams_col()).alias("bg")
     ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
     cab = bg.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
     ca = bg.groupBy("a").agg(F.count("*").cast("long").alias("c_a"))
@@ -812,7 +814,7 @@ def lm_fluency(
     against the LM table on (a, b) → one groupBy(id) — all linear, skew
     bounded by hot bigrams which AQE splits."""
     bg = df.select(F.col(id_col), words_col(text).alias("_w")).select(
-        id_col, F.explode_outer(_bigrams_col(text)).alias("bg")
+        id_col, F.explode_outer(_bigrams_col()).alias("bg")
     ).select(id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
     j = bg.join(lm, ["a", "b"], "left").select(
         id_col,
@@ -1015,14 +1017,7 @@ def train_bpe(
                 "cnt", syms.alias("s")
             ).select(
                 "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(CASE WHEN size(s) >= 2 THEN"
-                        " sequence(1, size(s) - 1)"
-                        " ELSE CAST(array() AS array<int>) END,"
-                        " i -> struct(s[i - 1] AS a, s[i] AS b))"
-                    )
-                ).alias("p"),
+                F.explode(_bigrams_col("s")).alias("p"),
             )
             top = (
                 pairs.groupBy("p.a", "p.b")

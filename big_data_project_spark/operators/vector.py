@@ -802,8 +802,10 @@ def mmr_rerank(
 
     Input is a CANDIDATE HEAD (top-N of knn/hybrid retrieval) — bounded by
     construction, so the pairwise-sim join is N², not corpus². The greedy
-    loop unrolls into the plan (k lazy argmax stages, no collect); plan
-    size grows ~2× per step, so keep k ≤ ~8 — beyond that, rerank the head
+    loop runs as k argmax stages over cached head/sim frames; the
+    function is EAGER — it materializes the ≤k-row result, releases every
+    cache it pinned (no per-call cache-manager leak), and returns the
+    rows as a fresh DataFrame. Keep k ≤ ~8; beyond that, rerank the head
     driver-side (it is k·N floats). Every arithmetic step (cosine fold,
     λ-combination, tie-break by id) is engine-exact, so MMR's SELECTIONS
     AND SCORES are value-hashable."""
@@ -819,6 +821,7 @@ def mmr_rerank(
     sims = a.join(b, F.col("_ia") != F.col("_ib")).select(
         "_ia", "_ib", cosine("_ea", "_eb").alias("_sim")
     ).persist()
+    caches = [cand, sims]
     selected = (
         cand.orderBy(F.col("_rel").desc(), F.col(id_col))
         .limit(1)
@@ -851,4 +854,12 @@ def mmr_rerank(
         # next stage (anti-join + sim filter), so the uncached tree doubles
         # per step — k rows of cache flatten that to linear work.
         selected = selected.unionByName(nxt).persist()
-    return selected
+        caches.append(selected)
+    # materialize the (≤k-row) result, then release every cache this call
+    # pinned — a per-query serving path must not leak k+2 cache-manager
+    # entries per invocation. The collect is bounded by k, not the corpus.
+    schema = selected.schema
+    rows = selected.collect()
+    for c in caches:
+        c.unpersist()
+    return cand.sparkSession.createDataFrame(rows, schema)

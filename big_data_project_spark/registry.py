@@ -5145,6 +5145,66 @@ def ev_retention_cohorts(spark, sf_dir):
 
 
 @register(
+    "p14_map_functions",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_orderdate
+      FROM orders WHERE o_orderkey % 97 = 0),
+    kv AS (
+      SELECT o_orderkey, 'status' AS key, upper(o_orderstatus) AS value
+      FROM base
+      UNION ALL
+      SELECT o_orderkey, 'prio', upper(o_orderpriority) FROM base
+      UNION ALL
+      SELECT o_orderkey, 'year',
+             upper(CAST(extract('year' FROM o_orderdate) AS VARCHAR))
+      FROM base)
+    SELECT k.o_orderkey, k.key, k.value,
+           CAST(3 AS INTEGER) AS n_keys,
+           upper(b.o_orderstatus) AS status_val
+    FROM kv k JOIN base b USING (o_orderkey)
+    WHERE k.key <> 'drop'
+    """,
+)
+def p14_map_functions(spark, sf_dir):
+    """Map-typed column surface (closing the complex-type trio with
+    p13's arrays and the struct use throughout): create_map →
+    map_concat → transform_values → map_filter → map_keys/element_at →
+    explode back to (key, value) rows. The oracle states the expected
+    OUTPUT relationally — what hashes is the map semantics' net effect,
+    keyed per row. All JVM map expressions inside codegen; narrow."""
+    base = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+    )
+    m = F.map_concat(
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("prio"), F.col("o_orderpriority"),
+        ),
+        F.create_map(
+            F.lit("year"), F.year("o_orderdate").cast("string"),
+            F.lit("drop"), F.lit("x"),
+        ),
+    )
+    m = F.map_filter(m, lambda k, v: k != F.lit("drop"))
+    m = F.transform_values(m, lambda k, v: F.upper(v))
+    mapped = base.select(
+        "o_orderkey",
+        m.alias("m"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.element_at(m, "status").alias("status_val"),
+    )
+    return mapped.select(
+        "o_orderkey",
+        F.explode("m").alias("key", "value"),
+        "n_keys",
+        "status_val",
+    ).select("o_orderkey", "key", "value", "n_keys", "status_val")
+
+
+@register(
     "p13_array_functions",
     oracle="""
     WITH t AS (
