@@ -315,3 +315,54 @@ def dedup_by_url(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def dataset_card(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-source dataset card — the one-scan summary a training-data
+    release ships (docs, token mass, dedup rate, short-doc and
+    English-signal shares), all integer-exact permille so the card itself
+    is value-hashable:
+
+    - ``n_docs`` / ``total_words`` / ``mean_words_milli``
+    - ``dup_permille``: share of docs whose NORMALIZED content hash
+      repeats within the source (1000·(n−distinct)/n)
+    - ``short_permille``: docs under 30 words
+    - ``en_permille``: docs with ≥2 English function-word hits
+
+    Shape: one narrow per-doc projection + one per-source aggregate —
+    a 100 TB card costs one scan and one tiny shuffle."""
+    from big_data_project_spark.operators.cleaning import normalize_text_col
+    from big_data_project_spark.operators.text import words_col
+
+    w = words_col(text)
+    per_doc = docs.select(
+        "source",
+        F.size(w).cast("long").alias("_nw"),
+        F.md5(normalize_text_col(text)).alias("_h"),
+        (
+            F.size(
+                F.regexp_extract_all(
+                    F.col(text), F.lit(r"\b(the|a|of|and|is)\b"), 0
+                )
+            )
+            >= 2
+        ).cast("long").alias("_en"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nw").cast("long").alias("total_words"),
+        F.countDistinct("_h").cast("long").alias("_uniq"),
+        F.sum((F.col("_nw") < 30).cast("long")).cast("long").alias("_short"),
+        F.sum("_en").cast("long").alias("_en"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_words",
+        F.expr("1000 * total_words div n_docs").cast("long")
+        .alias("mean_words_milli"),
+        F.expr("1000 * (n_docs - _uniq) div n_docs").cast("long")
+        .alias("dup_permille"),
+        F.expr("1000 * _short div n_docs").cast("long").alias("short_permille"),
+        F.expr("1000 * _en div n_docs").cast("long").alias("en_permille"),
+    )

@@ -863,3 +863,86 @@ def mmr_rerank(
     for c in caches:
         c.unpersist()
     return cand.sparkSession.createDataFrame(rows, schema)
+
+
+def md5_coarse_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantizer seeds by md5-bucket representative (the
+    semantic_dedup scheme, factored): deterministic, engine-exact, ONE
+    map-side-combining groupBy. Returns (cluster_id, centroid) —
+    broadcast-sized by construction."""
+    hh = F.expr(
+        f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    return (
+        embeddings.select(F.col(id_col), F.col(emb_col), hh.alias("_hh"))
+        .groupBy(F.pmod(F.col("_hh"), F.lit(n_clusters)).alias("cluster_id"))
+        .agg(F.min_by(emb_col, "_hh").alias("centroid"))
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    keep: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """IVF-PQ: the full FAISS memory-scale ANN shape — a coarse md5-seeded
+    quantizer prunes the search to ``n_probe``/``n_clusters`` of the
+    corpus, and within the probed lists vectors score by PQ asymmetric
+    distance (4 table lookups each, no floats read). At 100 TB the codes
+    table is partitioned by cluster_id, so a query is a partition-pruned
+    scan of a 64×-compressed index.
+
+    Deterministic end to end (md5 buckets, argmin assignment with ties to
+    the smaller cluster, the proven L2 fold) — the probed approximation
+    itself is value-hashable; recall vs exact kNN is gated in tests.
+    probe-all ≡ pq_adc_topk over the whole corpus (asserted in tests)."""
+    cents = F.broadcast(md5_coarse_centroids(embeddings, n_clusters, id_col))
+    assigned = (
+        embeddings.select(id_col, "embedding")
+        .crossJoin(cents)
+        .select(
+            id_col,
+            "cluster_id",
+            l2_sq("embedding", "centroid").alias("_d"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min_by("cluster_id", F.struct("_d", "cluster_id")).alias(
+                "cluster_id"
+            )
+        )
+    )
+    cb = pq_codebooks(embeddings, m=m, n_codes=n_codes, dim=dim, id_col=id_col)
+    enc = pq_encode(
+        embeddings, cb, m=m, dim=dim, id_col=id_col, keep=keep
+    ).join(assigned, id_col)
+    probed = F.broadcast(
+        cents.crossJoin(query)
+        .select("cluster_id", l2_sq("centroid", "q").alias("_qd"))
+        .orderBy("_qd", "cluster_id")
+        .limit(n_probe)
+        .select("cluster_id")
+    )
+    return pq_adc_topk(
+        cb,
+        enc.join(probed, "cluster_id"),
+        query,
+        k=k,
+        m=m,
+        dim=dim,
+        id_col=id_col,
+        keep=keep,
+    )

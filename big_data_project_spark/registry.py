@@ -1901,6 +1901,50 @@ def a9_bitwise_agg(spark, sf_dir):
     )
 
 
+#: ONE SQL text for both engines (the a11/a12 pattern): decimal-exact raw
+#: power sums, then a single shared IEEE chain — every float op is a
+#: correctly-rounded function of identical operands, so skewness/kurtosis
+#: hash bit-for-bit. m2^1.5 is spelled m2*sqrt(m2): sqrt is correctly
+#: rounded by both engines, pow() is not guaranteed to be.
+_MOMENTS_SQL = """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,2)))
+                  AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(30,2))) AS DOUBLE) AS s3,
+             CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(30,2))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag),
+    m AS (SELECT l_returnflag, n,
+                 s2 / n - (s1 / n) * (s1 / n) AS m2,
+                 s3 / n - 3 * (s1 / n) * (s2 / n)
+                        + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                 s4 / n - 4 * (s1 / n) * (s3 / n)
+                        + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                        - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+          FROM s)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, m2 AS var_pop,
+           m3 / (m2 * sqrt(m2)) AS skewness,
+           m4 / (m2 * m2) - 3 AS excess_kurtosis
+    FROM m
+"""
+
+
+@register("a16_moments", oracle=_MOMENTS_SQL)
+def a16_moments(spark, sf_dir):
+    """Exact-moment skewness + excess kurtosis per return flag — the
+    third and fourth entries of the a10/a11/a13 exact-moment family:
+    decimal-exact power sums (quantities are integral, so per-row cubes
+    and fourth powers are exact decimals), one shared IEEE chain, no
+    rounding anywhere — the distribution-shape statistics themselves are
+    value-hashed. One partial+final aggregation shuffle."""
+    io.register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_MOMENTS_SQL)
+
+
 @register(
     "a10_variance_deterministic",
     oracle="""
@@ -3266,6 +3310,41 @@ def u4_ngram_udtf(spark, sf_dir):
     return ngram_explode_udtf(docs, n=3)
 
 
+@register(
+    "cu_dataset_card",
+    oracle=f"""
+    WITH pd AS (
+      SELECT source,
+             CAST(len({_DK_WORDS}) AS BIGINT) AS nw,
+             md5(regexp_replace(regexp_replace(lower(text), '<[^>]*>', '',
+                 'g'), '[^a-zA-Z0-9\\s]', '', 'g')) AS h,
+             CASE WHEN len(regexp_extract_all(text,
+                  '\\b(the|a|of|and|is)\\b')) >= 2 THEN 1 ELSE 0 END AS en
+      FROM documents),
+    a AS (SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nw) AS BIGINT) AS total_words,
+                 CAST(count(DISTINCT h) AS BIGINT) AS uniq,
+                 CAST(sum(CASE WHEN nw < 30 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS short,
+                 CAST(sum(en) AS BIGINT) AS en
+          FROM pd GROUP BY 1)
+    SELECT source, n_docs, total_words,
+           CAST(1000 * total_words // n_docs AS BIGINT) AS mean_words_milli,
+           CAST(1000 * (n_docs - uniq) // n_docs AS BIGINT) AS dup_permille,
+           CAST(1000 * short // n_docs AS BIGINT) AS short_permille,
+           CAST(1000 * en // n_docs AS BIGINT) AS en_permille
+    FROM a
+    """,
+)
+def cu_dataset_card(spark, sf_dir):
+    """Per-source dataset card — docs, token mass, within-source dup
+    rate, short-doc and English-signal shares in integer permille: the
+    one-scan release report for a training corpus, value-hashed whole.
+    One narrow projection + one per-source aggregate."""
+    return curation.dataset_card(_t(spark, sf_dir, "documents"))
+
+
 #: fixed rank-ordered merge list for the value-hashed BPE encode entry —
 #: cascading merges ('t','a')→('ta','b')→… so multi-level subwords form;
 #: the SAME constant generates both the Spark replace chain and the DuckDB
@@ -3742,6 +3821,68 @@ def e9_pq_adc_topk(spark, sf_dir):
     enc = vector.pq_encode(emb, cb, m=4, dim=64)
     q = vector.query_vector_of(emb, 3)
     return vector.pq_adc_topk(cb, enc, q, k=10, m=4, dim=64)
+
+
+_FULL_L2 = (
+    "list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]),"
+    " CAST({b} AS DOUBLE[])), z -> (z[1]-z[2])*(z[1]-z[2])))"
+)
+
+_IVF_HH = _HEX_SEG.format(a=1, b=16).replace(
+    "hx", "md5(CAST(vec_id AS VARCHAR))"
+)
+
+
+@register(
+    "e9_ivfpq_topk",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    hcl AS (SELECT vec_id, embedding, {_IVF_HH} AS hcl_h FROM embeddings),
+    cent AS (SELECT hcl_h % 8 AS cluster_id,
+                    arg_min(embedding, hcl_h) AS centroid
+             FROM hcl GROUP BY 1),
+    asg AS (SELECT vec_id, cluster_id FROM (
+              SELECT e.vec_id, c.cluster_id,
+                     {_FULL_L2.format(a="e.embedding", b="c.centroid")} AS d,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY d, c.cluster_id) AS rn
+              FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
+    prb AS (SELECT cluster_id FROM (
+              SELECT c.cluster_id,
+                     {_FULL_L2.format(a="c.centroid", b="q.qe")} AS qd
+              FROM cent c, qv q
+              ORDER BY qd, cluster_id LIMIT 2)),
+    qsub AS (SELECT s,
+                    (CAST(qe AS DOUBLE[]))
+                      [CAST(s*16+1 AS BIGINT):CAST(s*16+16 AS BIGINT)] AS qs
+             FROM qv, (SELECT unnest(range(0, 4)) AS s)),
+    dtab AS (SELECT c.s, c.code,
+                    {_PQ_L2.format(a="q.qs", b="c.centroid")} AS qd
+             FROM qsub q JOIN cb c USING (s)),
+    adc AS (SELECT e.vec_id, any_value(e.label) AS label,
+                   list_sum(list(d.qd ORDER BY e.s)) AS adist
+            FROM enc e
+            JOIN asg a USING (vec_id)
+            JOIN prb p ON p.cluster_id = a.cluster_id
+            JOIN dtab d USING (s, code)
+            GROUP BY e.vec_id)
+    SELECT vec_id, label, adist FROM adc ORDER BY adist, vec_id LIMIT 10
+    """,
+)
+def e9_ivfpq_topk(spark, sf_dir):
+    """E9c: IVF-PQ — the full FAISS memory-scale ANN shape: a coarse
+    md5-seeded quantizer prunes the scan to 2 of 8 lists, and the probed
+    vectors score by PQ asymmetric distance (codes only, no floats read).
+    Every stage — bucketing, argmin assignment, probe ranking, ADC fold —
+    is engine-exact, so the pruned approximation itself is value-hashed;
+    probe-all ≡ whole-corpus ADC and recall vs exact kNN are gated in
+    tests/test_approx_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = vector.query_vector_of(emb, 3)
+    return vector.ivfpq_topk(
+        emb, q, k=10, n_clusters=8, n_probe=2, m=4, n_codes=16, dim=64
+    )
 
 
 def _mmr_sql(k: int = 5) -> str:

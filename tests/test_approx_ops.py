@@ -359,3 +359,46 @@ def test_mean_pool_matches_hand_mean(spark):
     out = {r.grp: r for r in vector.mean_pool(df, "grp", "ord").collect()}
     assert out[1].pooled == [2.0, 4.0] and out[1].n_vecs == 2
     assert out[2].pooled == [2.0, 2.0] and out[2].n_vecs == 1
+
+
+def test_ivfpq_probe_all_equals_whole_corpus_adc(spark, sf_dir):
+    """With n_probe = n_clusters, IVF pruning is a no-op: IVF-PQ must
+    reproduce plain ADC over the whole corpus exactly."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    q = vector.query_vector_of(emb, 3)
+    cb = vector.pq_codebooks(emb, m=4, n_codes=16, dim=64)
+    enc = vector.pq_encode(emb, cb, m=4, dim=64)
+    plain = [
+        (r.vec_id, r.adist)
+        for r in vector.pq_adc_topk(cb, enc, q, k=10, m=4, dim=64).collect()
+    ]
+    ivf = [
+        (r.vec_id, r.adist)
+        for r in vector.ivfpq_topk(
+            emb, q, k=10, n_clusters=8, n_probe=8, m=4, n_codes=16, dim=64
+        ).collect()
+    ]
+    assert ivf == plain
+
+
+def test_ivfpq_probed_recall_vs_plain_adc(spark, sf_dir):
+    """Probing 2/8 lists must retain most of what whole-corpus ADC finds
+    (the pruning trade, deterministic on this data)."""
+    emb = io.load_table(spark, sf_dir, "embeddings").cache()
+    cb = vector.pq_codebooks(emb, m=4, n_codes=16, dim=64)
+    enc = vector.pq_encode(emb, cb, m=4, dim=64).cache()
+    hits = 0
+    for qid in (0, 3, 42):
+        q = vector.query_vector_of(emb, qid)
+        full = {r.vec_id for r in vector.pq_adc_topk(cb, enc, q, k=10, m=4, dim=64).collect()}
+        probed = {
+            r.vec_id
+            for r in vector.ivfpq_topk(
+                emb, q, k=10, n_clusters=8, n_probe=2, m=4, n_codes=16, dim=64
+            ).collect()
+        }
+        hits += len(full & probed)
+    # 2/8 random-bucket lists hold ~1/4 of the corpus; on unclustered
+    # uniform data the probed top-10 keeps a proportionate share of the
+    # full-ADC top-10 (deterministic: measured at this config)
+    assert hits / 30 >= 0.2, hits
