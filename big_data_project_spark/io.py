@@ -108,6 +108,31 @@ def read_csv_audited(
     return df
 
 
+def read_json_audited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """S2b: PERMISSIVE JSON-lines scan with quarantine — the JSON twin of
+    read_csv_audited (same contract: malformed lines land raw in
+    ``corrupt_col``, clean rows carry NULL there; split with
+    :func:`split_corrupt`; lazily persisted, caller owns the cache)."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.options(
+            mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col
+        )
+        .schema(full)
+        .json(path)
+    )
+    df.persist()
+    return df
+
+
 def split_corrupt(
     df: DataFrame, corrupt_col: str = "_corrupt_record"
 ) -> tuple[DataFrame, DataFrame]:

@@ -1032,3 +1032,32 @@ def train_bpe(
     finally:
         wc.unpersist()
     return merges
+
+
+def stem_light(col: Column | str) -> Column:
+    """Light suffix-stripping stemmer (S-stemmer + -ing/-ed, Harman 1991
+    class): ies→y, sses→ss, plain plural -s (guarded against -ss/-us/-is),
+    -ing/-ed with a ≥4-char stem guard so 'ring'/'red' survive. Chained
+    regexp_replace — pure codegen, and the exact same POSIX patterns run
+    in DuckDB, so stemmed output is value-hashable. A full Porter stemmer
+    is a plugin concern; this is the deterministic carrier used for
+    recall-oriented token normalization (vocab collapse, match keys)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "ies$", "y")
+    c = F.regexp_replace(c, "sses$", "ss")
+    c = F.regexp_replace(c, "([^su])s$", "$1")
+    c = F.regexp_replace(c, "(....+)ing$", "$1")
+    c = F.regexp_replace(c, "(....+)ed$", "$1")
+    return c
+
+
+def stem_vocab(df: DataFrame, text: str = "text") -> DataFrame:
+    """Stemmed-vocabulary histogram: explode → stem → count. The vocab
+    collapse ratio (distinct stems vs distinct words) is the useful
+    release metric; one shuffle."""
+    toks = df.select(F.explode(words_col(text)).alias("t"))
+    return (
+        toks.select(stem_light("t").alias("stem"))
+        .groupBy("stem")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -3311,6 +3311,27 @@ def u4_ngram_udtf(spark, sf_dir):
 
 
 @register(
+    "tx_stemming",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_DK_WORDS}) AS t FROM documents)
+    SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(t, 'ies$', 'y'), 'sses$', 'ss'),
+             '([^su])s$', '\\1'), '(....+)ing$', '\\1'),
+             '(....+)ed$', '\\1') AS stem,
+           CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY 1
+    """,
+)
+def tx_stemming(spark, sf_dir):
+    """Light suffix-stripping stemmer (S-stemmer + -ing/-ed class) over
+    the corpus vocabulary — the deterministic token-normalization carrier
+    (vocab collapse, match keys); identical POSIX patterns run on both
+    engines, so the stemmed histogram hashes. Pure codegen + one
+    shuffle."""
+    return text.stem_vocab(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "cu_dataset_card",
     oracle=f"""
     WITH pd AS (

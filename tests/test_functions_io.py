@@ -208,3 +208,27 @@ def test_read_csv_audited_quarantines_malformed(spark, tmp_path):
     raw = {r.raw_line for r in bad.collect()}
     assert raw == {"2,beta,not_a_number", "4,delta"}
     df.unpersist()
+
+
+def test_read_json_audited_quarantines_malformed(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from big_data_project_spark import io
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"k": 1, "v": "alpha"}\n'
+        '{"k": 2, "v": "beta"'       # truncated JSON → corrupt
+        "\n"
+        'not json at all\n'          # garbage line → corrupt
+        '{"k": 3, "v": "gamma"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = io.read_json_audited(spark, str(p), schema)
+    clean, bad = io.split_corrupt(df)
+    assert {(r.k, r.v) for r in clean.collect()} == {(1, "alpha"), (3, "gamma")}
+    raw = {r.raw_line for r in bad.collect()}
+    assert raw == {'{"k": 2, "v": "beta"', "not json at all"}
+    df.unpersist()

@@ -1318,3 +1318,18 @@ def test_train_bpe_stops_below_min_count(spark):
     df = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
     # every pair occurs once → below min_pair_count=2 → no merges at all
     assert tx.train_bpe(df, n_merges=5, min_pair_count=2) == []
+
+
+def test_stem_light_known_cases(spark):
+    from big_data_project_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [("parties classes tables bus ring running red merged is",)], "text string"
+    )
+    out = {
+        r.stem: r.n for r in tx.stem_vocab(df, "text").collect()
+    }
+    # guards: 'bus' (-us), 'ring'/'red' (short stems) survive untouched
+    assert set(out) == {
+        "party", "class", "table", "bus", "ring", "runn", "red", "merg", "i"
+    }, out
