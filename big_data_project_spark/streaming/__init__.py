@@ -21,6 +21,7 @@ from big_data_project_spark.streaming.ops import (
     read_event_stream,
     anomaly_stream,
     running_user_totals,
+    running_user_totals_tws,
     session_window_agg,
     sessionize_batch,
     sliding_window_agg,

@@ -542,3 +542,58 @@ def versioned_upsert_sink(df: DataFrame, target_path: str, checkpoint: str, key:
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on the MODERN stateful API
+    (transformWithStateInPandas + StatefulProcessor, Spark 4) — the
+    successor surface to applyInPandasWithState, with named state slots
+    and timer support. Functionally the twin of running_user_totals;
+    tests pin the two equal across micro-batches, so the engine covers
+    both stateful surfaces without semantic drift. State per key is one
+    (count, total) tuple; output one row per key per micro-batch.
+
+    Environment note: the transformWithState Python⇄JVM state protocol is
+    protobuf-serialized; in containers without google.protobuf the query
+    fails at initialization (the equivalence test import-skips there) —
+    the applyInPandasWithState twin carries the verified behavior."""
+    import pandas as pd  # local: self-contained closure for the worker
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

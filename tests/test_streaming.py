@@ -543,3 +543,45 @@ def test_versioned_upsert_sink_time_travel(spark, tmp_path):
               for r in mt.read_snapshot(spark, target).collect()}
     assert v1 == {1: 1.0, 2: 2.0}, v1
     assert latest == {1: 9.0, 2: 2.0, 3: 3.0}, latest
+
+
+def test_transform_with_state_equals_applyinpandaswithstate(spark, tmp_path):
+    """The modern StatefulProcessor operator must carry per-user state
+    across micro-batches exactly like its applyInPandasWithState twin.
+
+    Environment gate: transformWithState's Python⇄JVM state protocol is
+    protobuf-serialized and this container has no google.protobuf (and no
+    package installation) — same class of permanent skip as the
+    sentence-transformers / flan-t5 model branches."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf for its state protocol",
+    )
+    d = str(tmp_path / "tws_src")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1 = mk([(1, "2024-01-01 10:00:00", 1, "click", 10.0, "{}"),
+             (2, "2024-01-01 10:01:00", 2, "click", 5.0, "{}")])
+    b2 = mk([(3, "2024-01-01 10:02:00", 1, "click", 7.0, "{}")])
+
+    b1.write.mode("overwrite").parquet(d)
+    stream = st.read_event_stream(spark, d)
+    q = (
+        st.running_user_totals_tws(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_tws")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(d)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) n, max(total_value) t FROM t_tws GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: (r.n, r.t) for r in rows}
+    assert got == {1: (2, 17.0), 2: (1, 5.0)}, got
