@@ -1333,3 +1333,91 @@ def test_stem_light_known_cases(spark):
     assert set(out) == {
         "party", "class", "table", "bus", "ring", "runn", "red", "merg", "i"
     }, out
+
+
+# ---------------------------------------------------------------------------
+# hypothesis models for the continuation ops: mode, mean_pool, quantile merge
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(min_value=0, max_value=5)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_mode_agg_matches_counter_model(spark, rows):
+    from collections import Counter
+
+    from big_data_project_spark.operators.relational import mode_agg
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: (r.mode_value, r.mode_count) for r in mode_agg(df, "g", "v").collect()}
+    want = {}
+    by_g: dict[str, Counter] = {}
+    for g, v in rows:
+        by_g.setdefault(g, Counter())[v] += 1
+    for g, c in by_g.items():
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[g] = (best[0], best[1])
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-8, max_value=8, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_mean_pool_matches_numpy_model(spark, vecs):
+    import numpy as np
+
+    from big_data_project_spark.operators.vector import mean_pool
+
+    rows = [(1, i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "grp long, ord long, embedding array<float>")
+    got = mean_pool(df, "grp", "ord").collect()[0]
+    # same ordered left fold in float64 as the operator's contract
+    acc = np.array(vecs[0], dtype=np.float32).astype(np.float64)
+    for v in vecs[1:]:
+        acc = acc + np.array(v, dtype=np.float32).astype(np.float64)
+    want = acc / len(vecs)
+    assert got.n_vecs == len(vecs)
+    assert got.pooled == list(want), (got.pooled, list(want))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # day split
+            st.floats(min_value=-10, max_value=110, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_quantile_sketch_merge_associative_model(spark, rows):
+    """Any partitioning of the input into day-partials must merge to the
+    single-pass histogram (the trust property of stored partials)."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.operators import maintenance as mt
+
+    df = spark.createDataFrame([("k", d, v) for d, v in rows], "g string, day int, v double")
+    merged = (
+        mt.quantile_sketches(df, ["g", "day"], "v", 0.0, 100.0, 8)
+        .groupBy("g", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    single = mt.quantile_sketches(df, ["g"], "v", 0.0, 100.0, 8)
+    got = {(r.g, r.bin): r.n for r in merged.collect()}
+    want = {(r.g, r.bin): r.n for r in single.collect()}
+    assert got == want
