@@ -5376,10 +5376,13 @@ def p14_map_functions(spark, sf_dir):
       SELECT doc_id, w[1:5] AS head5, w[3:8] AS mid6
       FROM t WHERE len(w) >= 8)
     SELECT doc_id,
-           list_sort(list_distinct(list_intersect(head5, mid6)))  AS common,
-           list_sort(list_distinct(list_concat(head5, mid6)))     AS united,
-           list_sort(list_distinct(
-             list_filter(head5, x -> NOT list_contains(mid6, x)))) AS only_head,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_intersect(head5, mid6))), ' '), '') AS common,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_concat(head5, mid6))), ' '), '') AS united,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_filter(head5, x -> NOT list_contains(mid6, x)))), ' '), '')
+             AS only_head,
            CAST(len(list_distinct(list_concat(head5, mid6))) AS BIGINT)
              AS n_union
     FROM a
@@ -5390,7 +5393,10 @@ def p13_array_functions(spark, sf_dir):
     sort over word arrays — pure narrow expressions, zero shuffle. The
     DuckDB mirror spells the same set algebra with list_* functions
     (array_except ≡ filter-not-contains); both sides sort and distinct so
-    engine-internal set ordering never leaks into the hash."""
+    engine-internal set ordering never leaks into the hash, and the
+    result arrays are space-joined to STRINGS — an array column only
+    hash-matches under Arrow sessions (numpy repr); strings are
+    session-independent (found by the full vanilla-session sweep)."""
     docs = _t(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), r"\s+")
     a = docs.select(
@@ -5400,15 +5406,15 @@ def p13_array_functions(spark, sf_dir):
     ).where(F.size(w) >= 8)
     return a.select(
         "doc_id",
-        F.sort_array(F.array_distinct(F.array_intersect("head5", "mid6"))).alias(
-            "common"
-        ),
-        F.sort_array(F.array_distinct(F.array_union("head5", "mid6"))).alias(
-            "united"
-        ),
-        F.sort_array(F.array_distinct(F.array_except("head5", "mid6"))).alias(
-            "only_head"
-        ),
+        F.concat_ws(
+            " ", F.sort_array(F.array_distinct(F.array_intersect("head5", "mid6")))
+        ).alias("common"),
+        F.concat_ws(
+            " ", F.sort_array(F.array_distinct(F.array_union("head5", "mid6")))
+        ).alias("united"),
+        F.concat_ws(
+            " ", F.sort_array(F.array_distinct(F.array_except("head5", "mid6")))
+        ).alias("only_head"),
         F.size(F.array_distinct(F.array_union("head5", "mid6")))
         .cast("long")
         .alias("n_union"),
