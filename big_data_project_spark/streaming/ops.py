@@ -530,6 +530,11 @@ def versioned_upsert_sink(df: DataFrame, target_path: str, checkpoint: str, key:
 
     def do_commit(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # no-data triggers (timing-dependent) must not commit churn
+            # versions: a version history of [data, empty, data] would make
+            # "pin version N" mean different tables run-to-run.
+            return
         if snapshot_versions(spark, target_path):
             merged = merge_upsert(read_snapshot(spark, target_path), batch_df, key)
         else:
