@@ -366,3 +366,38 @@ def dataset_card(docs: DataFrame, text: str = "text") -> DataFrame:
         F.expr("1000 * _short div n_docs").cast("long").alias("short_permille"),
         F.expr("1000 * _en div n_docs").cast("long").alias("en_permille"),
     )
+
+
+def shuffle_shards(
+    df: DataFrame, key: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle into fixed training shards — the
+    write-side step of corpus assembly (examples must reach the trainer in
+    a random-looking, rerun-stable order, pre-split into N shard files).
+
+    `shard` is the 60-bit md5 of the key mod n_shards (content-stable:
+    the same document lands in the same shard every run); `pos` is the
+    row's position within its shard when ordered by the md5 hex — i.e. a
+    content-keyed pseudo-random permutation, with the key itself as the
+    final tiebreaker so duplicate keys can't make the order
+    run-dependent. A downstream writer does `partitionBy("shard")` /
+    `sortWithinPartitions("pos")` and gets byte-stable shard files.
+
+    Cost: one hash shuffle on `shard` + a per-shard sort (the window's
+    row_number). At 100 TB you run this with n_shards in the tens of
+    thousands, so each shard is a few GB and the per-partition sort fits
+    in executor memory — there is deliberately NO total order across
+    shards (a global orderBy would be a range-partitioned full sort for
+    no training benefit).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    hx = F.md5(F.concat(F.col(key).cast("string"), F.lit(f"#shard{seed}")))
+    hv = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("_hx", key)
+    return (
+        df.withColumn("_hx", hx)
+        .withColumn("shard", F.pmod(hv, F.lit(n_shards)).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_hx")
+    )

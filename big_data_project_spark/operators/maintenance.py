@@ -645,3 +645,35 @@ def merge_quantile_sketches(
         )
         cols.append(name)
     return out.select(*cols)
+
+
+def skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Operability: join-key skew diagnostic — the report you run BEFORE
+    deciding whether a 100 TB join needs `salted_join` / AQE skew
+    handling. Returns the `top_k` heaviest keys with their row count,
+    corpus share in permille, and count-vs-average multiple in permille
+    (1000 = exactly average), heaviest first.
+
+    All derived columns are integer floor-division of exact longs, so the
+    report is engine-exact (no float share drift). Cost: one map-side-
+    combining count aggregate, a single-row total (broadcast back), and a
+    TakeOrderedAndProject for the top-k — no full sort, no window over
+    the whole key set."""
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("_total"),
+        F.count("*").cast("long").alias("_nkeys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 1000L div _total").alias("share_permille"),
+            F.expr("cnt * _nkeys * 1000L div _total").alias("x_avg_permille"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(top_k)
+    )

@@ -793,3 +793,59 @@ def mode_agg(df: DataFrame, group: str, value: str) -> DataFrame:
         ),
         F.max("_c").cast("long").alias("mode_count"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_s: int = 900,
+) -> DataFrame:
+    """J10: interval-overlap join (find every pair of intervals that
+    intersect) via bin bucketing — the scale-safe form of a time-range
+    theta join.
+
+    The naive formulation `l.join(r, (l.s <= r.e) & (r.s <= l.e))` has no
+    equi-key, so Spark can only run it as BroadcastNestedLoopJoin /
+    CartesianProduct — O(|L|·|R|) comparisons, hopeless when both sides are
+    fact-sized. Instead each interval is exploded into the `bin_s`-second
+    time bins it covers, the join becomes an EQUI-join on the bin, and the
+    exact overlap predicate filters within the bin. Cost is
+    O(rows · bins_per_interval + true_matches): linear, shuffle-hashable,
+    AQE-skew-splittable — this survives 100 TB where the nested loop
+    cannot. (Same trick as Databricks' range-join binning; built here from
+    plain sequence+explode so it runs on OSS Spark.)
+
+    A pair overlapping across several shared bins would duplicate, so the
+    match is kept only in the FIRST shared bin — `bin == greatest(l_bin0,
+    r_bin0)` — which both sides are guaranteed to cover; dedup costs a
+    per-row comparison instead of a distinct() shuffle.
+
+    `bin_s` tunes the explode factor vs bin selectivity: pick it near the
+    typical interval length so each row lands in O(1) bins. Intervals are
+    CLOSED on both ends ([s, e] overlaps [s', e'] iff s <= e' and
+    s' <= e); callers with half-open semantics subtract one second from
+    the end column. Column names must be disjoint across the two inputs.
+    """
+
+    def binned(df: DataFrame, s: str, e: str, b0: str) -> DataFrame:
+        start_bin = F.floor(F.unix_timestamp(F.col(s)) / F.lit(bin_s)).cast("long")
+        end_bin = F.floor(F.unix_timestamp(F.col(e)) / F.lit(bin_s)).cast("long")
+        return df.withColumn(b0, start_bin).withColumn(
+            "_bin", F.explode(F.sequence(F.col(b0), end_bin))
+        )
+
+    lb = binned(left, l_start, l_end, "_lbin0")
+    rb = binned(right, r_start, r_end, "_rbin0")
+    return (
+        lb.join(rb, "_bin")
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_bin") == F.greatest(F.col("_lbin0"), F.col("_rbin0")))
+        )
+        .drop("_bin", "_lbin0", "_rbin0")
+    )

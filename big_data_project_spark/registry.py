@@ -6806,6 +6806,120 @@ def j8_bloom_prune_join(spark, sf_dir):
 
 
 # ===========================================================================
+# Interval-overlap join, shard shuffle, skew report (round-3 closure)
+# ===========================================================================
+
+_J10_SQL = """
+    WITH li AS (
+      SELECT event_id,
+             date_trunc('second', ts) AS l_s,
+             date_trunc('second', ts) + INTERVAL (event_id % 600 + 60) SECOND AS l_e
+      FROM events),
+    ri AS (
+      SELECT event_id AS incident_id,
+             date_trunc('second', ts) - INTERVAL 600 SECOND AS r_s,
+             date_trunc('second', ts) + INTERVAL 600 SECOND AS r_e
+      FROM events WHERE event_id % 211 = 0)
+    SELECT li.event_id, ri.incident_id,
+           CAST(epoch(least(li.l_e, ri.r_e)) - epoch(greatest(li.l_s, ri.r_s))
+                AS BIGINT) AS overlap_s
+    FROM li JOIN ri ON li.l_s <= ri.r_e AND ri.r_s <= li.l_e
+"""
+
+
+@register("j10_interval_overlap", oracle=_J10_SQL)
+def j10_interval_overlap(spark, sf_dir):
+    """J10: interval-overlap join via bin bucketing — activity intervals
+    (each event open for 60–659 s, length keyed off event_id) matched
+    against ±10-minute incident windows around every 211th event. The
+    oracle is the plain theta join; the engine runs the binned EQUI-join
+    (relational.interval_overlap_join) — plan pinned nested-loop-free in
+    tests/test_plans.py. Endpoints are second-truncated on both sides so
+    the overlap arithmetic is integer-exact cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    left = ev.select(
+        "event_id",
+        F.timestamp_seconds(sec).alias("l_s"),
+        F.timestamp_seconds(sec + F.col("event_id") % 600 + 60).alias("l_e"),
+    )
+    right = ev.where(F.col("event_id") % 211 == 0).select(
+        F.col("event_id").alias("incident_id"),
+        F.timestamp_seconds(sec - 600).alias("r_s"),
+        F.timestamp_seconds(sec + 600).alias("r_e"),
+    )
+    j = relational.interval_overlap_join(
+        left, right, "l_s", "l_e", "r_s", "r_e", bin_s=900
+    )
+    return j.select(
+        "event_id",
+        "incident_id",
+        (
+            F.unix_timestamp(F.least("l_e", "r_e"))
+            - F.unix_timestamp(F.greatest("l_s", "r_s"))
+        )
+        .cast("long")
+        .alias("overlap_s"),
+    )
+
+
+# DuckDB mirror of curation.shuffle_shards' md5 shard hash (seed 3, 8
+# shards): same shift-accumulate hex decode as _cu_bucket, mod n_shards.
+_SHARD_HX = "md5(concat(CAST(doc_id AS VARCHAR), '#shard3'))"
+_SHARD_VAL = f"""CAST(list_sum(list_transform(range(1, 16), i ->
+  CAST(strpos('0123456789abcdef',
+              substr(substr({_SHARD_HX}, 1, 15), CAST(i AS INT), 1)) - 1 AS BIGINT)
+  * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT) % 8"""
+
+
+@register(
+    "cu_shuffle_shards",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_SHARD_VAL} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY {_SHARD_VAL}
+                                   ORDER BY {_SHARD_HX}, doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def cu_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into 8 training shards: content-hash
+    shard assignment + within-shard pseudo-random position — the
+    write-side ordering step of corpus assembly (curation.shuffle_shards).
+    Every (doc → shard, pos) pair is value-hashed against the DuckDB
+    mirror of the same md5 permutation."""
+    return curation.shuffle_shards(
+        _t(spark, sf_dir, "documents"), "doc_id", n_shards=8, seed=3
+    ).select("doc_id", "shard", "pos")
+
+
+@register(
+    "mt_skew_report",
+    oracle="""
+    WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
+               FROM lineitem GROUP BY l_suppkey),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nkeys FROM c)
+    SELECT key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000 // total AS BIGINT) AS share_permille,
+           CAST(cnt * nkeys * 1000 // total AS BIGINT) AS x_avg_permille
+    FROM c, t
+    ORDER BY cnt DESC, key
+    LIMIT 10
+    """,
+)
+def mt_skew_report(spark, sf_dir):
+    """Operability: the join-key skew diagnostic you run before deciding
+    whether a 100 TB join needs salting/AQE skew handling — top-10
+    heaviest lineitem supplier keys with integer-exact permille share and
+    multiple-of-average (maintenance.skew_report)."""
+    from big_data_project_spark.operators import maintenance
+
+    return maintenance.skew_report(
+        _t(spark, sf_dir, "lineitem").select("l_suppkey"), "l_suppkey", top_k=10
+    )
+
+
+# ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is
 # re-ordered value-first: every SURVEY §2 operator family is represented in

@@ -377,3 +377,27 @@ def test_bpe_vocab_single_shuffle(spark, sf_dir):
     groupBy may shuffle."""
     df = _df("tx_bpe_vocab", spark, sf_dir)
     assert plans.num_shuffles(df) <= 1, plans.physical_plan(df)
+
+
+def test_interval_overlap_join_is_nested_loop_free(spark, sf_dir):
+    """The binned interval join's whole point: an interval-vs-interval
+    theta join that compiles to a hash EQUI-join on the time bin, never
+    CartesianProduct / BroadcastNestedLoopJoin."""
+    df = _df("j10_interval_overlap", spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" in p  # and it's still an actual join
+
+
+def test_shuffle_shards_single_shuffle(spark, sf_dir):
+    """Shard assignment is map-side; only the per-shard position window
+    shuffles."""
+    df = _df("cu_shuffle_shards", spark, sf_dir)
+    assert plans.num_shuffles(df) <= 1, plans.physical_plan(df)
+
+
+def test_skew_report_is_takeordered_aggregate(spark, sf_dir):
+    """Top-k over the key counts must be a heap (TakeOrderedAndProject),
+    not a full sort of the distinct-key set."""
+    df = _df("mt_skew_report", spark, sf_dir)
+    assert plans.is_take_ordered(df), plans.physical_plan(df)

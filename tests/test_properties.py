@@ -1421,3 +1421,90 @@ def test_quantile_sketch_merge_associative_model(spark, rows):
     got = {(r.g, r.bin): r.n for r in merged.collect()}
     want = {(r.g, r.bin): r.n for r in single.collect()}
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.tuples(
+        st.lists(  # left: (start offset s, duration s)
+            st.tuples(
+                st.integers(min_value=0, max_value=5000),
+                st.integers(min_value=0, max_value=1200),
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        st.lists(  # right: same shape
+            st.tuples(
+                st.integers(min_value=0, max_value=5000),
+                st.integers(min_value=0, max_value=1200),
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        st.sampled_from([1, 7, 60, 900, 100000]),  # bin width must not matter
+    )
+)
+def test_interval_overlap_join_property_equals_theta(spark, data):
+    """The binned equi-join must return EXACTLY the naive theta join's
+    pairs for any interval sets and any bin width — the dedup-by-first-
+    shared-bin trick included (overlaps spanning many bins, zero-length
+    intervals, bins far larger than every interval)."""
+    from big_data_project_spark.operators import relational as rel
+
+    lrows, rrows, bin_s = data
+    base = 1_700_000_000  # arbitrary epoch anchor
+    mk = lambda rows, ids, s, e: spark.createDataFrame(  # noqa: E731
+        [(i, base + a, base + a + d) for i, (a, d) in enumerate(rows)],
+        f"{ids} long, _{s} long, _{e} long",
+    ).select(
+        ids,
+        F.timestamp_seconds(F.col(f"_{s}")).alias(s),
+        F.timestamp_seconds(F.col(f"_{e}")).alias(e),
+    )
+    left = mk(lrows, "lid", "l_s", "l_e")
+    right = mk(rrows, "rid", "r_s", "r_e")
+    got = {
+        (r.lid, r.rid)
+        for r in rel.interval_overlap_join(
+            left, right, "l_s", "l_e", "r_s", "r_e", bin_s=bin_s
+        ).collect()
+    }
+    expect = {
+        (li, ri)
+        for li, (la, ld) in enumerate(lrows)
+        for ri, (ra, rd) in enumerate(rrows)
+        if la <= ra + rd and ra <= la + ld
+    }
+    assert got == expect
+
+
+def test_shuffle_shards_positions_dense_and_partition_invariant(spark, sf_dir):
+    """Within every shard, pos must be exactly 1..n(shard) (dense ranks a
+    shard writer can sort on), and the full (doc → shard, pos) assignment
+    must not depend on the input's physical partitioning."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import curation
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    out = curation.shuffle_shards(docs, "doc_id", n_shards=8, seed=3)
+    rows = out.select("doc_id", "shard", "pos").collect()
+    assert len(rows) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {shard}"
+    re_run = {
+        (r.doc_id, r.shard, r.pos)
+        for r in curation.shuffle_shards(
+            docs.repartition(7), "doc_id", n_shards=8, seed=3
+        )
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    assert re_run == {(r.doc_id, r.shard, r.pos) for r in rows}
