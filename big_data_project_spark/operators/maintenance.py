@@ -677,3 +677,79 @@ def skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("key"))
         .limit(top_k)
     )
+
+
+def _cms_col(token: F.Column, row: F.Column, width: int) -> F.Column:
+    """Count-min cell column for one (token, hash-row) pair: the first 15
+    md5 hex digits of ``token#row`` decoded to a long (< 2^60, so never
+    negative), mod ``width``. md5 is the one keyed hash both engines (and
+    any future oracle) share bit-for-bit; per-row keying makes the depth
+    rows pairwise-independent enough for the CM guarantee."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(token, F.lit("#"), row.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(int(width))
+
+
+def cms_sketch(
+    df: DataFrame, token_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch partial over ``token_col``: at most depth·width
+    ``(row, col, n)`` cells regardless of corpus size — the frequency
+    cousin of ``distinct_sketches`` (HLL) and ``quantile_sketches``
+    (histogram). Store one tiny sketch per (day, source) at ingest and
+    answer "how often does token t occur?" later by ADDING sketches,
+    never rescanning 100 TB of text; estimates only ever OVERcount
+    (min over depth rows, error ≤ N·e/width with prob 1−e^−depth).
+
+    Plan: one generator (explode of a ``depth``-literal sequence), one
+    map-side-combining count aggregate onto ≤ depth·width cells. Shuffle
+    volume is the cell count, not the token count. Every cell value is a
+    long and the hash is md5-derived, so sketches are engine-exact and
+    safely persistable/mergeable across engines."""
+    t = df.select(F.col(token_col).cast("string").alias("tk")).where(
+        F.col("tk").isNotNull()
+    )
+    cells = t.select(
+        "tk",
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("row"),
+    )
+    return cells.groupBy(
+        "row", _cms_col(F.col("tk"), F.col("row"), width).alias("col")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+def merge_cms_sketches(sketches: DataFrame) -> DataFrame:
+    """Add count-min sketches cell-wise. Addition is associative and
+    commutative on longs, so the merge is order- and partition-free and
+    EQUALS the single-pass sketch over the unioned input (asserted in
+    tests) — the property that makes stored per-partition partials
+    trustworthy."""
+    return sketches.groupBy("row", "col").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, tokens: DataFrame, token_col: str,
+    depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``tokens``: recompute the
+    ``depth`` cells of each token and take the MIN joined count (0 for a
+    token whose cells are all absent — only possible when it never
+    occurred). ``depth``/``width`` must match the build. Cost: a
+    tokens×depth expansion equi-joined to a ≤ depth·width-row sketch —
+    AQE broadcasts the sketch side, so the query never shuffles the
+    token list."""
+    q = tokens.select(
+        F.col(token_col).cast("string").alias("tk"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("row"),
+    ).select("tk", "row", _cms_col(F.col("tk"), F.col("row"), width).alias("col"))
+    joined = q.join(sketch, ["row", "col"], "left").select(
+        "tk", F.coalesce("n", F.lit(0).cast("long")).alias("n")
+    )
+    return joined.groupBy("tk").agg(F.min("n").cast("long").alias("est_n"))

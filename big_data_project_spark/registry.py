@@ -6919,6 +6919,167 @@ def mt_skew_report(spark, sf_dir):
     )
 
 
+#: CMS cell for token ``tk`` under hash-row ``r`` — the DuckDB twin of
+#: maintenance._cms_col (first 15 md5 hex digits of ``tk#r`` → long % width).
+_CMS_CELL = (
+    "("
+    + _HEX_SEG.format(a=1, b=16).replace(
+        "hx", "md5(concat(tk, '#', CAST(r AS VARCHAR)))"
+    )
+    + ") % 512"
+)
+
+
+@register(
+    "mt_cms_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_DK_WORDS}) AS tk FROM documents),
+    cnt AS (SELECT tk, CAST(count(*) AS BIGINT) AS true_n FROM t GROUP BY tk),
+    top AS (SELECT * FROM cnt ORDER BY true_n DESC, tk LIMIT 20),
+    cells AS (SELECT tk, r, {_CMS_CELL} AS c
+              FROM t CROSS JOIN range(0, 4) AS rr(r)),
+    sk AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n
+           FROM cells GROUP BY r, c),
+    qc AS (SELECT top.tk, top.true_n, rr.r, {_CMS_CELL} AS c
+           FROM top CROSS JOIN range(0, 4) AS rr(r))
+    SELECT qc.tk AS token, qc.true_n,
+           CAST(min(sk.n) AS BIGINT) AS est_n
+    FROM qc JOIN sk ON qc.r = sk.r AND qc.c = sk.c
+    GROUP BY 1, 2
+    """,
+)
+def mt_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch frequency estimation — the bounded-state answer to
+    "how often does each token occur?" at 100 TB, completing the mergeable-
+    partial trio (HLL → distinct, histogram → quantiles, CMS → frequency).
+    Builds a 4×512-cell sketch over the document token stream (state is
+    depth·width longs REGARDLESS of corpus size; per-day partials add
+    cell-wise — merge ≡ single-pass is asserted in pytest), then point-
+    queries it for the 20 highest true-count tokens. Output pairs each
+    true count with its sketch estimate; the md5-derived cells make even
+    the collision-inflated estimates engine-exact, and CMS's one-sided
+    error (est ≥ true, gated in pytest) is visible in the hashed values."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    words = _t(spark, sf_dir, "documents").select(
+        F.explode(text.words_col("text")).alias("tk")
+    )
+    cnt = words.groupBy("tk").agg(F.count("*").cast("long").alias("true_n"))
+    top = cnt.orderBy(F.col("true_n").desc(), "tk").limit(20)
+    sk = mt.cms_sketch(words, "tk", depth=4, width=512)
+    est = mt.cms_estimate(sk, top.select("tk"), "tk", depth=4, width=512)
+    return top.join(est, "tk").select(
+        F.col("tk").alias("token"), "true_n", "est_n"
+    )
+
+
+#: identical text on both engines: Spark 4 and DuckDB both run this
+#: WITH RECURSIVE spine directly (year()/month() on timestamps, integer
+#: month index carried with its bound so the recursive member needs no
+#: subquery, float-free decomposition via whole-double floor division).
+_RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(min(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT)
+               AS lo,
+             CAST(max(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT)
+               AS hi
+      FROM orders
+    ),
+    spine(mi, hi) AS (
+      SELECT lo, hi FROM bounds
+      UNION ALL
+      SELECT mi + 1, hi FROM spine WHERE mi < hi
+    ),
+    rev AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS big_order_revenue,
+             CAST(count(*) AS BIGINT) AS n_big_orders
+      FROM orders
+      WHERE o_totalprice > 450000
+      GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+    )
+    SELECT CAST(floor((spine.mi - 1) / 12.0) AS BIGINT) AS yr,
+           CAST(spine.mi - 12 * floor((spine.mi - 1) / 12.0) AS BIGINT) AS mon,
+           CAST(coalesce(rev.n_big_orders, 0) AS BIGINT) AS n_big_orders,
+           coalesce(rev.big_order_revenue, 0.0) AS big_order_revenue
+    FROM spine LEFT JOIN rev ON spine.mi = rev.mi
+"""
+
+
+@register("q_recursive_spine", oracle=_RECURSIVE_SPINE_SQL)
+def q_recursive_spine(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497): generate a
+    gap-free month spine from the data's own [min, max] order-month bounds
+    by recursion, then left-join rare big-order revenue onto it so months
+    with NO qualifying orders surface as explicit zero rows — the classic
+    report shape a plain GROUP BY cannot produce (it has no row to group).
+    The recursion is driver-cheap (one row per month, UnionLoop over ~84
+    iterations, far under spark.sql.cteRecursionLevelLimit=100) while the
+    revenue side stays a full distributed aggregate; the oracle is the
+    IDENTICAL SQL text run by DuckDB. Integer month index is carried with
+    its bound so the recursive member needs no subquery; year/month are
+    decomposed float-free (whole doubles under floor)."""
+    io.register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+@register(
+    "p15_variant_json",
+    oracle="""
+    WITH j AS (
+      SELECT e_order AS o_orderkey,
+             to_json(struct_pack(
+               status := o_orderstatus,
+               price := o_totalprice,
+               tags := [o_orderpriority, o_orderstatus])) AS js
+      FROM (SELECT o_orderkey AS e_order, o_orderstatus, o_totalprice,
+                   o_orderpriority FROM orders)
+    )
+    SELECT o_orderkey,
+           json_extract_string(js, '$.status') AS status,
+           CAST(json_extract(js, '$.price') AS DOUBLE) AS price,
+           json_extract_string(js, '$.tags[0]') AS first_tag,
+           CAST(json_array_length(json_extract(js, '$.tags')) AS BIGINT)
+             AS n_tags
+    FROM j
+    """,
+)
+def p15_variant_json(spark, sf_dir):
+    """VARIANT semi-structured surface (Spark 4's open-format binary JSON):
+    parse_json → typed variant_get path extraction, including array
+    indexing and cardinality. VARIANT is the scale path for ragged JSON —
+    the binary encoding is shredded/predicate-pushable, unlike string
+    blobs re-parsed per access (and unlike get_json_object's per-call
+    string scan, the parse happens ONCE). The JSON is constructed from
+    relational columns on each engine independently (to_json here,
+    struct_pack in DuckDB — serialization text never compared), then the
+    oracle checks the EXTRACTED typed values, which is the semantics that
+    matters. Complements p7_json_extract (string-path surface) with the
+    typed-variant surface."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_totalprice").alias("price"),
+                    F.array("o_orderpriority", "o_orderstatus").alias("tags"),
+                )
+            )
+        ).alias("v"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.expr("variant_get(v, '$.status', 'string')").alias("status"),
+        F.expr("variant_get(v, '$.price', 'double')").alias("price"),
+        F.expr("variant_get(v, '$.tags[0]', 'string')").alias("first_tag"),
+        F.expr(
+            "CAST(array_size(variant_get(v, '$.tags', 'array<string>')) AS BIGINT)"
+        ).alias("n_tags"),
+    )
+
+
 # ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is

@@ -577,3 +577,64 @@ def test_quantile_sketch_clamps_out_of_range(spark):
     rows = {(r.bin): r.n for r in mt.quantile_sketches(df, ["g"], "v", 0.0, 100.0, 10).collect()}
     # -50 clamps to bin 0 (with 50.0 → bin 5), 999999 clamps to bin 9, null dropped
     assert rows == {0: 1, 5: 1, 9: 1}, rows
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (frequency partials)
+# ---------------------------------------------------------------------------
+
+def test_cms_merge_equals_single_pass(spark, sf_dir):
+    """Sharded sketches added cell-wise must equal the whole-corpus sketch —
+    the property that makes stored per-partition CMS partials trustworthy."""
+    words = (
+        io.load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != ""))
+            .alias("tk"),
+        )
+    )
+    left = words.where(F.crc32("tk") % 2 == 0)
+    right = words.where(F.crc32("tk") % 2 == 1)
+    merged = mt.merge_cms_sketches(
+        mt.cms_sketch(left, "tk", 4, 256).unionByName(
+            mt.cms_sketch(right, "tk", 4, 256)
+        )
+    )
+    single = mt.cms_sketch(words, "tk", 4, 256)
+    got = {(r.row, r.col): r.n for r in merged.collect()}
+    want = {(r.row, r.col): r.n for r in single.collect()}
+    assert got == want
+
+
+def test_cms_estimate_never_undercounts(spark, sf_dir):
+    """CMS's one-sided guarantee: the min-over-rows estimate can only
+    OVERcount (collisions add), never undercount — for EVERY distinct
+    token, even at a deliberately tiny width where collisions are rampant."""
+    words = (
+        io.load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != ""))
+            .alias("tk"),
+        )
+    )
+    true_counts = words.groupBy("tk").agg(F.count("*").cast("long").alias("true_n"))
+    sk = mt.cms_sketch(words, "tk", 3, 64)
+    est = mt.cms_estimate(sk, true_counts.select("tk"), "tk", 3, 64)
+    joined = true_counts.join(est, "tk")
+    assert joined.where(F.col("est_n") < F.col("true_n")).count() == 0
+    # and at an ample width, the top token estimates are exact-ish: the
+    # heaviest token's estimate equals min over 3 cells that at least
+    # contain it, so est >= true always; sanity that estimates are finite
+    assert joined.count() == true_counts.count()
+
+
+def test_cms_estimate_unseen_token_is_zero(spark):
+    """A token that never occurred estimates 0 only if all its cells are
+    empty; with a tiny corpus that's guaranteed, and the left-join/coalesce
+    path (absent cells -> 0) is what this pins."""
+    df = spark.createDataFrame([("alpha",), ("alpha",), ("beta",)], "tk string")
+    sk = mt.cms_sketch(df, "tk", 4, 4096)
+    probe = spark.createDataFrame([("alpha",), ("never-seen-token",)], "tk string")
+    got = {r.tk: r.est_n for r in mt.cms_estimate(sk, probe, "tk", 4, 4096).collect()}
+    assert got["alpha"] >= 2
+    assert got["never-seen-token"] == 0
