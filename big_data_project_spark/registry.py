@@ -2410,13 +2410,14 @@ def pl_sec_real_data(spark, sf_dir):
     return sec.extract_metadata(sec.clean(sec.ingest(spark, path)))
 
 
-@register(
-    "pl_social_real_data",
-    # Full hash-matched oracle: DuckDB reads the same three JSON-lines feeds.
-    # The doc_id mirror re-implements Spark's conv(substr(md5(url),1,15),16,10)
-    # as a shift-accumulate over the 15 hex digits (60 bits < int64; no
-    # float power — 16^14 exceeds double's 2^53 integer range).
-    oracle=r"""
+# Full hash-matched oracle for the social/news documents table: DuckDB reads
+# the same three JSON-lines feeds. The doc_id mirror re-implements Spark's
+# conv(substr(md5(url),1,15),16,10) as a shift-accumulate over the 15 hex
+# digits (60 bits < int64; no float power — 16^14 exceeds double's 2^53
+# integer range). Shared by pl_social_real_data (file-reader ingestion) and
+# s5_s6_connector_feeds (Python Data Source ingestion): one oracle, two
+# ingestion paths that must land identically.
+_SOCIAL_DOCS_ORACLE = r"""
     WITH cnbc_raw AS (
       SELECT * FROM read_json('/root/reference/CNBC_financial_news_1.json',
           format='newline_delimited',
@@ -2458,7 +2459,12 @@ def pl_sec_real_data(spark, sf_dir):
            url, ts, text, source,
            CAST(length(text) AS BIGINT) AS n_chars
     FROM withhash
-    """,
+    """
+
+
+@register(
+    "pl_social_real_data",
+    oracle=_SOCIAL_DOCS_ORACLE,
     note=(
         "runs pipelines.social on the reference's CNBC (20+19 docs) and "
         "reddit (500 posts) JSON feeds; goldens in tests/test_pipelines.py"
@@ -2484,6 +2490,66 @@ def pl_social_real_data(spark, sf_dir):
     return social.unify(
         social.load_cnbc(spark, *cnbc), social.load_reddit(spark, reddit)
     )
+
+
+@register(
+    "s5_s6_connector_feeds",
+    oracle=_SOCIAL_DOCS_ORACLE,
+    note=(
+        "same oracle as pl_social_real_data, but ingested through the "
+        "Python Data Source connectors instead of the file readers"
+    ),
+)
+def s5_s6_connector_feeds(spark, sf_dir):
+    """S5/S6 as REGISTERED SPARK SOURCES (Python Data Source API):
+    ``spark.read.format('cnbc_articles')`` / ``format('reddit_posts')`` in
+    fixture mode over the reference's own feed files, normalized by the
+    same pipelines.social stages — hash-identical to the file-reader
+    pipeline under the shared oracle. The live mode of the same readers
+    fans per-article fetches across executors (sources/connectors.py),
+    replacing the reference's driver-side fetch loop (py:10-31,
+    py:99-122)."""
+    import os
+
+    from big_data_project_spark.pipelines import social
+    from big_data_project_spark.sources import register_connectors
+
+    cnbc = [
+        f"{_REF_DIR}/CNBC_financial_news_1.json",
+        f"{_REF_DIR}/CNBC_financial_articles_2.json",
+    ]
+    reddit = f"{_REF_DIR}/reddit_posts.json"
+    if not all(os.path.exists(p) for p in cnbc + [reddit]):
+        # pragma: no cover - reference always present in this environment
+        raise FileNotFoundError("reference data not found")
+    register_connectors(spark)
+    cn = (
+        spark.read.format("cnbc_articles")
+        .option("path", ",".join(cnbc))
+        .load()
+        .select(
+            "url",
+            "title",
+            F.try_to_timestamp(F.col("date"), F.lit("yyyy-MM-dd HH:mm:ss")).alias(
+                "ts"
+            ),
+            F.col("content").alias("body"),
+            F.lit("cnbc").alias("source"),
+        )
+    )
+    rd = (
+        spark.read.format("reddit_posts")
+        .option("path", reddit)
+        .load()
+        .select(
+            F.col("URL").alias("url"),
+            F.col("Title").alias("title"),
+            social.parse_post_time("Post_Time").alias("ts"),
+            F.lit(None).cast("string").alias("body"),
+            F.lit("reddit").alias("source"),
+        )
+    )
+    return social.unify(cn, rd)
 
 
 _Q18_SQL = """

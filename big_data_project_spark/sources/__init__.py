@@ -3,12 +3,14 @@
 The file-format readers/writers (S1–S4, S7–S9) live in
 ``big_data_project_spark.io`` and are re-exported here. S5/S6 — the
 reference's HTTP scrape (py:10-31) and Reddit/PRAW (py:99-122) fetchers —
-are *external* connectors: network fetch happens outside the engine core
-and lands as JSON-lines; the engine-side contract is the in-memory /
-JSON-lines source plus the normalization pipelines
-(``pipelines.social``). ``fetch_*`` stubs document that seam and raise
-when the optional client libraries are absent, keeping the core free of
-network dependencies."""
+are first-class Spark 4 Python Data Sources in
+``big_data_project_spark.sources.connectors``:
+``spark.read.format("cnbc_articles")`` / ``format("reddit_posts")`` (the
+latter also streams). Each has a deterministic local-fixture mode (tested
+here) and a stdlib-urllib live mode (real code; needs network). The
+``fetch_*`` helpers below are thin driver-side conveniences over the same
+modes for parity with the reference's function surface (py:10-31,
+py:99-122)."""
 
 from __future__ import annotations
 
@@ -24,23 +26,32 @@ from big_data_project_spark.io import (  # noqa: F401
     write_json,
     write_parquet,
 )
+from big_data_project_spark.sources.connectors import (  # noqa: F401
+    CnbcArticlesDataSource,
+    RedditPostsDataSource,
+    register_connectors,
+)
 
 
-def fetch_cnbc_articles(index_url: str, prefix: str):  # pragma: no cover
-    """S5 (py:10-31): scrape article links + bodies. Requires requests/bs4/
-    newspaper3k — not part of the engine core. Returns list[dict] shaped
-    like pipelines.social.CNBC_SCHEMA."""
-    raise NotImplementedError(
-        "network connector: run outside the engine and feed the JSON-lines "
-        "contract (pipelines.social.load_cnbc)"
-    )
+def fetch_cnbc_articles(index_url: str, prefix: str = ""):  # pragma: no cover
+    """S5 (py:10-31) driver-side convenience: scrape index links + article
+    bodies over stdlib urllib, returning list[tuple] shaped like
+    pipelines.social.CNBC_SCHEMA. The distributed form is
+    ``spark.read.format("cnbc_articles").option("index_url", ...)``, which
+    fans the per-article fetches across executors — prefer it."""
+    from big_data_project_spark.sources import connectors as c
+
+    reader = c._CnbcReader({"index_url": index_url, "prefix": prefix})
+    return [row for p in reader.partitions() for row in reader.read(p)]
 
 
 def fetch_reddit_posts(subreddit: str, limit: int = 500):  # pragma: no cover
-    """S6 (py:99-122): PRAW .new(limit) projection. Requires praw +
-    credentials. Returns list[dict] shaped like
-    pipelines.social.REDDIT_SCHEMA."""
-    raise NotImplementedError(
-        "network connector: run outside the engine and feed the JSON-lines "
-        "contract (pipelines.social.load_reddit)"
-    )
+    """S6 (py:99-122) driver-side convenience: the public /new.json listing
+    projected to pipelines.social.REDDIT_SCHEMA order (no PRAW or
+    credentials needed). The source form is
+    ``spark.read.format("reddit_posts").option("subreddit", ...)``; the
+    streaming poll is ``spark.readStream.format("reddit_posts")``."""
+    from big_data_project_spark.sources import connectors as c
+
+    rows, _ = c._reddit_listing_rows(subreddit, limit)
+    return rows

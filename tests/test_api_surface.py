@@ -106,10 +106,15 @@ def test_davg_is_decimal_exact(spark):
     assert got == 0.6 / 3
 
 
-def test_connector_seams_raise():
+def test_connector_helpers_fail_loudly_offline():
+    """The live-fetch helpers are real stdlib-urllib code now (not raising
+    seams); in this offline container they must surface the network error
+    untouched — never fabricate rows."""
+    from urllib.error import URLError
+
     from big_data_project_spark import sources
 
-    with pytest.raises(NotImplementedError):
-        sources.fetch_cnbc_articles("https://example.com", "prefix")
-    with pytest.raises(NotImplementedError):
-        sources.fetch_reddit_posts("stocks")
+    with pytest.raises((URLError, OSError, ValueError)):
+        sources.fetch_cnbc_articles("https://localhost:1/index", "prefix")
+    with pytest.raises((URLError, OSError, ValueError)):
+        sources.fetch_reddit_posts("stocks", limit=5)
