@@ -56,10 +56,10 @@ def parse_post_time(col: str) -> F.Column:
     )
 
 
-def load_cnbc(spark: SparkSession, *paths: str) -> DataFrame:
-    """S2+C4 (py:334-338): read each JSON-lines file, union by name."""
-    dfs = [io.read_json(spark, p, schema=CNBC_SCHEMA) for p in paths]
-    df = cleaning.union_by_name(*dfs)
+def normalize_cnbc(df: DataFrame) -> DataFrame:
+    """CNBC_SCHEMA-shaped rows → the unified feed projection. ONE copy of
+    the normalization, whatever the ingestion path (file reader, in-memory
+    rows, or the ``cnbc_articles`` Data Source)."""
     return df.select(
         F.col("url"),
         F.col("title"),
@@ -72,9 +72,9 @@ def load_cnbc(spark: SparkSession, *paths: str) -> DataFrame:
     )
 
 
-def load_reddit(spark: SparkSession, path: str) -> DataFrame:
-    """S6-contract (py:151-165): normalize the PRAW projection."""
-    df = io.read_json(spark, path, schema=REDDIT_SCHEMA)
+def normalize_reddit(df: DataFrame) -> DataFrame:
+    """REDDIT_SCHEMA-shaped rows → the unified feed projection (single
+    copy, any ingestion path)."""
     return df.select(
         F.col("URL").alias("url"),
         F.col("Title").alias("title"),
@@ -82,6 +82,17 @@ def load_reddit(spark: SparkSession, path: str) -> DataFrame:
         F.lit(None).cast("string").alias("body"),
         F.lit("reddit").alias("source"),
     )
+
+
+def load_cnbc(spark: SparkSession, *paths: str) -> DataFrame:
+    """S2+C4 (py:334-338): read each JSON-lines file, union by name."""
+    dfs = [io.read_json(spark, p, schema=CNBC_SCHEMA) for p in paths]
+    return normalize_cnbc(cleaning.union_by_name(*dfs))
+
+
+def load_reddit(spark: SparkSession, path: str) -> DataFrame:
+    """S6-contract (py:151-165): normalize the PRAW projection."""
+    return normalize_reddit(io.read_json(spark, path, schema=REDDIT_SCHEMA))
 
 
 def unify(*feeds: DataFrame) -> DataFrame:

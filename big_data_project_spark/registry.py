@@ -2523,31 +2523,11 @@ def s5_s6_connector_feeds(spark, sf_dir):
         # pragma: no cover - reference always present in this environment
         raise FileNotFoundError("reference data not found")
     register_connectors(spark)
-    cn = (
-        spark.read.format("cnbc_articles")
-        .option("path", ",".join(cnbc))
-        .load()
-        .select(
-            "url",
-            "title",
-            F.try_to_timestamp(F.col("date"), F.lit("yyyy-MM-dd HH:mm:ss")).alias(
-                "ts"
-            ),
-            F.col("content").alias("body"),
-            F.lit("cnbc").alias("source"),
-        )
+    cn = social.normalize_cnbc(
+        spark.read.format("cnbc_articles").option("path", ",".join(cnbc)).load()
     )
-    rd = (
-        spark.read.format("reddit_posts")
-        .option("path", reddit)
-        .load()
-        .select(
-            F.col("URL").alias("url"),
-            F.col("Title").alias("title"),
-            social.parse_post_time("Post_Time").alias("ts"),
-            F.lit(None).cast("string").alias("body"),
-            F.lit("reddit").alias("source"),
-        )
+    rd = social.normalize_reddit(
+        spark.read.format("reddit_posts").option("path", reddit).load()
     )
     return social.unify(cn, rd)
 

@@ -45,13 +45,17 @@ def fetch_cnbc_articles(index_url: str, prefix: str = ""):  # pragma: no cover
     return [row for p in reader.partitions() for row in reader.read(p)]
 
 
-def fetch_reddit_posts(subreddit: str, limit: int = 500):  # pragma: no cover
+def fetch_reddit_posts(
+    subreddit: str, limit: int = 500, base_url: str | None = None
+):  # pragma: no cover
     """S6 (py:99-122) driver-side convenience: the public /new.json listing
-    projected to pipelines.social.REDDIT_SCHEMA order (no PRAW or
-    credentials needed). The source form is
+    (paged with ``after`` cursors until ``limit`` rows, like PRAW's
+    .new(limit)) projected to pipelines.social.REDDIT_SCHEMA order — no
+    PRAW or credentials needed. The source form is
     ``spark.read.format("reddit_posts").option("subreddit", ...)``; the
-    streaming poll is ``spark.readStream.format("reddit_posts")``."""
+    streaming poll is ``spark.readStream.format("reddit_posts")``.
+    ``base_url`` is injectable so offline tests can point at an
+    unroutable endpoint."""
     from big_data_project_spark.sources import connectors as c
 
-    rows, _ = c._reddit_listing_rows(subreddit, limit)
-    return rows
+    return c._reddit_listing_rows(subreddit, limit, base_url or c._REDDIT_BASE)

@@ -16,25 +16,40 @@ Two modes per source, chosen by the options given:
   exercise, one input partition per file.
 - ``index_url`` / ``subreddit`` — live fetch over stdlib ``urllib`` (no
   requests/bs4/PRAW dependency): CNBC scrapes index-page hrefs by regex
-  and fans article fetches out over ``fanout`` partitions; Reddit reads
-  the public ``/r/<sub>/new.json`` listing. Real code, but unverifiable
-  in this offline container — fixtures carry the test coverage.
+  and fans article fetches out over ``fanout`` partitions; Reddit pages
+  the public ``/r/<sub>/new.json`` listing with ``after`` cursors until
+  ``limit`` rows are gathered (py:99-122 asked PRAW for .new(limit=500);
+  one listing call caps at 100, so parity requires the pagination loop).
+  Real code, but unverifiable in this offline container — fixtures carry
+  the test coverage. ``base_url`` is injectable for exactly that reason.
 
 ``reddit_posts`` additionally implements ``simpleStreamReader``: the
 polling micro-batch shape (``spark.readStream.format("reddit_posts")``).
 Offsets are line positions in fixture mode and the newest-seen ``name``
-fullname in live mode, so each post is emitted exactly once. A feed poll
-is inherently a small driver-side action; the partitioned batch reader is
-the scale path for backfills.
+fullname in live mode. Fixture delivery is exactly-once: ``read(start)``
+and ``readBetweenOffsets`` are pure functions of the offsets, so both
+normal prefetch and checkpoint-restart replay re-emit identical rows.
+Live polling walks the listing BACK to the previous anchor (``after``
+cursors) before advancing it, so a burst larger than one page is not
+skipped; replay after a crash re-queries the feed, which is faithful up
+to feed retention/deletions — document as effectively-once, the honest
+ceiling for a remote feed that cannot be snapshotted.
+
+Fullname ordering note: reddit ids are base36 with GROWING length over the
+site's lifetime, so plain string comparison mis-orders across a length
+rollover ('t3_zzzzzz' vs 't3_100000a'); every comparison here goes through
+``_fullname_key`` ((length, text) — equivalent to numeric base36 for
+same-prefix fullnames).
 
 Output schemas intentionally equal ``pipelines.social.CNBC_SCHEMA`` /
-``REDDIT_SCHEMA``, so ``pipelines.social.unify`` consumes either mode
-unchanged (oracle-checked end-to-end by the ``s5_s6_connector_feeds``
-registry entry).
+``REDDIT_SCHEMA``, so ``pipelines.social.normalize_cnbc/normalize_reddit``
+consume either mode unchanged (oracle-checked end-to-end by the
+``s5_s6_connector_feeds`` registry entry).
 """
 
 from __future__ import annotations
 
+import itertools
 import json
 import re
 
@@ -53,6 +68,8 @@ REDDIT_DDL = (
 _HREF_RE = re.compile(r'href="([^"]+)"')
 _TAG_STRIP_RE = re.compile(r"<[^>]*>")
 _UA = {"User-Agent": "big-data-project-spark/1.0"}
+_REDDIT_BASE = "https://www.reddit.com"
+_PAGE_MAX = 100  # listing API hard page cap
 
 
 def _fetch_url(url: str, timeout: int = 20) -> str:
@@ -65,6 +82,17 @@ def _fetch_url(url: str, timeout: int = 20) -> str:
         return resp.read().decode("utf-8", errors="replace")
 
 
+def _int_or_none(x):
+    """read_json-parity coercion: '12', 12.0, '12.5' → 12; junk → None —
+    a loose fixture value must degrade to NULL, never kill the task."""
+    if x is None:
+        return None
+    try:
+        return int(float(x))
+    except (TypeError, ValueError):
+        return None
+
+
 def _read_json_lines(path: str, fields: list[str]):
     """One fixture file → tuples in schema order. Blank lines skipped;
     missing keys become NULL (the same tolerance io.read_json gives)."""
@@ -75,6 +103,105 @@ def _read_json_lines(path: str, fields: list[str]):
                 continue
             rec = json.loads(line)
             yield tuple(rec.get(f) for f in fields)
+
+
+_REDDIT_FIELDS = ["Title", "URL", "Upvotes", "Comments_Count", "Post_Time"]
+
+
+def _reddit_fixture_rows(paths: list[str]):
+    """ONE copy of the fixture projection (batch reader and stream reader
+    both go through it, so their rows cannot drift)."""
+    for p in paths:
+        for t in _read_json_lines(p, _REDDIT_FIELDS):
+            yield (t[0], t[1], _int_or_none(t[2]), _int_or_none(t[3]), t[4])
+
+
+def _fullname_key(name: str | None):
+    """Total order for reddit fullnames that survives base36 id-length
+    rollovers: longer id = newer, then lexicographic. None sorts first."""
+    return (0, 0, "") if not name else (1, len(name), name)
+
+
+def _row_from_listing_child(d: dict):
+    """PRAW projection the reference takes (py:110-122): title, url, score,
+    num_comments, created time rendered '%Y-%m-%d %H:%M:%S'."""
+    from datetime import datetime, timezone
+
+    ts = datetime.fromtimestamp(
+        float(d.get("created_utc", 0)), tz=timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    return (
+        d.get("title"),
+        d.get("url"),
+        _int_or_none(d.get("score")),
+        _int_or_none(d.get("num_comments")),
+        ts,
+    )
+
+
+def _reddit_listing_page(sub: str, base_url: str, count: int, after: str | None):
+    """One /new.json page → (children-dicts in feed order, next-after)."""
+    url = f"{base_url}/r/{sub}/new.json?limit={min(int(count), _PAGE_MAX)}"
+    if after:
+        url += f"&after={after}"
+    listing = json.loads(_fetch_url(url))
+    data = listing.get("data", {})
+    return [c.get("data", {}) for c in data.get("children", [])], data.get("after")
+
+
+def _reddit_listing_rows(sub: str, limit: int, base_url: str = _REDDIT_BASE):
+    """Newest ``limit`` posts, paging OLDER with ``after`` cursors until
+    filled (a single listing call caps at 100 — the reference's PRAW
+    .new(limit=500) pages internally; this is that loop)."""
+    rows, after = [], None
+    while len(rows) < int(limit):
+        children, after = _reddit_listing_page(
+            sub, base_url, int(limit) - len(rows), after
+        )
+        if not children:
+            break
+        rows.extend(_row_from_listing_child(d) for d in children)
+        if after is None:
+            break
+    return rows[: int(limit)]
+
+
+def _reddit_new_since(
+    sub: str,
+    anchor: str | None,
+    base_url: str = _REDDIT_BASE,
+    max_pages: int = 10,
+    upper: str | None = None,
+):
+    """Every post strictly newer than ``anchor`` (a fullname), walking the
+    listing OLDER page by page until the anchor is reached — so a burst
+    larger than one page is collected, not skipped. ``upper`` (inclusive)
+    drops posts newer than it — the restart-replay window (anchor, upper].
+    Returns (rows_newest_first, newest_fullname_or_anchor). ``max_pages``
+    bounds a cold anchor (deleted/very old): the poll degrades to the
+    newest max_pages·100 posts rather than paging the whole subreddit
+    history."""
+    anchor_key = _fullname_key(anchor)
+    upper_key = _fullname_key(upper) if upper else None
+    rows, newest, after = [], anchor, None
+    for _ in range(max_pages):
+        children, after = _reddit_listing_page(sub, base_url, _PAGE_MAX, after)
+        if not children:
+            break
+        done = False
+        for d in children:
+            name = d.get("name")
+            if _fullname_key(name) <= anchor_key:
+                done = True
+                break
+            if upper_key is not None and _fullname_key(name) > upper_key:
+                continue
+            rows.append(_row_from_listing_child(d))
+            if _fullname_key(name) > _fullname_key(newest):
+                newest = name
+        if done or after is None:
+            break
+    return rows, newest
 
 
 class _FilePartition(InputPartition):
@@ -149,111 +276,88 @@ class CnbcArticlesDataSource(DataSource):
         return _CnbcReader(self.options)
 
 
-def _reddit_listing_rows(sub: str, limit: int, after: str | None = None):
-    """Public ``/new.json`` listing → (rows_in_feed_order, newest_fullname).
-    The PRAW projection the reference takes (py:110-122): title, url,
-    score, num_comments, created time rendered '%Y-%m-%d %H:%M:%S'."""
-    from datetime import datetime, timezone
-
-    url = f"https://www.reddit.com/r/{sub}/new.json?limit={min(int(limit), 100)}"
-    if after:
-        url += f"&before={after}"  # reddit 'before' = newer-than fullname
-    listing = json.loads(_fetch_url(url))
-    rows, newest = [], after
-    for child in listing.get("data", {}).get("children", []):
-        d = child.get("data", {})
-        ts = datetime.fromtimestamp(
-            float(d.get("created_utc", 0)), tz=timezone.utc
-        ).strftime("%Y-%m-%d %H:%M:%S")
-        rows.append(
-            (
-                d.get("title"),
-                d.get("url"),
-                int(d.get("score", 0)),
-                int(d.get("num_comments", 0)),
-                ts,
-            )
-        )
-        if newest is None or child.get("data", {}).get("name", "") > (newest or ""):
-            newest = d.get("name")
-    return rows, newest
-
-
 class _RedditReader(DataSourceReader):
     def __init__(self, options):
         self.paths = [p for p in (options.get("path") or "").split(",") if p]
         self.subreddit = options.get("subreddit")
         self.limit = int(options.get("limit") or 500)
+        self.base_url = options.get("base_url") or _REDDIT_BASE
         if not self.paths and not self.subreddit:
             raise ValueError("reddit_posts: give path=... or subreddit=...")
 
     def partitions(self):
         if self.paths:
             return [_FilePartition(p) for p in self.paths]
-        # one listing call = one partition; a poll is small by nature
+        # one paged listing walk = one partition; a poll is small by nature
         return [_LinksPartition([self.subreddit])]
 
     def read(self, partition):
-        fields = ["Title", "URL", "Upvotes", "Comments_Count", "Post_Time"]
         if isinstance(partition, _FilePartition):
-            for t in _read_json_lines(partition.path, fields):
-                # ints may arrive as JSON floats/strings in loose fixtures
-                yield (
-                    t[0],
-                    t[1],
-                    None if t[2] is None else int(t[2]),
-                    None if t[3] is None else int(t[3]),
-                    t[4],
-                )
+            yield from _reddit_fixture_rows([partition.path])
             return
-        rows, _ = _reddit_listing_rows(partition.links[0], self.limit)
-        yield from rows
+        yield from _reddit_listing_rows(
+            partition.links[0], self.limit, self.base_url
+        )
 
 
 class _RedditStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch polling. Fixture mode: the offset is the line count
-    consumed, ``batch_size`` lines per trigger — deterministic and
-    replayable (read(start) re-reads from a line offset, so a failed batch
-    re-emits identical rows: exactly-once into any idempotent sink). Live
-    mode: the offset is the newest fullname seen; each poll asks for
-    strictly newer posts."""
+    consumed, ``batch_size`` lines per trigger; ``read(start)`` and
+    ``readBetweenOffsets`` are pure functions of the offsets (islice over
+    the fixture), so prefetch AND checkpoint-restart replay emit identical
+    rows — exactly-once into any idempotent sink. Live mode: the offset is
+    the newest fullname seen; each poll walks the listing back to the
+    previous anchor so bursts larger than a page are not lost, and restart
+    replay re-queries the feed window (start, end] — faithful up to feed
+    retention, i.e. effectively-once."""
 
     def __init__(self, options):
         self.paths = [p for p in (options.get("path") or "").split(",") if p]
         self.subreddit = options.get("subreddit")
-        self.limit = int(options.get("limit") or 100)
         self.batch_size = int(options.get("batch_size") or 100)
+        self.max_pages = int(options.get("max_pages") or 10)
+        self.base_url = options.get("base_url") or _REDDIT_BASE
         if not self.paths and not self.subreddit:
             raise ValueError("reddit_posts stream: give path=... or subreddit=...")
 
     def initialOffset(self):
         return {"line": 0, "name": ""}
 
-    def _fixture_rows(self):
-        fields = ["Title", "URL", "Upvotes", "Comments_Count", "Post_Time"]
-        for p in self.paths:
-            for t in _read_json_lines(p, fields):
-                yield (
-                    t[0],
-                    t[1],
-                    None if t[2] is None else int(t[2]),
-                    None if t[3] is None else int(t[3]),
-                    t[4],
-                )
-
     def read(self, start):
         if self.paths:
             lo = int(start.get("line", 0))
-            rows = [
-                r
-                for i, r in enumerate(self._fixture_rows())
-                if lo <= i < lo + self.batch_size
-            ]
+            rows = list(
+                itertools.islice(
+                    _reddit_fixture_rows(self.paths), lo, lo + self.batch_size
+                )
+            )
             return iter(rows), {"line": lo + len(rows), "name": ""}
-        rows, newest = _reddit_listing_rows(
-            self.subreddit, self.limit, after=start.get("name") or None
+        rows, newest = _reddit_new_since(
+            self.subreddit,
+            start.get("name") or None,
+            self.base_url,
+            self.max_pages,
         )
         return iter(rows), {"line": 0, "name": newest or start.get("name", "")}
+
+    def readBetweenOffsets(self, start, end):
+        """Restart-recovery replay of a planned-but-uncommitted batch:
+        re-read exactly the (start, end] window. Pure over the fixture;
+        best-effort re-query of the live feed (posts deleted between plan
+        and replay are gone — the remote-feed ceiling)."""
+        if self.paths:
+            lo, hi = int(start.get("line", 0)), int(end.get("line", 0))
+            return iter(
+                list(itertools.islice(_reddit_fixture_rows(self.paths), lo, hi))
+            )
+        rows, _ = _reddit_new_since(
+            self.subreddit,
+            start.get("name") or None,
+            self.base_url,
+            self.max_pages,
+            upper=end.get("name") or None,
+        )
+        return iter(rows)
 
     def commit(self, end):
         pass

@@ -116,5 +116,7 @@ def test_connector_helpers_fail_loudly_offline():
 
     with pytest.raises((URLError, OSError, ValueError)):
         sources.fetch_cnbc_articles("https://localhost:1/index", "prefix")
+    # base_url injected as unroutable so the test is environment-independent
+    # (a networked host must not silently reach the real feed here)
     with pytest.raises((URLError, OSError, ValueError)):
-        sources.fetch_reddit_posts("stocks", limit=5)
+        sources.fetch_reddit_posts("stocks", limit=5, base_url="https://localhost:1")

@@ -6,7 +6,6 @@ from __future__ import annotations
 import json
 
 import pytest
-from pyspark.sql import functions as F
 
 from big_data_project_spark import io
 from big_data_project_spark.pipelines import social
@@ -56,23 +55,11 @@ def test_connector_feeds_unify_equals_file_pipeline(spark):
     (same doc_ids, same text) — a user can swap the ingestion path without
     touching anything downstream."""
     register_connectors(spark)
-    cn = spark.read.format("cnbc_articles").option(
-        "path", f"{CNBC_1},{CNBC_2}"
-    ).load()
-    cn = cn.select(
-        "url",
-        "title",
-        F.try_to_timestamp(F.col("date"), F.lit("yyyy-MM-dd HH:mm:ss")).alias("ts"),
-        F.col("content").alias("body"),
-        F.lit("cnbc").alias("source"),
+    cn = social.normalize_cnbc(
+        spark.read.format("cnbc_articles").option("path", f"{CNBC_1},{CNBC_2}").load()
     )
-    rd = spark.read.format("reddit_posts").option("path", REDDIT).load()
-    rd = rd.select(
-        F.col("URL").alias("url"),
-        F.col("Title").alias("title"),
-        social.parse_post_time("Post_Time").alias("ts"),
-        F.lit(None).cast("string").alias("body"),
-        F.lit("reddit").alias("source"),
+    rd = social.normalize_reddit(
+        spark.read.format("reddit_posts").option("path", REDDIT).load()
     )
     got = social.unify(cn, rd)
     want = social.unify(
@@ -145,3 +132,133 @@ def test_connector_requires_a_mode(spark):
     register_connectors(spark)
     with pytest.raises(Exception, match="path=.*or"):
         spark.read.format("cnbc_articles").load().collect()
+
+
+def test_stream_read_between_offsets_is_pure_slice(tmp_path):
+    """Checkpoint-restart recovery: readBetweenOffsets(start, end) must
+    re-emit exactly the rows read(start) planned for that window."""
+    from big_data_project_spark.sources.connectors import _RedditStreamReader
+
+    fixture = tmp_path / "mini.json"
+    with open(fixture, "w") as fh:
+        for i in range(9):
+            fh.write(
+                json.dumps(
+                    {
+                        "Title": f"t{i}",
+                        "URL": f"u{i}",
+                        "Upvotes": i,
+                        "Comments_Count": 0,
+                        "Post_Time": "2025-04-21 07:29:17",
+                    }
+                )
+                + "\n"
+            )
+    r = _RedditStreamReader({"path": str(fixture), "batch_size": "4"})
+    rows1, off1 = r.read(r.initialOffset())
+    rows2, off2 = r.read(off1)
+    assert list(r.readBetweenOffsets(r.initialOffset(), off1)) == list(rows1)
+    assert list(r.readBetweenOffsets(off1, off2)) == list(rows2)
+
+
+def test_loose_fixture_ints_become_null_not_crash(spark, tmp_path):
+    """read_json parity: '12.5' and junk in int fields must degrade to
+    NULL/truncated ints, never kill the task (finding: int('12.5') raised)."""
+    from big_data_project_spark.sources.connectors import _int_or_none
+
+    assert _int_or_none("12") == 12
+    assert _int_or_none("12.5") == 12
+    assert _int_or_none(12.9) == 12
+    assert _int_or_none("junk") is None
+    assert _int_or_none(None) is None
+
+    fixture = tmp_path / "loose.json"
+    with open(fixture, "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "Title": "t",
+                    "URL": "u",
+                    "Upvotes": "12.5",
+                    "Comments_Count": "junk",
+                    "Post_Time": "2025-04-21 07:29:17",
+                }
+            )
+            + "\n"
+        )
+    register_connectors(spark)
+    rows = (
+        spark.read.format("reddit_posts").option("path", str(fixture)).load().collect()
+    )
+    assert rows[0].Upvotes == 12 and rows[0].Comments_Count is None
+
+
+def test_fullname_ordering_survives_base36_rollover():
+    """reddit ids grow in length; '(len, text)' keying must rank the
+    longer (newer-era) id above any shorter one, where plain string
+    comparison would not."""
+    from big_data_project_spark.sources.connectors import _fullname_key
+
+    old_era, new_era = "t3_1zzzzzz", "t3_10000000"
+    assert new_era < old_era  # the string-comparison trap
+    assert _fullname_key(new_era) > _fullname_key(old_era)
+    assert _fullname_key(None) < _fullname_key("t3_a")
+
+
+def test_live_poll_walks_back_to_anchor(monkeypatch):
+    """A burst larger than one listing page must be collected by paging
+    back to the previous anchor, not skipped by jumping the offset to the
+    newest fullname. Simulated feed: 250 posts newer than the anchor,
+    served in 100-post pages."""
+    from big_data_project_spark.sources import connectors as c
+
+    # fullnames f0001 (oldest) .. f0260 (newest); anchor at f0010
+    names = [f"t3_f{i:04d}" for i in range(1, 261)]
+    feed = [
+        {"name": n, "title": n, "url": f"https://x/{n}", "score": i,
+         "num_comments": 0, "created_utc": 1745000000 + i}
+        for i, n in enumerate(names)
+    ]
+    feed_newest_first = list(reversed(feed))
+
+    def fake_page(sub, base_url, count, after):
+        start = 0
+        if after:
+            idx = [d["name"] for d in feed_newest_first].index(after)
+            start = idx + 1
+        page = feed_newest_first[start : start + min(count, 100)]
+        nxt = page[-1]["name"] if start + len(page) < len(feed_newest_first) else None
+        return page, nxt
+
+    monkeypatch.setattr(c, "_reddit_listing_page", fake_page)
+    rows, newest = c._reddit_new_since("whatever", "t3_f0010")
+    assert newest == "t3_f0260"
+    assert len(rows) == 250  # every post newer than the anchor, 3 pages
+    # and the replay window (anchor, upper] honors the upper bound
+    replay, _ = c._reddit_new_since("whatever", "t3_f0010", upper="t3_f0100")
+    assert len(replay) == 90
+    assert all(r[0] <= "t3_f0100" for r in replay)
+
+
+def test_live_listing_pages_to_limit(monkeypatch):
+    """Batch mode must page past the 100-post listing cap up to `limit`
+    (PRAW .new(limit=500) parity), not silently return one page."""
+    from big_data_project_spark.sources import connectors as c
+
+    feed = [
+        {"name": f"t3_g{i:04d}", "title": f"g{i}", "url": "u", "score": i,
+         "num_comments": 0, "created_utc": 1745000000 + i}
+        for i in range(400, 0, -1)
+    ]
+
+    def fake_page(sub, base_url, count, after):
+        start = 0
+        if after:
+            start = [d["name"] for d in feed].index(after) + 1
+        page = feed[start : start + min(count, 100)]
+        nxt = page[-1]["name"] if start + len(page) < len(feed) else None
+        return page, nxt
+
+    monkeypatch.setattr(c, "_reddit_listing_page", fake_page)
+    assert len(c._reddit_listing_rows("whatever", 350)) == 350
+    assert len(c._reddit_listing_rows("whatever", 500)) == 400  # feed exhausted
