@@ -7126,6 +7126,109 @@ def p15_variant_json(spark, sf_dir):
     )
 
 
+@register(
+    "w6_rank_variants",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w6_rank_variants(spark, sf_dir):
+    """W1 closure: the distribution-rank window trio — ntile (equal-depth
+    quartile), percent_rank ((rank-1)/(n-1)), cume_dist (rows≤current / n).
+    The ORDER BY carries o_orderkey as tiebreaker so the ranks are a total
+    order; the two ratio outputs divide exact integers in double once, so
+    even the floats are bit-identical across engines. One hash shuffle on
+    the partition key, same as every other window entry."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "j11_null_safe_join",
+    oracle="""
+    WITH a AS (SELECT nullif(o_orderstatus, 'O') AS k,
+                      CAST(count(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY 1),
+    b AS (SELECT nullif(o_orderstatus, 'O') AS k,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                   AS revenue
+          FROM orders GROUP BY 1)
+    SELECT a.k AS status_key, a.n_orders, b.revenue
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def j11_null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): both sides carry a
+    genuine NULL key (the 'O' status nulled out) and the NULL rows MUST
+    pair up — a plain equi-join would silently drop the biggest group.
+    Catalyst plans <=> as a hash join on a null-safe key (EqualNullSafe is
+    a valid equi-join predicate, not a theta fallback), so the shape stays
+    shuffle-hash/SMJ, never nested-loop."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.groupBy(
+        F.nullif("o_orderstatus", F.lit("O")).alias("k")
+    ).agg(F.count("*").cast("long").alias("n_orders"))
+    b = o.groupBy(
+        F.nullif("o_orderstatus", F.lit("O")).alias("k")
+    ).agg(relational.dsum("o_totalprice", 2).alias("revenue"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("status_key"), "n_orders", "revenue"
+    )
+
+
+@register(
+    "p16_explode_outer",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                         x -> length(x) >= 12) AS w
+      FROM documents)
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) = 0 THEN [CAST(NULL AS VARCHAR)]
+                       ELSE w END) AS long_word
+    FROM t
+    """,
+)
+def p16_explode_outer(spark, sf_dir):
+    """U4 closure: explode_outer — generator rows are PRESERVED for parents
+    whose array is empty (NULL child), where plain explode silently drops
+    the document. Exercised for real: most docs have no ≥12-char token, so
+    the outer branch carries most of the output. The DuckDB mirror is the
+    empty-list→[NULL] substitution, which is exactly explode_outer's
+    semantics."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        # coalesce first: explode_outer(NULL array) emits a NULL child row
+        # but DuckDB's unnest(NULL) emits nothing — '' normalizes both
+        # sides to the empty-array (outer) branch
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda x: F.length(x) >= 12,
+        ).alias("w"),
+    )
+    return docs.select(
+        "doc_id", F.explode_outer("w").alias("long_word")
+    )
+
+
 # ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is
