@@ -1144,6 +1144,37 @@ def st_interval_join(spark, sf_dir):
 
 
 @register(
+    "st_interval_join_outer",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, event_type, value,
+                       make_timestamp(epoch_ns(ts) // 1000) AS ts_us
+                FROM events),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM ev WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           c.event_id AS click_id, p.value AS purchase_value
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts_us BETWEEN p.ts_us - INTERVAL '10 minutes' AND p.ts_us
+    """,
+)
+def st_interval_join_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join, batch semantics: every
+    purchase appears, with NULL click_id when no same-user click preceded
+    it within 10 minutes — the funnel-breakage query the inner form cannot
+    answer. In streaming the null row is emitted once the watermark passes
+    the purchase's interval (pinned stream-side in tests/test_streaming.py);
+    user_id equality keeps the plan an equi-join in both modes."""
+    ev = _t(spark, sf_dir, "events")
+    return streaming.purchases_with_recent_clicks(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        "10 minutes",
+        how="leftOuter",
+    )
+
+
+@register(
     "st_running_totals_batch",
     oracle="""
     SELECT user_id, count(*) AS n_events,

@@ -156,12 +156,20 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 def purchases_with_recent_clicks(
-    purchases: DataFrame, clicks: DataFrame, within: str = "10 minutes"
+    purchases: DataFrame, clicks: DataFrame, within: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase matched to same-user
     clicks in the preceding `within`. Both sides must be watermarked so the
     join state is bounded — the streaming analogue of the as-of pattern.
-    Works on batch DataFrames too (the watermark is a no-op there)."""
+    Works on batch DataFrames too (the watermark is a no-op there).
+
+    ``how='leftOuter'`` keeps purchases with NO recent click (NULL
+    click_id): in streaming, the null-matched row is emitted once the
+    watermark passes the purchase's interval end — the funnel-breakage
+    query ("paid without a preceding click") that an inner join can never
+    answer. The user_id equality keeps either mode an equi-join (SMJ /
+    streaming symmetric hash), never a nested loop."""
     p = purchases.withWatermark("ts", within).alias("p")
     c = clicks.withWatermark("ts", within).alias("c")
     return p.join(
@@ -170,6 +178,7 @@ def purchases_with_recent_clicks(
             f"""p.user_id = c.user_id
                 AND c.ts BETWEEN p.ts - INTERVAL {within} AND p.ts"""
         ),
+        how,
     ).select(
         F.col("p.event_id").alias("purchase_id"),
         F.col("p.user_id").alias("user_id"),

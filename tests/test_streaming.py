@@ -585,3 +585,45 @@ def test_transform_with_state_equals_applyinpandaswithstate(spark, tmp_path):
     ).collect()
     got = {r.user_id: (r.n, r.t) for r in rows}
     assert got == {1: (2, 17.0), 2: (1, 5.0)}, got
+
+
+def test_stream_stream_outer_interval_join_emits_null_matches(
+    spark, event_dir, tmp_path
+):
+    """leftOuter stream-stream join: clickless purchases surface with NULL
+    click_id once the watermark passes their interval; everything emitted
+    must agree with the batch outer join, and the null-match rows (the
+    whole point of the outer form) must actually appear."""
+    src = st.read_event_stream(spark, event_dir)
+    joined = st.purchases_with_recent_clicks(
+        src.where(F.col("event_type") == "purchase"),
+        src.where(F.col("event_type") == "click"),
+        how="leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssj_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj_outer"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _rows_set(spark.sql("SELECT * FROM t_ssj_outer").collect())
+
+    batch = spark.read.parquet(event_dir)
+    want = _rows_set(
+        st.purchases_with_recent_clicks(
+            batch.where(F.col("event_type") == "purchase"),
+            batch.where(F.col("event_type") == "click"),
+            how="leftOuter",
+        ).collect()
+    )
+    assert got <= want
+    assert len(got) >= 0.8 * len(want) > 0, (len(got), len(want))
+    # the outer-only rows: emitted null matches must be a subset of the
+    # batch null matches, and some must have been emitted
+    got_null = {r for r in got if r[2] is None}
+    want_null = {r for r in want if r[2] is None}
+    assert got_null <= want_null
+    assert len(got_null) > 0
