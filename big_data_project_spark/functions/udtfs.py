@@ -63,3 +63,103 @@ def ngram_explode_udtf(
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@udtf(returnType="user_id: bigint, event_id: bigint, gap_us: bigint")
+class UserGaps:
+    """U5: PARTITIONED TABLE-ARGUMENT UDTF — invoked as
+    ``user_gaps(TABLE(v) PARTITION BY user_id ORDER BY ts, event_id)``.
+    Spark instantiates one UDTF per partition and streams that user's rows
+    in order, so plain per-instance state (the previous timestamp) is a
+    correct sequential scan — the imperative escape hatch for per-key
+    ordered logic that window functions can't express. Emits the exact
+    integer microsecond gap since the user's previous event (NULL for the
+    first)."""
+
+    def __init__(self):
+        self._prev = None
+
+    def eval(self, row):  # noqa: D102 - UDTF contract
+        gap = None
+        if self._prev is not None:
+            d = row.ts - self._prev
+            gap = (d.days * 86_400_000_000 + d.seconds * 1_000_000
+                   + d.microseconds)
+        self._prev = row.ts
+        yield int(row.user_id), int(row.event_id), gap
+
+
+def user_gaps_udtf(df: DataFrame) -> DataFrame:
+    """Per-user ordered inter-event gaps through the partitioned
+    table-argument UDTF path. Requires columns (user_id, event_id, ts)."""
+    spark = df.sparkSession
+    spark.udtf.register("bdps_user_gaps", UserGaps)
+    view = f"bdps_udtf_src_{next(_VIEW_SEQ)}"
+    df.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            # parenthesized ORDER BY list: the table-arg grammar requires
+            # it for multiple sort expressions
+            f"SELECT * FROM bdps_user_gaps(TABLE({view}) "
+            f"PARTITION BY user_id ORDER BY (ts, event_id))"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def _masked_schema(fields):
+    """string → masked string, integral → long passthrough; anything else
+    is rejected loudly (masking a float/binary silently would be a lie)."""
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType, StringType, StructType,
+    )
+
+    out = StructType()
+    for f in fields:
+        if isinstance(f.dataType, StringType):
+            out = out.add(f.name, "string")
+        elif isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType)):
+            out = out.add(f.name, "long")
+        else:
+            raise TypeError(
+                f"mask_table_udtf: unsupported column type {f.dataType} "
+                f"for {f.name!r} (string/integral only)"
+            )
+    return out
+
+
+@udtf
+class MaskStrings:
+    """U6: POLYMORPHIC UDTF — no fixed returnType; ``analyze`` derives the
+    output schema from whatever table the CALL SITE passes (same names,
+    strings masked to first-2-chars + '***', integrals as long). The
+    schema-adapts-to-input contract is what Spark 4's analyze() adds over
+    a statically-typed UDTF: one masking function serves any table."""
+
+    @staticmethod
+    def analyze(t):  # noqa: D102 - AnalyzeArgument -> AnalyzeResult
+        from pyspark.sql.functions import AnalyzeResult
+
+        return AnalyzeResult(schema=_masked_schema(t.dataType.fields))
+
+    def eval(self, row):  # noqa: D102 - UDTF contract
+        out = []
+        for v in row:
+            if v is None or isinstance(v, int):
+                out.append(v)
+            else:
+                out.append(v[:2] + "***")
+        yield tuple(out)
+
+
+def mask_table_udtf(df: DataFrame) -> DataFrame:
+    """Schema-polymorphic masking through the analyze() UDTF path: the
+    output schema is computed from ``df`` itself at plan time."""
+    spark = df.sparkSession
+    spark.udtf.register("bdps_mask_strings", MaskStrings)
+    view = f"bdps_udtf_src_{next(_VIEW_SEQ)}"
+    df.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"SELECT * FROM bdps_mask_strings(TABLE({view}))")
+    finally:
+        spark.catalog.dropTempView(view)

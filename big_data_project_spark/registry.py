@@ -3388,6 +3388,56 @@ def u4_ngram_udtf(spark, sf_dir):
 
 
 @register(
+    "u5_partitioned_udtf",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_id,
+                       make_timestamp(epoch_ns(ts) // 1000) AS ts_us
+                FROM events)
+    SELECT user_id, event_id,
+           epoch_us(ts_us) - lag(epoch_us(ts_us))
+             OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+    FROM ev
+    """,
+)
+def u5_partitioned_udtf(spark, sf_dir):
+    """Partitioned TABLE-argument UDTF (Spark 4):
+    ``user_gaps(TABLE(v) PARTITION BY user_id ORDER BY ts, event_id)`` —
+    one Python UDTF instance per user streaming that user's rows in
+    order, carrying plain sequential state. The oracle is the lag-window
+    formulation; exact integer microsecond gaps make the Python
+    imperative path hash against the declarative one. Like p6/u4: the
+    SURFACE carrier — per-key ordered Python is the escape hatch, the
+    window twin is the 100 TB hot path."""
+    from big_data_project_spark.functions.udtfs import user_gaps_udtf
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return user_gaps_udtf(ev)
+
+
+@register(
+    "u6_polymorphic_udtf",
+    oracle="""
+    SELECT o_orderkey,
+           substr(o_orderstatus, 1, 2) || '***' AS o_orderstatus,
+           substr(o_orderpriority, 1, 2) || '***' AS o_orderpriority
+    FROM orders
+    """,
+)
+def u6_polymorphic_udtf(spark, sf_dir):
+    """Polymorphic UDTF (Spark 4 ``analyze()``): the masking function has
+    NO fixed returnType — its output schema is derived at plan time from
+    whatever table the call site passes (strings masked to 2 chars +
+    '***', integrals passed through as long). One function serves any
+    table; the oracle mirrors the masking in SQL for this projection."""
+    from big_data_project_spark.functions.udtfs import mask_table_udtf
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return mask_table_udtf(o)
+
+
+@register(
     "tx_stemming",
     oracle=f"""
     WITH toks AS (SELECT unnest({_DK_WORDS}) AS t FROM documents)
