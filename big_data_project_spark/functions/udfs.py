@@ -29,3 +29,31 @@ def scaled_qty(qty: pd.Series, line: pd.Series) -> pd.Series:
     """U2: vectorized (Arrow-batched) scalar pandas UDF — integer-exact
     arithmetic (qty*10 + linenumber), ~10-100x the row UDF's throughput."""
     return (qty.astype("int64") * 10 + line.astype("int64")).astype("int64")
+
+
+def arrow_text_stats(df):
+    """U7: mapInArrow — the Arrow-NATIVE batch boundary (RecordBatch in,
+    RecordBatch out; no pandas materialization at all, unlike
+    mapInPandas). The cheapest Python escape hatch for columnar logic:
+    pyarrow.compute kernels run vectorized in C++, and only Arrow buffers
+    cross the process boundary. Emits (doc_id, n_chars, n_bytes) — code
+    points vs utf8 bytes, both integer-exact and SQL-mirrorable.
+    Input column pruning still applies: select before calling."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = "doc_id long, n_chars long, n_bytes long"
+
+    def stats(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_bytes"],
+            )
+
+    return df.select("doc_id", "text").mapInArrow(stats, schema)

@@ -202,3 +202,38 @@ def average_hash(
         for i in range(dim)
     )
     return df.selectExpr(f"{id_col} AS doc_id", f"{bits} AS ahash")
+
+
+def write_binary_files(
+    df: DataFrame, out_dir: str, id_col: str = "doc_id", payload: str = "payload"
+) -> None:
+    """Binary-file SINK: one ``<id>.bin`` per row, written executor-side
+    (foreachPartition — no driver collect, so the write scales with
+    partitions). Names are derived from the id column, so re-runs are
+    idempotent overwrites. Requires ``out_dir`` on a filesystem all
+    executors share (local mode / NFS / fuse-mounted object store); on
+    HDFS/S3 proper, swap the ``open`` for an fsspec/Hadoop stream — the
+    partitioning story is identical."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(rows):
+        for r in rows:
+            with open(os.path.join(out_dir, f"{r[id_col]}.bin"), "wb") as fh:
+                fh.write(bytes(r[payload]))
+
+    df.select(id_col, payload).foreachPartition(dump)
+
+
+def read_binary_files(spark, path: str, glob: str = "*.bin") -> DataFrame:
+    """Binary-file SOURCE: Spark's built-in ``binaryFile`` format — the
+    real ingestion shape for image/audio/video blobs at scale (one row per
+    file: path, modificationTime, length, content). Files are split across
+    tasks by Spark's file index, so a 100 TB blob store scans exactly like
+    any other file source; pair with ``decode_features`` downstream."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )

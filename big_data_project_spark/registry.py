@@ -1317,6 +1317,62 @@ def mm_binary_stats(spark, sf_dir):
 
 
 @register(
+    "mm_binary_file_roundtrip",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN from_hex('89504E47') || encode(text)
+                  WHEN doc_id % 3 = 1
+                  THEN from_hex('52494646') || encode(text)
+                  ELSE encode(text) END AS payload
+      FROM documents WHERE doc_id % 5 = 0)
+    SELECT doc_id,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           CASE substr(hex(payload), 1, 8)
+                WHEN '89504E47' THEN 'image/png'
+                WHEN '52494646' THEN 'audio/wav'
+                ELSE 'application/octet-stream' END AS media_type,
+           md5(hex(payload)) AS digest
+    FROM payloads
+    """,
+)
+def mm_binary_file_roundtrip(spark, sf_dir):
+    """Binary-file sink → ``binaryFile`` source roundtrip — the REAL
+    multimodal ingestion shape (one row per blob file: path/length/
+    content), closing the S-surface for image/audio payloads. Payloads
+    (PNG/RIFF magic + utf8 text) are written one file per row
+    executor-side, read back through Spark's built-in binaryFile format,
+    and projected to id (from the file name), size, magic sniff, and an
+    md5 content digest. The oracle computes the same values from the
+    ORIGINAL table, so the hash only matches if every byte survived the
+    file roundtrip."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    payload = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.unhex(F.lit("89504E47")), F.encode("text", "UTF-8")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.unhex(F.lit("52494646")), F.encode("text", "UTF-8")),
+        )
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    out_dir = _tmpdir("binfiles")
+    multimodal.write_binary_files(d.withColumn("payload", payload), out_dir)
+    files = multimodal.read_binary_files(spark, out_dir)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        multimodal.sniff_media_type("content").alias("media_type"),
+        F.md5(F.hex(F.col("content"))).alias("digest"),
+    )
+
+
+@register(
     "mm_frame_sample",
     oracle="""
     WITH payloads AS (SELECT doc_id, encode(text) AS payload FROM documents)
@@ -3435,6 +3491,27 @@ def u6_polymorphic_udtf(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )
     return mask_table_udtf(o)
+
+
+@register(
+    "u7_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def u7_map_in_arrow(spark, sf_dir):
+    """mapInArrow — the Arrow-native batch boundary (RecordBatch in/out,
+    no pandas materialization), completing the Python execution-path
+    ladder: U1 row-pickled < U2/mapInPandas Arrow+pandas < U7 pure Arrow.
+    pyarrow.compute kernels (utf8_length = code points, binary_length =
+    utf8 bytes) run vectorized in C++; the oracle mirrors both counts in
+    SQL, so the Arrow path itself is value-hashed."""
+    from big_data_project_spark.functions.udfs import arrow_text_stats
+
+    return arrow_text_stats(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -7359,10 +7436,13 @@ _PRIORITY = [
     # text/NLP carriers (N1-N5, U4)
     "n1_ner_gazetteer",
     # n1_ner_regex moved past the window in round 3: N1 stays covered by
-    # n1_ner_gazetteer (regex NER keeps its identical in-repo oracle gate);
-    # the freed slot gives the end-to-end curation pipeline a driver row —
-    # the composition of the whole LLM-data story under one value hash.
-    "pl_curation_e2e",
+    # n1_ner_gazetteer (regex NER keeps its identical in-repo oracle gate).
+    # Its slot first carried pl_curation_e2e; late round 3 that showcase
+    # duplicated pl_ccnet_e2e's story (both end-to-end curation composites,
+    # both staying pytest-gated), so the slot now upgrades §2's S5/S6
+    # instead: the Python Data Source connector ingestion, hash-equal to
+    # the file pipeline under the shared social-docs oracle.
+    "s5_s6_connector_feeds",
     "n2_sentiment_lexicon",
     "n34_coalesce_assemble",
     "n5_token_stats",
