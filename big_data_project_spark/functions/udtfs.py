@@ -43,26 +43,35 @@ class WordNGrams:
             yield i, " ".join(ws[i : i + n])
 
 
+def _sql_over_view(df: DataFrame, udtf_name, udtf_class, sql_template: str):
+    """ONE copy of the UDTF-call scaffold: register the function, expose
+    ``df`` under a per-call unique temp view (a shared name would race
+    concurrent callers onto each other's DataFrame), run the SQL with
+    ``{view}`` substituted, and drop the view — spark.sql resolves the
+    plan eagerly, so the returned DataFrame no longer needs it."""
+    spark = df.sparkSession
+    spark.udtf.register(udtf_name, udtf_class)
+    view = f"bdps_udtf_src_{next(_VIEW_SEQ)}"
+    df.createOrReplaceTempView(view)
+    try:
+        return spark.sql(sql_template.format(view=view))
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 def ngram_explode_udtf(
     df: DataFrame, n: int = 3, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Fan each document out to its word n-grams THROUGH the Python UDTF
     path (LATERAL join). Same output contract as the JVM transform/explode
     formulation — tests pin the two identical."""
-    spark = df.sparkSession
-    spark.udtf.register("bdps_word_ngrams", WordNGrams)
-    # unique per call: a shared name would race concurrent callers onto
-    # each other's DataFrame; dropped right after — spark.sql resolves
-    # the plan eagerly, so the returned DataFrame no longer needs it
-    view = f"bdps_udtf_src_{next(_VIEW_SEQ)}"
-    df.createOrReplaceTempView(view)
-    try:
-        return spark.sql(
-            f"SELECT d.{id_col}, g.pos, g.ngram "
-            f"FROM {view} d, LATERAL bdps_word_ngrams(d.{text}, {int(n)}) g"
-        )
-    finally:
-        spark.catalog.dropTempView(view)
+    return _sql_over_view(
+        df,
+        "bdps_word_ngrams",
+        WordNGrams,
+        f"SELECT d.{id_col}, g.pos, g.ngram "
+        f"FROM {{view}} d, LATERAL bdps_word_ngrams(d.{text}, {int(n)}) g",
+    )
 
 
 @udtf(returnType="user_id: bigint, event_id: bigint, gap_us: bigint")
@@ -91,20 +100,16 @@ class UserGaps:
 
 def user_gaps_udtf(df: DataFrame) -> DataFrame:
     """Per-user ordered inter-event gaps through the partitioned
-    table-argument UDTF path. Requires columns (user_id, event_id, ts)."""
-    spark = df.sparkSession
-    spark.udtf.register("bdps_user_gaps", UserGaps)
-    view = f"bdps_udtf_src_{next(_VIEW_SEQ)}"
-    df.createOrReplaceTempView(view)
-    try:
-        return spark.sql(
-            # parenthesized ORDER BY list: the table-arg grammar requires
-            # it for multiple sort expressions
-            f"SELECT * FROM bdps_user_gaps(TABLE({view}) "
-            f"PARTITION BY user_id ORDER BY (ts, event_id))"
-        )
-    finally:
-        spark.catalog.dropTempView(view)
+    table-argument UDTF path. Requires columns (user_id, event_id, ts).
+    The ORDER BY list is parenthesized — the table-arg grammar requires
+    it for multiple sort expressions."""
+    return _sql_over_view(
+        df,
+        "bdps_user_gaps",
+        UserGaps,
+        "SELECT * FROM bdps_user_gaps(TABLE({view}) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))",
+    )
 
 
 def _masked_schema(fields):
@@ -155,11 +160,9 @@ class MaskStrings:
 def mask_table_udtf(df: DataFrame) -> DataFrame:
     """Schema-polymorphic masking through the analyze() UDTF path: the
     output schema is computed from ``df`` itself at plan time."""
-    spark = df.sparkSession
-    spark.udtf.register("bdps_mask_strings", MaskStrings)
-    view = f"bdps_udtf_src_{next(_VIEW_SEQ)}"
-    df.createOrReplaceTempView(view)
-    try:
-        return spark.sql(f"SELECT * FROM bdps_mask_strings(TABLE({view}))")
-    finally:
-        spark.catalog.dropTempView(view)
+    return _sql_over_view(
+        df,
+        "bdps_mask_strings",
+        MaskStrings,
+        "SELECT * FROM bdps_mask_strings(TABLE({view}))",
+    )

@@ -220,6 +220,13 @@ def write_binary_files(
 
     def dump(rows):
         for r in rows:
+            # fail CLEAN on bad rows: bytes(None) inside foreachPartition
+            # surfaces as an opaque pickled executor traceback otherwise
+            if r[id_col] is None or r[payload] is None:
+                raise ValueError(
+                    f"write_binary_files: NULL {id_col if r[id_col] is None else payload}"
+                    f" (id={r[id_col]!r}) — filter or fill before sinking"
+                )
             with open(os.path.join(out_dir, f"{r[id_col]}.bin"), "wb") as fh:
                 fh.write(bytes(r[payload]))
 

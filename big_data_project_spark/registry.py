@@ -1331,7 +1331,12 @@ def mm_binary_stats(spark, sf_dir):
            CAST(octet_length(payload) AS BIGINT) AS n_bytes,
            CASE substr(hex(payload), 1, 8)
                 WHEN '89504E47' THEN 'image/png'
+                WHEN 'FFD8FFE0' THEN 'image/jpeg'
                 WHEN '52494646' THEN 'audio/wav'
+                -- raw-text payloads CAN legitimately start with the webm
+                -- magic (1A 45 DF A3 is valid UTF-8): mirror ALL of
+                -- sniff_media_type's prefixes, not just the synthesized two
+                WHEN '1A45DFA3' THEN 'video/webm'
                 ELSE 'application/octet-stream' END AS media_type,
            md5(hex(payload)) AS digest
     FROM payloads
