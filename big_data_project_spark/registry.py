@@ -6482,6 +6482,39 @@ def a15_mode(spark, sf_dir):
 
 
 @register(
+    "a17_conditional_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0)   AS all_positive,
+           bool_or(o_totalprice > 500000) AS any_huge,
+           arg_max(o_orderkey, o_totalprice * 4294967296 + o_orderkey)
+             AS priciest_order,
+           arg_min(o_orderkey, o_totalprice * 4294967296 + o_orderkey)
+             AS cheapest_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a17_conditional_aggs(spark, sf_dir):
+    """Conditional/selector aggregate surface: count_if, bool_and/bool_or,
+    max_by/min_by (DuckDB arg_max/arg_min). Both engines leave arg-extrema
+    TIES unspecified, so the ordering value appends the unique orderkey to
+    the price (scaled by 2^32 — far above the key range, exact in double)
+    to make the selector a total order; without that the entry would be
+    nondeterministic on BOTH engines, not just mismatched."""
+    o = _t(spark, sf_dir, "orders")
+    tie_broken = F.col("o_totalprice") * F.lit(4294967296.0) + F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 500000).alias("any_huge"),
+        F.max_by("o_orderkey", tie_broken).alias("priciest_order"),
+        F.min_by("o_orderkey", tie_broken).alias("cheapest_order"),
+    )
+
+
+@register(
     "ts_seasonal",
     oracle="""
     WITH cells AS (
