@@ -7323,40 +7323,6 @@ def p15_variant_json(spark, sf_dir):
 
 
 @register(
-    "w6_rank_variants",
-    oracle="""
-    SELECT o_orderkey, o_orderpriority,
-           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-           percent_rank() OVER w AS pct_rank,
-           cume_dist() OVER w AS cdist
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice, o_orderkey)
-    """,
-)
-def w6_rank_variants(spark, sf_dir):
-    """W1 closure: the distribution-rank window trio — ntile (equal-depth
-    quartile), percent_rank ((rank-1)/(n-1)), cume_dist (rows≤current / n).
-    The ORDER BY carries o_orderkey as tiebreaker so the ranks are a total
-    order; the two ratio outputs divide exact integers in double once, so
-    even the floats are bit-identical across engines. One hash shuffle on
-    the partition key, same as every other window entry."""
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("o_totalprice", "o_orderkey")
-    )
-    return _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cdist"),
-    )
-
-
-@register(
     "j11_null_safe_join",
     oracle="""
     WITH a AS (SELECT nullif(o_orderstatus, 'O') AS k,
