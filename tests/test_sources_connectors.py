@@ -262,3 +262,156 @@ def test_live_listing_pages_to_limit(monkeypatch):
     monkeypatch.setattr(c, "_reddit_listing_page", fake_page)
     assert len(c._reddit_listing_rows("whatever", 350)) == 350
     assert len(c._reddit_listing_rows("whatever", 500)) == 400  # feed exhausted
+
+
+# ---------------------------------------------------------------------------
+# live-mode paths over a LOOPBACK http server: the urllib fetch, index
+# scrape + executor fan-out, listing pagination, and the since-anchor poll
+# run against real HTTP — no external network involved.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def local_feed():
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    posts = [  # newest first, like the real listing
+        {
+            "name": f"t3_h{i:04d}",
+            "title": f"post {i}",
+            "url": f"https://x/p{i}",
+            "score": i,
+            "num_comments": i % 7,
+            "created_utc": 1745000000 + i,
+        }
+        for i in range(250, 0, -1)
+    ]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, body: bytes, ctype="text/html"):
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            if u.path == "/index.html":
+                links = "".join(
+                    f'<a href="{base_url()}/articles/a{i}.html">a{i}</a>'
+                    for i in range(1, 6)
+                ) + f'<a href="{base_url()}/other/skip.html">skip</a>'
+                self._send(links.encode())
+            elif u.path.startswith("/articles/"):
+                n = u.path.split("/a")[-1].split(".")[0]
+                self._send(
+                    f"<html><title>Article {n}</title>"
+                    f"<body>body of {n} words</body></html>".encode()
+                )
+            elif u.path == "/r/test/new.json":
+                q = parse_qs(u.query)
+                limit = min(int(q.get("limit", ["100"])[0]), 100)
+                after = q.get("after", [None])[0]
+                start = 0
+                if after:
+                    start = [p["name"] for p in posts].index(after) + 1
+                page = posts[start : start + limit]
+                nxt = (
+                    page[-1]["name"]
+                    if page and start + len(page) < len(posts)
+                    else None
+                )
+                body = json.dumps(
+                    {
+                        "data": {
+                            "children": [{"data": p} for p in page],
+                            "after": nxt,
+                        }
+                    }
+                ).encode()
+                self._send(body, "application/json")
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+
+    def base_url():
+        return f"http://127.0.0.1:{srv.server_port}"
+
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield base_url()
+    finally:
+        srv.shutdown()
+
+
+def test_cnbc_live_mode_scrapes_and_fans_out(spark, local_feed):
+    """index scraped once at planning, article fetches spread over fanout
+    partitions, prefix filter honored, titles extracted — over real HTTP."""
+    register_connectors(spark)
+    df = (
+        spark.read.format("cnbc_articles")
+        .option("index_url", f"{local_feed}/index.html")
+        .option("prefix", f"{local_feed}/articles/")
+        .option("fanout", "3")
+        .load()
+    )
+    rows = sorted((r.url, r.title) for r in df.collect())
+    assert len(rows) == 5  # /other/skip.html excluded by prefix
+    assert rows[0][1] == "Article 1"
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_reddit_live_mode_pages_past_100(spark, local_feed):
+    register_connectors(spark)
+    df = (
+        spark.read.format("reddit_posts")
+        .option("subreddit", "test")
+        .option("base_url", local_feed)
+        .option("limit", "230")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 230  # 3 pages: 100+100+30
+    # newest-first listing → first row is the newest post
+    assert rows[0].Title == "post 250"
+    assert rows[0].Upvotes == 250 and rows[0].Post_Time.startswith("2025-")
+
+
+def test_reddit_live_poll_since_anchor(local_feed):
+    """_reddit_new_since walks back to the anchor across pages and returns
+    exactly the newer posts — over real HTTP."""
+    from big_data_project_spark.sources import connectors as c
+
+    rows, newest = c._reddit_new_since("test", "t3_h0030", base_url=local_feed)
+    assert newest == "t3_h0250"
+    assert len(rows) == 220  # posts 31..250
+    rows2, newest2 = c._reddit_new_since("test", "t3_h0250", base_url=local_feed)
+    assert rows2 == [] and newest2 == "t3_h0250"
+
+
+def test_reddit_live_stream_reader_end_to_end(local_feed):
+    """The live-mode SimpleDataSourceStreamReader poll: first trigger
+    drains the backlog, later triggers return only what's newer; the
+    replay window (start, end] honors its upper bound."""
+    from big_data_project_spark.sources.connectors import _RedditStreamReader
+
+    r = _RedditStreamReader(
+        {"subreddit": "test", "base_url": local_feed, "max_pages": "5"}
+    )
+    rows, off = r.read(r.initialOffset())
+    assert len(list(rows)) == 250 and off["name"] == "t3_h0250"
+    rows2, off2 = r.read(off)
+    assert list(rows2) == [] and off2["name"] == "t3_h0250"
+    replay = list(
+        r.readBetweenOffsets({"line": 0, "name": "t3_h0100"},
+                             {"line": 0, "name": "t3_h0200"})
+    )
+    assert len(replay) == 100  # posts 101..200 only
