@@ -401,3 +401,57 @@ def test_skew_report_is_takeordered_aggregate(spark, sf_dir):
     not a full sort of the distinct-key set."""
     df = _df("mt_skew_report", spark, sf_dir)
     assert plans.is_take_ordered(df), plans.physical_plan(df)
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
+    """EqualNullSafe is a proper equi-join predicate: the plan must be a
+    hash/SMJ join, never CartesianProduct / BroadcastNestedLoopJoin."""
+    df = _df("j11_null_safe_join", spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" in p
+
+
+def test_cms_sketch_and_estimate_shuffle_budget(spark, sf_dir):
+    """CMS build = one partial+final count agg onto <= depth*width cells;
+    the heavy-hitter entry adds the token-count agg and the top-20 probe
+    joins (AQE-broadcast) — the fact table is never shuffled twice for
+    one purpose."""
+    df = _df("mt_cms_heavy_hitters", spark, sf_dir)
+    assert plans.num_shuffles(df) <= 5, plans.physical_plan(df)
+
+
+def test_conditional_aggs_single_shuffle(spark, sf_dir):
+    df = _df("a17_conditional_aggs", spark, sf_dir)
+    assert plans.num_shuffles(df) <= 1, plans.physical_plan(df)
+
+
+def test_recursive_spine_uses_union_loop(spark, sf_dir):
+    """WITH RECURSIVE must plan as Spark's iterative UnionLoop over the
+    one-row-per-month frame — while the revenue side stays a distributed
+    aggregate (a shuffle is present, the recursion is not the fact scan)."""
+    df = _df("q_recursive_spine", spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "UnionLoop" in p, p
+
+
+def test_map_in_arrow_plans_as_arrow_eval(spark, sf_dir):
+    """u7 must go through the Arrow map operator (and prune its input to
+    the two selected columns), not a pandas or row-python boundary."""
+    df = _df("u7_map_in_arrow", spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "MapInArrow" in p, p
+    cols = plans.read_schema_columns(df)
+    assert "lang" not in cols and "source" not in cols, cols
+
+
+def test_explode_outer_is_generate_outer(spark, sf_dir):
+    """Generate's third argument is the outer flag — rendered as a bare
+    `true` in the plan string (`Generate explode(w), [doc_id], true, ...`),
+    not the word 'outer'."""
+    df = _df("p16_explode_outer", spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "Generate explode" in p, p
+    import re
+
+    assert re.search(r"Generate explode\([^)]*\), \[[^\]]*\], true, ", p), p
