@@ -1508,3 +1508,53 @@ def test_shuffle_shards_positions_dense_and_partition_invariant(spark, sf_dir):
         .collect()
     }
     assert re_run == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def _py_cms(tokens, depth, width):
+    """Sequential count-min model mirroring maintenance._cms_col's md5
+    derivation: cell = int(md5(f'{tk}#{r}').hex[:15], 16) % width."""
+    import hashlib
+    from collections import Counter
+
+    sketch = Counter()
+    for tk in tokens:
+        for r in range(depth):
+            h = hashlib.md5(f"{tk}#{r}".encode()).hexdigest()[:15]
+            sketch[(r, int(h, 16) % width)] += 1
+    return sketch
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.sampled_from(["a", "bb", "ccc", "dd", "e", "ffff", "g7", "hh"]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cms_matches_python_model(spark, tokens):
+    """The distributed CMS sketch equals the sequential model cell-for-cell
+    (so persisted partials are engine-portable), and every estimate
+    overcounts-or-equals the true multiplicity — for arbitrary token
+    multisets at a collision-heavy width."""
+    from collections import Counter
+
+    from big_data_project_spark.operators import maintenance as mt
+
+    depth, width = 3, 8
+    df = spark.createDataFrame([(t,) for t in tokens], "tk string")
+    got = {(r.row, r.col): r.n for r in mt.cms_sketch(df, "tk", depth, width).collect()}
+    assert got == dict(_py_cms(tokens, depth, width))
+
+    true = Counter(tokens)
+    est = {
+        r.tk: r.est_n
+        for r in mt.cms_estimate(
+            mt.cms_sketch(df, "tk", depth, width),
+            df.distinct(),
+            "tk",
+            depth,
+            width,
+        ).collect()
+    }
+    assert all(est[t] >= n for t, n in true.items()), (est, true)
