@@ -214,3 +214,21 @@ def test_social_pipeline_on_real_reference_data(spark):
 
     deduped = cleaning.dedup_deterministic(docs, ["doc_id"], ["url"])
     assert deduped.count() == 536
+
+
+def test_fininsight_migration_example_runs_end_to_end(spark, tmp_path):
+    """The examples/ migration script — the reference program re-run on
+    the engine — must execute offline start to finish: SEC store count,
+    unified social docs, top-3 retrieval, and the RAG evaluation sink."""
+    import examples.fininsight_migration as mig
+
+    out = str(tmp_path / "mig")
+    mig.main(out, spark=spark)
+    sec_rows = spark.read.parquet(f"{out}/sec_filings")
+    docs = spark.read.parquet(f"{out}/documents")
+    ev = spark.read.json(f"{out}/llm_evaluation")
+    assert sec_rows.count() == 2613
+    assert docs.count() == 538
+    row = ev.collect()[0]
+    assert row.question.startswith("What are the risks")
+    assert row.accuracy_label in ("High", "Low") and 0.0 <= row.grounding <= 1.0
