@@ -262,3 +262,28 @@ def verify_roundtrip(spark: SparkSession, df: DataFrame, path: str, fmt: str = "
             header=True, quote='"', escape='"', multiLine=True
         )
     return reader.load(path).count()
+
+
+def write_parquet_observed(
+    df: DataFrame, path: str, metric_cols: list[str] | None = None
+) -> dict:
+    """Single-pass audited write: attach an ``Observation`` to the plan so
+    the write itself reports row count and per-column null counts — the
+    QA numbers the reference gathers with a SECOND full read-back
+    (py:301-304). At 100 TB a verification re-scan doubles the job;
+    observe() rides the write stage for free (metrics accumulate on
+    executors during the one pass). Returns the metrics dict.
+
+    Complements (not replaces) verify_roundtrip: observe proves what was
+    WRITTEN-from-memory; the roundtrip proves what is READABLE-from-disk —
+    format-level corruption only the latter catches."""
+    from pyspark.sql import Observation
+
+    metric_cols = metric_cols or []
+    exprs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.count_if(F.col(c).isNull()).cast("long").alias(f"n_null_{c}")
+        for c in metric_cols
+    ]
+    obs = Observation("write_audit")
+    df.observe(obs, *exprs).write.mode("overwrite").parquet(path)
+    return dict(obs.get)

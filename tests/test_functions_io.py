@@ -232,3 +232,20 @@ def test_read_json_audited_quarantines_malformed(spark, tmp_path):
     raw = {r.raw_line for r in bad.collect()}
     assert raw == {'{"k": 2, "v": "beta"', "not json at all"}
     df.unpersist()
+
+
+def test_write_parquet_observed_single_pass_metrics(spark, sf_dir, tmp_path):
+    """observe() must report the write's own row count and null counts —
+    no second scan — and agree with a ground-truth recount."""
+    from big_data_project_spark import io
+
+    df = io.load_table(spark, sf_dir, "orders").withColumn(
+        "maybe_null",
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderstatus")),
+    )
+    path = str(tmp_path / "observed")
+    m = io.write_parquet_observed(df, path, metric_cols=["maybe_null", "o_orderkey"])
+    back = spark.read.parquet(path)
+    assert m["n_rows"] == back.count()
+    assert m["n_null_maybe_null"] == back.where(F.col("maybe_null").isNull()).count()
+    assert m["n_null_o_orderkey"] == 0
