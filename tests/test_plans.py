@@ -455,3 +455,74 @@ def test_explode_outer_is_generate_outer(spark, sf_dir):
     import re
 
     assert re.search(r"Generate explode\([^)]*\), \[[^\]]*\], true, ", p), p
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """DPP: joining a month-partitioned fact to a selectively-filtered dim
+    must inject a dynamicpruning subquery into the fact scan — at 100 TB
+    this is the difference between scanning 2 partitions and scanning all
+    of them. The engine's date-partitioned layouts
+    (maintenance.write_partitioned_by_day) rely on exactly this."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark import io, plans
+
+    orders = io.load_table(spark, sf_dir, "orders").withColumn(
+        "month", F.month("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_month")
+    orders.write.partitionBy("month").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.range(1, 13).select(
+        F.col("id").cast("int").alias("month"),
+        F.lit("q").alias("quarter"),
+    ).where(F.col("month").isin(3, 7))
+    j = fact.join(dim, "month").groupBy("quarter").count()
+    assert "dynamicpruning" in plans.physical_plan(j).lower(), (
+        plans.physical_plan(j)
+    )
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_fact_join(
+    spark, sf_dir, tmp_path
+):
+    """Spark's OWN runtime Bloom filter (the built-in cousin of
+    relational.bloom_prune_join): a selective fact-fact join gets a
+    bloom_filter_agg/might_contain prefilter pushed onto the probe side.
+    Thresholds are tuned for 100 TB defaults (creation side ≤ 10 MB,
+    application side ≥ 10 GB scan), so the test lowers the application
+    floor to make the small fixture eligible — the plan shape is what is
+    pinned."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark import io, plans
+
+    path = str(tmp_path / "lineitem_rt")
+    io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    ).write.mode("overwrite").parquet(path)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(path)
+        selective = (
+            spark.read.parquet(path)
+            .where(F.col("l_quantity") >= 49)
+            .select("l_orderkey")
+        )
+        j = fact.join(selective, "l_orderkey")
+        assert "might_contain" in plans.physical_plan(j).lower(), (
+            plans.physical_plan(j)
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
