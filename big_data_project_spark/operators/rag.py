@@ -55,6 +55,35 @@ def assemble_prompt(
     )
 
 
+def assemble_prompts_batch(
+    hits: DataFrame,
+    key: str = "qid",
+    question_col: str = "question",
+    rank_col: str = "score",
+    text_col: str = "snippet",
+    descending: bool = True,
+) -> DataFrame:
+    """R1, batched: one prompt row per ``key`` — the same sortable-struct
+    context assembly as assemble_prompt, grouped instead of global, so N
+    questions' prompts build in one aggregate over the joined hits."""
+    rank = F.col(rank_col)
+    sortable = F.struct(
+        (rank * -1 if descending else rank).alias("r"), F.col(text_col).alias("t")
+    )
+    ctx = F.array_join(
+        F.transform(F.array_sort(F.collect_list(sortable)), lambda s: s["t"]),
+        "\n\n",
+    )
+    pre, rest = PROMPT_TEMPLATE.split("{context}")
+    mid, post = rest.split("{question}")
+    return hits.groupBy(key, question_col).agg(
+        ctx.alias("context"),
+        F.concat(
+            F.lit(pre), ctx, F.lit(mid), F.col(question_col), F.lit(post)
+        ).alias("prompt"),
+    )
+
+
 def _terms(col: Column) -> Column:
     """Lowercased whitespace terms of a text column."""
     return F.split(F.trim(F.lower(col)), "\\s+")
@@ -65,6 +94,7 @@ def evaluate_response(
     question_col: str = "question",
     answer_col: str = "answer",
     context_col: str = "context",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """R4 (py:579-594): heuristic accuracy / clarity / grounding scores as
     column expressions, so evaluation runs over arbitrary batches of
@@ -92,6 +122,7 @@ def evaluate_response(
     )
     grounding = coverage(a_terms)
     return df.select(
+        *keep_cols,
         question_col,
         accuracy.alias("accuracy"),
         F.when(accuracy > 0.5, "High").otherwise("Low").alias("accuracy_label"),
@@ -189,3 +220,33 @@ def run_rag(
     )
     answered = generate_answers(prompts)
     return evaluate_response(answered)
+
+
+def run_rag_batch(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 7,
+    truncate: int = 1000,
+    metric: str = "ip",
+) -> DataFrame:
+    """R3, SERVING SHAPE: N questions through one plan. ``queries`` carries
+    (qid, question, q). Retrieval is knn_topk_batch — the query set is
+    broadcast, the embeddings table is scanned ONCE, per-question top-k is
+    a window on qid — then prompts assemble in one grouped aggregate and
+    generation maps all prompts in one Arrow-batched pass. N questions
+    cost one table scan + two keyed shuffles, vs the reference running its
+    whole FAISS+flan-t5 loop once per question (py:688-707)."""
+    from big_data_project_spark.operators import vector
+
+    hits = vector.knn_topk_batch(
+        embeddings, queries.select("qid", "q"), k=k, metric=metric
+    )
+    docs = (
+        hits.join(documents, hits.vec_id == documents.doc_id)
+        .select("qid", "score", F.substring("text", 1, truncate).alias("snippet"))
+        .join(queries.select("qid", "question"), "qid")
+    )
+    prompts = assemble_prompts_batch(docs, descending=(metric != "l2"))
+    answered = generate_answers(prompts)
+    return evaluate_response(answered, keep_cols=("qid",))

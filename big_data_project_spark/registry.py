@@ -2399,6 +2399,80 @@ def r3_run_rag(spark, sf_dir):
 
 
 @register(
+    "r6_rag_batch",
+    oracle=f"""
+    WITH qs AS (
+      SELECT vec_id AS qid, embedding AS q,
+             'what do we know about vector ' || CAST(vec_id AS VARCHAR)
+               AS question
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT qs.qid, qs.question, e.vec_id, {_VEC_SCORE_IP} AS score
+      FROM (SELECT vec_id, embedding FROM embeddings) e, qs),
+    hits AS (
+      SELECT qid, question, vec_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rn
+      FROM scored),
+    docs AS (
+      SELECT h.qid, h.question, h.score, substr(d.text, 1, 1000) AS snippet
+      FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+      WHERE h.rn <= 7),
+    p AS (
+      SELECT qid, question,
+             string_agg(snippet, chr(10) || chr(10) ORDER BY -score, snippet)
+               AS context
+      FROM docs GROUP BY qid, question),
+    a AS (
+      SELECT qid, question, context,
+             array_to_string(
+               list_slice(string_split_regex(context, '\\s+'), 1, 30), ' ')
+               AS answer
+      FROM p),
+    t AS (
+      SELECT qid, question, answer,
+             list_distinct(string_split_regex(trim(lower(question)), '\\s+'))
+               AS q_terms,
+             string_split_regex(trim(lower(answer)), '\\s+') AS a_terms_all,
+             string_split_regex(trim(lower(context)), '\\s+') AS ctx_terms
+      FROM a)
+    SELECT CAST(qid AS BIGINT) AS qid, question,
+           CAST(len(list_intersect(q_terms, ctx_terms)) AS DOUBLE) / len(q_terms)
+             AS accuracy,
+           CASE WHEN CAST(len(list_intersect(q_terms, ctx_terms)) AS DOUBLE)
+                     / len(q_terms) > 0.5
+                THEN 'High' ELSE 'Low' END AS accuracy_label,
+           len(a_terms_all) AS answer_words,
+           length(answer) - length(replace(answer, '.', '')) + 1 AS answer_sentences,
+           CASE WHEN len(a_terms_all) < 100
+                 AND length(answer) - length(replace(answer, '.', '')) + 1 > 1
+                THEN 'High' ELSE 'Low' END AS clarity_label,
+           CAST(len(list_intersect(list_distinct(a_terms_all), ctx_terms)) AS DOUBLE)
+             / len(list_distinct(a_terms_all)) AS grounding
+    FROM t
+    """,
+)
+def r6_rag_batch(spark, sf_dir):
+    """R3 in its SERVING shape: three questions through ONE plan —
+    broadcast query set, single embeddings scan, per-question top-k
+    window, grouped prompt assembly, one Arrow-batched generate pass —
+    vs the reference's per-question FAISS+flan-t5 loop (py:688-707). The
+    whole batched composition is value-hashed per question."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"),
+        F.concat(
+            F.lit("what do we know about vector "),
+            F.col("vec_id").cast("string"),
+        ).alias("question"),
+        F.col("embedding").alias("q"),
+    )
+    return rag.run_rag_batch(
+        emb, _t(spark, sf_dir, "documents"), queries, k=7
+    )
+
+
+@register(
     "st_dedup_events",
     oracle="""
     SELECT DISTINCT event_id, user_id, event_type, value FROM events

@@ -526,3 +526,15 @@ def test_runtime_bloom_filter_injects_on_selective_fact_fact_join(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rag_batch_broadcasts_queries_single_table_pass(spark, sf_dir):
+    """Serving-shape pin: the batched RAG plan broadcasts the query set
+    (knn_topk_batch) so N questions ride one embeddings scan; per-question
+    top-k + prompt assembly are keyed shuffles on qid, never a global
+    sort or a per-question loop."""
+    df = _df("r6_rag_batch", spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert plans.num_broadcast_hints(df) >= 1, p  # the query-set broadcast
+    assert "CartesianProduct" not in p, p
+    assert plans.num_shuffles(df) <= 4, p
