@@ -337,8 +337,21 @@ def build_ivf(
         bucketed.groupBy("list_id")
         .agg(F.min_by("embedding", F.struct("_h", "vec_id")).alias("centroid"))
     )
+    return centroids, ivf_assign(embeddings, centroids)
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign vectors to their nearest IVF list ('add'): broadcast the
+    ≤n_lists centroids against the batch, reduce with a map-side-combining
+    min_by per vec_id. This is BOTH the build-time add (build_ivf calls it
+    on the whole corpus) and the INCREMENTAL append: a new crawl batch
+    assigns against the frozen centroids and unions into the persisted
+    index — no retrain, no rescan of the existing corpus, the serving
+    lifecycle FAISS covers with index.add(). Appended rows land in the
+    same list_id layout, so a partition-pruned probe sees them
+    immediately; re-run kmeans_refine only when drift accumulates."""
     cdim = F.broadcast(centroids)
-    assigned = (
+    return (
         embeddings.crossJoin(cdim)
         .select(
             "vec_id",
@@ -354,7 +367,6 @@ def build_ivf(
             F.min_by("list_id", F.struct("_dist", "list_id")).alias("list_id"),
         )
     )
-    return centroids, assigned
 
 
 def kmeans_refine(assigned: DataFrame) -> DataFrame:

@@ -1028,6 +1028,38 @@ def e5_ivf_probe_all(spark, sf_dir):
     return vector.ivf_topk(emb, q, k=10, n_lists=8, n_probe=8, metric="ip")
 
 
+@register(
+    "e5_ivf_append_probe",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label, {_VEC_SCORE_IP} AS score
+    FROM embeddings, qv
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+    note=(
+        "index lifecycle row: build on half the corpus, ivf_assign-append "
+        "the other half against the frozen centroids, probe all lists — "
+        "identical exact-top-k oracle as e5_ivf_probe_all, so the append "
+        "path is value-proven without mirroring xxhash64 centroids"
+    ),
+)
+def e5_ivf_append_probe(spark, sf_dir):
+    """E5b index LIFECYCLE (FAISS index.add parity): train/add on the
+    even-id half, then APPEND the odd-id half via ivf_assign against the
+    frozen centroids — no retrain, no rescan — and probe every list. With
+    n_probe = n_lists the result is provably the exact top-k over the
+    FULL corpus, so one hash-matched row covers the incremental-append
+    machinery end to end; pruned-probe recall over appended indexes stays
+    gated in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    centroids, assigned_old = vector.build_ivf(old, n_lists=8)
+    index = assigned_old.unionByName(vector.ivf_assign(new, centroids))
+    q = vector.query_vector_of(emb, 0)
+    return vector.ivf_probe(centroids, index, q, k=10, n_probe=8, metric="ip")
+
+
 # ===========================================================================
 # Streaming closure (§2.8) — batch semantics of the streaming operators,
 # oracle-checked here; stream≡batch equivalence is pinned in
