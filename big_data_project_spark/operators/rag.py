@@ -23,17 +23,13 @@ PROMPT_TEMPLATE = (
 )
 
 
-def assemble_prompt(
-    hits: DataFrame,
-    question: str,
-    rank_col: str = "score",
-    text_col: str = "snippet",
-    descending: bool = True,
-) -> DataFrame:
-    """R1 (py:459-477): order the retrieved snippets, join with blank lines,
-    fill the template. Ordering inside collect_list is made deterministic by
-    sorting an array of (rank, text) structs — not by relying on input order.
-    Output: single row (question, context, prompt)."""
+def _context_expr(rank_col: str, text_col: str, descending: bool):
+    """ONE copy of the context-assembly contract shared by the single and
+    batched prompt builders: snippets ordered by a sortable (rank, text)
+    struct array — deterministic regardless of input order — joined with
+    blank lines, plus the PROMPT_TEMPLATE segments (built from the
+    exported constant so prompt text cannot drift from it). Returns
+    (ctx_aggregate_expr, pre, mid, post)."""
     rank = F.col(rank_col)
     sortable = F.struct(
         (rank * -1 if descending else rank).alias("r"), F.col(text_col).alias("t")
@@ -42,10 +38,21 @@ def assemble_prompt(
         F.transform(F.array_sort(F.collect_list(sortable)), lambda s: s["t"]),
         "\n\n",
     )
-    # build from PROMPT_TEMPLATE so the exported constant and the actual
-    # prompt cannot drift apart
     pre, rest = PROMPT_TEMPLATE.split("{context}")
     mid, post = rest.split("{question}")
+    return ctx, pre, mid, post
+
+
+def assemble_prompt(
+    hits: DataFrame,
+    question: str,
+    rank_col: str = "score",
+    text_col: str = "snippet",
+    descending: bool = True,
+) -> DataFrame:
+    """R1 (py:459-477): order the retrieved snippets, join with blank lines,
+    fill the template. Output: single row (question, context, prompt)."""
+    ctx, pre, mid, post = _context_expr(rank_col, text_col, descending)
     return hits.agg(
         F.lit(question).alias("question"),
         ctx.alias("context"),
@@ -63,19 +70,11 @@ def assemble_prompts_batch(
     text_col: str = "snippet",
     descending: bool = True,
 ) -> DataFrame:
-    """R1, batched: one prompt row per ``key`` — the same sortable-struct
-    context assembly as assemble_prompt, grouped instead of global, so N
-    questions' prompts build in one aggregate over the joined hits."""
-    rank = F.col(rank_col)
-    sortable = F.struct(
-        (rank * -1 if descending else rank).alias("r"), F.col(text_col).alias("t")
-    )
-    ctx = F.array_join(
-        F.transform(F.array_sort(F.collect_list(sortable)), lambda s: s["t"]),
-        "\n\n",
-    )
-    pre, rest = PROMPT_TEMPLATE.split("{context}")
-    mid, post = rest.split("{question}")
+    """R1, batched: one prompt row per ``key`` — the SAME context-assembly
+    contract as assemble_prompt (shared _context_expr), grouped instead of
+    global, so N questions' prompts build in one aggregate over the joined
+    hits."""
+    ctx, pre, mid, post = _context_expr(rank_col, text_col, descending)
     return hits.groupBy(key, question_col).agg(
         ctx.alias("context"),
         F.concat(
@@ -242,11 +241,9 @@ def run_rag_batch(
     hits = vector.knn_topk_batch(
         embeddings, queries.select("qid", "q"), k=k, metric=metric
     )
-    docs = (
-        hits.join(documents, hits.vec_id == documents.doc_id)
-        .select("qid", "score", F.substring("text", 1, truncate).alias("snippet"))
-        .join(queries.select("qid", "question"), "qid")
-    )
+    docs = vector.knn_join_documents(
+        hits, documents, truncate=truncate, keep_cols=("qid",)
+    ).join(queries.select("qid", "question"), "qid")
     prompts = assemble_prompts_batch(docs, descending=(metric != "l2"))
     answered = generate_answers(prompts)
     return evaluate_response(answered, keep_cols=("qid",))

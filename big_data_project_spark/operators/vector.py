@@ -111,13 +111,19 @@ def knn_topk(
 
 
 def knn_join_documents(
-    hits: DataFrame, documents: DataFrame, truncate: int = 1000
+    hits: DataFrame,
+    documents: DataFrame,
+    truncate: int = 1000,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """E6 (py:380, py:459): map top-k hits back to document rows; truncate
-    text to bound downstream prompt size."""
+    text to bound downstream prompt size. ``keep_cols`` carries extra hit
+    columns through (e.g. the batched serving path's qid) so every caller
+    shares ONE copy of the hits→documents join contract."""
     return (
         hits.join(documents, hits.vec_id == documents.doc_id)
         .select(
+            *keep_cols,
             "vec_id",
             "score",
             F.substring("text", 1, truncate).alias("snippet"),

@@ -50,11 +50,22 @@ QUESTION = "What are the risks of Amazon's $15B warehouse expansion?"
 
 
 def main(out_dir: str, spark=None) -> None:
-    # getOrCreate can return a caller's live session (e.g. the test
-    # harness); only stop what this script itself created
-    own_session = spark is None
-    if own_session:
+    # getOrCreate can return a caller's live session (a notebook, the test
+    # harness). spark=None therefore does NOT imply ownership — only stop
+    # when no session was active before this call.
+    from pyspark.sql import SparkSession
+
+    own_session = spark is None and SparkSession.getActiveSession() is None
+    if spark is None:
         spark = get_spark(app_name="fininsight-migration")
+    try:
+        _run(spark, out_dir)
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _run(spark, out_dir: str) -> None:
     register_connectors(spark)
 
     # --- SEC filings: ingest → clean → metadata → store (py:203-311) ---
@@ -99,9 +110,13 @@ def main(out_dir: str, spark=None) -> None:
         print(f"  vec_id={r.vec_id} score={r.score:.4f} {r.snippet[:60]!r}...")
 
     # --- run_rag + evaluate (py:455-628) ---
-    result = rag.run_rag(emb, docs, q, QUESTION, k=7)
+    # cache: the RAG DAG spans retrieval + mapInPandas generation — without
+    # it the write and the collect below would each run the whole pipeline
+    # (and, with transformers present, generate twice)
+    result = rag.run_rag(emb, docs, q, QUESTION, k=7).cache()
     io.write_json(result, f"{out_dir}/llm_evaluation")
     row = result.collect()[0]
+    result.unpersist()
     print(f"question : {row.question}")
     print(
         "evaluation: accuracy={} ({:.2f}) clarity={} ({} words/{} sentences) "
@@ -115,8 +130,6 @@ def main(out_dir: str, spark=None) -> None:
         )
     )
     print(f"evaluation saved to {out_dir}/llm_evaluation")
-    if own_session:
-        spark.stop()
 
 
 if __name__ == "__main__":
