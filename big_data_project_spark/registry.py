@@ -2483,6 +2483,7 @@ def r3_run_rag(spark, sf_dir):
              / len(list_distinct(a_terms_all)) AS grounding
     FROM t
     """,
+    headline=True,
 )
 def r6_rag_batch(spark, sf_dir):
     """R3 in its SERVING shape: three questions through ONE plan —
