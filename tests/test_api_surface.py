@@ -120,3 +120,21 @@ def test_connector_helpers_fail_loudly_offline():
     # (a networked host must not silently reach the real feed here)
     with pytest.raises((URLError, OSError, ValueError)):
         sources.fetch_reddit_posts("stocks", limit=5, base_url="https://localhost:1")
+
+
+def test_driver_window_contract():
+    """The driver records exactly the FIRST 50 registry entries: the
+    curated _PRIORITY list must be exactly 50 names, be exactly the
+    registry's head, and every window entry must carry a full value-hash
+    oracle (a rows-only row in the window wastes a slot)."""
+    import re
+
+    from big_data_project_spark import registry as reg
+
+    src = open(reg.__file__).read()
+    names = re.findall(r'"([a-z0-9_]+)"', re.search(
+        r"_PRIORITY = \[(.*?)\n\]", src, re.S).group(1))
+    assert len(names) == 50
+    assert list(reg.REGISTRY)[:50] == names
+    rows_only = [n for n in names if reg.REGISTRY[n].oracle is None]
+    assert rows_only == [], f"window slots without oracles: {rows_only}"
