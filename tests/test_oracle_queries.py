@@ -47,7 +47,9 @@ def test_queries_are_timezone_robust(spark, duck, sf_dir):
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
-        for name in ("st_tumbling_hourly", "q1_pricing_summary", "ev_retention_cohorts"):
+        for name in ("st_tumbling_hourly", "q1_pricing_summary", "ev_retention_cohorts",
+                     "q_recursive_spine", "u5_partitioned_udtf",
+                     "st_interval_join_outer"):
             q = REGISTRY[name]
             assert_matches_oracle(q.build(spark, sf_dir), duck, q.oracle)
     finally:
