@@ -52,10 +52,17 @@ QUESTION = "What are the risks of Amazon's $15B warehouse expansion?"
 def main(out_dir: str, spark=None) -> None:
     # getOrCreate can return a caller's live session (a notebook, the test
     # harness). spark=None therefore does NOT imply ownership — only stop
-    # when no session was active before this call.
+    # when no session existed anywhere in the process before this call.
+    # getActiveSession alone is THREAD-local (None from a worker thread
+    # even while the caller's session lives), so also check the
+    # process-global instantiated session.
     from pyspark.sql import SparkSession
 
-    own_session = spark is None and SparkSession.getActiveSession() is None
+    own_session = (
+        spark is None
+        and SparkSession.getActiveSession() is None
+        and getattr(SparkSession, "_instantiatedSession", None) is None
+    )
     if spark is None:
         spark = get_spark(app_name="fininsight-migration")
     try:
