@@ -415,3 +415,94 @@ def test_reddit_live_stream_reader_end_to_end(local_feed):
                              {"line": 0, "name": "t3_h0200"})
     )
     assert len(replay) == 100  # posts 101..200 only
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis models for the paging/ordering logic (pure python, no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet=_B36, min_size=1, max_size=9).map(
+            lambda s: "t3_" + s.lstrip("0")
+        ).filter(lambda s: len(s) > 3),
+        min_size=2,
+        max_size=6,
+        unique=True,
+    )
+)
+def test_fullname_key_orders_like_base36_value(ids):
+    """(len, text) keying must order same-prefix fullnames exactly like
+    their numeric base36 value — for arbitrary ids, including across
+    length rollovers (no leading zeros, as reddit ids have none)."""
+    from big_data_project_spark.sources.connectors import _fullname_key
+
+    by_key = sorted(ids, key=_fullname_key)
+    by_value = sorted(ids, key=lambda s: int(s[3:], 36))
+    assert by_key == by_value
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_posts=st.integers(min_value=0, max_value=250),
+    page_size_idx=st.integers(min_value=0, max_value=2),
+    anchor_idx=st.integers(min_value=0, max_value=260),
+)
+def test_new_since_model(n_posts, page_size_idx, anchor_idx):
+    """For an arbitrary feed and anchor, _reddit_new_since must return
+    exactly the posts strictly newer than the anchor (newest first) and
+    advance `newest` to the head of the feed — regardless of how the feed
+    paginates (page size 1, 7, or 100)."""
+    import pytest as _pytest
+
+    from big_data_project_spark.sources import connectors as c
+
+    page_size = [1, 7, 100][page_size_idx]
+    names = [f"t3_m{i:04d}" for i in range(1, n_posts + 1)]  # oldest..newest
+    feed = [
+        {"name": n, "title": n, "url": "u", "score": i, "num_comments": 0,
+         "created_utc": 1745000000 + i}
+        for i, n in enumerate(names)
+    ]
+    newest_first = list(reversed(feed))
+
+    def fake_page(sub, base_url, count, after):
+        start = 0
+        if after:
+            start = [d["name"] for d in newest_first].index(after) + 1
+        page = newest_first[start : start + min(count, page_size)]
+        nxt = (
+            page[-1]["name"]
+            if page and start + len(page) < len(newest_first)
+            else None
+        )
+        return page, nxt
+
+    # anchor_idx 0 → no anchor (cold start); else 1-based index clamped
+    # into the feed (so anchors at/above the head are exercised too)
+    anchor = (
+        names[min(anchor_idx, len(names)) - 1]
+        if anchor_idx > 0 and names
+        else None
+    )
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(c, "_reddit_listing_page", fake_page)
+        rows, newest = c._reddit_new_since(
+            "s", anchor, max_pages=1000
+        )
+    finally:
+        mp.undo()
+
+    anchor_pos = names.index(anchor) + 1 if anchor else 0
+    expected = list(reversed(names[anchor_pos:]))  # newer than anchor, newest first
+    assert [r[0] for r in rows] == expected
+    assert newest == (names[-1] if names else anchor)
