@@ -57,3 +57,25 @@ def arrow_text_stats(df):
             )
 
     return df.select("doc_id", "text").mapInArrow(stats, schema)
+
+
+def _arrow_udfs():
+    """U8: scalar Arrow UDFs (Spark 4.1 ``arrow_udf``) — column-level
+    sibling of mapInArrow: per-expression pyarrow.compute kernels with no
+    pandas hop, usable anywhere a Column fits. Built lazily so importing
+    this module never requires the arrow_udf symbol at collection time."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    # DataType objects, not DDL strings: the string form parses through an
+    # ACTIVE session at decoration time and fails without one
+    @arrow_udf(LongType())
+    def utf8_bytes(v: pa.Array) -> pa.Array:
+        return pc.cast(pc.binary_length(v), pa.int64())
+
+    @arrow_udf(LongType())
+    def digit_count(v: pa.Array) -> pa.Array:
+        return pc.cast(pc.count_substring_regex(v, "[0-9]"), pa.int64())
+
+    return utf8_bytes, digit_count

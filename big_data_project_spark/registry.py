@@ -3627,6 +3627,32 @@ def u7_map_in_arrow(spark, sf_dir):
 
 
 @register(
+    "u8_scalar_arrow_udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+             AS n_digits
+    FROM documents
+    """,
+)
+def u8_scalar_arrow_udf(spark, sf_dir):
+    """Scalar Arrow UDF (Spark 4.1 ``arrow_udf``) — the column-level
+    sibling of mapInArrow: per-expression pyarrow.compute kernels with no
+    pandas materialization, composable anywhere a Column fits. Completes
+    the Python boundary ladder (U1 row-pickled < U2 pandas < U7/U8 pure
+    Arrow), each rung value-hashed against the same SQL semantics."""
+    from big_data_project_spark.functions.udfs import _arrow_udfs
+
+    utf8_bytes, digit_count = _arrow_udfs()
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        utf8_bytes("text").alias("n_bytes"),
+        digit_count("text").alias("n_digits"),
+    )
+
+
+@register(
     "tx_stemming",
     oracle=f"""
     WITH toks AS (SELECT unnest({_DK_WORDS}) AS t FROM documents)
