@@ -2172,6 +2172,42 @@ def s_roundtrip_orc(spark, sf_dir):
 
 
 @register(
+    "s7_pyds_sink_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 9 = 0
+    """,
+)
+def s7_pyds_sink_roundtrip(spark, sf_dir):
+    """The WRITE leg of the Python Data Source API: a task-committed
+    JSON-lines sink (each task stages part-<pid>.jsonl.tmp-*, the driver
+    renames on global commit, abort deletes — no visible partial output,
+    ever). The oracle reads the ORIGINAL table, so the hash only matches
+    if the custom writer's stage→commit→read-back preserved every value.
+    Completes the API triangle: batch read + streaming read
+    (sources/connectors.py) + batch write (sources/jsonl_sink.py)."""
+    from big_data_project_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    df = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 9 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+    path = _tmpdir("pyds_sink")
+    df.write.format("jsonl_files").option("path", path).mode("append").save()
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(f"{path}/part-*.jsonl")
+
+
+@register(
     "mt_time_travel",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

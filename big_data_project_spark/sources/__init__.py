@@ -31,6 +31,10 @@ from big_data_project_spark.sources.connectors import (  # noqa: F401
     RedditPostsDataSource,
     register_connectors,
 )
+from big_data_project_spark.sources.jsonl_sink import (  # noqa: F401
+    JsonlFilesDataSource,
+    register_jsonl_sink,
+)
 
 
 def fetch_cnbc_articles(index_url: str, prefix: str = ""):  # pragma: no cover

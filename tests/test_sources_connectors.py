@@ -506,3 +506,62 @@ def test_new_since_model(n_posts, page_size_idx, anchor_idx):
     expected = list(reversed(names[anchor_pos:]))  # newer than anchor, newest first
     assert [r[0] for r in rows] == expected
     assert newest == (names[-1] if names else anchor)
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source WRITER (jsonl_files sink)
+# ---------------------------------------------------------------------------
+
+def test_jsonl_sink_roundtrip_and_no_staged_leftovers(spark, sf_dir, tmp_path):
+    """The custom writer's output must read back value-identical, with no
+    .tmp staging files visible after the successful commit."""
+    import os
+
+    from big_data_project_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    df = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    out = str(tmp_path / "jsonl_out")
+    df.write.format("jsonl_files").option("path", out).mode("append").save()
+    files = os.listdir(out)
+    assert files and all(f.endswith(".jsonl") for f in files), files
+    back = spark.read.schema("c_custkey long, c_name string, c_acctbal double").json(
+        f"{out}/part-*.jsonl"
+    )
+    assert _sorted_rows(back) == _sorted_rows(df)
+
+
+def test_jsonl_sink_commit_and_abort_semantics(tmp_path):
+    """Driver-side two-phase commit: commit renames staged->final
+    atomically; abort removes staged files and tolerates already-missing
+    ones — a failed job leaves nothing visible."""
+    import os
+
+    from big_data_project_spark.sources.jsonl_sink import _JsonlWriter, _StagedFile
+
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    w = _JsonlWriter({"path": d})
+    staged = os.path.join(d, "part-00000.jsonl.tmp-abc")
+    final = os.path.join(d, "part-00000.jsonl")
+    with open(staged, "w") as fh:
+        fh.write('{"k": 1}\n')
+    w.commit([_StagedFile(staged, final, 1)])
+    assert os.path.exists(final) and not os.path.exists(staged)
+
+    staged2 = os.path.join(d, "part-00001.jsonl.tmp-def")
+    with open(staged2, "w") as fh:
+        fh.write('{"k": 2}\n')
+    w.abort([_StagedFile(staged2, os.path.join(d, "part-00001.jsonl"), 1),
+             _StagedFile(os.path.join(d, "never-existed.tmp"), "x", 0)])
+    assert not os.path.exists(staged2)
+    assert sorted(os.listdir(d)) == ["part-00000.jsonl"]
+
+
+def test_jsonl_sink_requires_path():
+    from big_data_project_spark.sources.jsonl_sink import _JsonlWriter
+
+    with pytest.raises(ValueError, match="path"):
+        _JsonlWriter({})
