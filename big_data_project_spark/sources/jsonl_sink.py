@@ -29,6 +29,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -74,8 +75,57 @@ class _JsonlWriter(DataSourceWriter):
                 pass
 
 
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """STREAMING leg of the sink: per micro-batch, tasks stage files and
+    ``commit(messages, batchId)`` renames them to
+    ``part-<batchId>-<partitionId>.jsonl`` — batch-scoped names, so a
+    REPLAYED micro-batch (failure before the checkpoint advanced)
+    re-stages and renames onto the SAME final names instead of appending
+    duplicates: exactly-once output files without any log compaction."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("jsonl_files stream: the path option is required")
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        os.makedirs(self.dir, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        # final name is completed at commit time when batchId is known
+        staged = os.path.join(
+            self.dir, f"stage-{uuid.uuid4().hex}-p{pid:05d}.jsonl.tmp"
+        )
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for r in iterator:
+                fh.write(json.dumps(r.asDict(), default=str) + "\n")
+                n += 1
+        return _StagedFile(staged, f"p{pid:05d}", n)
+
+    def commit(self, messages, batchId):
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(
+                self.dir, f"part-{int(batchId):08d}-{m.final}.jsonl"
+            )
+            os.replace(m.staged, final)
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.staged)
+            except OSError:
+                pass
+
+
 class JsonlFilesDataSource(DataSource):
-    """``df.write.format("jsonl_files").option("path", dir).mode("append")``."""
+    """``df.write.format("jsonl_files").option("path", dir).mode("append")``
+    — and ``df.writeStream.format("jsonl_files")`` for the streaming leg."""
 
     @classmethod
     def name(cls):
@@ -83,6 +133,9 @@ class JsonlFilesDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return _JsonlWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _JsonlStreamWriter(self.options)
 
 
 def register_jsonl_sink(spark) -> None:

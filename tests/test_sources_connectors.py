@@ -565,3 +565,42 @@ def test_jsonl_sink_requires_path():
 
     with pytest.raises(ValueError, match="path"):
         _JsonlWriter({})
+
+
+def test_python_source_to_python_sink_streaming_pipeline(spark, sf_dir, tmp_path):
+    """The FULL Python Data Source matrix in one pipeline: the reddit
+    streaming reader feeds the jsonl streaming writer — micro-batches
+    land as part-<batchId>-<pid>.jsonl (batch-scoped names = replay-safe),
+    no staging litter remains, and the files read back value-identical to
+    the fixture."""
+    import os
+
+    from big_data_project_spark.sources import register_jsonl_sink
+
+    register_connectors(spark)
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "stream_out")
+    q = (
+        spark.readStream.format("reddit_posts")
+        .option("path", REDDIT)
+        .option("batch_size", "200")
+        .load()
+        .writeStream.format("jsonl_files")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    files = sorted(os.listdir(out))
+    assert files and all(
+        f.startswith("part-") and f.endswith(".jsonl") for f in files
+    ), files
+    back = spark.read.schema(
+        "Title string, URL string, Upvotes int, Comments_Count int, Post_Time string"
+    ).json(f"{out}/part-*.jsonl")
+    want = io.read_json(spark, REDDIT, schema=social.REDDIT_SCHEMA)
+    assert back.count() == 500
+    assert _sorted_rows(back.select(*want.columns)) == _sorted_rows(want)
