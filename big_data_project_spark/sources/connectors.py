@@ -22,6 +22,10 @@ Two modes per source, chosen by the options given:
   one listing call caps at 100, so parity requires the pagination loop).
   Real code, but unverifiable in this offline container — fixtures carry
   the test coverage. ``base_url`` is injectable for exactly that reason.
+  Live CNBC articles carry a best-effort publish date (standard meta tags
+  / JSON-LD, newspaper3k parity) or NULL when the page has none; live
+  reddit page-walks dedup by fullname so a feed shifting mid-walk cannot
+  emit a post twice within one batch.
 
 ``reddit_posts`` additionally implements ``simpleStreamReader``: the
 polling micro-batch shape (``spark.readStream.format("reddit_posts")``).
@@ -67,6 +71,22 @@ REDDIT_DDL = (
 
 _HREF_RE = re.compile(r'href="([^"]+)"')
 _TAG_STRIP_RE = re.compile(r"<[^>]*>")
+# newspaper3k-parity publish-date extraction for live mode, lightweight:
+# <meta property="article:published_time" content="..."> (and the common
+# name=/itemprop= variants), else a JSON-LD "datePublished" field.
+_META_DATE_RE = re.compile(
+    r'<meta[^>]+(?:property|name|itemprop)=["\']'
+    r'(?:article:published_time|datePublished|date|publish-date|parsely-pub-date)'
+    r'["\'][^>]+content=["\']([^"\']+)["\']',
+    re.I,
+)
+_META_DATE_RE_REV = re.compile(  # content= attribute BEFORE the name/property
+    r'<meta[^>]+content=["\']([^"\']+)["\'][^>]+(?:property|name|itemprop)=["\']'
+    r'(?:article:published_time|datePublished|date|publish-date|parsely-pub-date)'
+    r'["\']',
+    re.I,
+)
+_JSONLD_DATE_RE = re.compile(r'"datePublished"\s*:\s*"([^"]+)"')
 _UA = {"User-Agent": "big-data-project-spark/1.0"}
 _REDDIT_BASE = "https://www.reddit.com"
 _PAGE_MAX = 100  # listing API hard page cap
@@ -80,6 +100,20 @@ def _fetch_url(url: str, timeout: int = 20) -> str:
 
     with urlopen(Request(url, headers=_UA), timeout=timeout) as resp:
         return resp.read().decode("utf-8", errors="replace")
+
+
+def _extract_publish_date(html: str) -> str | None:
+    """Best-effort publish date from article HTML (ADVICE r3: live mode
+    previously always emitted NULL — a silent parity gap with the
+    reference's newspaper3k extraction, py:25-29). Checks the standard
+    meta tags, then JSON-LD; returns the raw string (downstream
+    ``pipelines.social.parse_post_time`` handles the parsing) or None
+    when the page simply does not carry one."""
+    for rx in (_META_DATE_RE, _META_DATE_RE_REV, _JSONLD_DATE_RE):
+        m = rx.search(html)
+        if m:
+            return m.group(1).strip()
+    return None
 
 
 def _int_or_none(x):
@@ -152,15 +186,23 @@ def _reddit_listing_page(sub: str, base_url: str, count: int, after: str | None)
 def _reddit_listing_rows(sub: str, limit: int, base_url: str = _REDDIT_BASE):
     """Newest ``limit`` posts, paging OLDER with ``after`` cursors until
     filled (a single listing call caps at 100 — the reference's PRAW
-    .new(limit=500) pages internally; this is that loop)."""
-    rows, after = [], None
+    .new(limit=500) pages internally; this is that loop). Posts arriving
+    MID-WALK shift the listing so a page boundary can re-serve a fullname
+    already emitted — dedup by fullname across pages (ADVICE r3)."""
+    rows, after, seen = [], None, set()
     while len(rows) < int(limit):
         children, after = _reddit_listing_page(
             sub, base_url, int(limit) - len(rows), after
         )
         if not children:
             break
-        rows.extend(_row_from_listing_child(d) for d in children)
+        for d in children:
+            name = d.get("name")
+            if name is not None and name in seen:
+                continue
+            if name is not None:
+                seen.add(name)
+            rows.append(_row_from_listing_child(d))
         if after is None:
             break
     return rows[: int(limit)]
@@ -183,7 +225,7 @@ def _reddit_new_since(
     history."""
     anchor_key = _fullname_key(anchor)
     upper_key = _fullname_key(upper) if upper else None
-    rows, newest, after = [], anchor, None
+    rows, newest, after, seen = [], anchor, None, set()
     for _ in range(max_pages):
         children, after = _reddit_listing_page(sub, base_url, _PAGE_MAX, after)
         if not children:
@@ -196,6 +238,12 @@ def _reddit_new_since(
                 break
             if upper_key is not None and _fullname_key(name) > upper_key:
                 continue
+            # new posts landing mid-walk shift page boundaries; a fullname
+            # can reappear on the next page — emit each at most once
+            if name is not None:
+                if name in seen:
+                    continue
+                seen.add(name)
             rows.append(_row_from_listing_child(d))
             if _fullname_key(name) > _fullname_key(newest):
                 newest = name
@@ -259,7 +307,7 @@ class _CnbcReader(DataSourceReader):
             # equivalent is an honest tag-strip (normalization and NLP
             # happen downstream in pipelines.social / operators.text)
             content = re.sub(r"\s+", " ", _TAG_STRIP_RE.sub(" ", html)).strip()
-            yield (link, title, None, content)
+            yield (link, title, _extract_publish_date(html), content)
 
 
 class CnbcArticlesDataSource(DataSource):

@@ -264,6 +264,57 @@ def test_live_listing_pages_to_limit(monkeypatch):
     assert len(c._reddit_listing_rows("whatever", 500)) == 400  # feed exhausted
 
 
+def test_listing_dedups_fullnames_across_page_shift(monkeypatch):
+    """ADVICE r3: a post arriving mid-walk shifts the listing so a page
+    boundary re-serves an already-emitted fullname — both the batch walk
+    and the since-anchor poll must emit each fullname at most once."""
+    from big_data_project_spark.sources import connectors as c
+
+    def mk(i):
+        return {"name": f"t3_k{i:04d}", "title": f"k{i}", "url": "u",
+                "score": i, "num_comments": 0, "created_utc": 1745000000 + i}
+
+    # page 1: k0200..k0101; page 2 REPEATS k0105..k0101 (shifted feed)
+    # then continues k0100..k0001
+    pages = {
+        None: ([mk(i) for i in range(200, 100, -1)], "cursor1"),
+        "cursor1": ([mk(i) for i in range(105, 0, -1)], None),
+    }
+
+    def fake_page(sub, base_url, count, after):
+        return pages[after]
+
+    monkeypatch.setattr(c, "_reddit_listing_page", fake_page)
+    rows = c._reddit_listing_rows("whatever", 500)
+    titles = [r[0] for r in rows]
+    assert len(titles) == len(set(titles)) == 200
+
+    rows2, newest = c._reddit_new_since("whatever", None)
+    titles2 = [r[0] for r in rows2]
+    assert len(titles2) == len(set(titles2)) == 200
+    assert newest == "t3_k0200"
+
+
+def test_publish_date_extraction_variants():
+    """_extract_publish_date: standard meta forms, attribute-order swap,
+    JSON-LD fallback, and honest None when no date is present."""
+    from big_data_project_spark.sources.connectors import _extract_publish_date
+
+    assert _extract_publish_date(
+        '<meta property="article:published_time" content="2026-01-02T03:04:05Z">'
+    ) == "2026-01-02T03:04:05Z"
+    assert _extract_publish_date(
+        "<META NAME='datePublished' CONTENT='2025-12-31'>"
+    ) == "2025-12-31"
+    assert _extract_publish_date(
+        '<meta content="2026-03-04T00:00:00Z" property="article:published_time">'
+    ) == "2026-03-04T00:00:00Z"
+    assert _extract_publish_date(
+        '<script type="application/ld+json">{"datePublished": "2026-05-06"}</script>'
+    ) == "2026-05-06"
+    assert _extract_publish_date("<html><body>no date here</body></html>") is None
+
+
 # ---------------------------------------------------------------------------
 # live-mode paths over a LOOPBACK http server: the urllib fetch, index
 # scrape + executor fan-out, listing pagination, and the since-anchor poll
@@ -311,6 +362,8 @@ def local_feed():
                 n = u.path.split("/a")[-1].split(".")[0]
                 self._send(
                     f"<html><title>Article {n}</title>"
+                    f'<meta property="article:published_time" '
+                    f'content="2026-02-0{n}T09:00:00Z">'
                     f"<body>body of {n} words</body></html>".encode()
                 )
             elif u.path == "/r/test/new.json":
@@ -363,9 +416,11 @@ def test_cnbc_live_mode_scrapes_and_fans_out(spark, local_feed):
         .option("fanout", "3")
         .load()
     )
-    rows = sorted((r.url, r.title) for r in df.collect())
+    rows = sorted((r.url, r.title, r.date) for r in df.collect())
     assert len(rows) == 5  # /other/skip.html excluded by prefix
     assert rows[0][1] == "Article 1"
+    # ADVICE r3: live mode must extract the publish date, not emit NULL
+    assert rows[0][2] == "2026-02-01T09:00:00Z"
     assert df.rdd.getNumPartitions() == 3
 
 
@@ -554,7 +609,10 @@ def test_jsonl_sink_commit_and_abort_semantics(tmp_path):
     staged2 = os.path.join(d, "part-00001.jsonl.tmp-def")
     with open(staged2, "w") as fh:
         fh.write('{"k": 2}\n')
+    # the None slot is a FAILED task's commit message per the pyspark
+    # DataSourceWriter contract — abort must skip it, not AttributeError
     w.abort([_StagedFile(staged2, os.path.join(d, "part-00001.jsonl"), 1),
+             None,
              _StagedFile(os.path.join(d, "never-existed.tmp"), "x", 0)])
     assert not os.path.exists(staged2)
     assert sorted(os.listdir(d)) == ["part-00000.jsonl"]
@@ -565,6 +623,106 @@ def test_jsonl_sink_requires_path():
 
     with pytest.raises(ValueError, match="path"):
         _JsonlWriter({})
+
+
+def test_jsonl_sink_task_failure_leaves_nothing_visible(spark, tmp_path):
+    """Failure injection for the two-phase commit's ABORT leg: one task's
+    row iterator raises mid-write, the job fails, and the directory must
+    expose NO final .jsonl part — the succeeded tasks' staged files are
+    removed by abort (which must also tolerate the failed task's None
+    commit-message slot); at most orphan .tmp files remain."""
+    import os
+
+    from big_data_project_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    from pyspark.sql import functions as F
+
+    @F.udf("long")
+    def boom(x):
+        if x == 77:
+            raise RuntimeError("injected task failure")
+        return x
+
+    df = spark.range(0, 100, 1, 4).select(boom("id").alias("v"))
+    out = str(tmp_path / "fail_out")
+    with pytest.raises(Exception, match="injected task failure"):
+        df.write.format("jsonl_files").option("path", out).mode(
+            "append"
+        ).save()
+    files = os.listdir(out) if os.path.isdir(out) else []
+    assert not [f for f in files if f.endswith(".jsonl")], files
+
+
+def test_jsonl_sink_overwrite_clears_stale_parts(spark, tmp_path):
+    """ADVICE r3: mode('overwrite') with FEWER partitions than the prior
+    write must not leave the prior job's extra parts behind."""
+    import os
+
+    from big_data_project_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "ow_out")
+    spark.range(0, 40, 1, 4).write.format("jsonl_files").option(
+        "path", out
+    ).mode("append").save()
+    spark.range(100, 110, 1, 2).write.format("jsonl_files").option(
+        "path", out
+    ).mode("overwrite").save()
+    back = spark.read.schema("id long").json(f"{out}/part-*.jsonl")
+    assert sorted(r.id for r in back.collect()) == list(range(100, 110))
+    assert len([f for f in os.listdir(out) if f.endswith(".jsonl")]) == 2
+
+
+def test_jsonl_sink_append_does_not_clobber(spark, tmp_path):
+    """ADVICE r3: two append jobs write the same partition ids; job-unique
+    final names must keep BOTH jobs' rows."""
+    from big_data_project_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "ap_out")
+    spark.range(0, 20, 1, 2).write.format("jsonl_files").option(
+        "path", out
+    ).mode("append").save()
+    spark.range(20, 40, 1, 2).write.format("jsonl_files").option(
+        "path", out
+    ).mode("append").save()
+    back = spark.read.schema("id long").json(f"{out}/part-*.jsonl")
+    assert sorted(r.id for r in back.collect()) == list(range(40))
+
+
+def test_jsonl_stream_commit_sweeps_stale_replay_parts(tmp_path):
+    """ADVICE r3: a replayed micro-batch with FEWER partitions than the
+    failed first attempt must delete the first attempt's leftover parts
+    for the same batch id (else read-back duplicates rows)."""
+    import os
+
+    from big_data_project_spark.sources.jsonl_sink import (
+        _JsonlStreamWriter,
+        _StagedFile,
+    )
+
+    d = str(tmp_path / "replay")
+    os.makedirs(d)
+    # first (failed) attempt committed two parts for batch 42
+    for pid in (0, 1):
+        with open(os.path.join(d, f"part-00000042-p{pid:05d}.jsonl"), "w") as fh:
+            fh.write('{"k": %d}\n' % pid)
+    # an unrelated batch must NOT be touched by batch 42's replay sweep
+    with open(os.path.join(d, "part-00000041-p00000.jsonl"), "w") as fh:
+        fh.write('{"k": 41}\n')
+    # replay: single partition stages and commits for the same batch id
+    staged = os.path.join(d, "stage-replay-p00000.jsonl.tmp")
+    with open(staged, "w") as fh:
+        fh.write('{"k": 99}\n')
+    w = _JsonlStreamWriter({"path": d})
+    w.commit([_StagedFile(staged, "p00000", 1), None], 42)
+    assert sorted(os.listdir(d)) == [
+        "part-00000041-p00000.jsonl",
+        "part-00000042-p00000.jsonl",
+    ]
+    with open(os.path.join(d, "part-00000042-p00000.jsonl")) as fh:
+        assert fh.read() == '{"k": 99}\n'
 
 
 def test_python_source_to_python_sink_streaming_pipeline(spark, sf_dir, tmp_path):
