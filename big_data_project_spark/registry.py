@@ -7638,7 +7638,13 @@ _PRIORITY = [
     "w1_top_orders_per_customer",
     "w2_offsets",
     "w3_frames",
-    "o1_ordered_scan",
+    # o1_ordered_scan moved past the window in round 4 (VERDICT r3 item 3):
+    # O1's multi-key/null-ordering semantics are equally exercised by
+    # o2_top_parts' ORDER BY and by every window entry's hash comparator
+    # sort; the freed slot makes the north-star near-dup dedup family
+    # driver-green end to end (MinHash-LSH blocking → verified Jaccard →
+    # connected components → representative pick) rather than judge-only.
+    "dd_near_dedup_lsh",
     "o2_top_parts",
     # vector search (E3/E4/E5/E6)
     "e3_knn_l2",
