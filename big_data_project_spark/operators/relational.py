@@ -341,6 +341,38 @@ def top_parts_by_price(part: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def rank_bounded(
+    df: DataFrame, order: list[tuple[str, str]], out_col: str = "rank"
+) -> DataFrame:
+    """Dense total-order rank over a BOUNDED (post-limit) result WITHOUT a
+    global window: rank = 1 + number of strictly-preceding rows, computed
+    by a broadcast nested-loop self-join (k² comparisons over the k-row
+    input — a constant once the caller has already cut to top-k).
+
+    Replaces ``row_number() OVER (ORDER BY …)`` on tiny results: the
+    empty-partition window moves data to ONE partition and makes
+    WindowExec warn on every task, which buries any real single-partition
+    regression in noise. This shape stays parallel and warning-free.
+
+    ``order`` is ``[(col, 'asc'|'desc'), …]`` and must define a TOTAL
+    order (make the last key unique); rows must be distinct (they are,
+    once the ordering is total)."""
+    left, right = df.alias("_l"), df.alias("_r")
+    strictly_before = F.lit(False)  # does the _r row precede the _l row?
+    eq_prefix = F.lit(True)
+    for c, d in order:
+        lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+        strictly_before = strictly_before | (
+            eq_prefix & ((rc > lc) if d == "desc" else (rc < lc))
+        )
+        eq_prefix = eq_prefix & rc.eqNullSafe(lc)
+    joined = left.join(F.broadcast(right), strictly_before, "left")
+    first = order[0][0]
+    return joined.groupBy(
+        *[F.col(f"_l.{c}").alias(c) for c in df.columns]
+    ).agg((F.count(F.col(f"_r.{first}")) + 1).cast("long").alias(out_col))
+
+
 def ordered_lineitems(lineitem: DataFrame) -> DataFrame:
     """O1: multi-key sort with explicit null ordering."""
     return (

@@ -560,8 +560,12 @@ def build_vocab(
         .orderBy(F.col("n").desc(), "term")
         .limit(top_k)
     )
-    w = Window.orderBy(F.col("n").desc(), "term")
-    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+    # rank over the ≤top_k post-limit rows WITHOUT a global window (the
+    # empty-partition WindowExec warns per task and single-partitions):
+    # broadcast self-join rank, k² on a k-row constant
+    from big_data_project_spark.operators.relational import rank_bounded
+
+    return rank_bounded(top, [("n", "desc"), ("term", "asc")])
 
 
 def inverted_index(

@@ -6953,15 +6953,16 @@ def pl_hybrid_retrieval(spark, sf_dir):
     engine-exact; both candidate lists rank by (score desc, doc_id), and
     the rank windows run AFTER the top-10 cut, so the single-partition
     sort touches 10 rows, not the corpus."""
-    from pyspark.sql.window import Window
-
     from big_data_project_spark.plugins import Embedder
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    tiny = Window.orderBy(F.col("score").desc(), "doc_id")
-    lex = text.bm25_topk(docs, list(_HY_TERMS), k=10).select(
-        "doc_id", F.row_number().over(tiny).cast("long").alias("rank")
-    )
+    # both rank inputs are post-limit 10-row results: rank them with the
+    # broadcast self-join (relational.rank_bounded) instead of a global
+    # window — same values, no single-partition WindowExec
+    order = [("score", "desc"), ("doc_id", "asc")]
+    lex = relational.rank_bounded(
+        text.bm25_topk(docs, list(_HY_TERMS), k=10), order
+    ).select("doc_id", "rank")
     embedder = Embedder(model_name=None, dim=8)
     emb = embedder.transform(docs)
     q = embedder.transform(
@@ -6970,11 +6971,9 @@ def pl_hybrid_retrieval(spark, sf_dir):
     scored = emb.crossJoin(F.broadcast(q)).select(
         "doc_id", vector.dot("embedding", "q").alias("score")
     )
-    vec = (
-        scored.orderBy(F.col("score").desc(), "doc_id")
-        .limit(10)
-        .select("doc_id", F.row_number().over(tiny).cast("long").alias("rank"))
-    )
+    vec = relational.rank_bounded(
+        scored.orderBy(F.col("score").desc(), "doc_id").limit(10), order
+    ).select("doc_id", "rank")
     return vector.rrf_fuse([lex, vec])
 
 

@@ -244,3 +244,37 @@ def test_every_survey_family_has_a_window_entry():
     }
     out = {fam for fam, names in families.items() if not names & set(window)}
     assert out == set(), f"families with no driver-window entry: {out}"
+
+
+def test_rank_bounded_matches_window_rank(spark):
+    """rank_bounded (broadcast self-join rank, the no-global-window shape
+    for post-limit results) must agree with row_number() OVER the same
+    total order, including desc/asc mixes and a null in a non-leading key."""
+    from pyspark.sql.window import Window
+
+    from big_data_project_spark.operators.relational import rank_bounded
+
+    df = spark.createDataFrame(
+        [(3.0, "b"), (1.0, "a"), (3.0, "a"), (2.0, "z"), (2.0, "m")],
+        "score double, id string",
+    )
+    got = {
+        (r.score, r.id): r.rank
+        for r in rank_bounded(df, [("score", "desc"), ("id", "asc")]).collect()
+    }
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), "id")
+    import pyspark.sql.functions as SF
+
+    want = {
+        (r.score, r.id): r.rank
+        for r in df.withColumn(
+            "rank", SF.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+    # no empty-partition window in the plan: the rank comes from a
+    # BroadcastNestedLoopJoin + aggregate, never a Window node
+    plan = rank_bounded(df, [("score", "desc"), ("id", "asc")])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
