@@ -156,35 +156,60 @@ def run_retrieval(
 
 
 def generate_answers(
-    prompts: DataFrame, prompt_col: str = "prompt", out_col: str = "answer"
+    prompts: DataFrame,
+    prompt_col: str = "prompt",
+    out_col: str = "answer",
+    pipeline_loader=None,
 ) -> DataFrame:
     """R2 as a distributed stage: map a batch of prompts to answers via
     mapInPandas (Arrow-batched — N prompts cost one pass, vs the reference
     reloading flan-t5 per query, py:479/py:703).
 
-    The worker closure is self-contained and mirrors plugins.Generator:
-    transformers when importable, else the deterministic extractive fallback
-    (first 30 words of the context section) — so the composition is
-    oracle-checkable in the fallback environment."""
+    ``pipeline_loader`` (zero-arg callable, pickled by value, returning
+    ``fn(prompt) -> [{"generated_text": str}]``) injects the model — the
+    bring-your-own-runtime seam, cached once per worker process via
+    plugins._cached_handle. Without it the closure mirrors
+    plugins.Generator: transformers when importable, else the
+    deterministic extractive fallback (first 30 words of the context
+    section) — so the composition is oracle-checkable in the fallback
+    environment."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
         list(prompts.schema.fields) + [T.StructField(out_col, T.StringType())]
     )
+    loader = pipeline_loader
 
     def gen_batches(it):
-        try:  # pragma: no cover - needs torch + weights
-            from transformers import pipeline
+        model = None
+        if loader is not None:
+            try:
+                from big_data_project_spark import plugins as _plug
 
-            model = pipeline("text2text-generation", model="google/flan-t5-base")
-        except Exception:
-            # broad on purpose: transformers may import fine but fail to
-            # LOAD (no network for weights → OSError, missing torch backend,
-            # incompatible cache). Any model failure must fall back to the
-            # deterministic extractive path, not kill every task.
-            model = None
+                key = (
+                    "generator",
+                    getattr(loader, "__module__", ""),
+                    getattr(loader, "__qualname__", repr(loader)),
+                )
+                model = _plug._cached_handle(key, loader)
+            except ImportError:
+                model = loader()
+        else:
+            try:  # pragma: no cover - needs torch + weights
+                from transformers import pipeline
+
+                model = pipeline(
+                    "text2text-generation", model="google/flan-t5-base"
+                )
+            except Exception:
+                # broad on purpose: transformers may import fine but fail to
+                # LOAD (no network for weights → OSError, missing torch
+                # backend, incompatible cache). Any model failure must fall
+                # back to the deterministic extractive path, not kill every
+                # task.
+                model = None
         for pdf in it:
-            if model is not None:  # pragma: no cover
+            if model is not None:
                 pdf[out_col] = [
                     model(p)[0]["generated_text"] for p in pdf[prompt_col]
                 ]

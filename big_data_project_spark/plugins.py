@@ -39,22 +39,59 @@ def hash_embed(text: str, dim: int = 16) -> list[float]:
     return [x / n for x in out]
 
 
+#: Per-Python-worker model-handle cache. Worker processes are REUSED across
+#: tasks (spark.python.worker.reuse, default true), so a handle loaded once
+#: per process serves every subsequent task — the property that makes model
+#: inference affordable (the reference reloads flan-t5 per query, py:479).
+#: Keyed by (kind, model identity); see _cached_handle.
+_MODEL_HANDLES: dict = {}
+
+
+def _cached_handle(key, loader):
+    """Load-once-per-process: return the cached handle for ``key`` or call
+    ``loader()`` and cache it. Lives at module level so the cache survives
+    across tasks on a reused worker (requires this package importable on
+    the worker — true in local mode and in any --py-files/wheel deploy;
+    callers fall back to a fresh load when it is not)."""
+    h = _MODEL_HANDLES.get(key)
+    if h is None:
+        h = loader()
+        _MODEL_HANDLES[key] = h
+    return h
+
+
 class Embedder:
     """E1: batched document embedding as a mapInPandas stage.
 
     Tries sentence-transformers (all-MiniLM-L6-v2, dim 384 — py:354); when
     unavailable (no package / no network) falls back to hash_embed with the
     requested dim. ``Report.pdf §Methodology-3``: "Batch embedding was
-    implemented using PySpark UDFs" — this is that, done Arrow-batched."""
+    implemented using PySpark UDFs" — this is that, done Arrow-batched.
 
-    def __init__(self, model_name: str | None = "all-MiniLM-L6-v2", dim: int = 384):
+    ``model_loader`` injects the model construction: a zero-arg callable
+    (pickled to executors by value) returning any object with
+    ``.encode(list[str]) -> sequence of float-vectors``. This is both the
+    bring-your-own-model seam (ONNX export, a custom tower, a quantized
+    MiniLM) and what lets the MODEL branch — batching, Arrow transfer,
+    per-process handle caching — run under test without the wheels
+    (tests/test_model_branches.py)."""
+
+    def __init__(
+        self,
+        model_name: str | None = "all-MiniLM-L6-v2",
+        dim: int = 384,
+        model_loader=None,
+    ):
         #: ``model_name=None`` pins the deterministic hash-embed branch even
         #: when sentence-transformers is importable — the oracle entries
         #: depend on this (a model result is not engine-mirrorable).
         self.model_name = model_name
         self.dim = dim
+        self.model_loader = model_loader
 
     def available(self) -> bool:
+        if self.model_loader is not None:
+            return self.model_name is not None
         if self.model_name is None:
             return False
         try:  # pragma: no cover - environment-dependent
@@ -67,7 +104,7 @@ class Embedder:
     def transform(
         self, df: DataFrame, text_col: str = "text", out_col: str = "embedding"
     ) -> DataFrame:
-        model_name, dim = self.model_name, self.dim
+        model_name, dim, loader = self.model_name, self.dim, self.model_loader
         use_model = self.available()
         fields = df.schema.fields
         out_schema = T.StructType(
@@ -90,14 +127,30 @@ class Embedder:
                 return [x / n for x in vals]
 
             model = None
-            if use_model:  # pragma: no cover - needs the package + weights
-                from sentence_transformers import SentenceTransformer
+            if use_model:
 
-                model = SentenceTransformer(model_name)
+                def _load():
+                    if loader is not None:
+                        return loader()
+                    # pragma: no cover - needs the package + weights
+                    from sentence_transformers import SentenceTransformer
+
+                    return SentenceTransformer(model_name)
+
+                try:
+                    from big_data_project_spark import plugins as _plug
+
+                    model = _plug._cached_handle(
+                        ("embedder", model_name, dim), _load
+                    )
+                except ImportError:
+                    # package absent on this worker's path: load fresh —
+                    # correct, just without the cross-task cache
+                    model = _load()
             for pdf in it:
-                if model is not None:  # pragma: no cover
+                if model is not None:
                     vecs = model.encode(pdf[text_col].fillna("").tolist())
-                    pdf[out_col] = [v.tolist() for v in vecs]
+                    pdf[out_col] = [list(map(float, v)) for v in vecs]
                 else:
                     pdf[out_col] = [
                         _hash_embed(t or "") for t in pdf[text_col].tolist()
@@ -118,11 +171,24 @@ class Generator:
 
     _cached = None
 
-    def __init__(self, model_name: str = "google/flan-t5-base", max_new_tokens: int = 200):
+    def __init__(
+        self,
+        model_name: str = "google/flan-t5-base",
+        max_new_tokens: int = 200,
+        pipeline_loader=None,
+    ):
         self.model_name = model_name
         self.max_new_tokens = max_new_tokens
+        #: injectable model construction: zero-arg callable returning a
+        #: transformers-pipeline-shaped callable
+        #: (``fn(prompt) -> [{"generated_text": str}]``). The
+        #: bring-your-own-runtime seam (llama.cpp binding, an HTTP serving
+        #: endpoint, a test fake) — cached exactly like the default.
+        self.pipeline_loader = pipeline_loader
 
     def available(self) -> bool:
+        if self.pipeline_loader is not None:
+            return True
         try:  # pragma: no cover
             import transformers  # noqa: F401
 
@@ -130,25 +196,26 @@ class Generator:
         except ImportError:
             return False
 
-    def _pipeline(self):  # pragma: no cover - needs torch + weights
+    def _pipeline(self):
         # cache keyed by construction params: a second Generator with a
         # different model or token budget must not silently reuse the first
         key = (self.model_name, self.max_new_tokens)
         if Generator._cached is None or Generator._cached[0] != key:
-            from transformers import pipeline
+            if self.pipeline_loader is not None:
+                handle = self.pipeline_loader()
+            else:  # pragma: no cover - needs torch + weights
+                from transformers import pipeline
 
-            Generator._cached = (
-                key,
-                pipeline(
+                handle = pipeline(
                     "text2text-generation",
                     model=self.model_name,
                     max_new_tokens=self.max_new_tokens,
-                ),
-            )
+                )
+            Generator._cached = (key, handle)
         return Generator._cached[1]
 
     def generate(self, prompt: str) -> str:
-        if self.available():  # pragma: no cover
+        if self.available():
             return self._pipeline()(prompt)[0]["generated_text"]
         # deterministic extractive fallback: first 30 words of the context
         ctx = prompt.split("Context:\n", 1)[-1].split("\n\nQuestion:", 1)[0]
@@ -160,9 +227,20 @@ class SparkNLPNer:
 
     Requires the spark-nlp JVM package on the classpath; ``available()``
     gates it, and operators.text.ner_gazetteer/ner_regex are the
-    deterministic carriers the oracle actually checks."""
+    deterministic carriers the oracle actually checks.
+
+    ``pipeline_factory`` injects the pretrained-pipeline construction: a
+    zero-arg callable returning an object with
+    ``.transform(df) -> DataFrame`` — the plug-a-different-NER seam, and
+    what lets the transform plumbing (column rename contract, pipeline
+    invocation) run under test without the JVM package."""
+
+    def __init__(self, pipeline_factory=None):
+        self.pipeline_factory = pipeline_factory
 
     def available(self) -> bool:
+        if self.pipeline_factory is not None:
+            return True
         try:  # pragma: no cover - needs the JVM package
             import sparknlp  # noqa: F401
 
@@ -176,8 +254,10 @@ class SparkNLPNer:
                 "spark-nlp not on the classpath; use operators.text.ner_* "
                 "deterministic carriers instead"
             )
-        # pragma: no cover - mirrors py:348-352 with a proper pipeline
-        from sparknlp.pretrained import PretrainedPipeline
+        if self.pipeline_factory is not None:
+            pipe = self.pipeline_factory()
+        else:  # pragma: no cover - mirrors py:348-352 with a proper pipeline
+            from sparknlp.pretrained import PretrainedPipeline
 
-        pipe = PretrainedPipeline("recognize_entities_dl", lang="en")
+            pipe = PretrainedPipeline("recognize_entities_dl", lang="en")
         return pipe.transform(df.withColumnRenamed(text_col, "text"))

@@ -1,0 +1,182 @@
+"""MODEL-branch execution under test (VERDICT r3 item 1).
+
+The real wheels (sentence-transformers / transformers / spark-nlp) are
+absent here and installs are prohibited, so the model branches were the
+one repeatedly-unexercised surface. These tests run THE SAME code paths —
+mapInPandas batching, Arrow transfer, per-worker-process handle caching,
+the pipeline-invocation plumbing — by injecting fake model handles
+through the plugins' loader seams. The only line not executed is the
+literal ``import sentence_transformers`` / ``from transformers import
+pipeline`` (still covered by the env-gated smoke tests in
+test_rag_multimodal.py when the wheels exist). See COVERAGE.md
+§model-branches for the environment record.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+
+from big_data_project_spark import plugins
+from big_data_project_spark.operators import rag
+
+
+def test_cached_handle_loads_once_and_reuses():
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return object()
+
+    key = ("test", uuid.uuid4().hex)
+    a = plugins._cached_handle(key, loader)
+    b = plugins._cached_handle(key, loader)
+    assert a is b
+    assert len(calls) == 1
+
+
+def test_embedder_model_branch_runs_on_executors(spark):
+    """The injected model's .encode drives the SAME mapInPandas closure as
+    real sentence-transformers: batched texts in, one vector per row out,
+    Arrow float arrays back — verified by value on a multi-partition df."""
+
+    class FakeST:
+        dim = 4
+
+        def encode(self, texts):
+            # deterministic, text-dependent — proves the values really
+            # came through the model path, not the hash fallback
+            return [
+                [float(len(t)), float(t.count("a")), 1.5, -0.5] for t in texts
+            ]
+
+    emb = plugins.Embedder(
+        model_name=f"fake-{uuid.uuid4().hex}", dim=4, model_loader=FakeST
+    )
+    assert emb.available()
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "bb"), (3, None)], "doc_id long, text string"
+    ).repartition(3)
+    rows = {r.doc_id: r.embedding for r in emb.transform(df).collect()}
+    assert rows[1] == [5.0, 2.0, 1.5, -0.5]
+    assert rows[2] == [2.0, 0.0, 1.5, -0.5]
+    assert rows[3] == [0.0, 0.0, 1.5, -0.5]  # None → fillna("") batching
+
+
+def test_embedder_handle_cached_once_per_worker_process(spark, tmp_path):
+    """The load-once-per-process contract: over many tasks and two actions,
+    each Python worker pid loads the model at most once (worker reuse then
+    serves every later task from plugins._MODEL_HANDLES). This is the
+    property that kills the reference's reload-per-query cost (py:479)."""
+    marker = str(tmp_path / "loads.txt")
+
+    def loader():
+        with open(marker, "a") as fh:
+            fh.write(f"{os.getpid()}\n")
+
+        class M:
+            def encode(self, texts):
+                return [[1.0, 2.0] for _ in texts]
+
+        return M()
+
+    emb = plugins.Embedder(
+        model_name=f"fake-{uuid.uuid4().hex}", dim=2, model_loader=loader
+    )
+    df = spark.range(0, 64, 1, 8).selectExpr(
+        "id as doc_id", "cast(id as string) as text"
+    )
+    out = emb.transform(df)
+    assert out.count() == 64
+    assert out.count() == 64  # second action: reused workers must NOT reload
+    pids = open(marker).read().split()
+    assert pids, "model branch never executed"
+    assert len(pids) == len(set(pids)), f"a worker process reloaded: {pids}"
+
+
+def test_generator_injected_pipeline_cached_driver_side():
+    calls = []
+
+    def fake_pipeline():
+        calls.append(1)
+        return lambda prompt: [{"generated_text": f"gen:{prompt[:12]}"}]
+
+    gen = plugins.Generator(
+        model_name=f"fake-{uuid.uuid4().hex}", pipeline_loader=fake_pipeline
+    )
+    assert gen.available()
+    a = gen.generate("Context:\nsome context\n\nQuestion: q1")
+    b = gen.generate("Context:\nother context\n\nQuestion: q2")
+    assert a == "gen:Context:\nsom" and b.startswith("gen:")
+    assert len(calls) == 1, "cached handle must not reload per generate()"
+
+
+def test_generator_cache_keyed_by_model_params():
+    def mk(tag):
+        def loader():
+            return lambda p: [{"generated_text": tag}]
+
+        return loader
+
+    g1 = plugins.Generator(model_name="fake-key-a", pipeline_loader=mk("A"))
+    g2 = plugins.Generator(model_name="fake-key-b", pipeline_loader=mk("B"))
+    assert g1.generate("x") == "A"
+    assert g2.generate("x") == "B"  # different key must not reuse A's handle
+
+
+def test_generate_answers_model_branch_distributed(spark):
+    """The R2 stage's MODEL branch end to end on executors: injected
+    pipeline handle, Arrow-batched prompts, answers provably from the
+    model (the extractive fallback could never produce the marker)."""
+
+    def fake_pipeline():
+        return lambda prompt: [{"generated_text": f"MODEL[{prompt.split()[0]}]"}]
+
+    prompts = spark.createDataFrame(
+        [(i, f"p{i} Context:\nctx\n\nQuestion: q{i}") for i in range(6)],
+        "qid long, prompt string",
+    ).repartition(3)
+    out = rag.generate_answers(prompts, pipeline_loader=fake_pipeline)
+    rows = {r.qid: r.answer for r in out.collect()}
+    assert rows == {i: f"MODEL[p{i}]" for i in range(6)}
+
+
+def test_generate_answers_fallback_unchanged(spark):
+    """No loader → the deterministic extractive branch (the oracle-checked
+    default) must stay bit-identical."""
+    prompts = spark.createDataFrame(
+        [(1, "Context:\n" + " ".join(f"w{i}" for i in range(40)) + "\n\nQuestion: q")],
+        "qid long, prompt string",
+    )
+    row = rag.generate_answers(prompts).collect()[0]
+    assert row.answer == " ".join(f"w{i}" for i in range(30))
+
+
+def test_sparknlp_ner_injected_factory(spark):
+    """The N1 model path's transform plumbing: the pipeline receives the
+    df with the column RENAMED to `text` (the Spark NLP input contract)
+    and its output is returned untouched."""
+    from pyspark.sql import functions as F
+
+    seen = {}
+
+    class FakePipe:
+        def transform(self, df):
+            seen["cols"] = df.columns
+            return df.withColumn("entities", F.lit("ORG"))
+
+    ner = plugins.SparkNLPNer(pipeline_factory=FakePipe)
+    assert ner.available()
+    df = spark.createDataFrame([(1, "Apple hired")], "doc_id long, body string")
+    out = ner.transform(df, text_col="body")
+    assert seen["cols"] == ["doc_id", "text"]
+    assert out.collect()[0].entities == "ORG"
+
+
+def test_sparknlp_ner_without_factory_still_gates():
+    ner = plugins.SparkNLPNer()
+    if not ner.available():
+        with pytest.raises(NotImplementedError, match="spark-nlp"):
+            ner.transform(None)
