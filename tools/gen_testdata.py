@@ -1,0 +1,319 @@
+"""Deterministic synthetic-testdata generator for scale-headroom runs.
+
+The driver ships read-only parquet at sf{0.001,0.01,0.1}; proving that the
+engine's plans scale LINEARLY (VERDICT r3 item 2) needs a 10× step the
+driver does not provide. This script regenerates the same star schema —
+identical column names/types and value distributions sampled from
+/root/testdata/sf0.1 — at an arbitrary scale factor, entirely with Spark
+column expressions (hash-of-id driven, so the output is a pure function of
+(sf, seed): no RNG state, no driver-side loops, reproducible across runs
+and partitionings).
+
+    python tools/gen_testdata.py --sf 1 --out testdata_local/sf1
+    python tools/gen_testdata.py --sf 1 --skew-zipf 1.2 --out testdata_local/sf1skew
+
+``--skew-zipf`` additionally makes ``orders.o_custkey`` zipfian (exponent
+s): the hottest customer takes ~1/H share of ALL orders — the adversarial
+shape for the join benchmarks (AQE skew-split / salted-join validation).
+
+Row counts follow TPC-H ratios (sf1 = 6M lineitem / 1.5M orders / 150k
+customer), with the engine's extra tables scaled from their sf0.1 ratios
+(events 10M/sf, documents 500k/sf, embeddings 200k/sf).
+
+Output lands under the repo (testdata_local/ is gitignored); /root/testdata
+itself is read-only by contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+WORDS = (
+    "batch part spark line column order small sort fast value scan hash slow "
+    "group agg filter query big key window row table stream merge data vector "
+    "join plan shuffle disk"
+).split()  # 30 words, the sf0.1 documents vocabulary shape
+
+LANGS = [("en", 70), ("fr", 10), ("de", 8), ("zh", 7), ("es", 5)]
+
+
+def _h(*cols):
+    """Non-negative 63-bit hash of the given columns — the one source of
+    randomness (xxhash64 is a fixed function of its inputs + seed)."""
+    return F.abs(F.xxhash64(*cols))
+
+
+def _u(df_col, salt, lo=0.0, hi=1.0):
+    """Uniform double in [lo, hi) as a pure function of (id, salt)."""
+    return (_h(df_col, F.lit(salt)) % 1_000_000) / 1_000_000 * (hi - lo) + lo
+
+
+def gen(spark: SparkSession, sf: float, out: str, zipf: float | None) -> None:
+    n_cust = int(150_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_part = int(200_000 * sf)
+    n_orders = int(1_500_000 * sf)
+    n_events = int(1_000_000 * sf)
+    n_docs = int(50_000 * sf)
+    n_vecs = int(20_000 * sf)
+    par = max(8, min(64, int(32 * sf)))
+    os.makedirs(out, exist_ok=True)
+
+    def write(df, name, n_files=None):
+        df.repartition(n_files or par).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+        print(f"  {name}: written")
+
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    region = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(regions)], "r_regionkey int, r_name string"
+    )
+    write(region, "region", 1)
+
+    nations = [(i, f"NATION_{i:02d}", i % 5) for i in range(25)]
+    nation = spark.createDataFrame(
+        nations, "n_nationkey int, n_name string, n_regionkey int"
+    )
+    write(nation, "nation", 1)
+
+    segs = ["AUTOMOBILE", "MACHINERY", "BUILDING", "HOUSEHOLD", "FURNITURE"]
+    cust = (
+        spark.range(0, n_cust, 1, par)
+        .select(
+            F.col("id").alias("c_custkey"),
+            F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
+            (_h(F.col("id"), F.lit("cn")) % 25).cast("int").alias("c_nationkey"),
+            F.round(_u(F.col("id"), "cb", -999.99, 9999.99), 2).alias("c_acctbal"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in segs]),
+                (_h(F.col("id"), F.lit("cs")) % 5 + 1).cast("int"),
+            ).alias("c_mktsegment"),
+        )
+    )
+    write(cust, "customer")
+
+    supp = spark.range(0, n_supp, 1, par).select(
+        F.col("id").alias("s_suppkey"),
+        F.format_string("Supplier#%09d", F.col("id")).alias("s_name"),
+        (_h(F.col("id"), F.lit("sn")) % 25).cast("int").alias("s_nationkey"),
+        F.round(_u(F.col("id"), "sb", -999.99, 9999.99), 2).alias("s_acctbal"),
+    )
+    write(supp, "supplier")
+
+    adjs = ["large", "hot", "blue", "small", "dark", "light", "red", "green"]
+    nouns = ["ring", "bolt", "gear", "case", "plate", "wire", "tube", "cap"]
+    types = ["LARGE", "ECONOMY", "SMALL", "STANDARD", "MEDIUM", "PROMO"]
+    part = spark.range(0, n_part, 1, par).select(
+        F.col("id").alias("p_partkey"),
+        F.concat_ws(
+            " ",
+            F.element_at(
+                F.array(*[F.lit(a) for a in adjs]),
+                (_h(F.col("id"), F.lit("pa")) % 8 + 1).cast("int"),
+            ),
+            F.element_at(
+                F.array(*[F.lit(x) for x in nouns]),
+                (_h(F.col("id"), F.lit("pn")) % 8 + 1).cast("int"),
+            ),
+        ).alias("p_name"),
+        F.format_string(
+            "Brand#%d", (_h(F.col("id"), F.lit("pb")) % 25 + 1).cast("int")
+        ).alias("p_brand"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in types]),
+            (_h(F.col("id"), F.lit("pt")) % 6 + 1).cast("int"),
+        ).alias("p_type"),
+        (_h(F.col("id"), F.lit("ps")) % 50 + 1).cast("int").alias("p_size"),
+        F.round(_u(F.col("id"), "pp", 900.0, 999.99), 2).alias("p_retailprice"),
+    )
+    write(part, "part")
+
+    # --- orders: uniform or zipfian customer assignment -------------------
+    base = spark.range(0, n_orders, 1, par)
+    if zipf is None:
+        custkey = (_h(F.col("id"), F.lit("oc")) % n_cust).cast("long")
+    else:
+        # inverse-CDF zipf over ranks 1..n_cust: u in (0,1] maps to the
+        # smallest rank whose cumulative zipf mass exceeds u. Closed-form
+        # approximation (exact enough for a skew benchmark): for s>1,
+        # P(rank <= k) ≈ (1 - k^(1-s)/1) normalized; invert via
+        # k = (1 - u*(1 - n^(1-s)))^(1/(1-s)). Rank 1 is the hot key.
+        s = float(zipf)
+        one_minus_s = 1.0 - s
+        u = _u(F.col("id"), "oz", 1e-9, 1.0)
+        rank = F.pow(
+            F.lit(1.0) - u * (1.0 - math.pow(float(n_cust), one_minus_s)),
+            F.lit(1.0 / one_minus_s),
+        )
+        custkey = F.least(
+            F.greatest(rank.cast("long") - 1, F.lit(0)), F.lit(n_cust - 1)
+        ).cast("long")
+    stat = ["O", "P", "F"]
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders = base.select(
+        F.col("id").alias("o_orderkey"),
+        custkey.alias("o_custkey"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in stat]),
+            (_h(F.col("id"), F.lit("os")) % 3 + 1).cast("int"),
+        ).alias("o_orderstatus"),
+        F.round(_u(F.col("id"), "op", 1000.0, 500000.0), 2).alias("o_totalprice"),
+        F.timestamp_seconds(
+            F.lit(788918400)  # 1995-01-01 UTC
+            + (_h(F.col("id"), F.lit("od")) % 2404).cast("long") * 86400
+        ).alias("o_orderdate"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in prio]),
+            (_h(F.col("id"), F.lit("opr")) % 5 + 1).cast("int"),
+        ).alias("o_orderpriority"),
+    )
+    write(orders, "orders")
+
+    # --- lineitem: 1..7 lines per order (avg 4, TPC-H shape) --------------
+    li = (
+        orders.select("o_orderkey", "o_orderdate")
+        .withColumn(
+            "n_lines", (_h(F.col("o_orderkey"), F.lit("ln")) % 7 + 1).cast("int")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.explode(F.sequence(F.lit(1), F.col("n_lines"))).alias("l_linenumber"),
+        )
+    )
+    k = F.col("o_orderkey")
+    ln = F.col("l_linenumber")
+    lineitem = li.select(
+        k.alias("l_orderkey"),
+        (_h(k, ln, F.lit("lp")) % n_part).cast("long").alias("l_partkey"),
+        (_h(k, ln, F.lit("ls")) % n_supp).cast("long").alias("l_suppkey"),
+        ln,
+        (_h(k, ln, F.lit("lq")) % 50 + 1).cast("double").alias("l_quantity"),
+        F.round(_u(_h(k, ln, F.lit("le")), "x", 900.0, 105000.0), 2).alias(
+            "l_extendedprice"
+        ),
+        ((_h(k, ln, F.lit("ld")) % 11).cast("double") / 100).alias("l_discount"),
+        ((_h(k, ln, F.lit("lt")) % 9).cast("double") / 100).alias("l_tax"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+            (_h(k, ln, F.lit("lr")) % 3 + 1).cast("int"),
+        ).alias("l_returnflag"),
+        F.element_at(
+            F.array(F.lit("F"), F.lit("O")),
+            (_h(k, ln, F.lit("ll")) % 2 + 1).cast("int"),
+        ).alias("l_linestatus"),
+        (
+            F.col("o_orderdate")
+            + F.make_interval(days=(_h(k, ln, F.lit("lsd")) % 120).cast("int"))
+        ).alias("l_shipdate"),
+    )
+    write(lineitem, "lineitem")
+
+    # --- events: 30 days, 1.5% of rows as users ---------------------------
+    n_users = max(100, n_events // 67)
+    etypes = ["signup", "click", "error", "view", "purchase"]
+    events = spark.range(0, n_events, 1, par).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200)  # 2024-01-01 UTC
+            + (_h(F.col("id"), F.lit("et")) % (30 * 86400)).cast("long")
+        ).alias("ts"),
+        (_h(F.col("id"), F.lit("eu")) % n_users).cast("long").alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in etypes]),
+            (_h(F.col("id"), F.lit("ee")) % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        F.round(_u(F.col("id"), "ev", 0.0, 100.0), 4).alias("value"),
+        F.format_string(
+            '{"k": %d}', (_h(F.col("id"), F.lit("ep")) % 100).cast("int")
+        ).alias("props"),
+    )
+    write(events, "events")
+
+    # --- documents: 15-60 vocab words, weighted languages ----------------
+    lang_arr, acc = [], 0
+    for code, w in LANGS:
+        acc += w
+        lang_arr.append((code, acc))
+    lang_expr = F.lit(lang_arr[-1][0])
+    pick = _h(F.col("id"), F.lit("dl")) % 100
+    for code, ceiling in reversed(lang_arr[:-1]):
+        lang_expr = F.when(pick < ceiling, F.lit(code)).otherwise(lang_expr)
+    vocab = F.array(*[F.lit(w) for w in WORDS])
+    n_words = (_h(F.col("id"), F.lit("dn")) % 46 + 15).cast("int")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda i: F.element_at(
+                vocab, (_h(F.col("id"), i, F.lit("dw")) % 30 + 1).cast("int")
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(0, n_docs, 1, par).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        lang_expr.alias("lang"),
+        F.format_string(
+            "src%d", (_h(F.col("id"), F.lit("ds")) % 20 + 1).cast("int")
+        ).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    write(docs, "documents")
+
+    # --- embeddings: 64-dim, 10 planted Gaussian-ish clusters -------------
+    # center[label][i] in [-2, 2]; point = center + noise*0.25 — REAL
+    # cluster geometry, so IVF/LSH recall tests exercise pruning honestly.
+    label = (_h(F.col("id"), F.lit("vl")) % 10).cast("int")
+    dims = F.sequence(F.lit(1), F.lit(64))
+    emb = F.transform(
+        dims,
+        lambda i: (
+            ((_h(F.col("label"), i, F.lit("vc")) % 400).cast("double") / 100 - 2.0)
+            + ((_h(F.col("id"), i, F.lit("vn")) % 100).cast("double") / 200 - 0.25)
+        ).cast("float"),
+    )
+    vecs = (
+        spark.range(0, n_vecs, 1, par)
+        .withColumn("label", label)
+        .select(
+            F.col("id").alias("vec_id"),
+            emb.alias("embedding"),
+            F.col("label"),
+        )
+    )
+    write(vecs, "embeddings")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--skew-zipf",
+        type=float,
+        default=None,
+        help="make orders.o_custkey zipfian with this exponent (e.g. 1.2)",
+    )
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    args = ap.parse_args()
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName("gen_testdata")
+        .config("spark.sql.shuffle.partitions", str(args.cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    print(f"generating sf={args.sf} → {args.out} (zipf={args.skew_zipf})")
+    gen(spark, args.sf, args.out, args.skew_zipf)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
