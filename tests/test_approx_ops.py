@@ -402,3 +402,89 @@ def test_ivfpq_probed_recall_vs_plain_adc(spark, sf_dir):
     # uniform data the probed top-10 keeps a proportionate share of the
     # full-ADC top-10 (deterministic: measured at this config)
     assert hits / 30 >= 0.2, hits
+
+
+# ---------------------------------------------------------------------------
+# ANN recall on CLUSTERED geometry (VERDICT r3 item 5): the driver's
+# synthetic embeddings are uniform-ish — ANN's best case for pruning honesty
+# but worst case for recall realism. Planted Gaussian clusters exercise the
+# opposite regime: pruning power on data with real structure.
+# ---------------------------------------------------------------------------
+
+def _clustered_embeddings(spark, n=2000, dim=16, k_clusters=10, spread=0.05):
+    """Deterministic planted-cluster fixture (seeded PRNG): k tight
+    Gaussian balls around uniform centers — FAISS-benchmark-style geometry
+    (reference py:730-740 runs IVFFlat on real MiniLM vectors, which
+    cluster by topic; this is that shape, synthesized)."""
+    import random
+
+    rnd = random.Random(1234)
+    centers = [
+        [rnd.uniform(-1, 1) for _ in range(dim)] for _ in range(k_clusters)
+    ]
+    rows = []
+    for i in range(n):
+        c = i % k_clusters
+        rows.append(
+            (i, [centers[c][j] + rnd.gauss(0, spread) for j in range(dim)], c)
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def _recall_at_10(spark, emb, approx_fn, metric):
+    recalls = []
+    for qid in (0, 7, 42):
+        q = vector.query_vector_of(emb, qid)
+        exact = {
+            r.vec_id
+            for r in vector.knn_topk(emb, q, k=10, metric=metric).collect()
+        }
+        approx = {r.vec_id for r in approx_fn(emb, q).collect()}
+        recalls.append(len(exact & approx) / 10)
+    return recalls
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """recall@10 ≥ 0.9 at n_probe=2 of 16 lists: a tight cluster lands in
+    few lists, so probing 1/8 of the corpus must still recover ~all true
+    neighbors — the pruning-power claim on data with real geometry."""
+    emb = _clustered_embeddings(spark).cache()
+    for metric in ("l2", "cosine"):
+        recalls = _recall_at_10(
+            spark,
+            emb,
+            lambda e, q: vector.ivf_topk(
+                e, q, k=10, n_lists=16, n_probe=2, metric=metric
+            ),
+            metric,
+        )
+        assert sum(recalls) / len(recalls) >= 0.9, (metric, recalls)
+
+
+def test_ivf_refined_centroids_recall_on_clustered_data(spark):
+    """The build→kmeans_refine→re-assign lifecycle on clustered data: one
+    Lloyd step must keep (or sharpen) n_probe=2 recall ≥ 0.9."""
+    emb = _clustered_embeddings(spark).cache()
+    centroids, assigned = vector.build_ivf(emb, n_lists=16)
+    refined = vector.kmeans_refine(assigned)
+    reassigned = vector.ivf_assign(emb, refined)
+    recalls = _recall_at_10(
+        spark,
+        emb,
+        lambda e, q: vector.ivf_probe(refined, reassigned, q, k=10, n_probe=2, metric="l2"),
+        "l2",
+    )
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_lsh_recall_on_clustered_data(spark):
+    """The LSH path on the same planted clusters: random-hyperplane buckets
+    must keep cosine recall@10 ≥ 0.9 (near-identical directions collide)."""
+    emb = _clustered_embeddings(spark).cache()
+    recalls = _recall_at_10(
+        spark,
+        emb,
+        lambda e, q: vector.ann_topk(e, q, k=10, metric="cosine"),
+        "cosine",
+    )
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
