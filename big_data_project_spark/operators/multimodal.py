@@ -29,12 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: magic prefixes (hex of first 4 bytes) → media type
+#: magic prefixes (hex, variable length) → media type; longest match wins
 MAGIC = {
     "89504E47": "image/png",
     "FFD8FFE0": "image/jpeg",
     "52494646": "audio/wav",  # RIFF
     "1A45DFA3": "video/webm",
+    "424D": "image/bmp",  # 'BM' — the 2-byte signature
 }
 
 
@@ -45,13 +46,24 @@ def attach_binary(df: DataFrame, text_col: str = "text", out: str = "payload") -
 
 
 def sniff_media_type(payload: str = "payload"):
-    """Magic-byte sniff as a column expression: hex of the first 4 bytes
-    looked up against known signatures."""
-    prefix = F.substring(F.hex(F.col(payload)), 1, 8)
+    """Magic-byte sniff as a column expression: leading bytes hex-matched
+    against known signatures, longest signature first."""
+    hx = F.substring(F.hex(F.col(payload)), 1, 8)
     expr = F.lit("application/octet-stream")
-    for magic, mtype in reversed(MAGIC.items()):
-        expr = F.when(prefix == magic, mtype).otherwise(expr)
+    for magic, mtype in sorted(MAGIC.items(), key=lambda kv: len(kv[0])):
+        expr = F.when(F.substring(hx, 1, len(magic)) == magic, mtype).otherwise(
+            expr
+        )
     return expr
+
+
+def _sniff_bytes(data: bytes) -> str:
+    """Python twin of :func:`sniff_media_type` for worker-side closures."""
+    hexs = data[:4].hex().upper()
+    for magic, mtype in sorted(MAGIC.items(), key=lambda kv: -len(kv[0])):
+        if hexs.startswith(magic):
+            return mtype
+    return "application/octet-stream"
 
 
 def binary_stats(df: DataFrame, payload: str = "payload", id_col: str = "doc_id") -> DataFrame:
@@ -84,9 +96,19 @@ def decode_features(
 ) -> DataFrame:
     """Decode/feature-extract stage: Arrow-batched mapInPandas over the
     payload column. The Spark-side plumbing (schema, batch iteration,
-    column pruning before the shuffle-free map) is real; the codec is the
-    stub. decode='strict' raises NotImplementedError — the marked seam
-    where PIL/ffmpeg plug in."""
+    column pruning before the shuffle-free map) is real in both modes.
+
+    ``decode='fake'``: deterministic sha256-derived features (the
+    oracle-matchable carrier for plumbing checks).
+
+    ``decode='strict'``: a REAL stdlib-only codec for the two header
+    formats ``struct`` can parse — uncompressed 24-bpp BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, 4-byte row padding) and 8/16-bit PCM
+    WAV (RIFF chunk walk). Features are ``dim`` segment-means of the
+    normalized signal (grayscale pixels scanned top-down row-major for
+    BMP; channel-averaged frames for WAV), so the output is value-hashable.
+    Any OTHER format raises NotImplementedError — the narrowed seam where
+    PIL/ffmpeg plug in (formats with entropy coding genuinely need them)."""
     if decode not in ("fake", "strict"):
         raise ValueError("decode must be 'fake' or 'strict'")
 
@@ -101,6 +123,26 @@ def decode_features(
     # pickle by value and are safe.
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+        import struct as _st
+
+        def sniff(data: bytes) -> str:
+            hexs = data[:4].hex().upper()
+            for m, t in sorted(magic.items(), key=lambda kv: -len(kv[0])):
+                if hexs.startswith(m):
+                    return t
+            return "application/octet-stream"
+
+        def segment_means(vals: list, d: int) -> list:
+            # d segment means with boundaries floor(i*n/d) — identity when
+            # n == d; sums are left-to-right, so the floats are a fixed
+            # function of the input (oracle-mirrorable)
+            n = len(vals)
+            out = []
+            for i in range(d):
+                lo, hi = (i * n) // d, ((i + 1) * n) // d
+                seg = vals[lo:hi]
+                out.append(sum(seg) / len(seg) if seg else 0.0)
+            return out
 
         def fake_decode(data: bytes):
             h = _hl.sha256(data).digest()
@@ -112,21 +154,96 @@ def decode_features(
             ]
             return height, width, feats
 
-        for pdf in it:
-            if decode == "strict":
+        def strict_bmp(data: bytes):
+            if len(data) < 54:
+                raise ValueError("BMP truncated before headers")
+            offset = _st.unpack_from("<I", data, 10)[0]
+            width, height = _st.unpack_from("<ii", data, 18)
+            bpp = _st.unpack_from("<H", data, 28)[0]
+            compression = _st.unpack_from("<I", data, 30)[0]
+            if bpp != 24 or compression != 0:
                 raise NotImplementedError(
-                    "real image/audio codecs are not available in this "
-                    "container; plug PIL/ffmpeg in here"
+                    f"strict BMP decode supports uncompressed 24-bpp only "
+                    f"(got bpp={bpp}, compression={compression})"
                 )
+            bottom_up = height > 0
+            height = abs(height)
+            stride = ((width * 3 + 3) // 4) * 4
+            gray = []
+            for y in range(height):  # image order: top row first
+                fy = (height - 1 - y) if bottom_up else y
+                base = offset + fy * stride
+                for x in range(width):
+                    b0, g0, r0 = data[base + 3 * x : base + 3 * x + 3]
+                    gray.append((r0 + g0 + b0) / 3.0 / 255.0)
+            return height, width, segment_means(gray, dim)
+
+        def strict_wav(data: bytes):
+            if len(data) < 12 or data[8:12] != b"WAVE":
+                raise NotImplementedError("RIFF payload is not WAVE")
+            pos, fmt, frames = 12, None, None
+            while pos + 8 <= len(data):
+                cid = data[pos : pos + 4]
+                size = _st.unpack_from("<I", data, pos + 4)[0]
+                body = data[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    audio_fmt, n_ch, rate = _st.unpack_from("<HHI", body, 0)
+                    bits = _st.unpack_from("<H", body, 14)[0]
+                    if audio_fmt != 1 or bits not in (8, 16):
+                        raise NotImplementedError(
+                            f"strict WAV decode supports 8/16-bit PCM only "
+                            f"(got fmt={audio_fmt}, bits={bits})"
+                        )
+                    fmt = (n_ch, rate, bits)
+                elif cid == b"data":
+                    frames = body
+                pos += 8 + size + (size % 2)  # chunks are word-aligned
+            if fmt is None or frames is None:
+                raise ValueError("WAV missing fmt/data chunk")
+            n_ch, rate, bits = fmt
+            if bits == 16:
+                n = len(frames) // (2 * n_ch)
+                vals = [
+                    sum(
+                        _st.unpack_from("<h", frames, 2 * (i * n_ch + c))[0]
+                        for c in range(n_ch)
+                    )
+                    / n_ch
+                    / 32768.0
+                    for i in range(n)
+                ]
+            else:
+                n = len(frames) // n_ch
+                vals = [
+                    sum(frames[i * n_ch + c] for c in range(n_ch))
+                    / n_ch
+                    / 255.0
+                    for i in range(n)
+                ]
+            return n_ch, rate, segment_means(vals, dim)
+
+        def strict_decode(data: bytes):
+            if data[:2] == b"BM":
+                return strict_bmp(data)
+            if data[:4] == b"RIFF":
+                return strict_wav(data)
+            raise NotImplementedError(
+                f"strict decode handles uncompressed BMP and PCM WAV; "
+                f"{data[:4]!r} needs a real codec (PIL/ffmpeg) — plug in here"
+            )
+
+        for pdf in it:
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload]):
                 data = bytes(b) if b is not None else b""
-                height, width, feats = fake_decode(data)
-                hexs = data[:4].hex().upper()
+                if decode == "strict":
+                    height, width, feats = strict_decode(data)
+                else:
+                    height, width, feats = fake_decode(data)
                 rows.append(
                     {
                         "doc_id": i,
-                        "media_type": magic.get(hexs, "application/octet-stream"),
+                        "media_type": sniff(data),
                         "height": height,
                         "width": width,
                         "features": feats,
@@ -135,6 +252,54 @@ def decode_features(
             yield pd.DataFrame(rows, columns=out_columns)
 
     return pruned.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def make_bmp_24(pixels: list, width: int, height: int) -> bytes:
+    """Serialize pixels (image order, top-down, (r, g, b) tuples) into a
+    real uncompressed 24-bpp BMP: BITMAPINFOHEADER, bottom-up file rows,
+    BGR byte order, 4-byte row padding. The write-side twin of the strict
+    decoder — and the fixture builder the decode tests use."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    rows = []
+    for fy in range(height):  # file stores the BOTTOM image row first
+        y = height - 1 - fy
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pix = b"".join(rows)
+    offset = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", offset + len(pix), 0, 0, offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return hdr + dib + pix
+
+
+def make_wav_pcm16(samples: list, rate: int = 8000, n_channels: int = 1) -> bytes:
+    """Serialize int16 samples (frame-interleaved when multi-channel) into
+    a real PCM WAV (RIFF / fmt / data chunks) — the strict decoder's
+    write-side twin."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, rate, rate * n_channels * 2, n_channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def frame_sample(

@@ -1320,11 +1320,11 @@ def r4_evaluate_response(spark, sf_dir):
       FROM documents)
     SELECT doc_id,
            octet_length(payload) AS n_bytes,
-           CASE substr(hex(payload), 1, 8)
-                WHEN '89504E47' THEN 'image/png'
-                WHEN 'FFD8FFE0' THEN 'image/jpeg'
-                WHEN '52494646' THEN 'audio/wav'
-                WHEN '1A45DFA3' THEN 'video/webm'
+           CASE WHEN substr(hex(payload), 1, 8) = '89504E47' THEN 'image/png'
+                WHEN substr(hex(payload), 1, 8) = 'FFD8FFE0' THEN 'image/jpeg'
+                WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'audio/wav'
+                WHEN substr(hex(payload), 1, 8) = '1A45DFA3' THEN 'video/webm'
+                WHEN substr(hex(payload), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type
     FROM payloads
     """,
@@ -1361,14 +1361,14 @@ def mm_binary_stats(spark, sf_dir):
       FROM documents WHERE doc_id % 5 = 0)
     SELECT doc_id,
            CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-           CASE substr(hex(payload), 1, 8)
-                WHEN '89504E47' THEN 'image/png'
-                WHEN 'FFD8FFE0' THEN 'image/jpeg'
-                WHEN '52494646' THEN 'audio/wav'
+           CASE WHEN substr(hex(payload), 1, 8) = '89504E47' THEN 'image/png'
+                WHEN substr(hex(payload), 1, 8) = 'FFD8FFE0' THEN 'image/jpeg'
+                WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'audio/wav'
                 -- raw-text payloads CAN legitimately start with the webm
-                -- magic (1A 45 DF A3 is valid UTF-8): mirror ALL of
-                -- sniff_media_type's prefixes, not just the synthesized two
-                WHEN '1A45DFA3' THEN 'video/webm'
+                -- magic (1A 45 DF A3 is valid UTF-8) or 'BM': mirror ALL
+                -- of sniff_media_type's prefixes, not just the synthesized
+                WHEN substr(hex(payload), 1, 8) = '1A45DFA3' THEN 'video/webm'
+                WHEN substr(hex(payload), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type,
            md5(hex(payload)) AS digest
     FROM payloads
@@ -4812,6 +4812,113 @@ def mm_decode_oracle(spark, sf_dir):
     feats = multimodal.decode_features(
         multimodal.attach_binary(docs), dim=8
     )
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "height",
+        "width",
+        F.posexplode("features").alias("i", "val"),
+    )
+
+
+@register(
+    "mm_strict_decode",
+    oracle="""
+    WITH b AS (SELECT doc_id, substr(text || repeat('x', 18), 1, 18) AS t
+               FROM documents),
+    px AS (SELECT doc_id, t, i FROM b, unnest(range(0, 6)) AS u(i))
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+             AS media_type,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INTEGER)
+             AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 8000 END AS INTEGER)
+             AS width,
+           CAST(i AS INTEGER) AS i,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+                  (ascii(substr(t, CAST(3*i + 1 AS INT), 1))
+                   + ascii(substr(t, CAST(3*i + 2 AS INT), 1))
+                   + ascii(substr(t, CAST(3*i + 3 AS INT), 1))) / 3.0 / 255.0
+                ELSE
+                  ((ascii(substr(t, CAST(i + 1 AS INT), 1)) - 128) * 256)
+                   / 32768.0
+                END AS REAL) AS val
+    FROM px
+    """,
+)
+def mm_strict_decode(spark, sf_dir):
+    """The STRICT multimodal codec VALUE-hashed end to end (VERDICT r3
+    item 6): document text is serialized into REAL container formats —
+    3×2 24-bpp BMP (bottom-up rows, BGR order, 4-byte padding) for even
+    ids, 6-sample PCM16 mono WAV for odd ids — then decode='strict'
+    parses the headers and payload back with stdlib struct alone. The
+    oracle computes each expected stat (per-pixel grayscale, per-sample
+    normalized amplitude) DIRECTLY from the text bytes, so the hash only
+    matches if the codec's geometry (row flip, channel order, padding,
+    chunk walk, int16 decoding) is exactly right. Formats needing entropy
+    decoding (PNG/JPEG/MP3) remain the NotImplementedError seam — now
+    narrowed to genuinely-codec-requiring formats."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+
+    # payload synthesis runs worker-side; the closure is self-contained
+    # (struct-packed inline) so it works from any host cwd
+    def build(it):
+        import struct as _st
+
+        def bmp(content: bytes) -> bytes:
+            width, height, stride = 3, 2, 12
+            rows = []
+            for fy in range(height):  # bottom image row first
+                y = height - 1 - fy
+                row = bytearray()
+                for x in range(width):
+                    r, g, b = content[3 * (y * width + x) : 3 * (y * width + x) + 3]
+                    row += bytes((b, g, r))
+                row += b"\x00" * (stride - len(row))
+                rows.append(bytes(row))
+            pix = b"".join(rows)
+            hdr = _st.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+            dib = _st.pack(
+                "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix),
+                2835, 2835, 0, 0,
+            )
+            return hdr + dib + pix
+
+        def wav(content: bytes) -> bytes:
+            data = b"".join(
+                _st.pack("<h", (c - 128) * 256) for c in content[:6]
+            )
+            fmt = _st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (
+                b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+                + b"data" + _st.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + _st.pack("<I", len(body)) + body
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                content = ((t or "").encode("utf-8") + b"x" * 18)[:18]
+                out.append(
+                    {
+                        "doc_id": i,
+                        "payload": bmp(content) if i % 2 == 0 else wav(content),
+                    }
+                )
+            import pandas as _pd
+
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    feats = multimodal.decode_features(payloads, dim=6, decode="strict")
     return feats.select(
         "doc_id",
         "media_type",

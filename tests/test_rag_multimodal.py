@@ -180,3 +180,103 @@ def test_average_hash_identical_payloads_collide(spark):
     # different payloads are overwhelmingly likely to differ somewhere in
     # 8 sha256-derived bits; pin it for this fixed corpus
     assert h[1] != h[3]
+
+
+# ---------------------------------------------------------------------------
+# STRICT codec (VERDICT r3 item 6): stdlib-only BMP/WAV decode. The
+# registry's mm_strict_decode proves builder→decoder→oracle agreement; the
+# tests below are INDEPENDENT of the builder — the BMP fixture is asserted
+# byte-for-byte against a hand-assembled spec-correct literal, so a
+# mirrored geometry bug in builder+decoder cannot hide.
+# ---------------------------------------------------------------------------
+
+def _hand_bmp() -> bytes:
+    import struct
+
+    # 3×2, 24bpp: image pixels (r,g,b) row-major top-down:
+    # (10,20,30) (40,50,60) (70,80,90) / (100,110,120) (130,140,150) (160,170,180)
+    pix = bytes(
+        [120, 110, 100, 150, 140, 130, 180, 170, 160, 0, 0, 0,  # bottom row, BGR+pad
+         30, 20, 10, 60, 50, 40, 90, 80, 70, 0, 0, 0]           # top row, BGR+pad
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return hdr + dib + pix
+
+
+def test_make_bmp_matches_hand_assembled_spec_bytes():
+    pixels = [(10, 20, 30), (40, 50, 60), (70, 80, 90),
+              (100, 110, 120), (130, 140, 150), (160, 170, 180)]
+    assert multimodal.make_bmp_24(pixels, width=3, height=2) == _hand_bmp()
+
+
+def test_strict_decode_bmp_pixel_stats(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_hand_bmp()))], "doc_id long, payload binary"
+    )
+    row = multimodal.decode_features(df, dim=6, decode="strict").collect()[0]
+    assert (row.media_type, row.height, row.width) == ("image/bmp", 2, 3)
+    want = [20 / 255, 50 / 255, 80 / 255, 110 / 255, 140 / 255, 170 / 255]
+    assert row.features == pytest.approx(want, abs=1e-6)  # float32 storage
+
+
+def test_strict_decode_wav_sample_stats(spark):
+    import struct
+
+    samples = [0, 16384, -32768, 32767]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    assert wav == multimodal.make_wav_pcm16(samples)  # builder = spec bytes
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    row = multimodal.decode_features(df, dim=4, decode="strict").collect()[0]
+    assert (row.media_type, row.height, row.width) == ("audio/wav", 1, 8000)
+    want = [0.0, 0.5, -1.0, 32767 / 32768]
+    assert row.features == pytest.approx(want, abs=1e-6)
+
+
+def test_strict_decode_stereo_wav_averages_channels(spark):
+    # frames: (L=1000, R=3000) → 2000; (L=-2000, R=0) → -1000
+    wav = multimodal.make_wav_pcm16([1000, 3000, -2000, 0], n_channels=2)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    row = multimodal.decode_features(df, dim=2, decode="strict").collect()[0]
+    assert row.height == 2  # channels
+    assert row.features == pytest.approx([2000 / 32768, -1000 / 32768], abs=1e-6)
+
+
+def test_strict_decode_segment_means_downsample(spark):
+    # 6 pixels → dim=3: means of pixel pairs
+    df = spark.createDataFrame(
+        [(1, bytearray(_hand_bmp()))], "doc_id long, payload binary"
+    )
+    row = multimodal.decode_features(df, dim=3, decode="strict").collect()[0]
+    want = [(20 + 50) / 2 / 255, (80 + 110) / 2 / 255, (140 + 170) / 2 / 255]
+    assert row.features == pytest.approx(want, abs=1e-6)
+
+
+def test_strict_decode_raises_on_entropy_coded_formats(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\n...."))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="real codec"):
+        multimodal.decode_features(df, decode="strict").collect()
+    # and unsupported BMP variants fail loudly, not silently wrong
+    bad = bytearray(_hand_bmp())
+    bad[28] = 8  # bpp=8
+    df8 = spark.createDataFrame([(1, bad)], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="24-bpp"):
+        multimodal.decode_features(df8, decode="strict").collect()
+
+
+def test_sniff_recognizes_bmp(spark):
+    df = spark.createDataFrame(
+        [(bytearray(_hand_bmp()),), (bytearray(b"BX not a bmp"),)],
+        "payload: binary",
+    )
+    got = [r.t for r in df.select(
+        multimodal.sniff_media_type("payload").alias("t")).collect()]
+    assert got == ["image/bmp", "application/octet-stream"]
