@@ -4284,6 +4284,66 @@ def e9_ivfpq_topk(spark, sf_dir):
     )
 
 
+_SQ8_SCALE = """CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> abs(x))) = 0 THEN 1.0
+                ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> abs(x))) / 127.0 END"""
+
+
+@register(
+    "e11_sq8_encode",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, label, {_SQ8_SCALE} AS sq_scale,
+                      CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT vec_id, label, sq_scale, CAST(i AS INTEGER) AS i,
+           CAST(round(e[CAST(i + 1 AS INT)] / sq_scale) AS INTEGER) AS code
+    FROM s, unnest(range(0, 64)) AS u(i)
+    """,
+)
+def e11_sq8_encode(spark, sf_dir):
+    """E11a: scalar int8 quantization (FAISS SQ8 parity) — per-vector
+    symmetric scale + round-to-int8 codes, VALUE-hashed element by element
+    (the compressed index is a pure IEEE function of the input). The
+    train-free counterpart to e9's PQ: appends encode independently, no
+    codebook drift. vector.py:sq8_encode."""
+    enc = vector.sq8_encode(_t(spark, sf_dir, "embeddings"))
+    return enc.select(
+        "vec_id", "label", "sq_scale", F.posexplode("codes").alias("i", "code")
+    )
+
+
+@register(
+    "e11_sq8_topk",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, label, {_SQ8_SCALE} AS sq_scale,
+                      CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    r AS (SELECT vec_id, label,
+                 list_transform(e, x -> round(x / sq_scale) * sq_scale)
+                   AS recon
+          FROM s),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+           WHERE vec_id = 0)
+    SELECT vec_id, label,
+           list_dot_product(recon, q) AS score
+    FROM r, qv
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def e11_sq8_topk(spark, sf_dir):
+    """E11b: asymmetric SQ8 serving — float query vs lazily reconstructed
+    code·scale values inside the JVM fold; the scan reads ints + one scale
+    per vector, never a float vector. Deterministic reconstruction makes
+    the WHOLE approximate path value-hashable (unlike PQ's ADC, which is
+    recall-gated instead); quality vs exact kNN is additionally gated in
+    tests/test_approx_ops.py. vector.py:sq8_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    enc = vector.sq8_encode(emb)
+    q = vector.query_vector_of(emb, 0)
+    return vector.sq8_topk(enc, q, k=10, metric="ip")
+
+
 def _mmr_sql(k: int = 5) -> str:
     """Unrolled greedy MMR oracle (λ=0.75 — dyadic, so 1−λ=0.25 is exact
     on both engines): one argmax CTE per step over the same candidate

@@ -538,3 +538,13 @@ def test_rag_batch_broadcasts_queries_single_table_pass(spark, sf_dir):
     assert plans.num_broadcast_hints(df) >= 1, p  # the query-set broadcast
     assert "CartesianProduct" not in p, p
     assert plans.num_shuffles(df) <= 4, p
+
+
+def test_sq8_topk_never_shuffles_the_codes(spark, sf_dir):
+    """SQ8 serving must keep exact-knn's shape: broadcast single-row query
+    + in-fold reconstruction + TakeOrdered — zero Exchange on the encoded
+    side (the whole point of scanning ints instead of floats would die in
+    a shuffle of reconstructed vectors)."""
+    df = _df("e11_sq8_topk", spark, sf_dir)
+    assert plans.num_shuffles(df) == 0, plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plans.physical_plan(df)
