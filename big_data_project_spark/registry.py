@@ -4315,6 +4315,7 @@ def e11_sq8_encode(spark, sf_dir):
 
 @register(
     "e11_sq8_topk",
+    headline=True,
     oracle=f"""
     WITH s AS (SELECT vec_id, label, {_SQ8_SCALE} AS sq_scale,
                       CAST(embedding AS DOUBLE[]) AS e
@@ -4630,6 +4631,7 @@ def dd_lsh_candidates(spark, sf_dir):
 
 @register(
     "dd_near_dedup_lsh",
+    headline=True,
     oracle=_MH_BASE.replace("WITH sh", "WITH RECURSIVE sh", 1)
     + f""",
     bands AS ({" UNION ALL ".join(
@@ -4883,6 +4885,7 @@ def mm_decode_oracle(spark, sf_dir):
 
 @register(
     "mm_strict_decode",
+    headline=True,
     oracle="""
     WITH b AS (SELECT doc_id, substr(text || repeat('x', 18), 1, 18) AS t
                FROM documents),
