@@ -513,26 +513,64 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     which the next writer clears. Retention is the caller's policy (drop
     old ``v=`` dirs when their readers drain).
 
-    Writer concurrency: version allocation is check-then-rename, so TWO
-    SIMULTANEOUS writers can race the same N (Hadoop rename onto an
-    existing directory nests rather than failing). The contract is
-    single-writer — exactly what the streaming sink provides (one query,
-    serial micro-batches); multi-writer coordination needs a lock/log
-    layer (Delta/Iceberg territory) by design."""
+    Writer concurrency: OPTIMISTIC. The snapshot content does not depend
+    on its version number, so a commit that loses the version race simply
+    re-tries the checked rename under the next free N — no re-write of the
+    data, ``max_retries`` attempts before giving up. The atomic primitive
+    is filesystem rename (exactly Delta/Iceberg's commit primitive, minus
+    their log); on stores where rename onto an existing directory NESTS
+    instead of failing (raw local fs) a sub-millisecond
+    check-exists→rename window remains — serialize writers there."""
+    return _commit_snapshot(df, path, max_retries=5)
+
+
+def _commit_snapshot(df: DataFrame, path: str, max_retries: int) -> int:
     spark = df.sparkSession
     fs, hpath, jvm = _fs(spark, path)
+    mk = jvm.org.apache.hadoop.fs.Path
     n = (snapshot_versions(spark, path) or [0])[-1] + 1
-    stage = jvm.org.apache.hadoop.fs.Path(f"{path}/__stage_v{n}")
+    stage = mk(f"{path}/__stage_v{n}")
     if fs.exists(stage):
         fs.delete(stage, True)
     df.write.mode("overwrite").parquet(str(stage.toString()))
-    final = jvm.org.apache.hadoop.fs.Path(f"{path}/v={n}")
-    if fs.exists(final):  # concurrent writer won the version — do not clobber
-        fs.delete(stage, True)
-        raise IOError(f"snapshot v={n} already committed at {path}")
-    if not fs.rename(stage, final):
-        raise IOError(f"snapshot commit rename failed: {stage} -> {final}")
-    return n
+    for _ in range(max_retries + 1):
+        final = mk(f"{path}/v={n}")
+        if not fs.exists(final) and fs.rename(stage, final):
+            return n
+        n += 1  # a concurrent writer committed this version — take the next
+    fs.delete(stage, True)
+    raise IOError(
+        f"snapshot commit lost {max_retries + 1} version races at {path}"
+    )
+
+
+def vacuum_snapshots(
+    spark: SparkSession, path: str, keep_last: int = 2
+) -> list[int]:
+    """Retention for the versioned store: drop every committed version
+    older than the newest ``keep_last`` (the latest always survives), and
+    clear any stale ``__stage_v*`` dirs from died writers. Returns the
+    dropped version numbers.
+
+    Deletion is the one operation that can invalidate a PINNED time-travel
+    reader — run vacuum only after those readers drain (the same contract
+    as Delta's VACUUM vs readers of old snapshots). Versions are dropped
+    oldest-first, so a crash mid-vacuum leaves a contiguous suffix of
+    versions — the store stays consistent."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest must survive)")
+    fs, hpath, jvm = _fs(spark, path)
+    mk = jvm.org.apache.hadoop.fs.Path
+    versions = snapshot_versions(spark, path)
+    dropped = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in dropped:  # oldest first: crash leaves a contiguous suffix
+        fs.delete(mk(f"{path}/v={v}"), True)
+    if fs.exists(hpath):
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if name.startswith("__stage_v"):
+                fs.delete(st.getPath(), True)
+    return dropped
 
 
 def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:

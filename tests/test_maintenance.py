@@ -638,3 +638,50 @@ def test_cms_estimate_unseen_token_is_zero(spark):
     got = {r.tk: r.est_n for r in mt.cms_estimate(sk, probe, "tk", 4, 4096).collect()}
     assert got["alpha"] >= 2
     assert got["never-seen-token"] == 0
+
+
+def test_write_snapshot_retries_past_version_collision(spark, tmp_path):
+    """Optimistic commit: a concurrent writer taking v=2 must push this
+    commit to v=3, not fail — the data is staged once, only the checked
+    rename re-tries."""
+    import os
+
+    from big_data_project_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "snaps")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    mt.write_snapshot(df, path)
+    # a concurrent writer commits v=2 between this writer's allocate and
+    # rename: pre-create the committed dir it would find
+    os.makedirs(path + "/v=2")
+    assert mt.write_snapshot(df, path) == 3
+    assert mt.snapshot_versions(spark, path) == [1, 2, 3]
+    got = {(r.k, r.v) for r in mt.read_snapshot(spark, path, 3).collect()}
+    assert got == {(1, "a")}
+
+
+def test_vacuum_snapshots_retention_and_stage_cleanup(spark, tmp_path):
+    import os
+
+    from big_data_project_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "snaps")
+    for i in range(4):
+        mt.write_snapshot(
+            spark.createDataFrame([(i,)], "k long"), path
+        )
+    os.makedirs(path + "/__stage_v9")  # died writer's litter
+    dropped = mt.vacuum_snapshots(spark, path, keep_last=2)
+    assert dropped == [1, 2]
+    assert mt.snapshot_versions(spark, path) == [3, 4]
+    assert not os.path.exists(path + "/__stage_v9")
+    # latest still reads; a vacuumed pin fails FAST with the clear error
+    assert mt.read_snapshot(spark, path).collect()[0].k == 3
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        mt.read_snapshot(spark, path, version=1)
+    # keep_last=1 keeps only the newest; keep_last=0 is rejected
+    assert mt.vacuum_snapshots(spark, path, keep_last=1) == [3]
+    with _pytest.raises(ValueError):
+        mt.vacuum_snapshots(spark, path, keep_last=0)
