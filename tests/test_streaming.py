@@ -627,3 +627,96 @@ def test_stream_stream_outer_interval_join_emits_null_matches(
     want_null = {r for r in want if r[2] is None}
     assert got_null <= want_null
     assert len(got_null) > 0
+
+
+# ---------------------------------------------------------------------------
+# CHECKPOINT RESTART (round 4): the tests above run each query once; these
+# stop a query, start a NEW one on the same checkpoint, and prove the
+# recovered state behaves — dedup state survives, watermarks advance
+# monotonically, and nothing double-emits across the restart boundary.
+# ---------------------------------------------------------------------------
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, st.EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _ev(event_id, minute, etype="click", value=1.0):
+    from datetime import datetime, timezone
+
+    return (
+        event_id,
+        datetime(2024, 1, 1, 10, minute, tzinfo=timezone.utc),
+        7,
+        etype,
+        value,
+        "{}",
+    )
+
+
+def test_stream_dedup_state_survives_checkpoint_restart(spark, tmp_path):
+    """An event id seen BEFORE the restart must still be dropped AFTER it:
+    the dedup state lives in the checkpoint, not the query object."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def run_once():
+        q = (
+            st.stream_dedup(st.read_event_stream(spark, src), watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _write_events(spark, src, [_ev(1, 0), _ev(2, 1), _ev(1, 2)])
+    run_once()
+    # RESTART: ids 1 and 2 are replays from before the restart; 3 is new
+    _write_events(spark, src, [_ev(2, 3), _ev(3, 4), _ev(1, 5)])
+    run_once()
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3], got
+
+
+def test_windowed_agg_exactly_once_across_restart(spark, tmp_path):
+    """Append-mode windowed aggregation across a stop/start: the watermark
+    recovered from the checkpoint finalizes each window EXACTLY once, and
+    emitted values equal the batch aggregate over all chunks."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src2", "out2", "ckpt2"))
+
+    def run_once():
+        q = (
+            st.tumbling_window_agg(
+                st.read_event_stream(spark, src),
+                width="10 minutes",
+                watermark="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _write_events(spark, src, [_ev(1, 0), _ev(2, 5), _ev(3, 12)])
+    run_once()  # watermark reaches 10:12 → the 10:00 window finalizes
+    _write_events(spark, src, [_ev(4, 14), _ev(5, 23)])
+    run_once()  # restart: 10:10 window finalizes; 10:00 must NOT re-emit
+    rows = spark.read.parquet(out).collect()
+    keys = [(r.window_start, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys)), f"window double-emitted: {keys}"
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.total)
+        for r in st.tumbling_window_agg(
+            spark.read.parquet(src), width="10 minutes"
+        ).collect()
+    }
+    for r in rows:
+        assert batch[(r.window_start, r.event_type)] == (r.n, r.total)
+    # both finalized windows are present after the second run
+    assert len(rows) >= 2
