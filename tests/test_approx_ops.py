@@ -515,3 +515,24 @@ def test_sq8_recall_near_lossless_on_clustered_data(spark):
             metric,
         )
         assert sum(recalls) / len(recalls) >= 0.9, (metric, recalls)
+
+
+def test_sq8_reconstruction_error_within_half_step(spark, sf_dir):
+    """Quantization theory bound, checked on real data: |v − code·scale|
+    ≤ scale/2 per element (round-to-nearest), so SQ8's worst-case relative
+    error is 1/254 of the vector's max magnitude."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    enc = vector.sq8_encode(emb)
+    joined = emb.join(enc, "vec_id").select(
+        F.array_max(
+            F.zip_with(
+                "embedding",
+                "codes",
+                lambda v, c: F.abs(
+                    v.cast("double") - c.cast("double") * F.col("sq_scale")
+                ),
+            )
+        ).alias("max_err"),
+        (F.col("sq_scale") / 2 + F.lit(1e-9)).alias("bound"),
+    )
+    assert joined.where(F.col("max_err") > F.col("bound")).count() == 0
