@@ -2208,6 +2208,53 @@ def s7_pyds_sink_roundtrip(spark, sf_dir):
 
 
 @register(
+    "s11_jsonl_pushdown_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 9 = 0
+      AND o_totalprice > 200000.0
+      AND o_orderstatus IN ('O', 'F')
+      AND o_custkey IS NOT NULL
+    """,
+)
+def s11_jsonl_pushdown_read(spark, sf_dir):
+    """The 4.1 Python Data Source FILTER-PUSHDOWN read leg, value-hashed:
+    write a slice through the jsonl sink, read it back through the
+    pushFilters-capable reader under range + IN + IS NOT NULL predicates
+    — all evaluated AT THE SOURCE (jsonl_sink.py:_JsonlReader), with the
+    oracle applying the same predicates to the ORIGINAL table. The hash
+    only matches if the source's per-line predicate evaluation (SQL NULL
+    semantics included) agrees with the engine's. Completes the Python
+    Data Source API matrix: batch read WITH pushdown + streaming read +
+    batch write + streaming write."""
+    from big_data_project_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    df = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 9 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+    path = _tmpdir("pyds_read")
+    df.write.format("jsonl_files").option("path", path).mode("overwrite").save()
+    back = (
+        spark.read.format("jsonl_files")
+        .schema(
+            "o_orderkey long, o_custkey long, o_totalprice double, "
+            "o_orderstatus string"
+        )
+        .option("path", path)
+        .load()
+    )
+    return back.where(
+        (F.col("o_totalprice") > 200000.0)
+        & F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_custkey").isNotNull()
+    )
+
+
+@register(
     "mt_time_travel",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

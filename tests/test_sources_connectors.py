@@ -762,3 +762,143 @@ def test_python_source_to_python_sink_streaming_pipeline(spark, sf_dir, tmp_path
     want = io.read_json(spark, REDDIT, schema=social.REDDIT_SCHEMA)
     assert back.count() == 500
     assert _sorted_rows(back.select(*want.columns)) == _sorted_rows(want)
+
+
+# ---------------------------------------------------------------------------
+# jsonl_files READ leg: Spark 4.1 Python Data Source filter pushdown
+# ---------------------------------------------------------------------------
+
+def test_jsonl_compile_filter_semantics():
+    from pyspark.sql.datasource import (
+        EqualNullSafe, EqualTo, GreaterThan, In, IsNull, Not, StringStartsWith,
+    )
+
+    from big_data_project_spark.sources.jsonl_sink import _compile_filter
+
+    gt = _compile_filter(GreaterThan(("x",), 5))
+    assert gt({"x": 6}) and not gt({"x": 5})
+    assert not gt({"x": None}), "NULL compare must not match (SQL semantics)"
+    inn = _compile_filter(In(("x",), (1, 3)))
+    assert inn({"x": 3}) and not inn({"x": 2}) and not inn({"x": None})
+    ns = _compile_filter(EqualNullSafe(("x",), None))
+    assert ns({"x": None}) and not ns({"x": 1})
+    isnull = _compile_filter(IsNull(("x",)))
+    assert isnull({"x": None}) and not isnull({"x": 0})
+    neg = _compile_filter(Not(EqualTo(("x",), 1)))
+    assert neg({"x": 2}) and not neg({"x": 1})
+    assert not neg({"x": None}), "NOT(NULL = 1) is still no-match"
+    sw = _compile_filter(StringStartsWith(("s",), "ab"))
+    assert sw({"s": "abc"}) and not sw({"s": "xab"}) and not sw({"s": None})
+    # nested column references are not evaluable here → unsupported
+    assert _compile_filter(EqualTo(("a", "b"), 1)) is None
+
+
+def test_jsonl_push_filters_splits_supported_from_unsupported():
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from big_data_project_spark.sources.jsonl_sink import _JsonlReader
+
+    class Exotic(EqualTo):  # stands in for a filter class we don't handle
+        pass
+
+    r = _JsonlReader({"path": "/tmp/x"}, None)
+    exotic = EqualTo(("a", "b"), 1)  # nested ref → unsupported
+    back = list(r.pushFilters([GreaterThan(("k",), 1), exotic]))
+    assert back == [exotic]
+    assert len(r.pushed) == 1
+
+
+def test_jsonl_read_leg_roundtrip_and_pushdown_correctness(spark, tmp_path):
+    """Write with the sink, read with the reader under a MIX of pushable
+    (k > 25, v LIKE 'x%') and unpushable (k % 2 = 0 → arithmetic) filters:
+    results must equal the same query over the original DataFrame — the
+    source evaluates its share, Spark re-applies the rest."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "readleg")
+    df = spark.range(0, 100, 1, 4).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("x"), (F.col("id") % 7).cast("string")).alias("v"),
+    )
+    df.write.format("jsonl_files").option("path", out).mode("append").save()
+    back = (
+        spark.read.format("jsonl_files")
+        .schema("k long, v string")
+        .option("path", out)
+        .load()
+    )
+    cond = (F.col("k") > 25) & (F.col("k") % 2 == 0) & F.col("v").startswith("x")
+    got = sorted((r.k, r.v) for r in back.where(cond).collect())
+    want = sorted((r.k, r.v) for r in df.where(cond).collect())
+    assert got == want and len(got) == 37
+    # the pushed share really reached the source: only the arithmetic
+    # remainder survives above the scan
+    plan = back.where(cond)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan jsonl_files" in plan
+    assert "startswith" not in plan.lower() and "> 25" not in plan
+    # an unfiltered read round-trips completely (fresh load per logical
+    # query — see the scan-reuse quirk test below)
+    fresh = (
+        spark.read.format("jsonl_files")
+        .schema("k long, v string")
+        .option("path", out)
+        .load()
+    )
+    assert fresh.count() == 100
+
+
+def test_jsonl_pushdown_scan_reuse_quirk(spark, tmp_path):
+    """Pins UPSTREAM Spark 4.1 behavior (documented in _JsonlReader): the
+    last pushed scan of a Python source is cached in the shared relation,
+    so a later FILTERLESS query on the same DataFrame object reuses it —
+    still filtered — while re-filtered queries re-plan correctly. If this
+    test starts failing with count() == 100, Spark fixed it: delete the
+    quirk documentation and collapse the fresh-load workarounds."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "quirk")
+    spark.range(0, 100, 1, 2).select(F.col("id").alias("k")).write.format(
+        "jsonl_files"
+    ).option("path", out).mode("append").save()
+    back = (
+        spark.read.format("jsonl_files")
+        .schema("k long")
+        .option("path", out)
+        .load()
+    )
+    assert back.count() == 100             # fresh: correct
+    assert back.where("k > 25").count() == 74
+    assert back.count() == 74              # the upstream quirk
+    assert back.where("k > 90").count() == 9  # re-push re-plans fine
+
+
+def test_jsonl_read_leg_null_and_coercion(spark, tmp_path):
+    import os
+
+    os.makedirs(str(tmp_path / "nulls"))
+    with open(str(tmp_path / "nulls" / "part-00000.jsonl"), "w") as fh:
+        fh.write('{"k": 1, "v": "a"}\n')
+        fh.write('{"k": null}\n')          # missing + explicit null
+        fh.write('{"k": "12", "v": 3}\n')  # junk-typed → coerced
+    from big_data_project_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    back = (
+        spark.read.format("jsonl_files")
+        .schema("k long, v string")
+        .option("path", str(tmp_path / "nulls"))
+        .load()
+    )
+    rows = sorted(
+        ((r.k, r.v) for r in back.collect()),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert rows == [(1, "a"), (12, "3"), (None, None)]
+    # IS NULL is pushable and correct
+    assert back.where("k IS NULL").count() == 1
