@@ -242,6 +242,38 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML scan (Spark 4 built-in spark-xml — the reference's actual
+    domain format: SEC filings are XBRL/XML). Explicit schema recommended
+    (inference costs an extra pass and infers numerics loosely)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    row_tag: str = "row",
+    root_tag: str = "rows",
+) -> None:
+    """XML sink: one <row> element per record under <rows>."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S8: CSV sink (py:296-307) minus the coalesce(1). Quote/escape match
     read_csv (quote='"', escape='"' — RFC-4180 doubled quotes), so embedded

@@ -2172,6 +2172,34 @@ def s_roundtrip_orc(spark, sf_dir):
 
 
 @register(
+    "s12_roundtrip_xml",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer WHERE c_acctbal >= 9000
+    """,
+)
+def s12_roundtrip_xml(spark, sf_dir):
+    """XML sink → scan roundtrip (Spark 4's built-in spark-xml, the
+    format of the reference's actual domain — SEC filings are XBRL/XML):
+    write a customer slice as <row> elements, read it back with an
+    explicit schema, hash against the ORIGINAL table. io.write_xml /
+    io.read_xml are the user-facing helpers."""
+    df = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") >= 9000)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+    path = _tmpdir("rt_xml") + "/data"
+    io.write_xml(df, path)
+    return io.read_xml(
+        spark,
+        path,
+        schema="c_custkey long, c_name string, c_acctbal double, "
+        "c_mktsegment string",
+    )
+
+
+@register(
     "s7_pyds_sink_roundtrip",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

@@ -249,3 +249,22 @@ def test_write_parquet_observed_single_pass_metrics(spark, sf_dir, tmp_path):
     assert m["n_rows"] == back.count()
     assert m["n_null_maybe_null"] == back.where(F.col("maybe_null").isNull()).count()
     assert m["n_null_o_orderkey"] == 0
+
+
+def test_xml_roundtrip_with_special_chars(spark, tmp_path):
+    """XML roundtrip must escape markup-significant characters; schema'd
+    read returns them byte-identical."""
+    from big_data_project_spark import io as eio
+
+    df = spark.createDataFrame(
+        [(1, 'a < b & "c" > d'), (2, None), (3, "plain")],
+        "k long, v string",
+    )
+    path = str(tmp_path / "xmlrt")
+    eio.write_xml(df, path)
+    back = eio.read_xml(spark, path, schema="k long, v string")
+    assert sorted((r.k, r.v) for r in back.collect()) == [
+        (1, 'a < b & "c" > d'),
+        (2, None),
+        (3, "plain"),
+    ]
