@@ -510,8 +510,9 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     ever invalidated by a writer (contrast atomic_overwrite, which swaps
     in place). Crash-safe: data lands in a stage dir first and the commit
     is one checked rename — a died write leaves only a stale stage dir,
-    which the next writer clears. Retention is the caller's policy (drop
-    old ``v=`` dirs when their readers drain).
+    which ``vacuum_snapshots`` clears once it outlives the stage TTL
+    (writers never touch each other's stages). Retention is the caller's
+    policy (drop old ``v=`` dirs when their readers drain).
 
     Writer concurrency: OPTIMISTIC. The snapshot content does not depend
     on its version number, so a commit that loses the version race simply
@@ -525,14 +526,18 @@ def write_snapshot(df: DataFrame, path: str) -> int:
 
 
 def _commit_snapshot(df: DataFrame, path: str, max_retries: int) -> int:
+    import uuid as _uuid
+
     spark = df.sparkSession
     fs, hpath, jvm = _fs(spark, path)
     mk = jvm.org.apache.hadoop.fs.Path
-    n = (snapshot_versions(spark, path) or [0])[-1] + 1
-    stage = mk(f"{path}/__stage_v{n}")
-    if fs.exists(stage):
-        fs.delete(stage, True)
+    # WRITER-UNIQUE stage dir: concurrent writers must never stage onto
+    # the same path (a shared __stage_v{n} would let one writer delete or
+    # interleave with another's in-flight data before the version race is
+    # even reached)
+    stage = mk(f"{path}/__stage_{_uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(str(stage.toString()))
+    n = (snapshot_versions(spark, path) or [0])[-1] + 1
     for _ in range(max_retries + 1):
         final = mk(f"{path}/v={n}")
         if not fs.exists(final) and fs.rename(stage, final):
@@ -545,18 +550,26 @@ def _commit_snapshot(df: DataFrame, path: str, max_retries: int) -> int:
 
 
 def vacuum_snapshots(
-    spark: SparkSession, path: str, keep_last: int = 2
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 2,
+    stage_ttl_seconds: int = 86400,
 ) -> list[int]:
     """Retention for the versioned store: drop every committed version
     older than the newest ``keep_last`` (the latest always survives), and
-    clear any stale ``__stage_v*`` dirs from died writers. Returns the
-    dropped version numbers.
+    clear ``__stage_*`` dirs from died writers — but only those older
+    than ``stage_ttl_seconds`` (default 1 day): a YOUNG stage dir may be a
+    concurrent writer mid-commit, and deleting it would destroy that
+    writer's data right before its rename. Returns the dropped version
+    numbers.
 
     Deletion is the one operation that can invalidate a PINNED time-travel
     reader — run vacuum only after those readers drain (the same contract
     as Delta's VACUUM vs readers of old snapshots). Versions are dropped
     oldest-first, so a crash mid-vacuum leaves a contiguous suffix of
     versions — the store stays consistent."""
+    import time as _time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the latest must survive)")
     fs, hpath, jvm = _fs(spark, path)
@@ -566,9 +579,13 @@ def vacuum_snapshots(
     for v in dropped:  # oldest first: crash leaves a contiguous suffix
         fs.delete(mk(f"{path}/v={v}"), True)
     if fs.exists(hpath):
+        cutoff_ms = (_time.time() - stage_ttl_seconds) * 1000
         for st in fs.listStatus(hpath):
             name = st.getPath().getName()
-            if name.startswith("__stage_v"):
+            if (
+                name.startswith("__stage_")
+                and st.getModificationTime() < cutoff_ms
+            ):
                 fs.delete(st.getPath(), True)
     return dropped
 

@@ -57,15 +57,6 @@ def sniff_media_type(payload: str = "payload"):
     return expr
 
 
-def _sniff_bytes(data: bytes) -> str:
-    """Python twin of :func:`sniff_media_type` for worker-side closures."""
-    hexs = data[:4].hex().upper()
-    for magic, mtype in sorted(MAGIC.items(), key=lambda kv: -len(kv[0])):
-        if hexs.startswith(magic):
-            return mtype
-    return "application/octet-stream"
-
-
 def binary_stats(df: DataFrame, payload: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """Typed metadata for a payload column: byte length + sniffed type."""
     return df.select(

@@ -179,6 +179,13 @@ def generate_answers(
         list(prompts.schema.fields) + [T.StructField(out_col, T.StringType())]
     )
     loader = pipeline_loader
+    if loader is not None:
+        # loader identity = cloudpickle content hash, computed driver-side
+        # (qualname would collide for distinct closures from one source
+        # line, silently serving the wrong model from a reused worker)
+        from big_data_project_spark.plugins import _loader_token
+
+        loader_key = _loader_token(loader)
 
     def gen_batches(it):
         model = None
@@ -186,12 +193,7 @@ def generate_answers(
             try:
                 from big_data_project_spark import plugins as _plug
 
-                key = (
-                    "generator",
-                    getattr(loader, "__module__", ""),
-                    getattr(loader, "__qualname__", repr(loader)),
-                )
-                model = _plug._cached_handle(key, loader)
+                model = _plug._cached_handle(("generator", loader_key), loader)
             except ImportError:
                 model = loader()
         else:

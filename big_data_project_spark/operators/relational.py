@@ -344,33 +344,45 @@ def top_parts_by_price(part: DataFrame, k: int = 10) -> DataFrame:
 def rank_bounded(
     df: DataFrame, order: list[tuple[str, str]], out_col: str = "rank"
 ) -> DataFrame:
-    """Dense total-order rank over a BOUNDED (post-limit) result WITHOUT a
-    global window: rank = 1 + number of strictly-preceding rows, computed
-    by a broadcast nested-loop self-join (k² comparisons over the k-row
-    input — a constant once the caller has already cut to top-k).
+    """Total-order rank over a BOUNDED (post-limit) result WITHOUT a
+    global window: rank = 1 + number of strictly-preceding rows, via a
+    broadcast nested-loop self-join over the CACHED k-row input (k²
+    comparisons on ≤ a few hundred rows by contract).
 
     Replaces ``row_number() OVER (ORDER BY …)`` on tiny results: the
     empty-partition window moves data to ONE partition and makes
-    WindowExec warn on every task, which buries any real single-partition
-    regression in noise. This shape stays parallel and warning-free.
+    WindowExec warn on every task, burying real single-partition
+    regressions. The cache keeps the (possibly corpus-sized) upstream
+    plan to ONE execution shared by both join sides, inside one job.
 
     ``order`` is ``[(col, 'asc'|'desc'), …]`` and must define a TOTAL
     order (make the last key unique); rows must be distinct (they are,
-    once the ordering is total)."""
-    left, right = df.alias("_l"), df.alias("_r")
+    once the ordering is total). NULL keys rank exactly like the window
+    defaults: asc = nulls first, desc = nulls last."""
+    # cache the k-row input: both join sides then share ONE computation of
+    # the (possibly corpus-sized) upstream plan, inside one job — no
+    # second scan (the self-join alternative), no barrier job (the
+    # checkpoint alternative), no driver serialization (the collect
+    # alternative; measured slowest — sequential leg execution)
+    df = df.cache()
+    # a never-null marker makes matched rows countable even when every
+    # payload column of the preceding row is legitimately NULL
+    marked = df.withColumn("_rb_m", F.lit(1))
+    left, right = df.alias("_l"), marked.alias("_r")
     strictly_before = F.lit(False)  # does the _r row precede the _l row?
     eq_prefix = F.lit(True)
     for c, d in order:
         lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
-        strictly_before = strictly_before | (
-            eq_prefix & ((rc > lc) if d == "desc" else (rc < lc))
-        )
+        if d == "desc":  # Spark desc = nulls LAST: non-null precedes null
+            cmp = (rc > lc) | (rc.isNotNull() & lc.isNull())
+        else:  # Spark asc = nulls FIRST: null precedes non-null
+            cmp = (rc < lc) | (rc.isNull() & lc.isNotNull())
+        strictly_before = strictly_before | (eq_prefix & cmp)
         eq_prefix = eq_prefix & rc.eqNullSafe(lc)
     joined = left.join(F.broadcast(right), strictly_before, "left")
-    first = order[0][0]
     return joined.groupBy(
         *[F.col(f"_l.{c}").alias(c) for c in df.columns]
-    ).agg((F.count(F.col(f"_r.{first}")) + 1).cast("long").alias(out_col))
+    ).agg((F.count(F.col("_r._rb_m")) + 1).cast("long").alias(out_col))
 
 
 def ordered_lineitems(lineitem: DataFrame) -> DataFrame:

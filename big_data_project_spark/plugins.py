@@ -47,6 +47,23 @@ def hash_embed(text: str, dim: int = 16) -> list[float]:
 _MODEL_HANDLES: dict = {}
 
 
+def _loader_token(loader) -> str:
+    """Content identity for an injected zero-arg loader: sha256 of its
+    cloudpickle bytes, computed DRIVER-side and ONCE per owner (a
+    stateful closure's bytes drift as its captured state mutates — the
+    token must be pinned at construction). Different captures — e.g.
+    ``lambda: load(m)`` for two values of ``m`` — get distinct tokens;
+    cloudpickle's class tracker also makes separately-defined identical
+    loaders distinct, which is CONSERVATIVE: a duplicate load per worker,
+    never a wrong shared handle. Keying a model cache by name alone would
+    let different injected models silently share one."""
+    from pyspark.serializers import CloudPickleSerializer
+
+    return hashlib.sha256(
+        CloudPickleSerializer().dumps(loader)
+    ).hexdigest()[:16]
+
+
 def _cached_handle(key, loader):
     """Load-once-per-process: return the cached handle for ``key`` or call
     ``loader()`` and cache it. Lives at module level so the cache survives
@@ -88,6 +105,9 @@ class Embedder:
         self.model_name = model_name
         self.dim = dim
         self.model_loader = model_loader
+        self._loader_key = (
+            _loader_token(model_loader) if model_loader is not None else "default"
+        )
 
     def available(self) -> bool:
         if self.model_loader is not None:
@@ -106,6 +126,10 @@ class Embedder:
     ) -> DataFrame:
         model_name, dim, loader = self.model_name, self.dim, self.model_loader
         use_model = self.available()
+        # cache identity must include WHICH loader, not just the name —
+        # two Embedders with the same model_name but different injected
+        # loaders must not share a worker-side handle
+        loader_key = self._loader_key
         fields = df.schema.fields
         out_schema = T.StructType(
             list(fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
@@ -141,7 +165,7 @@ class Embedder:
                     from big_data_project_spark import plugins as _plug
 
                     model = _plug._cached_handle(
-                        ("embedder", model_name, dim), _load
+                        ("embedder", model_name, dim, loader_key), _load
                     )
                 except ImportError:
                     # package absent on this worker's path: load fresh —
@@ -185,6 +209,11 @@ class Generator:
         #: bring-your-own-runtime seam (llama.cpp binding, an HTTP serving
         #: endpoint, a test fake) — cached exactly like the default.
         self.pipeline_loader = pipeline_loader
+        self._loader_key = (
+            _loader_token(pipeline_loader)
+            if pipeline_loader is not None
+            else "default"
+        )
 
     def available(self) -> bool:
         if self.pipeline_loader is not None:
@@ -197,9 +226,10 @@ class Generator:
             return False
 
     def _pipeline(self):
-        # cache keyed by construction params: a second Generator with a
-        # different model or token budget must not silently reuse the first
-        key = (self.model_name, self.max_new_tokens)
+        # cache keyed by construction params AND loader identity: a second
+        # Generator with a different model, token budget, or injected
+        # runtime must not silently reuse the first's handle
+        key = (self.model_name, self.max_new_tokens, self._loader_key)
         if Generator._cached is None or Generator._cached[0] != key:
             if self.pipeline_loader is not None:
                 handle = self.pipeline_loader()

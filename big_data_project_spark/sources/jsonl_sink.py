@@ -24,9 +24,11 @@ Save-mode semantics (mirroring the built-in file sinks):
 
 - ``mode("append")``: final names carry a job-unique token generated on
   the driver, so a second append can never clobber a previous job's parts.
-- ``mode("overwrite")``: the driver-side commit first deletes every
-  pre-existing ``part-*.jsonl`` not produced by THIS job, then renames —
-  a re-write with fewer partitions cannot leave stale parts behind.
+- ``mode("overwrite")``: the driver-side commit renames THIS job's parts
+  in first, then deletes every pre-existing ``part-*.jsonl`` it did not
+  produce — a re-write with fewer partitions cannot leave stale parts
+  behind, and a crash mid-commit leaves old+new mixed (rerunnable), never
+  an emptied directory.
 
 The STREAMING leg names parts ``part-<batchId>-<partitionId>.jsonl``
 (batch-scoped, replay-safe); its commit also sweeps same-batch parts from
@@ -102,19 +104,23 @@ class _JsonlWriter(DataSourceWriter):
         return _StagedFile(staged, final, n)
 
     def commit(self, messages):
-        # only reached when EVERY task succeeded; per-file rename is atomic
+        # only reached when EVERY task succeeded; per-file rename is atomic.
+        # Order matters for overwrite: RENAME the new parts first, sweep
+        # the old ones after (the streaming leg's order) — a crash
+        # mid-commit then leaves old+new mixed (rerunnable), never an
+        # empty directory with the previous dataset already destroyed.
+        keep = {m.final for m in messages if m is not None}
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(m.staged, m.final)
         if self.overwrite:
-            keep = {m.final for m in messages if m is not None}
             for old in glob.glob(os.path.join(self.dir, "part-*.jsonl")):
                 if old not in keep:
                     try:
                         os.remove(old)
                     except OSError:
                         pass
-        for m in messages:
-            if m is None:
-                continue
-            os.replace(m.staged, m.final)
 
     def abort(self, messages):
         for m in messages:
@@ -311,7 +317,10 @@ class _JsonlReader(DataSourceReader):
                 if typ in ("double", "float"):
                     return float(value)
                 if typ == "boolean":
-                    return bool(value)
+                    # Spark's JSON reader only accepts JSON true/false for
+                    # boolean columns; anything else is NULL — bool("x")
+                    # would silently turn junk into True
+                    return value if isinstance(value, bool) else None
                 if typ == "string":
                     return value if isinstance(value, str) else str(value)
             except (TypeError, ValueError):

@@ -255,14 +255,19 @@ def test_rank_bounded_matches_window_rank(spark):
     from big_data_project_spark.operators.relational import rank_bounded
 
     df = spark.createDataFrame(
-        [(3.0, "b"), (1.0, "a"), (3.0, "a"), (2.0, "z"), (2.0, "m")],
+        [(3.0, "b"), (1.0, "a"), (3.0, "a"), (2.0, "z"), (2.0, "m"),
+         (None, "q"), (2.0, None), (None, None)],  # nulls in BOTH keys
         "score double, id string",
     )
     got = {
         (r.score, r.id): r.rank
         for r in rank_bounded(df, [("score", "desc"), ("id", "asc")]).collect()
     }
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), "id")
+    # Spark defaults: desc = nulls last, asc = nulls first — rank_bounded
+    # must agree without the caller spelling that out
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("score").desc_nulls_last(), F.col("id").asc_nulls_first()
+    )
     import pyspark.sql.functions as SF
 
     want = {
@@ -272,9 +277,8 @@ def test_rank_bounded_matches_window_rank(spark):
         ).collect()
     }
     assert got == want
-    # no empty-partition window in the plan: the rank comes from a
-    # BroadcastNestedLoopJoin + aggregate, never a Window node
+    # no empty-partition window anywhere: the ranked result is a bounded
+    # re-parallelized local relation, never a Window node
     plan = rank_bounded(df, [("score", "desc"), ("id", "asc")])._jdf \
         .queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "BroadcastNestedLoopJoin" in plan

@@ -670,11 +670,16 @@ def test_vacuum_snapshots_retention_and_stage_cleanup(spark, tmp_path):
         mt.write_snapshot(
             spark.createDataFrame([(i,)], "k long"), path
         )
-    os.makedirs(path + "/__stage_v9")  # died writer's litter
-    dropped = mt.vacuum_snapshots(spark, path, keep_last=2)
+    os.makedirs(path + "/__stage_deadbeef")  # died writer's litter
+    # a YOUNG stage dir may be a concurrent writer mid-commit: the default
+    # TTL must leave it alone
+    assert mt.vacuum_snapshots(spark, path, keep_last=4) == []
+    assert os.path.exists(path + "/__stage_deadbeef")
+    # past the TTL it is litter and goes
+    dropped = mt.vacuum_snapshots(spark, path, keep_last=2, stage_ttl_seconds=-5)
     assert dropped == [1, 2]
     assert mt.snapshot_versions(spark, path) == [3, 4]
-    assert not os.path.exists(path + "/__stage_v9")
+    assert not os.path.exists(path + "/__stage_deadbeef")
     # latest still reads; a vacuumed pin fails FAST with the clear error
     assert mt.read_snapshot(spark, path).collect()[0].k == 3
     import pytest as _pytest

@@ -180,3 +180,58 @@ def test_sparknlp_ner_without_factory_still_gates():
     if not ner.available():
         with pytest.raises(NotImplementedError, match="spark-nlp"):
             ner.transform(None)
+
+
+def test_embedder_loader_identity_keys_worker_cache(spark):
+    """Two Embedders with the SAME model_name/dim but different injected
+    loaders must not share a worker-side handle (cache keys include the
+    loader's cloudpickle content hash — review r4 finding)."""
+
+    def mk(val):
+        class M:
+            def encode(self, texts):
+                return [[float(val)] for _ in texts]
+
+        def loader():
+            return M()
+
+        return loader
+
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string").coalesce(1)
+    e1 = plugins.Embedder(model_name="same-name", dim=1, model_loader=mk(1.0))
+    e2 = plugins.Embedder(model_name="same-name", dim=1, model_loader=mk(2.0))
+    assert e1.transform(df).collect()[0].embedding == [1.0]
+    assert e2.transform(df).collect()[0].embedding == [2.0]
+    # the SAME loader object keeps one token (stable across calls); any
+    # separately-constructed loader gets its own slot (conservative —
+    # cloudpickle's class tracker distinguishes per-definition classes)
+    one = mk(3.0)
+    assert plugins._loader_token(one) == plugins._loader_token(one)
+    assert plugins._loader_token(mk(3.0)) != plugins._loader_token(mk(4.0))
+
+
+def test_generator_same_params_distinct_loaders_not_conflated():
+    def mk(tag):
+        def loader():
+            return lambda p: [{"generated_text": tag}]
+
+        return loader
+
+    g1 = plugins.Generator(model_name="shared-model", pipeline_loader=mk("A"))
+    g2 = plugins.Generator(model_name="shared-model", pipeline_loader=mk("B"))
+    assert g1.generate("x") == "A"
+    assert g2.generate("x") == "B"
+
+
+def test_generate_answers_distinct_lambdas_not_conflated(spark):
+    """Two closures from the SAME source line with different captures must
+    reach different cached handles (qualname-keying conflated them)."""
+    prompts = spark.createDataFrame([(1, "p")], "qid long, prompt string").coalesce(1)
+    answers = []
+    for tag in ("m1", "m2"):
+        out = rag.generate_answers(
+            prompts,
+            pipeline_loader=(lambda tag=tag: (lambda p: [{"generated_text": tag}])),
+        )
+        answers.append(out.collect()[0].answer)
+    assert answers == ["m1", "m2"]
