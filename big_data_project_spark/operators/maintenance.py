@@ -336,6 +336,122 @@ def merge_distinct_sketches(
     )
 
 
+#: 2^60 — the KMV hash range (top 60 bits of md5, kept as exact BIGINT)
+KMV_SCALE = float(1 << 60)
+
+
+def _kmv_hash_col(value_col: str):
+    """Deterministic uniform 60-bit hash of a value (md5 first 15 hex
+    digits as BIGINT) — integer-exact on both engines, so KMV sketches
+    and their estimates are value-hashable."""
+    return F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV ('k minimum values' / theta) sketch: the k SMALLEST
+    60-bit hashes of the distinct values. The mergeable distinct-sketch
+    that — unlike HLL — also supports set INTERSECTION estimates
+    (Apache DataSketches theta parity), and is fully deterministic.
+
+    Scale shape: distinct (group, hash) → SALTED pre-prune (k smallest
+    per (group, hash%64) — any superset of the global k-minima is
+    correctness-preserving, so the salt only bounds reducer input) →
+    final per-group rank window over ≤ 64·k rows per group. No reducer
+    ever sees a group's full distinct-hash stream, so a hot group — or a
+    GLOBAL sketch via a constant group column — cannot melt one task.
+
+    Estimate below k is EXACT (the sketch holds every distinct hash)."""
+    from pyspark.sql.window import Window
+
+    hashed = df.select(
+        *group_cols, _kmv_hash_col(value_col).alias("_h")
+    ).distinct()
+    w_pre = Window.partitionBy(*group_cols, "_s").orderBy("_h")
+    pruned = (
+        hashed.withColumn("_s", F.pmod("_h", F.lit(64)))
+        .withColumn("_rk", F.row_number().over(w_pre))
+        .where(F.col("_rk") <= k)
+        .drop("_s", "_rk")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        pruned.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def kmv_estimate_col(k: int = 256):
+    """Distinct-count estimate over a ``kmv`` array column: exact size
+    when the sketch is not full, else the KMV estimator (k−1)·2^60 / kth
+    smallest hash."""
+    return (
+        F.when(F.size("kmv") < k, F.size("kmv").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1) * KMV_SCALE)
+            / F.element_at("kmv", k).cast("double")
+        )
+    )
+
+
+def kmv_union(
+    sketches: DataFrame, rollup_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Union per-group sketches up to a coarser grouping: the k smallest
+    of the concatenated hash sets. Union-of-sketches EQUALS
+    sketch-of-union (any globally-k-smallest hash is k-smallest in its
+    own group too — asserted exactly in tests), which is what makes
+    stored per-day partials trustworthy for any later rollup."""
+    from pyspark.sql.window import Window
+
+    ex = sketches.select(
+        *rollup_cols, F.explode("kmv").alias("_h")
+    ).distinct()
+    w = Window.partitionBy(*rollup_cols).orderBy("_h")
+    return (
+        ex.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .groupBy(*rollup_cols)
+        .agg(F.array_sort(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def kmv_intersect_estimate(
+    a: DataFrame, b: DataFrame, join_cols: list[str], k: int = 256
+) -> DataFrame:
+    """|A ∩ B| from two same-k sketches — the theta-sketch capability HLL
+    fundamentally lacks. U = the k smallest of the merged hash sets; the
+    fraction of U's members present in BOTH sketches estimates
+    |A∩B| / |A∪B|, scaled by the union estimate. When the merged set is
+    not full, both sketches are complete and the intersection is EXACT.
+    Everything is JVM array ops over 2·k longs per group — no data
+    rescan."""
+    ja = a.select(*join_cols, F.col("kmv").alias("ka"))
+    jb = b.select(*join_cols, F.col("kmv").alias("kb"))
+    j = ja.join(jb, join_cols)
+    u_all = F.array_sort(F.array_distinct(F.concat(F.col("ka"), F.col("kb"))))
+    j = j.withColumn("_u", F.slice(u_all, 1, k))
+    union_est = (
+        F.when(F.size(u_all) < k, F.size(u_all).cast("double"))
+        .otherwise(
+            F.lit(float(k - 1) * KMV_SCALE)
+            / F.element_at("_u", k).cast("double")
+        )
+    )
+    both = F.array_intersect(F.col("ka"), F.col("kb"))
+    matched = F.size(F.array_intersect(F.col("_u"), both))
+    est = (
+        F.when(F.size(u_all) < k, F.size(both).cast("double"))
+        .otherwise(matched.cast("double") / F.lit(float(k)) * union_est)
+    )
+    return j.select(*join_cols, est.alias("intersect_est"))
+
+
 def collect_file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """Zone-map index: per data FILE, row count and min/max of each listed
     column — built ONCE per write/compaction (a single scan), persisted

@@ -7805,6 +7805,164 @@ def p16_explode_outer(spark, sf_dir):
 
 
 # ===========================================================================
+# KMV (theta) sketches: mergeable distinct sketches with set INTERSECTION —
+# the capability HLL lacks. Deterministic (md5 60-bit hashes), so sketches
+# and estimates are value-hashed, not just bound-gated.
+# ===========================================================================
+
+_KMV_H = """CAST(list_sum(list_transform(range(1, 16), i ->
+    CAST(strpos('0123456789abcdef',
+                substr(md5(CAST({v} AS VARCHAR)), CAST(i AS INT), 1)) - 1
+         AS BIGINT)
+    * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT)"""
+
+_KMV_SCALE_SQL = "1152921504606846976.0"  # 2^60 as an exact double literal
+
+
+@register(
+    "mt_kmv_distinct",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT o_orderpriority,
+                      {_KMV_H.format(v="o_custkey")} AS hh
+               FROM orders),
+    r AS (SELECT o_orderpriority, hh,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY hh) AS rk
+          FROM h),
+    t AS (SELECT * FROM r WHERE rk <= 64)
+    SELECT o_orderpriority,
+           CAST(CASE WHEN count(*) < 64 THEN count(*)
+                ELSE 63.0 * {_KMV_SCALE_SQL}
+                     / CAST(max(CASE WHEN rk = 64 THEN hh END) AS DOUBLE)
+                END AS DOUBLE) AS distinct_est
+    FROM t GROUP BY o_orderpriority
+    """,
+)
+def mt_kmv_distinct(spark, sf_dir):
+    """KMV distinct sketch + estimate, VALUE-hashed: the k smallest md5
+    hashes per group are a pure function of the data, so — unlike HLL
+    (a5, rows-only + bound test) — the whole sketch path is engine-exact.
+    Accuracy vs exact COUNT(DISTINCT) is additionally gated in
+    tests/test_maintenance.py. maintenance.py:kmv_sketch."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    sk = mt.kmv_sketch(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey", k=64
+    )
+    return sk.select("o_orderpriority", mt.kmv_estimate_col(64).alias("distinct_est"))
+
+
+@register(
+    "mt_kmv_union",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT o_orderstatus,
+                      {_KMV_H.format(v="o_custkey")} AS hh
+               FROM orders),
+    r AS (SELECT o_orderstatus, hh,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY hh) AS rk
+          FROM h),
+    t AS (SELECT * FROM r WHERE rk <= 64)
+    SELECT o_orderstatus,
+           CAST(CASE WHEN count(*) < 64 THEN count(*)
+                ELSE 63.0 * {_KMV_SCALE_SQL}
+                     / CAST(max(CASE WHEN rk = 64 THEN hh END) AS DOUBLE)
+                END AS DOUBLE) AS distinct_est
+    FROM t GROUP BY o_orderstatus
+    """,
+)
+def mt_kmv_union(spark, sf_dir):
+    """Mergeability, value-hashed: fine-grained (status, priority)
+    sketches are UNIONED up to per-status sketches, and the oracle
+    computes the per-status sketch DIRECTLY from the base table — the
+    hash only matches because union-of-sketches ≡ sketch-of-union
+    (any globally-k-smallest hash is k-smallest in its own group too).
+    This is what makes stored per-day partials answer any later rollup.
+    maintenance.py:kmv_union."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    fine = mt.kmv_sketch(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        "o_custkey",
+        k=64,
+    )
+    un = mt.kmv_union(fine, ["o_orderstatus"], k=64)
+    return un.select("o_orderstatus", mt.kmv_estimate_col(64).alias("distinct_est"))
+
+
+@register(
+    "mt_kmv_intersect",
+    oracle=f"""
+    WITH ha AS (SELECT DISTINCT o_orderpriority,
+                       {_KMV_H.format(v="o_custkey")} AS hh
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01'),
+    ra AS (SELECT o_orderpriority, hh,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY hh) AS rk
+           FROM ha),
+    a AS (SELECT o_orderpriority, list_sort(list(hh)) AS ka
+          FROM ra WHERE rk <= 64 GROUP BY o_orderpriority),
+    hb AS (SELECT DISTINCT o_orderpriority,
+                       {_KMV_H.format(v="o_custkey")} AS hh
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01'),
+    rb AS (SELECT o_orderpriority, hh,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY hh) AS rk
+           FROM hb),
+    b AS (SELECT o_orderpriority, list_sort(list(hh)) AS kb
+          FROM rb WHERE rk <= 64 GROUP BY o_orderpriority),
+    m AS (SELECT o_orderpriority, ka, kb,
+                 list_sort(list_distinct(list_concat(ka, kb))) AS uall
+          FROM a JOIN b USING (o_orderpriority)),
+    c AS (SELECT o_orderpriority, ka, kb, uall, uall[1:64] AS u FROM m)
+    SELECT o_orderpriority,
+           CAST(CASE WHEN len(uall) < 64
+                THEN len(list_intersect(ka, kb))
+                ELSE CAST(len(list_intersect(u, list_intersect(ka, kb)))
+                          AS DOUBLE) / 64.0
+                     * (63.0 * {_KMV_SCALE_SQL} / CAST(u[64] AS DOUBLE))
+                END AS DOUBLE) AS intersect_est
+    FROM c
+    """,
+)
+def mt_kmv_intersect(spark, sf_dir):
+    """Theta-sketch set INTERSECTION, value-hashed: per priority, the
+    customers active in 1996 ∩ active in 1997 estimated purely from two
+    64-hash sketches — no rescan, no join of the base sets. HLL cannot
+    answer this at all; KMV's estimate is a deterministic function of
+    the two sketches, so even the approximation is engine-exact.
+    Accuracy vs the true overlap is gated in tests.
+    maintenance.py:kmv_intersect_estimate."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    orders = _t(spark, sf_dir, "orders")
+    a = mt.kmv_sketch(
+        orders.where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        ),
+        ["o_orderpriority"],
+        "o_custkey",
+        k=64,
+    )
+    b = mt.kmv_sketch(
+        orders.where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        ),
+        ["o_orderpriority"],
+        "o_custkey",
+        k=64,
+    )
+    return mt.kmv_intersect_estimate(a, b, ["o_orderpriority"], k=64)
+
+
+# ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is
 # re-ordered value-first: every SURVEY §2 operator family is represented in

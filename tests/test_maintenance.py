@@ -690,3 +690,117 @@ def test_vacuum_snapshots_retention_and_stage_cleanup(spark, tmp_path):
     assert mt.vacuum_snapshots(spark, path, keep_last=1) == [3]
     with _pytest.raises(ValueError):
         mt.vacuum_snapshots(spark, path, keep_last=0)
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta) sketches — mergeable distinct + set intersection
+# ---------------------------------------------------------------------------
+
+def test_kmv_estimate_tracks_exact_distinct(spark, sf_dir):
+    """KMV relative error concentrates around 1/sqrt(k); gate a generous
+    3/sqrt(k) band against exact COUNT(DISTINCT) per group."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import maintenance as mt
+
+    k = 256
+    o = io.load_table(spark, sf_dir, "orders")
+    est = {
+        r.o_orderpriority: r.est
+        for r in mt.kmv_sketch(o, ["o_orderpriority"], "o_custkey", k=k)
+        .select("o_orderpriority", mt.kmv_estimate_col(k).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    band = 3.0 / (k ** 0.5)
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= band * n, (g, est[g], n)
+
+
+def test_kmv_exact_below_k(spark):
+    from big_data_project_spark.operators import maintenance as mt
+
+    df = spark.createDataFrame(
+        [("g", i % 37) for i in range(500)], "g string, v int"
+    )
+    est = (
+        mt.kmv_sketch(df, ["g"], "v", k=64)
+        .select(mt.kmv_estimate_col(64).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert est == 37.0  # sketch not full → exact, no estimator noise
+
+
+def test_kmv_union_equals_sketch_of_union_exactly(spark, sf_dir):
+    """The mergeability CONTRACT as array equality, not estimate
+    closeness: union of fine-grained sketches == the sketch computed
+    directly over the union."""
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import maintenance as mt
+
+    o = io.load_table(spark, sf_dir, "orders")
+    fine = mt.kmv_sketch(
+        o, ["o_orderstatus", "o_orderpriority"], "o_custkey", k=64
+    )
+    merged = {
+        r.o_orderstatus: r.kmv
+        for r in mt.kmv_union(fine, ["o_orderstatus"], k=64).collect()
+    }
+    direct = {
+        r.o_orderstatus: r.kmv
+        for r in mt.kmv_sketch(o, ["o_orderstatus"], "o_custkey", k=64).collect()
+    }
+    assert merged == direct
+
+
+def test_kmv_intersection_tracks_true_overlap(spark, sf_dir):
+    """Intersection estimates carry compounded error — gate a wide band
+    (±40% of |A∪B|-scaled truth at k=256) plus the exact small-set path."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import maintenance as mt
+
+    k = 256
+    o = io.load_table(spark, sf_dir, "orders")
+    y96 = o.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    y97 = o.where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    a = mt.kmv_sketch(y96, ["o_orderpriority"], "o_custkey", k=k)
+    b = mt.kmv_sketch(y97, ["o_orderpriority"], "o_custkey", k=k)
+    est = {
+        r.o_orderpriority: r.intersect_est
+        for r in mt.kmv_intersect_estimate(a, b, ["o_orderpriority"], k=k).collect()
+    }
+    truth = {
+        r.o_orderpriority: r.n
+        for r in y96.select("o_orderpriority", "o_custkey")
+        .intersect(y97.select("o_orderpriority", "o_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for g, n in truth.items():
+        assert abs(est[g] - n) <= max(0.4 * n, 30), (g, est[g], n)
+
+    # exact regime: two tiny overlapping sets → exact |A ∩ B|
+    sa = mt.kmv_sketch(
+        spark.createDataFrame([("g", v) for v in range(10)], "g string, v int"),
+        ["g"], "v", k=64,
+    )
+    sb = mt.kmv_sketch(
+        spark.createDataFrame([("g", v) for v in range(5, 20)], "g string, v int"),
+        ["g"], "v", k=64,
+    )
+    got = mt.kmv_intersect_estimate(sa, sb, ["g"], k=64).collect()[0].intersect_est
+    assert got == 5.0
