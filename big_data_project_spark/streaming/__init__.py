@@ -20,6 +20,7 @@ from big_data_project_spark.streaming.ops import (
     purchases_with_recent_clicks,
     read_event_stream,
     anomaly_stream,
+    kmv_running_sketch,
     running_user_totals,
     running_user_totals_tws,
     session_window_agg,
@@ -37,6 +38,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "read_event_stream",
     "anomaly_stream",
+    "kmv_running_sketch",
     "running_user_totals",
     "tumbling_window_agg",
     "sliding_window_agg",

@@ -155,6 +155,56 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def kmv_running_sketch(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming KMV distinct sketch: per group, the k smallest 60-bit
+    md5 hashes of every value seen so far, maintained in stream state —
+    k longs per group FOREVER, where exact streaming COUNT(DISTINCT)
+    state grows without bound. Each micro-batch emits the group's current
+    sketch; feed it to ``maintenance.kmv_estimate_col`` for the running
+    distinct estimate, or store it and use ``kmv_union`` /
+    ``kmv_intersect_estimate`` across streams.
+
+    The hash is computed JVM-side with EXACTLY maintenance._kmv_hash_col,
+    so after the stream drains the sketch equals the batch
+    ``kmv_sketch`` over the same rows — array equality, gated in
+    tests/test_streaming.py (the stream/batch-twin contract every
+    streaming operator here carries)."""
+    from big_data_project_spark.operators.maintenance import _kmv_hash_col
+
+    group_type = events.schema[group_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, group_type),
+            T.StructField("kmv", T.ArrayType(T.LongType())),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("mins", T.ArrayType(T.LongType()))]
+    )
+    keyed = events.select(
+        F.col(group_col), _kmv_hash_col(value_col).alias("_h")
+    )
+
+    def update(key, pdf_iter, state):
+        import pandas as pd  # local: self-contained closure
+
+        have = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            have.update(int(h) for h in pdf["_h"])
+        mins = sorted(have)[:k]
+        state.update((mins,))
+        yield pd.DataFrame({group_col: [key[0]], "kmv": [mins]})
+
+    return keyed.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def purchases_with_recent_clicks(
     purchases: DataFrame, clicks: DataFrame, within: str = "10 minutes",
     how: str = "inner",

@@ -720,3 +720,79 @@ def test_windowed_agg_exactly_once_across_restart(spark, tmp_path):
         assert batch[(r.window_start, r.event_type)] == (r.n, r.total)
     # both finalized windows are present after the second run
     assert len(rows) >= 2
+
+
+def test_kmv_running_sketch_stream_equals_batch(spark, event_dir, tmp_path):
+    """The streaming KMV sketch after the stream drains must equal the
+    batch maintenance.kmv_sketch over the same rows — EXACT array
+    equality, the strongest stream/batch-twin contract (not estimate
+    closeness). State is k longs per group while exact streaming
+    COUNT(DISTINCT) state would be unbounded."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    stream = st.read_event_stream(spark, event_dir)
+    q = (
+        st.kmv_running_sketch(stream, "event_type", "user_id", k=64)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # memory sink in update mode appends per-batch rows; last row per key
+    # is the final sketch (single batch here, but keep it order-robust)
+    import pandas as pd
+
+    hist = spark.sql("SELECT * FROM kmv_state").toPandas()
+    got = {
+        g: list(grp.iloc[-1]["kmv"]) for g, grp in hist.groupby("event_type")
+    }
+    want = {
+        r.event_type: list(r.kmv)
+        for r in mt.kmv_sketch(
+            spark.read.parquet(event_dir), ["event_type"], "user_id", k=64
+        ).collect()
+    }
+    assert got == want
+    del pd
+
+
+def test_kmv_running_sketch_accumulates_across_microbatches(spark, tmp_path):
+    """Values from batch 1 must still shape the sketch after batch 2, and
+    the estimate below k is exact."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    d = str(tmp_path / "kmv_src")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1 = mk([(i, "2024-01-01 10:00:00", 100 + i, "click", 1.0, "{}")
+             for i in range(10)])
+    b2 = mk([(20 + i, "2024-01-01 10:01:00", 100 + i, "click", 1.0, "{}")
+             for i in range(5)])  # all user_ids already seen
+    b1.write.mode("overwrite").parquet(d)
+    q = (
+        st.kmv_running_sketch(st.read_event_stream(spark, d), k=64)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_acc")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv2"))
+        .start()
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(d)
+    q.processAllAvailable()
+    q.stop()
+    hist = spark.sql("SELECT * FROM kmv_acc").toPandas()
+    final = [int(x) for x in hist.iloc[-1]["kmv"]]  # numpy → plain ints
+    assert len(final) == 10  # replayed values added no new hashes
+    est = (
+        spark.createDataFrame([(final,)], "kmv array<long>")
+        .select(mt.kmv_estimate_col(64).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert est == 10.0
