@@ -367,9 +367,14 @@ def kmv_sketch(
     Estimate below k is EXACT (the sketch holds every distinct hash)."""
     from pyspark.sql.window import Window
 
-    hashed = df.select(
-        *group_cols, _kmv_hash_col(value_col).alias("_h")
-    ).distinct()
+    hashed = (
+        df.select(*group_cols, _kmv_hash_col(value_col).alias("_h"))
+        # NULL values carry no distinct identity (COUNT(DISTINCT)
+        # semantics) and their NULL hash would sort FIRST, evicting the
+        # k-th real hash and collapsing the estimate to k−1
+        .where(F.col("_h").isNotNull())
+        .distinct()
+    )
     w_pre = Window.partitionBy(*group_cols, "_s").orderBy("_h")
     pruned = (
         hashed.withColumn("_s", F.pmod("_h", F.lit(64)))

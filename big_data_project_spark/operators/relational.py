@@ -345,44 +345,51 @@ def rank_bounded(
     df: DataFrame, order: list[tuple[str, str]], out_col: str = "rank"
 ) -> DataFrame:
     """Total-order rank over a BOUNDED (post-limit) result WITHOUT a
-    global window: rank = 1 + number of strictly-preceding rows, via a
-    broadcast nested-loop self-join over the CACHED k-row input (k²
-    comparisons on ≤ a few hundred rows by contract).
+    global window: pack the k rows into ONE array with a two-stage
+    ``collect_list`` aggregate, sort it with an ``array_sort`` comparator
+    expressing the order (null handling included), and ``posexplode`` —
+    position + 1 IS the rank.
 
     Replaces ``row_number() OVER (ORDER BY …)`` on tiny results: the
     empty-partition window moves data to ONE partition and makes
     WindowExec warn on every task, burying real single-partition
-    regressions. The cache keeps the (possibly corpus-sized) upstream
-    plan to ONE execution shared by both join sides, inside one job.
+    regressions. This shape runs the upstream plan ONCE (no self-join
+    double-scan), adds no barrier job and pins no cache entry (the
+    earlier cache-based variant leaked a persisted relation per call),
+    and the single-row final aggregate is a bounded constant by the
+    post-limit contract.
 
     ``order`` is ``[(col, 'asc'|'desc'), …]`` and must define a TOTAL
-    order (make the last key unique); rows must be distinct (they are,
-    once the ordering is total). NULL keys rank exactly like the window
-    defaults: asc = nulls first, desc = nulls last."""
-    # cache the k-row input: both join sides then share ONE computation of
-    # the (possibly corpus-sized) upstream plan, inside one job — no
-    # second scan (the self-join alternative), no barrier job (the
-    # checkpoint alternative), no driver serialization (the collect
-    # alternative; measured slowest — sequential leg execution)
-    df = df.cache()
-    # a never-null marker makes matched rows countable even when every
-    # payload column of the preceding row is legitimately NULL
-    marked = df.withColumn("_rb_m", F.lit(1))
-    left, right = df.alias("_l"), marked.alias("_r")
-    strictly_before = F.lit(False)  # does the _r row precede the _l row?
-    eq_prefix = F.lit(True)
-    for c, d in order:
-        lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
-        if d == "desc":  # Spark desc = nulls LAST: non-null precedes null
-            cmp = (rc > lc) | (rc.isNotNull() & lc.isNull())
-        else:  # Spark asc = nulls FIRST: null precedes non-null
-            cmp = (rc < lc) | (rc.isNull() & lc.isNotNull())
-        strictly_before = strictly_before | (eq_prefix & cmp)
-        eq_prefix = eq_prefix & rc.eqNullSafe(lc)
-    joined = left.join(F.broadcast(right), strictly_before, "left")
-    return joined.groupBy(
-        *[F.col(f"_l.{c}").alias(c) for c in df.columns]
-    ).agg((F.count(F.col("_r._rb_m")) + 1).cast("long").alias(out_col))
+    order (make the last key unique); NULL keys rank exactly like the
+    window defaults: asc = nulls first, desc = nulls last."""
+
+    def cmp(a, b):
+        # lexicographic comparator built inside-out: the innermost
+        # `otherwise` (all keys tie) is 0, each earlier key wraps it
+        expr = F.lit(0)
+        for c, d in reversed(order):
+            av, bv = a[c], b[c]
+            if d == "desc":  # desc = nulls LAST
+                before = (av > bv) | (av.isNotNull() & bv.isNull())
+                after = (av < bv) | (av.isNull() & bv.isNotNull())
+            else:  # asc = nulls FIRST
+                before = (av < bv) | (av.isNull() & bv.isNotNull())
+                after = (av > bv) | (av.isNotNull() & bv.isNull())
+            expr = (
+                F.when(before, F.lit(-1)).when(after, F.lit(1)).otherwise(expr)
+            )
+        return expr
+
+    packed = df.agg(
+        F.array_sort(
+            F.collect_list(F.struct(*df.columns)), cmp
+        ).alias("_rows")
+    )
+    ex = packed.select(F.posexplode("_rows").alias("_pos", "_row"))
+    return ex.select(
+        *[F.col(f"_row.{c}").alias(c) for c in df.columns],
+        (F.col("_pos") + 1).cast("long").alias(out_col),
+    )
 
 
 def ordered_lineitems(lineitem: DataFrame) -> DataFrame:

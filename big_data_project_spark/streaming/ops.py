@@ -188,7 +188,10 @@ def kmv_running_sketch(
     )
     keyed = events.select(
         F.col(group_col), _kmv_hash_col(value_col).alias("_h")
-    )
+    ).where(F.col("_h").isNotNull())
+    # NULL filter matches the batch twin (COUNT(DISTINCT) semantics) and
+    # keeps the state closure NaN-free: Arrow hands a nullable long
+    # column to pandas as float64, and int(NaN) would kill the query
 
     def update(key, pdf_iter, state):
         import pandas as pd  # local: self-contained closure

@@ -804,3 +804,17 @@ def test_kmv_intersection_tracks_true_overlap(spark, sf_dir):
     )
     got = mt.kmv_intersect_estimate(sa, sb, ["g"], k=64).collect()[0].intersect_est
     assert got == 5.0
+
+
+def test_kmv_ignores_null_values(spark):
+    """Review r4: a NULL value must not enter the sketch (COUNT(DISTINCT)
+    semantics) — its NULL hash previously sorted first, evicted the k-th
+    real hash, and collapsed the estimate to k−1."""
+    rows = [("g", v) for v in range(500)] + [("g", None)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    sk = mt.kmv_sketch(df, ["g"], "v", k=64)
+    arr = sk.collect()[0].kmv
+    assert len(arr) == 64 and all(h is not None for h in arr)
+    est = sk.select(mt.kmv_estimate_col(64).alias("e")).collect()[0].e
+    exact = 500
+    assert abs(est - exact) <= 0.5 * exact, est  # estimator, not k−1

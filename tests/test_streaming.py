@@ -796,3 +796,35 @@ def test_kmv_running_sketch_accumulates_across_microbatches(spark, tmp_path):
         .e
     )
     assert est == 10.0
+
+
+def test_kmv_running_sketch_tolerates_null_values(spark, tmp_path):
+    """Review r4: a NULL value_col row must be ignored (batch-twin
+    semantics), not crash the query with int(NaN)."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    d = str(tmp_path / "kmv_null_src")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+         (2, "2024-01-01 10:00:01", None, "click", 1.0, "{}"),
+         (3, "2024-01-01 10:00:02", 9, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(d)
+    q = (
+        st.kmv_running_sketch(st.read_event_stream(spark, d), k=64)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_null")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv_null"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [int(x) for x in spark.sql("SELECT * FROM kmv_null").toPandas().iloc[-1]["kmv"]]
+    want = [
+        int(x)
+        for x in mt.kmv_sketch(
+            spark.read.parquet(d), ["event_type"], "user_id", k=64
+        ).collect()[0].kmv
+    ]
+    assert got == want and len(got) == 2
