@@ -102,6 +102,53 @@ def cap_per_key(
     )
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    text: str = "text",
+    key: str = "source",
+    id_col: str = "doc_id",
+    default_budget: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """TOKEN-budget mixture: per source, keep a deterministic
+    hash-ordered prefix of documents whose cumulative token count fills
+    the source's budget. Real pretraining mixes are specified in TOKENS
+    (Pile/DoReMi weights), and doc-permille sampling systematically
+    over-draws from long-document sources; this is the token-accurate
+    version. A document straddling the boundary is kept (prefix-start
+    rule, same bound as pack_by_token_budget: overshoot < one document),
+    so every budgeted source contributes AT LEAST its budget while the
+    selection stays a pure function of content. Sources absent from
+    ``budgets`` keep ``default_budget`` (None = unlimited).
+
+    Shape: one per-source window for the running sum over hash-ordered
+    docs — a single hash shuffle on the source key; the order inside a
+    source is the content-hash bucket (rerun-stable, engine-mirrorable)
+    tie-broken by id."""
+    from big_data_project_spark.operators.text import words_col
+
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    d = df.withColumn("_nt", F.size(words_col(text)).cast("long")).withColumn(
+        "_budget",
+        F.coalesce(
+            budget_map[F.col(key)],
+            F.lit(default_budget).cast("long"),
+        ),
+    )
+    w = Window.partitionBy(key).orderBy(hash_bucket(F.col(id_col), seed), id_col)
+    return (
+        d.withColumn("_cum", F.sum("_nt").over(w))
+        .where(
+            F.col("_budget").isNull()
+            | ((F.col("_cum") - F.col("_nt")) < F.col("_budget"))
+        )
+        .drop("_nt", "_budget", "_cum")
+    )
+
+
 def sample_mixture(
     df: DataFrame,
     weights: dict[str, int],

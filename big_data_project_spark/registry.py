@@ -3056,6 +3056,40 @@ def cu_pack_token_budget(spark, sf_dir):
     )
 
 
+@register(
+    "cu_token_budget_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+             ({_cu_bucket(0)}) AS bk
+      FROM documents),
+    c AS (
+      SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY bk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, source FROM c
+    WHERE cum - nt < (CASE source WHEN 'src1' THEN 400
+                                  WHEN 'src2' THEN 400
+                                  ELSE 600 END)
+    """,
+)
+def cu_token_budget_mixture(spark, sf_dir):
+    """TOKEN-budget mixture (Pile/DoReMi-style): each source contributes
+    a hash-ordered document prefix filling its token budget — the
+    token-accurate mixing step where doc-permille sampling would
+    over-draw from long-document sources. The straddling document is
+    kept (prefix-start rule, pack_by_token_budget parity), so the
+    selection is a pure function of content and budgets.
+    curation.sample_to_token_budget."""
+    return curation.sample_to_token_budget(
+        _t(spark, sf_dir, "documents"),
+        budgets={"src1": 400, "src2": 400},
+        default_budget=600,
+        seed=0,
+    ).select("doc_id", "source")
+
+
 #: shared decontamination derivation (dd_decontaminate +
 #: dd_contamination_report — ONE copy so the drop and the audit cannot
 #: drift): 8-gram shingles, 5%-hash-sampled eval set, contaminated ids.

@@ -232,3 +232,35 @@ def test_fininsight_migration_example_runs_end_to_end(spark, tmp_path):
     row = ev.collect()[0]
     assert row.question.startswith("What are the risks")
     assert row.accuracy_label in ("High", "Low") and 0.0 <= row.grounding <= 1.0
+
+
+def test_token_budget_mixture_floors_and_straddler(spark):
+    """Every budgeted source reaches AT LEAST its token budget (straddler
+    kept), overshoot is bounded by one document, and an unbudgeted source
+    passes through whole when default_budget is None."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.operators import curation
+
+    rows = []
+    for s, n_docs in (("a", 30), ("b", 30), ("c", 5)):
+        for i in range(n_docs):
+            rows.append((hash(f"{s}{i}") % 10**9, s, "tok " * (5 + i % 7)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = curation.sample_to_token_budget(
+        df, {"a": 50, "b": 120}, default_budget=None
+    )
+    toks = (
+        out.withColumn("nt", F.size(F.split(F.trim("text"), r"\s+")))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("t"), F.count("*").alias("docs"), F.max("nt").alias("mx"))
+    )
+    got = {r.source: r for r in toks.collect()}
+    assert got["a"].t >= 50 and got["a"].t - got["a"].mx < 50
+    assert got["b"].t >= 120 and got["b"].t - got["b"].mx < 120
+    assert got["c"].docs == 5  # unbudgeted: kept whole
+    # deterministic: same call → same selection
+    again = curation.sample_to_token_budget(df, {"a": 50, "b": 120}, default_budget=None)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
