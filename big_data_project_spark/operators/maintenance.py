@@ -371,7 +371,8 @@ def kmv_sketch(
         df.select(*group_cols, _kmv_hash_col(value_col).alias("_h"))
         # NULL values carry no distinct identity (COUNT(DISTINCT)
         # semantics) and their NULL hash would sort FIRST, evicting the
-        # k-th real hash and collapsing the estimate to k−1
+        # k-th real hash and collapsing the estimate to k−1. A group with
+        # ONLY NULLs consequently emits no sketch row at all.
         .where(F.col("_h").isNotNull())
         .distinct()
     )

@@ -1558,3 +1558,121 @@ def test_cms_matches_python_model(spark, tokens):
         ).collect()
     }
     assert all(est[t] >= n for t, n in true.items()), (est, true)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operators vs plain-Python models
+# ---------------------------------------------------------------------------
+
+INT_VALUES = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-10**6, max_value=10**6)),
+    min_size=1,
+    max_size=300,
+)
+
+
+def py_kmv(values, k=16):
+    """maintenance.kmv_sketch as a Python model: 60-bit md5 of str(v),
+    NULLs ignored, k smallest distinct."""
+    import hashlib
+
+    hs = {
+        int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        for v in values
+        if v is not None
+    }
+    return sorted(hs)[:k]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(INT_VALUES)
+def test_kmv_sketch_matches_python_model(spark, values):
+    from big_data_project_spark.operators import maintenance as mt
+
+    df = spark.createDataFrame([("g", v) for v in values], "g string, v long")
+    rows = mt.kmv_sketch(df, ["g"], "v", k=16).collect()
+    want = py_kmv(values, 16)
+    if not want:
+        # a group with no non-NULL values has seen nothing — it emits no
+        # sketch row at all (documented kmv_sketch behavior)
+        assert rows == []
+    else:
+        got = [int(x) for x in rows[0].kmv]
+        assert got == want
+
+
+ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        st.integers(min_value=0, max_value=10**6),  # unique-ish tiebreak
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[1],
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ROWS, st.sampled_from(["asc", "desc"]))
+def test_rank_bounded_matches_python_sort_model(spark, rows, direction):
+    """rank_bounded vs a plain-Python sort with Spark's default null
+    ordering (asc = nulls first, desc = nulls last), randomized over
+    NULL-bearing leading keys."""
+    from big_data_project_spark.operators.relational import rank_bounded
+
+    df = spark.createDataFrame(rows, "a int, b long")
+    got = {
+        r.b: r.rank
+        for r in rank_bounded(df, [("a", direction), ("b", "asc")]).collect()
+    }
+
+    def key(t):
+        a, b = t
+        if direction == "asc":
+            return (a is not None, a if a is not None else 0, b)
+        return (a is None, -(a if a is not None else 0), b)
+
+    want = {t[1]: i + 1 for i, t in enumerate(sorted(rows, key=key))}
+    assert got == want
+
+
+FLOAT_VECS = st.lists(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(FLOAT_VECS)
+def test_sq8_encode_matches_python_model(spark, vecs):
+    """sq8_encode vs the quantization formula computed in plain Python:
+    scale = max|v|/127 (1.0 for a zero vector), code = round-half-away."""
+    from big_data_project_spark.operators import vector
+
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r.vec_id: r for r in vector.sq8_encode(df).collect()}
+    import math
+
+    for i, v in enumerate(vecs):
+        fv = [float(F32(x)) for x in v]
+        amax = max(abs(x) for x in fv)
+        scale = amax / 127.0 if amax != 0 else 1.0
+        assert abs(rows[i].sq_scale - scale) < 1e-12
+        for x, code in zip(fv, rows[i].codes):
+            q = x / scale
+            want = int(math.floor(q + 0.5)) if q >= 0 else int(math.ceil(q - 0.5))
+            assert code == want, (x, scale, code, want)
+
+
+def F32(x):
+    import struct as _st
+
+    return _st.unpack("f", _st.pack("f", x))[0]
