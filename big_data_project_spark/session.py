@@ -15,6 +15,8 @@ import os
 from pyspark import SparkConf
 from pyspark.sql import SparkSession
 
+from big_data_project_spark import bootstrap
+
 
 def get_spark(
     app_name: str = "big_data_project_spark",
@@ -30,6 +32,10 @@ def get_spark(
     (master set externally via spark-submit — builder settings here are
     all master-agnostic).
     """
+    # cwd-independence: forward the repo root to python worker daemons so
+    # cloudpickled Data-Source/UDTF classes re-import cleanly (bootstrap.py).
+    bootstrap.export_pythonpath()
+
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
@@ -70,4 +76,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Belt 2 for sessions attached to an already-running JVM: ship the
+    # package zip so workers can import it regardless of cwd/PYTHONPATH.
+    bootstrap.ensure_worker_imports(spark)
     return spark
