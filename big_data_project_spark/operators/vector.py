@@ -172,6 +172,36 @@ def lsh_bucket_col(emb: str, planes: list[list[float]]) -> Column:
     return F.expr(f"({terms})")
 
 
+def auto_lsh_params(
+    n_vectors: int,
+    k: int = 10,
+    target_recall: float = 0.99,
+    theta_deg: float = 72.0,
+    per_band: int = 2,
+) -> tuple[int, int]:
+    """Corpus-size-scaled (n_planes, n_bands) for :func:`ann_topk`.
+
+    Sign-LSH collision probability for a neighbor at angle θ is
+    p = 1 − θ/π per plane; a two-bit band matches with p², and a neighbor
+    is missed only when ALL b bands miss: (1 − p²)^b. Solving
+    (1 − p^r)^b ≤ (1 − target_recall)/k gives the band count that holds
+    per-query recall@k ≥ target at the design angle; a log2(n) floor adds
+    bands as the corpus grows, because the top-k margin tightens with n
+    (the round-3/4 e5_lsh_recall sf0.1 boundary was exactly this effect).
+
+    This is a recall HEURISTIC — exactness at scale should use
+    candidate-verified shapes (dd_near_dedup_lsh) or probe-all IVF, not a
+    bigger LSH table."""
+    import math
+
+    p = 1.0 - math.radians(theta_deg) / math.pi
+    miss_budget = max(1e-9, (1.0 - target_recall) / max(k, 1))
+    b_formula = math.ceil(math.log(miss_budget) / math.log(1.0 - p**per_band))
+    b_floor = math.ceil(math.log2(max(n_vectors, 2)))
+    n_bands = max(b_formula, b_floor, 4)
+    return n_bands * per_band, n_bands
+
+
 def ann_topk(
     embeddings: DataFrame,
     query: DataFrame,

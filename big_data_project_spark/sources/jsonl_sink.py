@@ -194,8 +194,14 @@ class _JsonlStreamWriter(DataSourceStreamWriter):
 
 
 class _JsonlFilePartition(InputPartition):
-    def __init__(self, path: str):
+    """One part file + the filters pushed by the scan build that planned
+    it. Filters are snapshotted here (not read from the mutable reader at
+    execution time) so a scan keeps the exact predicates it was planned
+    with — see the scan-reuse note in ``_JsonlReader``."""
+
+    def __init__(self, path: str, filters: tuple = ()):
         self.path = path
+        self.filters = filters
 
 
 def _compile_filter(f):
@@ -218,6 +224,11 @@ def _compile_filter(f):
              LessThanOrEqual, In, StringStartsWith, StringEndsWith,
              StringContains),
         ):
+            return None
+        # x NOT IN (v, NULL) is NULL (no match) for every x not in the
+        # list — "keep non-matching rows" would be wrong. Unsupported:
+        # Spark re-applies it above the scan with full 3-value logic.
+        if isinstance(f.child, In) and any(v is None for v in f.child.value):
             return None
         c = col_of(f.child)
         return lambda r: r.get(c) is not None and not inner(r)
@@ -248,7 +259,10 @@ def _compile_filter(f):
                 r.get(c) is not None and op(r.get(c), v)
             )
     if isinstance(f, In):
-        vals = set(f.value)
+        # A NULL in the positive list can never match (x = NULL is NULL),
+        # so dropping it is exact; the Not(In)-with-NULL case is rejected
+        # above before reaching here.
+        vals = {v for v in f.value if v is not None}
         return lambda r: r.get(c) is not None and r.get(c) in vals
     return None
 
@@ -269,11 +283,18 @@ class _JsonlReader(DataSourceReader):
     UPSTREAM SHARP EDGE (Spark 4.1, pinned in
     ``test_jsonl_pushdown_scan_reuse_quirk``): Spark caches the most
     recently planned scan of a pushdown-capable Python source inside the
-    shared relation, and a LATER FILTERLESS query on the SAME DataFrame
-    object reuses it — still filtered. Queries that carry their own
-    filters re-plan correctly. Until fixed upstream, call ``load()`` per
-    logical query (cheap: planning only) when mixing filtered and
-    unfiltered reads of one DataFrame object."""
+    shared relation JVM-side, and a LATER FILTERLESS query on the SAME
+    DataFrame object reuses it — still filtered. Confirmed not fixable
+    from this side: instrumenting ``reader()``/``pushFilters``/
+    ``partitions()`` shows NONE of them re-run for the filterless
+    re-query (they execute in a plan-time Python worker whose output the
+    JVM caches with the scan), so no Python hook exists to reset or fail
+    loudly at reuse time. Partitions still snapshot their own filter list
+    (``_JsonlFilePartition.filters``) so reader-side mutable state can
+    never be the cause. Queries that carry their own filters re-plan
+    correctly. Until fixed upstream, call ``load()`` per logical query
+    (cheap: planning only) when mixing filtered and unfiltered reads of
+    one DataFrame object."""
 
     def __init__(self, options, schema):
         self.dir = options.get("path")
@@ -302,10 +323,15 @@ class _JsonlReader(DataSourceReader):
             raise FileNotFoundError(
                 f"jsonl_files read: no part-*.jsonl under {self.dir}"
             )
-        return [_JsonlFilePartition(p) for p in paths]
+        # Snapshot the filters of THIS scan build into the partitions and
+        # reset: a later scan build that skips pushFilters (filterless
+        # query) must not inherit the previous query's predicates.
+        parts = [_JsonlFilePartition(p, tuple(self.pushed)) for p in paths]
+        self.pushed = []
+        return parts
 
     def read(self, partition):
-        preds = [_compile_filter(f) for f in self.pushed]
+        preds = [_compile_filter(f) for f in partition.filters]
         fields = [(f.name, f.dataType.simpleString()) for f in self.schema.fields]
 
         def conv(value, typ):

@@ -477,6 +477,41 @@ def test_ivf_refined_centroids_recall_on_clustered_data(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_auto_lsh_params_scales_with_corpus():
+    """Band count must grow (weakly) with corpus size and always satisfy
+    the design inequality (1 - p^r)^b <= (1 - target)/k at the design
+    angle — the corpus-size-scaled answer to the round-3/4 e5_lsh_recall
+    sf0.1 boundary."""
+    import math
+
+    prev = 0
+    for n in (100, 2_000, 100_000, 10_000_000, 1_000_000_000):
+        n_planes, n_bands = vector.auto_lsh_params(n)
+        assert n_planes == 2 * n_bands
+        assert n_bands >= prev, "bands must be monotone in corpus size"
+        assert n_bands >= math.ceil(math.log2(n))
+        p = 1.0 - math.radians(72.0) / math.pi
+        assert (1.0 - p**2) ** n_bands <= (1.0 - 0.99) / 10 + 1e-12
+        prev = n_bands
+
+
+def test_ann_topk_with_auto_params_recall(spark):
+    """ann_topk driven by auto_lsh_params on planted clusters keeps
+    recall@10 >= 0.9 — the user-facing scale recipe actually works."""
+    emb = _clustered_embeddings(spark).cache()
+    n = emb.count()
+    n_planes, n_bands = vector.auto_lsh_params(n)
+    recalls = _recall_at_10(
+        spark,
+        emb,
+        lambda e, q: vector.ann_topk(
+            e, q, k=10, n_planes=n_planes, n_bands=n_bands, metric="cosine"
+        ),
+        "cosine",
+    )
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
 def test_lsh_recall_on_clustered_data(spark):
     """The LSH path on the same planted clusters: random-hyperplane buckets
     must keep cosine recall@10 ≥ 0.9 (near-identical directions collide)."""

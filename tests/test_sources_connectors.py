@@ -791,6 +791,41 @@ def test_jsonl_compile_filter_semantics():
     assert sw({"s": "abc"}) and not sw({"s": "xab"}) and not sw({"s": None})
     # nested column references are not evaluable here → unsupported
     assert _compile_filter(EqualTo(("a", "b"), 1)) is None
+    # NULL inside an In value list: positive case drops it (x = NULL can
+    # never match); negated case is UNSUPPORTED — x NOT IN (1, NULL) is
+    # NULL (no match) for every non-matching x, which "keep non-matching
+    # rows" would get wrong (round-4 ADVICE, medium)
+    in_null = _compile_filter(In(("x",), (1, None)))
+    assert in_null({"x": 1}) and not in_null({"x": 2}) and not in_null({"x": None})
+    assert _compile_filter(Not(In(("x",), (1, None)))) is None
+    assert _compile_filter(Not(In(("x",), (1, 3)))) is not None
+
+
+def test_jsonl_pushdown_not_in_with_null_e2e(spark, tmp_path):
+    """x NOT IN (1, NULL) must return ZERO rows (3-value logic), matching
+    the same query over the original DataFrame; the source hands the
+    negated-In-with-NULL back to Spark instead of mis-evaluating it."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "notin")
+    df = spark.range(0, 20, 1, 2).select(F.col("id").alias("k"))
+    df.write.format("jsonl_files").option("path", out).mode("append").save()
+    back = (
+        spark.read.format("jsonl_files")
+        .schema("k long")
+        .option("path", out)
+        .load()
+    )
+    cond = "k NOT IN (1, CAST(NULL AS BIGINT))"
+    assert back.where(cond).count() == df.where(cond).count() == 0
+    # and the positive case with a NULL in the list still matches exactly
+    cond_pos = "k IN (1, 5, CAST(NULL AS BIGINT))"
+    got = sorted(r.k for r in back.where(cond_pos).collect())
+    want = sorted(r.k for r in df.where(cond_pos).collect())
+    assert got == want == [1, 5]
 
 
 def test_jsonl_push_filters_splits_supported_from_unsupported():
