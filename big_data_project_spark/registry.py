@@ -5043,43 +5043,52 @@ def mm_decode_oracle(spark, sf_dir):
     "mm_strict_decode",
     headline=True,
     oracle="""
-    WITH b AS (SELECT doc_id, substr(text || repeat('x', 18), 1, 18) AS t
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 18), 1, 18) AS t
                FROM documents),
     px AS (SELECT doc_id, t, i FROM b, unnest(range(0, 6)) AS u(i))
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
-             AS media_type,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INTEGER)
+           CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'image/png' END AS media_type,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 2 END AS INTEGER)
              AS height,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 8000 END AS INTEGER)
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE 3 END AS INTEGER)
              AS width,
            CAST(i AS INTEGER) AS i,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN
+           CAST(CASE WHEN doc_id % 3 = 1 THEN
+                  ((ascii(substr(t, CAST(i + 1 AS INT), 1)) - 128) * 256)
+                   / 32768.0
+                ELSE
                   (ascii(substr(t, CAST(3*i + 1 AS INT), 1))
                    + ascii(substr(t, CAST(3*i + 2 AS INT), 1))
                    + ascii(substr(t, CAST(3*i + 3 AS INT), 1))) / 3.0 / 255.0
-                ELSE
-                  ((ascii(substr(t, CAST(i + 1 AS INT), 1)) - 128) * 256)
-                   / 32768.0
                 END AS REAL) AS val
     FROM px
     """,
 )
 def mm_strict_decode(spark, sf_dir):
     """The STRICT multimodal codec VALUE-hashed end to end (VERDICT r3
-    item 6): document text is serialized into REAL container formats —
-    3×2 24-bpp BMP (bottom-up rows, BGR order, 4-byte padding) for even
-    ids, 6-sample PCM16 mono WAV for odd ids — then decode='strict'
-    parses the headers and payload back with stdlib struct alone. The
-    oracle computes each expected stat (per-pixel grayscale, per-sample
-    normalized amplitude) DIRECTLY from the text bytes, so the hash only
-    matches if the codec's geometry (row flip, channel order, padding,
-    chunk walk, int16 decoding) is exactly right. Formats needing entropy
-    decoding (PNG/JPEG/MP3) remain the NotImplementedError seam — now
-    narrowed to genuinely-codec-requiring formats."""
+    item 6 + r4 item 3): document text is serialized into REAL container
+    formats — 3×2 24-bpp BMP (bottom-up rows, BGR order, 4-byte padding)
+    for doc_id%3==0, 6-sample PCM16 mono WAV for %3==1, and a REAL 3×2
+    8-bit RGB PNG (zlib-deflated IDAT, Sub-filtered row 0, Paeth-filtered
+    row 1, CRC'd chunks) for %3==2 — then decode='strict' parses each back
+    with stdlib struct/zlib alone. The oracle computes every expected stat
+    (per-pixel grayscale, per-sample amplitude) DIRECTLY from the text
+    bytes, so the hash only matches if the codec geometry (row flip,
+    channel order, padding, chunk walk, int16 decode, zlib inflate +
+    scanline defiltering) is exactly right. Text is projected to printable
+    ASCII on BOTH sides before byte/char slicing (round-4 ADVICE: the
+    engine slices UTF-8 bytes, the oracle characters — identical only
+    under ASCII, now enforced rather than assumed). JPEG/MP3 remain the
+    entropy-codec seam."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
     out_schema = TT.StructType(
         [
             TT.StructField("doc_id", TT.LongType()),
@@ -5122,6 +5131,53 @@ def mm_strict_decode(spark, sf_dir):
             )
             return b"RIFF" + _st.pack("<I", len(body)) + body
 
+        def png(content: bytes) -> bytes:
+            # real 3×2 8-bit RGB PNG; row 0 Sub-filtered, row 1
+            # Paeth-filtered, so the decoder's defiltering is load-bearing
+            import zlib as _zl
+
+            width, height, ch = 3, 2, 3
+            stride = width * ch
+            rows = [content[stride * y : stride * (y + 1)] for y in range(height)]
+
+            def paeth(a, b, c):
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+            f0 = bytes(
+                (rows[0][x] - (rows[0][x - ch] if x >= ch else 0)) & 0xFF
+                for x in range(stride)
+            )
+            f1 = bytes(
+                (
+                    rows[1][x]
+                    - paeth(
+                        rows[1][x - ch] if x >= ch else 0,
+                        rows[0][x],
+                        rows[0][x - ch] if x >= ch else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+            idat = _zl.compress(b"\x01" + f0 + b"\x04" + f1)
+
+            def chunk(typ: bytes, body: bytes) -> bytes:
+                return (
+                    _st.pack(">I", len(body)) + typ + body
+                    + _st.pack(">I", _zl.crc32(typ + body) & 0xFFFFFFFF)
+                )
+
+            ihdr = _st.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", idat)
+                + chunk(b"IEND", b"")
+            )
+
+        builders = {0: bmp, 1: wav, 2: png}
         for pdf in it:
             out = []
             for i, t in zip(pdf["doc_id"], pdf["text"]):
@@ -5129,7 +5185,7 @@ def mm_strict_decode(spark, sf_dir):
                 out.append(
                     {
                         "doc_id": i,
-                        "payload": bmp(content) if i % 2 == 0 else wav(content),
+                        "payload": builders[i % 3](content),
                     }
                 )
             import pandas as _pd

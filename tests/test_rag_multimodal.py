@@ -260,9 +260,9 @@ def test_strict_decode_raises_on_entropy_coded_formats(spark):
     import pytest as _pytest
 
     df = spark.createDataFrame(
-        [(1, bytearray(b"\x89PNG\r\n\x1a\n...."))], "doc_id long, payload binary"
+        [(1, bytearray(b"\xff\xd8\xff\xe0JFIF...."))], "doc_id long, payload binary"
     )
-    with _pytest.raises(Exception, match="real codec"):
+    with _pytest.raises(Exception, match="entropy codec"):
         multimodal.decode_features(df, decode="strict").collect()
     # and unsupported BMP variants fail loudly, not silently wrong
     bad = bytearray(_hand_bmp())
@@ -270,6 +270,117 @@ def test_strict_decode_raises_on_entropy_coded_formats(spark):
     df8 = spark.createDataFrame([(1, bad)], "doc_id long, payload binary")
     with _pytest.raises(Exception, match="24-bpp"):
         multimodal.decode_features(df8, decode="strict").collect()
+
+
+# ---------------------------------------------------------------------------
+# STRICT PNG codec (VERDICT r4 item 3): stdlib zlib inflate + scanline
+# defiltering. The fixture below is hand-assembled (filtered bytes written
+# as literals, chunks packed inline) so a mirrored builder+decoder bug
+# cannot hide — make_png_rgb8 is then pinned against the same bytes.
+# ---------------------------------------------------------------------------
+
+def _hand_png() -> bytes:
+    import struct
+    import zlib
+
+    # 2×2 RGB, row-major top-down: (10,20,30) (40,50,60) / (70,80,90)
+    # (100,110,120). Row 0 filter None (raw), row 1 filter Up — the
+    # filtered bytes are cur - up = 60 for every sample, written literally.
+    scan = bytes([0, 10, 20, 30, 40, 50, 60,
+                  2, 60, 60, 60, 60, 60, 60])
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+
+
+def test_make_png_matches_hand_assembled_spec_bytes():
+    pixels = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    assert multimodal.make_png_rgb8(pixels, 2, 2, row_filters=[0, 2]) == _hand_png()
+
+
+def test_strict_decode_png_pixel_stats(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_hand_png()))], "doc_id long, payload binary"
+    )
+    row = multimodal.decode_features(df, dim=4, decode="strict").collect()[0]
+    assert (row.media_type, row.height, row.width) == ("image/png", 2, 2)
+    want = [20 / 255, 50 / 255, 80 / 255, 110 / 255]
+    assert row.features == pytest.approx(want, abs=1e-6)
+
+
+def test_strict_decode_png_every_filter_type(spark):
+    """5 rows, one per filter (None/Sub/Up/Average/Paeth): decode must
+    recover the exact pixels through every defiltering branch."""
+    import random
+
+    rng = random.Random(7)
+    width, height = 4, 5
+    pixels = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(width * height)
+    ]
+    png = multimodal.make_png_rgb8(
+        pixels, width, height, row_filters=[0, 1, 2, 3, 4]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, payload binary"
+    )
+    row = multimodal.decode_features(
+        df, dim=width * height, decode="strict"
+    ).collect()[0]
+    want = [(r + g + b) / 3.0 / 255.0 for (r, g, b) in pixels]
+    assert row.features == pytest.approx(want, abs=1e-6)
+
+
+def test_strict_decode_png_grayscale_color_type(spark):
+    import struct
+    import zlib
+
+    # 3×1 grayscale (color type 0): values 0, 128, 255, Sub-filtered
+    scan = bytes([1, 0, 128, 127])  # 0, 0+128, 128+127=255
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    row = multimodal.decode_features(df, dim=3, decode="strict").collect()[0]
+    assert (row.height, row.width) == (1, 3)
+    assert row.features == pytest.approx([0.0, 128 / 255, 1.0], abs=1e-6)
+
+
+def test_strict_decode_png_rejects_corruption_and_interlace(spark):
+    import pytest as _pytest
+
+    # flip a pixel byte inside IDAT without fixing the CRC
+    bad = bytearray(_hand_png())
+    bad[-18] ^= 0xFF
+    df = spark.createDataFrame([(1, bad)], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="CRC mismatch"):
+        multimodal.decode_features(df, decode="strict").collect()
+
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    # Adam7-interlaced header → loud NotImplementedError, never wrong pixels
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b""))
+    dfi = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="interlace"):
+        multimodal.decode_features(dfi, decode="strict").collect()
 
 
 def test_sniff_recognizes_bmp(spark):
