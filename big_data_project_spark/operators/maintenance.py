@@ -436,10 +436,19 @@ def kmv_intersect_estimate(
     |A∩B| / |A∪B|, scaled by the union estimate. When the merged set is
     not full, both sketches are complete and the intersection is EXACT.
     Everything is JVM array ops over 2·k longs per group — no data
-    rescan."""
+    rescan.
+
+    Groups present in only ONE input report intersect_est = 0 (full outer
+    join, missing sketch = empty set) — so callers can tell "no overlap"
+    apart from a silently dropped row (round-4 ADVICE)."""
+    empty = F.expr("CAST(array() AS array<bigint>)")
     ja = a.select(*join_cols, F.col("kmv").alias("ka"))
     jb = b.select(*join_cols, F.col("kmv").alias("kb"))
-    j = ja.join(jb, join_cols)
+    j = (
+        ja.join(jb, join_cols, "full_outer")
+        .withColumn("ka", F.coalesce("ka", empty))
+        .withColumn("kb", F.coalesce("kb", empty))
+    )
     u_all = F.array_sort(F.array_distinct(F.concat(F.col("ka"), F.col("kb"))))
     j = j.withColumn("_u", F.slice(u_all, 1, k))
     union_est = (

@@ -562,7 +562,8 @@ def build_vocab(
     )
     # rank over the ≤top_k post-limit rows WITHOUT a global window (the
     # empty-partition WindowExec warns per task and single-partitions):
-    # broadcast self-join rank, k² on a k-row constant
+    # packed-array sort — collect_list → array_sort comparator →
+    # posexplode, position + 1 = rank
     from big_data_project_spark.operators.relational import rank_bounded
 
     return rank_bounded(top, [("n", "desc"), ("term", "asc")])

@@ -7339,8 +7339,9 @@ def pl_hybrid_retrieval(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # both rank inputs are post-limit 10-row results: rank them with the
-    # broadcast self-join (relational.rank_bounded) instead of a global
-    # window — same values, no single-partition WindowExec
+    # packed-array sort (relational.rank_bounded: collect_list →
+    # array_sort comparator → posexplode) instead of a global window —
+    # same values, no single-partition WindowExec
     order = [("score", "desc"), ("doc_id", "asc")]
     lex = relational.rank_bounded(
         text.bm25_topk(docs, list(_HY_TERMS), k=10), order
@@ -8053,9 +8054,13 @@ def mt_kmv_union(spark, sf_dir):
            FROM hb),
     b AS (SELECT o_orderpriority, list_sort(list(hh)) AS kb
           FROM rb WHERE rk <= 64 GROUP BY o_orderpriority),
-    m AS (SELECT o_orderpriority, ka, kb,
-                 list_sort(list_distinct(list_concat(ka, kb))) AS uall
-          FROM a JOIN b USING (o_orderpriority)),
+    m AS (SELECT o_orderpriority,
+                 coalesce(ka, []::BIGINT[]) AS ka,
+                 coalesce(kb, []::BIGINT[]) AS kb,
+                 list_sort(list_distinct(list_concat(
+                   coalesce(ka, []::BIGINT[]),
+                   coalesce(kb, []::BIGINT[])))) AS uall
+          FROM a FULL JOIN b USING (o_orderpriority)),
     c AS (SELECT o_orderpriority, ka, kb, uall, uall[1:64] AS u FROM m)
     SELECT o_orderpriority,
            CAST(CASE WHEN len(uall) < 64

@@ -247,9 +247,10 @@ def test_every_survey_family_has_a_window_entry():
 
 
 def test_rank_bounded_matches_window_rank(spark):
-    """rank_bounded (broadcast self-join rank, the no-global-window shape
-    for post-limit results) must agree with row_number() OVER the same
-    total order, including desc/asc mixes and a null in a non-leading key."""
+    """rank_bounded (packed-array sort: collect_list → array_sort
+    comparator → posexplode, the no-global-window shape for post-limit
+    results) must agree with row_number() OVER the same total order,
+    including desc/asc mixes and a null in a non-leading key."""
     from pyspark.sql.window import Window
 
     from big_data_project_spark.operators.relational import rank_bounded

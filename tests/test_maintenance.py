@@ -806,6 +806,31 @@ def test_kmv_intersection_tracks_true_overlap(spark, sf_dir):
     assert got == 5.0
 
 
+def test_kmv_intersect_reports_zero_for_one_sided_groups(spark):
+    """A group present in only one input must surface with
+    intersect_est = 0, not vanish (round-4 ADVICE: inner join silently
+    dropped it, so 'no data' and 'no overlap' were indistinguishable)."""
+    sa = mt.kmv_sketch(
+        spark.createDataFrame(
+            [("both", v) for v in range(10)] + [("only_a", v) for v in range(7)],
+            "g string, v int",
+        ),
+        ["g"], "v", k=64,
+    )
+    sb = mt.kmv_sketch(
+        spark.createDataFrame(
+            [("both", v) for v in range(5, 15)] + [("only_b", v) for v in range(3)],
+            "g string, v int",
+        ),
+        ["g"], "v", k=64,
+    )
+    got = {
+        r.g: r.intersect_est
+        for r in mt.kmv_intersect_estimate(sa, sb, ["g"], k=64).collect()
+    }
+    assert got == {"both": 5.0, "only_a": 0.0, "only_b": 0.0}
+
+
 def test_kmv_ignores_null_values(spark):
     """Review r4: a NULL value must not enter the sketch (COUNT(DISTINCT)
     semantics) — its NULL hash previously sorted first, evicted the k-th
