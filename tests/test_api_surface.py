@@ -212,7 +212,7 @@ def test_every_survey_family_has_a_window_entry():
     pins that no family ever falls out entirely)."""
     from big_data_project_spark import registry as reg
 
-    window = list(reg.REGISTRY)[:50]
+    window = list(reg.queries())[:50]
     families = {
         "scan/sink": {"s_roundtrip_parquet", "s_roundtrip_text"},
         "connectors": {"s5_s6_connector_feeds"},
@@ -240,7 +240,8 @@ def test_every_survey_family_has_a_window_entry():
         "text-analysis": {"tx_text_analysis"},
         "curation": {"pl_ccnet_e2e"},
         "real-data parity": {"pl_sec_real_data", "pl_social_real_data"},
-        "vector-compression": {"e9_pq_encode"},
+        "vector-compression": {"e9_pq_encode", "e11_sq8_topk"},
+        "sketches": {"mt_kmv_union", "mt_kmv_intersect"},
     }
     out = {fam for fam, names in families.items() if not names & set(window)}
     assert out == set(), f"families with no driver-window entry: {out}"
