@@ -650,10 +650,37 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     re-tries the checked rename under the next free N — no re-write of the
     data, ``max_retries`` attempts before giving up. The atomic primitive
     is filesystem rename (exactly Delta/Iceberg's commit primitive, minus
-    their log); on stores where rename onto an existing directory NESTS
-    instead of failing (raw local fs) a sub-millisecond
-    check-exists→rename window remains — serialize writers there."""
+    their log) where rename-onto-existing fails atomically (HDFS); on the
+    raw local fs — where rename NESTS instead of failing — versions are
+    arbitrated by an O_CREAT|O_EXCL claim marker first
+    (``_claim_version``), so concurrent writers are safe there too
+    (chaos-tested with racing OS processes)."""
     return _commit_snapshot(df, path, max_retries=5)
+
+
+def _claim_version(fs, jvm, path: str, n: int) -> bool:
+    """Atomically claim version ``n`` before renaming onto ``v=N``.
+
+    On HDFS/object stores, rename onto an existing directory FAILS
+    atomically, so the rename itself is the claim — return True and let
+    the rename arbitrate. On the local filesystem, Hadoop's rename NESTS
+    the source into an existing target instead of failing (and
+    ``fs.createNewFile`` is check-then-act there, not atomic), so two
+    writers passing the exists-check together would corrupt the store;
+    ``java.io.File.createNewFile`` — O_CREAT|O_EXCL under the hood — is
+    the primitive that closes that window. The claim marker
+    (``__claim_N``) is invisible to ``snapshot_versions`` and vacuumed
+    once its version commits (or its writer dies past the stage TTL)."""
+    if fs.getScheme() != "file":
+        return True
+    local = path
+    for prefix in ("file://", "file:"):
+        if local.startswith(prefix):
+            local = local[len(prefix):]
+            break
+    marker = jvm.java.io.File(f"{local}/__claim_{n}")
+    marker.getParentFile().mkdirs()
+    return bool(marker.createNewFile())
 
 
 def _commit_snapshot(df: DataFrame, path: str, max_retries: int) -> int:
@@ -671,9 +698,13 @@ def _commit_snapshot(df: DataFrame, path: str, max_retries: int) -> int:
     n = (snapshot_versions(spark, path) or [0])[-1] + 1
     for _ in range(max_retries + 1):
         final = mk(f"{path}/v={n}")
-        if not fs.exists(final) and fs.rename(stage, final):
+        if (
+            not fs.exists(final)
+            and _claim_version(fs, jvm, path, n)
+            and fs.rename(stage, final)
+        ):
             return n
-        n += 1  # a concurrent writer committed this version — take the next
+        n += 1  # a concurrent writer claimed/committed this version
     fs.delete(stage, True)
     raise IOError(
         f"snapshot commit lost {max_retries + 1} version races at {path}"
@@ -710,6 +741,7 @@ def vacuum_snapshots(
     for v in dropped:  # oldest first: crash leaves a contiguous suffix
         fs.delete(mk(f"{path}/v={v}"), True)
     if fs.exists(hpath):
+        committed = set(snapshot_versions(spark, path))
         cutoff_ms = (_time.time() - stage_ttl_seconds) * 1000
         for st in fs.listStatus(hpath):
             name = st.getPath().getName()
@@ -718,6 +750,17 @@ def vacuum_snapshots(
                 and st.getModificationTime() < cutoff_ms
             ):
                 fs.delete(st.getPath(), True)
+            elif name.startswith("__claim_"):
+                # claim markers (local-fs commit arbitration): safe to
+                # drop once their version committed — the exists(v=N)
+                # check precedes any future claim — or, for a claim whose
+                # writer died before its rename, after the stage TTL
+                try:
+                    v = int(name[len("__claim_"):])
+                except ValueError:
+                    continue
+                if v in committed or st.getModificationTime() < cutoff_ms:
+                    fs.delete(st.getPath(), True)
     return dropped
 
 

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Isolate dd_near_dedup_lsh's scaling from corpus duplicate density.
+
+VERDICT r4 item 4: the sf5 sweep looked superlinear (5.3× time for 5×
+docs), and SCALE.md attributed it to the synthetic corpus's 30-word
+vocabulary — true near-dup pairs grow superlinearly with corpus size, so
+the extra work is REAL duplicates, not a scaling defect. This tool proves
+that attribution by measurement: it generates document corpora with
+SCALE-INVARIANT duplicate density —
+
+- vocabulary scales with the corpus (V = max(1000, n_docs // 5) distinct
+  hash-derived tokens), so incidental cross-doc shingle collisions stay
+  negligible at every size, and
+- a fixed 10% of docs are PLANTED near-duplicates (doc 10k+9 reuses doc
+  10k+8's text plus one appended token → 3-gram Jaccard ≥ 13/14),
+
+then times the exact dd_near_dedup_lsh operator chain (MinHash-LSH
+candidates → Jaccard verify → connected components → drop) at 1× and 5×
+docs, each in a FRESH subprocess/session (VERDICT r4 item 5: no
+in-sequence measurement churn), and appends the per-doc cost ratio to
+bench_history.jsonl. Linear scaling ⇒ ratio ≈ 1 (≤ ~1.5 passes).
+
+Usage: python tools/density_bench.py [--base 50000] [--runs 3]
+Internal: python tools/density_bench.py --measure <dir> (one timed run)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def gen_docs(n_docs: int, out: str) -> None:
+    """Documents-only corpus with scaled vocabulary + planted 10% dups."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.session import get_spark
+
+    spark = get_spark(app_name="density-gen")
+    vocab_size = max(1000, n_docs // 5)
+
+    def h(*cols):
+        return F.abs(F.xxhash64(*cols))
+
+    ids = spark.range(0, n_docs, 1, 32)
+    # planted pair scheme: id % 10 == 9 copies id-1's word recipe and
+    # appends one marker token — text stays a pure function of id
+    is_dup = (F.col("id") % 10) == 9
+    base = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    n_words = (h(base, F.lit("dn")) % 46 + 15).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.concat(
+            F.lit("w"), (h(base, i, F.lit("dw")) % vocab_size).cast("string")
+        ),
+    )
+    text = F.when(
+        is_dup,
+        F.concat(F.array_join(words, " "), F.lit(" dupmark")),
+    ).otherwise(F.array_join(words, " "))
+    docs = ids.select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.format_string("src%d", (h(F.col("id"), F.lit("ds")) % 20 + 1).cast("int")).alias(
+            "source"
+        ),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    os.makedirs(out, exist_ok=True)
+    docs.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    spark.stop()
+
+
+def measure(sf_dir: str) -> None:
+    """One timed dd_near_dedup_lsh run in this (fresh) process."""
+    from big_data_project_spark import io, registry  # noqa: F401
+    from big_data_project_spark.operators import dedup
+    from big_data_project_spark.session import get_spark
+
+    spark = get_spark(app_name="density-measure")
+    d = io.load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # warm the scan outside the timed window
+    t0 = time.monotonic()
+    cand = dedup.minhash_lsh_candidates(
+        d, num_hashes=registry._MH_K, bands=registry._MH_BANDS, hash_fn="md5_affine"
+    ).select("id_a", "id_b")
+    pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
+    kept = dedup.drop_near_dups(d, pairs).count()
+    elapsed = time.monotonic() - t0
+    print(json.dumps({"n_docs": n_docs, "kept": kept, "sec": round(elapsed, 3)}))
+    spark.stop()
+
+
+def timed_subprocess(sf_dir: str, runs: int) -> dict:
+    best = None
+    for _ in range(runs):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--measure", sf_dir],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        )
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        if best is None or rec["sec"] < best["sec"]:
+            best = rec
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", type=int, default=50_000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--measure", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.measure:
+        measure(args.measure)
+        return 0
+
+    points = {}
+    for mult in (1, 5):
+        n = args.base * mult
+        out = os.path.join(REPO, "testdata_local", f"density{mult}x")
+        if not os.path.exists(os.path.join(out, "documents.parquet")):
+            print(f"generating {n} docs -> {out}", file=sys.stderr)
+            gen_docs(n, out)
+        rec = timed_subprocess(out, args.runs)
+        # sanity: ≥95% of planted dups actually dropped (LSH at 16 hashes /
+        # 4 bands misses a small tail of the shortest docs — probabilistic
+        # recall, not a defect; exactness is the oracle entries' job)
+        planted = n // 10
+        expected_kept = n - planted
+        assert expected_kept <= rec["kept"] <= expected_kept + planted // 20, (
+            rec,
+            expected_kept,
+        )
+        points[str(n)] = rec["sec"]
+        print(f"{n} docs: {rec['sec']}s (kept {rec['kept']})", file=sys.stderr)
+
+    n1, n5 = args.base, args.base * 5
+    per_doc_ratio = (points[str(n5)] / n5) / (points[str(n1)] / n1)
+    record = {
+        "metric": "dd_near_dedup_fixed_density",
+        "points_sec": points,
+        "per_doc_cost_ratio_5x": round(per_doc_ratio, 3),
+        "planted_dup_rate": 0.1,
+        "note": (
+            "scale-invariant duplicate density (scaled vocab + planted 10% "
+            "near-dups), fresh session per measurement, best of runs"
+        ),
+    }
+    with open(os.path.join(REPO, "bench_history.jsonl"), "a") as fh:
+        fh.write(json.dumps(record) + "\n")
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
