@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Each query is fully materialized (collect of its — small, aggregated —
 result). A warmup pass runs the flagship once so JVM/codegen startup isn't
 billed to the first query.
+
+``--isolate`` (VERDICT r4 item 5): run every headliner in its OWN
+subprocess/JVM — the canonical mode for big-SF sweeps, where a shared
+session accumulates 20+ queries of memory churn and mid-sweep readings
+stop reflecting plan scaling (observed at sf5: q17 20.1s in-sequence vs
+4.4s isolated). Default mode is unchanged (the driver's per-round bench).
 """
 
 from __future__ import annotations
@@ -14,6 +20,7 @@ import json
 import os
 import re
 import statistics
+import subprocess
 import sys
 import time
 
@@ -23,43 +30,28 @@ from big_data_project_spark.registry import REGISTRY, headline_queries
 from big_data_project_spark.session import get_spark
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    return float(m.group(1).rstrip(".")) if m else -1.0
 
-    spark = get_spark(
-        app_name="bdps-bench",
-        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
-    )
 
-    # warmup: JVM + codegen + parquet footer caches
-    REGISTRY["q1_pricing_summary"].build(spark, sf_dir).collect()
-
-    # median of 3 runs per query: a one-off scheduler/GC hiccup on a single
+def _time_queries(spark, sf_dir: str, names: list[str], n_runs: int) -> dict[str, float]:
+    # median of n runs per query: a one-off scheduler/GC hiccup on a single
     # run (observed: 0.55s → 1.77s on the same plan) must not read as a
     # plan regression round-over-round.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name, q in headline_queries().items():
+    for name in names:
+        q = REGISTRY[name]
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             q.build(spark, sf_dir).collect()
             times.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(times), 4)
+    return timings
 
-    total = round(sum(timings.values()), 4)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        }
-    )
-    print(line)
+
+def _record(line: str) -> None:
     # local per-run history so round-over-round per-query regressions are
     # greppable without reconstructing them from the driver's BENCH_r*.json
     try:
@@ -70,6 +62,73 @@ def main() -> None:
             f.write(line + "\n")
     except OSError:
         pass
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    args = sys.argv[1:]
+
+    if args[:1] == ["--one"]:
+        # internal: one query, fresh JVM, own warmup; prints one JSON line
+        name = args[1]
+        spark = get_spark(
+            app_name=f"bdps-bench-{name}",
+            driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
+        REGISTRY[name].build(spark, sf_dir).collect()  # warmup this plan
+        t = _time_queries(spark, sf_dir, [name], n_runs)
+        print(json.dumps(t))
+        spark.stop()
+        return
+
+    if args[:1] == ["--isolate"]:
+        timings: dict[str, float] = {}
+        for name in headline_queries():
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True,
+                text=True,
+                check=True,
+                env=os.environ,
+            )
+            timings.update(json.loads(out.stdout.strip().splitlines()[-1]))
+            print(f"{name}: {timings[name]}s", file=sys.stderr)
+        total = round(sum(timings.values()), 4)
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total_isolated",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+        print(line)
+        _record(line)
+        return
+
+    spark = get_spark(
+        app_name="bdps-bench",
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    )
+
+    # warmup: JVM + codegen + parquet footer caches
+    REGISTRY["q1_pricing_summary"].build(spark, sf_dir).collect()
+
+    timings = _time_queries(spark, sf_dir, list(headline_queries()), n_runs)
+    total = round(sum(timings.values()), 4)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_of(sf_dir),
+        }
+    )
+    print(line)
+    _record(line)
     spark.stop()
 
 

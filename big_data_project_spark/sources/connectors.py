@@ -23,9 +23,13 @@ Two modes per source, chosen by the options given:
   Real code, but unverifiable in this offline container — fixtures carry
   the test coverage. ``base_url`` is injectable for exactly that reason.
   Live CNBC articles carry a best-effort publish date (standard meta tags
-  / JSON-LD, newspaper3k parity) or NULL when the page has none; live
-  reddit page-walks dedup by fullname so a feed shifting mid-walk cannot
-  emit a post twice within one batch.
+  / JSON-LD, newspaper3k parity) or NULL when the page has none, and
+  their body goes through a stdlib text-density readability heuristic
+  (``extract_main_text``: boilerplate containers dropped, link-dense
+  blocks rejected — loopback-tested at ≥90% token overlap with the true
+  body) with a plain tag-strip fallback; live reddit page-walks dedup by
+  fullname so a feed shifting mid-walk cannot emit a post twice within
+  one batch.
 
 ``reddit_posts`` additionally implements ``simpleStreamReader``: the
 polling micro-batch shape (``spark.readStream.format("reddit_posts")``).
@@ -114,6 +118,116 @@ def _extract_publish_date(html: str) -> str | None:
         if m:
             return m.group(1).strip()
     return None
+
+
+def extract_main_text(html: str) -> str:
+    """Minimal readability heuristic, stdlib only (VERDICT r4 item 8):
+    approximate newspaper3k's boilerplate-stripped article body
+    (reference py:54-70) with per-block text density.
+
+    The HTML is walked with ``html.parser`` into text blocks (split at
+    block-level tags); script/style/template and the classic chrome
+    containers (nav/header/footer/aside/form) are dropped wholesale. A
+    block survives when it reads like prose — ≥ 25 characters, ≥ 5 words,
+    and link density ≤ 1/3 (anchor text over total text: menus and
+    related-links lists are mostly links, paragraphs are not). Surviving
+    blocks joined in document order approximate the article body; headings
+    that precede surviving prose are kept so titles/subheads survive.
+
+    Returns "" when nothing qualifies — callers fall back to the plain
+    tag-strip, never to an empty row."""
+    from html.parser import HTMLParser
+
+    block_tags = {
+        "p", "div", "section", "article", "li", "td", "blockquote", "pre",
+        "h1", "h2", "h3", "h4", "h5", "h6", "br", "ul", "ol", "table",
+        "figure", "main", "body",
+    }
+    skip_tags = {
+        "script", "style", "noscript", "svg", "template", "head", "nav",
+        "header", "footer", "aside", "form", "button", "iframe", "select",
+    }
+
+    class Parser(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.blocks: list[tuple[str, int, int, bool]] = []
+            self._text: list[str] = []
+            self._link_chars = 0
+            self._anchor_depth = 0
+            self._skip_depth = 0
+            self._heading_depth = 0
+            self._is_heading = False
+
+        def _flush(self):
+            text = re.sub(r"\s+", " ", "".join(self._text)).strip()
+            if text:
+                self.blocks.append(
+                    (text, len(text), self._link_chars, self._is_heading)
+                )
+            self._text, self._link_chars = [], 0
+            self._is_heading = self._heading_depth > 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in skip_tags:
+                self._skip_depth += 1
+                return
+            if self._skip_depth:
+                return
+            if tag == "a":
+                self._anchor_depth += 1
+            if tag in block_tags:
+                self._flush()
+                if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                    self._heading_depth += 1
+                    self._is_heading = True
+
+        def handle_endtag(self, tag):
+            if tag in skip_tags:
+                self._skip_depth = max(0, self._skip_depth - 1)
+                return
+            if self._skip_depth:
+                return
+            if tag == "a":
+                self._anchor_depth = max(0, self._anchor_depth - 1)
+            if tag in block_tags:
+                self._flush()
+                if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                    self._heading_depth = max(0, self._heading_depth - 1)
+                self._is_heading = self._heading_depth > 0
+
+        def handle_data(self, data):
+            if self._skip_depth or not data:
+                return
+            self._text.append(data)
+            if self._anchor_depth:
+                self._link_chars += len(data)
+
+    p = Parser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # noqa: BLE001 — malformed HTML falls back upstream
+        return ""
+    p._flush()
+
+    kept: list[str] = []
+    pending_heading: str | None = None
+    for text, n_chars, link_chars, is_heading in p.blocks:
+        if is_heading:
+            pending_heading = text
+            continue
+        prose = (
+            n_chars >= 25
+            and len(text.split()) >= 5
+            and link_chars * 3 <= n_chars
+        )
+        if prose:
+            if pending_heading:
+                kept.append(pending_heading)
+                pending_heading = None
+            kept.append(text)
+    return " ".join(kept)
 
 
 def _int_or_none(x):
@@ -304,9 +418,12 @@ class _CnbcReader(DataSourceReader):
             if m:
                 title = m.group(1).strip()
             # the reference used newspaper3k's extractor; the engine-side
-            # equivalent is an honest tag-strip (normalization and NLP
-            # happen downstream in pipelines.social / operators.text)
-            content = re.sub(r"\s+", " ", _TAG_STRIP_RE.sub(" ", html)).strip()
+            # equivalent is the text-density readability heuristic
+            # (extract_main_text), with a plain tag-strip fallback for
+            # pages where no block reads as prose — never an empty row
+            content = extract_main_text(html) or re.sub(
+                r"\s+", " ", _TAG_STRIP_RE.sub(" ", html)
+            ).strip()
             yield (link, title, _extract_publish_date(html), content)
 
 
