@@ -1,0 +1,56 @@
+"""Pin the bench.py CLI surface the driver and the big-SF recipe rely on.
+
+The default mode's JSON contract is what the grading driver records as
+BENCH_r{N}.json; --one/--isolate (VERDICT r4 item 5) is the canonical
+fresh-JVM mode for big-SF sweeps. One subprocess smoke each at sf0.001
+keeps this cheap."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(*args: str) -> str:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_DRIVER_MEM="2g",
+        SPARK_GRAFT_CPUS="2",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), *args],
+        capture_output=True,
+        text=True,
+        check=True,
+        env=env,
+        timeout=600,
+    )
+    return out.stdout.strip().splitlines()[-1]
+
+
+def test_bench_one_runs_a_single_query_in_a_fresh_jvm(tmp_path):
+    rec = json.loads(_run_bench("--one", "q1_pricing_summary"))
+    assert set(rec) == {"q1_pricing_summary"}
+    assert rec["q1_pricing_summary"] > 0
+
+
+def test_bench_default_json_contract():
+    rec = json.loads(_run_bench())
+    assert rec["metric"] == "headline_queries_total"
+    assert rec["unit"] == "sec"
+    assert rec["sf"] == 0.001
+    assert rec["value"] > 0 and len(rec["queries"]) >= 26
+    # history line appended (same JSON) — trim it so smoke runs don't
+    # accumulate in the canonical record
+    hist = os.path.join(REPO, "bench_history.jsonl")
+    with open(hist) as fh:
+        lines = fh.readlines()
+    assert json.loads(lines[-1])["sf"] == 0.001
+    with open(hist, "w") as fh:
+        fh.writelines(lines[:-1])
