@@ -3181,14 +3181,14 @@ def _lsh_band_keys_sql(planes: list[list[float]], per_band: int) -> list[str]:
     ]
 
 
-def _e5_lsh_oracle() -> str:
-    """Full SQL simulation of the 16-plane × 8-band LSH path: band keys →
+def _e5_lsh_oracle(n_planes: int = 16, per_band: int = 2) -> str:
+    """Full SQL simulation of the banded LSH path: band keys →
     ≥1-band-match candidates → exact cosine top-10 AMONG CANDIDATES. The
     oracle verifies the pruned path's own semantics, so it is exact at
     EVERY scale factor — no SF-dependent recall claim (that retired the
     round-3/4 e5_lsh_recall sf0.1 boundary; recall vs the exact top-10 is
     gated separately in pytest on planted-cluster geometry)."""
-    keys = _lsh_band_keys_sql(vector._hyperplanes(64, 16, 42), per_band=2)
+    keys = _lsh_band_keys_sql(vector._hyperplanes(64, n_planes, 42), per_band)
     key_cols = ",\n             ".join(
         f"{expr} AS b{i}" for i, expr in enumerate(keys)
     )
@@ -3242,6 +3242,35 @@ def e5_lsh_recall(spark, sf_dir):
     q = vector.query_vector_of(emb, 0)
     return vector.ann_topk(
         emb, q, k=10, n_planes=16, n_bands=8, metric="cosine"
+    ).select("vec_id", "label", "score")
+
+
+@register(
+    "e5_auto_lsh_topk",
+    oracle=_e5_lsh_oracle(n_planes=32, per_band=2),
+    note=(
+        "the auto_lsh_params recipe end to end, driver-visible (round 5):"
+        " the engine derives (n_planes, n_bands) from the corpus size via"
+        " vector.auto_lsh_params — every test corpus (500..65k vectors)"
+        " resolves to the 32-plane x 16-band formula floor, asserted"
+        " loudly — and the oracle simulates exactly that construction in"
+        " SQL. Value-hash green means the user-facing scale recipe builds"
+        " the same pruned plan the theory specifies."
+    ),
+)
+def e5_auto_lsh_topk(spark, sf_dir):
+    """ANN top-k with corpus-size-derived LSH parameters: the scale recipe
+    a user follows when the corpus outgrows a hand-picked config, with
+    the oracle pinning the resulting banded construction exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n_planes, n_bands = vector.auto_lsh_params(emb.count())
+    # the oracle below simulates 32x16; corpora past 65k vectors would
+    # auto-scale further and need a different oracle — fail loudly, never
+    # hash-compare mismatched constructions
+    assert (n_planes, n_bands) == (32, 16), (n_planes, n_bands)
+    q = vector.query_vector_of(emb, 0)
+    return vector.ann_topk(
+        emb, q, k=10, n_planes=n_planes, n_bands=n_bands, metric="cosine"
     ).select("vec_id", "label", "score")
 
 

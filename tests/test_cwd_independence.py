@@ -51,6 +51,40 @@ def test_driver_check_from_neutral_cwd(tmp_path):
     assert "failed 0" in proc.stdout
 
 
+_HOSTILE_DRIVER = """
+import sys
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as e
+qs = e.queries()
+for name in ("s7_pyds_sink_roundtrip", "u6_polymorphic_udtf"):
+    assert qs[name](spark, "/root/testdata/sf0.001").count() > 0, name
+print("HOSTILE_OK")
+spark.stop()
+"""
+
+
+def test_addpyfile_belt_alone_with_prestarted_jvm(tmp_path):
+    """The harsher shape: the JVM starts BEFORE __spark_entry__ is even
+    imported and PYTHONPATH is scrubbed, so the env-export belt cannot
+    help — the addPyFile package zip must carry worker imports alone."""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, "-c", _HOSTILE_DRIVER.format(repo=REPO)],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0 and "HOSTILE_OK" in proc.stdout, (
+        proc.stdout[-1000:] + proc.stderr[-2000:]
+    )
+
+
 def test_package_zip_contains_worker_modules(tmp_path):
     """The addPyFile zip must carry every module a worker might re-import."""
     from big_data_project_spark import bootstrap
