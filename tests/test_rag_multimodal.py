@@ -357,6 +357,40 @@ def test_strict_decode_png_grayscale_color_type(spark):
     assert row.features == pytest.approx([0.0, 128 / 255, 1.0], abs=1e-6)
 
 
+def test_strict_decode_png_roundtrip_random_images(spark):
+    """Property-style: 25 seeded random RGB images (sizes 1..8, random
+    filter per row drawn from all five) must round-trip make_png_rgb8 →
+    strict decode exactly. Expected features computed by an independent
+    in-test segment-means model over the raw pixels."""
+    import random
+
+    rng = random.Random(1234)
+    rows, want = [], {}
+    for i in range(25):
+        w, h = rng.randint(1, 8), rng.randint(1, 8)
+        pixels = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w * h)
+        ]
+        filters = [rng.randint(0, 4) for _ in range(h)]
+        rows.append((i, bytearray(multimodal.make_png_rgb8(pixels, w, h, filters))))
+        gray = [(r + g + b) / 3.0 / 255.0 for (r, g, b) in pixels]
+        # independent segment-means model (dim=4)
+        segs = []
+        for s in range(4):
+            lo, hi = (s * len(gray)) // 4, ((s + 1) * len(gray)) // 4
+            seg = gray[lo:hi]
+            segs.append(sum(seg) / len(seg) if seg else 0.0)
+        want[i] = (h, w, segs)
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = multimodal.decode_features(df, dim=4, decode="strict").collect()
+    assert len(got) == 25
+    for r in got:
+        h, w, segs = want[r.doc_id]
+        assert (r.height, r.width) == (h, w), r.doc_id
+        assert r.features == pytest.approx(segs, abs=1e-6), r.doc_id
+
+
 def test_strict_decode_png_rejects_corruption_and_interlace(spark):
     import pytest as _pytest
 
