@@ -71,6 +71,10 @@ def main() -> None:
 
     if args[:1] == ["--one"]:
         # internal: one query, fresh JVM, own warmup; prints one JSON line
+        if len(args) < 2 or args[1] not in REGISTRY:
+            sys.exit(
+                f"usage: bench.py --one <query>; known: {sorted(REGISTRY)}"
+            )
         name = args[1]
         spark = get_spark(
             app_name=f"bdps-bench-{name}",
@@ -89,9 +93,15 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__), "--one", name],
                 capture_output=True,
                 text=True,
-                check=True,
                 env=os.environ,
             )
+            if out.returncode != 0:
+                # surface the child's stderr — a CalledProcessError with
+                # captured (hidden) output buries the real cause
+                sys.exit(
+                    f"--one {name} failed (exit {out.returncode}):\n"
+                    f"{out.stderr[-4000:]}"
+                )
             timings.update(json.loads(out.stdout.strip().splitlines()[-1]))
             print(f"{name}: {timings[name]}s", file=sys.stderr)
         total = round(sum(timings.values()), 4)

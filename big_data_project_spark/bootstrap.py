@@ -36,6 +36,11 @@ _REPO_ROOT = os.path.dirname(_PKG_DIR)
 # applicationIds of SparkContexts we have already shipped the zip to.
 _SHIPPED: set[str] = set()
 
+# This process's freshly-built package zip (never reused across processes:
+# a pid- or path-keyed cache in the shared tempdir could ship a STALE zip
+# after pid recycling or from a different checkout — round-5 review).
+_ZIP_PATH: str | None = None
+
 
 def export_pythonpath() -> None:
     """Prepend the repo root to ``PYTHONPATH`` (idempotent).
@@ -49,10 +54,14 @@ def export_pythonpath() -> None:
 
 
 def package_zip() -> str:
-    """Build (once per process) a zip of the package, importable via zipimport."""
-    out = os.path.join(tempfile.gettempdir(), f"bdps_pkg_{os.getpid()}.zip")
-    if not os.path.exists(out):
-        tmp = f"{out}.{os.getpid()}.tmp"
+    """Build (once per process) a zip of the package, importable via
+    zipimport. The zip lands at a ``mkstemp``-unique path, so concurrent
+    builders in other processes — or a recycled pid — can never hand this
+    process someone else's (stale) bytes."""
+    global _ZIP_PATH
+    if _ZIP_PATH is None or not os.path.exists(_ZIP_PATH):
+        fd, tmp = tempfile.mkstemp(prefix="bdps_pkg_", suffix=".zip")
+        os.close(fd)
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, dirs, files in os.walk(_PKG_DIR):
                 dirs[:] = [d for d in dirs if d != "__pycache__"]
@@ -60,8 +69,8 @@ def package_zip() -> str:
                     if fn.endswith(".py"):
                         full = os.path.join(root, fn)
                         zf.write(full, os.path.relpath(full, _REPO_ROOT))
-        os.replace(tmp, out)
-    return out
+        _ZIP_PATH = tmp
+    return _ZIP_PATH
 
 
 def ensure_worker_imports(spark) -> None:

@@ -741,7 +741,6 @@ def vacuum_snapshots(
     for v in dropped:  # oldest first: crash leaves a contiguous suffix
         fs.delete(mk(f"{path}/v={v}"), True)
     if fs.exists(hpath):
-        committed = set(snapshot_versions(spark, path))
         cutoff_ms = (_time.time() - stage_ttl_seconds) * 1000
         for st in fs.listStatus(hpath):
             name = st.getPath().getName()
@@ -751,15 +750,15 @@ def vacuum_snapshots(
             ):
                 fs.delete(st.getPath(), True)
             elif name.startswith("__claim_"):
-                # claim markers (local-fs commit arbitration): safe to
-                # drop once their version committed — the exists(v=N)
-                # check precedes any future claim — or, for a claim whose
-                # writer died before its rename, after the stage TTL
-                try:
-                    v = int(name[len("__claim_"):])
-                except ValueError:
-                    continue
-                if v in committed or st.getModificationTime() < cutoff_ms:
+                # claim markers (local-fs commit arbitration) are dropped
+                # ONLY past the stage TTL — never merely because their
+                # version committed: an in-flight writer whose
+                # exists(v=N) check pre-dates that commit would otherwise
+                # re-claim the freed marker and nest its rename into the
+                # existing v=N (the exact race the marker closes; found
+                # by the round-5 adversarial review of the first cut,
+                # which deleted committed-version claims immediately)
+                if st.getModificationTime() < cutoff_ms:
                     fs.delete(st.getPath(), True)
     return dropped
 

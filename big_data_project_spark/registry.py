@@ -3265,9 +3265,15 @@ def e5_auto_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     n_planes, n_bands = vector.auto_lsh_params(emb.count())
     # the oracle below simulates 32x16; corpora past 65k vectors would
-    # auto-scale further and need a different oracle — fail loudly, never
-    # hash-compare mismatched constructions
-    assert (n_planes, n_bands) == (32, 16), (n_planes, n_bands)
+    # auto-scale further and need a different oracle — fail loudly (a
+    # raise, not an assert: python -O must not turn this into a silent
+    # mismatched hash-compare), never compare mismatched constructions
+    if (n_planes, n_bands) != (32, 16):
+        raise ValueError(
+            f"e5_auto_lsh_topk oracle simulates 32x16 but auto_lsh_params "
+            f"chose {n_planes}x{n_bands} for this corpus size — regenerate "
+            f"the oracle via _e5_lsh_oracle(n_planes={n_planes})"
+        )
     q = vector.query_vector_of(emb, 0)
     return vector.ann_topk(
         emb, q, k=10, n_planes=n_planes, n_bands=n_bands, metric="cosine"

@@ -153,19 +153,23 @@ def extract_main_text(html: str) -> str:
             super().__init__(convert_charrefs=True)
             self.blocks: list[tuple[str, int, int, bool]] = []
             self._text: list[str] = []
-            self._link_chars = 0
+            self._link_text: list[str] = []
             self._anchor_depth = 0
             self._skip_depth = 0
             self._heading_depth = 0
             self._is_heading = False
 
         def _flush(self):
+            # normalize BOTH counts the same way: raw anchor data carries
+            # pretty-print whitespace that would inflate link density and
+            # over-reject real prose (round-5 review finding)
             text = re.sub(r"\s+", " ", "".join(self._text)).strip()
+            link = re.sub(r"\s+", " ", "".join(self._link_text)).strip()
             if text:
                 self.blocks.append(
-                    (text, len(text), self._link_chars, self._is_heading)
+                    (text, len(text), len(link), self._is_heading)
                 )
-            self._text, self._link_chars = [], 0
+            self._text, self._link_text = [], []
             self._is_heading = self._heading_depth > 0
 
         def handle_starttag(self, tag, attrs):
@@ -201,7 +205,7 @@ def extract_main_text(html: str) -> str:
                 return
             self._text.append(data)
             if self._anchor_depth:
-                self._link_chars += len(data)
+                self._link_text.append(data)
 
     p = Parser()
     try:

@@ -95,10 +95,11 @@ def test_claim_version_is_exclusive_on_local_fs(spark, tmp_path):
 
 
 def test_vacuum_never_deletes_young_stage_or_inflight_claim(spark, tmp_path):
-    """vacuum racing a slow committer: a YOUNG __stage_* dir and a YOUNG
-    claim for an uncommitted version must both survive (deleting either
-    would destroy the in-flight commit); claims of already-committed
-    versions are cleared immediately."""
+    """vacuum racing a slow committer: a YOUNG __stage_* dir and ANY
+    young claim must survive. Even a committed version's claim is kept
+    until the TTL — an in-flight writer whose exists(v=N) check pre-dated
+    that commit would otherwise re-claim the freed marker and nest its
+    rename into the existing v=N (round-5 review finding)."""
     from big_data_project_spark.operators import maintenance as mt
 
     path = str(tmp_path / "store")
@@ -118,7 +119,9 @@ def test_vacuum_never_deletes_young_stage_or_inflight_claim(spark, tmp_path):
     assert dropped == [1, 2]
     assert os.path.isdir(path + "/__stage_inflight"), "young stage vacuumed!"
     assert os.path.exists(path + "/__claim_5"), "in-flight claim vacuumed!"
-    assert not os.path.exists(path + "/__claim_3"), "committed claim kept"
+    assert os.path.exists(path + "/__claim_3"), (
+        "young committed-version claim vacuumed — reopens the re-claim race"
+    )
 
     # past the TTL the dead writer's leftovers go too
     dropped = mt.vacuum_snapshots(spark, path, keep_last=2, stage_ttl_seconds=0)

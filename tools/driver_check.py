@@ -55,9 +55,12 @@ def main() -> int:
     from big_data_project_spark.io import TABLES
 
     for t in TABLES:
-        duck.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+        # driver testdata is one file per table; locally generated big-SF
+        # corpora (tools/gen_testdata.py) are Spark part-file directories
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = list(qs)
