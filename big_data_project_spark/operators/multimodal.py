@@ -10,9 +10,10 @@ provides:
 - decode/featurize plumbing: ``mapInPandas`` stages with real schemas,
   batching and partitioning. ``decode=\"fake\"`` produces deterministic
   features from the bytes; ``decode=\"strict\"`` is a REAL stdlib codec for
-  uncompressed BMP, PCM WAV and 8-bit PNG (zlib inflate + the five scanline
-  filters), and raises NotImplementedError only for formats that genuinely
-  need an entropy codec (JPEG/MP3) — the marked integration point for
+  uncompressed BMP, PCM WAV, 8-bit PNG (zlib inflate + the five scanline
+  filters) and baseline JPEG (canonical huffman + IDCT), and raises
+  NotImplementedError only for formats that genuinely need a codec library
+  (MP3/video, progressive JPEG) — the marked integration point for
   PIL/ffmpeg.
 
 Scale notes: payload columns make rows wide — the operators here never
@@ -93,22 +94,28 @@ def decode_features(
     ``decode='fake'``: deterministic sha256-derived features (the
     oracle-matchable carrier for plumbing checks).
 
-    ``decode='strict'``: a REAL stdlib-only codec for three container
+    ``decode='strict'``: a REAL stdlib-only codec for four container
     formats — uncompressed 24-bpp BMP (BITMAPINFOHEADER, bottom-up rows,
     BGR byte order, 4-byte row padding), 8/16-bit PCM WAV (RIFF chunk
-    walk), and 8-bit non-interlaced PNG (CRC-checked chunk walk, zlib
-    inflate of concatenated IDATs, None/Sub/Up/Average/Paeth scanline
-    defiltering; color types 0/2/4/6). Features are ``dim`` segment-means
-    of the normalized signal (grayscale pixels scanned top-down row-major
-    for BMP/PNG; channel-averaged frames for WAV), so the output is
-    value-hashable. JPEG/MP3 raise NotImplementedError — the narrowed seam
-    where PIL/ffmpeg plug in (entropy coding genuinely needs them)."""
+    walk), 8-bit non-interlaced PNG (CRC-checked chunk walk, zlib inflate
+    of concatenated IDATs, None/Sub/Up/Average/Paeth scanline defiltering;
+    color types 0/2/4/6), and baseline JPEG (DQT/DHT table builds, huffman
+    entropy decode with destuffing + restarts, dequantize + IDCT, chroma
+    upsample, YCbCr→RGB — see :func:`decode_jpeg_baseline`). Features are
+    ``dim`` segment-means of the normalized signal (grayscale pixels
+    scanned top-down row-major for images; channel-averaged frames for
+    WAV), so the output is value-hashable. MP3/video and progressive JPEG
+    raise NotImplementedError — the narrowed seam where PIL/ffmpeg plug in
+    (perceptual audio coding genuinely needs them)."""
     if decode not in ("fake", "strict"):
         raise ValueError("decode must be 'fake' or 'strict'")
 
     pruned = df.select(id_col, payload)  # never carry unneeded columns
     magic = dict(MAGIC)
     out_columns = [f.name for f in FEATURE_SCHEMA.fields]
+    # locally-defined (factory-built) function => cloudpickle serializes it
+    # by VALUE, like the nested codecs below — hostile-cwd-safe on workers
+    jpeg_decode = _jpeg_codec()[1]
 
     # NOTE: the worker closure must be self-contained — module-level
     # *functions* referenced here would be pickled by reference and the
@@ -300,6 +307,14 @@ def decode_features(
                         )
             return height, width, segment_means(gray, dim)
 
+        def strict_jpeg(data: bytes):
+            height, width, mode, px = jpeg_decode(data)
+            if mode == "gray":
+                gray = [v / 255.0 for v in px]
+            else:
+                gray = [(r + g + b) / 3.0 / 255.0 for (r, g, b) in px]
+            return height, width, segment_means(gray, dim)
+
         def strict_decode(data: bytes):
             if data[:2] == b"BM":
                 return strict_bmp(data)
@@ -307,10 +322,12 @@ def decode_features(
                 return strict_wav(data)
             if data[:8] == b"\x89PNG\r\n\x1a\n":
                 return strict_png(data)
+            if data[:2] == b"\xff\xd8":
+                return strict_jpeg(data)
             raise NotImplementedError(
-                f"strict decode handles uncompressed BMP, PCM WAV and 8-bit "
-                f"PNG; {data[:4]!r} needs an entropy codec (PIL/ffmpeg) — "
-                f"plug in here"
+                f"strict decode handles uncompressed BMP, PCM WAV, 8-bit "
+                f"PNG and baseline JPEG; {data[:4]!r} needs an entropy "
+                f"codec (ffmpeg for MP3/video) — plug in here"
             )
 
         for pdf in it:
@@ -447,6 +464,628 @@ def make_png_rgb8(
         + chunk(b"IDAT", zlib.compress(bytes(scan)))
         + chunk(b"IEND", b"")
     )
+
+
+def _jpeg_codec():
+    """Build the baseline-JPEG (ITU-T T.81) encoder/decoder pair.
+
+    Both are returned as LOCAL functions on purpose: cloudpickle serializes
+    locally-defined functions by VALUE (code object + captured tables), so a
+    ``mapInPandas`` closure that captures them keeps working on workers that
+    cannot import this package (the hostile-cwd property every strict codec
+    here preserves). Module-level aliases :func:`make_jpeg_baseline` /
+    :func:`decode_jpeg_baseline` are bound from one factory call below.
+
+    Scope — the honest subset, loudly gated:
+
+    - encode: baseline DCT, 8-bit, grayscale or YCbCr color (4:4:4, or
+      4:2:0 via ``subsample=True``), Annex K default quant + huffman
+      tables, optional restart intervals. Real FDCT, real canonical
+      huffman coding, real byte stuffing.
+    - decode: SOF0/SOF1 sequential huffman streams with any table set the
+      file carries, any sampling factors, restart markers, stuffed bytes.
+      Progressive (SOF2), arithmetic, 12-bit and hierarchical modes raise
+      ``NotImplementedError`` — they are the remaining seam, not a silent
+      wrong answer.
+
+    Exactness anchor (what makes the codec value-hashable end to end): a
+    constant 8x8 block has DC = 8*(v-128) and zero AC, so with a DC quant
+    step that divides 8*(v-128) (e.g. 8) the quantize -> huffman ->
+    dequantize -> IDCT -> round pipeline reproduces v EXACTLY while still
+    exercising every real stage. Non-constant blocks round-trip within
+    ordinary quantization error (property-tested, not hashed)."""
+    import math
+    import struct
+
+    # 8x8 DCT-II basis: M[u][x] = c(u)/2 * cos((2x+1)*u*pi/16), c(0)=1/sqrt2.
+    # FDCT is S = M s Mt, IDCT is s = Mt S M (T.81 A.3.3).
+    M = [
+        [
+            ((math.sqrt(0.5) if u == 0 else 1.0) / 2.0)
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+    # zigzag scan position -> natural (row-major) index, generated by
+    # walking anti-diagonals (T.81 Figure A.6) rather than transcribed
+    ZZ = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2 == 0:
+            diag.reverse()
+        ZZ.extend(r * 8 + c for (r, c) in diag)
+
+    # T.81 Annex K: standard quantization + huffman tables (natural order
+    # for quant; BITS/HUFFVAL pairs for huffman). The chrominance AC table
+    # id reuses the luminance HUFFVAL below — baseline allows any table per
+    # component and it spares a 162-constant transcription; the DECODER
+    # builds whatever tables the file actually carries.
+    K_QUANT_LUM = [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+    K_QUANT_CHR = (
+        [17, 18, 24, 47, 99, 99, 99, 99,
+         18, 21, 26, 66, 99, 99, 99, 99,
+         24, 26, 56, 99, 99, 99, 99, 99,
+         47, 66, 99, 99, 99, 99, 99, 99]
+        + [99] * 32
+    )
+    DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    AC_LUM_VALS = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]
+
+    def build_enc_codes(bits, vals):
+        # canonical huffman: shorter codes first, lexicographic within length
+        enc, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                enc[vals[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        return enc
+
+    # encoder huffman tables are constants — built once per process, not per
+    # image (the chroma AC id deliberately reuses the luminance HUFFVAL)
+    DC_ENC = {
+        0: build_enc_codes(DC_LUM_BITS, DC_VALS),
+        1: build_enc_codes(DC_CHR_BITS, DC_VALS),
+    }
+    AC_ENC = {
+        0: build_enc_codes(AC_LUM_BITS, AC_LUM_VALS),
+        1: build_enc_codes(AC_LUM_BITS, AC_LUM_VALS),
+    }
+
+    # numpy fast path for the two dense transforms (the codec itself — the
+    # marker walk, huffman coding, stuffing — stays hand-rolled stdlib).
+    # Resolved lazily per process so the by-value-pickled closure works on
+    # workers either way; pure-Python loops are the fallback.
+    _np_cell: list = []
+
+    def _np():
+        if not _np_cell:
+            try:
+                import numpy
+
+                _np_cell.append(
+                    (numpy, numpy.array(M, dtype="float64"))
+                )
+            except Exception:
+                _np_cell.append(None)
+        return _np_cell[0]
+
+    def fdct(blk):  # blk: 64 level-shifted ints, row-major [y*8+x]
+        hit = _np()
+        if hit is not None:
+            np, Mnp = hit
+            s = np.asarray(blk, dtype="float64").reshape(8, 8)
+            return (Mnp @ s @ Mnp.T).tolist()
+        tmp = [
+            [sum(M[u][y] * blk[y * 8 + x] for y in range(8)) for x in range(8)]
+            for u in range(8)
+        ]
+        # S[vfreq][hfreq]: natural index vfreq*8+hfreq matches ZZ's r*8+c
+        return [
+            [sum(tmp[u][x] * M[v][x] for x in range(8)) for v in range(8)]
+            for u in range(8)
+        ]
+
+    def idct(C):  # C: 8x8 natural [vfreq][hfreq], dequantized
+        hit = _np()
+        if hit is not None:
+            np, Mnp = hit
+            return (Mnp.T @ np.asarray(C, dtype="float64") @ Mnp).tolist()
+        tmp = [
+            [sum(M[v][y] * C[v][u] for v in range(8)) for u in range(8)]
+            for y in range(8)
+        ]
+        return [
+            [sum(tmp[y][u] * M[u][x] for u in range(8)) for x in range(8)]
+            for y in range(8)
+        ]
+
+    def encode(
+        pixels,
+        width,
+        height,
+        *,
+        quant=None,
+        quant_chroma=None,
+        color=False,
+        subsample=False,
+        restart_interval=0,
+    ):
+        """Serialize pixels into a REAL baseline JFIF JPEG.
+
+        ``pixels``: row-major top-down; ints 0..255 when ``color=False``,
+        ``(r, g, b)`` tuples when True. ``quant``/``quant_chroma``: 64-int
+        natural-order tables (default Annex K). ``subsample=True`` emits
+        4:2:0 (16x16 MCUs, box-averaged chroma); default is 4:4:4.
+        ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+        MCUs. Non-multiple-of-block dimensions are edge-replicated."""
+        if len(pixels) != width * height:
+            raise ValueError("pixels length must be width*height")
+        q_lum = list(quant) if quant is not None else list(K_QUANT_LUM)
+        q_chr = (
+            list(quant_chroma)
+            if quant_chroma is not None
+            else (list(K_QUANT_CHR) if quant_chroma is None and quant is None else q_lum)
+        )
+        for q in (q_lum, q_chr):
+            if len(q) != 64 or any(not (1 <= v <= 255) for v in q):
+                raise ValueError("quant tables need 64 entries in 1..255")
+
+        if color:
+            Y, Cb, Cr = [], [], []
+            for r, g, b in pixels:
+                Y.append(
+                    min(255, max(0, int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)))
+                )
+                Cb.append(
+                    min(255, max(0, int(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)))
+                )
+                Cr.append(
+                    min(255, max(0, int(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)))
+                )
+            hmax = vmax = 2 if subsample else 1
+            if subsample:
+                cw, chh = (width + 1) // 2, (height + 1) // 2
+
+                def shrink(plane):
+                    out = []
+                    for yy in range(chh):
+                        for xx in range(cw):
+                            acc = 0
+                            for dy in (0, 1):
+                                for dx in (0, 1):
+                                    sy = min(2 * yy + dy, height - 1)
+                                    sx = min(2 * xx + dx, width - 1)
+                                    acc += plane[sy * width + sx]
+                            out.append((acc + 2) // 4)
+                    return out
+
+                comps = [
+                    (1, 2, 2, Y, width, height, q_lum, 0),
+                    (2, 1, 1, shrink(Cb), cw, chh, q_chr, 1),
+                    (3, 1, 1, shrink(Cr), cw, chh, q_chr, 1),
+                ]
+            else:
+                comps = [
+                    (1, 1, 1, Y, width, height, q_lum, 0),
+                    (2, 1, 1, Cb, width, height, q_chr, 1),
+                    (3, 1, 1, Cr, width, height, q_chr, 1),
+                ]
+        else:
+            hmax = vmax = 1
+            comps = [(1, 1, 1, list(pixels), width, height, q_lum, 0)]
+
+        dc_enc, ac_enc = DC_ENC, AC_ENC
+
+        out = bytearray()
+        acc = [0, 0]  # pending bits: value, count
+
+        def put(code, ln):
+            acc[0] = (acc[0] << ln) | (code & ((1 << ln) - 1))
+            acc[1] += ln
+            while acc[1] >= 8:
+                acc[1] -= 8
+                byte = (acc[0] >> acc[1]) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:  # byte stuffing
+                    out.append(0x00)
+            acc[0] &= (1 << acc[1]) - 1
+
+        def align():
+            if acc[1]:
+                put((1 << (8 - acc[1])) - 1, 8 - acc[1])  # pad with 1s
+
+        def block_at(plane, pw, ph, x0, y0):
+            return [
+                plane[min(y0 + dy, ph - 1) * pw + min(x0 + dx, pw - 1)] - 128
+                for dy in range(8)
+                for dx in range(8)
+            ]
+
+        def quantize(S, q):
+            zz = []
+            for k in range(64):
+                nat = ZZ[k]
+                v = S[nat // 8][nat % 8] / q[nat]
+                zz.append(
+                    int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+                )
+            return zz
+
+        def category(v):
+            return (v if v > 0 else -v).bit_length()
+
+        def encode_block(zz, pred, dc_codes, ac_codes):
+            diff = zz[0] - pred
+            sz = category(diff)
+            code, ln = dc_codes[sz]
+            put(code, ln)
+            if sz:
+                put(diff if diff > 0 else diff + (1 << sz) - 1, sz)
+            last = 0
+            for k in range(63, 0, -1):
+                if zz[k]:
+                    last = k
+                    break
+            run = 0
+            for k in range(1, last + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, l = ac_codes[0xF0]  # ZRL: sixteen zeros
+                    put(c, l)
+                    run -= 16
+                sz = category(v)
+                c, l = ac_codes[(run << 4) | sz]
+                put(c, l)
+                put(v if v > 0 else v + (1 << sz) - 1, sz)
+                run = 0
+            if last < 63:
+                c, l = ac_codes[0x00]  # EOB
+                put(c, l)
+            return zz[0]
+
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
+        preds = [0] * len(comps)
+        mcu_index, rst = 0, 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                    align()
+                    out += bytes((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) % 8
+                    preds = [0] * len(comps)
+                for ci, (cid, ch, cv, plane, pw, ph, q, tid) in enumerate(comps):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = block_at(
+                                plane, pw, ph, (mx * ch + bx) * 8, (my * cv + by) * 8
+                            )
+                            preds[ci] = encode_block(
+                                quantize(fdct(blk), q), preds[ci],
+                                dc_enc[tid], ac_enc[tid],
+                            )
+                mcu_index += 1
+        align()
+
+        def seg(marker, body):
+            return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + bytes(body)
+
+        head = bytearray(b"\xff\xd8")
+        head += seg(
+            0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+        )
+        head += seg(0xDB, bytes([0x00]) + bytes(q_lum[ZZ[k]] for k in range(64)))
+        if color:
+            head += seg(0xDB, bytes([0x01]) + bytes(q_chr[ZZ[k]] for k in range(64)))
+        sof = bytearray(struct.pack(">BHHB", 8, height, width, len(comps)))
+        for cid, ch, cv, _pl, _pw, _ph, _q, tid in comps:
+            sof += bytes((cid, (ch << 4) | cv, tid))
+        head += seg(0xC0, sof)
+        head += seg(0xC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_VALS))
+        head += seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+        if color:
+            head += seg(0xC4, bytes([0x01]) + bytes(DC_CHR_BITS) + bytes(DC_VALS))
+            head += seg(0xC4, bytes([0x11]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+        if restart_interval:
+            head += seg(0xDD, struct.pack(">H", restart_interval))
+        sos = bytearray([len(comps)])
+        for cid, _ch, _cv, _pl, _pw, _ph, _q, tid in comps:
+            sos += bytes((cid, (tid << 4) | tid))
+        sos += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0 (baseline)
+        head += seg(0xDA, sos)
+        return bytes(head) + bytes(out) + b"\xff\xd9"
+
+    def decode(data):
+        """Decode a baseline (SOF0/SOF1) JPEG with stdlib alone: marker
+        walk, DQT/DHT table builds (zigzag quant order, canonical huffman),
+        huffman entropy decode with byte-destuffing and restart handling,
+        dequantize + IDCT, replication chroma upsample, YCbCr->RGB.
+
+        Returns ``(height, width, mode, pixels)`` with mode ``'gray'``
+        (pixels: ints) or ``'rgb'`` (pixels: tuples), row-major top-down.
+        Progressive (SOF2) / arithmetic / lossless / 12-bit streams raise
+        NotImplementedError."""
+        if data[:2] != b"\xff\xd8":
+            raise ValueError("bad JPEG SOI marker")
+        pos = 2
+        qtabs: dict = {}
+        htabs: dict = {}
+        frame = None
+        restart_interval = 0
+        result = None
+        while pos < len(data) - 1:
+            if data[pos] != 0xFF:
+                raise ValueError(f"expected marker at byte {pos}")
+            while pos < len(data) and data[pos] == 0xFF:
+                pos += 1  # fill bytes
+            m = data[pos]
+            pos += 1
+            if m == 0xD9:  # EOI
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST: no body
+                continue
+            ln = struct.unpack_from(">H", data, pos)[0]
+            body = data[pos + 2 : pos + ln]
+            pos += ln
+            if m == 0xDB:  # DQT (possibly several tables per segment)
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0x0F
+                    i += 1
+                    if pq != 0:
+                        raise NotImplementedError("16-bit quant tables unsupported")
+                    tab = [0] * 64
+                    for k in range(64):
+                        tab[ZZ[k]] = body[i + k]
+                    qtabs[tq] = tab
+                    i += 64
+            elif m == 0xC4:  # DHT (possibly several tables per segment)
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    i += 1
+                    bits = list(body[i : i + 16])
+                    i += 16
+                    n = sum(bits)
+                    vals = list(body[i : i + n])
+                    i += n
+                    dec, code, k = {}, 0, 0
+                    for l in range(1, 17):
+                        for _ in range(bits[l - 1]):
+                            dec[(l, code)] = vals[k]
+                            k += 1
+                            code += 1
+                        code <<= 1
+                    htabs[(tc, th)] = dec
+            elif m in (0xC0, 0xC1):  # baseline / extended sequential huffman
+                prec, fh, fw, nf = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8:
+                    raise NotImplementedError(f"{prec}-bit precision unsupported")
+                comps = []
+                for c in range(nf):
+                    cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                    comps.append([cid, hv >> 4, hv & 0x0F, tq])
+                frame = (fh, fw, comps)
+            elif m == 0xC2:
+                raise NotImplementedError(
+                    "progressive JPEG (SOF2) needs an entropy codec with "
+                    "spectral-selection passes — plug in PIL here"
+                )
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"JPEG SOF{m - 0xC0} (lossless/arithmetic/hierarchical) unsupported"
+                )
+            elif m == 0xDD:  # DRI
+                restart_interval = struct.unpack_from(">H", body, 0)[0]
+            elif m == 0xDA:  # SOS: entropy-coded scan follows the header
+                if frame is None:
+                    raise ValueError("SOS before SOF")
+                fh, fw, comps = frame
+                ns = body[0]
+                scan = []
+                for c in range(ns):
+                    cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                    fc = next(x for x in comps if x[0] == cs)
+                    scan.append((fc, tdta >> 4, tdta & 0x0F))
+                if bytes(body[1 + 2 * ns : 4 + 2 * ns]) != b"\x00\x3f\x00":
+                    raise NotImplementedError(
+                        "non-baseline spectral selection in SOS"
+                    )
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-fw // (8 * hmax))
+                mcuy = -(-fh // (8 * vmax))
+                planes = []
+                for (cid, ch, cv, tq), _td, _ta in scan:
+                    pw, ph = mcux * ch * 8, mcuy * cv * 8
+                    planes.append(bytearray(pw * ph))
+
+                bp = [pos, 0, 0]  # byte position, bit buffer, bits left
+
+                def read_bit():
+                    if bp[2] == 0:
+                        b = data[bp[0]]
+                        bp[0] += 1
+                        if b == 0xFF:
+                            if data[bp[0]] == 0x00:
+                                bp[0] += 1  # stuffed byte
+                            else:
+                                raise ValueError("marker inside entropy data")
+                        bp[1] = b
+                        bp[2] = 8
+                    bp[2] -= 1
+                    return (bp[1] >> bp[2]) & 1
+
+                def receive(n):
+                    v = 0
+                    for _ in range(n):
+                        v = (v << 1) | read_bit()
+                    return v
+
+                def extend(v, n):
+                    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+                def huff_decode(tab):
+                    code, l = 0, 0
+                    while l < 16:
+                        code = (code << 1) | read_bit()
+                        l += 1
+                        sym = tab.get((l, code))
+                        if sym is not None:
+                            return sym
+                    raise ValueError("invalid huffman code in scan")
+
+                def sync_restart():
+                    bp[2] = 0  # discard pad bits to the byte boundary
+                    p = bp[0]
+                    while data[p] == 0xFF and data[p + 1] == 0xFF:
+                        p += 1
+                    if data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7):
+                        raise ValueError("expected restart marker")
+                    bp[0] = p + 2
+
+                preds = [0] * ns
+                for mcu in range(mcux * mcuy):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        sync_restart()
+                        preds = [0] * ns
+                    my, mx = divmod(mcu, mcux)
+                    for si, ((cid, ch, cv, tq), td, ta) in enumerate(scan):
+                        dct = htabs.get((0, td))
+                        act = htabs.get((1, ta))
+                        q = qtabs.get(tq)
+                        if dct is None or act is None or q is None:
+                            raise ValueError("scan references missing DHT/DQT table")
+                        pw = mcux * ch * 8
+                        for by in range(cv):
+                            for bx in range(ch):
+                                sz = huff_decode(dct)
+                                preds[si] += extend(receive(sz), sz)
+                                coef = [[0.0] * 8 for _ in range(8)]
+                                coef[0][0] = preds[si] * q[0]
+                                n_ac = 0
+                                k = 1
+                                while k < 64:
+                                    rs = huff_decode(act)
+                                    r, s2 = rs >> 4, rs & 0x0F
+                                    if s2 == 0:
+                                        if r == 15:
+                                            k += 16  # ZRL
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("AC index overrun")
+                                    nat = ZZ[k]
+                                    coef[nat // 8][nat % 8] = (
+                                        extend(receive(s2), s2) * q[nat]
+                                    )
+                                    n_ac += 1
+                                    k += 1
+                                if n_ac == 0:
+                                    # DC-only block: s(x,y) = DC/8 everywhere
+                                    # (the classic libjpeg shortcut — the full
+                                    # IDCT is exercised whenever any AC term
+                                    # survives quantization)
+                                    flat = coef[0][0] * 0.125
+                                    spatial = [[flat] * 8 for _ in range(8)]
+                                else:
+                                    spatial = idct(coef)
+                                x0 = (mx * ch + bx) * 8
+                                y0 = (my * cv + by) * 8
+                                pl = planes[si]
+                                for yy in range(8):
+                                    base = (y0 + yy) * pw + x0
+                                    row = spatial[yy]
+                                    for xx in range(8):
+                                        v = int(math.floor(row[xx] + 128.5))
+                                        pl[base + xx] = 0 if v < 0 else (255 if v > 255 else v)
+                pos = bp[0]
+                if ns == 1:
+                    pw = mcux * scan[0][0][1] * 8
+                    pl = planes[0]
+                    pixels = [
+                        pl[y * pw + x] for y in range(fh) for x in range(fw)
+                    ]
+                    result = (fh, fw, "gray", pixels)
+                elif ns == 3:
+                    pws = [mcux * sc[0][1] * 8 for sc in scan]
+                    pixels = []
+                    for y in range(fh):
+                        for x in range(fw):
+                            smp = [
+                                planes[i][
+                                    (y * scan[i][0][2] // vmax) * pws[i]
+                                    + (x * scan[i][0][1] // hmax)
+                                ]
+                                for i in range(3)
+                            ]
+                            yv, cb, cr = smp
+                            r = int(math.floor(yv + 1.402 * (cr - 128) + 0.5))
+                            g = int(
+                                math.floor(
+                                    yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+                                )
+                            )
+                            b = int(math.floor(yv + 1.772 * (cb - 128) + 0.5))
+                            pixels.append(
+                                tuple(0 if v < 0 else (255 if v > 255 else v) for v in (r, g, b))
+                            )
+                    result = (fh, fw, "rgb", pixels)
+                else:
+                    raise NotImplementedError(f"{ns}-component JPEG unsupported")
+            # other markers (APPn, COM, DNL): skipped via their length
+        if result is None:
+            raise ValueError("JPEG has no decoded scan")
+        return result
+
+    return encode, decode
+
+
+#: baseline JPEG codec, built once; locally-defined functions so closures
+#: that capture them pickle BY VALUE (hostile-cwd-safe on workers)
+make_jpeg_baseline, decode_jpeg_baseline = _jpeg_codec()
 
 
 def frame_sample(

@@ -5268,6 +5268,110 @@ def mm_strict_decode(spark, sf_dir):
     )
 
 
+@register(
+    "mm_jpeg_decode",
+    headline=True,
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 4), 1, 4) AS t
+               FROM documents)
+    SELECT doc_id,
+           'image/jpeg' AS media_type,
+           CAST(16 AS INTEGER) AS height,
+           CAST(16 AS INTEGER) AS width,
+           CAST(ascii(substr(t, 1, 1)) AS INTEGER) AS b0,
+           CAST(ascii(substr(t, 2, 1)) AS INTEGER) AS b1,
+           CAST(ascii(substr(t, 3, 1)) AS INTEGER) AS b2,
+           CAST(ascii(substr(t, 4, 1)) AS INTEGER) AS b3,
+           TRUE AS uniform
+    FROM b
+    """,
+)
+def mm_jpeg_decode(spark, sf_dir):
+    """The strict BASELINE-JPEG codec VALUE-hashed end to end (round 5 —
+    VERDICT r4 'What's missing' #2 narrows to MP3/progressive): four text
+    bytes become a 16×16 grayscale mosaic of constant 8×8 blocks, encoded
+    worker-side into a REAL baseline JFIF JPEG (real FDCT, Annex K huffman
+    tables, canonical-code entropy writing, byte stuffing) with DC quant
+    step 8 — chosen so DC = 8·(pixel−128) quantizes LOSSLESSLY and the
+    decode (marker walk, DHT/DQT builds, huffman decode, dequantize, full
+    IDCT, rounding) reproduces every pixel exactly. dim=32 segment-means
+    then make each feature one half-row: feature i = the constant value of
+    block (i//16)*2 + (i%2). The output compresses that back to the four
+    recovered block bytes b0..b3 plus a ``uniform`` flag asserting ALL 32
+    features match their block's value (computed as an array expression —
+    one wrong feature anywhere flips the flag and the hash), so the oracle
+    recomputes the whole pipeline from the text bytes alone while the
+    compared result stays one row per document (the first cut exploded
+    32 rows/doc and the driver-side collect dwarfed the codec). The hash
+    only matches if MCU raster order, DC prediction, amplitude coding and
+    the IDCT scale are all exactly right. Both sides project to printable
+    ASCII first (engine slices UTF-8 bytes, the oracle characters). The
+    encoder function is captured from its factory (cloudpickle pickles
+    locals BY VALUE), keeping the entry hostile-cwd-safe."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    enc = multimodal._jpeg_codec()[0]  # factory-local => pickled by value
+
+    def build(it):
+        import pandas as _pd
+
+        quant = [8] + [16] * 63
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                vals = (((t or "").encode("utf-8")) + b"x" * 4)[:4]
+                px = [
+                    vals[(y // 8) * 2 + (x // 8)]
+                    for y in range(16)
+                    for x in range(16)
+                ]
+                out.append(
+                    {"doc_id": i, "payload": enc(px, 16, 16, quant=quant)}
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    # the codec is CPU-bound Python: spread the docs across cores before the
+    # map stages (the small-SF parquet arrives as one input split; at 100 TB
+    # the file index would already provide the splits)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    payloads = docs.mapInPandas(build, out_schema)
+    feats = multimodal.decode_features(payloads, dim=32, decode="strict")
+    block_val = "CAST(round(element_at(features, {k}) * 255) AS INT)"
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "height",
+        "width",
+        F.expr(block_val.format(k=1)).alias("b0"),
+        F.expr(block_val.format(k=2)).alias("b1"),
+        F.expr(block_val.format(k=17)).alias("b2"),
+        F.expr(block_val.format(k=18)).alias("b3"),
+        F.expr(
+            "forall(transform(features, (f, i) -> "
+            "  CAST(round(f * 255) AS INT) = element_at("
+            "    array({b0}, {b1}, {b2}, {b3}),"
+            "    CAST((i div 16) * 2 + (i % 2) + 1 AS INT))"
+            "), x -> x)".format(
+                b0=block_val.format(k=1),
+                b1=block_val.format(k=2),
+                b2=block_val.format(k=17),
+                b3=block_val.format(k=18),
+            )
+        ).alias("uniform"),
+    )
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i
