@@ -5147,8 +5147,9 @@ def mm_strict_decode(spark, sf_dir):
     scanline defiltering) is exactly right. Text is projected to printable
     ASCII on BOTH sides before byte/char slicing (round-4 ADVICE: the
     engine slices UTF-8 bytes, the oracle characters — identical only
-    under ASCII, now enforced rather than assumed). JPEG/MP3 remain the
-    entropy-codec seam."""
+    under ASCII, now enforced rather than assumed). Baseline JPEG decodes
+    for real too (`mm_jpeg_decode`); MP3/progressive-JPEG remain the
+    codec seam."""
     from pyspark.sql import types as TT
 
     docs = _t(spark, sf_dir, "documents").select(

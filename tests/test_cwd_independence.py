@@ -20,12 +20,15 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # The four entries whose plans ship module-referencing classes to fresh
-# Python workers (Data-Source read/write legs + polymorphic UDTF).
+# Python workers (Data-Source read/write legs + polymorphic UDTF), plus the
+# strict-JPEG entry, which takes the OTHER route: factory-local codec
+# functions pickled by value (no package import needed on workers at all).
 WORKER_IMPORT_ENTRIES = [
     "s5_s6_connector_feeds",
     "s7_pyds_sink_roundtrip",
     "s11_jsonl_pushdown_read",
     "u6_polymorphic_udtf",
+    "mm_jpeg_decode",
 ]
 
 
