@@ -11,10 +11,10 @@ provides:
   batching and partitioning. ``decode=\"fake\"`` produces deterministic
   features from the bytes; ``decode=\"strict\"`` is a REAL stdlib codec for
   uncompressed BMP, PCM WAV, 8-bit PNG (zlib inflate + the five scanline
-  filters) and baseline JPEG (canonical huffman + IDCT), and raises
-  NotImplementedError only for formats that genuinely need a codec library
-  (MP3/video, progressive JPEG) — the marked integration point for
-  PIL/ffmpeg.
+  filters), baseline JPEG (canonical huffman + IDCT) and GIF (variable-
+  width LZW), and raises NotImplementedError only for formats that
+  genuinely need a codec library (MP3/video, progressive JPEG) — the
+  marked integration point for PIL/ffmpeg.
 
 Scale notes: payload columns make rows wide — the operators here never
 shuffle the binary column (metadata is projected out first; Parquet column
@@ -37,6 +37,7 @@ MAGIC = {
     "FFD8FFE0": "image/jpeg",
     "52494646": "audio/wav",  # RIFF
     "1A45DFA3": "video/webm",
+    "47494638": "image/gif",  # 'GIF8' (87a/89a)
     "424D": "image/bmp",  # 'BM' — the 2-byte signature
 }
 
@@ -94,14 +95,16 @@ def decode_features(
     ``decode='fake'``: deterministic sha256-derived features (the
     oracle-matchable carrier for plumbing checks).
 
-    ``decode='strict'``: a REAL stdlib-only codec for four container
+    ``decode='strict'``: a REAL stdlib-only codec for five container
     formats — uncompressed 24-bpp BMP (BITMAPINFOHEADER, bottom-up rows,
     BGR byte order, 4-byte row padding), 8/16-bit PCM WAV (RIFF chunk
     walk), 8-bit non-interlaced PNG (CRC-checked chunk walk, zlib inflate
     of concatenated IDATs, None/Sub/Up/Average/Paeth scanline defiltering;
-    color types 0/2/4/6), and baseline JPEG (DQT/DHT table builds, huffman
+    color types 0/2/4/6), baseline JPEG (DQT/DHT table builds, huffman
     entropy decode with destuffing + restarts, dequantize + IDCT, chroma
-    upsample, YCbCr→RGB — see :func:`decode_jpeg_baseline`). Features are
+    upsample, YCbCr→RGB — see :func:`decode_jpeg_baseline`), and GIF87a/
+    89a (variable-width LZW, palettes, de-interlace — see
+    :func:`decode_gif`). Features are
     ``dim`` segment-means of the normalized signal (grayscale pixels
     scanned top-down row-major for images; channel-averaged frames for
     WAV), so the output is value-hashable. MP3/video and progressive JPEG
@@ -113,9 +116,11 @@ def decode_features(
     pruned = df.select(id_col, payload)  # never carry unneeded columns
     magic = dict(MAGIC)
     out_columns = [f.name for f in FEATURE_SCHEMA.fields]
-    # locally-defined (factory-built) function => cloudpickle serializes it
-    # by VALUE, like the nested codecs below — hostile-cwd-safe on workers
+    # locally-defined (factory-built) functions => cloudpickle serializes
+    # them by VALUE, like the nested codecs below — hostile-cwd-safe on
+    # workers
     jpeg_decode = _jpeg_codec()[1]
+    gif_decode = _gif_codec()[1]
 
     # NOTE: the worker closure must be self-contained — module-level
     # *functions* referenced here would be pickled by reference and the
@@ -315,6 +320,11 @@ def decode_features(
                 gray = [(r + g + b) / 3.0 / 255.0 for (r, g, b) in px]
             return height, width, segment_means(gray, dim)
 
+        def strict_gif(data: bytes):
+            height, width, _mode, px = gif_decode(data)
+            gray = [(r + g + b) / 3.0 / 255.0 for (r, g, b) in px]
+            return height, width, segment_means(gray, dim)
+
         def strict_decode(data: bytes):
             if data[:2] == b"BM":
                 return strict_bmp(data)
@@ -324,9 +334,11 @@ def decode_features(
                 return strict_png(data)
             if data[:2] == b"\xff\xd8":
                 return strict_jpeg(data)
+            if data[:4] == b"GIF8":
+                return strict_gif(data)
             raise NotImplementedError(
                 f"strict decode handles uncompressed BMP, PCM WAV, 8-bit "
-                f"PNG and baseline JPEG; {data[:4]!r} needs an entropy "
+                f"PNG, baseline JPEG and GIF; {data[:4]!r} needs an entropy "
                 f"codec (ffmpeg for MP3/video) — plug in here"
             )
 
@@ -1086,6 +1098,231 @@ def _jpeg_codec():
 #: baseline JPEG codec, built once; locally-defined functions so closures
 #: that capture them pickle BY VALUE (hostile-cwd-safe on workers)
 make_jpeg_baseline, decode_jpeg_baseline = _jpeg_codec()
+
+
+def _gif_codec():
+    """Build the GIF87a/89a encoder/decoder pair (same factory-local
+    by-value-pickling contract as :func:`_jpeg_codec`).
+
+    - encode: real variable-width LZW (dict growth 9→12 bits, clear-code
+      reset at 4096), power-of-two palette built from the distinct colors
+      (≤256), optional Adam-style 4-pass interlace, 255-byte sub-block
+      packing.
+    - decode: logical-screen + image descriptors, global/local color
+      tables, extension-block skipping (GCE/comment/application), LZW
+      decompression including the KwKwK case and mid-stream clear codes,
+      4-pass de-interlace. First image frame only (animation frames after
+      the first are ignored — documented, loud in the docstring rather
+      than silently wrong).
+
+    GIF is lossless, so unlike JPEG the WHOLE pixel surface value-hashes
+    for arbitrary content."""
+    import struct
+
+    INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
+
+    def _interlaced_row_order(height):
+        return [y for start, step in INTERLACE_PASSES for y in range(start, height, step)]
+
+    def encode(pixels, width, height, *, interlace=False):
+        """Serialize (r, g, b) pixel tuples (row-major top-down) into a
+        real GIF89a: auto-built palette (≤256 distinct colors), LZW-packed
+        index stream, optional interlace."""
+        if len(pixels) != width * height:
+            raise ValueError("pixels length must be width*height")
+        palette = sorted(set(pixels))
+        if len(palette) > 256:
+            raise ValueError("GIF needs <=256 distinct colors")
+        index_of = {c: i for i, c in enumerate(palette)}
+        bits = 1
+        while (1 << bits) < len(palette):
+            bits += 1
+        bits = max(bits, 1)
+        table_size = 1 << bits
+        min_code = max(2, bits)
+
+        rows = range(height) if not interlace else _interlaced_row_order(height)
+        idx = [
+            index_of[pixels[y * width + x]] for y in rows for x in range(width)
+        ]
+
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        out_bits = bytearray()
+        acc = [0, 0]  # value, bit count (LSB-first packing)
+
+        def put(code, w):
+            acc[0] |= code << acc[1]
+            acc[1] += w
+            while acc[1] >= 8:
+                out_bits.append(acc[0] & 0xFF)
+                acc[0] >>= 8
+                acc[1] -= 8
+
+        def fresh_dict():
+            return {(i,): i for i in range(table_size)}
+
+        width_bits = min_code + 1
+        table = fresh_dict()
+        nxt = eoi + 1
+        put(clear, width_bits)
+        w = (idx[0],)
+        for k in idx[1:]:
+            wk = w + (k,)
+            if wk in table:
+                w = wk
+                continue
+            put(table[w], width_bits)
+            table[wk] = nxt
+            nxt += 1
+            # the decoder widens AFTER adding its (one-behind) entry when
+            # its next == 1<<width; mirroring that here keeps both sides
+            # reading/writing the same code width at every position
+            if nxt == (1 << width_bits) + 1 and width_bits < 12:
+                width_bits += 1
+            if nxt > 4095:
+                put(clear, width_bits)
+                table = fresh_dict()
+                nxt = eoi + 1
+                width_bits = min_code + 1
+            w = (k,)
+        put(table[w], width_bits)
+        put(eoi, width_bits)
+        if acc[1]:
+            out_bits.append(acc[0] & 0xFF)
+
+        head = bytearray(b"GIF89a")
+        # logical screen: global color table, colour resolution bits
+        head += struct.pack("<HHBBB", width, height, 0x80 | ((bits - 1) & 7) << 4 | (bits - 1), 0, 0)
+        for c in palette:
+            head += bytes(c)
+        head += b"\x00\x00\x00" * (table_size - len(palette))
+        head += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+        )
+        head += bytes([min_code])
+        for i in range(0, len(out_bits), 255):
+            chunk = out_bits[i : i + 255]
+            head += bytes([len(chunk)]) + bytes(chunk)
+        head += b"\x00\x3b"  # block terminator + trailer
+        return bytes(head)
+
+    def decode(data):
+        """Decode a GIF87a/89a (first frame): returns
+        ``(height, width, 'rgb', pixels)`` row-major top-down."""
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("bad GIF signature")
+        sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+        pos = 13
+        global_pal = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            global_pal = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+            pos += 3 * n
+        while pos < len(data):
+            b = data[pos]
+            pos += 1
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while pos < len(data) and data[pos] != 0:
+                    pos += 1 + data[pos]
+                if pos >= len(data):
+                    raise ValueError("GIF truncated inside extension block")
+                pos += 1
+                continue
+            if b != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{b:02x}")
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            pal = global_pal
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            interlaced = bool(iflags & 0x40)
+            if pos >= len(data):
+                raise ValueError("GIF truncated before LZW data")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                if pos + 1 + ln > len(data):
+                    raise ValueError("GIF truncated inside a data sub-block")
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if pos >= len(data):
+                raise ValueError("GIF truncated before block terminator")
+            pos += 1
+
+            clear, eoi = 1 << min_code, (1 << min_code) + 1
+            width_bits = min_code + 1
+            bitpos = 0
+            total_bits = len(lzw) * 8
+
+            def read_code():
+                nonlocal bitpos
+                if bitpos + width_bits > total_bits:
+                    raise ValueError("GIF LZW stream truncated")
+                v = 0
+                for i in range(width_bits):
+                    byte = lzw[(bitpos + i) >> 3]
+                    v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+                bitpos += width_bits
+                return v
+
+            base = {i: (i,) for i in range(1 << min_code)}
+            table = dict(base)
+            nxt = eoi + 1
+            out: list = []
+            prev = None
+            while True:
+                c = read_code()
+                if c == clear:
+                    table = dict(base)
+                    nxt = eoi + 1
+                    width_bits = min_code + 1
+                    prev = None
+                    continue
+                if c == eoi:
+                    break
+                if prev is None:
+                    entry = table[c]
+                elif c < nxt:
+                    entry = table[c]
+                elif c == nxt:
+                    entry = prev + (prev[0],)  # the KwKwK case
+                else:
+                    raise ValueError("GIF LZW code out of range")
+                out.extend(entry)
+                if prev is not None and nxt < 4096:
+                    table[nxt] = prev + (entry[0],)
+                    nxt += 1
+                    if nxt == (1 << width_bits) and width_bits < 12:
+                        width_bits += 1
+                prev = entry
+                if len(out) >= w * h:
+                    break
+            if len(out) < w * h:
+                raise ValueError("GIF pixel data incomplete")
+            out = out[: w * h]
+            if interlaced:
+                ordered = [None] * (w * h)
+                for file_row, y in enumerate(_interlaced_row_order(h)):
+                    ordered[y * w : (y + 1) * w] = out[file_row * w : (file_row + 1) * w]
+                out = ordered
+            pixels = [pal[i] for i in out]
+            return h, w, "rgb", pixels
+        raise ValueError("GIF has no image block")
+
+    return encode, decode
+
+
+#: GIF codec, built once (same by-value pickling contract as JPEG)
+make_gif, decode_gif = _gif_codec()
 
 
 def frame_sample(

@@ -1354,6 +1354,7 @@ def r4_evaluate_response(spark, sf_dir):
                 WHEN substr(hex(payload), 1, 8) = 'FFD8FFE0' THEN 'image/jpeg'
                 WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'audio/wav'
                 WHEN substr(hex(payload), 1, 8) = '1A45DFA3' THEN 'video/webm'
+                WHEN substr(hex(payload), 1, 8) = '47494638' THEN 'image/gif'
                 WHEN substr(hex(payload), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type
     FROM payloads
@@ -1398,6 +1399,7 @@ def mm_binary_stats(spark, sf_dir):
                 -- magic (1A 45 DF A3 is valid UTF-8) or 'BM': mirror ALL
                 -- of sniff_media_type's prefixes, not just the synthesized
                 WHEN substr(hex(payload), 1, 8) = '1A45DFA3' THEN 'video/webm'
+                WHEN substr(hex(payload), 1, 8) = '47494638' THEN 'image/gif'
                 WHEN substr(hex(payload), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type,
            md5(hex(payload)) AS digest
@@ -5066,7 +5068,13 @@ def pl_rag_index_e2e(spark, sf_dir):
                       octet_length(encode(text)) AS nb
                FROM documents)
     SELECT doc_id,
-           'application/octet-stream' AS media_type,
+           CASE WHEN substr(hex(encode(text)), 1, 8) = '89504E47' THEN 'image/png'
+                WHEN substr(hex(encode(text)), 1, 8) = 'FFD8FFE0' THEN 'image/jpeg'
+                WHEN substr(hex(encode(text)), 1, 8) = '52494646' THEN 'audio/wav'
+                WHEN substr(hex(encode(text)), 1, 8) = '1A45DFA3' THEN 'video/webm'
+                WHEN substr(hex(encode(text)), 1, 8) = '47494638' THEN 'image/gif'
+                WHEN substr(hex(encode(text)), 1, 4) = '424D'     THEN 'image/bmp'
+                ELSE 'application/octet-stream' END AS media_type,
            CAST(CASE WHEN nb = 0 THEN 1
                      ELSE 1 + ascii(substr(text, 1, 1)) % 64 END AS INTEGER)
              AS height,
@@ -5086,11 +5094,12 @@ def mm_decode_oracle(spark, sf_dir):
     exploded to scalar rows. The oracle mirrors the sha256-derived feature
     math exactly (4-byte ints / 2^31 - 1 are all exactly representable
     doubles — no rounding-order concern) and the height/width byte rules
-    (ascii == first byte on this ASCII corpus). media_type is the
-    octet-stream constant: ASCII text cannot carry a binary magic prefix,
-    while the Spark side still computes the sniff genuinely. The strict
-    branch stays the marked NotImplementedError seam; mm_decode_features
-    keeps the rows-only row for the 500-doc default shape."""
+    (ascii == first byte on this ASCII corpus). media_type mirrors the
+    FULL sniff prefix table on the text octets (round 5: several magics —
+    'BM', 'GIF8', 'RIFF' — are pure ASCII, so text payloads CAN carry
+    them; the old octet-stream constant was corpus-dependent).
+    mm_decode_features keeps the rows-only row for the 500-doc default
+    shape."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     feats = multimodal.decode_features(
         multimodal.attach_binary(docs), dim=8
@@ -5370,6 +5379,76 @@ def mm_jpeg_decode(spark, sf_dir):
                 b3=block_val.format(k=18),
             )
         ).alias("uniform"),
+    )
+
+
+@register(
+    "mm_gif_decode",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 12), 1, 12) AS t
+               FROM documents)
+    SELECT doc_id,
+           'image/gif' AS media_type,
+           CAST(4 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS width,
+           CAST(i AS INTEGER) AS i,
+           CAST(ascii(substr(t, CAST(i + 1 AS INT), 1)) / 255.0 AS REAL)
+             AS val
+    FROM b, unnest(range(0, 12)) AS u(i)
+    """,
+)
+def mm_gif_decode(spark, sf_dir):
+    """The strict GIF codec VALUE-hashed end to end — and because GIF is
+    LOSSLESS, the hash covers ARBITRARY pixels, not JPEG's constant-block
+    subset: 12 text bytes become a 3×4 grayscale-palette image, LZW-packed
+    into a real GIF89a worker-side (variable-width codes, palette build,
+    sub-block packing) and strict-decoded back (LZW including the KwKwK
+    case, de-interlace). Odd doc_ids write INTERLACED files — for height 4
+    the file row order is [0,2,1,3], so a wrong de-interlace flips those
+    docs' hashes while the expected output (and the oracle) is identical
+    for both parities. dim=12 segment-means are per-pixel; gray of an
+    (v,v,v) palette entry is exactly v/255 ((3v)/3.0 is exact in IEEE).
+    Oracle recomputes from the ASCII-projected text bytes. Codec functions
+    are factory-locals pickled BY VALUE (hostile-cwd-safe)."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    genc = multimodal._gif_codec()[0]  # factory-local => pickled by value
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                vals = (((t or "").encode("utf-8")) + b"x" * 12)[:12]
+                px = [(v, v, v) for v in vals]
+                out.append(
+                    {
+                        "doc_id": i,
+                        "payload": genc(px, 3, 4, interlace=bool(i % 2)),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    feats = multimodal.decode_features(payloads, dim=12, decode="strict")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "height",
+        "width",
+        F.posexplode("features").alias("i", "val"),
     )
 
 

@@ -606,6 +606,87 @@ def test_strict_decode_jpeg_via_spark(spark):
     assert row.features == pytest.approx([v / 255.0 for v in px], abs=1e-6)
 
 
+# ---------------------------------------------------------------------------
+# STRICT GIF codec (round 5): real variable-width LZW. Lossless, so every
+# round-trip asserts EXACT pixels.
+# ---------------------------------------------------------------------------
+
+def test_gif_roundtrip_exact_and_lzw_growth():
+    """Seeded random images up to 256 distinct colors: 100×80 forces the
+    LZW dict past 4096 (clear-code reset) and through every code width
+    9→12; all round-trip exactly."""
+    import random
+
+    rng = random.Random(5)
+    for w, h in [(3, 2), (16, 16), (7, 3), (1, 1), (100, 80)]:
+        pal = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)]
+        px = [pal[rng.randrange(256)] for _ in range(w * h)]
+        data = multimodal.make_gif(px, w, h)
+        assert multimodal.decode_gif(data) == (h, w, "rgb", px), (w, h)
+
+
+def test_gif_kwkwk_case_constant_image():
+    """A constant-color image makes the encoder emit a code the decoder
+    has not yet defined (the classic KwKwK corner) — must decode exactly."""
+    px = [(9, 200, 31)] * (25 * 9)
+    data = multimodal.make_gif(px, 25, 9)
+    assert multimodal.decode_gif(data) == (9, 25, "rgb", px)
+
+
+def test_gif_interlace_roundtrip():
+    """Interlaced write stores rows in 4-pass order (height 13 → a real
+    permutation); decode must restore image order exactly."""
+    import random
+
+    rng = random.Random(11)
+    px = [(rng.randrange(256),) * 3 for _ in range(10 * 13)]
+    data = multimodal.make_gif(px, 10, 13, interlace=True)
+    assert multimodal.decode_gif(data) == (13, 10, "rgb", px)
+    # and the interlaced bytes differ from the sequential ones (the flag
+    # is load-bearing, not decorative)
+    assert data != multimodal.make_gif(px, 10, 13)
+
+
+def test_gif_extension_blocks_are_skipped():
+    """A Graphic Control Extension between header and image data (what
+    every GIF89a animation tool emits) must be walked over, not tripped
+    on."""
+    px = [(1, 2, 3), (4, 5, 6)]
+    data = multimodal.make_gif(px, 2, 1)
+    # splice a GCE right before the image descriptor (0x2C)
+    at = data.index(b"\x2c")
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = data[:at] + gce + data[at:]
+    assert multimodal.decode_gif(spliced) == (1, 2, "rgb", px)
+
+
+def test_gif_rejects_garbage_and_truncation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        multimodal.decode_gif(b"GIF99a" + b"\x00" * 20)
+    px = [(1, 2, 3)] * 4
+    data = multimodal.make_gif(px, 2, 2)
+    with _pytest.raises(ValueError):
+        multimodal.decode_gif(data[:-6])  # drop the tail of the stream
+    with _pytest.raises(ValueError, match="256"):
+        multimodal.make_gif(
+            [(i % 256, i // 256, 0) for i in range(300)], 30, 10
+        )
+
+
+def test_strict_decode_gif_via_spark(spark):
+    px = [(v, v, v) for v in (10, 250, 0, 99, 31, 77)]
+    data = multimodal.make_gif(px, 3, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(data))], "doc_id long, payload binary"
+    )
+    row = multimodal.decode_features(df, dim=6, decode="strict").collect()[0]
+    assert (row.media_type, row.height, row.width) == ("image/gif", 2, 3)
+    want = [v / 255.0 for v in (10, 250, 0, 99, 31, 77)]
+    assert row.features == pytest.approx(want, abs=1e-6)
+
+
 def test_sniff_recognizes_bmp(spark):
     df = spark.createDataFrame(
         [(bytearray(_hand_bmp()),), (bytearray(b"BX not a bmp"),)],
