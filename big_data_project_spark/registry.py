@@ -8390,7 +8390,12 @@ _PRIORITY = [
     "u3_weighted_avg_udaf",
     # sources/sinks roundtrips (S1/S2/S4/S7/S8/S9)
     "s_roundtrip_parquet",
-    "s_roundtrip_text",
+    # s_roundtrip_text moved past the window in round 5: scan/sink stays
+    # covered by s_roundtrip_parquet and the csv/json legs run hash-matched
+    # inside pl_sec_real_data / pl_social_real_data; the freed slot gives
+    # the multimodal family its first driver-visible row — the strict
+    # baseline-JPEG codec, value-hashed end to end.
+    "mm_jpeg_decode",
     # reference-data pipeline parity
     "pl_sec_real_data",
     "pl_social_real_data",

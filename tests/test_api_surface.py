@@ -242,6 +242,7 @@ def test_every_survey_family_has_a_window_entry():
         "real-data parity": {"pl_sec_real_data", "pl_social_real_data"},
         "vector-compression": {"e9_pq_encode", "e11_sq8_topk"},
         "sketches": {"mt_kmv_union", "mt_kmv_intersect"},
+        "multimodal": {"mm_jpeg_decode", "mm_strict_decode"},
     }
     out = {fam for fam, names in families.items() if not names & set(window)}
     assert out == set(), f"families with no driver-window entry: {out}"
