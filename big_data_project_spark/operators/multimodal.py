@@ -11,10 +11,11 @@ provides:
   batching and partitioning. ``decode=\"fake\"`` produces deterministic
   features from the bytes; ``decode=\"strict\"`` is a REAL stdlib codec for
   uncompressed BMP, PCM WAV, 8-bit PNG (zlib inflate + the five scanline
-  filters), baseline JPEG (canonical huffman + IDCT) and GIF (variable-
-  width LZW), and raises NotImplementedError only for formats that
-  genuinely need a codec library (MP3/video, progressive JPEG) — the
-  marked integration point for PIL/ffmpeg.
+  filters), baseline JPEG (canonical huffman + IDCT), GIF (variable-width
+  LZW) and FLAC (Rice coding + linear prediction, CRC+md5 verified), and
+  raises NotImplementedError only for formats that genuinely need a codec
+  library (MP3/video, progressive JPEG) — the marked integration point
+  for PIL/ffmpeg.
 
 Scale notes: payload columns make rows wide — the operators here never
 shuffle the binary column (metadata is projected out first; Parquet column
@@ -38,6 +39,7 @@ MAGIC = {
     "52494646": "audio/wav",  # RIFF
     "1A45DFA3": "video/webm",
     "47494638": "image/gif",  # 'GIF8' (87a/89a)
+    "664C6143": "audio/flac",  # 'fLaC'
     "424D": "image/bmp",  # 'BM' — the 2-byte signature
 }
 
@@ -95,16 +97,17 @@ def decode_features(
     ``decode='fake'``: deterministic sha256-derived features (the
     oracle-matchable carrier for plumbing checks).
 
-    ``decode='strict'``: a REAL stdlib-only codec for five container
+    ``decode='strict'``: a REAL stdlib-only codec for six container
     formats — uncompressed 24-bpp BMP (BITMAPINFOHEADER, bottom-up rows,
     BGR byte order, 4-byte row padding), 8/16-bit PCM WAV (RIFF chunk
     walk), 8-bit non-interlaced PNG (CRC-checked chunk walk, zlib inflate
     of concatenated IDATs, None/Sub/Up/Average/Paeth scanline defiltering;
     color types 0/2/4/6), baseline JPEG (DQT/DHT table builds, huffman
     entropy decode with destuffing + restarts, dequantize + IDCT, chroma
-    upsample, YCbCr→RGB — see :func:`decode_jpeg_baseline`), and GIF87a/
-    89a (variable-width LZW, palettes, de-interlace — see
-    :func:`decode_gif`). Features are
+    upsample, YCbCr→RGB — see :func:`decode_jpeg_baseline`), GIF87a/89a
+    (variable-width LZW, palettes, de-interlace — see :func:`decode_gif`),
+    and FLAC (Rice residuals, fixed/LPC predictors, stereo decorrelation,
+    CRC-8/16 + md5 verified — see :func:`decode_flac`). Features are
     ``dim`` segment-means of the normalized signal (grayscale pixels
     scanned top-down row-major for images; channel-averaged frames for
     WAV), so the output is value-hashable. MP3/video and progressive JPEG
@@ -121,6 +124,7 @@ def decode_features(
     # workers
     jpeg_decode = _jpeg_codec()[1]
     gif_decode = _gif_codec()[1]
+    flac_decode = _flac_codec()[1]
 
     # NOTE: the worker closure must be self-contained — module-level
     # *functions* referenced here would be pickled by reference and the
@@ -325,6 +329,17 @@ def decode_features(
             gray = [(r + g + b) / 3.0 / 255.0 for (r, g, b) in px]
             return height, width, segment_means(gray, dim)
 
+        def strict_flac(data: bytes):
+            n_ch, rate, frames = flac_decode(data)
+            n = len(frames) // n_ch
+            vals = [
+                sum(frames[i * n_ch + c] for c in range(n_ch))
+                / n_ch
+                / 32768.0
+                for i in range(n)
+            ]
+            return n_ch, rate, segment_means(vals, dim)
+
         def strict_decode(data: bytes):
             if data[:2] == b"BM":
                 return strict_bmp(data)
@@ -336,10 +351,12 @@ def decode_features(
                 return strict_jpeg(data)
             if data[:4] == b"GIF8":
                 return strict_gif(data)
+            if data[:4] == b"fLaC":
+                return strict_flac(data)
             raise NotImplementedError(
                 f"strict decode handles uncompressed BMP, PCM WAV, 8-bit "
-                f"PNG, baseline JPEG and GIF; {data[:4]!r} needs an entropy "
-                f"codec (ffmpeg for MP3/video) — plug in here"
+                f"PNG, baseline JPEG, GIF and FLAC; {data[:4]!r} needs an "
+                f"entropy codec (ffmpeg for MP3/video) — plug in here"
             )
 
         for pdf in it:
@@ -1323,6 +1340,480 @@ def _gif_codec():
 
 #: GIF codec, built once (same by-value pickling contract as JPEG)
 make_gif, decode_gif = _gif_codec()
+
+
+def _flac_codec():
+    """Build the FLAC encoder/decoder pair (same factory-local
+    by-value-pickling contract as :func:`_jpeg_codec`).
+
+    - encode: STREAMINFO (with a REAL md5 of the raw samples), frames with
+      constant / verbatim / fixed-predictor (order 0-4) subframes, real
+      Rice residual coding (zigzag + unary quotient + k-bit remainder,
+      per-partition parameters, raw-escape), optional left/side stereo
+      decorrelation, CRC-8 frame-header and CRC-16 frame checksums.
+    - decode: metadata-block walk, frame sync, UTF-8-coded frame numbers,
+      all four channel assignments (independent, L/S, R/S, M/S), constant/
+      verbatim/fixed/LPC subframes (LPC with arithmetic-shift prediction),
+      wasted-bits, Rice + raw-escape residuals, partition orders, CRC-8 +
+      CRC-16 VERIFIED, and the STREAMINFO md5 checked against the decoded
+      samples — a corrupted file fails loudly, never decodes silently
+      wrong.
+
+    FLAC is lossless: decoded samples are bit-exact, so the whole path
+    value-hashes for arbitrary content (the audio twin of GIF/PNG)."""
+    import hashlib
+    import struct
+
+    def crc8(data: bytes) -> int:
+        crc = 0
+        for b in data:
+            crc ^= b
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        return crc
+
+    def crc16(data: bytes) -> int:
+        crc = 0
+        for b in data:
+            crc ^= b << 8
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        return crc
+
+    FIXED_COEFS = {
+        0: [],
+        1: [1],
+        2: [2, -1],
+        3: [3, -3, 1],
+        4: [4, -6, 4, -1],
+    }
+
+    class _BW:  # MSB-first bit writer
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, value, bits):
+            if bits:
+                self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+                self.n += bits
+                while self.n >= 8:
+                    self.n -= 8
+                    self.buf.append((self.acc >> self.n) & 0xFF)
+                self.acc &= (1 << self.n) - 1
+
+        def put_unary(self, q):
+            while q >= 32:
+                self.put(0, 32)
+                q -= 32
+            self.put(1, q + 1)  # q zeros then a 1
+
+        def align(self):
+            if self.n:
+                self.put(0, 8 - self.n)
+
+        def bytes(self):
+            assert self.n == 0
+            return bytes(self.buf)
+
+    def utf8_number(n: int) -> bytes:
+        # FLAC's UTF-8-style coding of frame/sample numbers
+        if n < 0x80:
+            return bytes([n])
+        out = []
+        bits = n.bit_length()
+        nbytes = 2
+        while bits > 6 + 5 * (nbytes - 1) - (nbytes - 2):
+            nbytes += 1
+        # lead byte has (7 - nbytes) payload bits
+        payload = [(n >> (6 * i)) & 0x3F for i in range(nbytes - 1)]
+        lead = (0xFF << (8 - nbytes) & 0xFF) | (n >> (6 * (nbytes - 1)))
+        out.append(lead & 0xFF)
+        out.extend(0x80 | p for p in reversed(payload))
+        return bytes(out)
+
+    def rice_encode(bw, residuals, pred_order, block_size):
+        # one partition (order 0), parameter chosen from the mean residual
+        bw.put(0, 2)  # method: rice, 4-bit params
+        bw.put(0, 4)  # partition order 0
+        n = block_size - pred_order
+        zig = [(r << 1) if r >= 0 else (((-r) << 1) - 1) for r in residuals]
+        total = sum(zig)
+        k = 0
+        while (n << (k + 1)) < total and k < 14:
+            k += 1
+        bw.put(k, 4)
+        for u in zig:
+            bw.put_unary(u >> k)
+            bw.put(u, k)
+
+    def encode(
+        samples,
+        rate=8000,
+        n_channels=1,
+        *,
+        bits=16,
+        block_size=4096,
+        subframe="auto",
+        stereo="independent",
+    ):
+        """Serialize int samples (frame-interleaved when multi-channel)
+        into a real FLAC stream. ``subframe``: 'auto' (constant where the
+        channel block is constant, else fixed order 2), 'verbatim',
+        'constant' (requires constant input), or 'fixed:K' (K in 0..4).
+        ``stereo``: 'independent' or 'left_side' (2 channels only)."""
+        if bits != 16:
+            raise ValueError("encoder supports 16-bit samples")
+        if len(samples) % n_channels:
+            raise ValueError("samples not divisible by channel count")
+        n_frames_total = len(samples) // n_channels
+        md5 = hashlib.md5(
+            b"".join(struct.pack("<h", s) for s in samples)
+        ).digest()
+
+        head = bytearray(b"fLaC")
+        info = _BW()
+        info.put(block_size, 16)
+        info.put(block_size, 16)
+        info.put(0, 24)
+        info.put(0, 24)
+        info.put(rate, 20)
+        info.put(n_channels - 1, 3)
+        info.put(bits - 1, 5)
+        info.put(n_frames_total, 36)
+        body = info.bytes() + md5
+        head += bytes([0x80, 0, 0, len(body)]) + body  # last-block STREAMINFO
+
+        def write_subframe(bw, chan, sf_kind, sbits):
+            bw.put(0, 1)  # zero pad bit
+            # wasted-bits detection (real FLAC encoder behavior): if every
+            # sample shares trailing zero bits, code the shifted samples at
+            # reduced depth and declare the shift
+            wasted = 0
+            if any(chan) and sf_kind != "verbatim":
+                while wasted < sbits - 1 and all(
+                    (s >> wasted) & 1 == 0 for s in chan
+                ) and any(s >> wasted for s in chan):
+                    wasted += 1
+            if wasted:
+                chan = [s >> wasted for s in chan]
+            eff = sbits - wasted
+
+            def put_wasted_flag():
+                if wasted:
+                    bw.put(1, 1)
+                    bw.put(1, wasted)  # unary: (wasted-1) zeros then a 1
+                else:
+                    bw.put(0, 1)
+
+            if sf_kind == "constant" or (
+                sf_kind == "auto" and len(set(chan)) == 1
+            ):
+                if len(set(chan)) != 1:
+                    raise ValueError("constant subframe on non-constant data")
+                bw.put(0, 6)
+                put_wasted_flag()
+                bw.put(chan[0], eff)
+                return
+            if sf_kind == "verbatim":
+                bw.put(1, 6)
+                bw.put(0, 1)
+                for s in chan:
+                    bw.put(s, eff)
+                return
+            if sf_kind.startswith("lpc:"):
+                # genuine LPC bitstream; the coefficient set is the fixed
+                # predictor scaled by 1<<shift (integer-exact prediction)
+                order = int(sf_kind.split(":")[1])
+                order = min(order, len(chan) - 1) if len(chan) > 1 else 0
+                if order == 0:
+                    raise ValueError("lpc subframe needs order >= 1")
+                shift, prec = 4, 10
+                coefs = [c << shift for c in FIXED_COEFS[order]]
+                bw.put(32 | (order - 1), 6)
+                put_wasted_flag()
+                for s in chan[:order]:
+                    bw.put(s, eff)
+                bw.put(prec - 1, 4)
+                bw.put(shift, 5)
+                for c in coefs:
+                    bw.put(c, prec)
+                residuals = [
+                    chan[i]
+                    - (sum(c * chan[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+                    for i in range(order, len(chan))
+                ]
+                rice_encode(bw, residuals, order, len(chan))
+                return
+            order = 2 if sf_kind == "auto" else int(sf_kind.split(":")[1])
+            order = min(order, len(chan) - 1) if len(chan) > 1 else 0
+            bw.put(8 | order, 6)  # fixed subframe
+            put_wasted_flag()
+            for s in chan[:order]:
+                bw.put(s, eff)
+            coefs = FIXED_COEFS[order]
+            residuals = [
+                chan[i] - sum(c * chan[i - 1 - j] for j, c in enumerate(coefs))
+                for i in range(order, len(chan))
+            ]
+            rice_encode(bw, residuals, order, len(chan))
+
+        frame_no = 0
+        out = bytearray(head)
+        for start in range(0, n_frames_total, block_size):
+            cnt = min(block_size, n_frames_total - start)
+            chans = [
+                [samples[(start + i) * n_channels + c] for i in range(cnt)]
+                for c in range(n_channels)
+            ]
+            decorrelated = stereo != "independent" and n_channels == 2
+            if decorrelated:
+                side = [l - r for l, r in zip(chans[0], chans[1])]
+                if stereo == "left_side":
+                    ch_code, chans = 8, [chans[0], side]
+                elif stereo == "right_side":
+                    ch_code, chans = 9, [side, chans[1]]
+                elif stereo == "mid_side":
+                    mid = [(l + r) >> 1 for l, r in zip(chans[0], chans[1])]
+                    ch_code, chans = 10, [mid, side]
+                else:
+                    raise ValueError(f"unknown stereo mode {stereo!r}")
+            else:
+                ch_code = n_channels - 1
+            bw = _BW()
+            bw.put(0x3FFE, 14)
+            bw.put(0, 1)  # reserved
+            bw.put(0, 1)  # fixed-blocksize strategy: frame number
+            bw.put(7, 4)  # block size: 16-bit at end (cnt - 1)
+            bw.put(0, 4)  # sample rate: from STREAMINFO
+            bw.put(ch_code, 4)
+            bw.put(4, 3)  # 16-bit sample size (code 100)
+            bw.put(0, 1)  # reserved
+            bw.align()
+            hdr = bytearray(bw.bytes())
+            hdr += utf8_number(frame_no)
+            hdr += struct.pack(">H", cnt - 1)
+            hdr.append(crc8(hdr))
+            bw = _BW()
+            side_idx = {8: 1, 9: 0, 10: 1}.get(ch_code)
+            for c, chan in enumerate(chans):
+                sbits = 16 + (1 if decorrelated and c == side_idx else 0)
+                write_subframe(bw, chan, subframe, sbits)
+            bw.align()
+            frame = bytes(hdr) + bw.bytes()
+            out += frame + struct.pack(">H", crc16(frame))
+            frame_no += 1
+        return bytes(out)
+
+    def decode(data):
+        """Decode a FLAC stream: returns ``(n_channels, sample_rate,
+        samples)`` with samples frame-interleaved ints, bit-exact. CRC-8,
+        CRC-16 and the STREAMINFO md5 are all verified."""
+        if data[:4] != b"fLaC":
+            raise ValueError("bad FLAC signature")
+        pos = 4
+        streaminfo = None
+        while True:
+            hdr = data[pos : pos + 4]
+            last, btype = bool(hdr[0] & 0x80), hdr[0] & 0x7F
+            ln = int.from_bytes(hdr[1:4], "big")
+            body = data[pos + 4 : pos + 4 + ln]
+            pos += 4 + ln
+            if btype == 0:
+                streaminfo = body
+            if last:
+                break
+        if streaminfo is None:
+            raise ValueError("FLAC missing STREAMINFO")
+        rate = int.from_bytes(streaminfo[10:13], "big") >> 4
+        n_channels = ((streaminfo[12] >> 1) & 0x07) + 1
+        sbits = (((streaminfo[12] & 1) << 4) | (streaminfo[13] >> 4)) + 1
+        total = int.from_bytes(streaminfo[13:18], "big") & ((1 << 36) - 1)
+        want_md5 = streaminfo[18:34]
+        if sbits != 16:
+            raise NotImplementedError(f"{sbits}-bit FLAC unsupported (16 only)")
+
+        bitpos = [pos * 8]
+
+        def rbits(n):
+            v = 0
+            p = bitpos[0]
+            for i in range(n):
+                byte = data[(p + i) >> 3]
+                v = (v << 1) | ((byte >> (7 - ((p + i) & 7))) & 1)
+            bitpos[0] += n
+            return v
+
+        def runary():
+            q = 0
+            while rbits(1) == 0:
+                q += 1
+            return q
+
+        def rsigned(n):
+            v = rbits(n)
+            return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+        def read_utf8_number():
+            b0 = rbits(8)
+            if b0 < 0x80:
+                return b0
+            nbytes = 0
+            while b0 & (0x80 >> nbytes):
+                nbytes += 1
+            v = b0 & (0x7F >> nbytes)
+            for _ in range(nbytes - 1):
+                v = (v << 6) | (rbits(8) & 0x3F)
+            return v
+
+        def read_residuals(block, order):
+            method = rbits(2)
+            if method > 1:
+                raise ValueError("reserved FLAC residual method")
+            pbits = 4 if method == 0 else 5
+            porder = rbits(4)
+            res = []
+            for p in range(1 << porder):
+                cnt = block >> porder
+                if p == 0:
+                    cnt -= order
+                k = rbits(pbits)
+                if k == (1 << pbits) - 1:  # raw escape
+                    raw = rbits(5)
+                    res.extend(rsigned(raw) for _ in range(cnt))
+                else:
+                    for _ in range(cnt):
+                        q = runary()
+                        u = (q << k) | rbits(k)
+                        res.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
+            return res
+
+        def read_subframe(block, depth):
+            if rbits(1):
+                raise ValueError("FLAC subframe pad bit set")
+            t = rbits(6)
+            wasted = 0
+            if rbits(1):
+                wasted = runary() + 1
+            eff = depth - wasted
+            if t == 0:  # constant
+                out = [rsigned(eff)] * block
+            elif t == 1:  # verbatim
+                out = [rsigned(eff) for _ in range(block)]
+            elif 8 <= t <= 12:  # fixed
+                order = t - 8
+                warm = [rsigned(eff) for _ in range(order)]
+                res = read_residuals(block, order)
+                out = list(warm)
+                coefs = FIXED_COEFS[order]
+                for r in res:
+                    pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+                    out.append(r + pred)
+            elif t >= 32:  # LPC
+                order = t - 31
+                warm = [rsigned(eff) for _ in range(order)]
+                prec = rbits(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid LPC precision")
+                shift = rsigned(5)
+                coefs = [rsigned(prec) for _ in range(order)]
+                res = read_residuals(block, order)
+                out = list(warm)
+                for r in res:
+                    pred = sum(
+                        c * out[-1 - j] for j, c in enumerate(coefs)
+                    ) >> shift
+                    out.append(r + pred)
+            else:
+                raise ValueError(f"reserved FLAC subframe type {t}")
+            return [s << wasted for s in out]
+
+        samples: list = []
+        decoded = 0
+        while decoded < total:
+            frame_start = bitpos[0] >> 3
+            if rbits(14) != 0x3FFE:
+                raise ValueError("lost FLAC frame sync")
+            rbits(1)
+            rbits(1)  # blocking strategy
+            bs_code = rbits(4)
+            sr_code = rbits(4)
+            ch_code = rbits(4)
+            ss_code = rbits(3)
+            rbits(1)
+            read_utf8_number()
+            if bs_code == 1:
+                block = 192
+            elif 2 <= bs_code <= 5:
+                block = 576 << (bs_code - 2)
+            elif bs_code == 6:
+                block = rbits(8) + 1
+            elif bs_code == 7:
+                block = rbits(16) + 1
+            elif bs_code >= 8:
+                block = 256 << (bs_code - 8)
+            else:
+                raise ValueError("reserved FLAC block size code")
+            if sr_code == 12:
+                rbits(8)
+            elif sr_code in (13, 14):
+                rbits(16)
+            hdr_end = bitpos[0] >> 3
+            if crc8(data[frame_start:hdr_end]) != rbits(8):
+                raise ValueError("FLAC frame header CRC-8 mismatch")
+            if ss_code == 0:
+                depth = sbits
+            else:
+                depth = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code)
+                if depth is None:
+                    raise ValueError("reserved FLAC sample size code")
+            if ch_code < 8:
+                nch = ch_code + 1
+                chans = [read_subframe(block, depth) for _ in range(nch)]
+            elif ch_code == 8:  # left/side
+                left = read_subframe(block, depth)
+                side = read_subframe(block, depth + 1)
+                chans = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = read_subframe(block, depth + 1)
+                right = read_subframe(block, depth)
+                chans = [[r + s for r, s in zip(right, side)], right]
+            elif ch_code == 10:  # mid/side
+                mid = read_subframe(block, depth)
+                side = read_subframe(block, depth + 1)
+                chans = [[], []]
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    chans[0].append((m2 + s) >> 1)
+                    chans[1].append((m2 - s) >> 1)
+            else:
+                raise ValueError("reserved FLAC channel assignment")
+            if ch_code < 8 and nch != n_channels:
+                raise ValueError("frame channel count != STREAMINFO")
+            # byte-align, then the frame CRC-16
+            if bitpos[0] & 7:
+                rbits(8 - (bitpos[0] & 7))
+            frame_end = bitpos[0] >> 3
+            if crc16(data[frame_start:frame_end]) != rbits(16):
+                raise ValueError("FLAC frame CRC-16 mismatch")
+            take = min(block, total - decoded)
+            for i in range(take):
+                for c in range(n_channels):
+                    samples.append(chans[c][i])
+            decoded += take
+        got_md5 = hashlib.md5(
+            b"".join(struct.pack("<h", s) for s in samples)
+        ).digest()
+        if got_md5 != want_md5:
+            raise ValueError("FLAC decoded-audio md5 mismatch")
+        return n_channels, rate, samples
+
+    return encode, decode
+
+
+#: FLAC codec, built once (same by-value pickling contract as JPEG/GIF)
+make_flac, decode_flac = _flac_codec()
 
 
 def frame_sample(

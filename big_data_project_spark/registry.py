@@ -1355,6 +1355,7 @@ def r4_evaluate_response(spark, sf_dir):
                 WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'audio/wav'
                 WHEN substr(hex(payload), 1, 8) = '1A45DFA3' THEN 'video/webm'
                 WHEN substr(hex(payload), 1, 8) = '47494638' THEN 'image/gif'
+                WHEN substr(hex(payload), 1, 8) = '664C6143' THEN 'audio/flac'
                 WHEN substr(hex(payload), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type
     FROM payloads
@@ -1400,6 +1401,7 @@ def mm_binary_stats(spark, sf_dir):
                 -- of sniff_media_type's prefixes, not just the synthesized
                 WHEN substr(hex(payload), 1, 8) = '1A45DFA3' THEN 'video/webm'
                 WHEN substr(hex(payload), 1, 8) = '47494638' THEN 'image/gif'
+                WHEN substr(hex(payload), 1, 8) = '664C6143' THEN 'audio/flac'
                 WHEN substr(hex(payload), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type,
            md5(hex(payload)) AS digest
@@ -5073,6 +5075,7 @@ def pl_rag_index_e2e(spark, sf_dir):
                 WHEN substr(hex(encode(text)), 1, 8) = '52494646' THEN 'audio/wav'
                 WHEN substr(hex(encode(text)), 1, 8) = '1A45DFA3' THEN 'video/webm'
                 WHEN substr(hex(encode(text)), 1, 8) = '47494638' THEN 'image/gif'
+                WHEN substr(hex(encode(text)), 1, 8) = '664C6143' THEN 'audio/flac'
                 WHEN substr(hex(encode(text)), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type,
            CAST(CASE WHEN nb = 0 THEN 1
@@ -5443,6 +5446,83 @@ def mm_gif_decode(spark, sf_dir):
 
     payloads = docs.mapInPandas(build, out_schema)
     feats = multimodal.decode_features(payloads, dim=12, decode="strict")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "height",
+        "width",
+        F.posexplode("features").alias("i", "val"),
+    )
+
+
+@register(
+    "mm_flac_decode",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 8), 1, 8) AS t
+               FROM documents)
+    SELECT doc_id,
+           'audio/flac' AS media_type,
+           CAST(2 AS INTEGER) AS height,
+           CAST(8000 AS INTEGER) AS width,
+           CAST(i AS INTEGER) AS i,
+           CAST(((ascii(substr(t, CAST(2*i + 1 AS INT), 1)) - 128) * 256
+                 + (ascii(substr(t, CAST(2*i + 2 AS INT), 1)) - 128) * 256)
+                / 2.0 / 32768.0 AS REAL) AS val
+    FROM b, unnest(range(0, 4)) AS u(i)
+    """,
+)
+def mm_flac_decode(spark, sf_dir):
+    """The strict FLAC codec VALUE-hashed end to end — the lossless AUDIO
+    twin of `mm_gif_decode`: 8 text bytes become 4 stereo int16 frames,
+    encoded worker-side into a real FLAC stream (STREAMINFO with true md5,
+    fixed-order-2 prediction, real Rice residual coding, CRC-8/16) and
+    strict-decoded back bit-exactly. Odd doc_ids encode with LEFT/SIDE
+    stereo decorrelation (17-bit side channel), even independently — the
+    expected samples (and the oracle) are parity-identical, so a wrong
+    decorrelation or Rice/predictor bug flips half the hashes. The decoder
+    verifies both CRCs and the md5 before returning, so this row also
+    proves the integrity path. Features are channel-averaged frames
+    ((L+R)/2/32768 — exact in IEEE, all power-of-two divisors). Codec
+    functions are factory-locals pickled BY VALUE (hostile-cwd-safe)."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    fenc = multimodal._flac_codec()[0]  # factory-local => pickled by value
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = (((t or "").encode("utf-8")) + b"x" * 8)[:8]
+                samples = [(c - 128) * 256 for c in raw]
+                out.append(
+                    {
+                        "doc_id": i,
+                        "payload": fenc(
+                            samples,
+                            8000,
+                            2,
+                            subframe="fixed:2",
+                            stereo="left_side" if i % 2 else "independent",
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    feats = multimodal.decode_features(payloads, dim=4, decode="strict")
     return feats.select(
         "doc_id",
         "media_type",

@@ -687,6 +687,92 @@ def test_strict_decode_gif_via_spark(spark):
     assert row.features == pytest.approx(want, abs=1e-6)
 
 
+# ---------------------------------------------------------------------------
+# STRICT FLAC codec (round 5): Rice coding + linear prediction — the
+# lossless AUDIO twin of GIF/PNG. Every assertion is EXACT samples.
+# ---------------------------------------------------------------------------
+
+def test_flac_roundtrip_all_subframe_types():
+    import random
+
+    rng = random.Random(3)
+    noise = [rng.randrange(-32768, 32768) for _ in range(1000)]
+    ramp = [((i * 37) % 4000) - 2000 for i in range(600)]
+    cases = [
+        (noise, "auto"),       # fixed order 2 + rice
+        (noise, "verbatim"),
+        ([1234] * 500, "constant"),
+        (ramp, "fixed:0"), (ramp, "fixed:1"), (ramp, "fixed:3"),
+        (ramp, "fixed:4"),
+        (ramp, "lpc:1"), (ramp, "lpc:4"),  # genuine LPC bitstream
+    ]
+    for samples, kind in cases:
+        data = multimodal.make_flac(samples, 8000, 1, subframe=kind)
+        assert multimodal.decode_flac(data) == (1, 8000, samples), kind
+
+
+def test_flac_all_stereo_decorrelations():
+    """Independent, left/side, right/side and mid/side all reconstruct the
+    same interleaved samples bit-exactly (the side channel is 17-bit)."""
+    import random
+
+    rng = random.Random(13)
+    s = [rng.randrange(-32768, 32768) for _ in range(800)]
+    blobs = set()
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        data = multimodal.make_flac(s, 16000, 2, stereo=mode)
+        assert multimodal.decode_flac(data) == (2, 16000, s), mode
+        blobs.add(data)
+    assert len(blobs) == 4  # four genuinely different encodings
+
+
+def test_flac_multiframe_and_wasted_bits():
+    import random
+
+    rng = random.Random(17)
+    s = [rng.randrange(-32768, 32768) for _ in range(10000)]
+    data = multimodal.make_flac(s, 8000, 1, block_size=1024)
+    assert multimodal.decode_flac(data) == (1, 8000, s)
+    # samples sharing 4 trailing zero bits trigger the wasted-bits path
+    # AND make the file smaller — the flag is load-bearing
+    sw = [rng.randrange(-2048, 2048) * 16 for _ in range(500)]
+    dw = multimodal.make_flac(sw, 8000, 1)
+    assert multimodal.decode_flac(dw) == (1, 8000, sw)
+    assert len(dw) < len(multimodal.make_flac([v + 1 for v in sw], 8000, 1))
+
+
+def test_flac_integrity_checks_fire():
+    """Flip one bit anywhere in the stream: the decoder must raise (CRC-8,
+    CRC-16 or md5), never return silently wrong samples."""
+    import random
+
+    rng = random.Random(23)
+    s = [rng.randrange(-32768, 32768) for _ in range(256)]
+    good = multimodal.make_flac(s, 8000, 1)
+    for at in (len(good) - 10, len(good) // 2, 45):
+        bad = bytearray(good)
+        bad[at] ^= 0x10
+        try:
+            got = multimodal.decode_flac(bytes(bad))
+        except (ValueError, NotImplementedError, IndexError):
+            continue
+        assert got != (1, 8000, s), f"corruption at {at} decoded silently wrong"
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_flac(b"fLaX" + good[4:])
+
+
+def test_strict_decode_flac_via_spark(spark):
+    samples = [(c - 128) * 256 for c in b"spark!"]
+    data = multimodal.make_flac(samples, 8000, 1, subframe="fixed:2")
+    df = spark.createDataFrame(
+        [(1, bytearray(data))], "doc_id long, payload binary"
+    )
+    row = multimodal.decode_features(df, dim=6, decode="strict").collect()[0]
+    assert (row.media_type, row.height, row.width) == ("audio/flac", 1, 8000)
+    want = [s / 32768.0 for s in samples]
+    assert row.features == pytest.approx(want, abs=1e-6)
+
+
 def test_sniff_recognizes_bmp(spark):
     df = spark.createDataFrame(
         [(bytearray(_hand_bmp()),), (bytearray(b"BX not a bmp"),)],
