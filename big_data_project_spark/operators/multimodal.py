@@ -40,6 +40,7 @@ MAGIC = {
     "1A45DFA3": "video/webm",
     "47494638": "image/gif",  # 'GIF8' (87a/89a)
     "664C6143": "audio/flac",  # 'fLaC'
+    "FFD8": "image/jpeg",  # any JPEG (EXIF/raw); JFIF matches longer above
     "424D": "image/bmp",  # 'BM' — the 2-byte signature
 }
 
@@ -121,10 +122,14 @@ def decode_features(
     out_columns = [f.name for f in FEATURE_SCHEMA.fields]
     # locally-defined (factory-built) functions => cloudpickle serializes
     # them by VALUE, like the nested codecs below — hostile-cwd-safe on
-    # workers
-    jpeg_decode = _jpeg_codec()[1]
-    gif_decode = _gif_codec()[1]
-    flac_decode = _flac_codec()[1]
+    # workers. Built only for strict mode: the fake path must not pay the
+    # table construction nor ship three unused codec code-objects per task.
+    if decode == "strict":
+        jpeg_decode = _jpeg_codec()[1]
+        gif_decode = _gif_codec()[1]
+        flac_decode = _flac_codec()[1]
+    else:
+        jpeg_decode = gif_decode = flac_decode = None
 
     # NOTE: the worker closure must be self-contained — module-level
     # *functions* referenced here would be pickled by reference and the
@@ -688,11 +693,15 @@ def _jpeg_codec():
         if len(pixels) != width * height:
             raise ValueError("pixels length must be width*height")
         q_lum = list(quant) if quant is not None else list(K_QUANT_LUM)
-        q_chr = (
-            list(quant_chroma)
-            if quant_chroma is not None
-            else (list(K_QUANT_CHR) if quant_chroma is None and quant is None else q_lum)
-        )
+        # chroma default: Annex K chroma table with default luma, but a
+        # CUSTOM quant= without quant_chroma= applies to all components
+        # (callers overriding one table almost always mean "this table")
+        if quant_chroma is not None:
+            q_chr = list(quant_chroma)
+        elif quant is None:
+            q_chr = list(K_QUANT_CHR)
+        else:
+            q_chr = list(q_lum)
         for q in (q_lum, q_chr):
             if len(q) != 64 or any(not (1 <= v <= 255) for v in q):
                 raise ValueError("quant tables need 64 entries in 1..255")
@@ -950,6 +959,13 @@ def _jpeg_codec():
             elif m == 0xDA:  # SOS: entropy-coded scan follows the header
                 if frame is None:
                     raise ValueError("SOS before SOF")
+                if result is not None:
+                    # spec-legal but out of scope: stay LOUD rather than
+                    # silently returning the last scan's channel only
+                    raise NotImplementedError(
+                        "multi-scan (non-interleaved) baseline JPEG "
+                        "unsupported — one interleaved SOS only"
+                    )
                 fh, fw, comps = frame
                 ns = body[0]
                 scan = []
@@ -1418,15 +1434,17 @@ def _flac_codec():
             return bytes(self.buf)
 
     def utf8_number(n: int) -> bytes:
-        # FLAC's UTF-8-style coding of frame/sample numbers
+        # FLAC's UTF-8-style coding of frame/sample numbers. Capacity of an
+        # nbytes form is (7-nbytes) lead bits + 6·(nbytes-1) continuation
+        # bits = 5·nbytes + 1; FLAC requires the MINIMAL form (an overlong
+        # coding is spec-invalid and strict decoders reject it).
         if n < 0x80:
             return bytes([n])
-        out = []
         bits = n.bit_length()
         nbytes = 2
-        while bits > 6 + 5 * (nbytes - 1) - (nbytes - 2):
+        while bits > 5 * nbytes + 1:
             nbytes += 1
-        # lead byte has (7 - nbytes) payload bits
+        out = []
         payload = [(n >> (6 * i)) & 0x3F for i in range(nbytes - 1)]
         lead = (0xFF << (8 - nbytes) & 0xFF) | (n >> (6 * (nbytes - 1)))
         out.append(lead & 0xFF)

@@ -934,6 +934,8 @@ def mmr_rerank(
     path for per-query latency (VERDICT r4 residual nit)."""
     if mode not in ("engine", "serving"):
         raise ValueError("mode must be 'engine' or 'serving'")
+    if k < 1:
+        raise ValueError("k must be >= 1")
     if mode == "serving":
         return _mmr_serving(candidates, k, lam, id_col, emb_col, rel_col)
     # persist the head and its pair sims: both are ≤N(+N²) ROWS by
@@ -945,8 +947,15 @@ def mmr_rerank(
     ).persist()
     a = cand.select(F.col(id_col).alias("_ia"), F.col(emb_col).alias("_ea"))
     b = cand.select(F.col(id_col).alias("_ib"), F.col(emb_col).alias("_eb"))
+    # zero-norm guard: similarity to/from a zero vector is NULL by
+    # definition here (sorts last), identically under ANSI on (where a bare
+    # division would throw DIVIDE_BY_ZERO) and off (where it would be NULL
+    # anyway) — and identically to mode='serving'
+    _den = norm(F.col("_ea")) * norm(F.col("_eb"))
     sims = a.join(b, F.col("_ia") != F.col("_ib")).select(
-        "_ia", "_ib", cosine("_ea", "_eb").alias("_sim")
+        "_ia",
+        "_ib",
+        F.when(_den != 0.0, dot("_ea", "_eb") / _den).alias("_sim"),
     ).persist()
     caches = [cand, sims]
     selected = (
@@ -1015,28 +1024,37 @@ def _mmr_serving(candidates, k, lam, id_col, emb_col, rel_col):
         return acc
 
     def cos_py(a, b):
-        return dot_py(a, b) / (math.sqrt(dot_py(a, a)) * math.sqrt(dot_py(b, b)))
+        # Spark returns NULL for x/0 in non-ANSI mode (even for doubles):
+        # mirror that so zero-norm embeddings behave identically to the
+        # engine path instead of raising ZeroDivisionError
+        den = math.sqrt(dot_py(a, a)) * math.sqrt(dot_py(b, b))
+        return dot_py(a, b) / den if den != 0.0 else None
 
     items = [(r[id_col], list(r[emb_col]), r[rel_col]) for r in head]
     picked = []  # (id, rank, mmr_score)
     chosen_embs = []
+
+    def order_key(score, vid):
+        # engine: ORDER BY score DESC NULLS LAST, id ASC — as a max() key
+        return (score is not None, score if score is not None else 0.0, _NegId(vid))
+
     while items and len(picked) < k:
         if not picked:
-            best = max(items, key=lambda it: (it[2], _NegId(it[0])))
+            best = max(items, key=lambda it: order_key(it[2], it[0]))
             score = best[2]
         else:
-            scored = [
-                (
-                    lam * rel - (1.0 - lam) * max(cos_py(emb, s) for s in chosen_embs),
-                    vid,
-                    emb,
-                    rel,
-                )
-                for vid, emb, rel in items
-            ]
-            sc, vid, emb, rel = max(scored, key=lambda t: (t[0], _NegId(t[1])))
+            scored = []
+            for vid, emb, rel in items:
+                sims = [s for s in (cos_py(emb, c) for c in chosen_embs)
+                        if s is not None]
+                ms = max(sims) if sims else None  # F.max skips NULLs
+                sc = lam * rel - (1.0 - lam) * ms if ms is not None else None
+                scored.append((sc, vid, emb, rel))
+            sc, vid, emb, rel = max(scored, key=lambda t: order_key(t[0], t[1]))
             best, score = (vid, emb, rel), sc
-        picked.append((best[0], len(picked) + 1, float(score)))
+        picked.append(
+            (best[0], len(picked) + 1, float(score) if score is not None else None)
+        )
         chosen_embs.append(best[1])
         items = [it for it in items if it[0] != best[0]]
 

@@ -573,6 +573,45 @@ def test_jpeg_restart_markers_and_byte_stuffing():
     assert max(abs(a - b) for a, b in zip(px, out)) <= 1
 
 
+def test_jpeg_multiscan_raises_loudly():
+    """A spec-valid multi-scan (non-interleaved) baseline file must raise,
+    not silently return the last scan's channel as grayscale (round-5
+    review finding): splice a second SOS+scan into a good stream."""
+    import pytest as _pytest
+
+    data = multimodal.make_jpeg_baseline([130] * 64, 8, 8, quant=[1] * 64)
+    sos_at = data.index(b"\xff\xda")
+    second = data[sos_at:-2]  # SOS header + entropy bytes, minus EOI
+    doubled = data[:-2] + second + b"\xff\xd9"
+    with _pytest.raises(NotImplementedError, match="multi-scan"):
+        multimodal.decode_jpeg_baseline(doubled)
+
+
+def test_sniff_recognizes_exif_jpeg(spark):
+    """strict decode dispatches on the 2-byte FFD8, so the sniff table
+    must classify EXIF/raw JPEGs (FF D8 FF E1 ...) as image/jpeg too, not
+    octet-stream (round-5 review finding)."""
+    rows = [
+        (1, bytearray(b"\xff\xd8\xff\xe1Exif\x00\x00rest")),
+        (2, bytearray(b"\xff\xd8\xff\xdbquant-first")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = multimodal.binary_stats(df).collect()
+    assert all(r.media_type == "image/jpeg" for r in got)
+
+
+def test_flac_multibyte_frame_numbers_roundtrip():
+    """Tiny blocks force thousands of frames: the UTF-8-style frame-number
+    coding crosses the 1→2→3-byte boundaries (minimal forms — the old
+    formula emitted spec-invalid overlong codings past 2^11)."""
+    import random
+
+    rng = random.Random(31)
+    s = [rng.randrange(-32768, 32768) for _ in range(2100 * 16)]
+    data = multimodal.make_flac(s, 8000, 1, block_size=16)
+    assert multimodal.decode_flac(data) == (1, 8000, s)
+
+
 def test_jpeg_progressive_raises_loudly():
     import pytest as _pytest
     import struct

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_project_spark.operators import text, vector
@@ -110,3 +111,44 @@ def test_mmr_serving_bitwise_equals_engine(spark):
         ], (k, lam)
         for a, b in zip(eng, srv):
             assert a.mmr_score == b.mmr_score, (k, lam, a, b)  # EXACT
+
+
+def test_mmr_serving_matches_engine_on_zero_norm_embeddings(spark):
+    """A zero vector in the head (e.g. the hash embedding of empty text)
+    makes cosine NULL on the engine path (Spark returns NULL for x/0 in
+    non-ANSI mode); serving mode must mirror that — NULL-scored rows sort
+    last, same picks, same NULL mmr_score — not raise ZeroDivisionError
+    (round-5 review finding)."""
+    from big_data_project_spark.operators import vector
+
+    cand = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0.9),
+            (2, [0.0, 0.0], 0.8),  # zero norm
+            (3, [0.5, 0.5], 0.7),
+        ],
+        "vec_id long, embedding array<float>, score double",
+    )
+    eng = vector.mmr_rerank(cand, k=3, lam=0.6).orderBy("rank").collect()
+    srv = (
+        vector.mmr_rerank(cand, k=3, lam=0.6, mode="serving")
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.vec_id, r.rank, r.mmr_score) for r in eng] == [
+        (r.vec_id, r.rank, r.mmr_score) for r in srv
+    ]
+    assert eng[-1].vec_id == 2 and eng[-1].mmr_score is None
+
+
+def test_mmr_rejects_nonpositive_k(spark):
+    """k<1 used to silently return 1 row (engine) vs 0 rows (serving) —
+    both modes must refuse instead."""
+    from big_data_project_spark.operators import vector
+
+    cand = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0.9)], "vec_id long, embedding array<float>, score double"
+    )
+    for mode in ("engine", "serving"):
+        with pytest.raises(ValueError, match="k must be"):
+            vector.mmr_rerank(cand, k=0, mode=mode)
