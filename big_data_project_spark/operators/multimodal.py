@@ -11,11 +11,11 @@ provides:
   batching and partitioning. ``decode=\"fake\"`` produces deterministic
   features from the bytes; ``decode=\"strict\"`` is a REAL stdlib codec for
   uncompressed BMP, PCM WAV, 8-bit PNG (zlib inflate + the five scanline
-  filters), baseline JPEG (canonical huffman + IDCT), GIF (variable-width
-  LZW) and FLAC (Rice coding + linear prediction, CRC+md5 verified), and
-  raises NotImplementedError only for formats that genuinely need a codec
-  library (MP3/video, progressive JPEG) — the marked integration point
-  for PIL/ffmpeg.
+  filters), JPEG — baseline AND progressive (canonical huffman + IDCT +
+  successive-approximation scans), GIF (variable-width LZW) and FLAC
+  (Rice coding + linear prediction, CRC+md5 verified), and raises
+  NotImplementedError only for formats that genuinely need a perceptual
+  codec library (MP3/video) — the marked integration point for ffmpeg.
 
 Scale notes: payload columns make rows wide — the operators here never
 shuffle the binary column (metadata is projected out first; Parquet column
@@ -103,8 +103,9 @@ def decode_features(
     BGR byte order, 4-byte row padding), 8/16-bit PCM WAV (RIFF chunk
     walk), 8-bit non-interlaced PNG (CRC-checked chunk walk, zlib inflate
     of concatenated IDATs, None/Sub/Up/Average/Paeth scanline defiltering;
-    color types 0/2/4/6), baseline JPEG (DQT/DHT table builds, huffman
-    entropy decode with destuffing + restarts, dequantize + IDCT, chroma
+    color types 0/2/4/6), JPEG both baseline and progressive (DQT/DHT
+    table builds, huffman entropy decode with destuffing + restarts,
+    successive-approximation scan accumulation, dequantize + IDCT, chroma
     upsample, YCbCr→RGB — see :func:`decode_jpeg_baseline`), GIF87a/89a
     (variable-width LZW, palettes, de-interlace — see :func:`decode_gif`),
     and FLAC (Rice residuals, fixed/LPC predictors, stereo decorrelation,
@@ -360,8 +361,9 @@ def decode_features(
                 return strict_flac(data)
             raise NotImplementedError(
                 f"strict decode handles uncompressed BMP, PCM WAV, 8-bit "
-                f"PNG, baseline JPEG, GIF and FLAC; {data[:4]!r} needs an "
-                f"entropy codec (ffmpeg for MP3/video) — plug in here"
+                f"PNG, JPEG (baseline + progressive), GIF and FLAC; "
+                f"{data[:4]!r} needs a perceptual codec (ffmpeg for "
+                f"MP3/video) — plug in here"
             )
 
         for pdf in it:
@@ -622,6 +624,19 @@ def _jpeg_codec():
         0: build_enc_codes(AC_LUM_BITS, AC_LUM_VALS),
         1: build_enc_codes(AC_LUM_BITS, AC_LUM_VALS),
     }
+    # progressive AC scans need EOBn symbols (0x10..0xE0), which the
+    # sequential Annex K tables do not contain — real progressive encoders
+    # ship custom DHTs. A flat 8-bit canonical table over every symbol the
+    # scans can emit (EOB0..EOB14, ZRL, (run,size) for size 1..12) is
+    # spec-valid (Kraft: 224/256) and trivially correct.
+    AC_PROG_VALS = (
+        [n << 4 for n in range(15)]
+        + [0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 13)]
+    )
+    AC_PROG_BITS = [0] * 16
+    AC_PROG_BITS[7] = len(AC_PROG_VALS)  # every symbol at code length 8
+    AC_PROG_ENC = build_enc_codes(AC_PROG_BITS, AC_PROG_VALS)
 
     # numpy fast path for the two dense transforms (the codec itself — the
     # marker walk, huffman coding, stuffing — stays hand-rolled stdlib).
@@ -874,16 +889,278 @@ def _jpeg_codec():
         head += seg(0xDA, sos)
         return bytes(head) + bytes(out) + b"\xff\xd9"
 
+    def encode_progressive(
+        pixels, width, height, *, quant=None, quant_chroma=None, color=False
+    ):
+        """Serialize pixels into a REAL progressive JPEG (SOF2) with the
+        classic 4-stage scan script: interleaved DC first pass at
+        successive-approximation Al=1, DC refinement, per-component AC
+        band 1..63 at Al=1 (EOB-run coded), per-component AC refinement
+        (correction bits buffered through EOB runs — G.1.2.3 Fig. G.7).
+        Grayscale or 4:4:4 color (the decoder handles any sampling).
+        Fully refined scans end at Al=0, so the decoded image is
+        IDENTICAL to the sequential encoding of the same coefficients."""
+        if len(pixels) != width * height:
+            raise ValueError("pixels length must be width*height")
+        q_lum = list(quant) if quant is not None else list(K_QUANT_LUM)
+        if quant_chroma is not None:
+            q_chr = list(quant_chroma)
+        elif quant is None:
+            q_chr = list(K_QUANT_CHR)
+        else:
+            q_chr = list(q_lum)
+
+        if color:
+            Y, Cb, Cr = [], [], []
+            for r, g, b in pixels:
+                Y.append(min(255, max(0, int(0.299 * r + 0.587 * g + 0.114 * b + 0.5))))
+                Cb.append(min(255, max(0, int(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))))
+                Cr.append(min(255, max(0, int(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))))
+            comps = [(1, Y, q_lum, 0), (2, Cb, q_chr, 1), (3, Cr, q_chr, 1)]
+        else:
+            comps = [(1, list(pixels), q_lum, 0)]
+        bw, bh = -(-width // 8), -(-height // 8)
+
+        def block_at(plane, x0, y0):
+            return [
+                plane[min(y0 + dy, height - 1) * width + min(x0 + dx, width - 1)]
+                - 128
+                for dy in range(8)
+                for dx in range(8)
+            ]
+
+        def quantize_zz(S, q):
+            zz = []
+            for k in range(64):
+                nat = ZZ[k]
+                v = S[nat // 8][nat % 8] / q[nat]
+                zz.append(
+                    int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+                )
+            return zz
+
+        blocks = [
+            [
+                quantize_zz(fdct(block_at(plane, bx * 8, by * 8)), q)
+                for by in range(bh)
+                for bx in range(bw)
+            ]
+            for _cid, plane, q, _tid in comps
+        ]
+
+        def make_writer():
+            buf = bytearray()
+            acc = [0, 0]
+
+            def put(code, ln):
+                if not ln:
+                    return
+                acc[0] = (acc[0] << ln) | (code & ((1 << ln) - 1))
+                acc[1] += ln
+                while acc[1] >= 8:
+                    acc[1] -= 8
+                    byte = (acc[0] >> acc[1]) & 0xFF
+                    buf.append(byte)
+                    if byte == 0xFF:
+                        buf.append(0x00)
+                acc[0] &= (1 << acc[1]) - 1
+
+            def align():
+                if acc[1]:
+                    put((1 << (8 - acc[1])) - 1, 8 - acc[1])
+
+            return buf, put, align
+
+        def category(v):
+            return (v if v > 0 else -v).bit_length()
+
+        def seg(marker, body):
+            return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + bytes(body)
+
+        def sos_header(comp_specs, ss2, se2, ah2, al2):
+            body = bytearray([len(comp_specs)])
+            for cid, td, ta in comp_specs:
+                body += bytes((cid, (td << 4) | ta))
+            body += bytes((ss2, se2, (ah2 << 4) | al2))
+            return seg(0xDA, body)
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+        out += seg(0xDB, bytes([0x00]) + bytes(q_lum[ZZ[k]] for k in range(64)))
+        if color:
+            out += seg(0xDB, bytes([0x01]) + bytes(q_chr[ZZ[k]] for k in range(64)))
+        sof = bytearray(struct.pack(">BHHB", 8, height, width, len(comps)))
+        for cid, _pl, _q, tid in comps:
+            sof += bytes((cid, 0x11, tid))
+        out += seg(0xC2, sof)
+        out += seg(0xC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_VALS))
+        out += seg(0xC4, bytes([0x10]) + bytes(AC_PROG_BITS) + bytes(AC_PROG_VALS))
+        if color:
+            out += seg(0xC4, bytes([0x01]) + bytes(DC_CHR_BITS) + bytes(DC_VALS))
+            out += seg(0xC4, bytes([0x11]) + bytes(AC_PROG_BITS) + bytes(AC_PROG_VALS))
+
+        # ---- scan 1: DC first pass, interleaved, Al=1 -------------------
+        out += sos_header([(cid, tid, 0) for cid, _p, _q, tid in comps], 0, 0, 0, 1)
+        buf, put, align = make_writer()
+        preds = [0] * len(comps)
+        for bi in range(bw * bh):  # 4:4:4 / gray: MCU raster = block raster
+            for ci, (_cid, _pl, _q, tid) in enumerate(comps):
+                dc = blocks[ci][bi][0] >> 1  # arithmetic point transform
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                sz = category(diff)
+                c, ln = DC_ENC[tid][sz]
+                put(c, ln)
+                if sz:
+                    put(diff if diff > 0 else diff + (1 << sz) - 1, sz)
+        align()
+        out += buf
+
+        # ---- scan 2: DC refinement, Ah=1 Al=0 (raw bits, no huffman) ----
+        out += sos_header([(cid, 0, 0) for cid, _p, _q, _t in comps], 0, 0, 1, 0)
+        buf, put, align = make_writer()
+        for bi in range(bw * bh):
+            for ci in range(len(comps)):
+                put(blocks[ci][bi][0] & 1, 1)
+        align()
+        out += buf
+
+        # ---- scans 3..: AC first pass per component, band 1-63, Al=1 ----
+        for ci, (cid, _pl, _q, tid) in enumerate(comps):
+            out += sos_header([(cid, 0, tid)], 1, 63, 0, 1)
+            buf, put, align = make_writer()
+            actab = AC_PROG_ENC
+            eobrun = [0]
+
+            def flush_eob():
+                if eobrun[0]:
+                    n = eobrun[0].bit_length() - 1
+                    c, ln = actab[n << 4]
+                    put(c, ln)
+                    if n:
+                        put(eobrun[0] - (1 << n), n)
+                    eobrun[0] = 0
+
+            for bi in range(bw * bh):
+                zz = blocks[ci][bi]
+                band = [((abs(zz[k]) >> 1), zz[k] < 0) for k in range(1, 64)]
+                last = 0
+                for idx in range(62, -1, -1):
+                    if band[idx][0]:
+                        last = idx + 1
+                        break
+                if last == 0:
+                    eobrun[0] += 1
+                    if eobrun[0] == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for k in range(1, last + 1):
+                    t, neg = band[k - 1]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        c, ln = actab[0xF0]
+                        put(c, ln)
+                        r -= 16
+                    sz = t.bit_length()
+                    c, ln = actab[(r << 4) | sz]
+                    put(c, ln)
+                    vv = -t if neg else t
+                    put(vv if vv > 0 else vv + (1 << sz) - 1, sz)
+                    r = 0
+                if last < 63:
+                    eobrun[0] += 1
+                    if eobrun[0] == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+            align()
+            out += buf
+
+        # ---- final scans: AC refinement per component, Ah=1 Al=0 --------
+        for ci, (cid, _pl, _q, tid) in enumerate(comps):
+            out += sos_header([(cid, 0, tid)], 1, 63, 1, 0)
+            buf, put, align = make_writer()
+            actab = AC_PROG_ENC
+            eobrun = [0]
+            pending: list = []  # correction bits buffered through EOB runs
+
+            def flush_eob():
+                if eobrun[0]:
+                    n = eobrun[0].bit_length() - 1
+                    c, ln = actab[n << 4]
+                    put(c, ln)
+                    if n:
+                        put(eobrun[0] - (1 << n), n)
+                    eobrun[0] = 0
+                for bbit in pending:
+                    put(bbit, 1)
+                pending.clear()
+
+            for bi in range(bw * bh):
+                zz = blocks[ci][bi]
+                # pending per-position events since the last emitted symbol:
+                # 'z' = zero-history slot, int = correction bit of an
+                # already-significant coefficient. The decoder's advance
+                # window interleaves correction-bit reads WITH zero-slot
+                # counting, so emission order must follow position order.
+                events: list = []
+                for k in range(1, 64):
+                    a = abs(zz[k])
+                    if a == 0:
+                        events.append("z")
+                    elif a > 1:
+                        events.append(a & 1)
+                    else:  # newly significant at this precision
+                        flush_eob()
+                        while sum(1 for e in events if e == "z") > 15:
+                            c, ln = actab[0xF0]  # ZRL: window of 16 zeros
+                            put(c, ln)
+                            zs, i2 = 0, 0
+                            while i2 < len(events):
+                                e = events[i2]
+                                i2 += 1
+                                if e == "z":
+                                    zs += 1
+                                    if zs == 16:
+                                        break
+                                else:
+                                    put(e, 1)
+                            events = events[i2:]
+                        r = sum(1 for e in events if e == "z")
+                        c, ln = actab[(r << 4) | 1]
+                        put(c, ln)
+                        put(1 if zz[k] > 0 else 0, 1)
+                        for e in events:
+                            if e != "z":
+                                put(e, 1)
+                        events = []
+                if events:  # slots remain after the last new coefficient
+                    eobrun[0] += 1
+                    pending.extend(e for e in events if e != "z")
+                    if eobrun[0] == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+            align()
+            out += buf
+
+        return bytes(out) + b"\xff\xd9"
+
     def decode(data):
-        """Decode a baseline (SOF0/SOF1) JPEG with stdlib alone: marker
+        """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG with
+        stdlib alone: marker
         walk, DQT/DHT table builds (zigzag quant order, canonical huffman),
         huffman entropy decode with byte-destuffing and restart handling,
         dequantize + IDCT, replication chroma upsample, YCbCr->RGB.
 
         Returns ``(height, width, mode, pixels)`` with mode ``'gray'``
         (pixels: ints) or ``'rgb'`` (pixels: tuples), row-major top-down.
-        Progressive (SOF2) / arithmetic / lossless / 12-bit streams raise
-        NotImplementedError."""
+        Progressive (SOF2) streams decode too: coefficients accumulate
+        across scans (DC/AC first passes + successive-approximation
+        refinement with EOB runs, G.1.2) and finalize at EOI. Arithmetic /
+        lossless / 12-bit streams raise NotImplementedError."""
         if data[:2] != b"\xff\xd8":
             raise ValueError("bad JPEG SOI marker")
         pos = 2
@@ -892,6 +1169,7 @@ def _jpeg_codec():
         frame = None
         restart_interval = 0
         result = None
+        pstate = None  # progressive coefficient store, filled scan by scan
         while pos < len(data) - 1:
             if data[pos] != 0xFF:
                 raise ValueError(f"expected marker at byte {pos}")
@@ -936,7 +1214,7 @@ def _jpeg_codec():
                             code += 1
                         code <<= 1
                     htabs[(tc, th)] = dec
-            elif m in (0xC0, 0xC1):  # baseline / extended sequential huffman
+            elif m in (0xC0, 0xC1, 0xC2):  # sequential / progressive huffman
                 prec, fh, fw, nf = struct.unpack_from(">BHHB", body, 0)
                 if prec != 8:
                     raise NotImplementedError(f"{prec}-bit precision unsupported")
@@ -944,12 +1222,7 @@ def _jpeg_codec():
                 for c in range(nf):
                     cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                     comps.append([cid, hv >> 4, hv & 0x0F, tq])
-                frame = (fh, fw, comps)
-            elif m == 0xC2:
-                raise NotImplementedError(
-                    "progressive JPEG (SOF2) needs an entropy codec with "
-                    "spectral-selection passes — plug in PIL here"
-                )
+                frame = (fh, fw, comps, m == 0xC2)
             elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
                     f"JPEG SOF{m - 0xC0} (lossless/arithmetic/hierarchical) unsupported"
@@ -959,32 +1232,37 @@ def _jpeg_codec():
             elif m == 0xDA:  # SOS: entropy-coded scan follows the header
                 if frame is None:
                     raise ValueError("SOS before SOF")
+                fh, fw, comps, prog = frame
                 if result is not None:
-                    # spec-legal but out of scope: stay LOUD rather than
-                    # silently returning the last scan's channel only
+                    # spec-legal but out of scope for SEQUENTIAL files:
+                    # stay LOUD rather than silently returning the last
+                    # scan's channel only (progressive multi-scan is the
+                    # supported path below)
                     raise NotImplementedError(
-                        "multi-scan (non-interleaved) baseline JPEG "
+                        "multi-scan (non-interleaved) sequential JPEG "
                         "unsupported — one interleaved SOS only"
                     )
-                fh, fw, comps = frame
                 ns = body[0]
                 scan = []
                 for c in range(ns):
                     cs, tdta = body[1 + 2 * c : 3 + 2 * c]
                     fc = next(x for x in comps if x[0] == cs)
                     scan.append((fc, tdta >> 4, tdta & 0x0F))
-                if bytes(body[1 + 2 * ns : 4 + 2 * ns]) != b"\x00\x3f\x00":
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if not prog and (ss, se, ahal) != (0, 63, 0):
                     raise NotImplementedError(
-                        "non-baseline spectral selection in SOS"
+                        "non-baseline spectral selection in a sequential SOS"
                     )
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
                 mcux = -(-fw // (8 * hmax))
                 mcuy = -(-fh // (8 * vmax))
                 planes = []
-                for (cid, ch, cv, tq), _td, _ta in scan:
-                    pw, ph = mcux * ch * 8, mcuy * cv * 8
-                    planes.append(bytearray(pw * ph))
+                if not prog:
+                    for (cid, ch, cv, tq), _td, _ta in scan:
+                        pw, ph = mcux * ch * 8, mcuy * cv * 8
+                        planes.append(bytearray(pw * ph))
 
                 bp = [pos, 0, 0]  # byte position, bit buffer, bits left
 
@@ -1030,107 +1308,325 @@ def _jpeg_codec():
                         raise ValueError("expected restart marker")
                     bp[0] = p + 2
 
-                preds = [0] * ns
-                for mcu in range(mcux * mcuy):
-                    if restart_interval and mcu and mcu % restart_interval == 0:
-                        sync_restart()
-                        preds = [0] * ns
-                    my, mx = divmod(mcu, mcux)
-                    for si, ((cid, ch, cv, tq), td, ta) in enumerate(scan):
-                        dct = htabs.get((0, td))
-                        act = htabs.get((1, ta))
-                        q = qtabs.get(tq)
-                        if dct is None or act is None or q is None:
-                            raise ValueError("scan references missing DHT/DQT table")
-                        pw = mcux * ch * 8
-                        for by in range(cv):
-                            for bx in range(ch):
-                                sz = huff_decode(dct)
-                                preds[si] += extend(receive(sz), sz)
-                                coef = [[0.0] * 8 for _ in range(8)]
-                                coef[0][0] = preds[si] * q[0]
-                                n_ac = 0
-                                k = 1
-                                while k < 64:
-                                    rs = huff_decode(act)
-                                    r, s2 = rs >> 4, rs & 0x0F
-                                    if s2 == 0:
-                                        if r == 15:
-                                            k += 16  # ZRL
-                                            continue
-                                        break  # EOB
-                                    k += r
-                                    if k > 63:
-                                        raise ValueError("AC index overrun")
-                                    nat = ZZ[k]
-                                    coef[nat // 8][nat % 8] = (
-                                        extend(receive(s2), s2) * q[nat]
-                                    )
-                                    n_ac += 1
-                                    k += 1
-                                if n_ac == 0:
-                                    # DC-only block: s(x,y) = DC/8 everywhere
-                                    # (the classic libjpeg shortcut — the full
-                                    # IDCT is exercised whenever any AC term
-                                    # survives quantization)
-                                    flat = coef[0][0] * 0.125
-                                    spatial = [[flat] * 8 for _ in range(8)]
+                if prog:
+                    if restart_interval:
+                        raise NotImplementedError(
+                            "restart markers in progressive scans unsupported"
+                        )
+                    if pstate is None:
+                        pstate = {"coef": [], "dims": []}
+                        for cid, ch, cv, tq in comps:
+                            bw_pad, bh_pad = mcux * ch, mcuy * cv
+                            cw2 = -(-fw * ch // hmax)
+                            ch2 = -(-fh * cv // vmax)
+                            pstate["coef"].append(
+                                [[0] * 64 for _ in range(bw_pad * bh_pad)]
+                            )
+                            pstate["dims"].append(
+                                (bw_pad, bh_pad, -(-cw2 // 8), -(-ch2 // 8))
+                            )
+                    eobrun = [0]
+
+                    def ac_first(blk, act):
+                        # G.1.2.2: first AC pass of a band — EOB runs +
+                        # point-transformed coefficients
+                        if eobrun[0] > 0:
+                            eobrun[0] -= 1
+                            return
+                        k = ss
+                        while k <= se:
+                            rs = huff_decode(act)
+                            r, s2 = rs >> 4, rs & 0x0F
+                            if s2 == 0:
+                                if r != 15:
+                                    eobrun[0] = (1 << r) - 1
+                                    if r:
+                                        eobrun[0] += receive(r)
+                                    return
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError("AC index overrun in scan")
+                            blk[k] = extend(receive(s2), s2) << al
+                            k += 1
+
+                    def ac_refine(blk, act):
+                        # G.1.2.3 fig G.7: refinement — newly-significant
+                        # coefficients arrive as (run,1)+sign; every
+                        # already-nonzero coefficient traversed contributes
+                        # one correction bit, including through EOB runs
+                        p1, n1 = 1 << al, -1 << al
+                        k = ss
+                        if eobrun[0] == 0:
+                            while k <= se:
+                                rs = huff_decode(act)
+                                r, s2 = rs >> 4, rs & 0x0F
+                                val = 0
+                                if s2 == 0:
+                                    if r != 15:
+                                        eobrun[0] = 1 << r
+                                        if r:
+                                            eobrun[0] += receive(r)
+                                        break
                                 else:
-                                    spatial = idct(coef)
-                                x0 = (mx * ch + bx) * 8
-                                y0 = (my * cv + by) * 8
-                                pl = planes[si]
-                                for yy in range(8):
-                                    base = (y0 + yy) * pw + x0
-                                    row = spatial[yy]
-                                    for xx in range(8):
-                                        v = int(math.floor(row[xx] + 128.5))
-                                        pl[base + xx] = 0 if v < 0 else (255 if v > 255 else v)
-                pos = bp[0]
-                if ns == 1:
-                    pw = mcux * scan[0][0][1] * 8
-                    pl = planes[0]
-                    pixels = [
-                        pl[y * pw + x] for y in range(fh) for x in range(fw)
-                    ]
-                    result = (fh, fw, "gray", pixels)
-                elif ns == 3:
-                    pws = [mcux * sc[0][1] * 8 for sc in scan]
-                    pixels = []
-                    for y in range(fh):
-                        for x in range(fw):
-                            smp = [
-                                planes[i][
-                                    (y * scan[i][0][2] // vmax) * pws[i]
-                                    + (x * scan[i][0][1] // hmax)
-                                ]
-                                for i in range(3)
+                                    if s2 != 1:
+                                        raise ValueError("bad refinement size")
+                                    val = p1 if read_bit() else n1
+                                while k <= se:
+                                    if blk[k] != 0:
+                                        if read_bit() and (blk[k] & p1) == 0:
+                                            blk[k] += p1 if blk[k] >= 0 else n1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    blk[k] = val
+                                k += 1
+                        if eobrun[0] > 0:
+                            while k <= se:
+                                if blk[k] != 0:
+                                    if read_bit() and (blk[k] & p1) == 0:
+                                        blk[k] += p1 if blk[k] >= 0 else n1
+                                k += 1
+                            eobrun[0] -= 1
+
+                    if ss == 0:  # DC scan (interleaved or single-component)
+                        if se != 0:
+                            raise ValueError("DC scan must have Se=0")
+                        preds = [0] * ns
+                        units = []  # (scan_index, comp_index, block_index)
+                        if ns > 1:
+                            for mcu in range(mcux * mcuy):
+                                my, mx = divmod(mcu, mcux)
+                                for si2, (fc, _td, _ta) in enumerate(scan):
+                                    _cid, ch, cv, _tq = fc
+                                    ci = comps.index(fc)
+                                    bw_pad = pstate["dims"][ci][0]
+                                    for by2 in range(cv):
+                                        for bx2 in range(ch):
+                                            units.append((
+                                                si2, ci,
+                                                (my * cv + by2) * bw_pad
+                                                + mx * ch + bx2,
+                                            ))
+                        else:
+                            ci = comps.index(scan[0][0])
+                            bw_pad, _bh, bwn, bhn = pstate["dims"][ci]
+                            units = [
+                                (0, ci, by2 * bw_pad + bx2)
+                                for by2 in range(bhn)
+                                for bx2 in range(bwn)
                             ]
-                            yv, cb, cr = smp
-                            r = int(math.floor(yv + 1.402 * (cr - 128) + 0.5))
-                            g = int(
-                                math.floor(
-                                    yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
-                                )
-                            )
-                            b = int(math.floor(yv + 1.772 * (cb - 128) + 0.5))
-                            pixels.append(
-                                tuple(0 if v < 0 else (255 if v > 255 else v) for v in (r, g, b))
-                            )
-                    result = (fh, fw, "rgb", pixels)
+                        for si2, ci, bidx in units:
+                            blk = pstate["coef"][ci][bidx]
+                            if ah == 0:
+                                dct = htabs.get((0, scan[si2][1]))
+                                if dct is None:
+                                    raise ValueError("missing DC table in scan")
+                                sz = huff_decode(dct)
+                                preds[si2] += extend(receive(sz), sz)
+                                blk[0] = preds[si2] << al
+                            elif read_bit():
+                                blk[0] |= 1 << al
+                    else:  # AC scan: always single-component
+                        if ns != 1:
+                            raise ValueError("AC scans must be single-component")
+                        fc, _td, ta = scan[0]
+                        ci = comps.index(fc)
+                        act = htabs.get((1, ta))
+                        if act is None:
+                            raise ValueError("missing AC table in scan")
+                        bw_pad, _bh, bwn, bhn = pstate["dims"][ci]
+                        step = ac_first if ah == 0 else ac_refine
+                        for by2 in range(bhn):
+                            for bx2 in range(bwn):
+                                step(pstate["coef"][ci][by2 * bw_pad + bx2], act)
+                    bp[2] = 0  # discard pad bits at scan end
+                    pos = bp[0]
                 else:
-                    raise NotImplementedError(f"{ns}-component JPEG unsupported")
+                    preds = [0] * ns
+                    for mcu in range(mcux * mcuy):
+                        if restart_interval and mcu and mcu % restart_interval == 0:
+                            sync_restart()
+                            preds = [0] * ns
+                        my, mx = divmod(mcu, mcux)
+                        for si, ((cid, ch, cv, tq), td, ta) in enumerate(scan):
+                            dct = htabs.get((0, td))
+                            act = htabs.get((1, ta))
+                            q = qtabs.get(tq)
+                            if dct is None or act is None or q is None:
+                                raise ValueError("scan references missing DHT/DQT table")
+                            pw = mcux * ch * 8
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    sz = huff_decode(dct)
+                                    preds[si] += extend(receive(sz), sz)
+                                    coef = [[0.0] * 8 for _ in range(8)]
+                                    coef[0][0] = preds[si] * q[0]
+                                    n_ac = 0
+                                    k = 1
+                                    while k < 64:
+                                        rs = huff_decode(act)
+                                        r, s2 = rs >> 4, rs & 0x0F
+                                        if s2 == 0:
+                                            if r == 15:
+                                                k += 16  # ZRL
+                                                continue
+                                            break  # EOB
+                                        k += r
+                                        if k > 63:
+                                            raise ValueError("AC index overrun")
+                                        nat = ZZ[k]
+                                        coef[nat // 8][nat % 8] = (
+                                            extend(receive(s2), s2) * q[nat]
+                                        )
+                                        n_ac += 1
+                                        k += 1
+                                    if n_ac == 0:
+                                        # DC-only block: s(x,y) = DC/8 everywhere
+                                        # (the classic libjpeg shortcut — the full
+                                        # IDCT is exercised whenever any AC term
+                                        # survives quantization)
+                                        flat = coef[0][0] * 0.125
+                                        spatial = [[flat] * 8 for _ in range(8)]
+                                    else:
+                                        spatial = idct(coef)
+                                    x0 = (mx * ch + bx) * 8
+                                    y0 = (my * cv + by) * 8
+                                    pl = planes[si]
+                                    for yy in range(8):
+                                        base = (y0 + yy) * pw + x0
+                                        row = spatial[yy]
+                                        for xx in range(8):
+                                            v = int(math.floor(row[xx] + 128.5))
+                                            pl[base + xx] = 0 if v < 0 else (255 if v > 255 else v)
+                    pos = bp[0]
+                    if ns == 1:
+                        pw = mcux * scan[0][0][1] * 8
+                        pl = planes[0]
+                        pixels = [
+                            pl[y * pw + x] for y in range(fh) for x in range(fw)
+                        ]
+                        result = (fh, fw, "gray", pixels)
+                    elif ns == 3:
+                        pws = [mcux * sc[0][1] * 8 for sc in scan]
+                        pixels = []
+                        for y in range(fh):
+                            for x in range(fw):
+                                smp = [
+                                    planes[i][
+                                        (y * scan[i][0][2] // vmax) * pws[i]
+                                        + (x * scan[i][0][1] // hmax)
+                                    ]
+                                    for i in range(3)
+                                ]
+                                yv, cb, cr = smp
+                                r = int(math.floor(yv + 1.402 * (cr - 128) + 0.5))
+                                g = int(
+                                    math.floor(
+                                        yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+                                    )
+                                )
+                                b = int(math.floor(yv + 1.772 * (cb - 128) + 0.5))
+                                pixels.append(
+                                    tuple(0 if v < 0 else (255 if v > 255 else v) for v in (r, g, b))
+                                )
+                        result = (fh, fw, "rgb", pixels)
+                    else:
+                        raise NotImplementedError(f"{ns}-component JPEG unsupported")
             # other markers (APPn, COM, DNL): skipped via their length
+        if result is None and pstate is not None:
+            # progressive finalize: every scan accumulated coefficients;
+            # dequantize + IDCT each block now, then assemble exactly like
+            # the sequential path
+            fh, fw, comps, _prog = frame
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            planes, hvs = [], []
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                q = qtabs.get(tq)
+                if q is None:
+                    raise ValueError("missing quant table at finalize")
+                bw_pad, bh_pad, _bwn, _bhn = pstate["dims"][ci]
+                pw = bw_pad * 8
+                pl = bytearray(pw * bh_pad * 8)
+                for bi, zz in enumerate(pstate["coef"][ci]):
+                    by2, bx2 = divmod(bi, bw_pad)
+                    coefm = [[0.0] * 8 for _ in range(8)]
+                    n_ac = 0
+                    for k in range(64):
+                        if zz[k]:
+                            nat = ZZ[k]
+                            coefm[nat // 8][nat % 8] = zz[k] * q[nat]
+                            if k:
+                                n_ac += 1
+                    if n_ac == 0:
+                        flat = coefm[0][0] * 0.125
+                        spatial = [[flat] * 8 for _ in range(8)]
+                    else:
+                        spatial = idct(coefm)
+                    x0, y0 = bx2 * 8, by2 * 8
+                    for yy in range(8):
+                        base = (y0 + yy) * pw + x0
+                        row = spatial[yy]
+                        for xx in range(8):
+                            v = int(math.floor(row[xx] + 128.5))
+                            pl[base + xx] = 0 if v < 0 else (255 if v > 255 else v)
+                planes.append(pl)
+                hvs.append((ch, cv))
+            if len(planes) == 1:
+                pw = mcux * hvs[0][0] * 8
+                pl = planes[0]
+                result = (
+                    fh, fw, "gray",
+                    [pl[y * pw + x] for y in range(fh) for x in range(fw)],
+                )
+            elif len(planes) == 3:
+                pws = [mcux * hv[0] * 8 for hv in hvs]
+                pixels = []
+                for y in range(fh):
+                    for x in range(fw):
+                        smp = [
+                            planes[i][
+                                (y * hvs[i][1] // vmax) * pws[i]
+                                + (x * hvs[i][0] // hmax)
+                            ]
+                            for i in range(3)
+                        ]
+                        yv, cb, cr = smp
+                        r = int(math.floor(yv + 1.402 * (cr - 128) + 0.5))
+                        g = int(
+                            math.floor(
+                                yv - 0.344136 * (cb - 128)
+                                - 0.714136 * (cr - 128) + 0.5
+                            )
+                        )
+                        b = int(math.floor(yv + 1.772 * (cb - 128) + 0.5))
+                        pixels.append(
+                            tuple(
+                                0 if v < 0 else (255 if v > 255 else v)
+                                for v in (r, g, b)
+                            )
+                        )
+                result = (fh, fw, "rgb", pixels)
+            else:
+                raise NotImplementedError(
+                    f"{len(planes)}-component JPEG unsupported"
+                )
         if result is None:
             raise ValueError("JPEG has no decoded scan")
         return result
 
-    return encode, decode
+    return encode, decode, encode_progressive
 
 
-#: baseline JPEG codec, built once; locally-defined functions so closures
-#: that capture them pickle BY VALUE (hostile-cwd-safe on workers)
-make_jpeg_baseline, decode_jpeg_baseline = _jpeg_codec()
+#: JPEG codec, built once; locally-defined functions so closures that
+#: capture them pickle BY VALUE (hostile-cwd-safe on workers)
+make_jpeg_baseline, decode_jpeg_baseline, make_jpeg_progressive = _jpeg_codec()
 
 
 def _gif_codec():

@@ -264,7 +264,7 @@ def test_strict_decode_raises_on_entropy_coded_formats(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"\xff\xfbMP3FRAME...."))], "doc_id long, payload binary"
     )
-    with _pytest.raises(Exception, match="entropy"):
+    with _pytest.raises(Exception, match="perceptual codec"):
         multimodal.decode_features(df, decode="strict").collect()
     # and unsupported BMP variants fail loudly, not silently wrong
     bad = bytearray(_hand_bmp())
@@ -612,20 +612,81 @@ def test_flac_multibyte_frame_numbers_roundtrip():
     assert multimodal.decode_flac(data) == (1, 8000, s)
 
 
-def test_jpeg_progressive_raises_loudly():
+def test_jpeg_progressive_decodes_identically_to_sequential():
+    """Progressive (SOF2) files — 4-scan script with successive
+    approximation — must decode to EXACTLY the same pixels as the
+    sequential encoding of the same image (the refined coefficients are
+    identical by construction): dense large coefficients exercise the
+    correction-bit paths, Annex K quantization exercises EOB runs and
+    newly-significant coding."""
+    import random
+
+    rng = random.Random(7)
+    for w, h in [(8, 8), (17, 9), (1, 1), (32, 24)]:
+        px = [rng.randrange(256) for _ in range(w * h)]
+        prog = multimodal.make_jpeg_progressive(px, w, h, quant=[1] * 64)
+        seq = multimodal.make_jpeg_baseline(px, w, h, quant=[1] * 64)
+        assert multimodal.decode_jpeg_baseline(prog) == \
+            multimodal.decode_jpeg_baseline(seq), (w, h)
+    # heavy default quantization: long EOB runs + sparse refinement
+    px = [rng.randrange(256) for _ in range(64 * 48)]
+    assert multimodal.decode_jpeg_baseline(
+        multimodal.make_jpeg_progressive(px, 64, 48)
+    ) == multimodal.decode_jpeg_baseline(multimodal.make_jpeg_baseline(px, 64, 48))
+
+
+def test_jpeg_progressive_constant_blocks_exact():
+    vals = [40, 90, 126, 32]
+    px = [vals[(y // 8) * 2 + (x // 8)] for y in range(16) for x in range(16)]
+    prog = multimodal.make_jpeg_progressive(px, 16, 16, quant=[8] + [16] * 63)
+    assert multimodal.decode_jpeg_baseline(prog) == (16, 16, "gray", px)
+
+
+def test_jpeg_progressive_color_matches_sequential():
+    import random
+
+    rng = random.Random(21)
+    px = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(12 * 10)
+    ]
+    prog = multimodal.make_jpeg_progressive(
+        px, 12, 10, quant=[1] * 64, quant_chroma=[1] * 64, color=True
+    )
+    seq = multimodal.make_jpeg_baseline(
+        px, 12, 10, quant=[1] * 64, quant_chroma=[1] * 64, color=True
+    )
+    assert multimodal.decode_jpeg_baseline(prog) == \
+        multimodal.decode_jpeg_baseline(seq)
+
+
+def test_jpeg_progressive_via_spark_strict_decode(spark):
+    vals = [40, 90, 126, 32]
+    px = [vals[(y // 8) * 2 + (x // 8)] for y in range(16) for x in range(16)]
+    data = multimodal.make_jpeg_progressive(px, 16, 16, quant=[8] + [16] * 63)
+    df = spark.createDataFrame(
+        [(1, bytearray(data))], "doc_id long, payload binary"
+    )
+    row = multimodal.decode_features(df, dim=256, decode="strict").collect()[0]
+    assert (row.media_type, row.height, row.width) == ("image/jpeg", 16, 16)
+    assert row.features == pytest.approx([v / 255.0 for v in px], abs=1e-6)
+
+
+def test_jpeg_arithmetic_and_lossless_still_raise():
     import pytest as _pytest
     import struct
 
     def seg(marker, body):
         return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
 
-    prog = (
-        b"\xff\xd8"
-        + seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0)))
-        + b"\xff\xd9"
-    )
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        multimodal.decode_jpeg_baseline(prog)
+    for sof in (0xC3, 0xC9, 0xCB):  # lossless / arithmetic / arith-prog
+        blob = (
+            b"\xff\xd8"
+            + seg(sof, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0)))
+            + b"\xff\xd9"
+        )
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_jpeg_baseline(blob)
 
 
 def test_strict_decode_jpeg_via_spark(spark):
