@@ -628,7 +628,7 @@ def _jpeg_codec():
     # sequential Annex K tables do not contain — real progressive encoders
     # ship custom DHTs. A flat 8-bit canonical table over every symbol the
     # scans can emit (EOB0..EOB14, ZRL, (run,size) for size 1..12) is
-    # spec-valid (Kraft: 224/256) and trivially correct.
+    # spec-valid (Kraft: 208/256) and trivially correct.
     AC_PROG_VALS = (
         [n << 4 for n in range(15)]
         + [0xF0]
@@ -686,6 +686,120 @@ def _jpeg_codec():
             for y in range(8)
         ]
 
+    # ---- helpers shared by BOTH encoders and both decode paths ----------
+    # (one copy each of the colorspace constants, quantization rounding,
+    # block plumbing and plane assembly — sequential and progressive can
+    # never drift apart)
+
+    def validate_quant(q):
+        if len(q) != 64 or any(not (1 <= v <= 255) for v in q):
+            raise ValueError("quant tables need 64 entries in 1..255")
+        return q
+
+    def pick_quant_tables(quant, quant_chroma):
+        # chroma default: Annex K chroma table with default luma, but a
+        # CUSTOM quant= without quant_chroma= applies to all components
+        # (callers overriding one table almost always mean "this table")
+        q_lum = list(quant) if quant is not None else list(K_QUANT_LUM)
+        if quant_chroma is not None:
+            q_chr = list(quant_chroma)
+        elif quant is None:
+            q_chr = list(K_QUANT_CHR)
+        else:
+            q_chr = list(q_lum)
+        return validate_quant(q_lum), validate_quant(q_chr)
+
+    def rgb_to_ycbcr(pixels):
+        Y, Cb, Cr = [], [], []
+        for r, g, b in pixels:
+            Y.append(min(255, max(0, int(0.299 * r + 0.587 * g + 0.114 * b + 0.5))))
+            Cb.append(
+                min(255, max(0, int(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)))
+            )
+            Cr.append(
+                min(255, max(0, int(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)))
+            )
+        return Y, Cb, Cr
+
+    def block_at(plane, pw, ph, x0, y0):
+        # 8x8 level-shifted block with edge replication
+        return [
+            plane[min(y0 + dy, ph - 1) * pw + min(x0 + dx, pw - 1)] - 128
+            for dy in range(8)
+            for dx in range(8)
+        ]
+
+    def quantize_zz(S, q):
+        # zigzag-ordered quantized coefficients, round half away from zero
+        zz = []
+        for k in range(64):
+            nat = ZZ[k]
+            v = S[nat // 8][nat % 8] / q[nat]
+            zz.append(
+                int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+            )
+        return zz
+
+    def category(v):
+        return (v if v > 0 else -v).bit_length()
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + bytes(body)
+
+    def spatial_from_coef(coefm, n_ac):
+        # DC-only block: s(x,y) = DC/8 everywhere (the classic libjpeg
+        # shortcut — the full IDCT runs whenever any AC term survives)
+        if n_ac == 0:
+            flat = coefm[0][0] * 0.125
+            return [[flat] * 8 for _ in range(8)]
+        return idct(coefm)
+
+    def place_block(spatial, pl, pw, x0, y0):
+        for yy in range(8):
+            base = (y0 + yy) * pw + x0
+            row = spatial[yy]
+            for xx in range(8):
+                v = int(math.floor(row[xx] + 128.5))
+                pl[base + xx] = 0 if v < 0 else (255 if v > 255 else v)
+
+    def assemble_planes(planes, hvs, fh, fw, hmax, vmax, mcux):
+        # crop + replication-upsample + (for 3 components) YCbCr->RGB
+        if len(planes) == 1:
+            pw = mcux * hvs[0][0] * 8
+            pl = planes[0]
+            return (
+                fh, fw, "gray",
+                [pl[y * pw + x] for y in range(fh) for x in range(fw)],
+            )
+        if len(planes) == 3:
+            pws = [mcux * hv[0] * 8 for hv in hvs]
+            pixels = []
+            for y in range(fh):
+                for x in range(fw):
+                    smp = [
+                        planes[i][
+                            (y * hvs[i][1] // vmax) * pws[i]
+                            + (x * hvs[i][0] // hmax)
+                        ]
+                        for i in range(3)
+                    ]
+                    yv, cb, cr = smp
+                    r = int(math.floor(yv + 1.402 * (cr - 128) + 0.5))
+                    g = int(
+                        math.floor(
+                            yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+                        )
+                    )
+                    b = int(math.floor(yv + 1.772 * (cb - 128) + 0.5))
+                    pixels.append(
+                        tuple(
+                            0 if v < 0 else (255 if v > 255 else v)
+                            for v in (r, g, b)
+                        )
+                    )
+            return (fh, fw, "rgb", pixels)
+        raise NotImplementedError(f"{len(planes)}-component JPEG unsupported")
+
     def encode(
         pixels,
         width,
@@ -707,32 +821,10 @@ def _jpeg_codec():
         MCUs. Non-multiple-of-block dimensions are edge-replicated."""
         if len(pixels) != width * height:
             raise ValueError("pixels length must be width*height")
-        q_lum = list(quant) if quant is not None else list(K_QUANT_LUM)
-        # chroma default: Annex K chroma table with default luma, but a
-        # CUSTOM quant= without quant_chroma= applies to all components
-        # (callers overriding one table almost always mean "this table")
-        if quant_chroma is not None:
-            q_chr = list(quant_chroma)
-        elif quant is None:
-            q_chr = list(K_QUANT_CHR)
-        else:
-            q_chr = list(q_lum)
-        for q in (q_lum, q_chr):
-            if len(q) != 64 or any(not (1 <= v <= 255) for v in q):
-                raise ValueError("quant tables need 64 entries in 1..255")
+        q_lum, q_chr = pick_quant_tables(quant, quant_chroma)
 
         if color:
-            Y, Cb, Cr = [], [], []
-            for r, g, b in pixels:
-                Y.append(
-                    min(255, max(0, int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)))
-                )
-                Cb.append(
-                    min(255, max(0, int(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)))
-                )
-                Cr.append(
-                    min(255, max(0, int(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)))
-                )
+            Y, Cb, Cr = rgb_to_ycbcr(pixels)
             hmax = vmax = 2 if subsample else 1
             if subsample:
                 cw, chh = (width + 1) // 2, (height + 1) // 2
@@ -785,26 +877,6 @@ def _jpeg_codec():
             if acc[1]:
                 put((1 << (8 - acc[1])) - 1, 8 - acc[1])  # pad with 1s
 
-        def block_at(plane, pw, ph, x0, y0):
-            return [
-                plane[min(y0 + dy, ph - 1) * pw + min(x0 + dx, pw - 1)] - 128
-                for dy in range(8)
-                for dx in range(8)
-            ]
-
-        def quantize(S, q):
-            zz = []
-            for k in range(64):
-                nat = ZZ[k]
-                v = S[nat // 8][nat % 8] / q[nat]
-                zz.append(
-                    int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
-                )
-            return zz
-
-        def category(v):
-            return (v if v > 0 else -v).bit_length()
-
         def encode_block(zz, pred, dc_codes, ac_codes):
             diff = zz[0] - pred
             sz = category(diff)
@@ -855,14 +927,11 @@ def _jpeg_codec():
                                 plane, pw, ph, (mx * ch + bx) * 8, (my * cv + by) * 8
                             )
                             preds[ci] = encode_block(
-                                quantize(fdct(blk), q), preds[ci],
+                                quantize_zz(fdct(blk), q), preds[ci],
                                 dc_enc[tid], ac_enc[tid],
                             )
                 mcu_index += 1
         align()
-
-        def seg(marker, body):
-            return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + bytes(body)
 
         head = bytearray(b"\xff\xd8")
         head += seg(
@@ -902,46 +971,18 @@ def _jpeg_codec():
         IDENTICAL to the sequential encoding of the same coefficients."""
         if len(pixels) != width * height:
             raise ValueError("pixels length must be width*height")
-        q_lum = list(quant) if quant is not None else list(K_QUANT_LUM)
-        if quant_chroma is not None:
-            q_chr = list(quant_chroma)
-        elif quant is None:
-            q_chr = list(K_QUANT_CHR)
-        else:
-            q_chr = list(q_lum)
+        q_lum, q_chr = pick_quant_tables(quant, quant_chroma)
 
         if color:
-            Y, Cb, Cr = [], [], []
-            for r, g, b in pixels:
-                Y.append(min(255, max(0, int(0.299 * r + 0.587 * g + 0.114 * b + 0.5))))
-                Cb.append(min(255, max(0, int(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))))
-                Cr.append(min(255, max(0, int(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))))
+            Y, Cb, Cr = rgb_to_ycbcr(pixels)
             comps = [(1, Y, q_lum, 0), (2, Cb, q_chr, 1), (3, Cr, q_chr, 1)]
         else:
             comps = [(1, list(pixels), q_lum, 0)]
         bw, bh = -(-width // 8), -(-height // 8)
 
-        def block_at(plane, x0, y0):
-            return [
-                plane[min(y0 + dy, height - 1) * width + min(x0 + dx, width - 1)]
-                - 128
-                for dy in range(8)
-                for dx in range(8)
-            ]
-
-        def quantize_zz(S, q):
-            zz = []
-            for k in range(64):
-                nat = ZZ[k]
-                v = S[nat // 8][nat % 8] / q[nat]
-                zz.append(
-                    int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
-                )
-            return zz
-
         blocks = [
             [
-                quantize_zz(fdct(block_at(plane, bx * 8, by * 8)), q)
+                quantize_zz(fdct(block_at(plane, width, height, bx * 8, by * 8)), q)
                 for by in range(bh)
                 for bx in range(bw)
             ]
@@ -970,12 +1011,6 @@ def _jpeg_codec():
                     put((1 << (8 - acc[1])) - 1, 8 - acc[1])
 
             return buf, put, align
-
-        def category(v):
-            return (v if v > 0 else -v).bit_length()
-
-        def seg(marker, body):
-            return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + bytes(body)
 
         def sos_header(comp_specs, ss2, se2, ah2, al2):
             body = bytearray([len(comp_specs)])
@@ -1260,6 +1295,10 @@ def _jpeg_codec():
                 mcuy = -(-fh // (8 * vmax))
                 planes = []
                 if not prog:
+                    if fh * fw > (1 << 28):  # plane-allocation DoS guard
+                        raise ValueError(
+                            f"refusing {fw}x{fh} frame (cap: 256M pixels)"
+                        )
                     for (cid, ch, cv, tq), _td, _ta in scan:
                         pw, ph = mcux * ch * 8, mcuy * cv * 8
                         planes.append(bytearray(pw * ph))
@@ -1314,6 +1353,15 @@ def _jpeg_codec():
                             "restart markers in progressive scans unsupported"
                         )
                     if pstate is None:
+                        # the coefficient store is ~28 bytes per pixel of
+                        # Python ints — cap it so a <150-byte hostile header
+                        # cannot OOM the worker (16M px ~ a 16MP photo)
+                        if fh * fw > (1 << 24):
+                            raise ValueError(
+                                f"refusing {fw}x{fh} progressive frame: "
+                                "coefficient store would exceed worker "
+                                "memory (cap: 16M pixels)"
+                            )
                         pstate = {"coef": [], "dims": []}
                         for cid, ch, cv, tq in comps:
                             bw_pad, bh_pad = mcux * ch, mcuy * cv
@@ -1382,7 +1430,11 @@ def _jpeg_codec():
                                             break
                                         r -= 1
                                     k += 1
-                                if val and k <= se:
+                                if val:
+                                    if k > se:
+                                        raise ValueError(
+                                            "refinement run overruns the band"
+                                        )
                                     blk[k] = val
                                 k += 1
                         if eobrun[0] > 0:
@@ -1485,58 +1537,17 @@ def _jpeg_codec():
                                         )
                                         n_ac += 1
                                         k += 1
-                                    if n_ac == 0:
-                                        # DC-only block: s(x,y) = DC/8 everywhere
-                                        # (the classic libjpeg shortcut — the full
-                                        # IDCT is exercised whenever any AC term
-                                        # survives quantization)
-                                        flat = coef[0][0] * 0.125
-                                        spatial = [[flat] * 8 for _ in range(8)]
-                                    else:
-                                        spatial = idct(coef)
-                                    x0 = (mx * ch + bx) * 8
-                                    y0 = (my * cv + by) * 8
-                                    pl = planes[si]
-                                    for yy in range(8):
-                                        base = (y0 + yy) * pw + x0
-                                        row = spatial[yy]
-                                        for xx in range(8):
-                                            v = int(math.floor(row[xx] + 128.5))
-                                            pl[base + xx] = 0 if v < 0 else (255 if v > 255 else v)
-                    pos = bp[0]
-                    if ns == 1:
-                        pw = mcux * scan[0][0][1] * 8
-                        pl = planes[0]
-                        pixels = [
-                            pl[y * pw + x] for y in range(fh) for x in range(fw)
-                        ]
-                        result = (fh, fw, "gray", pixels)
-                    elif ns == 3:
-                        pws = [mcux * sc[0][1] * 8 for sc in scan]
-                        pixels = []
-                        for y in range(fh):
-                            for x in range(fw):
-                                smp = [
-                                    planes[i][
-                                        (y * scan[i][0][2] // vmax) * pws[i]
-                                        + (x * scan[i][0][1] // hmax)
-                                    ]
-                                    for i in range(3)
-                                ]
-                                yv, cb, cr = smp
-                                r = int(math.floor(yv + 1.402 * (cr - 128) + 0.5))
-                                g = int(
-                                    math.floor(
-                                        yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+                                    place_block(
+                                        spatial_from_coef(coef, n_ac),
+                                        planes[si], pw,
+                                        (mx * ch + bx) * 8,
+                                        (my * cv + by) * 8,
                                     )
-                                )
-                                b = int(math.floor(yv + 1.772 * (cb - 128) + 0.5))
-                                pixels.append(
-                                    tuple(0 if v < 0 else (255 if v > 255 else v) for v in (r, g, b))
-                                )
-                        result = (fh, fw, "rgb", pixels)
-                    else:
-                        raise NotImplementedError(f"{ns}-component JPEG unsupported")
+                    pos = bp[0]
+                    result = assemble_planes(
+                        planes, [(sc[0][1], sc[0][2]) for sc in scan],
+                        fh, fw, hmax, vmax, mcux,
+                    )
             # other markers (APPn, COM, DNL): skipped via their length
         if result is None and pstate is not None:
             # progressive finalize: every scan accumulated coefficients;
@@ -1564,59 +1575,12 @@ def _jpeg_codec():
                             coefm[nat // 8][nat % 8] = zz[k] * q[nat]
                             if k:
                                 n_ac += 1
-                    if n_ac == 0:
-                        flat = coefm[0][0] * 0.125
-                        spatial = [[flat] * 8 for _ in range(8)]
-                    else:
-                        spatial = idct(coefm)
-                    x0, y0 = bx2 * 8, by2 * 8
-                    for yy in range(8):
-                        base = (y0 + yy) * pw + x0
-                        row = spatial[yy]
-                        for xx in range(8):
-                            v = int(math.floor(row[xx] + 128.5))
-                            pl[base + xx] = 0 if v < 0 else (255 if v > 255 else v)
+                    place_block(
+                        spatial_from_coef(coefm, n_ac), pl, pw, bx2 * 8, by2 * 8
+                    )
                 planes.append(pl)
                 hvs.append((ch, cv))
-            if len(planes) == 1:
-                pw = mcux * hvs[0][0] * 8
-                pl = planes[0]
-                result = (
-                    fh, fw, "gray",
-                    [pl[y * pw + x] for y in range(fh) for x in range(fw)],
-                )
-            elif len(planes) == 3:
-                pws = [mcux * hv[0] * 8 for hv in hvs]
-                pixels = []
-                for y in range(fh):
-                    for x in range(fw):
-                        smp = [
-                            planes[i][
-                                (y * hvs[i][1] // vmax) * pws[i]
-                                + (x * hvs[i][0] // hmax)
-                            ]
-                            for i in range(3)
-                        ]
-                        yv, cb, cr = smp
-                        r = int(math.floor(yv + 1.402 * (cr - 128) + 0.5))
-                        g = int(
-                            math.floor(
-                                yv - 0.344136 * (cb - 128)
-                                - 0.714136 * (cr - 128) + 0.5
-                            )
-                        )
-                        b = int(math.floor(yv + 1.772 * (cb - 128) + 0.5))
-                        pixels.append(
-                            tuple(
-                                0 if v < 0 else (255 if v > 255 else v)
-                                for v in (r, g, b)
-                            )
-                        )
-                result = (fh, fw, "rgb", pixels)
-            else:
-                raise NotImplementedError(
-                    f"{len(planes)}-component JPEG unsupported"
-                )
+            result = assemble_planes(planes, hvs, fh, fw, hmax, vmax, mcux)
         if result is None:
             raise ValueError("JPEG has no decoded scan")
         return result

@@ -672,6 +672,37 @@ def test_jpeg_progressive_via_spark_strict_decode(spark):
     assert row.features == pytest.approx([v / 255.0 for v in px], abs=1e-6)
 
 
+def test_jpeg_hostile_header_dims_rejected_cheaply():
+    """A <150-byte payload claiming enormous frame dims must be rejected
+    BEFORE allocating the coefficient store / pixel planes (the strict
+    decode path runs inside Spark workers — an OOM there kills the task
+    slot; round-5 review finding)."""
+    import pytest as _pytest
+    import struct
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    dht = seg(0xC4, bytes([0x00]) + bytes([0, 1] + [0] * 14) + bytes([0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00]) + bytes((0, 0, 0x10)))
+    prog = (
+        b"\xff\xd8"
+        + seg(0xC2, struct.pack(">BHHB", 8, 8000, 8000, 1) + bytes((1, 0x11, 0)))
+        + dht + sos + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError, match="refusing"):
+        multimodal.decode_jpeg_baseline(prog)
+    seq = (
+        b"\xff\xd8"
+        + seg(0xC0, struct.pack(">BHHB", 8, 65000, 65000, 1) + bytes((1, 0x11, 0)))
+        + dht
+        + seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError, match="refusing"):
+        multimodal.decode_jpeg_baseline(seq)
+
+
 def test_jpeg_arithmetic_and_lossless_still_raise():
     import pytest as _pytest
     import struct
