@@ -5389,6 +5389,98 @@ def mm_jpeg_decode(spark, sf_dir):
 
 
 @register(
+    "mm_jpeg_progressive",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 8), 5, 4) AS t
+               FROM documents)
+    SELECT doc_id,
+           'image/jpeg' AS media_type,
+           CAST(16 AS INTEGER) AS height,
+           CAST(16 AS INTEGER) AS width,
+           CAST(ascii(substr(t, 1, 1)) AS INTEGER) AS b0,
+           CAST(ascii(substr(t, 2, 1)) AS INTEGER) AS b1,
+           CAST(ascii(substr(t, 3, 1)) AS INTEGER) AS b2,
+           CAST(ascii(substr(t, 4, 1)) AS INTEGER) AS b3,
+           TRUE AS uniform
+    FROM b
+    """,
+)
+def mm_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG (SOF2) value-hashed end to end — the
+    successive-approximation twin of `mm_jpeg_decode`: the same
+    constant-block mosaic construction (taken from text chars 5-8, so the
+    two entries are distinct checks) is encoded worker-side through the
+    4-stage progressive scan script (DC first pass at Al=1, DC
+    refinement, AC band pass with EOB runs, AC refinement with
+    correction-bit interleaving) and strict-decoded by accumulating
+    coefficients across scans. Fully refined scans end at Al=0, so the
+    decode is EXACT for DC-quantize-lossless mosaics — the hash only
+    matches if every scan pass, EOB run and refinement bit lands
+    correctly. Same compressed one-row-per-doc output contract as the
+    baseline entry."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    enc = multimodal._jpeg_codec()[2]  # encode_progressive, by value
+
+    def build(it):
+        import pandas as _pd
+
+        quant = [8] + [16] * 63
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                vals = (((t or "").encode("utf-8")) + b"x" * 8)[4:8]
+                vals = (vals + b"x" * 4)[:4]
+                px = [
+                    vals[(y // 8) * 2 + (x // 8)]
+                    for y in range(16)
+                    for x in range(16)
+                ]
+                out.append(
+                    {"doc_id": i, "payload": enc(px, 16, 16, quant=quant)}
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    payloads = docs.mapInPandas(build, out_schema)
+    feats = multimodal.decode_features(payloads, dim=32, decode="strict")
+    block_val = "CAST(round(element_at(features, {k}) * 255) AS INT)"
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "height",
+        "width",
+        F.expr(block_val.format(k=1)).alias("b0"),
+        F.expr(block_val.format(k=2)).alias("b1"),
+        F.expr(block_val.format(k=17)).alias("b2"),
+        F.expr(block_val.format(k=18)).alias("b3"),
+        F.expr(
+            "forall(transform(features, (f, i) -> "
+            "  CAST(round(f * 255) AS INT) = element_at("
+            "    array({b0}, {b1}, {b2}, {b3}),"
+            "    CAST((i div 16) * 2 + (i % 2) + 1 AS INT))"
+            "), x -> x)".format(
+                b0=block_val.format(k=1),
+                b1=block_val.format(k=2),
+                b2=block_val.format(k=17),
+                b3=block_val.format(k=18),
+            )
+        ).alias("uniform"),
+    )
+
+
+@register(
     "mm_gif_decode",
     oracle="""
     WITH b AS (SELECT doc_id,
