@@ -1281,7 +1281,11 @@ def _jpeg_codec():
                 scan = []
                 for c in range(ns):
                     cs, tdta = body[1 + 2 * c : 3 + 2 * c]
-                    fc = next(x for x in comps if x[0] == cs)
+                    fc = next((x for x in comps if x[0] == cs), None)
+                    if fc is None:
+                        raise ValueError(
+                            f"SOS references unknown component id {cs}"
+                        )
                     scan.append((fc, tdta >> 4, tdta & 0x0F))
                 ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
                 ah, al = ahal >> 4, ahal & 0x0F
