@@ -300,6 +300,79 @@ def test_streaming_document_curation_equals_batch(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_strict_decode_equals_batch(spark):
+    """The multimodal decode stage is streaming-safe: mapInPandas is a
+    stateless narrow map, so a blob FEED (payload files arriving) strict-
+    decodes to exactly the batch result — real codec bytes (BMP, PNG,
+    JPEG, GIF, FLAC, WAV) through decode_features on a readStream."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from big_data_project_spark.operators import multimodal as mm
+
+    payloads = []
+    for i in range(24):
+        b = bytes((i * 7 + j) % 95 + 32 for j in range(18))
+        if i % 6 == 0:
+            blob = mm.make_bmp_24(
+                [tuple(b[3 * k : 3 * k + 3]) for k in range(6)], 3, 2
+            )
+        elif i % 6 == 1:
+            blob = mm.make_png_rgb8(
+                [tuple(b[3 * k : 3 * k + 3]) for k in range(6)], 3, 2
+            )
+        elif i % 6 == 2:
+            px = [b[(y // 8) * 2 + (x // 8)] for y in range(16) for x in range(16)]
+            blob = mm.make_jpeg_baseline(px, 16, 16, quant=[8] + [16] * 63)
+        elif i % 6 == 3:
+            blob = mm.make_gif([(v, v, v) for v in b[:12]], 3, 4)
+        elif i % 6 == 4:
+            blob = mm.make_flac([(c - 128) * 256 for c in b[:8]], 8000, 2,
+                                subframe="fixed:2")
+        else:
+            blob = mm.make_wav_pcm16([(c - 128) * 256 for c in b[:6]])
+        payloads.append((i, bytearray(blob)))
+
+    d = tempfile.mkdtemp(prefix="bdps_blobs_")
+    try:
+        df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+        df.repartition(3).write.mode("overwrite").parquet(d)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).parquet(d)
+        feats = mm.decode_features(stream, dim=4, decode="strict")
+        q = (
+            feats.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("mm_stream_out")
+            .start()
+        )
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.media_type, r.height, r.width, tuple(r.features))
+            for r in spark.sql("SELECT * FROM mm_stream_out").collect()
+        }
+        q.stop()
+        want = {
+            (r.doc_id, r.media_type, r.height, r.width, tuple(r.features))
+            for r in mm.decode_features(df, dim=4, decode="strict").collect()
+        }
+        assert got == want
+        assert len(got) == 24
+        assert {t[1] for t in got} == {
+            "image/bmp", "image/png", "image/jpeg", "image/gif",
+            "audio/flac", "audio/wav",
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_anomaly_stream_equals_batch_minus_open_buckets(spark, event_dir):
     """Streaming rolling z-score == the batch operator restricted to CLOSED
     buckets (everything except each key's final bucket, which the stream
