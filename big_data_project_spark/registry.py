@@ -5284,6 +5284,36 @@ def mm_strict_decode(spark, sf_dir):
     )
 
 
+def _jpeg_mosaic_project(feats):
+    """Shared projection for the two JPEG mosaic entries: recover the four
+    block bytes and a forall-verified uniformity flag over all 32 features
+    (one wrong feature anywhere flips the flag and the hash) — one row per
+    document so the compared result stays O(docs)."""
+    block_val = "CAST(round(element_at(features, {k}) * 255) AS INT)"
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "height",
+        "width",
+        F.expr(block_val.format(k=1)).alias("b0"),
+        F.expr(block_val.format(k=2)).alias("b1"),
+        F.expr(block_val.format(k=17)).alias("b2"),
+        F.expr(block_val.format(k=18)).alias("b3"),
+        F.expr(
+            "forall(transform(features, (f, i) -> "
+            "  CAST(round(f * 255) AS INT) = element_at("
+            "    array({b0}, {b1}, {b2}, {b3}),"
+            "    CAST((i div 16) * 2 + (i % 2) + 1 AS INT))"
+            "), x -> x)".format(
+                b0=block_val.format(k=1),
+                b1=block_val.format(k=2),
+                b2=block_val.format(k=17),
+                b3=block_val.format(k=18),
+            )
+        ).alias("uniform"),
+    )
+
+
 @register(
     "mm_jpeg_decode",
     headline=True,
@@ -5363,29 +5393,7 @@ def mm_jpeg_decode(spark, sf_dir):
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     payloads = docs.mapInPandas(build, out_schema)
     feats = multimodal.decode_features(payloads, dim=32, decode="strict")
-    block_val = "CAST(round(element_at(features, {k}) * 255) AS INT)"
-    return feats.select(
-        "doc_id",
-        "media_type",
-        "height",
-        "width",
-        F.expr(block_val.format(k=1)).alias("b0"),
-        F.expr(block_val.format(k=2)).alias("b1"),
-        F.expr(block_val.format(k=17)).alias("b2"),
-        F.expr(block_val.format(k=18)).alias("b3"),
-        F.expr(
-            "forall(transform(features, (f, i) -> "
-            "  CAST(round(f * 255) AS INT) = element_at("
-            "    array({b0}, {b1}, {b2}, {b3}),"
-            "    CAST((i div 16) * 2 + (i % 2) + 1 AS INT))"
-            "), x -> x)".format(
-                b0=block_val.format(k=1),
-                b1=block_val.format(k=2),
-                b2=block_val.format(k=17),
-                b3=block_val.format(k=18),
-            )
-        ).alias("uniform"),
-    )
+    return _jpeg_mosaic_project(feats)
 
 
 @register(
@@ -5455,29 +5463,7 @@ def mm_jpeg_progressive(spark, sf_dir):
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     payloads = docs.mapInPandas(build, out_schema)
     feats = multimodal.decode_features(payloads, dim=32, decode="strict")
-    block_val = "CAST(round(element_at(features, {k}) * 255) AS INT)"
-    return feats.select(
-        "doc_id",
-        "media_type",
-        "height",
-        "width",
-        F.expr(block_val.format(k=1)).alias("b0"),
-        F.expr(block_val.format(k=2)).alias("b1"),
-        F.expr(block_val.format(k=17)).alias("b2"),
-        F.expr(block_val.format(k=18)).alias("b3"),
-        F.expr(
-            "forall(transform(features, (f, i) -> "
-            "  CAST(round(f * 255) AS INT) = element_at("
-            "    array({b0}, {b1}, {b2}, {b3}),"
-            "    CAST((i div 16) * 2 + (i % 2) + 1 AS INT))"
-            "), x -> x)".format(
-                b0=block_val.format(k=1),
-                b1=block_val.format(k=2),
-                b2=block_val.format(k=17),
-                b3=block_val.format(k=18),
-            )
-        ).alias("uniform"),
-    )
+    return _jpeg_mosaic_project(feats)
 
 
 @register(
