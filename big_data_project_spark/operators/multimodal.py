@@ -388,30 +388,108 @@ def decode_features(
     return pruned.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def make_bmp_24(pixels: list, width: int, height: int) -> bytes:
-    """Serialize pixels (image order, top-down, (r, g, b) tuples) into a
-    real uncompressed 24-bpp BMP: BITMAPINFOHEADER, bottom-up file rows,
-    BGR byte order, 4-byte row padding. The write-side twin of the strict
-    decoder — and the fixture builder the decode tests use."""
-    import struct
+def _bmp_png_builders():
+    """Factory for the BMP/PNG write-side twins — locally-defined so
+    closures that capture them pickle BY VALUE (same hostile-cwd contract
+    as the JPEG/GIF/FLAC factories)."""
 
-    stride = ((width * 3 + 3) // 4) * 4
-    rows = []
-    for fy in range(height):  # file stores the BOTTOM image row first
-        y = height - 1 - fy
-        row = bytearray()
-        for x in range(width):
-            r, g, b = pixels[y * width + x]
-            row += bytes((b, g, r))
-        row += b"\x00" * (stride - len(row))
-        rows.append(bytes(row))
-    pix = b"".join(rows)
-    offset = 14 + 40
-    hdr = struct.pack("<2sIHHI", b"BM", offset + len(pix), 0, 0, offset)
-    dib = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
-    )
-    return hdr + dib + pix
+    def make_bmp_24(pixels: list, width: int, height: int) -> bytes:
+        """Serialize pixels (image order, top-down, (r, g, b) tuples) into
+        a real uncompressed 24-bpp BMP: BITMAPINFOHEADER, bottom-up file
+        rows, BGR byte order, 4-byte row padding. The write-side twin of
+        the strict decoder — and the fixture builder the decode tests
+        use."""
+        import struct
+
+        stride = ((width * 3 + 3) // 4) * 4
+        rows = []
+        for fy in range(height):  # file stores the BOTTOM image row first
+            y = height - 1 - fy
+            row = bytearray()
+            for x in range(width):
+                r, g, b = pixels[y * width + x]
+                row += bytes((b, g, r))
+            row += b"\x00" * (stride - len(row))
+            rows.append(bytes(row))
+        pix = b"".join(rows)
+        offset = 14 + 40
+        hdr = struct.pack("<2sIHHI", b"BM", offset + len(pix), 0, 0, offset)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+        )
+        return hdr + dib + pix
+
+
+    def make_png_rgb8(
+        pixels: list, width: int, height: int, row_filters: list | None = None
+    ) -> bytes:
+        """Serialize (r, g, b) pixel tuples (image order, top-down) into a real
+        8-bit truecolor PNG: CRC'd IHDR/IDAT/IEND chunks, zlib-deflated
+        scanlines. ``row_filters`` picks the filter byte per row (default all
+        0/None; 1=Sub, 2=Up, 3=Average, 4=Paeth are computed spec-correctly),
+        so fixtures can force every defiltering branch. The write-side twin of
+        the strict decoder."""
+        import struct
+        import zlib
+
+        ch = 3
+        stride = width * ch
+        raws = [
+            bytes(
+                v
+                for x in range(width)
+                for v in pixels[y * width + x]
+            )
+            for y in range(height)
+        ]
+        filters = row_filters or [0] * height
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        scan = bytearray()
+        for y, f in enumerate(filters):
+            cur = raws[y]
+            up = raws[y - 1] if y > 0 else bytes(stride)
+            scan.append(f)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = up[x]
+                c = up[x - ch] if x >= ch else 0
+                if f == 0:
+                    scan.append(cur[x])
+                elif f == 1:
+                    scan.append((cur[x] - a) & 0xFF)
+                elif f == 2:
+                    scan.append((cur[x] - b) & 0xFF)
+                elif f == 3:
+                    scan.append((cur[x] - (a + b) // 2) & 0xFF)
+                elif f == 4:
+                    scan.append((cur[x] - paeth(a, b, c)) & 0xFF)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+
+        def chunk(typ: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b"")
+        )
+
+    return make_bmp_24, make_png_rgb8
+
+
+#: BMP/PNG builders, built once (by-value pickling contract)
+make_bmp_24, make_png_rgb8 = _bmp_png_builders()
 
 
 def make_wav_pcm16(samples: list, rate: int = 8000, n_channels: int = 1) -> bytes:
@@ -434,72 +512,6 @@ def make_wav_pcm16(samples: list, rate: int = 8000, n_channels: int = 1) -> byte
         + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
-
-
-def make_png_rgb8(
-    pixels: list, width: int, height: int, row_filters: list | None = None
-) -> bytes:
-    """Serialize (r, g, b) pixel tuples (image order, top-down) into a real
-    8-bit truecolor PNG: CRC'd IHDR/IDAT/IEND chunks, zlib-deflated
-    scanlines. ``row_filters`` picks the filter byte per row (default all
-    0/None; 1=Sub, 2=Up, 3=Average, 4=Paeth are computed spec-correctly),
-    so fixtures can force every defiltering branch. The write-side twin of
-    the strict decoder."""
-    import struct
-    import zlib
-
-    ch = 3
-    stride = width * ch
-    raws = [
-        bytes(
-            v
-            for x in range(width)
-            for v in pixels[y * width + x]
-        )
-        for y in range(height)
-    ]
-    filters = row_filters or [0] * height
-
-    def paeth(a: int, b: int, c: int) -> int:
-        p = a + b - c
-        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-
-    scan = bytearray()
-    for y, f in enumerate(filters):
-        cur = raws[y]
-        up = raws[y - 1] if y > 0 else bytes(stride)
-        scan.append(f)
-        for x in range(stride):
-            a = cur[x - ch] if x >= ch else 0
-            b = up[x]
-            c = up[x - ch] if x >= ch else 0
-            if f == 0:
-                scan.append(cur[x])
-            elif f == 1:
-                scan.append((cur[x] - a) & 0xFF)
-            elif f == 2:
-                scan.append((cur[x] - b) & 0xFF)
-            elif f == 3:
-                scan.append((cur[x] - (a + b) // 2) & 0xFF)
-            elif f == 4:
-                scan.append((cur[x] - paeth(a, b, c)) & 0xFF)
-            else:
-                raise ValueError(f"bad PNG filter {f}")
-
-    def chunk(typ: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body)) + typ + body
-            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(scan)))
-        + chunk(b"IEND", b"")
-    )
 
 
 def _jpeg_codec():
@@ -2296,6 +2308,166 @@ def _flac_codec():
 
 #: FLAC codec, built once (same by-value pickling contract as JPEG/GIF)
 make_flac, decode_flac = _flac_codec()
+
+
+def transcode_images(
+    df: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    target: str = "png",
+) -> DataFrame:
+    """Normalize a mixed image lake to ONE container format — the standard
+    preprocessing step before training-data packing (readers want a single
+    decode path): strict-decode whatever arrives (BMP / PNG / JPEG
+    baseline+progressive / GIF) and re-encode to ``target`` ('png', 'bmp'
+    or 'gif'). Lossless end to end for every lossless source; JPEG sources
+    carry their (already-final) decoded pixels.
+
+    Output: ``(id_col, payload, media_type, height, width)`` with the new
+    bytes. Arrow-batched mapInPandas, zero shuffles; codec functions are
+    factory-locals pickled by value (hostile-cwd-safe). Audio payloads and
+    unknown formats raise — transcode is an image op; filter by
+    :func:`sniff_media_type` first."""
+    if target not in ("png", "bmp", "gif"):
+        raise ValueError("target must be 'png', 'bmp' or 'gif'")
+
+    pruned = df.select(id_col, payload)
+    jdec = _jpeg_codec()[1]
+    gdec = _gif_codec()[1]
+    genc = _gif_codec()[0]
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+        ]
+    )
+    # re-encoders that round-trip losslessly from RGB tuples; captured by
+    # value (module-level make_* are factory-locals, qualname-mismatched)
+    enc_png, enc_bmp = make_png_rgb8, make_bmp_24
+    media = {"png": "image/png", "bmp": "image/bmp", "gif": "image/gif"}[target]
+
+    def run(it):
+        import struct as _st
+        import zlib as _zl
+
+        def decode_any(data: bytes):
+            # -> (h, w, [(r,g,b)] row-major)
+            if data[:2] == b"\xff\xd8":
+                h, w, mode, px = jdec(data)
+                if mode == "gray":
+                    px = [(v, v, v) for v in px]
+                return h, w, px
+            if data[:4] == b"GIF8":
+                h, w, _m, px = gdec(data)
+                return h, w, px
+            if data[:8] == b"\x89PNG\r\n\x1a\n":
+                # reuse the strict PNG logic via a minimal local parse:
+                # chunk walk + inflate + defilter (color type 2 and 0)
+                pos, ihdr, idat = 8, None, b""
+                while pos + 12 <= len(data):
+                    ln = int.from_bytes(data[pos : pos + 4], "big")
+                    typ = data[pos + 4 : pos + 8]
+                    body = data[pos + 8 : pos + 8 + ln]
+                    crc = int.from_bytes(data[pos + 8 + ln : pos + 12 + ln], "big")
+                    if _zl.crc32(typ + body) & 0xFFFFFFFF != crc:
+                        raise ValueError("PNG chunk CRC mismatch")
+                    if typ == b"IHDR":
+                        ihdr = body
+                    elif typ == b"IDAT":
+                        idat += body
+                    elif typ == b"IEND":
+                        break
+                    pos += 12 + ln
+                if ihdr is None or not idat:
+                    raise ValueError("PNG missing IHDR/IDAT")
+                w, h = _st.unpack_from(">II", ihdr, 0)
+                depth, ctype = ihdr[8], ihdr[9]
+                if depth != 8 or ctype not in (0, 2) or ihdr[12] != 0:
+                    raise NotImplementedError(
+                        "transcode supports 8-bit non-interlaced PNG types 0/2"
+                    )
+                ch = 3 if ctype == 2 else 1
+                raw = _zl.decompress(idat)
+                stride = w * ch
+
+                def paeth(a, b, c):
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+                out = bytearray(h * stride)
+                for y in range(h):
+                    f = raw[y * (stride + 1)]
+                    line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+                    o = y * stride
+                    for x in range(stride):
+                        a = out[o + x - ch] if x >= ch else 0
+                        b = out[o + x - stride] if y > 0 else 0
+                        c = out[o + x - stride - ch] if (y > 0 and x >= ch) else 0
+                        v = (
+                            line[x] if f == 0
+                            else line[x] + a if f == 1
+                            else line[x] + b if f == 2
+                            else line[x] + (a + b) // 2 if f == 3
+                            else line[x] + paeth(a, b, c)
+                        )
+                        out[o + x] = v & 0xFF
+                if ch == 3:
+                    px = [
+                        tuple(out[i : i + 3]) for i in range(0, len(out), 3)
+                    ]
+                else:
+                    px = [(v, v, v) for v in out]
+                return h, w, px
+            if data[:2] == b"BM":
+                offset = _st.unpack_from("<I", data, 10)[0]
+                w, h = _st.unpack_from("<ii", data, 18)
+                bpp = _st.unpack_from("<H", data, 28)[0]
+                if bpp != 24 or _st.unpack_from("<I", data, 30)[0] != 0:
+                    raise NotImplementedError("transcode supports 24-bpp BMP")
+                bottom_up, h = h > 0, abs(h)
+                stride = ((w * 3 + 3) // 4) * 4
+                px = []
+                for y in range(h):
+                    fy = (h - 1 - y) if bottom_up else y
+                    base = offset + fy * stride
+                    for x in range(w):
+                        b0, g0, r0 = data[base + 3 * x : base + 3 * x + 3]
+                        px.append((r0, g0, b0))
+                return h, w, px
+            raise NotImplementedError(
+                f"transcode handles BMP/PNG/JPEG/GIF images; got {data[:4]!r}"
+            )
+
+        def encode_any(px, w, h):
+            if target == "png":
+                return enc_png(px, w, h)
+            if target == "bmp":
+                return enc_bmp(px, w, h)
+            return genc(px, w, h)
+
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload]):
+                h, w, px = decode_any(bytes(b) if b is not None else b"")
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "payload": encode_any(px, w, h),
+                        "media_type": media,
+                        "height": h,
+                        "width": w,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "payload", "media_type", "height", "width"],
+            )
+
+    return pruned.mapInPandas(run, out_schema)
 
 
 def frame_sample(

@@ -5537,6 +5537,75 @@ def mm_gif_decode(spark, sf_dir):
 
 
 @register(
+    "mm_transcode",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 18), 1, 18) AS t
+               FROM documents)
+    SELECT doc_id,
+           'image/png' AS media_type,
+           CAST(2 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS width,
+           CAST(i AS INTEGER) AS i,
+           CAST((ascii(substr(t, CAST(3*i + 1 AS INT), 1))
+                 + ascii(substr(t, CAST(3*i + 2 AS INT), 1))
+                 + ascii(substr(t, CAST(3*i + 3 AS INT), 1)))
+                / 3.0 / 255.0 AS REAL) AS val
+    FROM b, unnest(range(0, 6)) AS u(i)
+    """,
+)
+def mm_transcode(spark, sf_dir):
+    """Image TRANSCODE value-hashed across three codec pairs: the same
+    3×2 RGB pixels (18 text bytes) arrive as BMP (doc_id%3==0), PNG
+    (%3==1) or GIF (%3==2), are normalized to PNG by
+    `multimodal.transcode_images` (strict decode of whatever arrived +
+    PNG re-encode — the mixed-lake preprocessing step), then
+    strict-decoded AGAIN by decode_features. The oracle computes the
+    per-pixel grayscale directly from the text bytes, so the hash only
+    matches if decode→re-encode→decode is lossless through every source
+    container. All codec functions are factory-locals pickled BY VALUE."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    bmp_enc, png_enc = multimodal._bmp_png_builders()
+    gif_enc = multimodal._gif_codec()[0]
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = (((t or "").encode("utf-8")) + b"x" * 18)[:18]
+                px = [tuple(raw[3 * k : 3 * k + 3]) for k in range(6)]
+                enc = (bmp_enc, png_enc, gif_enc)[i % 3]
+                out.append({"doc_id": i, "payload": enc(px, 3, 2)})
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    normalized = multimodal.transcode_images(payloads, target="png").select(
+        "doc_id", "payload"
+    )
+    feats = multimodal.decode_features(normalized, dim=6, decode="strict")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "height",
+        "width",
+        F.posexplode("features").alias("i", "val"),
+    )
+
+
+@register(
     "mm_flac_decode",
     oracle="""
     WITH b AS (SELECT doc_id,

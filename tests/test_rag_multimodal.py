@@ -946,6 +946,56 @@ def test_codec_fuzz_corruption_always_terminates():
                 pass
 
 
+def test_transcode_mixed_lake_lossless_composition(spark):
+    """transcode_images normalizes a mixed BMP/PNG/GIF/JPEG lake and is
+    LOSSLESS end to end for lossless sources: mixed → png → gif →
+    decode_gif returns the exact original pixels (JPEG sources carry
+    their decoded constant-block pixels exactly too)."""
+    import random
+
+    rng = random.Random(9)
+    rows, want = [], {}
+    for i in range(12):
+        px = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(6)
+        ]
+        if i % 4 == 0:
+            blob = multimodal.make_bmp_24(px, 3, 2)
+        elif i % 4 == 1:
+            blob = multimodal.make_png_rgb8(px, 3, 2)
+        elif i % 4 == 2:
+            blob = multimodal.make_gif(px, 3, 2)
+        else:
+            v = rng.randrange(256)
+            blob = multimodal.make_jpeg_baseline(
+                [v] * 256, 16, 16, quant=[8] + [16] * 63
+            )
+            px = [(v, v, v)] * 256
+        rows.append((i, bytearray(blob)))
+        want[i] = px
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    png_df = multimodal.transcode_images(df, target="png")
+    got_meta = {(r.doc_id, r.media_type) for r in png_df.collect()}
+    assert all(m == "image/png" for _i, m in got_meta)
+    gif_rows = multimodal.transcode_images(
+        png_df.select("doc_id", "payload"), target="gif"
+    ).collect()
+    for r in gif_rows:
+        assert multimodal.decode_gif(bytes(r.payload))[3] == want[r.doc_id], r.doc_id
+
+
+def test_transcode_rejects_audio_and_unknown(spark):
+    import pytest as _pytest
+
+    wav = multimodal.make_wav_pcm16([0, 1, 2])
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="BMP/PNG/JPEG/GIF"):
+        multimodal.transcode_images(df).collect()
+    with _pytest.raises(ValueError, match="target"):
+        multimodal.transcode_images(df, target="webp")
+
+
 def test_sniff_recognizes_bmp(spark):
     df = spark.createDataFrame(
         [(bytearray(_hand_bmp()),), (bytearray(b"BX not a bmp"),)],
