@@ -485,11 +485,112 @@ def _bmp_png_builders():
             + chunk(b"IEND", b"")
         )
 
-    return make_bmp_24, make_png_rgb8
+    def decode_bmp_24(data: bytes):
+        """Pixel-level strict BMP decode: -> ``(h, w, 'rgb', [(r,g,b)])``
+        in image order (top row first), same shape as :func:`decode_gif`.
+        Uncompressed 24-bpp only; top-down and bottom-up files both
+        handled."""
+        import struct
+
+        if len(data) < 54 or data[:2] != b"BM":
+            raise ValueError("not a BMP or truncated before headers")
+        offset = struct.unpack_from("<I", data, 10)[0]
+        width, height = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        compression = struct.unpack_from("<I", data, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"decode_bmp_24 supports uncompressed 24-bpp only "
+                f"(got bpp={bpp}, compression={compression})"
+            )
+        bottom_up, height = height > 0, abs(height)
+        stride = ((width * 3 + 3) // 4) * 4
+        px = []
+        for y in range(height):
+            fy = (height - 1 - y) if bottom_up else y
+            base = offset + fy * stride
+            if base + 3 * width > len(data):
+                raise ValueError("BMP pixel array truncated")
+            for x in range(width):
+                b0, g0, r0 = data[base + 3 * x : base + 3 * x + 3]
+                px.append((r0, g0, b0))
+        return height, width, "rgb", px
+
+    def decode_png_rgb8(data: bytes):
+        """Pixel-level strict PNG decode: CRC-verified chunk walk,
+        concatenated-IDAT inflate, all five scanline filters inverted
+        byte-exactly. 8-bit non-interlaced color types 0 (gray → mode
+        'gray', int pixels) and 2 (truecolor → mode 'rgb', (r,g,b)
+        tuples). Returns ``(h, w, mode, px)`` like :func:`decode_gif`."""
+        import struct
+        import zlib
+
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("bad PNG signature")
+        pos, ihdr, idat = 8, None, b""
+        while pos + 12 <= len(data):
+            ln = int.from_bytes(data[pos : pos + 4], "big")
+            typ = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + ln]
+            crc = int.from_bytes(data[pos + 8 + ln : pos + 12 + ln], "big")
+            if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+            if typ == b"IHDR":
+                ihdr = body
+            elif typ == b"IDAT":
+                idat += body
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if ihdr is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT chunk")
+        width, height = struct.unpack_from(">II", ihdr, 0)
+        depth, ctype = ihdr[8], ihdr[9]
+        if depth != 8 or ctype not in (0, 2) or ihdr[12] != 0:
+            raise NotImplementedError(
+                "decode_png_rgb8 supports 8-bit non-interlaced types 0/2"
+            )
+        ch = 3 if ctype == 2 else 1
+        raw = zlib.decompress(idat)
+        stride = width * ch
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG scanline data has wrong length")
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        out = bytearray(height * stride)
+        for y in range(height):
+            f = raw[y * (stride + 1)]
+            if f > 4:
+                raise ValueError(f"bad PNG filter byte {f}")
+            line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+            o = y * stride
+            for x in range(stride):
+                a = out[o + x - ch] if x >= ch else 0
+                b = out[o + x - stride] if y > 0 else 0
+                c = out[o + x - stride - ch] if (y > 0 and x >= ch) else 0
+                v = (
+                    line[x] if f == 0
+                    else line[x] + a if f == 1
+                    else line[x] + b if f == 2
+                    else line[x] + (a + b) // 2 if f == 3
+                    else line[x] + paeth(a, b, c)
+                )
+                out[o + x] = v & 0xFF
+        if ch == 3:
+            px = [tuple(out[i : i + 3]) for i in range(0, len(out), 3)]
+            return height, width, "rgb", px
+        return height, width, "gray", list(out)
+
+    return make_bmp_24, make_png_rgb8, decode_bmp_24, decode_png_rgb8
 
 
-#: BMP/PNG builders, built once (by-value pickling contract)
-make_bmp_24, make_png_rgb8 = _bmp_png_builders()
+#: BMP/PNG builders + pixel-level decoders, built once (by-value pickling
+#: contract)
+make_bmp_24, make_png_rgb8, decode_bmp_24, decode_png_rgb8 = _bmp_png_builders()
 
 
 def make_wav_pcm16(samples: list, rate: int = 8000, n_channels: int = 1) -> bytes:

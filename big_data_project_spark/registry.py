@@ -5576,7 +5576,7 @@ def mm_transcode(spark, sf_dir):
             TT.StructField("payload", TT.BinaryType()),
         ]
     )
-    bmp_enc, png_enc = multimodal._bmp_png_builders()
+    bmp_enc, png_enc = multimodal._bmp_png_builders()[:2]
     gif_enc = multimodal._gif_codec()[0]
 
     def build(it):

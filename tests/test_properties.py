@@ -1676,3 +1676,113 @@ def F32(x):
     import struct as _st
 
     return _st.unpack("f", _st.pack("f", x))[0]
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trip properties (round 5): hypothesis drives arbitrary image /
+# audio content through the strict codecs — no Spark session needed, the
+# codecs are plain functions, so these run hundreds of examples cheaply.
+# ---------------------------------------------------------------------------
+
+_DIMS = st.tuples(st.integers(1, 12), st.integers(1, 12))
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    _DIMS,
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([0, 1, 2, 3, 4]),
+)
+def test_gif_lzw_roundtrip_property(dims, seed, _filler):
+    """GIF is lossless for ANY pixel content and size: encode->decode is
+    the identity (interlace toggled by the seed's parity)."""
+    import random
+
+    from big_data_project_spark.operators import multimodal as mm
+
+    w, h = dims
+    rng = random.Random(seed)
+    px = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    # >256 distinct colors is impossible at <=144 pixels, so always valid
+    data = mm.make_gif(px, w, h, interlace=bool(seed % 2))
+    assert mm.decode_gif(data) == (h, w, "rgb", px)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(1, 400), st.integers(0, 2**32 - 1),
+       st.sampled_from(["auto", "verbatim", "fixed:1", "fixed:4", "lpc:2"]))
+def test_flac_roundtrip_property(n, seed, subframe):
+    """FLAC is bit-exact for ANY int16 content, length and subframe type
+    (constant inputs exercise the constant subframe via 'auto')."""
+    import random
+
+    from big_data_project_spark.operators import multimodal as mm
+
+    rng = random.Random(seed)
+    samples = [rng.randrange(-32768, 32768) for _ in range(n)]
+    if seed % 5 == 0:
+        samples = [samples[0]] * n  # constant run
+    if ":" in subframe and n <= int(subframe.split(":")[1]):
+        subframe = "auto"  # order-p prediction needs > p samples
+    data = mm.make_flac(samples, 8000, 1, subframe=subframe)
+    assert mm.decode_flac(data) == (1, 8000, samples)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_DIMS, st.integers(0, 2**32 - 1))
+def test_jpeg_progressive_equals_sequential_property(dims, seed):
+    """For ANY image content and size, the progressive scan script decodes
+    to exactly the sequential result (identical refined coefficients)."""
+    import random
+
+    from big_data_project_spark.operators import multimodal as mm
+
+    w, h = dims
+    rng = random.Random(seed)
+    px = [rng.randrange(256) for _ in range(w * h)]
+    q = [1] * 64 if seed % 2 else None  # dense and Annex-K regimes
+    kw = {"quant": q} if q else {}
+    prog = mm.make_jpeg_progressive(px, w, h, **kw)
+    seq = mm.make_jpeg_baseline(px, w, h, **kw)
+    assert mm.decode_jpeg_baseline(prog) == mm.decode_jpeg_baseline(seq)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_DIMS, st.integers(0, 2**32 - 1))
+def test_png_roundtrip_property(dims, seed):
+    """PNG is lossless for ANY RGB content with ANY per-row filter
+    choice (decode inverts all five filters exactly)."""
+    import random
+
+    from big_data_project_spark.operators import multimodal as mm
+
+    w, h = dims
+    rng = random.Random(seed)
+    px = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    filters = [rng.randint(0, 4) for _ in range(h)]
+    data = mm.make_png_rgb8(px, w, h, row_filters=filters)
+    assert mm.decode_png_rgb8(data) == (h, w, "rgb", px)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_DIMS, st.integers(0, 2**32 - 1), st.booleans())
+def test_bmp_roundtrip_property(dims, seed, _pad_parity):
+    """BMP is lossless for ANY RGB content and size (row padding at every
+    width mod 4, bottom-up file order inverted exactly)."""
+    import random
+
+    from big_data_project_spark.operators import multimodal as mm
+
+    w, h = dims
+    rng = random.Random(seed)
+    px = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    assert mm.decode_bmp_24(mm.make_bmp_24(px, w, h)) == (h, w, "rgb", px)
