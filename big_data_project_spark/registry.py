@@ -5682,6 +5682,108 @@ def mm_flac_decode(spark, sf_dir):
     )
 
 
+@register(
+    "mm_video_frames",
+    headline=True,
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 24), 1, 24) AS t
+               FROM documents)
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_index,
+           CAST(CASE WHEN f = 0 THEN 0 ELSE 18 END AS BIGINT) AS t_cs,
+           CAST(4 AS INTEGER) AS n_frames,
+           CAST(2 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS width,
+           CAST(i AS INTEGER) AS i,
+           CAST(ascii(substr(t,
+                CASE WHEN f = 0 THEN i + 1
+                     WHEN i = 0 THEN 1
+                     WHEN i = 3 THEN 4
+                     WHEN i = 1 THEN
+                          CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 11 END
+                     WHEN i = 2 THEN 12
+                     WHEN i = 4 THEN 13
+                     ELSE 14 END, 1)) / 255.0 AS REAL) AS val
+    FROM b, unnest([0, 2]) AS uf(f), unnest(range(0, 6)) AS u(i)
+    """,
+)
+def mm_video_frames(spark, sf_dir):
+    """REAL video frame sampling, VALUE-hashed end to end: 24 text bytes
+    become a 4-frame ANIMATED GIF89a built worker-side (NETSCAPE2.0 loop
+    block, per-frame Graphic Control Extensions with distinct delays
+    7/11/13/17 cs, frame 0 a full 3×2 image, frames 1-3 sub-rectangle
+    DELTAS at (left=1, top=0, 2×2) — the update encoding real animation
+    tools emit). `multimodal.sample_video_frames(every=2)` strict-decodes
+    the stream, composites each frame onto the logical screen and keeps
+    frames 0 and 2, so the hash covers LZW decode, sub-rect compositing,
+    AND the cumulative-delay timestamp math (t_cs of frame 2 = 7+11).
+    Odd doc_ids additionally mark the first sub-rect pixel TRANSPARENT in
+    every delta frame: that pixel must keep its frame-0 value through the
+    whole animation, so a decoder that ignores the GCE transparent index
+    (or composites rectangles at the wrong offset) flips half the hashes
+    while even docs pin the plain overwrite path. Per-pixel grayscale of
+    an (v,v,v) palette entry is exactly v/255 — dim=6 segment-means are
+    per-pixel. Oracle recomputes the composited pixels straight from the
+    ASCII-projected text bytes. Codec functions are factory-locals pickled
+    BY VALUE (hostile-cwd-safe). Reference has NO video path — engine-only
+    surface extending `ai_powered_financial_analysis.py`'s text-only
+    multimodal story."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    genc = multimodal._gif_codec()[2]  # factory-local => pickled by value
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                vals = (((t or "").encode("utf-8")) + b"x" * 24)[:24]
+                full = [(v, v, v) for v in vals[:6]]
+                frames = [full]
+                for f in range(1, 4):
+                    sub = [(v, v, v) for v in vals[6 + 4 * (f - 1) : 6 + 4 * f]]
+                    if i % 2 == 1:
+                        sub[0] = (255, 0, 0)  # transparent sentinel
+                    frames.append((1, 0, 2, 2, sub))
+                out.append(
+                    {
+                        "doc_id": i,
+                        "payload": genc(
+                            3,
+                            2,
+                            frames,
+                            delays_cs=[7, 11, 13, 17],
+                            transparent=(255, 0, 0) if i % 2 == 1 else None,
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    sampled = multimodal.sample_video_frames(payloads, every=2, dim=6)
+    return sampled.select(
+        "doc_id",
+        "frame_index",
+        "t_cs",
+        "n_frames",
+        "height",
+        "width",
+        F.posexplode("features").alias("i", "val"),
+    )
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i

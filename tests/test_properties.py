@@ -1771,6 +1771,32 @@ def test_png_roundtrip_property(dims, seed):
 
 
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_DIMS, st.integers(1, 5), st.integers(0, 2**32 - 1))
+def test_gif_animated_roundtrip_property(dims, n_frames, seed):
+    """Animated GIF with full frames is lossless for ANY content, frame
+    count and delay list: decode_gif_frames returns every frame and delay
+    exactly (one global palette over all frames)."""
+    import random
+
+    from big_data_project_spark.operators import multimodal as mm
+
+    w, h = dims
+    rng = random.Random(seed)
+    # draw from a 64-color palette: n_frames*w*h can exceed 256 pixels,
+    # and the encoder's global palette must stay <=256 distinct colors
+    pal = [(i * 4, (i * 7) % 256, (i * 13) % 256) for i in range(64)]
+    frames = [
+        [pal[rng.randrange(64)] for _ in range(w * h)] for _ in range(n_frames)
+    ]
+    delays = [rng.randrange(1, 100) for _ in range(n_frames)]
+    data = mm.make_gif_animated(w, h, frames, delays_cs=delays, loop=seed % 3)
+    sh, sw, mode, out = mm.decode_gif_frames(data)
+    assert (sh, sw, mode) == (h, w, "rgb")
+    assert [d for d, _ in out] == delays
+    assert [px for _, px in out] == frames
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_DIMS, st.integers(0, 2**32 - 1), st.booleans())
 def test_bmp_roundtrip_property(dims, seed, _pad_parity):
     """BMP is lossless for ANY RGB content and size (row padding at every

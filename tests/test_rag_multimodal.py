@@ -806,6 +806,132 @@ def test_gif_rejects_garbage_and_truncation():
         )
 
 
+def test_gif_animated_roundtrip_and_delays():
+    """Full-frame animated GIF: decode_gif_frames returns every frame's
+    exact pixels and per-frame GCE delays in order."""
+    import random
+
+    rng = random.Random(31)
+    w, h = 6, 5
+    frames = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w * h)]
+        for _ in range(4)
+    ]
+    data = multimodal.make_gif_animated(w, h, frames, delays_cs=[3, 5, 8, 13], loop=2)
+    sh, sw, mode, out = multimodal.decode_gif_frames(data)
+    assert (sh, sw, mode) == (h, w, "rgb")
+    assert [d for d, _ in out] == [3, 5, 8, 13]
+    assert [px for _, px in out] == frames
+
+
+def test_gif_animated_subrect_transparency_compositing():
+    """Sub-rectangle delta frames composite onto the logical screen at
+    (left, top); pixels written as the transparent index keep the
+    UNDERLYING canvas value."""
+    base = [(10, 10, 10)] * 6  # 3x2
+    sub = [(255, 0, 0), (50, 50, 50), (60, 60, 60), (70, 70, 70)]
+    data = multimodal.make_gif_animated(
+        3, 2, [base, (1, 0, 2, 2, sub)], delays_cs=[5, 9], transparent=(255, 0, 0)
+    )
+    sh, sw, _mode, out = multimodal.decode_gif_frames(data)
+    assert (sh, sw) == (2, 3)
+    assert out[0][1] == base
+    # sub-rect covers x in {1,2}; its first pixel is transparent -> keeps 10
+    assert out[1][1] == [
+        (10, 10, 10), (10, 10, 10), (50, 50, 50),
+        (10, 10, 10), (60, 60, 60), (70, 70, 70),
+    ]
+
+
+def test_gif_animated_disposal_methods():
+    """Disposal 2 restores the frame's rectangle to the BACKGROUND color
+    after its snapshot; disposal 3 restores the pre-frame canvas."""
+    f0 = [(1, 2, 3), (4, 5, 6)]  # 2x1
+    red_dot = (0, 0, 1, 1, [(200, 0, 0)])
+    tail = (1, 0, 1, 1, [(9, 9, 9)])
+    # disposal 2 on the middle frame: after it, px0 = background (palette[0])
+    data = multimodal.make_gif_animated(2, 1, [f0, red_dot, tail], disposals=[1, 2, 1])
+    _, _, _, out = multimodal.decode_gif_frames(data)
+    assert out[1][1][0] == (200, 0, 0)
+    bg = out[2][1][0]
+    assert bg != (200, 0, 0) and out[2][1][1] == (9, 9, 9)
+    # disposal 3 on the middle frame: the tail frame composites over f0 again
+    data3 = multimodal.make_gif_animated(2, 1, [f0, red_dot, tail], disposals=[1, 3, 1])
+    _, _, _, out3 = multimodal.decode_gif_frames(data3)
+    assert out3[1][1][0] == (200, 0, 0)
+    assert out3[2][1] == [(1, 2, 3), (9, 9, 9)]
+
+
+def test_gif_animated_byte_literal_fixture():
+    """Hand-assembled 2-frame animated GIF89a (independent of our encoder):
+    4-color global palette, NETSCAPE2.0 loop block, GCE delays 10/20 cs,
+    frame 2 a 1x1 sub-rect at x=1 with the transparency flag set to an
+    UNMATCHED index — decoded frames, delays and compositing must match
+    the spec-derived expectation exactly (LZW codes hand-packed LSB-first:
+    clear=100b,1=001b,2=010b,eoi=101b -> 0x8C 0x0A etc.)."""
+    data = bytes(
+        b"GIF89a"
+        + b"\x02\x00\x01\x00"  # 2x1 logical screen
+        + b"\x91\x00\x00"      # global table, 4 entries, bg=0
+        + b"\x00\x00\x00\xff\x00\x00\x00\xff\x00\x00\x00\xff"  # palette
+        + b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop ext
+        + b"\x21\xf9\x04\x04\x0a\x00\x00\x00"  # GCE: disposal 1, delay 10
+        + b"\x2c\x00\x00\x00\x00\x02\x00\x01\x00\x00"  # full 2x1 image
+        + b"\x02\x02\x8c\x0a\x00"  # min_code 2; LZW [clear,1,2,eoi]
+        + b"\x21\xf9\x04\x05\x14\x00\x03\x00"  # GCE: transp flag, idx 3, delay 20
+        + b"\x2c\x01\x00\x00\x00\x01\x00\x01\x00\x00"  # 1x1 sub-rect at x=1
+        + b"\x02\x02\x44\x01\x00"  # LZW [clear,0,eoi]
+        + b"\x3b"
+    )
+    sh, sw, mode, out = multimodal.decode_gif_frames(data)
+    assert (sh, sw, mode) == (1, 2, "rgb")
+    assert [d for d, _ in out] == [10, 20]
+    assert out[0][1] == [(255, 0, 0), (0, 255, 0)]
+    # frame 2 paints palette[0] at x=1 (index 0 != transparent index 3)
+    assert out[1][1] == [(255, 0, 0), (0, 0, 0)]
+    # and decode_gif (first frame) agrees with the composited frame 0
+    assert multimodal.decode_gif(data) == (1, 2, "rgb", [(255, 0, 0), (0, 255, 0)])
+
+
+def test_gif_animated_caps_and_bounds():
+    import pytest as _pytest
+
+    # hostile logical-screen header: 65535x65535 canvas must be refused
+    hostile = b"GIF89a" + b"\xff\xff\xff\xff\x00\x00\x00" + b"\x3b"
+    with _pytest.raises(ValueError, match="cap"):
+        multimodal.decode_gif_frames(hostile)
+    # encoder refuses frames that exceed the logical screen
+    with _pytest.raises(ValueError, match="exceeds"):
+        multimodal.make_gif_animated(2, 2, [(1, 1, 2, 2, [(0, 0, 0)] * 4)])
+    # mismatched delay list is loud, not silently recycled
+    with _pytest.raises(ValueError, match="frame count"):
+        multimodal.make_gif_animated(1, 1, [[(0, 0, 0)]], delays_cs=[1, 2])
+
+
+def test_sample_video_frames_spark(spark):
+    """The Spark frame-sampling stage: every-2nd composited frame, start
+    timestamps = cumulative delays, per-pixel features (dim == n_pixels)."""
+    import struct as _st
+
+    rows = []
+    for i in range(2):
+        frames = [[(10 * i + f, 10 * i + f, 10 * i + f)] * 4 for f in range(3)]
+        rows.append(
+            (i, bytearray(multimodal.make_gif_animated(2, 2, frames, delays_cs=[4, 6, 8])))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = multimodal.sample_video_frames(df, every=2, dim=4).collect()
+    by_key = {(r.doc_id, r.frame_index): r for r in got}
+    assert len(got) == 4  # frames 0 and 2 per doc
+    for i in range(2):
+        for fno, t in [(0, 0), (2, 10)]:
+            r = by_key[(i, fno)]
+            assert r.t_cs == t and r.n_frames == 3 and (r.height, r.width) == (2, 2)
+            # features column is float32 — compare through the same cast
+            want = _st.unpack("f", _st.pack("f", (10 * i + fno) / 255.0))[0]
+            assert r.features == [want] * 4
+
+
 def test_strict_decode_gif_via_spark(spark):
     px = [(v, v, v) for v in (10, 250, 0, 99, 31, 77)]
     data = multimodal.make_gif(px, 3, 2)
@@ -911,8 +1037,8 @@ def test_codec_fuzz_corruption_always_terminates():
     """Seeded fuzz over all strict codecs: byte flips, truncations and
     zeroed length fields on valid files must TERMINATE promptly with a
     sane exception (or, for formats without full integrity checks, a
-    decoded result) — never hang or corrupt the interpreter. 300 mutations
-    across 5 container formats."""
+    decoded result) — never hang or corrupt the interpreter. 375 mutations
+    across 5 container formats (GIF in still AND animated form)."""
     import random
 
     rng = random.Random(20240814)
@@ -925,6 +1051,16 @@ def test_codec_fuzz_corruption_always_terminates():
         (multimodal.make_gif(pxc, 16, 16), multimodal.decode_gif),
         (multimodal.make_flac(samples, 8000, 1), multimodal.decode_flac),
         (multimodal.make_png_rgb8(pxc, 16, 16), None),  # via decode_features path
+        (
+            multimodal.make_gif_animated(
+                8,
+                8,
+                [pxc[:64], (2, 2, 4, 4, pxc[64:80])],
+                delays_cs=[5, 5],
+                transparent=(1, 2, 3),
+            ),
+            multimodal.decode_gif_frames,
+        ),
     ]
     for blob, decoder in fixtures:
         if decoder is None:
