@@ -100,8 +100,10 @@ def decode_features(
 
     ``decode='strict'``: a REAL stdlib-only codec for six container
     formats — uncompressed 24-bpp BMP (BITMAPINFOHEADER, bottom-up rows,
-    BGR byte order, 4-byte row padding), 8/16-bit PCM WAV (RIFF chunk
-    walk), 8-bit non-interlaced PNG (CRC-checked chunk walk, zlib inflate
+    BGR byte order, 4-byte row padding), WAV with 8/16-bit PCM OR
+    compressed IMA-ADPCM payloads (RIFF chunk walk, format-tag dispatch —
+    see :func:`decode_wav_adpcm`), 8-bit non-interlaced PNG (CRC-checked
+    chunk walk, zlib inflate
     of concatenated IDATs, None/Sub/Up/Average/Paeth scanline defiltering;
     color types 0/2/4/6), JPEG both baseline and progressive (DQT/DHT
     table builds, huffman entropy decode with destuffing + restarts,
@@ -129,8 +131,9 @@ def decode_features(
         jpeg_decode = _jpeg_codec()[1]
         gif_decode = _gif_codec()[1]
         flac_decode = _flac_codec()[1]
+        adpcm_decode = _adpcm_codec()[1]
     else:
-        jpeg_decode = gif_decode = flac_decode = None
+        jpeg_decode = gif_decode = flac_decode = adpcm_decode = None
 
     # NOTE: the worker closure must be self-contained — module-level
     # *functions* referenced here would be pickled by reference and the
@@ -205,10 +208,14 @@ def decode_features(
                 if cid == b"fmt ":
                     audio_fmt, n_ch, rate = _st.unpack_from("<HHI", body, 0)
                     bits = _st.unpack_from("<H", body, 14)[0]
+                    if audio_fmt == 0x11:  # IMA ADPCM: the compressed path
+                        n_ch, rate, s = adpcm_decode(data)
+                        vals = [v / 32768.0 for v in s]
+                        return n_ch, rate, segment_means(vals, dim)
                     if audio_fmt != 1 or bits not in (8, 16):
                         raise NotImplementedError(
-                            f"strict WAV decode supports 8/16-bit PCM only "
-                            f"(got fmt={audio_fmt}, bits={bits})"
+                            f"strict WAV decode supports PCM (8/16-bit) and "
+                            f"IMA ADPCM only (got fmt={audio_fmt}, bits={bits})"
                         )
                     fmt = (n_ch, rate, bits)
                 elif cid == b"data":
@@ -360,8 +367,8 @@ def decode_features(
             if data[:4] == b"fLaC":
                 return strict_flac(data)
             raise NotImplementedError(
-                f"strict decode handles uncompressed BMP, PCM WAV, 8-bit "
-                f"PNG, JPEG (baseline + progressive), GIF and FLAC; "
+                f"strict decode handles uncompressed BMP, PCM/ADPCM WAV, "
+                f"8-bit PNG, JPEG (baseline + progressive), GIF and FLAC; "
                 f"{data[:4]!r} needs a perceptual codec (ffmpeg for "
                 f"MP3/video) — plug in here"
             )
@@ -2584,6 +2591,176 @@ def _flac_codec():
 
 #: FLAC codec, built once (same by-value pickling contract as JPEG/GIF)
 make_flac, decode_flac = _flac_codec()
+
+
+def _adpcm_codec():
+    """IMA/DVI ADPCM WAV codec (WAVE format tag 0x0011) — the engine's
+    COMPRESSED-audio-in-WAV path, 4 bits per sample (4:1 vs int16 PCM).
+    Same factory-local by-value-pickling contract as the other codecs.
+
+    - encode: block-structured (4-byte header: exact int16 predictor +
+      step index, then 2 samples/byte nibbles, low nibble first), standard
+      89-entry step table + index-adjust table, ``fact`` chunk with the
+      true sample count, tail-block pad nibbles that hold the predictor.
+    - decode: RIFF chunk walk, tag/blocking validation, bit-exact integer
+      reconstruction, fact-count truncation.
+
+    ADPCM is lossy, but the DSP is pure integer arithmetic, so
+    decode(encode(x)) is a deterministic value-hashable function — and a
+    signal that is CONSTANT within each block with ``init_index=0``
+    round-trips EXACTLY (the block header stores the first sample
+    verbatim; nibble 0 at step 7 decodes to diff = 7>>3 = 0)."""
+    import struct
+
+    STEPS = (
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    )
+    INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+    def _clamp16(v):
+        return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+    def _decode_nibble(n, pred, index):
+        step = STEPS[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = _clamp16(pred - diff if n & 8 else pred + diff)
+        index = max(0, min(88, index + INDEX_ADJ[n & 7]))
+        return pred, index
+
+    def _encode_sample(s, pred, index):
+        # standard magnitude-bit construction, then update state through
+        # the DECODER's arithmetic so both sides stay in lock-step
+        step = STEPS[index]
+        delta = s - pred
+        n = 8 if delta < 0 else 0
+        if delta < 0:
+            delta = -delta
+        if delta >= step:
+            n |= 4
+            delta -= step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            n |= 1
+        pred, index = _decode_nibble(n, pred, index)
+        return n, pred, index
+
+    def encode(samples, rate=8000, *, block_align=256, init_index=0):
+        """Encode mono int16 samples into a real IMA-ADPCM WAV (format
+        tag 0x0011, ``fact`` chunk carrying the exact sample count)."""
+        if not samples:
+            raise ValueError("ADPCM needs at least one sample")
+        if not 0 <= init_index <= 88:
+            raise ValueError("init_index must be in [0, 88]")
+        if block_align < 5:
+            raise ValueError("block_align must be >= 5 (4-byte header + data)")
+        spb = (block_align - 4) * 2 + 1  # samples per block
+        blocks = bytearray()
+        i = 0
+        while i < len(samples):
+            chunk = samples[i : i + spb]
+            pred = _clamp16(int(chunk[0]))
+            index = init_index
+            blocks += struct.pack("<hBB", pred, index, 0)
+            nibbles = []
+            for s in chunk[1:]:
+                n, pred, index = _encode_sample(int(s), pred, index)
+                nibbles.append(n)
+            while len(nibbles) < (block_align - 4) * 2:  # hold-the-predictor pad
+                n, pred, index = _encode_sample(pred, pred, index)
+                nibbles.append(n)
+            for j in range(0, len(nibbles), 2):
+                blocks.append(nibbles[j] | (nibbles[j + 1] << 4))
+            i += spb
+        byte_rate = (rate * block_align + spb - 1) // spb
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb
+        )
+        fact = struct.pack("<I", len(samples))
+        out = bytearray(b"RIFF")
+        out += struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(blocks))
+        out += b"WAVE"
+        out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"fact" + struct.pack("<I", len(fact)) + fact
+        out += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+        return bytes(out)
+
+    def decode(data):
+        """Decode a mono IMA-ADPCM WAV: returns ``(n_channels, rate,
+        samples)`` with bit-exact integer reconstruction."""
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE stream")
+        pos, fmt, fact_n, blocks = 12, None, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            body = data[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                if len(body) < 20:
+                    raise ValueError("ADPCM fmt chunk too short")
+                tag, n_ch, rate, _br, block_align, bits, _cb, spb = (
+                    struct.unpack_from("<HHIIHHHH", body, 0)
+                )
+                if tag != 0x11:
+                    raise NotImplementedError(
+                        f"decode_wav_adpcm handles IMA ADPCM (tag 0x11) only, "
+                        f"got 0x{tag:02x}"
+                    )
+                if n_ch != 1:
+                    raise NotImplementedError("mono IMA ADPCM only")
+                if bits != 4:
+                    raise ValueError("IMA ADPCM bits-per-sample must be 4")
+                if block_align < 5 or spb != (block_align - 4) * 2 + 1:
+                    raise ValueError("inconsistent ADPCM blocking")
+                fmt = (rate, block_align)
+            elif cid == b"fact":
+                if len(body) < 4:
+                    raise ValueError("fact chunk too short")
+                fact_n = struct.unpack_from("<I", body, 0)[0]
+            elif cid == b"data":
+                blocks = body
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+        if fmt is None or blocks is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        rate, block_align = fmt
+        samples = []
+        for off in range(0, len(blocks), block_align):
+            blk = blocks[off : off + block_align]
+            if len(blk) < 4:
+                raise ValueError("ADPCM block truncated")
+            pred, index, _rsv = struct.unpack_from("<hBB", blk, 0)
+            if index > 88:
+                raise ValueError("ADPCM step index out of range")
+            samples.append(pred)
+            for byte in blk[4:]:
+                for n in (byte & 0xF, byte >> 4):
+                    pred, index = _decode_nibble(n, pred, index)
+                    samples.append(pred)
+        if fact_n is not None:
+            if fact_n > len(samples):
+                raise ValueError("fact sample count exceeds decoded samples")
+            samples = samples[:fact_n]
+        return 1, rate, samples
+
+    return encode, decode
+
+
+#: IMA ADPCM codec, built once (same by-value pickling contract)
+make_wav_adpcm, decode_wav_adpcm = _adpcm_codec()
 
 
 def transcode_images(

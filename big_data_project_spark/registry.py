@@ -5784,6 +5784,77 @@ def mm_video_frames(spark, sf_dir):
     )
 
 
+@register(
+    "mm_adpcm_decode",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 4), 1, 4) AS t
+               FROM documents)
+    SELECT doc_id,
+           'audio/wav' AS media_type,
+           CAST(1 AS INTEGER) AS height,
+           CAST(8000 AS INTEGER) AS width,
+           CAST(i AS INTEGER) AS i,
+           CAST((ascii(substr(t, CAST(i + 1 AS INT), 1)) - 128) / 128.0
+                AS REAL) AS val
+    FROM b, unnest(range(0, 4)) AS u(i)
+    """,
+)
+def mm_adpcm_decode(spark, sf_dir):
+    """The IMA-ADPCM COMPRESSED-audio codec VALUE-hashed end to end: 4
+    text bytes become 4 blocks of 9 constant int16 samples each
+    ((c-128)*256), encoded worker-side into a real tag-0x0011 ADPCM WAV
+    (block_align=8: 4-byte header + 8 nibbles, ``fact`` chunk) and
+    strict-decoded back through `decode_features` — the WAV branch now
+    DISPATCHES on the format tag, so this row proves the compressed path
+    end to end. ADPCM is lossy, but a per-block-constant signal with
+    init_index=0 reconstructs EXACTLY (header stores the first sample
+    verbatim; nibble 0 at step 7 decodes to diff = 7>>3 = 0), so the hash
+    is exact: dim=4 segment-means are per-block means, (c-128)*256/32768
+    = (c-128)/128 — all power-of-two divisors, exact in IEEE. A wrong
+    step/index table, nibble order, or block walk flips every hash.
+    Codec functions are factory-locals pickled BY VALUE."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    aenc = multimodal._adpcm_codec()[0]  # factory-local => pickled by value
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = (((t or "").encode("utf-8")) + b"x" * 4)[:4]
+                samples = [v for c in raw for v in [(c - 128) * 256] * 9]
+                out.append(
+                    {
+                        "doc_id": i,
+                        "payload": aenc(samples, 8000, block_align=8),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    feats = multimodal.decode_features(payloads, dim=4, decode="strict")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "height",
+        "width",
+        F.posexplode("features").alias("i", "val"),
+    )
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i

@@ -1796,6 +1796,47 @@ def test_gif_animated_roundtrip_property(dims, n_frames, seed):
     assert [px for _, px in out] == frames
 
 
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(1, 8), st.integers(5, 40), st.integers(0, 2**32 - 1))
+def test_adpcm_constant_blocks_exact_property(n_blocks, block_align, seed):
+    """IMA ADPCM reconstructs per-block-constant int16 signals EXACTLY for
+    ANY block count, block size and constants (incl. the int16 extremes) —
+    the invariant the mm_adpcm_decode value hash rides on."""
+    import random
+
+    from big_data_project_spark.operators import multimodal as mm
+
+    rng = random.Random(seed)
+    spb = (block_align - 4) * 2 + 1
+    consts = [rng.randrange(-32768, 32768) for _ in range(n_blocks)]
+    if seed % 7 == 0:
+        consts[0] = -32768
+        consts[-1] = 32767
+    samples = [v for c in consts for v in [c] * spb]
+    enc = mm.make_wav_adpcm(samples, 8000, block_align=block_align)
+    assert mm.decode_wav_adpcm(enc) == (1, 8000, samples)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(1, 300), st.integers(0, 2**32 - 1))
+def test_adpcm_decode_encode_deterministic_property(n, seed):
+    """For ARBITRARY int16 content (not just constants) the lossy codec is
+    a pure function: sample count survives the fact chunk exactly and a
+    re-encode of the DECODED signal reproduces it bit-exactly (decoded
+    signals are fixed points of decode∘encode up to adaptation, so we
+    assert the weaker but exact property: double-decode determinism)."""
+    import random
+
+    from big_data_project_spark.operators import multimodal as mm
+
+    rng = random.Random(seed)
+    samples = [rng.randrange(-32768, 32768) for _ in range(n)]
+    got1 = mm.decode_wav_adpcm(mm.make_wav_adpcm(samples))
+    got2 = mm.decode_wav_adpcm(mm.make_wav_adpcm(samples))
+    assert got1 == got2
+    assert len(got1[2]) == n
+
+
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_DIMS, st.integers(0, 2**32 - 1), st.booleans())
 def test_bmp_roundtrip_property(dims, seed, _pad_parity):

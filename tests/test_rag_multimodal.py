@@ -1030,6 +1030,92 @@ def test_strict_decode_flac_via_spark(spark):
     assert row.features == pytest.approx(want, abs=1e-6)
 
 
+# ---------------------------------------------------------------------------
+# IMA ADPCM (compressed audio in WAV, format tag 0x0011): lossy codec with
+# fully deterministic integer DSP — constant-per-block signals are EXACT.
+# ---------------------------------------------------------------------------
+
+def test_adpcm_byte_literal_fixture():
+    """Hand-assembled one-block IMA-ADPCM WAV (independent of our encoder):
+    header predictor 0 / step index 0, nibbles [3, 8, F, 0] hand-decoded
+    against the step/index tables: step 7 → diffs +4, -0, -11, then step 16
+    (index 0-1-1+8=8... clamped path) → +2. fact=5 truncates the pad."""
+    import struct as _st
+
+    blk = _st.pack("<hBB", 0, 0, 0) + bytes([0x83, 0x0F])
+    fmt = _st.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 6, 4, 2, 5)
+    data = (
+        b"RIFF" + _st.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(blk)) + b"WAVE"
+        + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+        + b"fact" + _st.pack("<I", 4) + _st.pack("<I", 5)
+        + b"data" + _st.pack("<I", len(blk)) + blk
+    )
+    assert multimodal.decode_wav_adpcm(data) == (1, 8000, [0, 4, 4, -7, -5])
+
+
+def test_adpcm_constant_blocks_roundtrip_exactly():
+    """Per-block-constant signals with init_index=0 reconstruct EXACTLY
+    (block header stores sample 0 verbatim; nibble 0 at step 7 is diff 0)
+    — the invariant mm_adpcm_decode's value hash rides on, including the
+    int16 extremes."""
+    samples = [1000] * 9 + [-5000] * 9 + [32000] * 9 + [-32768] * 9 + [32767] * 9
+    enc = multimodal.make_wav_adpcm(samples, 8000, block_align=8)
+    assert multimodal.decode_wav_adpcm(enc) == (1, 8000, samples)
+
+
+def test_adpcm_tracks_smooth_signals_and_is_deterministic():
+    """Lossy path sanity: a 12k-amplitude sine is tracked within ~1.5% of
+    full scale once the step size has adapted, the sample count survives
+    the fact chunk exactly, and decode∘encode is deterministic."""
+    import math
+
+    sine = [int(12000 * math.sin(i / 10)) for i in range(500)]
+    enc = multimodal.make_wav_adpcm(sine)
+    got = multimodal.decode_wav_adpcm(enc)
+    assert got == multimodal.decode_wav_adpcm(multimodal.make_wav_adpcm(sine))
+    assert len(got[2]) == 500
+    post_warmup = [abs(a - b) for a, b in zip(got[2][100:], sine[100:])]
+    assert max(post_warmup) < 500
+
+
+def test_adpcm_rejects_malformed_streams():
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_wav_adpcm(b"RIFX" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="at least one sample"):
+        multimodal.make_wav_adpcm([])
+    with pytest.raises(ValueError, match="init_index"):
+        multimodal.make_wav_adpcm([0], init_index=89)
+    good = multimodal.make_wav_adpcm([100] * 20, block_align=8)
+    # inconsistent samples-per-block in fmt must be loud
+    bad = bytearray(good)
+    at = good.index(b"fmt ") + 8 + 18  # spb field offset inside fmt body
+    bad[at : at + 2] = b"\x63\x00"
+    with pytest.raises(ValueError, match="blocking"):
+        multimodal.decode_wav_adpcm(bytes(bad))
+    # fact claiming more samples than blocks carry must be loud
+    bad2 = bytearray(good)
+    at2 = good.index(b"fact") + 8
+    bad2[at2 : at2 + 4] = (10_000).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="fact"):
+        multimodal.decode_wav_adpcm(bytes(bad2))
+
+
+def test_strict_decode_adpcm_via_spark(spark):
+    """decode_features(strict) dispatches RIFF payloads on the WAV format
+    tag: PCM and ADPCM coexist in one lake, one decode stage."""
+    samples = [v for c in b"ok" for v in [(c - 128) * 256] * 9]
+    adpcm = multimodal.make_wav_adpcm(samples, 8000, block_align=8)
+    pcm = multimodal.make_wav_pcm16([(c - 128) * 256 for c in b"ok"], 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(adpcm)), (2, bytearray(pcm))], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in multimodal.decode_features(df, dim=2, decode="strict").collect()}
+    for i in (1, 2):
+        assert (rows[i].media_type, rows[i].height, rows[i].width) == ("audio/wav", 1, 8000)
+        want = [(c - 128) * 256 / 32768.0 for c in b"ok"]
+        assert rows[i].features == pytest.approx(want, abs=1e-6)
+
+
 from struct import error as struct_error
 
 
@@ -1037,8 +1123,8 @@ def test_codec_fuzz_corruption_always_terminates():
     """Seeded fuzz over all strict codecs: byte flips, truncations and
     zeroed length fields on valid files must TERMINATE promptly with a
     sane exception (or, for formats without full integrity checks, a
-    decoded result) — never hang or corrupt the interpreter. 375 mutations
-    across 5 container formats (GIF in still AND animated form)."""
+    decoded result) — never hang or corrupt the interpreter. 450 mutations
+    across 6 decoders (GIF in still AND animated form, WAV in ADPCM form)."""
     import random
 
     rng = random.Random(20240814)
@@ -1050,6 +1136,7 @@ def test_codec_fuzz_corruption_always_terminates():
         (multimodal.make_jpeg_progressive(px, 16, 16), multimodal.decode_jpeg_baseline),
         (multimodal.make_gif(pxc, 16, 16), multimodal.decode_gif),
         (multimodal.make_flac(samples, 8000, 1), multimodal.decode_flac),
+        (multimodal.make_wav_adpcm(samples, 8000), multimodal.decode_wav_adpcm),
         (multimodal.make_png_rgb8(pxc, 16, 16), None),  # via decode_features path
         (
             multimodal.make_gif_animated(
