@@ -3040,6 +3040,54 @@ def sample_video_frames(
     return pruned.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
+def detect_scene_cuts(
+    frames: DataFrame,
+    threshold: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scene-cut detection over sampled video frames — takes the output
+    of :func:`sample_video_frames` (with ``dim`` == pixel count so
+    features are per-pixel) and flags frames whose integer L1 pixel
+    distance to the previous frame reaches ``threshold``.
+
+    ``features * 255`` rounds back to the EXACT pixel bytes (float32 of
+    v/255 carries ≤2^-24 relative error), so the distance is exact
+    integer arithmetic — value-hashable, no float-comparison seams.
+
+    Pure Catalyst, no Python in the loop: ``transform`` recovers the
+    byte array, ``lag`` over a per-video window fetches the previous
+    frame, ``zip_with``+``aggregate`` fold the |Δ| sum JVM-side. The only
+    shuffle is the hash exchange on ``doc_id`` for the window — at
+    cluster scale each video's frame rows co-locate on one partition
+    (fine for clip-scale media; hour-long videos would want a
+    range-partitioned two-pass instead)."""
+    from pyspark.sql.window import Window
+
+    px = F.transform(
+        "features", lambda x: F.round(x * 255).cast("long")
+    )
+    w = Window.partitionBy(id_col).orderBy("frame_index")
+    with_prev = frames.withColumn("_px", px).withColumn(
+        "_prev", F.lag("_px").over(w)
+    )
+    dist = F.when(
+        F.col("_prev").isNotNull(),
+        F.aggregate(
+            F.zip_with("_px", "_prev", lambda a, b: F.abs(a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        with_prev.withColumn("dist", dist)
+        .withColumn(
+            "is_cut",
+            F.when(F.col("dist").isNotNull(), F.col("dist") >= threshold),
+        )
+        .drop("_px", "_prev")
+    )
+
+
 def average_hash(
     df: DataFrame,
     features: str = "features",

@@ -5855,6 +5855,77 @@ def mm_adpcm_decode(spark, sf_dir):
     )
 
 
+_SCENE_D4 = " + ".join(
+    f"abs(ascii(substr(t, {7 + i}, 1)) - ascii(substr(t, {1 + i}, 1)))"
+    for i in range(6)
+)
+
+
+@register(
+    "mm_scene_detect",
+    oracle=f"""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 12), 1, 12) AS t
+               FROM documents)
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_index,
+           CASE WHEN f = 0 THEN NULL
+                WHEN f = 4 THEN CAST({_SCENE_D4} AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS dist,
+           CASE WHEN f = 0 THEN NULL
+                WHEN f = 4 THEN ({_SCENE_D4}) >= 1
+                ELSE FALSE END AS is_cut
+    FROM b, unnest(range(0, 8)) AS u(f)
+    """,
+)
+def mm_scene_detect(spark, sf_dir):
+    """SCENE-CUT detection composed onto the real video path, value-hashed
+    with EXACT integer arithmetic: 12 text bytes become an 8-frame
+    animated GIF with a planted cut — frames 0-3 repeat bytes 0-5, frames
+    4-7 repeat bytes 6-11 — decoded and sampled by
+    `sample_video_frames(every=1)`, then `detect_scene_cuts` recovers the
+    pixel bytes from the float32 features (round(f*255) is exact) and
+    folds the per-pixel |Δ| sum JVM-side (transform/lag/zip_with/
+    aggregate — zero Python after the decode stage). dist is 0 inside each
+    scene, the byte-level L1 at the f=4 boundary (genuinely 0 if the two
+    byte windows coincide — the oracle computes it, not assumes it), and
+    NULL at f=0 where no previous frame exists. The one shuffle is the
+    doc_id hash exchange for the lag window. Codec functions are
+    factory-locals pickled BY VALUE."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    genc = multimodal._gif_codec()[2]  # factory-local => pickled by value
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                vals = (((t or "").encode("utf-8")) + b"x" * 12)[:12]
+                frames = [
+                    [(v, v, v) for v in vals[6 * (f // 4) : 6 * (f // 4) + 6]]
+                    for f in range(8)
+                ]
+                out.append({"doc_id": i, "payload": genc(3, 2, frames)})
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    sampled = multimodal.sample_video_frames(payloads, every=1, dim=6)
+    cuts = multimodal.detect_scene_cuts(sampled, threshold=1)
+    return cuts.select("doc_id", "frame_index", "dist", "is_cut")
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i

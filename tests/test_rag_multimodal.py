@@ -1030,6 +1030,29 @@ def test_strict_decode_flac_via_spark(spark):
     assert row.features == pytest.approx(want, abs=1e-6)
 
 
+def test_detect_scene_cuts(spark):
+    """Planted cut at frame 2: dist is NULL at frame 0, 0 within a scene,
+    the exact integer L1 at the boundary; the fold is pure Catalyst (the
+    post-decode plan contains no Python eval node)."""
+    a, b = [(10, 10, 10)] * 4, [(30, 30, 30)] * 4  # 2x2 frames
+    data = multimodal.make_gif_animated(2, 2, [a, a, b, b])
+    df = spark.createDataFrame([(7, bytearray(data))], "doc_id long, payload binary")
+    sampled = multimodal.sample_video_frames(df, every=1, dim=4)
+    out = multimodal.detect_scene_cuts(sampled, threshold=1)
+    rows = {r.frame_index: r for r in out.collect()}
+    assert rows[0].dist is None and rows[0].is_cut is None
+    assert rows[1].dist == 0 and rows[1].is_cut is False
+    assert rows[2].dist == 80 and rows[2].is_cut is True  # 4 px * |30-10|
+    assert rows[3].dist == 0
+    # the distance fold itself must not add Python stages: exactly one
+    # Python eval node in the whole plan (the decode mapInPandas)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints the tree twice
+    import re as _re
+
+    assert len(_re.findall(r"(?i)ArrowEvalPython|BatchEvalPython|MapInPandas", plan)) == 1
+
+
 # ---------------------------------------------------------------------------
 # IMA ADPCM (compressed audio in WAV, format tag 0x0011): lossy codec with
 # fully deterministic integer DSP — constant-per-block signals are EXACT.
