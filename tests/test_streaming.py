@@ -304,7 +304,8 @@ def test_streaming_strict_decode_equals_batch(spark):
     """The multimodal decode stage is streaming-safe: mapInPandas is a
     stateless narrow map, so a blob FEED (payload files arriving) strict-
     decodes to exactly the batch result — real codec bytes (BMP, PNG,
-    JPEG, GIF, FLAC, WAV) through decode_features on a readStream."""
+    JPEG, GIF, FLAC, and WAV in both PCM and compressed IMA-ADPCM form)
+    through decode_features on a readStream."""
     import shutil
     import tempfile
 
@@ -331,6 +332,12 @@ def test_streaming_strict_decode_equals_batch(spark):
         elif i % 6 == 4:
             blob = mm.make_flac([(c - 128) * 256 for c in b[:8]], 8000, 2,
                                 subframe="fixed:2")
+        elif i % 12 == 5:
+            blob = mm.make_wav_adpcm(
+                [v for c in b[:4] for v in [(c - 128) * 256] * 9],
+                8000,
+                block_align=8,
+            )
         else:
             blob = mm.make_wav_pcm16([(c - 128) * 256 for c in b[:6]])
         payloads.append((i, bytearray(blob)))
@@ -369,6 +376,61 @@ def test_streaming_strict_decode_equals_batch(spark):
             "image/bmp", "image/png", "image/jpeg", "image/gif",
             "audio/flac", "audio/wav",
         }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_video_frame_sampling_equals_batch(spark):
+    """The video frame-sampling stage (animated-GIF decode + compositing +
+    every-Nth selection) is a stateless narrow map too: a stream of video
+    payloads yields exactly the batch frame rows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from big_data_project_spark.operators import multimodal as mm
+
+    payloads = []
+    for i in range(8):
+        frames = [
+            [((i * 11 + f * 3 + p) % 256,) * 3 for p in range(6)]
+            for f in range(4)
+        ]
+        blob = mm.make_gif_animated(3, 2, frames, delays_cs=[2, 3, 5, 7])
+        payloads.append((i, bytearray(blob)))
+
+    d = tempfile.mkdtemp(prefix="bdps_vids_")
+    try:
+        df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+        df.repartition(2).write.mode("overwrite").parquet(d)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = (
+            mm.sample_video_frames(stream, every=2, dim=6)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("mm_vid_stream_out")
+            .start()
+        )
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.frame_index, r.t_cs, r.n_frames, tuple(r.features))
+            for r in spark.sql("SELECT * FROM mm_vid_stream_out").collect()
+        }
+        q.stop()
+        want = {
+            (r.doc_id, r.frame_index, r.t_cs, r.n_frames, tuple(r.features))
+            for r in mm.sample_video_frames(df, every=2, dim=6).collect()
+        }
+        assert got == want
+        assert len(got) == 16  # frames 0 and 2 per video
+        assert {t[2] for t in got} == {0, 5}  # cumulative delays 0 and 2+3
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
