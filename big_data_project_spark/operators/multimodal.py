@@ -38,6 +38,7 @@ MAGIC = {
     "FFD8FFE0": "image/jpeg",
     "52494646": "audio/wav",  # RIFF
     "1A45DFA3": "video/webm",
+    "59555634": "video/y4m",  # 'YUV4' (YUV4MPEG2)
     "47494638": "image/gif",  # 'GIF8' (87a/89a)
     "664C6143": "audio/flac",  # 'fLaC'
     "FFD8": "image/jpeg",  # any JPEG (EXIF/raw); JFIF matches longer above
@@ -2763,6 +2764,123 @@ def _adpcm_codec():
 make_wav_adpcm, decode_wav_adpcm = _adpcm_codec()
 
 
+def _y4m_codec():
+    """YUV4MPEG2 (Y4M) codec — the engine's SECOND real video container
+    (raw uncompressed planes, the interchange format ffmpeg pipelines
+    speak). Same factory-local by-value-pickling contract as the others.
+
+    C444 colorspace only (full-resolution Y/Cb/Cr planes — no chroma
+    subsampling, so the only loss is the BT.601 integer rounding; GRAY
+    content converts losslessly: Y = v, Cb = Cr = 128 exactly, because
+    0.299+0.587+0.114 == 1 and the Cb/Cr coefficients sum to 0).
+
+    - encode: ``YUV4MPEG2 W.. H.. F<num>:<den> Ip A1:1 C444`` header,
+      then per frame ``FRAME\\n`` + Y plane + Cb plane + Cr plane.
+    - decode: header token parse (explicit NotImplementedError for
+      subsampled colorspaces), frame walk, YCbCr→RGB with clamping.
+    """
+    def _clamp8(v):
+        return 0 if v < 0 else (255 if v > 255 else v)
+
+    def _rgb_to_ycbcr(r, g, b):
+        y = int(round(0.299 * r + 0.587 * g + 0.114 * b))
+        cb = int(round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b))
+        cr = int(round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b))
+        return _clamp8(y), _clamp8(cb), _clamp8(cr)
+
+    def _ycbcr_to_rgb(y, cb, cr):
+        r = int(round(y + 1.402 * (cr - 128)))
+        g = int(round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)))
+        b = int(round(y + 1.772 * (cb - 128)))
+        return _clamp8(r), _clamp8(g), _clamp8(b)
+
+    def encode(frames, width, height, *, rate=(25, 1)):
+        """Serialize full-frame (r, g, b) pixel lists into a real Y4M
+        stream (C444). ``rate`` is the (numerator, denominator) frame
+        rate — F25:1 means one frame every 4 centiseconds."""
+        num, den = rate
+        if num <= 0 or den <= 0:
+            raise ValueError("frame rate must be positive")
+        if not frames:
+            raise ValueError("Y4M needs at least one frame")
+        out = bytearray(
+            f"YUV4MPEG2 W{width} H{height} F{num}:{den} Ip A1:1 C444\n".encode()
+        )
+        for px in frames:
+            if len(px) != width * height:
+                raise ValueError("frame pixels length must be width*height")
+            out += b"FRAME\n"
+            planes = ([], [], [])
+            for (r, g, b) in px:
+                y, cb, cr = _rgb_to_ycbcr(r, g, b)
+                planes[0].append(y)
+                planes[1].append(cb)
+                planes[2].append(cr)
+            for pl in planes:
+                out += bytes(pl)
+        return bytes(out)
+
+    def decode(data):
+        """Decode a Y4M stream: returns ``(height, width, (num, den),
+        [pixels, ...])`` with one full RGB pixel list per frame."""
+        nl = data.find(b"\n")
+        if not data.startswith(b"YUV4MPEG2") or nl < 0:
+            raise ValueError("bad Y4M signature")
+        width = height = num = den = None
+        cspace = "C420"  # the spec default when no C tag is present
+        for tok in data[10:nl].split(b" "):
+            if not tok:
+                continue
+            k, v = tok[:1], tok[1:]
+            if k == b"W":
+                width = int(v)
+            elif k == b"H":
+                height = int(v)
+            elif k == b"F":
+                num, den = (int(x) for x in v.split(b":"))
+            elif k == b"C":
+                cspace = "C" + v.decode("ascii", "replace")
+        if not width or not height or not num or not den:
+            raise ValueError("Y4M header missing W/H/F parameters")
+        if width < 0 or height < 0 or num < 0 or den < 0:
+            raise ValueError("Y4M header parameters must be positive")
+        if width * height > 16_000_000:
+            raise ValueError(f"refusing {width}x{height} Y4M frame (cap: 16M pixels)")
+        if cspace != "C444":
+            raise NotImplementedError(
+                f"Y4M decode supports C444 only (got {cspace}); subsampled "
+                f"colorspaces need the chroma-upsample path"
+            )
+        n = width * height
+        pos = nl + 1
+        frames = []
+        while pos < len(data):
+            fnl = data.find(b"\n", pos)
+            if fnl < 0 or data[pos : pos + 5] != b"FRAME":
+                raise ValueError("bad Y4M FRAME marker")
+            pos = fnl + 1
+            if pos + 3 * n > len(data):
+                raise ValueError("Y4M frame planes truncated")
+            ys = data[pos : pos + n]
+            cbs = data[pos + n : pos + 2 * n]
+            crs = data[pos + 2 * n : pos + 3 * n]
+            frames.append(
+                [_ycbcr_to_rgb(ys[i], cbs[i], crs[i]) for i in range(n)]
+            )
+            pos += 3 * n
+            if len(frames) > 4096:
+                raise ValueError("refusing Y4M with >4096 frames")
+        if not frames:
+            raise ValueError("Y4M has no frames")
+        return height, width, (num, den), frames
+
+    return encode, decode
+
+
+#: Y4M codec, built once (same by-value pickling contract)
+make_y4m, decode_y4m = _y4m_codec()
+
+
 def transcode_images(
     df: DataFrame,
     payload: str = "payload",
@@ -2923,6 +3041,97 @@ def transcode_images(
     return pruned.mapInPandas(run, out_schema)
 
 
+def transcode_videos(
+    df: DataFrame,
+    payload: str = "payload",
+    id_col: str = "doc_id",
+    target: str = "y4m",
+) -> DataFrame:
+    """Normalize a mixed VIDEO lake to ONE container format — the moving-
+    picture twin of :func:`transcode_images`: decode whatever arrives
+    (animated GIF with full compositing, or raw YUV4MPEG2) and re-encode
+    every frame to ``target`` ('y4m' or 'gif').
+
+    GRAY content survives both directions losslessly (BT.601 maps
+    (v, v, v) to Y = v, Cb = Cr = 128 exactly); colored content through a
+    Y4M target carries only the ±1 BT.601 integer-rounding wobble, and a
+    GIF target needs ≤256 distinct colors per video (the real GIF
+    constraint — loud, never silently quantized). Timing: GIF per-frame
+    delays map to the Y4M rational rate via the first frame's delay
+    (F100:d); Y4M rates map back to floor-exact centisecond delays.
+
+    Output: ``(id_col, payload, media_type, n_frames, height, width)``.
+    Arrow-batched mapInPandas, zero shuffles; codec functions are
+    factory-locals pickled by value (hostile-cwd-safe)."""
+    if target not in ("y4m", "gif"):
+        raise ValueError("target must be 'y4m' or 'gif'")
+
+    pruned = df.select(id_col, payload)
+    gif_frames = _gif_codec()[3]
+    gif_enc_anim = _gif_codec()[2]
+    y4m_enc, y4m_dec = _y4m_codec()
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+        ]
+    )
+    media = {"y4m": "video/y4m", "gif": "image/gif"}[target]
+
+    def run(it):
+        def decode_any(data: bytes):
+            # -> (h, w, [(delay_cs, [(r,g,b)])] fully composited)
+            if data[:4] == b"GIF8":
+                h, w, _m, fr = gif_frames(data)
+                return h, w, fr
+            if data[:9] == b"YUV4MPEG2":
+                h, w, (num, den), fr = y4m_dec(data)
+                delays = [
+                    (100 * den * (f + 1)) // num - (100 * den * f) // num
+                    for f in range(len(fr))
+                ]
+                return h, w, list(zip(delays, fr))
+            raise NotImplementedError(
+                f"video transcode handles animated GIF and Y4M; got {data[:4]!r}"
+            )
+
+        def encode_any(frames, w, h):
+            delays = [d for d, _ in frames]
+            pixel_lists = [px for _, px in frames]
+            if target == "gif":
+                return gif_enc_anim(w, h, pixel_lists, delays_cs=delays)
+            d0 = delays[0] if delays and delays[0] > 0 else 4
+            return y4m_enc(pixel_lists, w, h, rate=(100, d0))
+
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload]):
+                h, w, frames = decode_any(bytes(b) if b is not None else b"")
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "payload": encode_any(frames, w, h),
+                        "media_type": media,
+                        "n_frames": len(frames),
+                        "height": h,
+                        "width": w,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "payload", "media_type", "n_frames",
+                    "height", "width",
+                ],
+            )
+
+    return pruned.mapInPandas(run, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     payload: str = "payload",
@@ -2982,11 +3191,13 @@ def sample_video_frames(
     every: int = 1,
     dim: int = 8,
 ) -> DataFrame:
-    """REAL video frame sampling: strict-decode an animated-GIF payload
-    (the video container this engine decodes end to end — see
-    :func:`decode_gif_frames`), composite every frame onto the logical
-    screen (sub-rectangle deltas, transparency, disposal), keep every
-    ``every``-th composited frame, and emit one row per sampled frame:
+    """REAL video frame sampling: strict-decode a video payload — animated
+    GIF (see :func:`decode_gif_frames`) or raw YUV4MPEG2 (see
+    :func:`decode_y4m`), dispatched on the container magic — composite
+    every frame onto the logical screen (sub-rectangle deltas,
+    transparency, disposal for GIF; BT.601 plane conversion for Y4M),
+    keep every ``every``-th composited frame, and emit one row per
+    sampled frame:
     its index, start timestamp in centiseconds (cumulative GCE delays of
     the frames before it), the total frame count, canvas dims, and
     ``dim`` grayscale segment-mean features of the composited canvas.
@@ -3001,7 +3212,8 @@ def sample_video_frames(
     if every < 1:
         raise ValueError("every must be >= 1")
     pruned = df.select(id_col, payload)
-    gif_frames = _gif_codec()[3]  # factory-local => pickled by value
+    gif_frames = _gif_codec()[3]  # factory-locals => pickled by value
+    y4m_decode = _y4m_codec()[1]
     out_columns = [f.name for f in VIDEO_FRAME_SCHEMA.fields]
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3014,11 +3226,30 @@ def sample_video_frames(
                 out.append(sum(seg) / len(seg) if seg else 0.0)
             return out
 
+        def decode_any(data: bytes):
+            # container dispatch: animated GIF carries per-frame delays;
+            # Y4M has a rational frame rate — timestamps floor to exact
+            # centisecond boundaries (t_cs(f) = 100*den*f // num), so the
+            # per-frame delays below reproduce that floor cumulatively
+            if data[:4] == b"GIF8":
+                return gif_frames(data)
+            if data[:9] == b"YUV4MPEG2":
+                h, w, (num, den), fr = y4m_decode(data)
+                delays = [
+                    (100 * den * (f + 1)) // num - (100 * den * f) // num
+                    for f in range(len(fr))
+                ]
+                return h, w, "rgb", list(zip(delays, fr))
+            raise NotImplementedError(
+                f"video frame sampling handles animated GIF and Y4M; "
+                f"{data[:4]!r} needs a perceptual codec (ffmpeg) — plug in here"
+            )
+
         for pdf in it:
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload]):
                 data = bytes(b) if b is not None else b""
-                h, w, _mode, frames = gif_frames(data)
+                h, w, _mode, frames = decode_any(data)
                 t_cs = 0
                 for fno, (delay, px) in enumerate(frames):
                     if fno % every == 0:

@@ -5926,6 +5926,87 @@ def mm_scene_detect(spark, sf_dir):
     return cuts.select("doc_id", "frame_index", "dist", "is_cut")
 
 
+@register(
+    "mm_video_transcode",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 12), 1, 12) AS t
+               FROM documents)
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_index,
+           CAST(4 * f AS BIGINT) AS t_cs,
+           CAST(2 AS INTEGER) AS n_frames,
+           CAST(2 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS width,
+           CAST(i AS INTEGER) AS i,
+           CAST(ascii(substr(t, CAST(6 * f + i + 1 AS INT), 1)) / 255.0
+                AS REAL) AS val
+    FROM b, unnest(range(0, 2)) AS uf(f), unnest(range(0, 6)) AS u(i)
+    """,
+)
+def mm_video_transcode(spark, sf_dir):
+    """VIDEO transcode value-hashed across both container pairs — the
+    moving-picture twin of `mm_transcode`: the same two 3×2 grayscale
+    frames (12 text bytes, 4 cs apart) arrive as an animated GIF (even
+    doc_ids) or a raw YUV4MPEG2 stream (odd doc_ids), are normalized to
+    Y4M by `multimodal.transcode_videos` (GIF compositing or Y4M plane
+    decode + re-encode — the mixed-lake preprocessing step), then
+    strict-decoded AGAIN by `sample_video_frames(every=1)`. Grayscale is
+    LOSSLESS through BT.601 (Y = v, Cb = Cr = 128 exactly), and GIF
+    delays [4, 4] map to F100:4 whose floor timestamps reproduce t_cs =
+    4f — so the oracle computes pixels and timestamps straight from the
+    text bytes, parity-independent: a wrong plane order, chroma
+    conversion, rate mapping or delay walk flips half the hashes. Codec
+    functions are factory-locals pickled BY VALUE."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    gif_enc_anim = multimodal._gif_codec()[2]  # factory-locals => by value
+    y4m_enc = multimodal._y4m_codec()[0]
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                vals = (((t or "").encode("utf-8")) + b"x" * 12)[:12]
+                frames = [
+                    [(v, v, v) for v in vals[6 * f : 6 * f + 6]]
+                    for f in range(2)
+                ]
+                if i % 2 == 0:
+                    blob = gif_enc_anim(3, 2, frames, delays_cs=[4, 4])
+                else:
+                    blob = y4m_enc(frames, 3, 2, rate=(25, 1))
+                out.append({"doc_id": i, "payload": blob})
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    normalized = multimodal.transcode_videos(payloads, target="y4m").select(
+        "doc_id", "payload"
+    )
+    sampled = multimodal.sample_video_frames(normalized, every=1, dim=6)
+    return sampled.select(
+        "doc_id",
+        "frame_index",
+        "t_cs",
+        "n_frames",
+        "height",
+        "width",
+        F.posexplode("features").alias("i", "val"),
+    )
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i

@@ -1796,6 +1796,26 @@ def test_gif_animated_roundtrip_property(dims, n_frames, seed):
     assert [px for _, px in out] == frames
 
 
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_DIMS, st.integers(1, 4), st.integers(0, 2**32 - 1))
+def test_y4m_gray_roundtrip_property(dims, n_frames, seed):
+    """Y4M is lossless for ANY grayscale content, size, frame count and
+    rational frame rate (BT.601 maps (v,v,v) to Y=v, Cb=Cr=128 exactly)."""
+    import random
+
+    from big_data_project_spark.operators import multimodal as mm
+
+    w, h = dims
+    rng = random.Random(seed)
+    frames = [
+        [(v, v, v) for v in [rng.randrange(256) for _ in range(w * h)]]
+        for _ in range(n_frames)
+    ]
+    rate = (rng.randrange(1, 1000), rng.randrange(1, 100))
+    got = mm.decode_y4m(mm.make_y4m(frames, w, h, rate=rate))
+    assert got == (h, w, rate, frames)
+
+
 @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.integers(1, 8), st.integers(5, 40), st.integers(0, 2**32 - 1))
 def test_adpcm_constant_blocks_exact_property(n_blocks, block_align, seed):

@@ -1054,6 +1054,90 @@ def test_detect_scene_cuts(spark):
 
 
 # ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2): raw-plane video container; gray is lossless through
+# BT.601, color carries only the +-1 integer-rounding wobble.
+# ---------------------------------------------------------------------------
+
+def test_y4m_gray_roundtrip_exact_and_color_bounded():
+    import random
+
+    rng = random.Random(13)
+    w, h = 5, 4
+    gray = [
+        [(v, v, v) for v in [rng.randrange(256) for _ in range(w * h)]]
+        for _ in range(3)
+    ]
+    hh, ww, rate, out = multimodal.decode_y4m(
+        multimodal.make_y4m(gray, w, h, rate=(30, 1))
+    )
+    assert (hh, ww, rate) == (h, w, (30, 1)) and out == gray
+    color = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w * h)]
+    ]
+    dec = multimodal.decode_y4m(multimodal.make_y4m(color, w, h))[3][0]
+    assert max(
+        abs(a - b) for p, q in zip(dec, color[0]) for a, b in zip(p, q)
+    ) <= 2
+
+
+def test_y4m_byte_literal_fixture():
+    """Hand-assembled Y4M (independent of our encoder): C444 header, one
+    2x1 frame with Y=[10, 200], Cb=Cr=128 — must decode to exactly those
+    gray pixels and the declared rational rate."""
+    data = (
+        b"YUV4MPEG2 W2 H1 F30000:1001 Ip A1:1 C444\n"
+        + b"FRAME\n"
+        + bytes([10, 200])       # Y plane
+        + bytes([128, 128]) * 2  # Cb, Cr planes
+    )
+    assert multimodal.decode_y4m(data) == (
+        1, 2, (30000, 1001), [[(10, 10, 10), (200, 200, 200)]]
+    )
+
+
+def test_y4m_rejects_malformed_and_subsampled():
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_y4m(b"YUV4MPEG1 W1 H1 F1:1\nFRAME\n\x00\x80\x80")
+    with pytest.raises(NotImplementedError, match="C444"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1\n")  # spec-default C420
+    with pytest.raises(ValueError, match="missing"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C444\n")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H1 F1:1 C444\nFRAME\n\x00\x80")
+    with pytest.raises(ValueError, match="cap"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W99999 H99999 F1:1 C444\n")
+
+
+def test_transcode_videos_mixed_lake_gray_lossless(spark):
+    """A mixed GIF/Y4M video lake normalizes to either target losslessly
+    for gray content, with frame timing surviving the rate mapping."""
+    frames = [[(v, v, v) for v in (10, 20, 30, 40)] for _ in range(2)]
+    frames[1] = [(v, v, v) for v in (50, 60, 70, 80)]
+    gif = multimodal.make_gif_animated(2, 2, frames, delays_cs=[4, 4])
+    y4m = multimodal.make_y4m(frames, 2, 2, rate=(25, 1))
+    df = spark.createDataFrame(
+        [(0, bytearray(gif)), (1, bytearray(y4m))], "doc_id long, payload binary"
+    )
+    for target, magic in (("y4m", b"YUV4MPEG2"), ("gif", b"GIF89a")):
+        got = {r.doc_id: r for r in multimodal.transcode_videos(df, target=target).collect()}
+        for i in (0, 1):
+            r = got[i]
+            assert bytes(r.payload)[: len(magic)] == magic
+            assert (r.n_frames, r.height, r.width) == (2, 2, 2)
+        # decoded frames identical to the source frames, both targets
+        dec = (
+            multimodal.decode_y4m(bytes(got[0].payload))[3]
+            if target == "y4m"
+            else [px for _, px in multimodal.decode_gif_frames(bytes(got[0].payload))[3]]
+        )
+        assert dec == frames
+    with pytest.raises(Exception):  # unknown container is loud (wrapped by Spark)
+        multimodal.transcode_videos(
+            spark.createDataFrame([(9, bytearray(b"RIFF----"))], "doc_id long, payload binary")
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
 # IMA ADPCM (compressed audio in WAV, format tag 0x0011): lossy codec with
 # fully deterministic integer DSP — constant-per-block signals are EXACT.
 # ---------------------------------------------------------------------------
@@ -1146,8 +1230,8 @@ def test_codec_fuzz_corruption_always_terminates():
     """Seeded fuzz over all strict codecs: byte flips, truncations and
     zeroed length fields on valid files must TERMINATE promptly with a
     sane exception (or, for formats without full integrity checks, a
-    decoded result) — never hang or corrupt the interpreter. 450 mutations
-    across 6 decoders (GIF in still AND animated form, WAV in ADPCM form)."""
+    decoded result) — never hang or corrupt the interpreter. 525 mutations
+    across 7 decoders (GIF still AND animated, WAV-ADPCM, Y4M)."""
     import random
 
     rng = random.Random(20240814)
@@ -1160,6 +1244,7 @@ def test_codec_fuzz_corruption_always_terminates():
         (multimodal.make_gif(pxc, 16, 16), multimodal.decode_gif),
         (multimodal.make_flac(samples, 8000, 1), multimodal.decode_flac),
         (multimodal.make_wav_adpcm(samples, 8000), multimodal.decode_wav_adpcm),
+        (multimodal.make_y4m([pxc[:64]] * 2, 8, 8), multimodal.decode_y4m),
         (multimodal.make_png_rgb8(pxc, 16, 16), None),  # via decode_features path
         (
             multimodal.make_gif_animated(
