@@ -1866,7 +1866,14 @@ def _gif_codec():
         transparent index and leave the underlying canvas visible."""
         norm = []
         for fr in frames:
-            if isinstance(fr, tuple) and len(fr) == 5:
+            # rect form is (left, top, fw, fh, pixels) — require int coords
+            # so a full frame that happens to be a 5-pixel TUPLE can't be
+            # misparsed as a rectangle spec
+            if (
+                isinstance(fr, tuple)
+                and len(fr) == 5
+                and all(isinstance(v, int) for v in fr[:4])
+            ):
                 left, top, fw, fh, px = fr
             else:
                 left, top, fw, fh, px = 0, 0, width, height, list(fr)

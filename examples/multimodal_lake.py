@@ -2,11 +2,13 @@
 payload columns, strict stdlib codecs, and perceptual dedup, the way
 examples/corpus_curation.py tours the text-curation side.
 
-Builds a small mixed-media lake (real BMP / PNG / JPEG / GIF / WAV / FLAC
-bytes synthesized from the documents table), sinks it as one blob file per
-row, re-ingests it through Spark's ``binaryFile`` source, sniffs types,
-strict-decodes every payload to features, and runs the average-hash
-perceptual-dedup pass. Every stage is an operator the oracle suite
+Builds a small mixed-media lake (real BMP / PNG / JPEG / GIF / WAV-PCM /
+FLAC / WAV-ADPCM bytes synthesized from the documents table), sinks it as
+one blob file per row, re-ingests it through Spark's ``binaryFile``
+source, sniffs types, strict-decodes every payload to features, runs the
+average-hash perceptual-dedup pass, and finishes on the VIDEO lane: a
+mixed animated-GIF/Y4M lake transcoded to one container, frame-sampled,
+and scanned for scene cuts. Every stage is an operator the oracle suite
 verifies in isolation (mm_* entries); this script is the user-facing
 composition.
 
@@ -38,7 +40,7 @@ def main(sf_dir: str) -> None:
         "text", F.regexp_replace("text", "[^ -~]", "")
     )
 
-    # --- 1. synthesize a mixed-media lake: six REAL container formats ----
+    # --- 1. synthesize a mixed-media lake: seven REAL container formats --
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -76,12 +78,19 @@ def main(sf_dir: str) -> None:
             return fenc([(c - 128) * 256 for c in b[:8]], 8000, 2,
                         subframe="fixed:2", stereo="left_side")
 
-        builders = [bmp, png, jpeg, gif, wav, flac]
+        def adpcm(b):
+            return multimodal.make_wav_adpcm(
+                [v for c in b[:4] for v in [(c - 128) * 256] * 9],
+                8000,
+                block_align=8,
+            )
+
+        builders = [bmp, png, jpeg, gif, wav, flac, adpcm]
         for pdf in it:
             rows = []
             for i, t in zip(pdf["doc_id"], pdf["text"]):
                 b = ((t or "").encode() + b"x" * 18)[:18]
-                rows.append({"doc_id": i, "payload": builders[i % 6](b)})
+                rows.append({"doc_id": i, "payload": builders[i % 7](b)})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     lake = docs.mapInPandas(build, out_schema)
@@ -96,7 +105,7 @@ def main(sf_dir: str) -> None:
     )
     print(f"blob roundtrip: {ingested.count()} files via binaryFile source")
 
-    # --- 3. sniff + strict decode (all six codecs, stdlib only) ----------
+    # --- 3. sniff + strict decode (all codecs, stdlib only) --------------
     by_type = (
         multimodal.binary_stats(ingested)
         .groupBy("media_type")
@@ -133,6 +142,44 @@ def main(sf_dir: str) -> None:
         .where(dedup.hamming_distance(F.col("ha"), F.col("hb")) <= 1)
     )
     print(f"borderline pairs (aHash hamming <= 1): {near.count()}")
+
+    # --- 5. the VIDEO lane: mixed GIF/Y4M lake -> transcode -> frame
+    #        sampling -> scene-cut detection --------------------------------
+    genc_anim = multimodal._gif_codec()[2]
+    y4m_enc = multimodal._y4m_codec()[0]
+
+    def build_videos(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                b = ((t or "").encode() + b"x" * 12)[:12]
+                # 2 scenes x 2 frames: a planted cut at frame 2
+                frames = [
+                    [(v, v, v) for v in b[6 * (f // 2) : 6 * (f // 2) + 6]]
+                    for f in range(4)
+                ]
+                blob = (
+                    genc_anim(3, 2, frames, delays_cs=[4] * 4)
+                    if i % 2 == 0
+                    else y4m_enc(frames, 3, 2, rate=(25, 1))
+                )
+                rows.append({"doc_id": i, "payload": blob})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    videos = docs.limit(64).mapInPandas(build_videos, out_schema)
+    normalized = multimodal.transcode_videos(videos, target="y4m")
+    print(
+        "video lake normalized to Y4M: "
+        f"{normalized.where(F.col('media_type') == 'video/y4m').count()} streams"
+    )
+    sampled = multimodal.sample_video_frames(
+        normalized.select("doc_id", "payload"), every=1, dim=6
+    )
+    cuts = multimodal.detect_scene_cuts(sampled, threshold=1)
+    n_cuts = cuts.where(F.col("is_cut")).count()
+    print(f"scene cuts detected across sampled frames: {n_cuts}")
 
     spark.stop()
     print("done.")

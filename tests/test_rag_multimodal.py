@@ -893,6 +893,14 @@ def test_gif_animated_byte_literal_fixture():
     assert multimodal.decode_gif(data) == (1, 2, "rgb", [(255, 0, 0), (0, 255, 0)])
 
 
+def test_gif_animated_five_pixel_tuple_frame_is_not_a_rect():
+    """A full frame that happens to be a 5-PIXEL TUPLE must be treated as
+    pixels, not misparsed as a (left, top, fw, fh, px) rectangle spec."""
+    fr = ((1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4), (5, 5, 5))
+    data = multimodal.make_gif_animated(5, 1, [fr])
+    assert multimodal.decode_gif_frames(data)[3][0][1] == list(fr)
+
+
 def test_gif_animated_caps_and_bounds():
     import pytest as _pytest
 
