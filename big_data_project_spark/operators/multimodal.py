@@ -3326,6 +3326,47 @@ def detect_scene_cuts(
     )
 
 
+def align_captions_to_frames(
+    frames: DataFrame,
+    captions: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Align sampled video frames to SRT caption cues — the join that
+    builds video/caption training pairs: frame timestamp (``t_cs`` in
+    centiseconds → ms) within ``[start_ms, end_ms]`` of a cue of the
+    SAME video. LEFT join, so uncaptioned frames survive with NULL cue
+    columns (they're the negatives a contrastive pair-builder wants).
+
+    Input shapes: ``frames`` from :func:`sample_video_frames`;
+    ``captions`` from :func:`text.parse_srt`. The join is an equi-join
+    on the video id with the range as a residual predicate — one hash
+    exchange per side, no theta-join blowup, same plan family as the
+    engine's price-band range joins."""
+    f = frames.withColumn("t_ms", F.col("t_cs") * 10)
+    c = captions.select(
+        F.col(id_col).alias("_cid"),
+        "cue_index",
+        "start_ms",
+        "end_ms",
+        F.col("text").alias("caption"),
+    )
+    return f.join(
+        c,
+        (f[id_col] == c["_cid"])
+        & (F.col("t_ms") >= F.col("start_ms"))
+        & (F.col("t_ms") <= F.col("end_ms")),
+        "left",
+    ).select(
+        f[id_col].alias(id_col),
+        "frame_index",
+        "t_ms",
+        "cue_index",
+        "start_ms",
+        "end_ms",
+        "caption",
+    )
+
+
 def average_hash(
     df: DataFrame,
     features: str = "features",

@@ -1066,3 +1066,46 @@ def stem_vocab(df: DataFrame, text: str = "text") -> DataFrame:
         .groupBy("stem")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def parse_srt(
+    df: DataFrame, srt: str = "srt", id_col: str = "doc_id"
+) -> DataFrame:
+    """Parse SubRip (.srt) caption streams into one row per cue —
+    ``(id, cue_index, start_ms, end_ms, text)`` — the caption half of
+    video/caption training pairs.
+
+    Pure Catalyst: split on blank lines → posexplode → one anchored
+    regexp over each block (index line, ``HH:MM:SS,mmm --> HH:MM:SS,mmm``
+    time line with either comma or dot millisecond separators and
+    optional ``\\r``, then the cue text, which may span MULTIPLE lines).
+    Malformed blocks (no arrow, unparsable index) are dropped, not
+    errors — real SRT files carry BOM junk and stray blank blocks.
+    Zero shuffles; the explode is the only row-count change."""
+    ts = r"(\d{2}):(\d{2}):(\d{2})[,.](\d{3})"
+    pat = rf"^\s*(\d+)\s*\r?\n{ts} --> {ts}\s*\r?\n([\s\S]*)$"
+
+    def ms(base: int) -> Column:
+        return (
+            F.regexp_extract("_blk", pat, base).cast("long") * 3600000
+            + F.regexp_extract("_blk", pat, base + 1).cast("long") * 60000
+            + F.regexp_extract("_blk", pat, base + 2).cast("long") * 1000
+            + F.regexp_extract("_blk", pat, base + 3).cast("long")
+        )
+
+    blocks = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(srt), r"\r?\n\r?\n+")).alias("_pos", "_blk"),
+    ).where(F.col("_blk").rlike("-->"))
+    return (
+        blocks.select(
+            id_col,
+            F.nullif(F.regexp_extract("_blk", pat, 1), F.lit(""))
+            .cast("int")
+            .alias("cue_index"),
+            ms(2).alias("start_ms"),
+            ms(6).alias("end_ms"),
+            F.regexp_extract("_blk", pat, 10).alias("text"),
+        )
+        .where(F.col("cue_index").isNotNull())
+    )

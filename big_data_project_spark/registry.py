@@ -6007,6 +6007,153 @@ def mm_video_transcode(spark, sf_dir):
     )
 
 
+@register(
+    "tx_srt_parse",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || 'xx', 1, 2) AS t
+               FROM documents)
+    SELECT doc_id,
+           CAST(f + 1 AS INTEGER) AS cue_index,
+           CAST(250 * ascii(substr(t, CAST(f + 1 AS INT), 1)) AS BIGINT)
+               AS start_ms,
+           CAST(250 * ascii(substr(t, CAST(f + 1 AS INT), 1)) + 900
+                AS BIGINT) AS end_ms,
+           'c' || CAST(f AS VARCHAR) || '-' || CAST(doc_id AS VARCHAR)
+               AS cue_text
+    FROM b, unnest(range(0, 2)) AS u(f)
+    """,
+)
+def tx_srt_parse(spark, sf_dir):
+    """SubRip caption parsing VALUE-hashed through a full format
+    round-trip: per doc, two cues with byte-driven start times
+    (250·ascii ms, up to 31.5 s) are FORMATTED into a real .srt document
+    JVM-side (format_string '%02d:%02d:%02d,%03d', the arrow line, blank-
+    line separators), then `text.parse_srt` inverts it — split on blank
+    lines, one anchored regexp per block, time fields reassembled into
+    milliseconds. A swapped minutes/seconds group, off-by-one cue split
+    or dropped millisecond padding flips every hash. The oracle computes
+    the cue table straight from the text bytes. Everything is pure
+    Catalyst — zero Python, zero shuffles (the posexplode is the only
+    row-count change). Caption streams are the text half of
+    video/caption training pairs (see mm_caption_align)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", "[^ -~]", ""), F.lit("xx")
+        ).substr(1, 2).alias("t"),
+    )
+
+    def tf(ms):
+        return F.format_string(
+            "%02d:%02d:%02d,%03d",
+            (ms / 3600000).cast("int"),
+            ((ms % 3600000) / 60000).cast("int"),
+            ((ms % 60000) / 1000).cast("int"),
+            (ms % 1000).cast("int"),
+        )
+
+    def cue(f):
+        start = (250 * F.ascii(F.substring("t", f + 1, 1))).cast("long")
+        return F.concat(
+            F.lit(f"{f + 1}\n"),
+            tf(start),
+            F.lit(" --> "),
+            tf(start + 900),
+            F.lit("\n"),
+            F.lit(f"c{f}-"),
+            F.col("doc_id").cast("string"),
+            F.lit("\n\n"),
+        )
+
+    srt = docs.select("doc_id", F.concat(cue(0), cue(1)).alias("srt"))
+    parsed = text.parse_srt(srt)
+    return parsed.select(
+        "doc_id",
+        "cue_index",
+        "start_ms",
+        "end_ms",
+        F.col("text").alias("cue_text"),
+    )
+
+
+@register(
+    "mm_caption_align",
+    oracle="""
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_index,
+           CAST(250 * f AS BIGINT) AS t_ms,
+           CAST(CASE WHEN f <= 1 THEN 1 WHEN f = 2 THEN 2 END AS INTEGER)
+               AS cue_index,
+           CASE WHEN f <= 1 THEN 'a-' || CAST(doc_id AS VARCHAR)
+                WHEN f = 2 THEN 'b-' || CAST(doc_id AS VARCHAR) END
+               AS caption
+    FROM documents, unnest(range(0, 4)) AS u(f)
+    """,
+)
+def mm_caption_align(spark, sf_dir):
+    """VIDEO/CAPTION pair building value-hashed end to end — the
+    cross-modal composition row: a 4-frame animated GIF (25 cs apart →
+    frames at 0/250/500/750 ms) is strict-decoded and frame-sampled,
+    its SRT sidecar (cue 1 covers [0, 260], cue 2 [500, 740]) is parsed
+    by `text.parse_srt`, and `align_captions_to_frames` range-joins
+    frame timestamps into cue windows per video: frames 0-1 pair with
+    cue 1, frame 2 with cue 2, and frame 3 (750 ms) is OUTSIDE every
+    cue — the LEFT join must keep it with NULL cue columns, so a wrong
+    join type, a cs→ms slip, or an off-by-one range bound flips the
+    hash. One equi-join on doc_id with the range as residual predicate —
+    no theta blowup. Codec functions are factory-locals pickled BY
+    VALUE."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    genc = multimodal._gif_codec()[2]  # factory-local => pickled by value
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                vals = (((t or "").encode("utf-8")) + b"x" * 24)[:24]
+                frames = [
+                    [(v, v, v) for v in vals[6 * f : 6 * f + 6]]
+                    for f in range(4)
+                ]
+                out.append(
+                    {"doc_id": i, "payload": genc(3, 2, frames, delays_cs=[25] * 4)}
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    sampled = multimodal.sample_video_frames(payloads, every=1, dim=6)
+
+    srt = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("1\n00:00:00,000 --> 00:00:00,260\na-"),
+            F.col("doc_id").cast("string"),
+            F.lit("\n\n2\n00:00:00,500 --> 00:00:00,740\nb-"),
+            F.col("doc_id").cast("string"),
+            F.lit("\n\n"),
+        ).alias("srt"),
+    )
+    captions = text.parse_srt(srt)
+    aligned = multimodal.align_captions_to_frames(sampled, captions)
+    return aligned.select(
+        "doc_id", "frame_index", "t_ms", "cue_index", "caption"
+    )
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i

@@ -152,3 +152,53 @@ def test_mmr_rejects_nonpositive_k(spark):
     for mode in ("engine", "serving"):
         with pytest.raises(ValueError, match="k must be"):
             vector.mmr_rerank(cand, k=0, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# SRT caption parsing + video/caption alignment
+# ---------------------------------------------------------------------------
+
+def test_parse_srt_real_world_shapes(spark):
+    """Multi-line cue text, dot millisecond separators, CRLF line endings,
+    and malformed blocks (BOM junk, missing arrow) — parsed or dropped
+    exactly as a real .srt reader must."""
+    srt = (
+        "﻿junk header without arrow\n\n"
+        "1\n00:00:01,000 --> 00:00:04,250\nHello world\n\n"
+        "2\r\n00:01:02.500 --> 01:00:00.000\r\nline one\r\nline two\r\n\r\n"
+        "not-a-number\n00:00:05,000 --> 00:00:06,000\ndropped\n\n"
+    )
+    df = spark.createDataFrame([(1, srt)], "doc_id long, srt string")
+    rows = {r.cue_index: r for r in text.parse_srt(df).collect()}
+    assert set(rows) == {1, 2}
+    assert (rows[1].start_ms, rows[1].end_ms, rows[1].text) == (
+        1000, 4250, "Hello world"
+    )
+    assert rows[2].start_ms == 62500
+    assert rows[2].end_ms == 3600000
+    assert rows[2].text == "line one\r\nline two"  # trailing \r goes with the separator
+    # empty / arrowless documents parse to zero cues, not errors
+    empty = spark.createDataFrame([(2, "no cues here")], "doc_id long, srt string")
+    assert text.parse_srt(empty).count() == 0
+
+
+def test_align_captions_to_frames_left_semantics(spark):
+    """Frames outside every cue survive with NULL cue columns; in-range
+    frames pair with their own video's cue only."""
+    from big_data_project_spark.operators import multimodal as mm
+
+    frames = spark.createDataFrame(
+        [(1, 0, 0), (1, 1, 30), (2, 0, 0)],
+        "doc_id long, frame_index int, t_cs long",
+    )
+    captions = spark.createDataFrame(
+        [(1, 1, 250, 400, "one"), (2, 1, 0, 100, "two")],
+        "doc_id long, cue_index int, start_ms long, end_ms long, text string",
+    )
+    got = {
+        (r.doc_id, r.frame_index): (r.cue_index, r.caption)
+        for r in mm.align_captions_to_frames(frames, captions).collect()
+    }
+    assert got[(1, 0)] == (None, None)      # 0 ms before cue [250, 400]
+    assert got[(1, 1)] == (1, "one")        # 300 ms inside it
+    assert got[(2, 0)] == (1, "two")        # other video's own cue
