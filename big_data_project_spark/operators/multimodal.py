@@ -3326,6 +3326,41 @@ def detect_scene_cuts(
     )
 
 
+def video_fingerprints(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT video-level fingerprint from sampled frames — the video leg
+    of the dedup machinery: recover the exact pixel bytes from the
+    float32 features (round(f·255), see :func:`detect_scene_cuts`),
+    serialize every frame in index order, md5 the whole stream. Two
+    videos share a fingerprint iff every sampled frame's pixels match
+    bit-for-bit, so ``groupBy(video_sig)`` is exact video dedup.
+
+    Pure Catalyst: transform/array_join per frame, one groupBy on the
+    video id with collect_list + array_sort (frame counts are bounded by
+    the sampler's 4096-frame cap, so the per-group list is small), md5
+    JVM-side. One hash exchange."""
+    px_str = F.array_join(
+        F.transform(
+            "features", lambda x: F.round(x * 255).cast("long").cast("string")
+        ),
+        ",",
+    )
+    per = frames.select(id_col, "frame_index", px_str.alias("_f"))
+    return per.groupBy(id_col).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("frame_index", "_f"))),
+                    lambda s: s["_f"],
+                ),
+                "|",
+            )
+        ).alias("video_sig")
+    )
+
+
 def align_captions_to_frames(
     frames: DataFrame,
     captions: DataFrame,

@@ -6154,6 +6154,79 @@ def mm_caption_align(spark, sf_dir):
     )
 
 
+@register(
+    "mm_video_dedup",
+    oracle="""
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents)
+    SELECT d.doc_id,
+           CAST(2 * (d.doc_id // 2) AS BIGINT) AS keeper,
+           CAST(CASE WHEN 2 * (d.doc_id // 2) + 1 <= m.mx THEN 2 ELSE 1 END
+                AS BIGINT) AS group_size
+    FROM documents d, m
+    """,
+)
+def mm_video_dedup(spark, sf_dir):
+    """EXACT VIDEO DEDUP value-hashed end to end — the dedup machinery
+    composed onto the video path: consecutive doc pairs carry IDENTICAL
+    3-frame animated GIFs (content keyed on doc_id//2, deterministic
+    formula), every payload is strict-decoded + frame-sampled, and
+    `video_fingerprints` reduces each video to an exact md5 over its
+    recovered pixel bytes in frame order. groupBy(video_sig) finds the
+    planted pairs — the Spark side derives keeper and group_size purely
+    from DECODED fingerprints, while the oracle derives them from the
+    planting arithmetic (the last doc stays a singleton when the corpus
+    size is odd), so a codec, compositing or fingerprint bug splits or
+    merges groups and flips the hash. Shuffles: one exchange per groupBy
+    + the broadcastable group join — no all-pairs stage, the same shape
+    exact text dedup uses. Codec functions are factory-locals pickled BY
+    VALUE."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    genc = multimodal._gif_codec()[2]  # factory-local => pickled by value
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i in pdf["doc_id"]:
+                g = int(i) // 2
+                # pixel p carries base-95 digit p of g (plus per-frame
+                # offsets), so the video content is INJECTIVE in g — a
+                # plain (g*k) % 95 formula would collide every 95 groups
+                # and merge planted pairs into bigger groups
+                frames = [
+                    [
+                        (v, v, v)
+                        for v in (
+                            ((g // 95**p) + f * 7 + p * 3) % 95 + 32
+                            for p in range(6)
+                        )
+                    ]
+                    for f in range(3)
+                ]
+                out.append({"doc_id": i, "payload": genc(3, 2, frames)})
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    sampled = multimodal.sample_video_frames(payloads, every=1, dim=6)
+    sigs = multimodal.video_fingerprints(sampled)
+    groups = sigs.groupBy("video_sig").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    return sigs.join(groups, "video_sig").select(
+        "doc_id", "keeper", "group_size"
+    )
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i

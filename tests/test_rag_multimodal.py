@@ -1038,6 +1038,27 @@ def test_strict_decode_flac_via_spark(spark):
     assert row.features == pytest.approx(want, abs=1e-6)
 
 
+def test_video_fingerprints_exactness_and_frame_order(spark):
+    """Identical videos share a fingerprint; swapping two frames (same
+    pixel MULTISET, different order) must change it."""
+    A = [(10, 10, 10)] * 4
+    B = [(20, 20, 20)] * 4
+    rows = [
+        (0, bytearray(multimodal.make_gif_animated(2, 2, [A, B]))),
+        (1, bytearray(multimodal.make_gif_animated(2, 2, [A, B]))),
+        (2, bytearray(multimodal.make_gif_animated(2, 2, [B, A]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sigs = {
+        r.doc_id: r.video_sig
+        for r in multimodal.video_fingerprints(
+            multimodal.sample_video_frames(df, every=1, dim=4)
+        ).collect()
+    }
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+
+
 def test_detect_scene_cuts(spark):
     """Planted cut at frame 2: dist is NULL at frame 0, 0 within a scene,
     the exact integer L1 at the boundary; the fold is pure Catalyst (the
