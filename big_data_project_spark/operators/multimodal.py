@@ -3326,6 +3326,38 @@ def detect_scene_cuts(
     )
 
 
+def detect_silence(
+    feats: DataFrame,
+    window: int = 256,
+    threshold: int = 1_000_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Silence/energy segmentation over decoded MONO audio — the audio
+    twin of :func:`detect_scene_cuts`: recover the exact int16 samples
+    from the float32 features (v/32768 is EXACT in float32 — a
+    power-of-two divisor, 16 significant bits fit the 24-bit mantissa;
+    requires ``dim`` == sample count and mono input), window them, and
+    compute the integer sum-of-squares energy per window.
+
+    ``is_silent`` = energy < threshold. Pure Catalyst after the decode
+    stage: posexplode → integer window id → one hash aggregation; at
+    cluster scale this is the standard explode-then-reaggregate shape
+    with no per-audio state outside the groupBy."""
+    s = feats.select(
+        id_col,
+        F.posexplode("features").alias("i", "_v"),
+    ).withColumn("_sample", F.round(F.col("_v") * 32768).cast("long"))
+    w = s.withColumn("win", (F.col("i") / window).cast("int"))
+    return (
+        w.groupBy(id_col, "win")
+        .agg(
+            F.sum(F.col("_sample") * F.col("_sample")).alias("energy"),
+            F.count("*").cast("long").alias("n_samples"),
+        )
+        .withColumn("is_silent", F.col("energy") < threshold)
+    )
+
+
 def video_fingerprints(
     frames: DataFrame,
     id_col: str = "doc_id",

@@ -6227,6 +6227,71 @@ def mm_video_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "mm_silence_detect",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 4), 1, 4) AS t
+               FROM documents),
+    v AS (SELECT doc_id, w,
+                 CAST((ascii(substr(t, CAST(w + 1 AS INT), 1)) - 128) * 256
+                      AS BIGINT) AS s
+          FROM b, unnest(range(0, 4)) AS u(w))
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS win,
+           CAST(9 * s * s AS BIGINT) AS energy,
+           CAST(9 AS BIGINT) AS n_samples,
+           (9 * s * s) < 339738624 AS is_silent
+    FROM v
+    """,
+)
+def mm_silence_detect(spark, sf_dir):
+    """SILENCE/ENERGY segmentation value-hashed end to end — audio
+    analytics composed onto the compressed-audio path: 4 text bytes
+    become 4 constant ADPCM blocks of 9 int16 samples ((c-128)·256,
+    exactly reconstructed — see mm_adpcm_decode), `decode_features`
+    recovers every sample (dim=36 = sample count; v/32768 is float32-
+    EXACT, power-of-two divisor), and `detect_silence(window=9)` windows
+    them back into the 4 blocks and sums integer squares JVM-side.
+    energy = 9·v² exactly; is_silent thresholds at 9·(24·256)² so quiet
+    bytes (|c-128| < 24) flag genuinely from the data. A wrong ADPCM
+    reconstruction, feature rounding, window split or int64 overflow in
+    the energy fold flips the hash. Pure Catalyst after the decode
+    stage: posexplode → window id → one hash aggregation."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    aenc = multimodal._adpcm_codec()[0]  # factory-local => pickled by value
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = (((t or "").encode("utf-8")) + b"x" * 4)[:4]
+                samples = [v for c in raw for v in [(c - 128) * 256] * 9]
+                out.append(
+                    {"doc_id": i, "payload": aenc(samples, 8000, block_align=8)}
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    feats = multimodal.decode_features(payloads, dim=36, decode="strict")
+    return multimodal.detect_silence(feats, window=9, threshold=339738624).select(
+        "doc_id", "win", "energy", "n_samples", "is_silent"
+    )
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i

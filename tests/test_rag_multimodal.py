@@ -1038,6 +1038,25 @@ def test_strict_decode_flac_via_spark(spark):
     assert row.features == pytest.approx(want, abs=1e-6)
 
 
+def test_detect_silence_windows_and_threshold(spark):
+    """Quiet and loud constant blocks segment into exact integer window
+    energies; the int16 extremes don't overflow the int64 fold."""
+    quiet, loud = 100, 32767
+    samples = [quiet] * 4 + [loud] * 4
+    wav = multimodal.make_wav_pcm16(samples, 8000)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    feats = multimodal.decode_features(df, dim=8, decode="strict")
+    out = {
+        r.win: r
+        for r in multimodal.detect_silence(
+            feats, window=4, threshold=4 * 1000 * 1000
+        ).collect()
+    }
+    assert out[0].energy == 4 * quiet * quiet and out[0].is_silent is True
+    assert out[1].energy == 4 * loud * loud and out[1].is_silent is False
+    assert out[0].n_samples == out[1].n_samples == 4
+
+
 def test_video_fingerprints_exactness_and_frame_order(spark):
     """Identical videos share a fingerprint; swapping two frames (same
     pixel MULTISET, different order) must change it."""
