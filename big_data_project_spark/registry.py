@@ -606,8 +606,18 @@ def c5_setops(spark, sf_dir):
 # test_every_survey_family_has_a_window_entry asserts no family ever
 # falls out of the window entirely.
 _WINDOW_SWAPS = [
-    ("s_roundtrip_text", "e11_sq8_topk"),
+    # NOTE round-5 third wave: the original ("s_roundtrip_text",
+    # "e11_sq8_topk") swap silently no-opped once mid-file registrations
+    # pushed s_roundtrip_text itself past slot 50 — swap with a row that
+    # IS in the window today (knn/ann keeps e3/e4/e5 in-window;
+    # e6_knn_documents stays judge-checked past-window).
+    ("e6_knn_documents", "e11_sq8_topk"),
     ("j6_cross_join", "mt_kmv_union"),
+    # round-5 third wave: give the REAL video path a driver-green row.
+    # N5's family keeps n1/n2/n34 in-window (the o1/j6 precedent:
+    # swap out a row whose family stays covered); n5_token_stats stays
+    # value-hashed past-window in the judge's full sweep.
+    ("n5_token_stats", "mm_video_frames"),
 ]
 
 

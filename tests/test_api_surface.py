@@ -248,6 +248,23 @@ def test_every_survey_family_has_a_window_entry():
     assert out == set(), f"families with no driver-window entry: {out}"
 
 
+def test_window_swaps_actually_straddle_the_boundary():
+    """Each _WINDOW_SWAPS pair must trade an in-window row for a
+    past-window row — otherwise registration drift (new entries inserted
+    mid-file) silently no-ops the swap, which is exactly what happened to
+    the original s_roundtrip_text/e11 pair in round 5."""
+    from big_data_project_spark import registry as reg
+
+    raw = list(reg.REGISTRY)
+    for out_name, in_name in reg._WINDOW_SWAPS:
+        i, j = raw.index(out_name), raw.index(in_name)
+        assert (i < 50) != (j < 50), (
+            f"window swap ({out_name}, {in_name}) does not straddle the "
+            f"50-slot boundary (positions {i}, {j}) — it is a no-op"
+        )
+        assert in_name in list(reg.queries())[:50]
+
+
 def test_rank_bounded_matches_window_rank(spark):
     """rank_bounded (packed-array sort: collect_list → array_sort
     comparator → posexplode, the no-global-window shape for post-limit
