@@ -1828,6 +1828,8 @@ def _gif_codec():
         """Serialize (r, g, b) pixel tuples (row-major top-down) into a
         real GIF89a: auto-built palette (≤256 distinct colors), LZW-packed
         index stream, optional interlace."""
+        if width <= 0 or height <= 0:
+            raise ValueError("GIF dimensions must be positive")
         if len(pixels) != width * height:
             raise ValueError("pixels length must be width*height")
         palette, index_of, bits, table_size, min_code = _build_palette(pixels)
@@ -1877,6 +1879,8 @@ def _gif_codec():
                 left, top, fw, fh, px = fr
             else:
                 left, top, fw, fh, px = 0, 0, width, height, list(fr)
+            if fw <= 0 or fh <= 0 or left < 0 or top < 0:
+                raise ValueError("frame rectangle must have positive area")
             if len(px) != fw * fh:
                 raise ValueError("frame pixels length must be fw*fh")
             if left + fw > width or top + fh > height:
@@ -2808,6 +2812,8 @@ def _y4m_codec():
         num, den = rate
         if num <= 0 or den <= 0:
             raise ValueError("frame rate must be positive")
+        if width <= 0 or height <= 0:
+            raise ValueError("Y4M dimensions must be positive")
         if not frames:
             raise ValueError("Y4M needs at least one frame")
         out = bytearray(
@@ -3343,6 +3349,8 @@ def detect_silence(
     stage: posexplode → integer window id → one hash aggregation; at
     cluster scale this is the standard explode-then-reaggregate shape
     with no per-audio state outside the groupBy."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
     s = feats.select(
         id_col,
         F.posexplode("features").alias("i", "_v"),

@@ -202,3 +202,9 @@ def test_align_captions_to_frames_left_semantics(spark):
     assert got[(1, 0)] == (None, None)      # 0 ms before cue [250, 400]
     assert got[(1, 1)] == (1, "one")        # 300 ms inside it
     assert got[(2, 0)] == (1, "two")        # other video's own cue
+    # the range is a residual on an equi-join, never a cartesian product
+    plan = (
+        mm.align_captions_to_frames(frames, captions)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
