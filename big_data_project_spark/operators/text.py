@@ -1105,7 +1105,66 @@ def parse_srt(
             .alias("cue_index"),
             ms(2).alias("start_ms"),
             ms(6).alias("end_ms"),
-            F.regexp_extract("_blk", pat, 10).alias("text"),
+            F.regexp_replace(
+                F.regexp_extract("_blk", pat, 10), r"[\r\n]+$", ""
+            ).alias("text"),
         )
         .where(F.col("cue_index").isNotNull())
+    )
+
+
+def parse_vtt(
+    df: DataFrame, vtt: str = "vtt", id_col: str = "doc_id"
+) -> DataFrame:
+    """Parse WebVTT caption streams — the web twin of :func:`parse_srt`:
+    one row per cue, ``(id, cue_ord, cue_id, start_ms, end_ms, text)``.
+
+    VTT differences handled: the ``WEBVTT`` header block, OPTIONAL cue
+    identifier line, OPTIONAL hours field (``MM:SS.mmm`` is legal), DOT
+    millisecond separator, and settings after the end time (``align:...``
+    — ignored, not fatal). ``cue_ord`` numbers the cues of each document
+    in source order (row_number per doc — the one exchange). Blocks
+    without an arrow (headers, NOTE comments) are dropped."""
+    from pyspark.sql.window import Window
+
+    ts = r"(?:(\d{2,}):)?(\d{2}):(\d{2})\.(\d{3})"
+    pat = (
+        rf"^\s*(?:([^\r\n]*?)\s*\r?\n)??{ts}[ \t]+-->[ \t]+{ts}"
+        rf"[^\r\n]*\r?\n?([\s\S]*)$"
+    )
+
+    def ms(base: int) -> Column:
+        return (
+            F.coalesce(
+                F.nullif(F.regexp_extract("_blk", pat, base), F.lit("")),
+                F.lit("0"),
+            ).cast("long")
+            * 3600000
+            + F.regexp_extract("_blk", pat, base + 1).cast("long") * 60000
+            + F.regexp_extract("_blk", pat, base + 2).cast("long") * 1000
+            + F.regexp_extract("_blk", pat, base + 3).cast("long")
+        )
+
+    blocks = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(vtt), r"\r?\n\r?\n+")).alias("_pos", "_blk"),
+    ).where(F.col("_blk").rlike("-->"))
+    cues = blocks.select(
+        id_col,
+        F.col("_pos"),
+        F.nullif(F.regexp_extract("_blk", pat, 1), F.lit("")).alias("cue_id"),
+        ms(2).alias("start_ms"),
+        ms(6).alias("end_ms"),
+        F.regexp_replace(
+            F.regexp_extract("_blk", pat, 10), r"[\r\n]+$", ""
+        ).alias("text"),
+    ).where(F.col("end_ms") > 0)
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    return cues.select(
+        id_col,
+        F.row_number().over(w).alias("cue_ord"),
+        "cue_id",
+        "start_ms",
+        "end_ms",
+        "text",
     )

@@ -6302,6 +6302,94 @@ def mm_silence_detect(spark, sf_dir):
     )
 
 
+@register(
+    "tx_vtt_parse",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || 'xx', 1, 2) AS t
+               FROM documents)
+    SELECT doc_id,
+           CAST(f + 1 AS INTEGER) AS cue_ord,
+           CASE WHEN f = 0 THEN 'c0' END AS cue_id,
+           CAST(CASE WHEN f = 0 THEN 250 * ascii(substr(t, 1, 1))
+                ELSE 3600000 + 250 * ascii(substr(t, 2, 1)) END AS BIGINT)
+               AS start_ms,
+           CAST(CASE WHEN f = 0 THEN 250 * ascii(substr(t, 1, 1))
+                ELSE 3600000 + 250 * ascii(substr(t, 2, 1)) END + 800
+               AS BIGINT) AS end_ms,
+           'v' || CAST(f AS VARCHAR) || '-' || CAST(doc_id AS VARCHAR)
+               AS cue_text
+    FROM b, unnest(range(0, 2)) AS u(f)
+    """,
+)
+def tx_vtt_parse(spark, sf_dir):
+    """WebVTT caption parsing VALUE-hashed through a format round-trip —
+    the web twin of tx_srt_parse, pinning every VTT-specific wrinkle the
+    SRT grammar lacks: the WEBVTT header block and a NOTE comment block
+    (must be walked over), an OPTIONAL cue-id line (cue 1 has 'c0', cue 2
+    has none → NULL), OPTIONAL hours (cue 1 is 'MM:SS.mmm', cue 2
+    'HH:MM:SS.mmm'), DOT millisecond separators, and a settings tail
+    ('align:start') after the end time that must be ignored. Times are
+    byte-driven (250·ascii ms; cue 2 offset past the hour mark so a
+    dropped-hours bug flips every hash). cue_ord is row_number per doc in
+    source order — the one exchange. Pure Catalyst; the oracle computes
+    the cue table straight from the text bytes."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", "[^ -~]", ""), F.lit("xx")
+        ).substr(1, 2).alias("t"),
+    )
+
+    def mmss(ms):
+        return F.format_string(
+            "%02d:%02d.%03d",
+            ((ms % 3600000) / 60000).cast("int"),
+            ((ms % 60000) / 1000).cast("int"),
+            (ms % 1000).cast("int"),
+        )
+
+    def hhmmss(ms):
+        return F.format_string(
+            "%02d:%02d:%02d.%03d",
+            (ms / 3600000).cast("int"),
+            ((ms % 3600000) / 60000).cast("int"),
+            ((ms % 60000) / 1000).cast("int"),
+            (ms % 1000).cast("int"),
+        )
+
+    s0 = (250 * F.ascii(F.substring("t", 1, 1))).cast("long")
+    s1 = (F.lit(3600000) + 250 * F.ascii(F.substring("t", 2, 1))).cast("long")
+    vtt = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("WEBVTT\n\nNOTE generated fixture\n\nc0\n"),
+            mmss(s0),
+            F.lit(" --> "),
+            mmss(s0 + 800),
+            F.lit(" align:start\nv0-"),
+            F.col("doc_id").cast("string"),
+            F.lit("\n\n"),
+            hhmmss(s1),
+            F.lit(" --> "),
+            hhmmss(s1 + 800),
+            F.lit("\nv1-"),
+            F.col("doc_id").cast("string"),
+            F.lit("\n"),
+        ).alias("vtt"),
+    )
+    parsed = text.parse_vtt(vtt)
+    return parsed.select(
+        "doc_id",
+        "cue_ord",
+        "cue_id",
+        "start_ms",
+        "end_ms",
+        F.col("text").alias("cue_text"),
+    )
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i

@@ -182,6 +182,27 @@ def test_parse_srt_real_world_shapes(spark):
     assert text.parse_srt(empty).count() == 0
 
 
+def test_parse_vtt_real_world_shapes(spark):
+    """WEBVTT header + NOTE blocks walked over; optional cue id and
+    optional hours; settings tail ignored; multi-line text; file-final
+    newline trimmed from the last cue."""
+    vtt = (
+        "WEBVTT\n\n"
+        "NOTE a comment block\n\n"
+        "c-one\n00:05.000 --> 00:07.500 align:start\nHello\nworld\n\n"
+        "01:02:03.250 --> 01:02:04.000\nno id here\n"
+    )
+    df = spark.createDataFrame([(1, vtt)], "doc_id long, vtt string")
+    rows = {r.cue_ord: r for r in text.parse_vtt(df).collect()}
+    assert set(rows) == {1, 2}
+    assert (rows[1].cue_id, rows[1].start_ms, rows[1].end_ms, rows[1].text) == (
+        "c-one", 5000, 7500, "Hello\nworld"
+    )
+    assert rows[2].cue_id is None
+    assert (rows[2].start_ms, rows[2].end_ms) == (3723250, 3724000)
+    assert rows[2].text == "no id here"
+
+
 def test_align_captions_to_frames_left_semantics(spark):
     """Frames outside every cue survive with NULL cue columns; in-range
     frames pair with their own video's cue only."""
