@@ -3511,3 +3511,128 @@ def read_binary_files(spark, path: str, glob: str = "*.bin") -> DataFrame:
         .option("pathGlobFilter", glob)
         .load(path)
     )
+
+
+#: Manifest schema of :func:`write_tar_shards` — one row per shard.
+TAR_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("n_members", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+#: Row schema of :func:`read_tar_shards` — one row per tar member.
+TAR_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType()),
+        T.StructField("member", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def write_tar_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    ext: str = "bin",
+) -> DataFrame:
+    """WebDataset-style TAR shard SINK — the standard container for
+    multimodal training data: pack ``(id, payload)`` rows into
+    ``shard-%05d.tar`` files, one member ``<id>.<ext>`` per row.
+
+    Shard membership is a deterministic id hash (rerun-stable, no
+    ``rand()``), members are sorted by id within a shard, and tar
+    headers are normalized (mtime 0, uid/gid 0, mode 0644) so shard
+    BYTES are reproducible. One ``applyInPandas`` group per shard — the
+    shard is the unit of parallelism, exactly how WebDataset writers
+    scale: 100 TB = more shards, not bigger ones. Size shards so one
+    fits executor memory (the usual 100 MB–1 GB WebDataset guidance).
+
+    Returns the shard manifest ``(shard, n_members, n_bytes)`` — an
+    ACTION on it performs the write. Same shared-filesystem contract as
+    :func:`write_binary_files`."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+
+    def build(key, pdf):
+        import io as _io
+        import os as _os
+        import tarfile
+
+        import pandas as _pd
+
+        k = int(key[0])
+        pdf = pdf.sort_values(id_col)
+        buf = _io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for i, b in zip(pdf[id_col], pdf[payload]):
+                if b is None:
+                    raise ValueError(
+                        f"write_tar_shards: NULL payload (id={i!r}) — "
+                        f"filter or fill before sinking"
+                    )
+                data = bytes(b)
+                info = tarfile.TarInfo(name=f"{i}.{ext}")
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.mode = 0o644
+                tf.addfile(info, _io.BytesIO(data))
+        blob = buf.getvalue()
+        with open(_os.path.join(out_dir, f"shard-{k:05d}.tar"), "wb") as fh:
+            fh.write(blob)
+        return _pd.DataFrame(
+            [{"shard": k, "n_members": len(pdf), "n_bytes": len(blob)}]
+        )
+
+    return (
+        df.select(id_col, payload)
+        .withColumn("_shard", shard)
+        .groupBy("_shard")
+        .applyInPandas(build, TAR_MANIFEST_SCHEMA)
+    )
+
+
+def read_tar_shards(spark, path: str, glob: str = "*.tar") -> DataFrame:
+    """WebDataset-style TAR shard SOURCE: ``binaryFile`` over the shards
+    (Spark's file index assigns one task per shard — the WebDataset
+    parallelism contract), then a mapInPandas member walk yielding one
+    row per regular member: ``(shard, member, payload)``. Stdlib
+    tarfile over an in-memory stream; non-file members (dirs, links)
+    are skipped."""
+    files = read_binary_files(spark, path, glob=glob)
+
+    def walk(it):
+        import io as _io
+        import os as _os
+        import tarfile
+
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=_io.BytesIO(bytes(content))) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        rows.append(
+                            {
+                                "shard": _os.path.basename(p),
+                                "member": m.name,
+                                "payload": tf.extractfile(m).read(),
+                            }
+                        )
+            yield _pd.DataFrame(rows, columns=["shard", "member", "payload"])
+
+    return files.select("path", "content").mapInPandas(walk, TAR_MEMBER_SCHEMA)

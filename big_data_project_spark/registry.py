@@ -6390,6 +6390,46 @@ def tx_vtt_parse(spark, sf_dir):
     )
 
 
+@register(
+    "s12_tar_webdataset",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS digest,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def s12_tar_webdataset(spark, sf_dir):
+    """WebDataset TAR shard sink → source roundtrip VALUE-hashed by
+    content digest — the container format large multimodal training
+    pipelines actually ship: utf-8 payloads are packed into 4
+    deterministic tar shards executor-side (`write_tar_shards`:
+    id-hash shard membership, id-sorted members, normalized ustar
+    headers so shard bytes are rerun-stable), re-ingested through
+    binaryFile + a member walk (`read_tar_shards`, one task per shard —
+    the WebDataset parallelism contract), and reduced to (doc_id, md5,
+    size). The oracle digests the ORIGINAL text, so the hash only
+    matches if every byte survived tar packing, the 512-byte header
+    walk, and extraction. S-surface extension beyond the reference's
+    csv/json/parquet (`ai_powered_financial_analysis.py:203-311`)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    staged = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out_dir = _tmpdir("tarshards")
+    manifest = multimodal.write_tar_shards(
+        staged, out_dir, n_shards=4, ext="txt"
+    )
+    n_written = sum(r.n_members for r in manifest.collect())  # bounded: 4 rows
+    members = multimodal.read_tar_shards(spark, out_dir)
+    out = members.select(
+        F.regexp_extract("member", r"(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+        F.md5("payload").alias("digest"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    assert n_written == staged.count(), "tar sink lost members"
+    return out
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i

@@ -1038,6 +1038,52 @@ def test_strict_decode_flac_via_spark(spark):
     assert row.features == pytest.approx(want, abs=1e-6)
 
 
+def test_tar_shards_roundtrip_and_determinism(spark, tmp_path):
+    """WebDataset tar shards: every payload survives the pack/walk
+    roundtrip; shard BYTES are rerun-stable (normalized headers, sorted
+    members); directory members are skipped on read."""
+    import hashlib
+    import io as _io
+    import tarfile
+
+    rows = [(i, bytes([i % 251]) * (i + 1)) for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "doc_id long, payload binary"
+    )
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = multimodal.write_tar_shards(df, d1, n_shards=3).collect()
+    m2 = multimodal.write_tar_shards(df, d2, n_shards=3).collect()
+    assert sum(r.n_members for r in m1) == 20
+    import os
+
+    for f in sorted(os.listdir(d1)):
+        assert open(os.path.join(d1, f), "rb").read() == open(
+            os.path.join(d2, f), "rb"
+        ).read(), f"shard {f} bytes not deterministic"
+    got = {
+        int(r.member.split(".")[0]): bytes(r.payload)
+        for r in multimodal.read_tar_shards(spark, d1).collect()
+    }
+    assert got == dict(rows)
+    # a directory member must be walked over, not emitted
+    buf = _io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        dinfo = tarfile.TarInfo(name="subdir")
+        dinfo.type = tarfile.DIRTYPE
+        tf.addfile(dinfo)
+        finfo = tarfile.TarInfo(name="9.bin")
+        finfo.size = 3
+        tf.addfile(finfo, _io.BytesIO(b"abc"))
+    (tmp_path / "c").mkdir()
+    (tmp_path / "c" / "shard-00000.tar").write_bytes(buf.getvalue())
+    only = multimodal.read_tar_shards(spark, str(tmp_path / "c")).collect()
+    assert len(only) == 1 and bytes(only[0].payload) == b"abc"
+    # NULL payloads are loud at pack time
+    bad = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="NULL payload"):
+        multimodal.write_tar_shards(bad, str(tmp_path / "d")).collect()
+
+
 def test_detect_silence_windows_and_threshold(spark):
     """Quiet and loud constant blocks segment into exact integer window
     energies; the int16 extremes don't overflow the int64 fold."""
