@@ -3539,6 +3539,7 @@ def write_tar_shards(
     id_col: str = "doc_id",
     payload: str = "payload",
     ext: str = "bin",
+    member_col: str | None = None,
 ) -> DataFrame:
     """WebDataset-style TAR shard SINK — the standard container for
     multimodal training data: pack ``(id, payload)`` rows into
@@ -3552,6 +3553,12 @@ def write_tar_shards(
     scale: 100 TB = more shards, not bigger ones. Size shards so one
     fits executor memory (the usual 100 MB–1 GB WebDataset guidance).
 
+    ``member_col`` names multi-member samples: when set, member names
+    come from that column verbatim (e.g. ``<id>.txt`` AND ``<id>.json``
+    rows sharing an ``id_col`` stem land in the SAME shard — the
+    WebDataset sample-locality contract — because sharding hashes
+    ``id_col``, not the member name).
+
     Returns the shard manifest ``(shard, n_members, n_bytes)`` — an
     ACTION on it performs the write. Same shared-filesystem contract as
     :func:`write_binary_files`."""
@@ -3561,6 +3568,7 @@ def write_tar_shards(
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    cols = [id_col, payload] + ([member_col] if member_col else [])
 
     def build(key, pdf):
         import io as _io
@@ -3570,19 +3578,22 @@ def write_tar_shards(
         import pandas as _pd
 
         k = int(key[0])
-        pdf = pdf.sort_values(id_col)
+        pdf = pdf.sort_values([id_col, member_col] if member_col else id_col)
         buf = _io.BytesIO()
         with tarfile.open(
             fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
         ) as tf:
-            for i, b in zip(pdf[id_col], pdf[payload]):
+            for _, row in pdf.iterrows():
+                i, b = row[id_col], row[payload]
                 if b is None:
                     raise ValueError(
                         f"write_tar_shards: NULL payload (id={i!r}) — "
                         f"filter or fill before sinking"
                     )
                 data = bytes(b)
-                info = tarfile.TarInfo(name=f"{i}.{ext}")
+                info = tarfile.TarInfo(
+                    name=str(row[member_col]) if member_col else f"{i}.{ext}"
+                )
                 info.size = len(data)
                 info.mtime = 0
                 info.uid = info.gid = 0
@@ -3596,10 +3607,36 @@ def write_tar_shards(
         )
 
     return (
-        df.select(id_col, payload)
+        df.select(*cols)
         .withColumn("_shard", shard)
         .groupBy("_shard")
         .applyInPandas(build, TAR_MANIFEST_SCHEMA)
+    )
+
+
+def group_tar_samples(
+    members: DataFrame, sample_col: str = "sample_id"
+) -> DataFrame:
+    """WebDataset SAMPLE grouping: members named ``<stem>.<ext>`` with
+    the same stem form ONE training sample (the ``000001.jpg`` +
+    ``000001.txt`` + ``000001.json`` convention). Returns one row per
+    stem with an ext→payload map and the member count.
+
+    Pure Catalyst: regexp stem/ext split, one groupBy on the stem,
+    map_from_entries over the sorted (ext, payload) structs —
+    deterministic map order, duplicate exts would surface as a
+    map-key error rather than silent last-wins."""
+    split = r"^(.*)\.([^.]+)$"
+    per = members.select(
+        F.regexp_extract("member", split, 1).alias(sample_col),
+        F.regexp_extract("member", split, 2).alias("_ext"),
+        "payload",
+    )
+    return per.groupBy(sample_col).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("_ext", "payload")))
+        ).alias("parts"),
+        F.count("*").cast("int").alias("n_parts"),
     )
 
 

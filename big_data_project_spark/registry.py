@@ -6430,6 +6430,56 @@ def s12_tar_webdataset(spark, sf_dir):
     return out
 
 
+@register(
+    "s13_webdataset_samples",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS txt_digest,
+           CAST(doc_id % 5 AS VARCHAR) AS cls,
+           CAST(2 AS INTEGER) AS n_parts
+    FROM documents
+    WHERE doc_id % 3 = 1
+    """,
+)
+def s13_webdataset_samples(spark, sf_dir):
+    """Multi-member WebDataset SAMPLES value-hashed end to end — the
+    ``<stem>.jpg + <stem>.txt + <stem>.json`` convention every
+    WebDataset loader speaks: each doc contributes TWO tar members
+    (``<id>.txt`` = the text, ``<id>.cls`` = a label) sharded by the
+    STEM so both halves land in the same shard (`write_tar_shards
+    member_col=...` hashes the id, not the member name), read back via
+    the member walk, and regrouped by `group_tar_samples` into one row
+    per sample with an ext→payload map. The output digests the text
+    half and DECODES the label half, so a lost member, a cross-shard
+    split, or a stem/ext mis-parse flips the hash. Beyond the
+    reference's single-file S-surface."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    txt = d.select(
+        "doc_id",
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("member"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    cls = d.select(
+        "doc_id",
+        F.concat(F.col("doc_id").cast("string"), F.lit(".cls")).alias("member"),
+        F.encode((F.col("doc_id") % 5).cast("string"), "UTF-8").alias("payload"),
+    )
+    staged = txt.unionByName(cls)
+    out_dir = _tmpdir("wds_samples")
+    manifest = multimodal.write_tar_shards(
+        staged, out_dir, n_shards=4, member_col="member"
+    )
+    assert sum(r.n_members for r in manifest.collect()) == 2 * d.count()
+    members = multimodal.read_tar_shards(spark, out_dir)
+    samples = multimodal.group_tar_samples(members)
+    return samples.select(
+        F.col("sample_id").cast("long").alias("doc_id"),
+        F.md5(F.col("parts")["txt"]).alias("txt_digest"),
+        F.decode(F.col("parts")["cls"], "UTF-8").alias("cls"),
+        "n_parts",
+    )
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i
