@@ -3054,6 +3054,124 @@ def transcode_images(
     return pruned.mapInPandas(run, out_schema)
 
 
+def _any_image_decoder():
+    """Build the format-dispatching pixel decoder (BMP/PNG/JPEG/GIF →
+    ``(h, w, [(r,g,b)])``) as a factory-local, so closures that capture
+    it pickle BY VALUE — shared by :func:`resize_images`; the transcode
+    stage keeps its own inline copy for historical plan-pinning."""
+    jdec = _jpeg_codec()[1]
+    gdec = _gif_codec()[1]
+    bdec, pdec = _bmp_png_builders()[2:4]
+
+    def decode_any(data: bytes):
+        if data[:2] == b"\xff\xd8":
+            h, w, mode, px = jdec(data)
+            if mode == "gray":
+                px = [(v, v, v) for v in px]
+            return h, w, px
+        if data[:4] == b"GIF8":
+            h, w, _m, px = gdec(data)
+            return h, w, px
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            h, w, mode, px = pdec(data)
+            if mode == "gray":
+                px = [(v, v, v) for v in px]
+            return h, w, px
+        if data[:2] == b"BM":
+            h, w, _m, px = bdec(data)
+            return h, w, px
+        raise NotImplementedError(
+            f"image decode handles BMP/PNG/JPEG/GIF; got {data[:4]!r}"
+        )
+
+    return decode_any
+
+
+def resize_images(
+    df: DataFrame,
+    dst_w: int,
+    dst_h: int,
+    method: str = "nearest",
+    payload: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RESIZE stage over binary image payloads — the remaining verb of
+    the decode / feature-extract / resize / frame-sample multimodal
+    quartet: strict-decode whatever arrives (BMP/PNG/JPEG/GIF), resample
+    to ``dst_w × dst_h``, re-encode as PNG.
+
+    Both methods are INTEGER-EXACT (value-hashable, no float resamplers):
+    ``nearest`` maps destination pixel (y, x) to source
+    ``(y·sh)//dst_h, (x·sw)//dst_w``; ``box`` floor-averages the source
+    box spanned by the same index mapping (the area-average downscale
+    training pipelines use for thumbnails).
+
+    Output: ``(id, payload, height, width)``. Arrow-batched mapInPandas,
+    zero shuffles; codec functions are factory-locals pickled by value."""
+    if method not in ("nearest", "box"):
+        raise ValueError("method must be 'nearest' or 'box'")
+    if dst_w < 1 or dst_h < 1:
+        raise ValueError("destination dimensions must be positive")
+    decode_any = _any_image_decoder()
+    enc_png = make_png_rgb8
+    pruned = df.select(id_col, payload)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+        ]
+    )
+
+    def run(it):
+        def nearest(px, sw, sh):
+            return [
+                px[(y * sh // dst_h) * sw + (x * sw // dst_w)]
+                for y in range(dst_h)
+                for x in range(dst_w)
+            ]
+
+        def box(px, sw, sh):
+            out = []
+            for y in range(dst_h):
+                y0 = y * sh // dst_h
+                y1 = max(y0 + 1, (y + 1) * sh // dst_h)
+                for x in range(dst_w):
+                    x0 = x * sw // dst_w
+                    x1 = max(x0 + 1, (x + 1) * sw // dst_w)
+                    n = (y1 - y0) * (x1 - x0)
+                    sr = sg = sb = 0
+                    for yy in range(y0, y1):
+                        row = yy * sw
+                        for xx in range(x0, x1):
+                            r, g, b = px[row + xx]
+                            sr += r
+                            sg += g
+                            sb += b
+                    out.append((sr // n, sg // n, sb // n))
+            return out
+
+        resample = nearest if method == "nearest" else box
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload]):
+                h, w, px = decode_any(bytes(b) if b is not None else b"")
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "payload": enc_png(resample(px, w, h), dst_w, dst_h),
+                        "height": dst_h,
+                        "width": dst_w,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "height", "width"]
+            )
+
+    return pruned.mapInPandas(run, out_schema)
+
+
 def transcode_videos(
     df: DataFrame,
     payload: str = "payload",

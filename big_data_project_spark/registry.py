@@ -6480,6 +6480,76 @@ def s13_webdataset_samples(spark, sf_dir):
     )
 
 
+_RZ_BOX0 = " + ".join(f"ascii(substr(t, {j + 1}, 1))" for j in (0, 1, 4, 5, 8, 9))
+_RZ_BOX1 = " + ".join(f"ascii(substr(t, {j + 1}, 1))" for j in (2, 3, 6, 7, 10, 11))
+
+
+@register(
+    "mm_resize",
+    oracle=f"""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 12), 1, 12) AS t
+               FROM documents)
+    SELECT doc_id,
+           'image/png' AS media_type,
+           CAST(1 AS INTEGER) AS height,
+           CAST(2 AS INTEGER) AS width,
+           CAST(i AS INTEGER) AS i,
+           CAST((CASE WHEN i = 0 THEN ({_RZ_BOX0}) // 6
+                      ELSE ({_RZ_BOX1}) // 6 END) / 255.0 AS REAL) AS val
+    FROM b, unnest(range(0, 2)) AS u(i)
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """IMAGE RESIZE value-hashed with exact integer arithmetic — the
+    remaining verb of the decode/feature-extract/resize/frame-sample
+    quartet: 12 text bytes become a 4×3 grayscale GIF, `resize_images`
+    strict-decodes it, BOX-downscales to 2×1 (each destination pixel is
+    the floor-average of its 2×3 source box — integer division, no float
+    resampler), re-encodes as PNG, and `decode_features` strict-decodes
+    the RESULT. The oracle floor-averages the same byte boxes directly
+    ((b0+b1+b4+b5+b8+b9)//6 etc.), so a wrong index map, box bound, or
+    rounding mode flips every hash. Codec functions are factory-locals
+    pickled BY VALUE."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    genc = multimodal._gif_codec()[0]  # factory-local => pickled by value
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                vals = (((t or "").encode("utf-8")) + b"x" * 12)[:12]
+                px = [(v, v, v) for v in vals]
+                out.append({"doc_id": i, "payload": genc(px, 4, 3)})
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    resized = multimodal.resize_images(payloads, 2, 1, method="box").select(
+        "doc_id", "payload"
+    )
+    feats = multimodal.decode_features(resized, dim=2, decode="strict")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "height",
+        "width",
+        F.posexplode("features").alias("i", "val"),
+    )
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i

@@ -1038,6 +1038,35 @@ def test_strict_decode_flac_via_spark(spark):
     assert row.features == pytest.approx(want, abs=1e-6)
 
 
+def test_resize_images_nearest_and_box(spark):
+    """Nearest upscale replicates exact source pixels (integer index
+    map); box downscale floor-averages each source box; both survive the
+    PNG re-encode byte-exactly and accept any input container."""
+    px = [(10, 10, 10), (20, 20, 20), (30, 30, 30), (40, 40, 40)]  # 2x2
+    rows = [
+        (0, bytearray(multimodal.make_gif(px, 2, 2))),
+        (1, bytearray(multimodal.make_bmp_24(px, 2, 2))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    up = {
+        r.doc_id: multimodal.decode_png_rgb8(bytes(r.payload))
+        for r in multimodal.resize_images(df, 4, 4, method="nearest").collect()
+    }
+    for i in (0, 1):
+        h, w, _m, out = up[i]
+        assert (h, w) == (4, 4)
+        # each source pixel becomes a 2x2 block
+        assert out[0] == out[1] == out[4] == out[5] == (10, 10, 10)
+        assert out[10] == out[11] == out[14] == out[15] == (40, 40, 40)
+    down = {
+        r.doc_id: multimodal.decode_png_rgb8(bytes(r.payload))
+        for r in multimodal.resize_images(df, 1, 1, method="box").collect()
+    }
+    assert down[0][3] == [(25, 25, 25)]  # floor((10+20+30+40)/4)
+    with pytest.raises(ValueError, match="method"):
+        multimodal.resize_images(df, 1, 1, method="bicubic")
+
+
 def test_tar_shards_roundtrip_and_determinism(spark, tmp_path):
     """WebDataset tar shards: every payload survives the pack/walk
     roundtrip; shard BYTES are rerun-stable (normalized headers, sorted
