@@ -110,6 +110,21 @@ def main() -> None:
         out.select("doc_id").join(docs, "doc_id")
     ).show(truncate=False)
 
+    # --- export: the curated training split as WebDataset tar shards ----
+    import tempfile
+
+    from big_data_project_spark.operators import multimodal
+
+    export = (
+        out.where(F.col("split") == "train")
+        .join(docs, "doc_id")
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    tar_dir = tempfile.mkdtemp(prefix="curated_wds_")
+    manifest = multimodal.write_tar_shards(export, tar_dir, n_shards=4, ext="txt")
+    print("WebDataset export manifest (shard, members, bytes):")
+    manifest.orderBy("shard").show()
+
     spark.stop()
 
 
