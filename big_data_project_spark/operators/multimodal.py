@@ -3765,8 +3765,32 @@ def read_tar_shards(spark, path: str, glob: str = "*.tar") -> DataFrame:
     row per regular member: ``(shard, member, payload)``. Stdlib
     tarfile over an in-memory stream; non-file members (dirs, links)
     are skipped."""
-    files = read_binary_files(spark, path, glob=glob)
+    return _tar_member_walk(read_binary_files(spark, path, glob=glob))
 
+
+def read_tar_shards_stream(spark, path: str, glob: str = "*.tar") -> DataFrame:
+    """STREAMING twin of :func:`read_tar_shards`: shards ARRIVING in a
+    directory (the way WebDataset exports land from an upstream job)
+    become a member stream — ``readStream`` over binaryFile + the same
+    stateless member walk, so stream ≡ batch row for row."""
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)  # streaming file sources require an explicit schema
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return _tar_member_walk(files)
+
+
+def _tar_member_walk(files: DataFrame) -> DataFrame:
     def walk(it):
         import io as _io
         import os as _os

@@ -435,6 +435,36 @@ def test_streaming_video_frame_sampling_equals_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_tar_shard_ingest_equals_batch(spark, tmp_path):
+    """WebDataset shards arriving in a directory stream member-for-member
+    identically to the batch walk (the walk is a stateless narrow map)."""
+    from big_data_project_spark.operators import multimodal as mm
+
+    rows = [(i, bytearray(bytes([65 + i]) * (i + 2))) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    d = str(tmp_path / "shards")
+    mm.write_tar_shards(df, d, n_shards=3).collect()
+
+    q = (
+        mm.read_tar_shards_stream(spark, d)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tar_stream_out")
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        (r.shard, r.member, bytes(r.payload))
+        for r in spark.sql("SELECT * FROM tar_stream_out").collect()
+    }
+    q.stop()
+    want = {
+        (r.shard, r.member, bytes(r.payload))
+        for r in mm.read_tar_shards(spark, d).collect()
+    }
+    assert got == want and len(got) == 12
+
+
 def test_anomaly_stream_equals_batch_minus_open_buckets(spark, event_dir):
     """Streaming rolling z-score == the batch operator restricted to CLOSED
     buckets (everything except each key's final bucket, which the stream
