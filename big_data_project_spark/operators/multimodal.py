@@ -3484,6 +3484,39 @@ def detect_silence(
     )
 
 
+def resample_audio(
+    feats: DataFrame,
+    factor: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer DECIMATION over decoded mono audio — the audio twin of
+    :func:`resize_images`' box mode: recover the exact int16 samples
+    from the float32 features (``dim`` == sample count, see
+    :func:`detect_silence`), group every ``factor`` consecutive samples,
+    and emit their floor-average (floor(sum/count) — window sums of
+    int16 samples sit far below 2^53, so the double division is exact
+    and FLOOR semantics hold for negative sums too, unlike `div`'s
+    truncation; the tail window may be shorter and averages what it
+    has).
+
+    Output: one row per output sample ``(id, i, sample)``. Pure
+    Catalyst after the decode stage: posexplode → window id → one hash
+    aggregation."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    s = feats.select(
+        id_col, F.posexplode("features").alias("_i", "_v")
+    ).withColumn("_sample", F.round(F.col("_v") * 32768).cast("long"))
+    w = s.withColumn("i", (F.col("_i") / factor).cast("int"))
+    return (
+        w.groupBy(id_col, "i")
+        .agg(
+            F.floor(F.sum("_sample") / F.count("*")).cast("long").alias("sample"),
+            F.count("*").cast("int").alias("n_in"),
+        )
+    )
+
+
 def video_fingerprints(
     frames: DataFrame,
     id_col: str = "doc_id",

@@ -6550,6 +6550,76 @@ def mm_resize(spark, sf_dir):
     )
 
 
+@register(
+    "mm_audio_resample",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 18), 1, 18) AS t
+               FROM documents),
+    s AS (SELECT doc_id, j,
+                 CAST((ascii(substr(t, CAST(j + 1 AS INT), 1)) - 128) * 256
+                      AS BIGINT) AS v
+          FROM b, unnest(range(0, 18)) AS u(j))
+    SELECT doc_id,
+           CAST(j // 4 AS INTEGER) AS i,
+           CAST(floor(sum(v) / count(*)) AS BIGINT) AS sample,
+           CAST(count(*) AS INTEGER) AS n_in
+    FROM s
+    GROUP BY doc_id, j // 4
+    """,
+)
+def mm_audio_resample(spark, sf_dir):
+    """AUDIO DECIMATION value-hashed with exact arithmetic — the audio
+    twin of mm_resize: 18 text bytes become 18 int16 PCM samples
+    ((c-128)·256, NEGATIVE for most ASCII — this row deliberately
+    exercises floor-vs-truncate on negative window sums), strict-decoded
+    sample-exactly (dim=18, power-of-two divisor), then
+    `resample_audio(factor=4)` floor-averages every 4 consecutive
+    samples (the tail window holds 2). The oracle computes
+    floor(sum/count) per window straight from the bytes — a truncating
+    division, a wrong window split, or a tail-drop flips the hash. Pure
+    Catalyst after the decode stage."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+
+    def build(it):
+        import pandas as _pd
+        import struct as _st
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = (((t or "").encode("utf-8")) + b"x" * 18)[:18]
+                samples = [(c - 128) * 256 for c in raw]
+                payload = (
+                    b"RIFF"
+                    + _st.pack("<I", 36 + 2 * len(samples))
+                    + b"WAVEfmt "
+                    + _st.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data"
+                    + _st.pack("<I", 2 * len(samples))
+                    + b"".join(_st.pack("<h", s) for s in samples)
+                )
+                out.append({"doc_id": i, "payload": payload})
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    feats = multimodal.decode_features(payloads, dim=18, decode="strict")
+    return multimodal.resample_audio(feats, factor=4).select(
+        "doc_id", "i", "sample", "n_in"
+    )
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i

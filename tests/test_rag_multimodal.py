@@ -1113,6 +1113,24 @@ def test_tar_shards_roundtrip_and_determinism(spark, tmp_path):
         multimodal.write_tar_shards(bad, str(tmp_path / "d")).collect()
 
 
+def test_resample_audio_floor_semantics_and_tail(spark):
+    """Decimation floor-averages each window — FLOOR, not truncation,
+    on negative sums — and the short tail window averages what it has."""
+    samples = [-100, -101, -102, 7, 8]  # factor 3: floor(-303/3), floor(15/2)
+    wav = multimodal.make_wav_pcm16(samples, 8000)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    feats = multimodal.decode_features(df, dim=5, decode="strict")
+    out = {r.i: r for r in multimodal.resample_audio(feats, factor=3).collect()}
+    assert (out[0].sample, out[0].n_in) == (-101, 3)
+    assert (out[1].sample, out[1].n_in) == (7, 2)  # floor(15/2) = 7
+    neg = multimodal.make_wav_pcm16([-1, -2], 8000)
+    df2 = spark.createDataFrame([(1, bytearray(neg))], "doc_id long, payload binary")
+    out2 = multimodal.resample_audio(
+        multimodal.decode_features(df2, dim=2, decode="strict"), factor=2
+    ).collect()[0]
+    assert out2.sample == -2  # floor(-3/2) = -2, truncation would give -1
+
+
 def test_detect_silence_windows_and_threshold(spark):
     """Quiet and loud constant blocks segment into exact integer window
     energies; the int16 extremes don't overflow the int64 fold."""
