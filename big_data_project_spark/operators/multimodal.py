@@ -3691,6 +3691,7 @@ def write_tar_shards(
     payload: str = "payload",
     ext: str = "bin",
     member_col: str | None = None,
+    compress: bool = False,
 ) -> DataFrame:
     """WebDataset-style TAR shard SINK — the standard container for
     multimodal training data: pack ``(id, payload)`` rows into
@@ -3709,6 +3710,11 @@ def write_tar_shards(
     rows sharing an ``id_col`` stem land in the SAME shard — the
     WebDataset sample-locality contract — because sharding hashes
     ``id_col``, not the member name).
+
+    ``compress=True`` writes ``shard-%05d.tar.gz`` — the gzip stream is
+    built with ``mtime=0`` and a fixed name, so compressed shard bytes
+    stay rerun-deterministic too; :func:`read_tar_shards` auto-detects
+    compression per shard (``r:*``).
 
     Returns the shard manifest ``(shard, n_members, n_bytes)`` — an
     ACTION on it performs the write. Same shared-filesystem contract as
@@ -3731,8 +3737,15 @@ def write_tar_shards(
         k = int(key[0])
         pdf = pdf.sort_values([id_col, member_col] if member_col else id_col)
         buf = _io.BytesIO()
+        if compress:
+            import gzip
+
+            # mtime=0 + empty filename keep gzip bytes deterministic
+            sink = gzip.GzipFile(fileobj=buf, mode="wb", mtime=0, filename="")
+        else:
+            sink = buf
         with tarfile.open(
-            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+            fileobj=sink, mode="w", format=tarfile.USTAR_FORMAT
         ) as tf:
             for _, row in pdf.iterrows():
                 i, b = row[id_col], row[payload]
@@ -3750,8 +3763,11 @@ def write_tar_shards(
                 info.uid = info.gid = 0
                 info.mode = 0o644
                 tf.addfile(info, _io.BytesIO(data))
+        if compress:
+            sink.close()  # flush the gzip trailer before reading buf
         blob = buf.getvalue()
-        with open(_os.path.join(out_dir, f"shard-{k:05d}.tar"), "wb") as fh:
+        suffix = ".tar.gz" if compress else ".tar"
+        with open(_os.path.join(out_dir, f"shard-{k:05d}{suffix}"), "wb") as fh:
             fh.write(blob)
         return _pd.DataFrame(
             [{"shard": k, "n_members": len(pdf), "n_bytes": len(blob)}]
@@ -3791,7 +3807,7 @@ def group_tar_samples(
     )
 
 
-def read_tar_shards(spark, path: str, glob: str = "*.tar") -> DataFrame:
+def read_tar_shards(spark, path: str, glob: str = "*.tar*") -> DataFrame:
     """WebDataset-style TAR shard SOURCE: ``binaryFile`` over the shards
     (Spark's file index assigns one task per shard — the WebDataset
     parallelism contract), then a mapInPandas member walk yielding one
@@ -3801,7 +3817,7 @@ def read_tar_shards(spark, path: str, glob: str = "*.tar") -> DataFrame:
     return _tar_member_walk(read_binary_files(spark, path, glob=glob))
 
 
-def read_tar_shards_stream(spark, path: str, glob: str = "*.tar") -> DataFrame:
+def read_tar_shards_stream(spark, path: str, glob: str = "*.tar*") -> DataFrame:
     """STREAMING twin of :func:`read_tar_shards`: shards ARRIVING in a
     directory (the way WebDataset exports land from an upstream job)
     become a member stream — ``readStream`` over binaryFile + the same
@@ -3834,7 +3850,9 @@ def _tar_member_walk(files: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=_io.BytesIO(bytes(content))) as tf:
+                with tarfile.open(
+                    fileobj=_io.BytesIO(bytes(content)), mode="r:*"
+                ) as tf:
                     for m in tf.getmembers():
                         if not m.isfile():
                             continue

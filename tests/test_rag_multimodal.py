@@ -1111,6 +1111,21 @@ def test_tar_shards_roundtrip_and_determinism(spark, tmp_path):
     bad = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
     with pytest.raises(Exception, match="NULL payload"):
         multimodal.write_tar_shards(bad, str(tmp_path / "d")).collect()
+    # compressed shards: .tar.gz suffix, deterministic gzip bytes
+    # (mtime pinned), auto-detected by the same reader
+    g1, g2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    multimodal.write_tar_shards(df, g1, n_shards=2, compress=True).collect()
+    multimodal.write_tar_shards(df, g2, n_shards=2, compress=True).collect()
+    for f in sorted(os.listdir(g1)):
+        assert f.endswith(".tar.gz")
+        assert open(os.path.join(g1, f), "rb").read() == open(
+            os.path.join(g2, f), "rb"
+        ).read(), f"compressed shard {f} bytes not deterministic"
+    gz_got = {
+        int(r.member.split(".")[0]): bytes(r.payload)
+        for r in multimodal.read_tar_shards(spark, g1).collect()
+    }
+    assert gz_got == dict(rows)
 
 
 def test_resample_audio_floor_semantics_and_tail(spark):
