@@ -2109,6 +2109,13 @@ def _gif_codec():
             frames.append((delay, canvas[:]))
             if len(frames) > 4096:
                 raise ValueError("refusing GIF with >4096 frames")
+            if len(frames) * sw * sh > 64_000_000:
+                # each snapshot copies the canvas — the per-frame cap and
+                # the 16M canvas cap COMPOSE to tens of GB without this
+                raise ValueError(
+                    "refusing GIF whose composited frames exceed 64M "
+                    "total pixels"
+                )
             if disposal == 2:
                 for yy in range(h):
                     row = (top + yy) * sw + left
@@ -3054,6 +3061,37 @@ def transcode_images(
     return pruned.mapInPandas(run, out_schema)
 
 
+def _any_video_decoder():
+    """Build the container-dispatching VIDEO decoder (animated GIF or
+    Y4M → ``(h, w, [(delay_cs, pixels)])`` fully composited) as a
+    factory-local, pickled by value — shared by
+    :func:`sample_video_frames` and :func:`transcode_videos` so the
+    timestamp math and magic dispatch cannot desync."""
+    gif_frames = _gif_codec()[3]
+    y4m_decode = _y4m_codec()[1]
+
+    def decode_any(data: bytes):
+        # animated GIF carries per-frame delays; Y4M has a rational
+        # frame rate — timestamps floor to exact centisecond boundaries
+        # (t_cs(f) = 100*den*f // num), so the per-frame delays below
+        # reproduce that floor cumulatively
+        if data[:4] == b"GIF8":
+            return gif_frames(data)
+        if data[:9] == b"YUV4MPEG2":
+            h, w, (num, den), fr = y4m_decode(data)
+            delays = [
+                (100 * den * (f + 1)) // num - (100 * den * f) // num
+                for f in range(len(fr))
+            ]
+            return h, w, "rgb", list(zip(delays, fr))
+        raise NotImplementedError(
+            f"video decode handles animated GIF and Y4M; "
+            f"{data[:4]!r} needs a perceptual codec (ffmpeg) — plug in here"
+        )
+
+    return decode_any
+
+
 def _any_image_decoder():
     """Build the format-dispatching pixel decoder (BMP/PNG/JPEG/GIF →
     ``(h, w, [(r,g,b)])``) as a factory-local, so closures that capture
@@ -3177,6 +3215,7 @@ def transcode_videos(
     payload: str = "payload",
     id_col: str = "doc_id",
     target: str = "y4m",
+    allow_retiming: bool = False,
 ) -> DataFrame:
     """Normalize a mixed VIDEO lake to ONE container format — the moving-
     picture twin of :func:`transcode_images`: decode whatever arrives
@@ -3187,9 +3226,11 @@ def transcode_videos(
     (v, v, v) to Y = v, Cb = Cr = 128 exactly); colored content through a
     Y4M target carries only the ±1 BT.601 integer-rounding wobble, and a
     GIF target needs ≤256 distinct colors per video (the real GIF
-    constraint — loud, never silently quantized). Timing: GIF per-frame
-    delays map to the Y4M rational rate via the first frame's delay
-    (F100:d); Y4M rates map back to floor-exact centisecond delays.
+    constraint — loud, never silently quantized). Timing is loud too: a
+    Y4M target can only carry ONE rate, so non-uniform (or zero) GIF
+    delays raise unless ``allow_retiming=True`` opts into rewriting
+    every frame to the first frame's delay (F100:d); Y4M rates map back
+    to floor-exact centisecond delays losslessly.
 
     Output: ``(id_col, payload, media_type, n_frames, height, width)``.
     Arrow-batched mapInPandas, zero shuffles; codec functions are
@@ -3198,9 +3239,9 @@ def transcode_videos(
         raise ValueError("target must be 'y4m' or 'gif'")
 
     pruned = df.select(id_col, payload)
-    gif_frames = _gif_codec()[3]
+    decode_any = _any_video_decoder()
     gif_enc_anim = _gif_codec()[2]
-    y4m_enc, y4m_dec = _y4m_codec()
+    y4m_enc = _y4m_codec()[0]
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -3214,34 +3255,28 @@ def transcode_videos(
     media = {"y4m": "video/y4m", "gif": "image/gif"}[target]
 
     def run(it):
-        def decode_any(data: bytes):
-            # -> (h, w, [(delay_cs, [(r,g,b)])] fully composited)
-            if data[:4] == b"GIF8":
-                h, w, _m, fr = gif_frames(data)
-                return h, w, fr
-            if data[:9] == b"YUV4MPEG2":
-                h, w, (num, den), fr = y4m_dec(data)
-                delays = [
-                    (100 * den * (f + 1)) // num - (100 * den * f) // num
-                    for f in range(len(fr))
-                ]
-                return h, w, list(zip(delays, fr))
-            raise NotImplementedError(
-                f"video transcode handles animated GIF and Y4M; got {data[:4]!r}"
-            )
-
         def encode_any(frames, w, h):
             delays = [d for d, _ in frames]
             pixel_lists = [px for _, px in frames]
             if target == "gif":
                 return gif_enc_anim(w, h, pixel_lists, delays_cs=delays)
+            uniform = delays and delays[0] > 0 and len(set(delays)) == 1
+            if not uniform and not allow_retiming:
+                raise ValueError(
+                    f"non-uniform or zero GIF delays {delays[:6]} cannot be "
+                    f"represented at a single Y4M rate — pass "
+                    f"allow_retiming=True to rewrite every frame to the "
+                    f"first delay"
+                )
             d0 = delays[0] if delays and delays[0] > 0 else 4
             return y4m_enc(pixel_lists, w, h, rate=(100, d0))
 
         for pdf in it:
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload]):
-                h, w, frames = decode_any(bytes(b) if b is not None else b"")
+                h, w, _mode, frames = decode_any(
+                    bytes(b) if b is not None else b""
+                )
                 rows.append(
                     {
                         "doc_id": i,
@@ -3343,8 +3378,7 @@ def sample_video_frames(
     if every < 1:
         raise ValueError("every must be >= 1")
     pruned = df.select(id_col, payload)
-    gif_frames = _gif_codec()[3]  # factory-locals => pickled by value
-    y4m_decode = _y4m_codec()[1]
+    decode_any = _any_video_decoder()  # factory-local => pickled by value
     out_columns = [f.name for f in VIDEO_FRAME_SCHEMA.fields]
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3356,25 +3390,6 @@ def sample_video_frames(
                 seg = vals[lo:hi]
                 out.append(sum(seg) / len(seg) if seg else 0.0)
             return out
-
-        def decode_any(data: bytes):
-            # container dispatch: animated GIF carries per-frame delays;
-            # Y4M has a rational frame rate — timestamps floor to exact
-            # centisecond boundaries (t_cs(f) = 100*den*f // num), so the
-            # per-frame delays below reproduce that floor cumulatively
-            if data[:4] == b"GIF8":
-                return gif_frames(data)
-            if data[:9] == b"YUV4MPEG2":
-                h, w, (num, den), fr = y4m_decode(data)
-                delays = [
-                    (100 * den * (f + 1)) // num - (100 * den * f) // num
-                    for f in range(len(fr))
-                ]
-                return h, w, "rgb", list(zip(delays, fr))
-            raise NotImplementedError(
-                f"video frame sampling handles animated GIF and Y4M; "
-                f"{data[:4]!r} needs a perceptual codec (ffmpeg) — plug in here"
-            )
 
         for pdf in it:
             rows = []
@@ -3522,11 +3537,17 @@ def video_fingerprints(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """EXACT video-level fingerprint from sampled frames — the video leg
-    of the dedup machinery: recover the exact pixel bytes from the
-    float32 features (round(f·255), see :func:`detect_scene_cuts`),
-    serialize every frame in index order, md5 the whole stream. Two
-    videos share a fingerprint iff every sampled frame's pixels match
-    bit-for-bit, so ``groupBy(video_sig)`` is exact video dedup.
+    of the dedup machinery: recover the exact feature bytes
+    (round(f·255), see :func:`detect_scene_cuts`), serialize every frame
+    in index order, md5 the whole stream. Two videos share a fingerprint
+    iff every sampled frame's FEATURE bytes match bit-for-bit, so
+    ``groupBy(video_sig)`` is exact dedup **of the sampled grayscale
+    projection**: with ``dim`` == pixel count that is per-pixel
+    grayscale, which is bit-exact for gray content but HUE-BLIND —
+    frames whose colors differ with equal (r+g+b) collide (e.g. pure
+    red vs pure green). Treat matches on colored corpora as candidate
+    pairs and verify on the raw payload bytes (md5 of the payload
+    column) when hue fidelity matters.
 
     Pure Catalyst: transform/array_join per frame, one groupBy on the
     video id with collect_list + array_sort (frame counts are bounded by
@@ -3736,6 +3757,20 @@ def write_tar_shards(
 
         k = int(key[0])
         pdf = pdf.sort_values([id_col, member_col] if member_col else id_col)
+        names = (
+            pdf[member_col].astype(str)
+            if member_col
+            else pdf[id_col].astype(str) + f".{ext}"
+        )
+        dup = names[names.duplicated()]
+        if len(dup):
+            # duplicate names would write a corrupt-for-readers tar AND
+            # make shard bytes depend on shuffle arrival order of the
+            # tied rows — refuse loudly instead
+            raise ValueError(
+                f"write_tar_shards: duplicate member name(s) "
+                f"{sorted(set(dup))[:3]!r} — member names must be unique"
+            )
         buf = _io.BytesIO()
         if compress:
             import gzip
@@ -3792,11 +3827,20 @@ def group_tar_samples(
     Pure Catalyst: regexp stem/ext split, one groupBy on the stem,
     map_from_entries over the sorted (ext, payload) structs —
     deterministic map order, duplicate exts would surface as a
-    map-key error rather than silent last-wins."""
+    map-key error rather than silent last-wins. Members WITHOUT an
+    extension (``README``) and dotfiles (``.gitignore``) keep their
+    full name as the stem with ext ``''`` — they become their own
+    single-part samples instead of merging into a phantom ``''``
+    stem."""
     split = r"^(.*)\.([^.]+)$"
+    raw_stem = F.regexp_extract("member", split, 1)
     per = members.select(
-        F.regexp_extract("member", split, 1).alias(sample_col),
-        F.regexp_extract("member", split, 2).alias("_ext"),
+        F.when(raw_stem != "", raw_stem)
+        .otherwise(F.col("member"))
+        .alias(sample_col),
+        F.when(raw_stem != "", F.regexp_extract("member", split, 2))
+        .otherwise(F.lit(""))
+        .alias("_ext"),
         "payload",
     )
     return per.groupBy(sample_col).agg(

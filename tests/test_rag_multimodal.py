@@ -1128,6 +1128,51 @@ def test_tar_shards_roundtrip_and_determinism(spark, tmp_path):
     assert gz_got == dict(rows)
 
 
+def test_tar_shards_review_fixes(spark, tmp_path):
+    """Round-5 review regressions: duplicate member names are refused
+    (they'd corrupt the tar AND make shard bytes shuffle-order-dependent);
+    extensionless members and dotfiles keep their own stems instead of
+    merging into a phantom '' sample."""
+    dup = spark.createDataFrame(
+        [(1, bytearray(b"a")), (1, bytearray(b"b"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="duplicate member name"):
+        multimodal.write_tar_shards(dup, str(tmp_path / "dup")).collect()
+
+    members = spark.createDataFrame(
+        [
+            ("s", "README", bytearray(b"r")),
+            ("s", ".gitignore", bytearray(b"g")),
+            ("s", "1.txt", bytearray(b"t")),
+        ],
+        "shard string, member string, payload binary",
+    )
+    got = {
+        r.sample_id: dict(r.parts)
+        for r in multimodal.group_tar_samples(members).collect()
+    }
+    assert set(got) == {"README", ".gitignore", "1"}
+    assert got["README"] == {"": b"r"}
+    assert got[".gitignore"] == {"": b"g"}
+    assert got["1"] == {"txt": b"t"}
+
+
+def test_transcode_videos_retiming_is_loud(spark):
+    """Non-uniform GIF delays cannot ride a single Y4M rate: loud by
+    default, opt-in rewrite with allow_retiming=True."""
+    frames = [[(v, v, v)] * 4 for v in (10, 20)]
+    gif = multimodal.make_gif_animated(2, 2, frames, delays_cs=[7, 11])
+    df = spark.createDataFrame([(1, bytearray(gif))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="single Y4M rate"):
+        multimodal.transcode_videos(df, target="y4m").collect()
+    ok = multimodal.transcode_videos(df, target="y4m", allow_retiming=True).collect()
+    assert ok[0].n_frames == 2
+    # gif target keeps per-frame delays exactly — no retiming gate
+    gif_out = multimodal.transcode_videos(df, target="gif").collect()[0]
+    _, _, _, out = multimodal.decode_gif_frames(bytes(gif_out.payload))
+    assert [d for d, _ in out] == [7, 11]
+
+
 def test_resample_audio_floor_semantics_and_tail(spark):
     """Decimation floor-averages each window — FLOOR, not truncation,
     on negative sums — and the short tail window averages what it has."""
