@@ -3356,6 +3356,7 @@ def sample_video_frames(
     id_col: str = "doc_id",
     every: int = 1,
     dim: int = 8,
+    mode: str = "gray",
 ) -> DataFrame:
     """REAL video frame sampling: strict-decode a video payload — animated
     GIF (see :func:`decode_gif_frames`) or raw YUV4MPEG2 (see
@@ -3366,7 +3367,11 @@ def sample_video_frames(
     sampled frame:
     its index, start timestamp in centiseconds (cumulative GCE delays of
     the frames before it), the total frame count, canvas dims, and
-    ``dim`` grayscale segment-mean features of the composited canvas.
+    ``dim`` segment-mean features of the composited canvas —
+    ``mode='gray'`` averages channels per pixel (hue-blind);
+    ``mode='rgb'`` interleaves r,g,b per pixel (``dim`` = 3×pixels is
+    channel-exact — the color-faithful input for
+    :func:`video_fingerprints`).
 
     Arrow-batched ``mapInPandas`` over a pruned (id, payload) projection —
     the same shuffle-free decode-stage shape as :func:`decode_features`;
@@ -3377,6 +3382,8 @@ def sample_video_frames(
     """
     if every < 1:
         raise ValueError("every must be >= 1")
+    if mode not in ("gray", "rgb"):
+        raise ValueError("mode must be 'gray' or 'rgb'")
     pruned = df.select(id_col, payload)
     decode_any = _any_video_decoder()  # factory-local => pickled by value
     out_columns = [f.name for f in VIDEO_FRAME_SCHEMA.fields]
@@ -3399,7 +3406,12 @@ def sample_video_frames(
                 t_cs = 0
                 for fno, (delay, px) in enumerate(frames):
                     if fno % every == 0:
-                        gray = [(r + g + bb) / 3.0 / 255.0 for (r, g, bb) in px]
+                        if mode == "rgb":
+                            gray = [c / 255.0 for p in px for c in p]
+                        else:
+                            gray = [
+                                (r + g + bb) / 3.0 / 255.0 for (r, g, bb) in px
+                            ]
                         rows.append(
                             {
                                 "doc_id": i,
@@ -3541,13 +3553,12 @@ def video_fingerprints(
     (round(f·255), see :func:`detect_scene_cuts`), serialize every frame
     in index order, md5 the whole stream. Two videos share a fingerprint
     iff every sampled frame's FEATURE bytes match bit-for-bit, so
-    ``groupBy(video_sig)`` is exact dedup **of the sampled grayscale
-    projection**: with ``dim`` == pixel count that is per-pixel
-    grayscale, which is bit-exact for gray content but HUE-BLIND —
-    frames whose colors differ with equal (r+g+b) collide (e.g. pure
-    red vs pure green). Treat matches on colored corpora as candidate
-    pairs and verify on the raw payload bytes (md5 of the payload
-    column) when hue fidelity matters.
+    ``groupBy(video_sig)`` is exact dedup **of the sampled feature
+    projection**. Feed it ``sample_video_frames(mode='rgb',
+    dim=3·pixels)`` for COLOR-EXACT fingerprints (each channel byte
+    recovered bit-for-bit); the default gray mode is bit-exact for gray
+    content but hue-blind — frames whose colors differ with equal
+    (r+g+b) collide (e.g. pure red vs pure green).
 
     Pure Catalyst: transform/array_join per frame, one groupBy on the
     video id with collect_list + array_sort (frame counts are bounded by

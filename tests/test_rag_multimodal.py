@@ -1231,6 +1231,35 @@ def test_video_fingerprints_exactness_and_frame_order(spark):
     assert sigs[0] != sigs[2]
 
 
+def test_video_fingerprints_rgb_mode_is_color_exact(spark):
+    """Gray-mode fingerprints are hue-blind (pure red == pure green at
+    equal luminance-by-mean); rgb mode distinguishes them — the
+    color-exact dedup path."""
+    red = [(90, 0, 0)] * 4
+    green = [(0, 90, 0)] * 4
+    rows = [
+        (0, bytearray(multimodal.make_gif_animated(2, 2, [red]))),
+        (1, bytearray(multimodal.make_gif_animated(2, 2, [green]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    gray = {
+        r.doc_id: r.video_sig
+        for r in multimodal.video_fingerprints(
+            multimodal.sample_video_frames(df, dim=4)
+        ).collect()
+    }
+    assert gray[0] == gray[1]  # the documented hue-blind collision
+    rgb = {
+        r.doc_id: r.video_sig
+        for r in multimodal.video_fingerprints(
+            multimodal.sample_video_frames(df, dim=12, mode="rgb")
+        ).collect()
+    }
+    assert rgb[0] != rgb[1]  # color-exact mode separates them
+    with pytest.raises(ValueError, match="mode"):
+        multimodal.sample_video_frames(df, mode="hsv")
+
+
 def test_detect_scene_cuts(spark):
     """Planted cut at frame 2: dist is NULL at frame 0, 0 within a scene,
     the exact integer L1 at the boundary; the fold is pure Catalyst (the
