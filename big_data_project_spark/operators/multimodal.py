@@ -3827,6 +3827,110 @@ def write_tar_shards(
     )
 
 
+def write_zip_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    ext: str = "bin",
+    compress: bool = False,
+) -> DataFrame:
+    """ZIP twin of :func:`write_tar_shards` — the other archive format
+    data actually arrives in: pack ``(id, payload)`` rows into
+    ``shard-%05d.zip`` files (deflate when ``compress=True``, stored
+    otherwise). Same determinism discipline: id-hash shard membership,
+    id-sorted members, pinned 1980-01-01 timestamps and zeroed
+    attributes so shard bytes are rerun-stable; duplicate member names
+    are refused. Returns the ``(shard, n_members, n_bytes)`` manifest —
+    an ACTION on it performs the write."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+
+    def build(key, pdf):
+        import io as _io
+        import os as _os
+        import zipfile
+
+        import pandas as _pd
+
+        k = int(key[0])
+        pdf = pdf.sort_values(id_col)
+        names = pdf[id_col].astype(str) + f".{ext}"
+        dup = names[names.duplicated()]
+        if len(dup):
+            raise ValueError(
+                f"write_zip_shards: duplicate member name(s) "
+                f"{sorted(set(dup))[:3]!r} — member names must be unique"
+            )
+        method = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+        buf = _io.BytesIO()
+        with zipfile.ZipFile(buf, "w", compression=method) as zf:
+            for i, b in zip(pdf[id_col], pdf[payload]):
+                if b is None:
+                    raise ValueError(
+                        f"write_zip_shards: NULL payload (id={i!r}) — "
+                        f"filter or fill before sinking"
+                    )
+                info = zipfile.ZipInfo(
+                    filename=f"{i}.{ext}", date_time=(1980, 1, 1, 0, 0, 0)
+                )
+                info.compress_type = method
+                info.external_attr = 0o644 << 16
+                zf.writestr(info, bytes(b))
+        blob = buf.getvalue()
+        with open(_os.path.join(out_dir, f"shard-{k:05d}.zip"), "wb") as fh:
+            fh.write(blob)
+        return _pd.DataFrame(
+            [{"shard": k, "n_members": len(pdf), "n_bytes": len(blob)}]
+        )
+
+    return (
+        df.select(id_col, payload)
+        .withColumn("_shard", shard)
+        .groupBy("_shard")
+        .applyInPandas(build, TAR_MANIFEST_SCHEMA)
+    )
+
+
+def read_zip_members(spark, path: str, glob: str = "*.zip") -> DataFrame:
+    """ZIP archive SOURCE: ``binaryFile`` over the archives (one task
+    per archive), stdlib zipfile member walk — one row per regular
+    member ``(shard, member, payload)``; directory entries are
+    skipped. CRC-32 is verified by the stdlib reader on extraction, so
+    a corrupted member fails its own task loudly."""
+    files = read_binary_files(spark, path, glob=glob)
+
+    def walk(it):
+        import io as _io
+        import os as _os
+        import zipfile
+
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(_io.BytesIO(bytes(content))) as zf:
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        rows.append(
+                            {
+                                "shard": _os.path.basename(p),
+                                "member": info.filename,
+                                "payload": zf.read(info),
+                            }
+                        )
+            yield _pd.DataFrame(rows, columns=["shard", "member", "payload"])
+
+    return files.select("path", "content").mapInPandas(walk, TAR_MEMBER_SCHEMA)
+
+
 def group_tar_samples(
     members: DataFrame, sample_col: str = "sample_id"
 ) -> DataFrame:

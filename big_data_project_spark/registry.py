@@ -6620,6 +6620,41 @@ def mm_audio_resample(spark, sf_dir):
     )
 
 
+@register(
+    "s14_zip_archive",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS digest,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def s14_zip_archive(spark, sf_dir):
+    """ZIP archive sink → source roundtrip VALUE-hashed by content
+    digest — the zip twin of s12_tar_webdataset, with DEFLATE
+    compression on (so the hash also proves the stdlib inflate path and
+    the CRC-32 verification the reader performs on extraction):
+    payloads pack into 4 deterministic zip shards executor-side
+    (pinned 1980 timestamps, id-sorted members), re-ingest through
+    binaryFile + the member walk, and reduce to (doc_id, md5, size).
+    The oracle digests the ORIGINAL text. S-surface extension beyond
+    the reference's csv/json/parquet."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    staged = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out_dir = _tmpdir("zipshards")
+    manifest = multimodal.write_zip_shards(
+        staged, out_dir, n_shards=4, ext="txt", compress=True
+    )
+    assert sum(r.n_members for r in manifest.collect()) == staged.count()
+    members = multimodal.read_zip_members(spark, out_dir)
+    return members.select(
+        F.regexp_extract("member", r"(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+        F.md5("payload").alias("digest"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
 _AH_VALS = ",\n           ".join(
     "CAST({seg} / 2147483648.0 - 1.0 AS REAL) AS v{i}".format(
         seg=_HEX_SEG.format(a=8 * i + 1, b=8 * i + 9), i=i

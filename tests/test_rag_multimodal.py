@@ -1157,6 +1157,37 @@ def test_tar_shards_review_fixes(spark, tmp_path):
     assert got["1"] == {"txt": b"t"}
 
 
+def test_zip_shards_roundtrip_and_determinism(spark, tmp_path):
+    """ZIP shards: payload roundtrip (stored AND deflated), byte-level
+    rerun determinism (pinned timestamps), duplicate names refused."""
+    import os
+
+    rows = [(i, bytes([i % 251]) * (i + 1)) for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "doc_id long, payload binary"
+    )
+    for compress in (False, True):
+        d1 = str(tmp_path / f"z1_{compress}")
+        d2 = str(tmp_path / f"z2_{compress}")
+        m = multimodal.write_zip_shards(df, d1, n_shards=3, compress=compress).collect()
+        multimodal.write_zip_shards(df, d2, n_shards=3, compress=compress).collect()
+        assert sum(r.n_members for r in m) == 12
+        for f in sorted(os.listdir(d1)):
+            assert open(os.path.join(d1, f), "rb").read() == open(
+                os.path.join(d2, f), "rb"
+            ).read(), f"zip shard {f} not deterministic (compress={compress})"
+        got = {
+            int(r.member.split(".")[0]): bytes(r.payload)
+            for r in multimodal.read_zip_members(spark, d1).collect()
+        }
+        assert got == dict(rows)
+    dup = spark.createDataFrame(
+        [(1, bytearray(b"a")), (1, bytearray(b"b"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="duplicate member name"):
+        multimodal.write_zip_shards(dup, str(tmp_path / "zd")).collect()
+
+
 def test_transcode_videos_retiming_is_loud(spark):
     """Non-uniform GIF delays cannot ride a single Y4M rate: loud by
     default, opt-in rewrite with allow_retiming=True."""
