@@ -115,8 +115,8 @@ def decode_features(
     CRC-8/16 + md5 verified — see :func:`decode_flac`). Features are
     ``dim`` segment-means of the normalized signal (grayscale pixels
     scanned top-down row-major for images; channel-averaged frames for
-    WAV), so the output is value-hashable. MP3/video and progressive JPEG
-    raise NotImplementedError — the narrowed seam where PIL/ffmpeg plug in
+    WAV), so the output is value-hashable. MP3/video raise
+    NotImplementedError — the narrowed seam where PIL/ffmpeg plug in
     (perceptual audio coding genuinely needs them)."""
     if decode not in ("fake", "strict"):
         raise ValueError("decode must be 'fake' or 'strict'")
@@ -3654,6 +3654,58 @@ def average_hash(
     return df.selectExpr(f"{id_col} AS doc_id", f"{bits} AS ahash")
 
 
+def _atomic_publish():
+    """Factory for the task-retry-atomic publish step shared by the
+    binary/tar/zip sinks (factory-built so cloudpickle ships it by VALUE
+    inside worker closures — same hostile-cwd discipline as the codecs).
+
+    The returned ``publish(final_path, blob)`` stages the bytes to a
+    dot-prefixed unique temp name in the same directory
+    (``.<name>.<uuid>.tmp`` — invisible to Spark file sources AND to the
+    sinks' own ``*.bin``/``*.tar*``/``*.zip`` read globs), fsyncs, then
+    ``os.replace``-renames onto the final path. Guarantees under the
+    failures a 100 TB run makes routine:
+
+    - task killed mid-write → only an orphan hidden ``.tmp`` remains;
+      the final name is either absent or a previous COMPLETE version;
+    - retry racing a zombie predecessor / speculative duplicate → each
+      attempt owns a unique temp; ``os.replace`` is atomic, last complete
+      attempt wins, and shard bytes are deterministic so the winners are
+      byte-identical;
+    - a raised exception best-effort unlinks the attempt's own temp
+      (never another attempt's — names are unique per attempt).
+
+    ``_fail_after`` (test seam) injects a crash after N bytes to prove
+    the torn-write window never reaches the final path."""
+
+    def publish(final_path, blob, _fail_after=None):
+        import os as _os
+        import uuid as _uuid
+
+        d, name = _os.path.split(final_path)
+        tmp = _os.path.join(d, f".{name}.{_uuid.uuid4().hex}.tmp")
+        try:
+            with open(tmp, "wb") as fh:
+                if _fail_after is not None:
+                    fh.write(blob[:_fail_after])
+                    fh.flush()
+                    raise RuntimeError(
+                        "injected mid-write failure (_fail_after)"
+                    )
+                fh.write(blob)
+                fh.flush()
+                _os.fsync(fh.fileno())
+            _os.replace(tmp, final_path)
+        except BaseException:
+            try:
+                _os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+    return publish
+
+
 def write_binary_files(
     df: DataFrame, out_dir: str, id_col: str = "doc_id", payload: str = "payload"
 ) -> None:
@@ -3663,12 +3715,21 @@ def write_binary_files(
     idempotent overwrites. Requires ``out_dir`` on a filesystem all
     executors share (local mode / NFS / fuse-mounted object store); on
     HDFS/S3 proper, swap the ``open`` for an fsspec/Hadoop stream — the
-    partitioning story is identical."""
+    partitioning story is identical.
+
+    Task-retry-atomic: each file is staged to a dot-prefixed unique temp
+    name and published with ``os.replace`` (see :func:`_atomic_publish`),
+    so a task killed mid-write, a retry racing its zombie predecessor, or
+    a speculative duplicate can never expose a torn file at the final
+    path."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    publish = _atomic_publish()
 
     def dump(rows):
+        import os as _os
+
         for r in rows:
             # fail CLEAN on bad rows: bytes(None) inside foreachPartition
             # surfaces as an opaque pickled executor traceback otherwise
@@ -3677,8 +3738,9 @@ def write_binary_files(
                     f"write_binary_files: NULL {id_col if r[id_col] is None else payload}"
                     f" (id={r[id_col]!r}) — filter or fill before sinking"
                 )
-            with open(os.path.join(out_dir, f"{r[id_col]}.bin"), "wb") as fh:
-                fh.write(bytes(r[payload]))
+            publish(
+                _os.path.join(out_dir, f"{r[id_col]}.bin"), bytes(r[payload])
+            )
 
     df.select(id_col, payload).foreachPartition(dump)
 
@@ -3750,7 +3812,10 @@ def write_tar_shards(
 
     Returns the shard manifest ``(shard, n_members, n_bytes)`` — an
     ACTION on it performs the write. Same shared-filesystem contract as
-    :func:`write_binary_files`."""
+    :func:`write_binary_files`; same task-retry atomicity (shards are
+    staged to hidden unique temp names and published with ``os.replace``
+    via :func:`_atomic_publish` — a killed task or speculative duplicate
+    never exposes a torn shard)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -3758,6 +3823,7 @@ def write_tar_shards(
         raise ValueError("n_shards must be >= 1")
     shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
     cols = [id_col, payload] + ([member_col] if member_col else [])
+    publish = _atomic_publish()
 
     def build(key, pdf):
         import io as _io
@@ -3813,8 +3879,7 @@ def write_tar_shards(
             sink.close()  # flush the gzip trailer before reading buf
         blob = buf.getvalue()
         suffix = ".tar.gz" if compress else ".tar"
-        with open(_os.path.join(out_dir, f"shard-{k:05d}{suffix}"), "wb") as fh:
-            fh.write(blob)
+        publish(_os.path.join(out_dir, f"shard-{k:05d}{suffix}"), blob)
         return _pd.DataFrame(
             [{"shard": k, "n_members": len(pdf), "n_bytes": len(blob)}]
         )
@@ -3843,13 +3908,16 @@ def write_zip_shards(
     id-sorted members, pinned 1980-01-01 timestamps and zeroed
     attributes so shard bytes are rerun-stable; duplicate member names
     are refused. Returns the ``(shard, n_members, n_bytes)`` manifest —
-    an ACTION on it performs the write."""
+    an ACTION on it performs the write. Same task-retry atomicity as
+    :func:`write_tar_shards` (hidden temp + ``os.replace`` via
+    :func:`_atomic_publish`)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    publish = _atomic_publish()
 
     def build(key, pdf):
         import io as _io
@@ -3883,8 +3951,7 @@ def write_zip_shards(
                 info.external_attr = 0o644 << 16
                 zf.writestr(info, bytes(b))
         blob = buf.getvalue()
-        with open(_os.path.join(out_dir, f"shard-{k:05d}.zip"), "wb") as fh:
-            fh.write(blob)
+        publish(_os.path.join(out_dir, f"shard-{k:05d}.zip"), blob)
         return _pd.DataFrame(
             [{"shard": k, "n_members": len(pdf), "n_bytes": len(blob)}]
         )

@@ -1366,6 +1366,7 @@ def r4_evaluate_response(spark, sf_dir):
                 WHEN substr(hex(payload), 1, 8) = '1A45DFA3' THEN 'video/webm'
                 WHEN substr(hex(payload), 1, 8) = '47494638' THEN 'image/gif'
                 WHEN substr(hex(payload), 1, 8) = '664C6143' THEN 'audio/flac'
+                WHEN substr(hex(payload), 1, 8) = '59555634' THEN 'video/y4m'
                 WHEN substr(hex(payload), 1, 4) = 'FFD8'     THEN 'image/jpeg'
                 WHEN substr(hex(payload), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type
@@ -1413,6 +1414,7 @@ def mm_binary_stats(spark, sf_dir):
                 WHEN substr(hex(payload), 1, 8) = '1A45DFA3' THEN 'video/webm'
                 WHEN substr(hex(payload), 1, 8) = '47494638' THEN 'image/gif'
                 WHEN substr(hex(payload), 1, 8) = '664C6143' THEN 'audio/flac'
+                WHEN substr(hex(payload), 1, 8) = '59555634' THEN 'video/y4m'
                 WHEN substr(hex(payload), 1, 4) = 'FFD8'     THEN 'image/jpeg'
                 WHEN substr(hex(payload), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type,
@@ -5088,6 +5090,7 @@ def pl_rag_index_e2e(spark, sf_dir):
                 WHEN substr(hex(encode(text)), 1, 8) = '1A45DFA3' THEN 'video/webm'
                 WHEN substr(hex(encode(text)), 1, 8) = '47494638' THEN 'image/gif'
                 WHEN substr(hex(encode(text)), 1, 8) = '664C6143' THEN 'audio/flac'
+                WHEN substr(hex(encode(text)), 1, 8) = '59555634' THEN 'video/y4m'
                 WHEN substr(hex(encode(text)), 1, 4) = 'FFD8'     THEN 'image/jpeg'
                 WHEN substr(hex(encode(text)), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type,

@@ -86,6 +86,34 @@ def test_sniff_media_type_magic(spark):
     assert got == ["image/png", "application/octet-stream"]
 
 
+def test_sql_sniff_mirrors_enumerate_every_magic():
+    """Every oracle CASE that mirrors sniff_media_type must list EVERY key
+    of multimodal.MAGIC — a magic added engine-side but not mirrored is a
+    latent corpus-dependent hash mismatch (a text payload can legitimately
+    start with any pure-ASCII magic like 'YUV4', 'BM', 'GIF8', 'RIFF')."""
+    import re
+    import inspect
+
+    from big_data_project_spark import registry
+    from big_data_project_spark.operators import multimodal as mm
+
+    src = inspect.getsource(registry)
+    # a mirror block = contiguous CASE ... 'application/octet-stream' END
+    blocks = re.findall(
+        r"CASE\s+WHEN.*?'application/octet-stream'\s+END", src, re.S
+    )
+    mirrors = [b for b in blocks if "substr(hex(" in b]
+    assert len(mirrors) >= 3, "expected the three sniff mirrors"
+    for block in mirrors:
+        for magic, mtype in mm.MAGIC.items():
+            assert magic in block, (
+                f"sniff mirror missing MAGIC {magic!r} ({mtype}): add "
+                f"\"WHEN substr(hex(...), 1, {len(magic)}) = '{magic}' "
+                f"THEN '{mtype}'\" to keep the SQL oracle in lockstep"
+            )
+            assert mtype in block
+
+
 def test_hash_embed_unit_norm_and_determinism():
     from big_data_project_spark.plugins import hash_embed
 

@@ -1188,6 +1188,108 @@ def test_zip_shards_roundtrip_and_determinism(spark, tmp_path):
         multimodal.write_zip_shards(dup, str(tmp_path / "zd")).collect()
 
 
+def test_atomic_publish_mid_write_failure_leaves_no_torn_file(tmp_path):
+    """VERDICT r5 #1 (torn-shard leg): a crash mid-write must never
+    expose partial bytes at the final path — before OR instead of a
+    complete prior version — and the failed attempt's temp is cleaned."""
+    import os
+
+    publish = multimodal._atomic_publish()
+    final = str(tmp_path / "shard-00000.tar")
+    blob = b"x" * 4096
+
+    # 1) first-ever write dies mid-stream: final never appears
+    with pytest.raises(RuntimeError, match="injected mid-write"):
+        publish(final, blob, _fail_after=100)
+    assert not os.path.exists(final)
+    assert os.listdir(tmp_path) == []  # failed temp unlinked, no orphans
+
+    # 2) retry over an existing COMPLETE version dies: old bytes intact
+    publish(final, blob)
+    assert open(final, "rb").read() == blob
+    with pytest.raises(RuntimeError, match="injected mid-write"):
+        publish(final, b"y" * 4096, _fail_after=7)
+    assert open(final, "rb").read() == blob  # never torn, never partial
+
+    # 3) success replaces atomically
+    publish(final, b"y" * 4096)
+    assert open(final, "rb").read() == b"y" * 4096
+    assert os.listdir(tmp_path) == ["shard-00000.tar"]
+
+
+def test_atomic_publish_racing_duplicate_attempts(tmp_path):
+    """VERDICT r5 #1 (zombie-race leg): speculative/retry duplicates write
+    the SAME deterministic bytes concurrently; every interleaving must end
+    with an intact final file (unique temps + atomic os.replace)."""
+    import threading
+
+    publish = multimodal._atomic_publish()
+    final = str(tmp_path / "shard-00001.zip")
+    blob = bytes(range(256)) * 64
+    errs = []
+
+    def attempt():
+        try:
+            for _ in range(20):
+                publish(final, blob)
+        except Exception as e:  # pragma: no cover - race failure surface
+            errs.append(e)
+
+    threads = [threading.Thread(target=attempt) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert open(final, "rb").read() == blob
+
+
+def test_sink_temp_files_invisible_to_readers(spark, tmp_path):
+    """A hard-killed task's orphan temp (the one case cleanup can't run)
+    must be invisible to every read path: the dot-prefix hides it from
+    Spark's binaryFile index and from the *.tar*/*.zip/*.bin globs."""
+    import os
+
+    rows = [(i, bytes([65 + i]) * 4) for i in range(6)]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "doc_id long, payload binary"
+    )
+    d = str(tmp_path / "shards")
+    multimodal.write_tar_shards(df, d, n_shards=2).collect()
+    # no temp residue after a clean run
+    assert all(not f.endswith(".tmp") for f in os.listdir(d))
+    # plant a torn orphan the way a SIGKILLed task would leave one
+    with open(os.path.join(d, ".shard-00000.tar.deadbeef.tmp"), "wb") as fh:
+        fh.write(b"TORN GARBAGE")
+    got = {
+        int(r.member.split(".")[0]): bytes(r.payload)
+        for r in multimodal.read_tar_shards(spark, d).collect()
+    }
+    assert got == dict(rows)  # orphan not read, data complete
+
+    # same discipline for the binary-file sink
+    b = str(tmp_path / "bins")
+    multimodal.write_binary_files(df, b)
+    with open(os.path.join(b, ".3.bin.deadbeef.tmp"), "wb") as fh:
+        fh.write(b"TORN")
+    back = multimodal.read_binary_files(spark, b).collect()
+    assert len(back) == 6
+    assert {os.path.basename(r.path) for r in back} == {
+        f"{i}.bin" for i in range(6)
+    }
+
+    # and the zip sink
+    z = str(tmp_path / "zips")
+    multimodal.write_zip_shards(df, z, n_shards=2).collect()
+    with open(os.path.join(z, ".shard-00001.zip.deadbeef.tmp"), "wb") as fh:
+        fh.write(b"TORN")
+    zgot = {
+        int(r.member.split(".")[0]): bytes(r.payload)
+        for r in multimodal.read_zip_members(spark, z).collect()
+    }
+    assert zgot == dict(rows)
+
+
 def test_transcode_videos_retiming_is_loud(spark):
     """Non-uniform GIF delays cannot ride a single Y4M rate: loud by
     default, opt-in rewrite with allow_retiming=True."""
