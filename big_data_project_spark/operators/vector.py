@@ -505,6 +505,8 @@ def semantic_dedup(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    collapse_exact: bool = True,
+    cluster_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarsely cluster the embedding space, then drop every
@@ -534,7 +536,34 @@ def semantic_dedup(
       aggregates, engine-exact no longer — refine is for recall, the
       default seed path is for verifiability).
 
+    **Hot-cluster guards** (VERDICT r5 #2 — raising ``n_clusters`` does
+    NOT bound a flood of near-identical vectors, because they all take the
+    same max-IP centroid regardless of k):
+
+    - ``collapse_exact`` (default on): byte-identical embeddings are
+      collapsed to their min-id representative BEFORE assignment and
+      pairing — EXACTLY semantics-preserving for the greedy keep-first
+      rule (cosine(x, x) = 1 ≥ threshold, identical vectors always share a
+      cluster, so every non-min member is dropped with or without the
+      collapse), and it turns the dominant template-flood case (m
+      identical embeddings → m² pairs) into ONE representative in the
+      join. Costs one embedding-keyed shuffle with map-side combine.
+    - ``cluster_cap`` (opt-in): clusters larger than the cap are
+      salt-split into ``ceil(m/cap)`` sub-clusters by an md5 of the id,
+      bounding within-cluster emission at ~cap·m. Unlike banded LSH there
+      is no second band to re-draw the split, so near-dup pairs straddling
+      sub-clusters are MISSED — a documented recall-for-boundedness trade
+      (the standard production mitigation when a capped job must finish);
+      leave it None when exactness against the greedy spec matters.
+
     Nothing corpus-sized is broadcast; no Python; no collect."""
+    if collapse_exact:
+        # arrays are valid Spark grouping keys; min() partial-aggregates
+        # map-side, so an m-strong identical flood leaves each partition
+        # as one row before the shuffle
+        embeddings = embeddings.groupBy(emb_col).agg(
+            F.min(id_col).alias(id_col)
+        )
     hh = F.expr(
         f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10)"
         " AS BIGINT)"
@@ -562,18 +591,49 @@ def semantic_dedup(
             ).alias("cluster_id"),
         )
     )
-    a = assigned.select(
-        F.col("cluster_id"),
+    pair_src = assigned
+    pair_keys = ["cluster_id"]
+    if cluster_cap is not None:
+        if cluster_cap < 2:
+            raise ValueError("cluster_cap must be >= 2 (or None to disable)")
+        hot = (
+            assigned.groupBy("cluster_id")
+            .count()
+            .where(F.col("count") > cluster_cap)
+            .select(
+                "cluster_id",
+                F.ceil(F.col("count") / float(cluster_cap))
+                .cast("int")
+                .alias("_groups"),
+            )
+        )
+        sub_hash = F.expr(
+            f"CAST(conv(substring(md5(concat('s_', CAST({id_col} AS"
+            " STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        pair_src = (
+            assigned.join(F.broadcast(hot), ["cluster_id"], "left")
+            .withColumn(
+                "_sub",
+                F.when(F.col("_groups").isNull(), F.lit(0)).otherwise(
+                    F.pmod(sub_hash, F.col("_groups")).cast("int")
+                ),
+            )
+            .drop("_groups")
+        )
+        pair_keys = ["cluster_id", "_sub"]
+    a = pair_src.select(
+        *pair_keys,
         F.col(id_col).alias("_ida"),
         F.col(emb_col).alias("_ea"),
     )
-    b = assigned.select(
-        F.col("cluster_id"),
+    b = pair_src.select(
+        *pair_keys,
         F.col(id_col).alias("_idb"),
         F.col(emb_col).alias("_eb"),
     )
     dropped = (
-        a.join(b, ["cluster_id"])
+        a.join(b, pair_keys)
         .where(F.col("_ida") < F.col("_idb"))
         .where(cosine("_ea", "_eb") >= threshold)
         .select(F.col("_idb").alias(id_col))

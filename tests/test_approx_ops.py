@@ -4,6 +4,7 @@ driver's rows-only pass cannot see — they pin the *quality* contract."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_project_spark import io
@@ -54,6 +55,56 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     # candidate pair among them would be an LSH false positive — allow a few
     unrelated_pairs = [p for p in pairs if p[0] >= 4 and p[1] >= 4]
     assert len(unrelated_pairs) <= 2, unrelated_pairs
+
+
+def test_lsh_hot_bucket_guard_bounds_candidate_pairs(spark):
+    """VERDICT r5 #2: an identical-template flood (m docs, one band
+    bucket) must NOT emit O(m²) candidate pairs. With the salt-split
+    guard, distinct candidates stay ≤ bands·cap·m, and the per-band
+    re-drawn salt keeps the duplicate cluster connected so the verified
+    dedup output is unchanged (one survivor)."""
+    m, cap, bands, k = 1200, 64, 4, 16
+    template = "breaking news template page with identical boilerplate body"
+    docs = [(i, template) for i in range(m)]
+    docs += [(m + i, f"organic document {i} words q{i}x q{i}y q{i}z") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    cand = dedup.minhash_lsh_candidates(
+        df, num_hashes=k, bands=bands, bucket_cap=cap
+    )
+    n_pairs = cand.count()
+    assert n_pairs <= bands * cap * m, n_pairs  # linear-in-m bound
+    assert n_pairs < m * (m - 1) // 2, n_pairs  # strictly below all-pairs
+    # the flood still collapses to ONE survivor end to end: per-band
+    # salts are independent, so the union of sub-bucket pairs connects
+    # the cluster and connected components recover it whole
+    pairs = dedup.jaccard_verify(df, cand.select("id_a", "id_b"), n=3, min_jaccard=0.5)
+    kept = sorted(
+        r.doc_id for r in dedup.drop_near_dups(df, pairs).collect()
+    )
+    assert kept == [0] + [m + i for i in range(5)], kept[:10]
+
+
+def test_lsh_bucket_cap_is_behavior_identical_when_not_fired(spark):
+    """When no bucket exceeds the cap the guarded plan must emit
+    BIT-identical candidates to the unguarded one (the salt is a constant
+    0) — this is what keeps the raw-banding SQL oracles green."""
+    base = "the quick brown fox jumps over the lazy dog near the old river"
+    docs = [(0, base), (1, base.replace("lazy", "sleepy"))]
+    docs += [(i, f"unrelated doc {i} tokens a{i} b{i} c{i} d{i} e{i}") for i in range(2, 12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(num_hashes=64, bands=16, hash_fn="md5_affine")
+    guarded = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in dedup.minhash_lsh_candidates(df, bucket_cap=8, **kw).collect()
+    }
+    raw = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in dedup.minhash_lsh_candidates(df, bucket_cap=None, **kw).collect()
+    }
+    assert guarded == raw and raw
+    with pytest.raises(ValueError, match="bucket_cap"):
+        dedup.minhash_lsh_candidates(df, bucket_cap=1)
 
 
 def test_minhash_estimate_tracks_exact_jaccard(spark):
@@ -216,6 +267,59 @@ def test_semantic_dedup_drops_planted_duplicate(spark):
     # keep-first must keep 0 and drop 1, and keep the unrelated 2
     kept = {r.vec_id for r in vector.semantic_dedup(df, n_clusters=1, threshold=0.95).collect()}
     assert kept == {0, 2}
+
+
+def test_semantic_dedup_exact_collapse_and_cluster_cap(spark):
+    """VERDICT r5 #2 (semantic leg): an identical-embedding flood enters
+    the within-cluster join as ONE min-id representative (collapse is
+    exactly semantics-preserving for greedy keep-first), and the opt-in
+    cluster_cap bounds near-identical floods with drops-only-shrink
+    semantics (survivors with cap ⊇ survivors without)."""
+    import math
+
+    base = [float(math.sin(i * 0.7)) for i in range(16)]
+    far = [float(math.cos(i * 1.3)) for i in range(16)]
+    m = 5000
+    rows = [(i, base) for i in range(m)] + [(m, far)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {
+        r.vec_id
+        for r in vector.semantic_dedup(df, n_clusters=2, threshold=0.95).collect()
+    }
+    assert kept == {0, m}  # min-id rep survives; flood gone; unrelated kept
+
+    # collapse off == collapse on for a corpus small enough to brute it
+    small = spark.createDataFrame(rows[:4] + [(m, far)], "vec_id long, embedding array<float>")
+    on = {r.vec_id for r in vector.semantic_dedup(small, n_clusters=2, threshold=0.95).collect()}
+    off = {
+        r.vec_id
+        for r in vector.semantic_dedup(
+            small, n_clusters=2, threshold=0.95, collapse_exact=False
+        ).collect()
+    }
+    assert on == off == {0, m}
+
+    # cluster_cap: near-identical (NOT byte-identical) vectors — capped
+    # run may only ADD survivors (pairs are a subset), never lose the
+    # min id, and the guard rejects a degenerate cap
+    near_rows = [
+        (i, [v + 0.0001 * i for v in base]) for i in range(40)
+    ] + [(99, far)]
+    ndf = spark.createDataFrame(near_rows, "vec_id long, embedding array<float>")
+    uncapped = {
+        r.vec_id
+        for r in vector.semantic_dedup(ndf, n_clusters=2, threshold=0.9).collect()
+    }
+    capped = {
+        r.vec_id
+        for r in vector.semantic_dedup(
+            ndf, n_clusters=2, threshold=0.9, cluster_cap=8
+        ).collect()
+    }
+    assert uncapped <= capped
+    assert 0 in capped and 99 in capped
+    with pytest.raises(ValueError, match="cluster_cap"):
+        vector.semantic_dedup(ndf, cluster_cap=1)
 
 
 def test_novelty_report_bounds_and_decontaminate_consistency(spark, sf_dir):
