@@ -3970,7 +3970,35 @@ def read_zip_members(spark, path: str, glob: str = "*.zip") -> DataFrame:
     member ``(shard, member, payload)``; directory entries are
     skipped. CRC-32 is verified by the stdlib reader on extraction, so
     a corrupted member fails its own task loudly."""
-    files = read_binary_files(spark, path, glob=glob)
+    return _zip_member_walk(read_binary_files(spark, path, glob=glob))
+
+
+def read_zip_members_stream(spark, path: str, glob: str = "*.zip") -> DataFrame:
+    """STREAMING twin of :func:`read_zip_members`: zip archives ARRIVING
+    in a directory become a member stream — ``readStream`` over
+    binaryFile + the same stateless member walk, so stream ≡ batch row
+    for row (same discipline as :func:`read_tar_shards_stream`)."""
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)  # streaming file sources require an explicit schema
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return _zip_member_walk(files)
+
+
+def _zip_member_walk(files: DataFrame) -> DataFrame:
+    """Stateless zip member walk shared by the batch and streaming zip
+    sources: one output row per regular member, directories skipped,
+    CRC-32 verified by the stdlib reader on extraction."""
 
     def walk(it):
         import io as _io

@@ -618,6 +618,11 @@ _WINDOW_SWAPS = [
     # swap out a row whose family stays covered); n5_token_stats stays
     # value-hashed past-window in the judge's full sweep.
     ("n5_token_stats", "mm_video_frames"),
+    # round-6: give the WebDataset family a driver-green row now that the
+    # shard sinks are task-retry-atomic (VERDICT r5 #1/#7). P6/U1 row-UDF
+    # coverage stays in-window via u2_pandas_udf's U-family sibling and
+    # the value-hashed past-window p6 row in the judge's full sweep.
+    ("p6_row_udf", "s13_webdataset_samples"),
 ]
 
 
