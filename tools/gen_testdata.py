@@ -41,6 +41,18 @@ WORDS = (
 
 LANGS = [("en", 70), ("fr", 10), ("de", 8), ("zh", 7), ("es", 5)]
 
+#: multilingual vocabulary for the non-ASCII document slice (round 6,
+#: VERDICT r5 "What's missing #2"): CJK, Cyrillic, Arabic, emoji,
+#: composed AND decomposed combining marks, Greek, Devanagari, Japanese.
+#: Docs with lang='zh' (7% of the corpus) draw from this list instead of
+#: the ASCII WORDS, so every locally generated corpus carries a real
+#: UTF-8 slice for the text/dedup/curation operators to chew on.
+WORDS_UTF8 = (
+    "你好 世界 大数据 引擎 データ 処理 высокий поток данные بيانات ضخمة "
+    "سريع café naïve déjà Ελληνικά λόγος देवनागरी लिपि 🌍 🚀 combíning "
+    "márks 高速 分布式 计算"
+).split()  # mixed-script tokens incl. NFD combining marks + astral emoji
+
 
 def _h(*cols):
     """Non-negative 63-bit hash of the given columns — the one source of
@@ -246,12 +258,26 @@ def gen(spark: SparkSession, sf: float, out: str, zipf: float | None) -> None:
     for code, ceiling in reversed(lang_arr[:-1]):
         lang_expr = F.when(pick < ceiling, F.lit(code)).otherwise(lang_expr)
     vocab = F.array(*[F.lit(w) for w in WORDS])
+    vocab_u8 = F.array(*[F.lit(w) for w in WORDS_UTF8])
+    n_u8 = len(WORDS_UTF8)
     n_words = (_h(F.col("id"), F.lit("dn")) % 46 + 15).cast("int")
+    # the 'zh' slice draws multilingual tokens — same length distribution,
+    # same hash-driven determinism, real UTF-8 content
+    is_u8 = lang_expr == "zh"
     text = F.array_join(
         F.transform(
             F.sequence(F.lit(1), n_words),
-            lambda i: F.element_at(
-                vocab, (_h(F.col("id"), i, F.lit("dw")) % 30 + 1).cast("int")
+            lambda i: F.when(
+                is_u8,
+                F.element_at(
+                    vocab_u8,
+                    (_h(F.col("id"), i, F.lit("dw")) % n_u8 + 1).cast("int"),
+                ),
+            ).otherwise(
+                F.element_at(
+                    vocab,
+                    (_h(F.col("id"), i, F.lit("dw")) % 30 + 1).cast("int"),
+                )
             ),
         ),
         " ",

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""One-off parity probe: which string functions agree between Spark and
+DuckDB over non-ASCII text? Drives the design of the utf8_* oracle rows
+(VERDICT r5 'What's missing #2'). Not part of the engine."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+SAMPLES = [
+    "你好世界 大数据 引擎",               # CJK
+    "Привет МИР Данные",                  # Cyrillic w/ caps
+    "مرحبا بالعالم بيانات",               # Arabic (RTL)
+    "🌍🚀 emoji data 🎯",                 # astral emoji
+    "café naïve résumé",      # composed + combining marks
+    "Ελληνικά ΛΟΓΟΣ",                    # Greek incl. final-sigma trap
+    "İstanbul ısır STRASSE ß",            # Turkish dotted I + sharp s
+    "देवनागरी लिपि",                      # Devanagari
+    "  mixed ASCII و عربي 123  ",        # mixed + pad
+    "tab\tand\nnewline　ideographic space",  # U+3000
+]
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+duck = duckdb.connect()
+
+EXPRS = [
+    ("lower", "lower({c})", "lower({c})"),
+    ("upper", "upper({c})", "upper({c})"),
+    ("length", "CAST(length({c}) AS BIGINT)", "CAST(length({c}) AS BIGINT)"),
+    ("trim", "trim({c})", "trim({c})"),
+    ("substr_2_5", "substring({c}, 2, 5)", "substr({c}, 2, 5)"),
+    ("strip_nonalnum", "regexp_replace({c}, '[^a-zA-Z0-9\\\\s]', '')",
+     "regexp_replace({c}, '[^a-zA-Z0-9\\\\s]', '', 'g')"),
+    ("ws_split_n", "CAST(size(split(trim({c}), '\\\\s+')) AS BIGINT)",
+     "CAST(len(string_split_regex(trim({c}), '\\\\s+')) AS BIGINT)"),
+    ("md5", "md5({c})", "md5({c})"),
+    ("reverse", "reverse({c})", "reverse({c})"),
+    ("unicode_strip", "regexp_replace({c}, '[^\\\\p{{L}}\\\\p{{N}}\\\\s]', '')",
+     "regexp_replace({c}, '[^\\\\p{{L}}\\\\p{{N}}\\\\s]', '', 'g')"),
+    ("levenshtein_vs_abc", "CAST(levenshtein({c}, 'abc') AS BIGINT)",
+     "CAST(levenshtein({c}, 'abc') AS BIGINT)"),
+    ("instr_data", "CAST(instr({c}, 'data') AS BIGINT)",
+     "CAST(instr({c}, 'data') AS BIGINT)"),
+    ("lpad", "lpad({c}, 25, '·')", "lpad({c}, 25, '·')"),
+    ("initcap", "initcap({c})", "initcap({c})"),
+    ("ascii_first", "CAST(ascii({c}) AS BIGINT)", "CAST(ascii({c}) AS BIGINT)"),
+    ("char_at3", "substring({c}, 3, 1)", "substr({c}, 3, 1)"),
+    ("encode_len", "CAST(length(encode({c}, 'UTF-8')) AS BIGINT)",
+     "CAST(octet_length(encode({c})) AS BIGINT)"),
+]
+
+df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "i int, s string")
+df.createOrReplaceTempView("t")
+duck.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+             + ",".join(f"({i}, ?)" for i in range(len(SAMPLES))) + ") v(i, s)",
+             SAMPLES)
+
+for name, sx, dx in EXPRS:
+    try:
+        sp = [r[0] for r in spark.sql(
+            f"SELECT {sx.format(c='s')} FROM t ORDER BY i").collect()]
+    except Exception as e:
+        print(f"{name:18s} SPARK-ERR {str(e).splitlines()[0][:80]}")
+        continue
+    try:
+        dk = [r[0] for r in duck.execute(
+            f"SELECT {dx.format(c='s')} FROM t ORDER BY i").fetchall()]
+    except Exception as e:
+        print(f"{name:18s} DUCK-ERR {str(e).splitlines()[0][:80]}")
+        continue
+    if sp == dk:
+        print(f"{name:18s} OK")
+    else:
+        print(f"{name:18s} DIVERGES")
+        for i, (a, b) in enumerate(zip(sp, dk)):
+            if a != b:
+                print(f"    [{i}] spark={a!r}  duck={b!r}")
+spark.stop()
