@@ -268,25 +268,28 @@ def minhash_lsh_candidates(
     web corpus concentrates millions of near-identical docs into single
     band buckets, and an unguarded self-join emits O(m²) pairs per hot
     bucket — quadratic OUTPUT that AQE cannot re-plan away. Buckets whose
-    member count exceeds ``bucket_cap`` are salt-split into
-    ``ceil(m/cap)`` sub-buckets by a BAND-DEPENDENT md5 of the doc id, so
-    per-bucket emission is bounded by ~cap·m instead of m². The salt is
-    re-drawn per band (the hash keys on ``(doc_id, band_id)``), so two
-    docs split apart in one band still meet in others — for duplicate
-    clusters (which collide in MANY bands) the union of per-band
-    sub-bucket pairs keeps the cluster connected w.h.p., and connected
-    components downstream recover the full cluster. Detection is a
-    count-aggregate on the (band, hash) keys joined back broadcast (the
-    hot list is ≤ rows/cap entries — tiny by construction), so benign
-    corpora pay one narrow count stage and zero behavior change: when no
-    bucket exceeds the cap the salt is constant 0 and the plan's output
-    is bit-identical to the unguarded join. ``bucket_cap=None`` disables
-    the guard (oracle mirrors that simulate raw banding use this).
+    member count exceeds ``bucket_cap`` switch from all-pairs to a STAR
+    candidate topology: every member pairs with the bucket's minimum doc
+    id only (star contraction, the standard CC trick) — m−1 pairs per hot
+    bucket per band instead of m(m−1)/2, a total output bound of
+    ~bands·m. Connectivity is preserved exactly for the flood case (the
+    bucket IS one duplicate cluster and the star connects it through the
+    min); a mixed hot bucket relies on the other bands' buckets for
+    intra-cluster pairs — the same probabilistic cover banding provides
+    everywhere else, and only ever weakened for buckets past the cap.
+    Bucket size and minimum come from ONE window over the same
+    (band_id, band_hash) clustering the self-join needs, so the guard
+    shares the join's exchange; the (rare) hot rows leave the join input
+    entirely and their star pairs are a pure projection. When no bucket
+    exceeds the cap the output is bit-identical to the unguarded join
+    (oracle mirrors that simulate raw banding stay green).
+    ``bucket_cap=None`` disables the guard.
 
     ``hash_fn="md5_affine"`` makes the whole candidate generation
     engine-exact (see :func:`minhash_signatures_agg`) — banding is md5 over
-    decimal-rendered signature components, identical in DuckDB; the salt
-    hash is md5-based too, so a fired cap remains DuckDB-mirrorable."""
+    decimal-rendered signature components, identical in DuckDB, and the
+    hot-bucket star (count/min windows over band keys) is equally
+    SQL-expressible, so a fired cap remains DuckDB-mirrorable."""
     rows_per_band = num_hashes // bands
     if bucket_cap is not None and bucket_cap < 2:
         raise ValueError("bucket_cap must be >= 2 (or None to disable)")
@@ -322,42 +325,40 @@ def minhash_lsh_candidates(
         F.col("a.band_id") == F.col("b.band_id"),
         F.col("a.band_hash") == F.col("b.band_hash"),
     ]
+    star = None
     if bucket_cap is not None:
-        # bucket sizes via a window over (band_id, band_hash) — the SAME
-        # partitioning the self-join clusters on (salt only refines the
-        # key set, and hash-partitioning on a subset of the join keys
-        # satisfies the join's clustering), so the guard shares the join's
-        # exchange instead of running a blocking count+broadcast branch:
-        # measured ~free when no bucket exceeds the cap.
-        salt_hash = F.expr(
-            "CAST(conv(substring(md5(concat_ws('_', CAST(doc_id AS STRING),"
-            " CAST(band_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-        )
+        # bucket size + minimum via ONE window over (band_id, band_hash) —
+        # the same clustering the self-join needs (hash-partitioning on a
+        # subset of the join keys satisfies the join's distribution), so
+        # the guard shares the join's exchange instead of running a
+        # blocking count+broadcast branch. Oversized buckets leave the
+        # join entirely; their star pairs are a pure projection.
         w = Window.partitionBy("band_id", "band_hash")
-        groups = F.ceil(F.count("*").over(w) / float(bucket_cap)).cast("int")
-        banded = banded.withColumn(
-            "_salt",
-            F.when(groups <= 1, F.lit(0)).otherwise(
-                F.pmod(salt_hash, groups).cast("int")
-            ),
+        banded = banded.withColumn("_hot", F.count("*").over(w) > bucket_cap)
+        star = (
+            banded.where(F.col("_hot"))
+            .withColumn("_min", F.min("doc_id").over(w))
+            .where(F.col("doc_id") != F.col("_min"))
+            .select(
+                F.col("_min").alias("id_a"), F.col("doc_id").alias("id_b")
+            )
         )
-        join_keys.append(F.col("a._salt") == F.col("b._salt"))
+        banded = banded.where(~F.col("_hot")).drop("_hot")
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            functools.reduce(
-                lambda x, y: x & y,
-                join_keys + [F.col("a.doc_id") < F.col("b.doc_id")],
-            ),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
-        .distinct()
+    pairs = a.join(
+        b,
+        functools.reduce(
+            lambda x, y: x & y,
+            join_keys + [F.col("a.doc_id") < F.col("b.doc_id")],
+        ),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    pairs = pairs.distinct()
     sa = sig.select(
         F.col("doc_id").alias("id_a"), F.col("signature").alias("_sig_a")
     )

@@ -59,10 +59,12 @@ def test_minhash_lsh_finds_near_duplicates(spark):
 
 def test_lsh_hot_bucket_guard_bounds_candidate_pairs(spark):
     """VERDICT r5 #2: an identical-template flood (m docs, one band
-    bucket) must NOT emit O(m²) candidate pairs. With the salt-split
-    guard, distinct candidates stay ≤ bands·cap·m, and the per-band
-    re-drawn salt keeps the duplicate cluster connected so the verified
-    dedup output is unchanged (one survivor)."""
+    bucket) must NOT emit O(m²) candidate pairs. Oversized buckets
+    switch to the star-to-minimum topology, so distinct candidates stay
+    ≤ bands·m (the flood's stars collapse to ONE distinct star since
+    every band has the same min), and the star keeps the duplicate
+    cluster connected so the verified dedup output is unchanged (one
+    survivor)."""
     m, cap, bands, k = 1200, 64, 4, 16
     template = "breaking news template page with identical boilerplate body"
     docs = [(i, template) for i in range(m)]
@@ -73,11 +75,11 @@ def test_lsh_hot_bucket_guard_bounds_candidate_pairs(spark):
         df, num_hashes=k, bands=bands, bucket_cap=cap
     )
     n_pairs = cand.count()
-    assert n_pairs <= bands * cap * m, n_pairs  # linear-in-m bound
+    assert n_pairs <= bands * (m + 5), n_pairs  # linear-in-m bound
     assert n_pairs < m * (m - 1) // 2, n_pairs  # strictly below all-pairs
-    # the flood still collapses to ONE survivor end to end: per-band
-    # salts are independent, so the union of sub-bucket pairs connects
-    # the cluster and connected components recover it whole
+    # the flood still collapses to ONE survivor end to end: every member
+    # pairs with the bucket minimum, so connected components recover the
+    # whole cluster through the star center
     pairs = dedup.jaccard_verify(df, cand.select("id_a", "id_b"), n=3, min_jaccard=0.5)
     kept = sorted(
         r.doc_id for r in dedup.drop_near_dups(df, pairs).collect()

@@ -114,12 +114,83 @@ def timed_subprocess(sf_dir: str, runs: int) -> dict:
     return best
 
 
+def template_flood(n_templates: int) -> int:
+    """Adversarial hot-bucket corpus (VERDICT r5 #2): n identical template
+    docs + n organic docs. Unguarded banded LSH would emit
+    bands·n²/2 candidate pairs (at 50k templates: 20 BILLION rows — the
+    job-killer); the bucket_cap salt-split must complete in bounded time
+    with candidates ≤ bands·cap·n and collapse the flood to ONE survivor.
+    Appends the measurement to bench_history.jsonl."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark import io  # noqa: F401
+    from big_data_project_spark.operators import dedup
+    from big_data_project_spark.session import get_spark
+
+    spark = get_spark(app_name="template-flood")
+    n = n_templates
+    ids = spark.range(0, 2 * n, 1, 32)
+    is_t = F.col("id") < n
+    text = F.when(
+        is_t,
+        F.lit("breaking news boilerplate template body repeated verbatim "
+              "across the crawl corpus"),
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"o{k}_"),
+                         F.abs(F.xxhash64("id", F.lit(k))).cast("string"))
+                for k in range(12)
+            ],
+        )
+    )
+    d = ids.select(F.col("id").alias("doc_id"), text.alias("text"))
+    d = d.localCheckpoint()  # corpus fixed; time only the dedup chain
+    bands, cap = 16, 1024
+    t0 = time.monotonic()
+    cand = dedup.minhash_lsh_candidates(
+        d, num_hashes=64, bands=bands, bucket_cap=cap
+    ).select("id_a", "id_b")
+    n_cand = cand.count()
+    t1 = time.monotonic()
+    pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
+    kept = dedup.drop_near_dups(d, pairs).count()
+    t2 = time.monotonic()
+    assert n_cand <= bands * cap * n, (n_cand, bands * cap * n)
+    assert kept == n + 1, kept  # one template survivor + n organic docs
+    rec = {
+        "metric": "lsh_template_flood_guarded",
+        "n_templates": n,
+        "bucket_cap": cap,
+        "bands": bands,
+        "candidates": n_cand,
+        "unguarded_candidates_would_be": bands * n * (n - 1) // 2,
+        "cand_sec": round(t1 - t0, 3),
+        "total_sec": round(t2 - t0, 3),
+        "kept": kept,
+    }
+    print(json.dumps(rec))
+    with open(os.path.join(REPO, "bench_history.jsonl"), "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", type=int, default=50_000)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--measure", default=None, help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--template-flood", type=int, default=None, metavar="N",
+        help="run the adversarial identical-template corpus (N templates "
+        "+ N organic docs) through guarded near-dedup and record bounds",
+    )
     args = ap.parse_args()
+
+    if args.template_flood:
+        return template_flood(args.template_flood)
 
     if args.measure:
         measure(args.measure)
