@@ -4352,3 +4352,50 @@ def mp3_stats(
         F.avg("bitrate_kbps").alias("mean_bitrate_kbps"),
         (F.count_distinct("bitrate_kbps") > 1).cast("int").alias("is_vbr"),
     )
+
+
+def write_tar_shards_stream(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    ext: str = "bin",
+    member_col: str | None = None,
+    compress: bool = False,
+):
+    """STREAMING twin of :func:`write_tar_shards`: a WebDataset EXPORT
+    running continuously — each micro-batch packs its rows into
+    ``<out_dir>/batch-<batchId>/shard-%05d.tar`` via the batch sink.
+
+    Replay discipline (exactly-once at the file level): shard membership
+    and bytes are a pure function of the batch's rows (id-hash sharding,
+    sorted members, normalized headers), and the batch sink publishes
+    through :func:`_atomic_publish`, so a replayed micro-batch (failure
+    before the checkpoint advanced) rewrites the SAME batch-scoped paths
+    with byte-identical content — readers never see duplicates or torn
+    shards. Downstream consumers ingest with
+    ``read_tar_shards(spark, f"{out_dir}/batch-*")`` or the streaming
+    reader. Returns the started query handle."""
+
+    def pack(batch_df, batch_id: int):
+        import os as _os
+
+        write_tar_shards(
+            batch_df,
+            _os.path.join(out_dir, f"batch-{int(batch_id):08d}"),
+            n_shards=n_shards,
+            id_col=id_col,
+            payload=payload,
+            ext=ext,
+            member_col=member_col,
+            compress=compress,
+        ).collect()  # the manifest action performs the write
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(pack)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

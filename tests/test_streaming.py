@@ -496,6 +496,60 @@ def test_streaming_zip_ingest_equals_batch(spark, tmp_path):
     assert got == want and len(got) == 12
 
 
+def test_streaming_tar_shard_export_equals_batch(spark, tmp_path):
+    """The streaming WebDataset EXPORT: rows arriving as a stream land in
+    batch-scoped shard directories whose members equal the batch sink's
+    output for the same rows, and a re-run of the same batch produces
+    byte-identical shards (the replay-safety contract: deterministic
+    bytes + atomic publish onto the same batch-scoped paths)."""
+    import json
+    import os
+
+    from big_data_project_spark.operators import multimodal as mm
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(i, bytes([65 + i % 26]) * (i + 1)) for i in range(15)]
+    with open(src / "in.json", "w") as fh:
+        for i, b in rows:
+            fh.write(json.dumps({"doc_id": i, "hexpayload": b.hex()}) + "\n")
+    out = str(tmp_path / "export")
+    stream = (
+        spark.readStream.schema("doc_id long, hexpayload string")
+        .json(str(src))
+        .select("doc_id", F.unhex("hexpayload").alias("payload"))
+    )
+    q = mm.write_tar_shards_stream(
+        stream, out, str(tmp_path / "ck"), n_shards=3
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    dirs = sorted(os.listdir(out))
+    assert dirs and all(d.startswith("batch-") for d in dirs)
+    got = {
+        int(r.member.split(".")[0]): bytes(r.payload)
+        for r in mm.read_tar_shards(spark, f"{out}/batch-*").collect()
+    }
+    assert got == dict(rows)
+    # replay-safety: re-packing the same rows into the same batch dir is
+    # byte-identical (so a replayed micro-batch overwrites, not duplicates)
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "doc_id long, payload binary"
+    )
+    before = {
+        f: open(os.path.join(out, dirs[0], f), "rb").read()
+        for f in os.listdir(os.path.join(out, dirs[0]))
+    }
+    mm.write_tar_shards(df, os.path.join(out, dirs[0]), n_shards=3).collect()
+    after = {
+        f: open(os.path.join(out, dirs[0], f), "rb").read()
+        for f in os.listdir(os.path.join(out, dirs[0]))
+    }
+    assert before == after
+
+
 def test_anomaly_stream_equals_batch_minus_open_buckets(spark, event_dir):
     """Streaming rolling z-score == the batch operator restricted to CLOSED
     buckets (everything except each key's final bucket, which the stream
