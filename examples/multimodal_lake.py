@@ -181,6 +181,37 @@ def main(sf_dir: str) -> None:
     n_cuts = cuts.where(F.col("is_cut")).count()
     print(f"scene cuts detected across sampled frames: {n_cuts}")
 
+    # --- 6. the COMPRESSED-AUDIO lane: MP3 container stats (frame walk,
+    #        duration, VBR detection) — the ingest-side triage that runs
+    #        BEFORE any perceptual decode is needed ------------------------
+    make_mp3 = multimodal.make_mp3_frames
+    brs = multimodal.MP3_BITRATES_V1L3
+
+    def build_mp3(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                b = ((t or "").encode() + b"x" * 5)[:5]
+                frames = [(brs[1 + c % 14], 44100, c % 2) for c in b]
+                rows.append(
+                    {"doc_id": i, "payload": make_mp3(frames, id3v1=i % 3 == 0)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    mp3s = docs.limit(64).mapInPandas(build_mp3, out_schema)
+    st = multimodal.mp3_stats(mp3s)
+    agg = st.agg(
+        F.count("*").alias("n"),
+        F.sum("duration_us").alias("us"),
+        F.sum(F.col("is_vbr")).alias("vbr"),
+    ).collect()[0]
+    print(
+        f"mp3 lane: {agg.n} streams, {agg.us / 1e6:.2f}s total audio, "
+        f"{agg.vbr} VBR"
+    )
+
     spark.stop()
     print("done.")
 
