@@ -825,6 +825,43 @@ def pq_adc_topk(
     return per.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def pq_adc_rerank(
+    codebooks: DataFrame,
+    encoded: DataFrame,
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    shortlist: int = 40,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    keep: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """ADC shortlist → EXACT re-rank: the standard production serving
+    pattern for compressed indexes (FAISS's refine/RFlat stage). The PQ
+    codes produce a ``shortlist``-sized candidate set without touching a
+    float vector; only those candidates' float embeddings are then read
+    (a shortlist-sized equi-join — at 100 TB this is the whole point:
+    the full vector column is fetched for ~4k rows, not the corpus) and
+    re-scored with exact L2 against the broadcast query. Recovers most
+    of the recall PQ quantization loses at the cost of one tiny join.
+    Both stages are deterministic folds, so the end-to-end result is
+    value-hashable; recall vs exact kNN is gated in tests."""
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    short = pq_adc_topk(
+        codebooks, encoded, query, k=shortlist, m=m, dim=dim,
+        id_col=id_col, keep=keep,
+    )
+    exact = (
+        short.select(id_col, *keep)
+        .join(embeddings.select(id_col, "embedding"), id_col)
+        .crossJoin(query)
+        .select(id_col, *keep, l2_sq("embedding", "q").alias("score"))
+    )
+    return exact.orderBy(F.col("score").asc(), F.col(id_col).asc()).limit(k)
+
+
 def sq8_encode(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -4481,6 +4481,48 @@ _FULL_L2 = (
     " CAST({b} AS DOUBLE[])), z -> (z[1]-z[2])*(z[1]-z[2])))"
 )
 
+
+@register(
+    "e9_pq_rerank_topk",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
+    qsub AS (SELECT s,
+                    (CAST(qe AS DOUBLE[]))
+                      [CAST(s*16+1 AS BIGINT):CAST(s*16+16 AS BIGINT)] AS qs
+             FROM q, (SELECT unnest(range(0, 4)) AS s)),
+    dtab AS (SELECT c.s, c.code,
+                    {_PQ_L2.format(a="q.qs", b="c.centroid")} AS qd
+             FROM qsub q JOIN cb c USING (s)),
+    short AS (SELECT e.vec_id, any_value(e.label) AS label,
+                     list_sum(list(d.qd ORDER BY e.s)) AS adist
+              FROM enc e JOIN dtab d USING (s, code) GROUP BY e.vec_id
+              ORDER BY adist, vec_id LIMIT 40),
+    ex AS (SELECT s.vec_id, s.label,
+                  {{full_l2}} AS score
+           FROM short s JOIN embeddings emb USING (vec_id), q)
+    SELECT vec_id, label, score FROM ex ORDER BY score, vec_id LIMIT 10
+    """.replace(
+        "{full_l2}",
+        "list_sum(list_transform(list_zip(CAST(emb.embedding AS DOUBLE[]),"
+        " CAST(q.qe AS DOUBLE[])), z -> (z[1]-z[2])*(z[1]-z[2])))",
+    ),
+)
+def e9_pq_rerank_topk(spark, sf_dir):
+    """E9c: ADC shortlist → EXACT re-rank (FAISS's refine stage) — the
+    production serving pattern for compressed indexes: PQ codes propose a
+    40-candidate shortlist with no float reads, then ONLY those rows'
+    float vectors are fetched (shortlist-sized equi-join) and re-scored
+    with exact L2. Both stages are deterministic folds, so the composed
+    result is value-hashed end to end; the recall-recovery property
+    (rerank ≥ raw ADC against exact kNN) is gated in
+    tests/test_approx_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = vector.pq_codebooks(emb, m=4, n_codes=16, dim=64)
+    enc = vector.pq_encode(emb, cb, m=4, dim=64)
+    q = vector.query_vector_of(emb, 3)
+    return vector.pq_adc_rerank(cb, enc, emb, q, k=10, shortlist=40, m=4, dim=64)
+
 _IVF_HH = _HEX_SEG.format(a=1, b=16).replace(
     "hx", "md5(CAST(vec_id AS VARCHAR))"
 )

@@ -446,6 +446,36 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir):
     assert hits / 50 >= 0.35, hits
 
 
+def test_pq_rerank_recovers_recall_over_raw_adc(spark, sf_dir):
+    """The refine stage's defining property: exact re-rank of the ADC
+    shortlist must do at least as well as raw ADC top-k against exact
+    kNN (it re-scores a superset with the true metric), and any exact
+    neighbor that made the shortlist MUST be in the reranked top-k."""
+    emb = io.load_table(spark, sf_dir, "embeddings").cache()
+    cb = vector.pq_codebooks(emb, m=4, n_codes=16, dim=64).cache()
+    enc = vector.pq_encode(emb, cb, m=4, dim=64).cache()
+    adc_hits = rr_hits = 0
+    for qid in (0, 3, 7, 42, 99):
+        q = vector.query_vector_of(emb, qid)
+        exact = {r.vec_id for r in vector.knn_topk(emb, q, k=10, metric="l2").collect()}
+        adc = [r.vec_id for r in vector.pq_adc_topk(cb, enc, q, k=40, m=4, dim=64).collect()]
+        rr = {
+            r.vec_id
+            for r in vector.pq_adc_rerank(
+                cb, enc, emb, q, k=10, shortlist=40, m=4, dim=64
+            ).collect()
+        }
+        adc_hits += len(exact & set(adc[:10]))
+        rr_hits += len(exact & rr)
+        # every exact neighbor the shortlist caught must survive rerank
+        assert (exact & set(adc)) <= rr
+    assert rr_hits >= adc_hits, (rr_hits, adc_hits)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shortlist"):
+        vector.pq_adc_rerank(cb, enc, emb, vector.query_vector_of(emb, 0), k=10, shortlist=5)
+
+
 def test_pq_codes_compress_and_cover(spark, sf_dir):
     emb = io.load_table(spark, sf_dir, "embeddings")
     cb = vector.pq_codebooks(emb, m=4, n_codes=16, dim=64)

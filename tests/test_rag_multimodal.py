@@ -1671,8 +1671,9 @@ def test_codec_fuzz_corruption_always_terminates():
     """Seeded fuzz over all strict codecs: byte flips, truncations and
     zeroed length fields on valid files must TERMINATE promptly with a
     sane exception (or, for formats without full integrity checks, a
-    decoded result) — never hang or corrupt the interpreter. 525 mutations
-    across 7 decoders (GIF still AND animated, WAV-ADPCM, Y4M)."""
+    decoded result) — never hang or corrupt the interpreter. 600 mutations
+    across 8 decoders (GIF still AND animated, WAV-ADPCM, Y4M, and the
+    MP3 container walker)."""
     import random
 
     rng = random.Random(20240814)
@@ -1696,6 +1697,12 @@ def test_codec_fuzz_corruption_always_terminates():
                 transparent=(1, 2, 3),
             ),
             multimodal.decode_gif_frames,
+        ),
+        (
+            multimodal.make_mp3_frames(
+                [(128, 44100, 0), (64, 48000, 1), (320, 32000, 0)], id3v1=True
+            ),
+            lambda b: multimodal._mp3_walker()(b),
         ),
     ]
     for blob, decoder in fixtures:
