@@ -334,16 +334,25 @@ def minhash_lsh_candidates(
         # blocking count+broadcast branch. Oversized buckets leave the
         # join entirely; their star pairs are a pure projection.
         w = Window.partitionBy("band_id", "band_hash")
-        banded = banded.withColumn("_hot", F.count("*").over(w) > bucket_cap)
+        # one window pass computes both size and minimum; the slim result
+        # (4 narrow columns × docs·bands rows) is localCheckpointed so the
+        # three consumers (join sides a/b + the star branch) scan it once
+        # instead of re-running the window per branch
+        banded = banded.select(
+            "doc_id",
+            "band_id",
+            "band_hash",
+            (F.count("*").over(w) > bucket_cap).alias("_hot"),
+            F.min("doc_id").over(w).alias("_min"),
+        ).localCheckpoint(eager=False)
         star = (
             banded.where(F.col("_hot"))
-            .withColumn("_min", F.min("doc_id").over(w))
             .where(F.col("doc_id") != F.col("_min"))
             .select(
                 F.col("_min").alias("id_a"), F.col("doc_id").alias("id_b")
             )
         )
-        banded = banded.where(~F.col("_hot")).drop("_hot")
+        banded = banded.where(~F.col("_hot")).drop("_hot", "_min")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = a.join(
