@@ -192,6 +192,128 @@ def _lang_best(score_of) -> Column:
     )
 
 
+#: Unicode scripts the profile counts, in dominance tie-break order.
+#: Java regex spells them \p{IsXxx}; RE2/DuckDB \p{Xxx} — probed
+#: character-identical for all eight (tools/utf8_probe.py lineage).
+SCRIPTS = (
+    "Han",
+    "Hiragana",
+    "Katakana",
+    "Cyrillic",
+    "Arabic",
+    "Greek",
+    "Devanagari",
+    "Latin",
+)
+
+#: dominant script → ISO-639-1 language (Han is resolved to ja when any
+#: kana is present — the standard CJK disambiguation heuristic; Latin
+#: falls back to the stopword argmax).
+SCRIPT_LANG = {
+    "Han": "zh",
+    "Hiragana": "ja",
+    "Katakana": "ja",
+    "Cyrillic": "ru",
+    "Arabic": "ar",
+    "Greek": "el",
+    "Devanagari": "hi",
+}
+
+
+def _script_count(text: str, script: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(F.col(text), F.lit(rf"\p{{Is{script}}}"), F.lit(0))
+    ).cast("long")
+
+
+def script_profile(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document Unicode-SCRIPT histogram — the signal Latin-stopword
+    lang-id fundamentally lacks on a multilingual web corpus: character
+    counts per script (Han/kana/Cyrillic/Arabic/Greek/Devanagari/Latin),
+    the dominant script (max count, ties by declaration order), and the
+    dominant share in integer permille of scripted characters. One narrow
+    scan, no shuffle; every count is a regexp class both engines evaluate
+    character-identically, so the profile is value-hashable."""
+    counts = {s: _script_count(text, s) for s in SCRIPTS}
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    best = F.greatest(
+        *[
+            F.struct(
+                counts[s].alias("n"),
+                F.lit(len(SCRIPTS) - i).alias("prio"),
+                F.lit(s).alias("script"),
+            )
+            for i, s in enumerate(SCRIPTS)
+        ]
+    )
+    staged = df.select(
+        "doc_id",
+        *[counts[s].alias(f"n_{s.lower()}") for s in SCRIPTS],
+        total.alias("_total"),
+        best["n"].alias("_bn"),
+        F.when(total == 0, F.lit("none"))
+        .otherwise(best["script"])
+        .alias("dominant_script"),
+    )
+    return staged.select(
+        "doc_id",
+        *[f"n_{s.lower()}" for s in SCRIPTS],
+        "dominant_script",
+        # `div` = exact integer division (float floor risks an off-by-one
+        # against DuckDB's `//` at representation boundaries)
+        F.expr(
+            "CASE WHEN _total = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE _bn * 1000 div _total END"
+        ).alias("dominant_permille"),
+    )
+
+
+def lang_id_script(df: DataFrame, text: str = "text") -> DataFrame:
+    """Script-aware language ID: the dominant Unicode script names the
+    language directly for non-Latin scripts (Han→zh unless kana is
+    present → ja; Cyrillic→ru, Arabic→ar, Greek→el, Devanagari→hi);
+    Latin-dominant text falls back to the stopword argmax (en/de/es/fr);
+    scriptless text is 'und'. This is how production curation pipelines
+    triage a web crawl BEFORE any model-based classifier runs — one
+    regexp-class scan, no shuffle, engine-exact."""
+    counts = {s: _script_count(text, s) for s in SCRIPTS}
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    best = F.greatest(
+        *[
+            F.struct(
+                counts[s].alias("n"),
+                F.lit(len(SCRIPTS) - i).alias("prio"),
+                F.lit(s).alias("script"),
+            )
+        for i, s in enumerate(SCRIPTS)
+        ]
+    )
+    kana = counts["Hiragana"] + counts["Katakana"]
+    stop_best = _lang_best(lambda lang: _hits(text, LANG_STOPWORDS[lang]))
+    lang = F.when(total == 0, F.lit("und"))
+    dom = best["script"]
+    for s in SCRIPTS[:-1]:
+        code = SCRIPT_LANG[s]
+        val = (
+            F.when(kana > 0, F.lit("ja")).otherwise(F.lit("zh"))
+            if s == "Han"
+            else F.lit(code)
+        )
+        lang = lang.when(dom == s, val)
+    lang = lang.otherwise(stop_best["lang"])  # Latin → stopword argmax
+    return df.select(
+        "doc_id",
+        F.when(total == 0, F.lit("none")).otherwise(dom).alias(
+            "dominant_script"
+        ),
+        lang.alias("lang"),
+    )
+
+
 def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
     """Language ID via stopword-hit argmax (deterministic tie-break by
     language code order en < de < es < fr via greatest-struct trick)."""

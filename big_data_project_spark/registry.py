@@ -9919,6 +9919,103 @@ def mm_mp3_frame_index(spark, sf_dir):
     )
 
 
+#: phrase-dominant multilingual text: three phrase repeats + a short
+#: ASCII tail, so the phrase's script outweighs the tail
+_UTF8_DOM_SQL = (
+    f"concat({_UTF8_CASE}, ' ', {_UTF8_CASE}, ' ', {_UTF8_CASE},"
+    " ' ', substr(text, 1, 12))"
+)
+
+_SCRIPT_COLS = [s.lower() for s in (
+    "Han", "Hiragana", "Katakana", "Cyrillic", "Arabic", "Greek",
+    "Devanagari", "Latin",
+)]
+
+
+def _script_dom_sql() -> str:
+    """Nested CASE matching script_profile's greatest-struct tie-break
+    (declaration order wins ties)."""
+    whens = []
+    for i, s in enumerate(_SCRIPT_COLS):
+        conds = " AND ".join(
+            f"n_{s} >= n_{o}" for o in _SCRIPT_COLS[i + 1 :]
+        ) or "TRUE"
+        whens.append(f"WHEN {conds} THEN '{s.capitalize()}'")
+    # tie-break order means each WHEN only needs >= against LATER scripts
+    return "CASE " + " ".join(whens) + " END"
+
+
+_SCRIPT_COUNT_SQL = ", ".join(
+    "CAST(len(regexp_extract_all(text, '\\p{" + s.capitalize() + "}'))"
+    " AS BIGINT) AS n_" + s
+    for s in _SCRIPT_COLS
+)
+_SCRIPT_SUM_SQL = " + ".join(f"n_{s}" for s in _SCRIPT_COLS)
+_SCRIPT_LIST_SQL = ", ".join(f"n_{s}" for s in _SCRIPT_COLS)
+
+
+@register(
+    "utf8_script_lang_id",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_UTF8_DOM_SQL} AS text FROM documents),
+    c AS (SELECT doc_id, text, {_SCRIPT_COUNT_SQL} FROM m),
+    t AS (SELECT *, {_SCRIPT_SUM_SQL} AS total,
+                 greatest({_SCRIPT_LIST_SQL}) AS bn,
+                 CASE WHEN {_SCRIPT_SUM_SQL} = 0
+                      THEN 'none' ELSE {_script_dom_sql()} END
+                   AS dominant_script,
+                 len(regexp_extract_all(text, '\\b(the|a|of|and|is)\\b'))   AS s_en,
+                 len(regexp_extract_all(text, '\\b(der|die|das|und|ist)\\b')) AS s_de,
+                 len(regexp_extract_all(text, '\\b(el|la|de|y|es)\\b'))     AS s_es,
+                 len(regexp_extract_all(text, '\\b(le|la|et|les|est)\\b'))  AS s_fr
+          FROM c)
+    SELECT doc_id,
+           {_SCRIPT_LIST_SQL},
+           dominant_script,
+           CASE WHEN total = 0 THEN CAST(0 AS BIGINT)
+                ELSE bn * 1000 // total END AS dominant_permille,
+           CASE dominant_script
+                WHEN 'none' THEN 'und'
+                WHEN 'Han' THEN CASE WHEN n_hiragana + n_katakana > 0
+                                     THEN 'ja' ELSE 'zh' END
+                WHEN 'Hiragana' THEN 'ja'
+                WHEN 'Katakana' THEN 'ja'
+                WHEN 'Cyrillic' THEN 'ru'
+                WHEN 'Arabic' THEN 'ar'
+                WHEN 'Greek' THEN 'el'
+                WHEN 'Devanagari' THEN 'hi'
+                ELSE CASE
+                  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END
+           END AS lang
+    FROM t
+    """,
+)
+def utf8_script_lang_id(spark, sf_dir):
+    """Script-aware language ID + the per-script character histogram over
+    phrase-dominant multilingual text — the triage a web-crawl curation
+    pipeline runs before any model: Unicode script classes (probed
+    character-identical between Java's \\p{{IsXxx}} and RE2's \\p{{Xxx}}),
+    dominance with declaration-order ties, Han→ja-when-kana, Latin →
+    stopword-argmax fallback, 'und' for scriptless docs. Counts, dominant
+    script, integer-permille share AND the language decision are all
+    value-hashed. text.script_profile / text.lang_id_script."""
+    d = _t(spark, sf_dir, "documents")
+    phrase = F.element_at(
+        F.array(*[F.lit(p) for p in _UTF8_PHRASES]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    dom_text = F.concat_ws(
+        " ", phrase, phrase, phrase, F.substring("text", 1, 12)
+    )
+    src = d.select("doc_id", dom_text.alias("text"))
+    prof = text.script_profile(src)
+    langs = text.lang_id_script(src).select("doc_id", "lang")
+    return prof.join(langs, "doc_id")
+
+
 #: merges exercising BPE over non-Latin scripts: CJK pair→triple chain,
 #: Cyrillic pair, composed-accent pair, plus the ASCII cascade
 _BPE_UTF8 = [
