@@ -54,6 +54,17 @@ EXPRS = [
     ("char_at3", "substring({c}, 3, 1)", "substr({c}, 3, 1)"),
     ("encode_len", "CAST(length(encode({c}, 'UTF-8')) AS BIGINT)",
      "CAST(octet_length(encode({c})) AS BIGINT)"),
+] + [
+    # Unicode script classes (text.script_profile / lang_id_script):
+    # Java spells them \p{IsXxx}, RE2 \p{Xxx} — all eight probed
+    # character-identical (the basis of utf8_script_lang_id's oracle)
+    # NOTE escaping: the Spark leg goes through spark.sql (its string
+    # literals unescape \\ -> \), the DuckDB leg does not
+    (f"script_{s}",
+     f"CAST(size(regexp_extract_all({{c}}, '\\\\p{{{{Is{s}}}}}', 0)) AS BIGINT)",
+     f"CAST(len(regexp_extract_all({{c}}, '\\p{{{{{s}}}}}')) AS BIGINT)")
+    for s in ("Han", "Hiragana", "Katakana", "Cyrillic", "Arabic", "Greek",
+              "Devanagari", "Latin")
 ]
 
 df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "i int, s string")
