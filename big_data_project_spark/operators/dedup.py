@@ -333,26 +333,34 @@ def minhash_lsh_candidates(
         # the guard shares the join's exchange instead of running a
         # blocking count+broadcast branch. Oversized buckets leave the
         # join entirely; their star pairs are a pure projection.
-        w = Window.partitionBy("band_id", "band_hash")
-        # one window pass computes both size and minimum; the slim result
-        # (4 narrow columns × docs·bands rows) is localCheckpointed so the
-        # three consumers (join sides a/b + the star branch) scan it once
-        # instead of re-running the window per branch
-        banded = banded.select(
-            "doc_id",
-            "band_id",
-            "band_hash",
-            (F.count("*").over(w) > bucket_cap).alias("_hot"),
-            F.min("doc_id").over(w).alias("_min"),
-        ).localCheckpoint(eager=False)
+        # hot-bucket detection as an aggregate over the slim banded rows
+        # (re-derived from the checkpointed sig — 16 md5s per doc, cheap)
+        # + a BROADCAST join-back (the hot list is ≤ rows/cap entries —
+        # tiny by construction). Deliberately NOT a window: a window
+        # forces an exchange+sort of every banded row before the
+        # self-join, which also blocks AQE from choosing a broadcast join
+        # for small corpora; the aggregate shuffles only (band, hash,
+        # count, min) partials and leaves the join strategy free. The
+        # residual guard cost is ~two serial job barriers (aggregate +
+        # broadcast) — constant scheduler latency that amortizes to zero
+        # at scale.
+        hot = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("_n"), F.min("doc_id").alias("_min"))
+            .where(F.col("_n") > bucket_cap)
+            .drop("_n")
+        )
+        marked = banded.join(
+            F.broadcast(hot), ["band_id", "band_hash"], "left"
+        )
         star = (
-            banded.where(F.col("_hot"))
+            marked.where(F.col("_min").isNotNull())
             .where(F.col("doc_id") != F.col("_min"))
             .select(
                 F.col("_min").alias("id_a"), F.col("doc_id").alias("id_b")
             )
         )
-        banded = banded.where(~F.col("_hot")).drop("_hot", "_min")
+        banded = marked.where(F.col("_min").isNull()).drop("_min")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = a.join(
