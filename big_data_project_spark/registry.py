@@ -10016,6 +10016,110 @@ def utf8_script_lang_id(spark, sf_dir):
     return prof.join(langs, "doc_id")
 
 
+@register(
+    "pl_multilingual_curation",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_UTF8_DOM_SQL} AS text FROM documents),
+    c AS (SELECT doc_id, text, {_SCRIPT_COUNT_SQL} FROM m),
+    t AS (SELECT *, {_SCRIPT_SUM_SQL} AS total,
+                 greatest({_SCRIPT_LIST_SQL}) AS bn,
+                 CASE WHEN {_SCRIPT_SUM_SQL} = 0
+                      THEN 'none' ELSE {_script_dom_sql()} END
+                   AS dominant_script,
+                 len(regexp_extract_all(text, '\\b(the|a|of|and|is)\\b'))   AS s_en,
+                 len(regexp_extract_all(text, '\\b(der|die|das|und|ist)\\b')) AS s_de,
+                 len(regexp_extract_all(text, '\\b(el|la|de|y|es)\\b'))     AS s_es,
+                 len(regexp_extract_all(text, '\\b(le|la|et|les|est)\\b'))  AS s_fr
+          FROM c),
+    lng AS (SELECT doc_id, text, total, bn,
+                   CASE WHEN total = 0 THEN CAST(0 AS BIGINT)
+                        ELSE bn * 1000 // total END AS permille,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x != '')) AS n_words,
+                   CASE dominant_script
+                        WHEN 'none' THEN 'und'
+                        WHEN 'Han' THEN CASE WHEN n_hiragana + n_katakana > 0
+                                             THEN 'ja' ELSE 'zh' END
+                        WHEN 'Hiragana' THEN 'ja'
+                        WHEN 'Katakana' THEN 'ja'
+                        WHEN 'Cyrillic' THEN 'ru'
+                        WHEN 'Arabic' THEN 'ar'
+                        WHEN 'Greek' THEN 'el'
+                        WHEN 'Devanagari' THEN 'hi'
+                        ELSE CASE
+                          WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                            THEN 'en'
+                          WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                          WHEN s_es >= s_fr THEN 'es'
+                          ELSE 'fr' END
+                   END AS lang
+            FROM t),
+    gated AS (SELECT * FROM lng WHERE permille >= 300 AND n_words >= 8),
+    dd AS (SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM gated) WHERE rn = 1)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(sum(permille) // count(*) AS BIGINT) AS mean_permille
+    FROM dd GROUP BY lang
+    """,
+)
+def pl_multilingual_curation(spark, sf_dir):
+    """The multilingual curation line END TO END under one value hash —
+    the round-6 integration flagship: script-aware language ID →
+    script-purity + length quality gate (integer permille, no floats) →
+    exact dedup (min-id keeper on the md5 fingerprint of raw text —
+    NOT the C1-normalized one, which would collapse different scripts) →
+    per-language dataset-card aggregate (docs, token totals, integer
+    mean purity). Every stage is an operator proven in isolation
+    (utf8_script_lang_id, utf8_token_stats, dd_exact_groups shape);
+    this row proves the composition. One scan + one dedup shuffle + one
+    final aggregate — the 100 TB shape of a per-language corpus
+    release."""
+    d = _t(spark, sf_dir, "documents")
+    phrase = F.element_at(
+        F.array(*[F.lit(p) for p in _UTF8_PHRASES]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    dom_text = F.concat_ws(
+        " ", phrase, phrase, phrase, F.substring("text", 1, 12)
+    )
+    src = d.select("doc_id", dom_text.alias("text"))
+    prof = text.script_profile(src).select(
+        "doc_id", "dominant_permille"
+    )
+    langs = text.lang_id_script(src).select("doc_id", "lang")
+    stats = src.select(
+        "doc_id",
+        "text",
+        F.size(text.words_col("text")).cast("long").alias("n_words"),
+    )
+    gated = (
+        stats.join(prof, "doc_id")
+        .join(langs, "doc_id")
+        .where(
+            (F.col("dominant_permille") >= 300) & (F.col("n_words") >= 8)
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = gated.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    return dd.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.expr("sum(dominant_permille) div count(*)")
+        .cast("long")
+        .alias("mean_permille"),
+    )
+
+
 #: merges exercising BPE over non-Latin scripts: CJK pair→triple chain,
 #: Cyrillic pair, composed-accent pair, plus the ASCII cascade
 _BPE_UTF8 = [
