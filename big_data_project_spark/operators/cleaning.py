@@ -117,3 +117,30 @@ def record_id(*cols: str) -> Column:
     """§1.4.2: stable string record id. The reference used numeric `+` on
     strings (py:281-282) → always-null double; the intent is concatenation."""
     return F.concat_ws("_", *[F.col(c) for c in cols])
+
+
+def nfc_normalize(
+    df: DataFrame, column: str = "text", out: str | None = None
+) -> DataFrame:
+    """Unicode NFC canonicalization — the multilingual-curation step the
+    byte-level fingerprints silently need: 'café' composed (U+00E9) and
+    decomposed (e + U+0301) are the SAME text but different bytes, so
+    exact dedup, MinHash shingles and md5 fingerprints all treat them as
+    distinct documents until the corpus is canonicalized. Arrow-batched
+    pandas UDF over Python's unicodedata (the JVM has no NFC builtin
+    reachable from Spark SQL); probed byte-identical to DuckDB's
+    ``nfc_normalize`` (utf8proc) across composed/decomposed Latin,
+    canonical reordering of stacked combining marks, Hangul Jamo
+    composition and singleton mappings (U+2126 Ohm → U+03A9 Omega), so
+    the operator is oracle-checkable. Narrow map — no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # self-contained: imports inside, no module refs
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return df.withColumn(out or column, _nfc(F.col(column)))

@@ -10120,6 +10120,71 @@ def pl_multilingual_curation(spark, sf_dir):
     )
 
 
+#: NFC/NFD twin phrases: the decomposed form is COMPUTED from the
+#: composed one at import (deterministic), so the two are guaranteed to
+#: be canonical-equivalent spellings of identical text.
+_NFC_PHRASE = "café déjà vu naïve résumé"
+_NFD_PHRASE = __import__("unicodedata").normalize("NFD", _NFC_PHRASE)
+
+
+@register(
+    "utf8_nfc_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             concat(CASE WHEN doc_id % 2 = 0 THEN '{_NFC_PHRASE}'
+                         ELSE '{_NFD_PHRASE}' END,
+                    ' t', CAST(doc_id // 2 AS VARCHAR)) AS text
+      FROM documents),
+    raw AS (SELECT count(DISTINCT md5(text)) AS n FROM corpus),
+    canon AS (SELECT md5(nfc_normalize(text)) AS content_hash,
+                     min(doc_id) AS keeper_id,
+                     count(*) AS n_copies
+              FROM corpus GROUP BY 1)
+    SELECT c.content_hash, c.keeper_id, c.n_copies,
+           CAST(r.n AS BIGINT) AS raw_distinct
+    FROM canon c, raw r
+    """,
+)
+def utf8_nfc_dedup(spark, sf_dir):
+    """NFC canonicalization closing a REAL dedup hole: document pairs
+    spell the same text in composed (NFC) and decomposed (NFD) form —
+    byte-level md5 sees them all as distinct (raw_distinct = n_docs),
+    while dedup over nfc_normalize collapses every pair to one group
+    with the even (NFC) doc as keeper. Python unicodedata NFC is hashed
+    against DuckDB's utf8proc nfc_normalize — two independent Unicode
+    implementations agreeing byte-for-byte on every group.
+    cleaning.nfc_normalize."""
+    d = _t(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_NFC_PHRASE)).otherwise(
+                F.lit(_NFD_PHRASE)
+            ),
+            F.lit(" t"),
+            F.expr("CAST(doc_id div 2 AS STRING)"),
+        ).alias("text"),
+    )
+    raw_distinct = src.agg(
+        F.count_distinct(F.md5("text")).alias("n")
+    )
+    canon = (
+        cleaning.nfc_normalize(src)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    return canon.crossJoin(F.broadcast(raw_distinct)).select(
+        "content_hash",
+        "keeper_id",
+        "n_copies",
+        F.col("n").cast("long").alias("raw_distinct"),
+    )
+
+
 #: merges exercising BPE over non-Latin scripts: CJK pair→triple chain,
 #: Cyrillic pair, composed-accent pair, plus the ASCII cascade
 _BPE_UTF8 = [
