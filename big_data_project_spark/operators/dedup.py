@@ -818,6 +818,11 @@ def duplicate_spans(
         ).alias("pos", "gram"),
     ).select("doc_id", "total_tokens", "pos", F.xxhash64("gram").alias("gh"))
     if skew_safe:
+        # the gram stream feeds BOTH the count aggregate and the join-back
+        # side; without a cut the tokenize+explode+hash map pass runs
+        # twice. localCheckpoint materializes it once — the storage cost
+        # is the same order as the shuffle this branch already pays.
+        grams = grams.localCheckpoint(eager=False)
         dup = (
             grams.groupBy("gh")
             .agg(F.count("*").alias("cnt"))
