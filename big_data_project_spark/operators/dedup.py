@@ -626,7 +626,7 @@ def remove_hot_lines(
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text), sep, -1)).alias("_pos", "_line"),
-    )
+    ).localCheckpoint(eager=False)  # feeds hot-agg AND anti-join: split once
     hot = (
         lines.groupBy("_line")
         .agg(F.count_distinct(id_col).alias("_nd"))
