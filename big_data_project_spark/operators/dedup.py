@@ -144,7 +144,9 @@ def jaccard_verify(
     doc (each candidate pair expands to its own shingle rows, never the
     corpus cross product), so it composes with minhash_lsh_candidates into
     a fully scale-shaped near-dedup: block → verify → cluster → drop."""
-    sh = doc_shingles(df, text, id_col, n)
+    # the shingle stream feeds the size aggregate AND both join sides —
+    # checkpoint so the corpus tokenizes once, not three times
+    sh = doc_shingles(df, text, id_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     p = pairs.select("id_a", "id_b")
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle").alias("_sa"))
