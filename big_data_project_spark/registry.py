@@ -4096,7 +4096,11 @@ def tx_classifier(spark, sf_dir):
         F.size(F.filter(w, lambda x: (x == "fast") | (x == "big")))
         > F.size(F.filter(w, lambda x: (x == "slow") | (x == "small")))
     ).cast("long")
-    lby = docs.select("doc_id", "text", y.alias("y"))
+    # the labeled corpus feeds training, scoring AND the actual-label
+    # join; checkpoint so the scan + teacher-rule evaluation runs once
+    lby = docs.select("doc_id", "text", y.alias("y")).localCheckpoint(
+        eager=False
+    )
     weights = text.train_hashed_classifier(
         lby.where(F.col("doc_id") % 2 == 0), "y"
     )
