@@ -690,7 +690,11 @@ def pq_codebooks(
     same trade as kmeans_refine).
 
     Returns (s, code, centroid) — m·n_codes rows, always broadcast-sized
-    (a 16×256 book for 1024-d vectors is 16 KB of floats)."""
+    (a 16×256 book for 1024-d vectors is 16 KB of floats). The result is
+    localCheckpointed: every consumer (encode, ADC distance tables,
+    refine) re-uses the materialized m·n_codes rows instead of
+    re-aggregating the corpus per reference — the train pass runs
+    exactly once, as a train pass should."""
     sub = pq_subvectors(embeddings, m=m, dim=dim, emb_col=emb_col, keep=(id_col,))
     hh = F.expr(
         f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), '|', "
@@ -700,6 +704,7 @@ def pq_codebooks(
         sub.withColumn("_hh", hh)
         .groupBy("s", F.pmod(F.col("_hh"), F.lit(n_codes)).alias("code"))
         .agg(F.min_by("sub", "_hh").alias("centroid"))
+        .localCheckpoint(eager=False)
     )
 
 
