@@ -372,6 +372,10 @@ def build_ivf(
     centroids = (
         bucketed.groupBy("list_id")
         .agg(F.min_by("embedding", F.struct("_h", "vec_id")).alias("centroid"))
+        # NOT localCheckpointed: even eager=False checkpointing runs a
+        # planning job, violating the pinned job-free-build contract
+        # (test_ivf_build_is_lazy). Consumers re-derive the ≤n_lists-row
+        # aggregate — acceptable (one map-side-combining pass each).
     )
     return centroids, ivf_assign(embeddings, centroids)
 
