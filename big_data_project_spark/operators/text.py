@@ -1129,35 +1129,50 @@ def train_bpe(
     iteration count, not the corpus size, bounds the driver round-trips.
 
     Stops early when the best pair's count drops below ``min_pair_count``.
-    Returns the rank-ordered merge list for :func:`bpe_encode`."""
-    wc = (
+    Returns the rank-ordered merge list for :func:`bpe_encode`.
+
+    The symbol stream is maintained INCREMENTALLY: after each chosen
+    merge, one string replace advances the materialized
+    (count, symbol-stream) vocabulary table and localCheckpoint truncates
+    its lineage — so iteration k applies ONE merge, not a k-deep replace
+    chain re-derived from the raw words (the round-5 residual: per-merge
+    work and plan size both grew with the merge count; now each round is
+    one constant-size replace + one pair-count shuffle over the
+    vocabulary, byte-identical merge choices)."""
+    cur = (
         df.select(F.explode(words_col(text)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .persist()
+        .select("cnt", bpe_wrap("w").alias("sym"))
+        .localCheckpoint()
     )
     merges: list[tuple[str, str]] = []
-    try:
-        for _ in range(n_merges):
-            syms = bpe_symbols(bpe_apply_merges(bpe_wrap("w"), merges))
-            pairs = wc.select(
-                "cnt", syms.alias("s")
-            ).select(
-                "cnt",
-                F.explode(_bigrams_col("s")).alias("p"),
-            )
-            top = (
-                pairs.groupBy("p.a", "p.b")
-                .agg(F.sum("cnt").alias("c"))
-                .orderBy(F.col("c").desc(), "a", "b")
-                .limit(1)
-                .collect()
-            )
-            if not top or top[0].c < min_pair_count:
-                break
-            merges.append((top[0].a, top[0].b))
-    finally:
-        wc.unpersist()
+    for _ in range(n_merges):
+        pairs = cur.select(
+            "cnt", bpe_symbols(F.col("sym")).alias("s")
+        ).select(
+            "cnt",
+            F.explode(_bigrams_col("s")).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].c < min_pair_count:
+            break
+        a, b = top[0].a, top[0].b
+        merges.append((a, b))
+        cur = cur.select(
+            "cnt",
+            F.replace(
+                F.col("sym"),
+                F.lit(BPE_SEP + a + BPE_SEP + BPE_SEP + b + BPE_SEP),
+                F.lit(BPE_SEP + a + b + BPE_SEP),
+            ).alias("sym"),
+        ).localCheckpoint()
     return merges
 
 
