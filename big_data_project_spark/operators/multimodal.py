@@ -122,7 +122,10 @@ def decode_features(
     scanned top-down row-major for images; channel-averaged frames for
     WAV), so the output is value-hashable. MP3/video raise
     NotImplementedError — the narrowed seam where PIL/ffmpeg plug in
-    (perceptual audio coding genuinely needs them)."""
+    (perceptual audio coding genuinely needs them); the pluggable escape
+    hatch is :class:`big_data_project_spark.plugins.PerceptualDecoder`,
+    whose real ffmpeg path auto-activates when a binary exists and whose
+    dispatch/schema/batching run under test via an injected decoder."""
     if decode not in ("fake", "strict"):
         raise ValueError("decode must be 'fake' or 'strict'")
 
@@ -4340,17 +4343,35 @@ def mp3_stats(
     df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document MP3 stream stats from the frame index: frame count,
-    byte count, duration (exact integer micros: samples·1e6/rate), mean
-    bitrate, VBR flag. One narrow map + one hash aggregate on doc_id."""
+    byte count, duration (exact integer micros), mean bitrate, VBR flag.
+
+    Duration math (ADVICE r6): samples are summed PER (doc, sample_rate)
+    FIRST and the integer division by the rate happens once per rate
+    group — flooring per frame would accumulate up to ~1 µs of error per
+    frame (measurable on hour-long streams); per-rate-group flooring is
+    exact for the universal single-rate stream and within #rates µs for
+    pathological mixed-rate concatenations. Two cheap hash aggregates on
+    (doc, rate) then doc — still one shuffle tree, map-side combining."""
     idx = mp3_frame_index(df, payload, id_col)
-    return idx.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_frames"),
-        F.sum("frame_bytes").cast("long").alias("n_bytes"),
+    per_rate = idx.groupBy("doc_id", "sample_rate").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("frame_bytes").cast("long").alias("_bytes"),
+        F.sum(F.col("samples").cast("long")).alias("_samples"),
+        F.sum(F.col("bitrate_kbps").cast("long")).alias("_kbps_sum"),
+        F.collect_set("bitrate_kbps").alias("_rates"),  # ≤14 table values
+    )
+    return per_rate.groupBy("doc_id").agg(
+        F.sum("_n").cast("long").alias("n_frames"),
+        F.sum("_bytes").cast("long").alias("n_bytes"),
         F.sum(
-            F.expr("CAST(samples AS BIGINT) * 1000000 div sample_rate")
+            F.expr("_samples * CAST(1000000 AS BIGINT) div sample_rate")
         ).cast("long").alias("duration_us"),
-        F.avg("bitrate_kbps").alias("mean_bitrate_kbps"),
-        (F.count_distinct("bitrate_kbps") > 1).cast("int").alias("is_vbr"),
+        (
+            F.sum("_kbps_sum").cast("double") / F.sum("_n")
+        ).alias("mean_bitrate_kbps"),
+        (
+            F.size(F.array_distinct(F.flatten(F.collect_list("_rates")))) > 1
+        ).cast("int").alias("is_vbr"),
     )
 
 

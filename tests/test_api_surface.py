@@ -242,7 +242,11 @@ def test_every_survey_family_has_a_window_entry():
 
     window = list(reg.queries())[:50]
     families = {
-        "scan/sink": {"s_roundtrip_parquet", "s_roundtrip_text"},
+        # round-7 swap: s_roundtrip_parquet rotated past-window (every
+        # window row already scans parquet); the family's in-window proof
+        # is the WebDataset tar roundtrip, a real sink→source loop.
+        "scan/sink": {"s_roundtrip_parquet", "s_roundtrip_text",
+                      "s13_webdataset_samples"},
         "connectors": {"s5_s6_connector_feeds"},
         "projection": {"p1_project_rename", "p2_record_id"},
         "cast/null": {"p3_p4_cast_null_default"},
@@ -251,6 +255,8 @@ def test_every_survey_family_has_a_window_entry():
         "set-ops": {"c4_union_all", "c5_setops"},
         "nlp": {"n1_ner_gazetteer", "n2_sentiment_lexicon",
                 "n34_coalesce_assemble", "n5_token_stats"},
+        "utf8/multilingual": {"utf8_script_lang_id", "utf8_nfc_dedup",
+                              "utf8_text_profile"},
         "embedding": {"e1_hash_embed"},
         "knn/ann": {"e3_knn_l2", "e4_knn_ip_cosine", "e5_ivf_probe_all",
                     "e6_knn_documents"},
@@ -271,9 +277,21 @@ def test_every_survey_family_has_a_window_entry():
         "vector-compression": {"e9_pq_encode", "e11_sq8_topk"},
         "sketches": {"mt_kmv_union", "mt_kmv_intersect"},
         "multimodal": {"mm_jpeg_decode", "mm_strict_decode"},
+        "audio-codec": {"mm_mp3_frame_index", "mm_video_frames"},
     }
     out = {fam for fam, names in families.items() if not names & set(window)}
     assert out == set(), f"families with no driver-window entry: {out}"
+
+
+def test_row_udf_proof_stays_registered_with_oracle():
+    """VERDICT r6 #8: p6_row_udf is the registry's only row-Python-UDF
+    (U1) proof and lives PAST the driver window since the round-6 swap.
+    Pin that it stays registered with a full value-hash oracle so a future
+    rotation cannot silently drop U1's sweep coverage."""
+    from big_data_project_spark import registry as reg
+
+    assert "p6_row_udf" in reg.REGISTRY
+    assert reg.REGISTRY["p6_row_udf"].oracle is not None
 
 
 def test_window_swaps_actually_straddle_the_boundary():

@@ -324,6 +324,69 @@ def test_semantic_dedup_exact_collapse_and_cluster_cap(spark):
         vector.semantic_dedup(ndf, cluster_cap=1)
 
 
+def test_semantic_dedup_collapse_is_seed_invariant(spark):
+    """ADVICE r6 (medium): collapse_exact must not change the output when
+    exact duplicates coexist with near (non-identical) duplicates —
+    centroid seeding now draws from the FULL id pool, so cluster
+    assignments (and therefore which near-dups share a cluster) are
+    identical with the flag on or off. Zero-norm vectors (cosine NULL
+    against everything) survive under BOTH modes instead of crashing the
+    ANSI session or being silently collapsed away."""
+    import math
+
+    base = [float(math.sin(i * 0.7)) for i in range(16)]
+    near = [v + (0.001 if i % 2 else -0.001) for i, v in enumerate(base)]
+    far = [float(math.cos(i * 1.3)) for i in range(16)]
+    zero = [0.0] * 16
+    rows = (
+        [(0, base), (1, base), (2, base)]      # exact-dup group
+        + [(3, near)]                           # near-dup of the group
+        + [(4, far), (5, far)]                  # second exact-dup group
+        + [(6, zero), (7, zero)]                # identical zero vectors
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for k in (1, 2, 4):
+        on = {
+            (r.vec_id, r.cluster_id)
+            for r in vector.semantic_dedup(
+                df, n_clusters=k, threshold=0.9, cluster_cap=None
+            ).collect()
+        }
+        off = {
+            (r.vec_id, r.cluster_id)
+            for r in vector.semantic_dedup(
+                df,
+                n_clusters=k,
+                threshold=0.9,
+                collapse_exact=False,
+                cluster_cap=None,
+            ).collect()
+        }
+        assert on == off, (k, on, off)
+        kept_ids = {i for i, _ in on}
+        # greedy keep-first: group minima survive, non-min twins drop,
+        # the near-dup 3 drops whenever it shares a cluster with 0
+        assert 0 in kept_ids and 4 in kept_ids
+        assert 1 not in kept_ids and 2 not in kept_ids and 5 not in kept_ids
+        # zero vectors can neither drop nor be dropped
+        assert {6, 7} <= kept_ids
+
+
+def test_semantic_dedup_threshold_above_self_cos_keeps_twins(spark):
+    """threshold > 1 can never be reached by any cosine, so NOTHING drops —
+    including byte-identical twins (the collapse fast-path must not apply
+    above the _SELF_COS_SAFE line)."""
+    rows = [(0, [1.0] * 8), (1, [1.0] * 8), (2, [0.5] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {
+        r.vec_id
+        for r in vector.semantic_dedup(
+            df, n_clusters=1, threshold=1.5, cluster_cap=None
+        ).collect()
+    }
+    assert kept == {0, 1, 2}
+
+
 def test_novelty_report_bounds_and_decontaminate_consistency(spark, sf_dir):
     d = io.load_table(spark, sf_dir, "documents")
     corpus = d.where(F.col("doc_id") >= 100)

@@ -235,3 +235,68 @@ def test_generate_answers_distinct_lambdas_not_conflated(spark):
         )
         answers.append(out.collect()[0].answer)
     assert answers == ["m1", "m2"]
+
+
+def test_perceptual_decoder_injected_fake_runs_on_executors(spark):
+    """VERDICT r6 #4: the PerceptualDecoder seam's dispatch, Arrow batch
+    iteration, schema, and segment-mean fold run end to end with an
+    injected decoder — the exact closure the real ffmpeg path uses."""
+
+    def loader():
+        class _Fake:
+            def decode(self, data):
+                import hashlib
+
+                h = hashlib.sha256(bytes(data)).digest()
+                samples = [b / 255.0 * 2 - 1 for b in h]  # 32 deterministic
+                return 16000, 1, samples
+
+        return _Fake()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-a")), (2, bytearray(b"payload-b"))],
+        "doc_id long, payload binary",
+    )
+    dec = plugins.PerceptualDecoder(dim=4, decoder_loader=loader)
+    assert dec.available()
+    out = dec.transform(df).orderBy("doc_id").collect()
+    assert [f.name for f in dec.transform(df).schema.fields] == [
+        "doc_id", "sample_rate", "n_channels", "n_samples", "features",
+    ]
+    assert [r.doc_id for r in out] == [1, 2]
+    assert all(
+        r.sample_rate == 16000 and r.n_channels == 1 and r.n_samples == 32
+        and len(r.features) == 4
+        for r in out
+    )
+    # deterministic: same payloads → same features across invocations
+    again = dec.transform(df).orderBy("doc_id").collect()
+    assert [r.features for r in again] == [r.features for r in out]
+    # distinct payloads → distinct features (the fold is not a constant)
+    assert out[0].features != out[1].features
+
+
+def test_perceptual_decoder_gates_without_binary_or_loader():
+    """No ffmpeg in this container and no injected loader: available() is
+    False and transform() raises the documented NotImplementedError —
+    never a silent fake."""
+    dec = plugins.PerceptualDecoder(binary="definitely-not-a-binary")
+    assert not dec.available()
+    with pytest.raises(NotImplementedError, match="perceptual decoder"):
+        dec.transform(None)
+
+
+def test_perceptual_decoder_decode_error_propagates(spark):
+    """A decoder failure on one payload fails the job loudly (strict-codec
+    discipline: refuse, don't resync/skip)."""
+
+    def loader():
+        class _Boom:
+            def decode(self, data):
+                raise ValueError("corrupt stream")
+
+        return _Boom()
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="corrupt stream"):
+        plugins.PerceptualDecoder(decoder_loader=loader).transform(df).collect()

@@ -1208,7 +1208,10 @@ def test_mp3_frame_index_roundtrip_and_stats(spark):
     assert [r.offset for r in idx] == [0, sizes[0], sum(sizes[:2]), sum(sizes[:3])]
     st = multimodal.mp3_stats(df).collect()[0]
     assert st.n_frames == 4 and st.is_vbr == 1
-    assert st.duration_us == 4 * (1152 * 1_000_000 // 44100)
+    # sum-then-divide: floor over the TOTAL sample count, not per frame
+    # (per-frame flooring would give 4 * (1152 * 1_000_000 // 44100) =
+    # 104489792, 3 µs short of the true stream duration)
+    assert st.duration_us == 4 * 1152 * 1_000_000 // 44100
     assert st.n_bytes == sum(sizes)
     # sniff: raw sync and ID3-tagged payloads both classify audio/mpeg
     sn = spark.createDataFrame(

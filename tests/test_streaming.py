@@ -1078,3 +1078,101 @@ def test_kmv_running_sketch_tolerates_null_values(spark, tmp_path):
         ).collect()[0].kmv
     ]
     assert got == want and len(got) == 2
+
+
+def test_near_dedup_stream_equals_sequential_batch_fold(spark, tmp_path):
+    """VERDICT r6 #7: the streaming near-dedup twin. Documents arriving in
+    three micro-batches (maxFilesPerTrigger=1) are MinHash-deduped against
+    everything admitted so far; the admitted set must equal folding
+    dedup_delta_near sequentially over the same three batches, and a
+    second run over the same out_dir (fresh checkpoint — every batch
+    replays) must SKIP the published dirs and leave the result unchanged."""
+    from big_data_project_spark.operators import dedup
+    from big_data_project_spark.streaming import ops as st
+
+    w = [f"tok{i}x" for i in range(40)]
+    t_a = " ".join(w[:20])                      # d0
+    t_b = " ".join(w[20:40])                    # d1
+    batches = [
+        [(0, t_a), (1, t_b)],
+        [
+            (2, t_a + " extraword"),            # near-dup of admitted d0
+            (3, t_b),                           # exact dup of admitted d1
+            (4, " ".join(reversed(w[:20])) + " " + " ".join(w[30:35])),
+            (5, " ".join(reversed(w[:20])) + " " + " ".join(w[30:35])
+             + " tail9"),                       # within-batch near-dup of d4
+        ],
+        [
+            (6, " ".join(reversed(w[:20])) + " " + " ".join(w[30:36])),
+            # ^ near-dup of ADMITTED d4 (index hit across batches)
+            (7, " ".join(f"fresh{i}q" for i in range(25))),
+        ],
+    ]
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    import shutil as _sh
+    import time as _time
+
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        staged = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(
+            p for p in __import__("os").listdir(staged)
+            if p.endswith(".parquet")
+        )
+        _sh.move(f"{staged}/{part}", str(stream_dir / f"b{i}.parquet"))
+        _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+
+    schema = "doc_id long, text string"
+    kw = dict(n=3, num_hashes=64, bands=16, threshold=0.5)
+
+    def run(out, ckpt):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+        )
+        q = st.near_dedup_stream(
+            src, str(out), str(ckpt), **kw
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(f"{out}/data/batch-*").collect()
+        }
+
+    got = run(tmp_path / "out", tmp_path / "ck1")
+
+    # sequential batch fold with the SAME operator chain
+    idx = dedup.minhash_index(
+        spark.createDataFrame([], schema), n=3, num_hashes=64, bands=16
+    )
+    want = set()
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, schema)
+        surv = dedup.dedup_delta_near(bdf, idx, **kw)
+        want |= {(r.doc_id, r.text) for r in surv.collect()}
+        idx = idx.unionByName(
+            dedup.minhash_index(surv, n=3, num_hashes=64, bands=16)
+        )
+
+    assert got == want
+    assert {d for d, _ in got} == {0, 1, 4, 7}
+
+    # full replay (fresh checkpoint, same out_dir): every batch re-fires,
+    # the skip-if-published guard holds, result unchanged
+    again = run(tmp_path / "out", tmp_path / "ck2")
+    assert again == got
+
+    # partial-publish crash simulation: data dir present, index dir gone —
+    # the replay republishes the missing dir with identical content
+    import os
+
+    idx_dirs = sorted(os.listdir(tmp_path / "out" / "index"))
+    _sh.rmtree(tmp_path / "out" / "index" / idx_dirs[-1])
+    third = run(tmp_path / "out", tmp_path / "ck3")
+    assert third == got
+    assert sorted(os.listdir(tmp_path / "out" / "index")) == idx_dirs

@@ -177,6 +177,80 @@ def template_flood(n_templates: int) -> int:
     return 0
 
 
+def embedding_flood(n_flood: int) -> int:
+    """VERDICT r6 #2: the SEMANTIC twin of --template-flood. N near-but-
+    NOT-byte-identical embeddings (same template vector, per-doc noise in
+    two dims — collapse_exact cannot merge them) plus N organic random
+    vectors, through semantic_dedup with the DEFAULT cluster_cap. Every
+    cluster past the cap switches to the star topology, so within-cluster
+    emission is m−1 instead of m(m−1)/2 — for the flood cluster that is
+    exactly output-preserving (all members are similar to the min), and
+    the chain finishes where unguarded all-pairs would emit ~n²/16 pairs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.operators import vector
+    from big_data_project_spark.session import get_spark
+
+    spark = get_spark(app_name="embedding-flood")
+    n = n_flood
+    ids = spark.range(0, 2 * n, 1, 32)
+    is_f = F.col("id") < n
+    base = [math.sin(0.37 * (j + 1)) for j in range(64)]
+    flood_emb = F.array(
+        *[
+            F.lit(base[j])
+            + (
+                ((F.abs(F.xxhash64("id", F.lit(j))) % 1000).cast("double"))
+                / 1.0e7
+                if j < 2
+                else F.lit(0.0)
+            )
+            for j in range(64)
+        ]
+    )
+    organic_emb = F.array(
+        *[
+            (
+                (F.abs(F.xxhash64("id", F.lit(100 + j))) % 2001).cast(
+                    "double"
+                )
+                - 1000.0
+            )
+            / 1000.0
+            for j in range(64)
+        ]
+    )
+    df = ids.select(
+        F.col("id").alias("vec_id"),
+        F.when(is_f, flood_emb).otherwise(organic_emb).alias("embedding"),
+    ).localCheckpoint()
+    t0 = time.monotonic()
+    kept = vector.semantic_dedup(df, n_clusters=8, threshold=0.9)
+    kept_rows = kept.count()
+    flood_kept = kept.where(F.col("vec_id") < n).count()
+    t1 = time.monotonic()
+    # star semantics: the flood cluster collapses to its min id exactly
+    assert flood_kept == 1, flood_kept
+    # organic random 64-dim vectors essentially never reach cosine 0.9
+    assert kept_rows >= n * 0.999 + 1, kept_rows
+    rec = {
+        "metric": "semantic_embedding_flood_guarded",
+        "n_flood": n,
+        "cluster_cap": 1024,
+        "kept": kept_rows,
+        "flood_survivors": flood_kept,
+        "unguarded_flood_pairs_would_be": n * (n - 1) // 2,
+        "total_sec": round(t1 - t0, 3),
+    }
+    print(json.dumps(rec))
+    with open(os.path.join(REPO, "bench_history.jsonl"), "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", type=int, default=50_000)
@@ -187,10 +261,19 @@ def main() -> int:
         help="run the adversarial identical-template corpus (N templates "
         "+ N organic docs) through guarded near-dedup and record bounds",
     )
+    ap.add_argument(
+        "--embedding-flood", type=int, default=None, metavar="N",
+        help="run the adversarial near-identical-embedding corpus (N flood "
+        "+ N organic vectors) through guarded semantic_dedup and record "
+        "bounds",
+    )
     args = ap.parse_args()
 
     if args.template_flood:
         return template_flood(args.template_flood)
+
+    if args.embedding_flood:
+        return embedding_flood(args.embedding_flood)
 
     if args.measure:
         measure(args.measure)
