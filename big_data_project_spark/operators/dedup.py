@@ -150,16 +150,25 @@ def jaccard_verify(
     id_col: str = "doc_id",
     n: int = 3,
     min_jaccard: float = 0.0,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard computed only for the given candidate ``pairs``
     (id_a, id_b) — the verify half of the blocked-dedup recipe: LSH
     proposes, this confirms. Cost is linear in candidates × shingles-per-
     doc (each candidate pair expands to its own shingle rows, never the
     corpus cross product), so it composes with minhash_lsh_candidates into
-    a fully scale-shaped near-dedup: block → verify → cluster → drop."""
+    a fully scale-shaped near-dedup: block → verify → cluster → drop.
+
+    ``shingles``: share one precomputed (ideally lineage-cut)
+    :func:`doc_shingles` stream with the blocking stage instead of
+    tokenizing the corpus a second time (see minhash_lsh_candidates)."""
     # the shingle stream feeds the size aggregate AND both join sides —
     # checkpoint so the corpus tokenizes once, not three times
-    sh = doc_shingles(df, text, id_col, n).localCheckpoint(eager=False)
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, text, id_col, n).localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     p = pairs.select("id_a", "id_b")
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle").alias("_sa"))
@@ -289,10 +298,17 @@ def minhash_lsh_candidates(
     hash_fn: str = "xxhash64",
     bucket_cap: int | None = 1024,
     include_est_jaccard: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows-per-band),
     bucket-join on (band_id, band_hash), emit distinct candidate pairs with
     their estimated Jaccard (signature agreement rate).
+
+    ``shingles`` — a precomputed :func:`doc_shingles` stream (ideally
+    already lineage-cut) — lets block+verify pipelines tokenize the corpus
+    ONCE and share the stream with :func:`jaccard_verify`: one fewer full
+    corpus scan per near-dedup run, the kind of pass that costs hours at
+    100 TB.
 
     ``include_est_jaccard=False`` drops the est_jaccard column AND the two
     signature join-backs that compute it. Catalyst cannot prune those
@@ -353,7 +369,10 @@ def minhash_lsh_candidates(
     # precomputed (doc_id, band_id, band_hash) rows instead of each
     # re-deriving bands·md5s per doc.
     sig_raw = minhash_signatures_agg(
-        doc_shingles(df, text, id_col, n), num_hashes, seed, hash_fn=hash_fn
+        shingles if shingles is not None else doc_shingles(df, text, id_col, n),
+        num_hashes,
+        seed,
+        hash_fn=hash_fn,
     )
     band_exprs = _band_exprs(num_hashes, bands)
 
@@ -495,10 +514,15 @@ def minhash_index(
     bands: int = 16,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The PERSISTABLE near-dup index: one row per document carrying its
     MinHash signature and the per-band digests —
     ``(doc_id, signature array<bigint>, band_hashes array<string>)``.
+    ``shingles`` shares a precomputed tokenize pass (must cover at least
+    the documents of ``df``; rows for other docs are dropped by an id
+    semi-join — a signature is a pure per-doc function of its shingles,
+    so filtering the stream is exactly re-tokenizing the subset).
 
     This is what a 100 TB incremental pipeline stores instead of
     re-shingling the corpus per ingest: candidate lookup explodes
@@ -507,9 +531,11 @@ def minhash_index(
     signature agreement replaces exact Jaccard for the verify step — no
     corpus text is ever re-read. Parameters must match between index
     builds and probes (same shingle n, hash family, k, bands)."""
-    sig = minhash_signatures_agg(
-        doc_shingles(df, text, id_col, n), num_hashes, seed, hash_fn=hash_fn
-    )
+    if shingles is not None:
+        src = shingles.join(df.select(id_col), id_col, "left_semi")
+    else:
+        src = doc_shingles(df, text, id_col, n)
+    sig = minhash_signatures_agg(src, num_hashes, seed, hash_fn=hash_fn)
     return sig.select(
         id_col,
         "signature",
@@ -569,6 +595,9 @@ def dedup_delta_near(
     itself dropped by the index, and chained near-dups (w~v~u with w≁u)
     are kept — deterministic and SQL-mirrorable, matching
     drop-where-any-smaller-similar."""
+    # ONE tokenize pass for the whole delta: the self-dedup's signatures
+    # and the survivors' index rows both derive from this stream
+    sh = doc_shingles(new_df, text, id_col, n).localCheckpoint(eager=False)
     self_pairs = minhash_lsh_candidates(
         new_df,
         text,
@@ -579,6 +608,7 @@ def dedup_delta_near(
         seed=seed,
         hash_fn=hash_fn,
         bucket_cap=bucket_cap,
+        shingles=sh,
     )
     self_drops = (
         self_pairs.where(F.col("est_jaccard") >= threshold)
@@ -587,7 +617,8 @@ def dedup_delta_near(
     )
     batch_kept = new_df.join(self_drops, id_col, "left_anti")
     new_idx = minhash_index(
-        batch_kept, text, id_col, n, num_hashes, bands, seed, hash_fn
+        batch_kept, text, id_col, n, num_hashes, bands, seed, hash_fn,
+        shingles=sh,
     ).localCheckpoint(eager=False)  # feeds band probe AND sig verify
     nb = _explode_index(new_idx, id_col).withColumnRenamed(id_col, "_nid")
     ob = _explode_index(index_df, id_col).withColumnRenamed(id_col, "_oid")

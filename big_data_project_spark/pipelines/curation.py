@@ -67,10 +67,15 @@ def curate_corpus(
     if pair_source == "exact":
         pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
     elif pair_source == "lsh":
-        cand = dedup.minhash_lsh_candidates(
-            d, n=3, hash_fn=lsh_hash_fn, include_est_jaccard=False
+        # one tokenize pass shared by block and verify (round 7)
+        sh = dedup.doc_shingles(d, "text", "doc_id", 3).localCheckpoint(
+            eager=False
         )
-        pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
+        cand = dedup.minhash_lsh_candidates(
+            d, n=3, hash_fn=lsh_hash_fn, include_est_jaccard=False,
+            shingles=sh,
+        )
+        pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5, shingles=sh)
     else:
         raise ValueError("pair_source must be 'exact' or 'lsh'")
     d = dedup.drop_near_dups(d, pairs)

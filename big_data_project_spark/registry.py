@@ -5048,14 +5048,20 @@ def dd_near_dedup_lsh(spark, sf_dir):
     This is the scale path of curate_corpus(pair_source='lsh'),
     driver-checkable for the first time."""
     d = _t(spark, sf_dir, "documents")
+    # ONE tokenize pass shared by block AND verify (round 7): the shingle
+    # stream is the corpus scan both stages start from
+    sh = dedup.doc_shingles(d, "text", "doc_id", 3).localCheckpoint(
+        eager=False
+    )
     cand = dedup.minhash_lsh_candidates(
         d,
         num_hashes=_MH_K,
         bands=_MH_BANDS,
         hash_fn="md5_affine",
         include_est_jaccard=False,
+        shingles=sh,
     )
-    pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
+    pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5, shingles=sh)
     return dedup.drop_near_dups(d, pairs).select("doc_id", "source")
 
 

@@ -125,6 +125,20 @@ def main() -> None:
     print("WebDataset export manifest (shard, members, bytes):")
     manifest.orderBy("shard").show()
 
+    # --- incremental ingest: the NEXT crawl delta, deduped against the
+    # admitted corpus via the persisted MinHash index (no corpus re-read;
+    # the streaming twin is streaming.ops.near_dedup_stream) ------------
+    admitted = out.select("doc_id").join(docs, "doc_id")
+    index = dedup.minhash_index(admitted)  # persist this at 100 TB
+    delta = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).limit(200)  # re-crawl: same contents under fresh ids
+    fresh = dedup.dedup_delta_near(delta, index)
+    print(
+        f"incremental delta: {delta.count()} arriving, "
+        f"{fresh.count()} genuinely new after near-dedup vs the index"
+    )
+
     spark.stop()
 
 
