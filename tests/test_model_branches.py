@@ -300,3 +300,13 @@ def test_perceptual_decoder_decode_error_propagates(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="corrupt stream"):
         plugins.PerceptualDecoder(decoder_loader=loader).transform(df).collect()
+
+
+def test_ffmpeg_loader_gates_on_worker_without_binary():
+    """The real-path loader probes the binary on the WORKER (a driver
+    without ffmpeg can still submit to a cluster whose workers have it);
+    with no binary anywhere it raises the documented NotImplementedError
+    at load time, not a cryptic subprocess failure."""
+    loader = plugins._ffmpeg_pcm_loader("definitely-not-a-binary", 16000)
+    with pytest.raises(NotImplementedError, match="perceptual decode"):
+        loader()

@@ -548,3 +548,55 @@ def test_sq8_topk_never_shuffles_the_codes(spark, sf_dir):
     df = _df("e11_sq8_topk", spark, sf_dir)
     assert plans.num_shuffles(df) == 0, plans.physical_plan(df)
     assert "TakeOrderedAndProject" in plans.physical_plan(df)
+
+
+def test_lsh_guard_clean_plan_identical_to_unguarded(spark, sf_dir):
+    """VERDICT r6 #1: the two-phase hot-bucket guard must be pay-only-when-
+    firing — on a corpus with NO hot bucket, the candidate plan with the
+    default cap is BYTE-IDENTICAL (modulo expr ids) to bucket_cap=None.
+    The probe job runs before plan construction returns; it must leave no
+    trace (no join-back, no filter, no broadcast) in the main plan."""
+    import re
+
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import dedup
+
+    d = io.load_table(spark, sf_dir, "documents")
+
+    def norm(plan: str) -> str:
+        p = re.sub(r"#\d+", "#x", plan)
+        p = re.sub(r"plan_id=\d+", "plan_id=n", p)
+        p = re.sub(r"\b([xy])_\d+", r"\1_n", p)  # lambda var numbering
+        return re.sub(r"ExistingRDD\[\d+\]", "ExistingRDD[n]", p)
+
+    guarded = dedup.minhash_lsh_candidates(d, bucket_cap=1024)
+    unguarded = dedup.minhash_lsh_candidates(d, bucket_cap=None)
+    assert norm(plans.physical_plan(guarded)) == norm(
+        plans.physical_plan(unguarded)
+    )
+
+
+def test_semantic_guard_clean_plan_identical_to_uncapped(spark, sf_dir):
+    """Same contract for semantic_dedup's cluster guard: default cap on a
+    corpus whose clusters stay under it leaves the pairing plan identical
+    to cluster_cap=None."""
+    import re
+
+    from big_data_project_spark import io
+    from big_data_project_spark.operators import vector
+
+    emb = io.load_table(spark, sf_dir, "embeddings")
+
+    def norm(plan: str) -> str:
+        p = re.sub(r"#\d+", "#x", plan)
+        p = re.sub(r"plan_id=\d+", "plan_id=n", p)
+        p = re.sub(r"\b([xy])_\d+", r"\1_n", p)  # lambda var numbering
+        return re.sub(r"ExistingRDD\[\d+\]", "ExistingRDD[n]", p)
+
+    capped = vector.semantic_dedup(emb, n_clusters=8, threshold=0.4)
+    uncapped = vector.semantic_dedup(
+        emb, n_clusters=8, threshold=0.4, cluster_cap=None
+    )
+    assert norm(plans.physical_plan(capped)) == norm(
+        plans.physical_plan(uncapped)
+    )
