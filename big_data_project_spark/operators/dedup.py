@@ -349,9 +349,8 @@ def minhash_lsh_candidates(
     ``hash_fn="md5_affine"`` makes the whole candidate generation
     engine-exact (see :func:`minhash_signatures_agg`) — banding is md5 over
     decimal-rendered signature components, identical in DuckDB, and the
-    hot-bucket star (count/min windows over band keys) is equally
+    hot-bucket star (count/min aggregates over band keys) is equally
     SQL-expressible, so a fired cap remains DuckDB-mirrorable."""
-    rows_per_band = num_hashes // bands
     if bucket_cap is not None and bucket_cap < 2:
         raise ValueError("bucket_cap must be >= 2 (or None to disable)")
     # localCheckpoint: the signature aggregate (shingle explode + k-hash
@@ -594,7 +593,12 @@ def dedup_delta_near(
     module: a batch row can be dropped by an earlier batch row that is
     itself dropped by the index, and chained near-dups (w~v~u with w≁u)
     are kept — deterministic and SQL-mirrorable, matching
-    drop-where-any-smaller-similar."""
+    drop-where-any-smaller-similar.
+
+    Documents shorter than the shingle width carry no signature: they
+    always survive and are never indexed (MinHash cannot fingerprint
+    them). Pair this with :func:`dedup_against_snapshot`'s exact
+    fingerprints when sub-``n``-word rows need cross-batch dedup."""
     # ONE tokenize pass for the whole delta: the self-dedup's signatures
     # and the survivors' index rows both derive from this stream
     sh = doc_shingles(new_df, text, id_col, n).localCheckpoint(eager=False)

@@ -679,10 +679,23 @@ def near_dedup_stream(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     threshold: float = 0.5,
+    admit=None,
 ):
     """STREAMING near-dedup (VERDICT r6 #7): a continuously-ingesting
     corpus deduped with MinHash against everything admitted so far —
     the streaming twin of :func:`operators.dedup.dedup_delta_near`.
+
+    ``admit`` (optional): a ``DataFrame -> DataFrame`` gate applied to the
+    near-dedup survivors BEFORE they are published and indexed — the hook
+    that turns this sink into the full streaming curation line (quality
+    rules, decontamination vs a static eval set, language gates, …). Only
+    ADMITTED rows enter the index, so future deltas dedup against the
+    corpus a training run actually consumes; rejected rows re-arriving
+    later are re-judged by the same gate, never silently re-admitted.
+    The callable runs driver-side per micro-batch and must be a pure
+    function of its input batch (content determinism is what makes batch
+    replays idempotent). See :func:`curate_stream` for the assembled
+    line.
 
     Per micro-batch (foreachBatch):
 
@@ -749,7 +762,12 @@ def near_dedup_stream(
             seed=seed,
             hash_fn=hash_fn,
             threshold=threshold,
-        ).localCheckpoint(eager=False)  # feeds BOTH writes: dedup once
+        )
+        if admit is not None:
+            survivors = admit(survivors)
+        survivors = survivors.localCheckpoint(
+            eager=False
+        )  # feeds BOTH writes: dedup+gate once
 
         def publish(df: DataFrame, final: str) -> None:
             if os.path.exists(final):
@@ -782,4 +800,54 @@ def near_dedup_stream(
         .foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+def curate_stream(
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    eval_df: DataFrame | None = None,
+    min_words: int = 10,
+    decontaminate_n: int = 13,
+    base_index_path: str | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **near_dedup_kwargs,
+):
+    """The CONTINUOUS corpus-assembly line: `pipelines.curation
+    .curate_corpus`'s dedup→decontaminate→quality front half, running
+    per micro-batch over an unbounded ingest — near-dedup against
+    everything ADMITTED so far (persisted MinHash index, see
+    :func:`near_dedup_stream`), then benchmark decontamination against a
+    static eval set, then the Gopher/C4 quality gate. Only rows that
+    clear every stage are published (exactly-once, batch-scoped dirs)
+    and indexed, so the stored corpus is always training-ready and the
+    index never carries rejected text.
+
+    Mixture sampling / split assignment / packing stay BATCH jobs over
+    the admitted output (`spark.read.parquet(f"{out_dir}/data/batch-*")`)
+    — they need global corpus statistics a micro-batch cannot see."""
+    from big_data_project_spark.operators import dedup as _dedup
+    from big_data_project_spark.operators.text import filter_quality
+
+    def gate(batch: DataFrame) -> DataFrame:
+        out = batch
+        if eval_df is not None:
+            out = _dedup.decontaminate(
+                out, eval_df, text, id_col, n=decontaminate_n
+            )
+        return filter_quality(out, min_words=min_words, text=text)
+
+    return near_dedup_stream(
+        docs,
+        out_dir,
+        checkpoint,
+        base_index_path=base_index_path,
+        text=text,
+        id_col=id_col,
+        threshold=threshold,
+        admit=gate,
+        **near_dedup_kwargs,
     )

@@ -1176,3 +1176,89 @@ def test_near_dedup_stream_equals_sequential_batch_fold(spark, tmp_path):
     third = run(tmp_path / "out", tmp_path / "ck3")
     assert third == got
     assert sorted(os.listdir(tmp_path / "out" / "index")) == idx_dirs
+
+
+def test_curate_stream_equals_sequential_batch_fold(spark, tmp_path):
+    """The CONTINUOUS curation line (near-dedup vs admitted index →
+    decontaminate vs static eval set → quality gate → admit+index): the
+    streamed result must equal folding the same stages per batch, only
+    ADMITTED rows may enter the published corpus or the index, and a
+    quality-rejected doc re-arriving later is re-judged, never admitted
+    because its twin was 'seen'."""
+    from big_data_project_spark.operators import dedup
+    from big_data_project_spark.operators.text import filter_quality
+    from big_data_project_spark.streaming import ops as st
+
+    clean0 = ("the quick brown fox jumps over the lazy dog and then "
+              "runs away home today with friends")
+    evalg = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu")  # a 13-gram
+    contaminated = "we start here and " + evalg + " ends the story now"
+    clean4 = ("many people walk along the river bank every morning and "
+              "watch the quiet water flow past")
+    short = "too short for quality"
+    batches = [
+        [(0, clean0), (1, short)],
+        [
+            (2, clean0 + " extra"),   # near-dup of ADMITTED d0 -> dropped
+            (3, contaminated),        # shares the eval 13-gram -> dropped
+            (4, clean4),              # admitted
+            (5, short),               # twin of REJECTED d1: re-judged, rejected
+        ],
+    ]
+    eval_df = spark.createDataFrame([(900, evalg)], "doc_id long, text string")
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    import os as _os
+    import shutil as _sh
+    import time as _time
+
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        staged = str(tmp_path / f"cstage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(p for p in _os.listdir(staged) if p.endswith(".parquet"))
+        _sh.move(f"{staged}/{part}", str(stream_dir / f"b{i}.parquet"))
+        _time.sleep(1.1)
+
+    kw = dict(n=3, num_hashes=64, bands=16, threshold=0.5)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = st.curate_stream(
+        src, str(tmp_path / "out"), str(tmp_path / "ck"),
+        eval_df=eval_df, min_words=10, **kw,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{tmp_path}/out/data/batch-*").collect()
+    }
+
+    idx = dedup.minhash_index(
+        spark.createDataFrame([], "doc_id long, text string"),
+        n=3, num_hashes=64, bands=16,
+    )
+    want = set()
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        surv = dedup.dedup_delta_near(bdf, idx, **kw)
+        surv = dedup.decontaminate(surv, eval_df, n=13)
+        surv = filter_quality(surv, min_words=10)
+        want |= {(r.doc_id, r.text) for r in surv.collect()}
+        idx = idx.unionByName(
+            dedup.minhash_index(surv, n=3, num_hashes=64, bands=16)
+        )
+
+    assert got == want
+    assert {d for d, _ in got} == {0, 4}
+    # the index carries ONLY admitted docs
+    indexed = {
+        r.doc_id
+        for r in spark.read.parquet(f"{tmp_path}/out/index/batch-*").collect()
+    }
+    assert indexed == {0, 4}
