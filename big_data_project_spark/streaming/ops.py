@@ -739,10 +739,25 @@ def near_dedup_stream(
         prior = []
         if base_index_path is not None:
             prior.append(base_index_path)
+        # compaction-aware listing: the newest base-<K> snapshot covers
+        # every batch dir < K (see compact_near_dedup_index); batch dirs
+        # a compactor has folded in but not yet deleted are read AGAIN
+        # harmlessly — index rows are per-doc idempotent (duplicate rows
+        # produce duplicate candidate pairs, which dedup_delta_near
+        # distinct()s away), so a crash between base publish and batch-dir
+        # cleanup never changes results.
+        base_pat = re.compile(r"^base-(\d{8})$")
+        base_k = -1
+        for d in os.listdir(index_root):
+            m = base_pat.match(d)
+            if m:
+                base_k = max(base_k, int(m.group(1)))
+        if base_k >= 0:
+            prior.append(os.path.join(index_root, f"base-{base_k:08d}"))
         pat = re.compile(r"^batch-(\d{8})$")
         for d in sorted(os.listdir(index_root)):
             m = pat.match(d)
-            if m and int(m.group(1)) < int(batch_id):
+            if m and base_k <= int(m.group(1)) < int(batch_id):
                 prior.append(os.path.join(index_root, d))
         if prior:
             index_df = spark.read.parquet(*prior)
@@ -851,3 +866,72 @@ def curate_stream(
         admit=gate,
         **near_dedup_kwargs,
     )
+
+
+def compact_near_dedup_index(spark: SparkSession, out_dir: str) -> int:
+    """Fold the accumulated per-batch index dirs of a
+    :func:`near_dedup_stream` / :func:`curate_stream` run into ONE
+    ``index/base-<K>`` snapshot (K = highest folded batch id + 1) and
+    delete the covered ``batch-*`` dirs — the maintenance job that keeps
+    a long-running ingest's index at O(1) directories instead of one per
+    micro-batch (file-listing and parquet-footer overhead grow linearly
+    otherwise; at one batch a minute that is half a million dirs a year).
+
+    Safe to run while the stream is live, in either crash order:
+
+    - the new base publishes atomically (write-temp + rename) BEFORE any
+      batch dir is removed, and readers pick the NEWEST base, so a crash
+      mid-cleanup leaves overlap (base + still-present batch dirs) that
+      readers tolerate — index rows are per-doc idempotent and candidate
+      pairs are distinct()ed;
+    - a batch published by the stream AFTER the compactor listed (id ≥ K)
+      is untouched and stays visible alongside the new base.
+
+    Returns K (0 when there was nothing to compact)."""
+    import os
+    import re
+    import shutil
+    import uuid
+
+    index_root = os.path.join(out_dir, "index")
+    if not os.path.isdir(index_root):
+        return 0
+    base_pat = re.compile(r"^base-(\d{8})$")
+    batch_pat = re.compile(r"^batch-(\d{8})$")
+    bases = sorted(
+        int(m.group(1))
+        for d in os.listdir(index_root)
+        if (m := base_pat.match(d))
+    )
+    batches = sorted(
+        int(m.group(1))
+        for d in os.listdir(index_root)
+        if (m := batch_pat.match(d))
+    )
+    prev_k = bases[-1] if bases else -1
+    fold = [b for b in batches if b >= prev_k]
+    if not fold:
+        return 0
+    srcs = []
+    if prev_k >= 0:
+        srcs.append(os.path.join(index_root, f"base-{prev_k:08d}"))
+    srcs += [os.path.join(index_root, f"batch-{b:08d}") for b in fold]
+    new_k = fold[-1] + 1
+    final = os.path.join(index_root, f"base-{new_k:08d}")
+    tmp = os.path.join(index_root, f".base-{new_k:08d}.{uuid.uuid4().hex}.tmp")
+    try:
+        spark.read.parquet(*srcs).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # cleanup only AFTER the base is durably visible; leftovers on crash
+    # are harmless overlap (see reader notes above)
+    for b in fold:
+        shutil.rmtree(
+            os.path.join(index_root, f"batch-{b:08d}"), ignore_errors=True
+        )
+    if prev_k >= 0:
+        shutil.rmtree(
+            os.path.join(index_root, f"base-{prev_k:08d}"), ignore_errors=True
+        )
+    return new_k

@@ -1262,3 +1262,86 @@ def test_curate_stream_equals_sequential_batch_fold(spark, tmp_path):
         for r in spark.read.parquet(f"{tmp_path}/out/index/batch-*").collect()
     }
     assert indexed == {0, 4}
+
+
+def test_compact_near_dedup_index_preserves_results(spark, tmp_path):
+    """Index compaction: after folding batch index dirs into a base
+    snapshot (and even with a leftover covered batch dir simulating a
+    crash between base publish and cleanup), a resumed stream dedups
+    later batches IDENTICALLY to the uncompacted fold, and the index
+    directory count stays O(1)."""
+    import os as _os
+    import shutil as _sh
+    import time as _time
+
+    from big_data_project_spark.operators import dedup
+    from big_data_project_spark.streaming import ops as st
+
+    w = [f"ctok{i}z" for i in range(40)]
+    batches = [
+        [(0, " ".join(w[:20])), (1, " ".join(w[20:40]))],
+        [(2, " ".join(w[:20]) + " tailA"), (3, " ".join(f"n{i}w" for i in range(22)))],
+        [(4, " ".join(w[20:40]) + " tailB"),     # near-dup of admitted d1
+         (5, " ".join(f"m{i}v" for i in range(24)))],
+    ]
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    kw = dict(n=3, num_hashes=64, bands=16, threshold=0.5)
+
+    def feed(i):
+        df = spark.createDataFrame(batches[i], "doc_id long, text string")
+        staged = str(tmp_path / f"kstage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(p for p in _os.listdir(staged) if p.endswith(".parquet"))
+        _sh.move(f"{staged}/{part}", str(stream_dir / f"b{i}.parquet"))
+        _time.sleep(1.1)
+
+    def run_stream():
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+        )
+        q = st.near_dedup_stream(src, str(tmp_path / "out"), str(tmp_path / "ck"), **kw)
+        q.processAllAvailable()
+        q.stop()
+
+    feed(0); feed(1)
+    run_stream()
+    index_root = tmp_path / "out" / "index"
+    assert sorted(_os.listdir(index_root)) == ["batch-00000000", "batch-00000001"]
+
+    k = st.compact_near_dedup_index(spark, str(tmp_path / "out"))
+    assert k == 2
+    assert sorted(_os.listdir(index_root)) == ["base-00000002"]
+    # re-compacting with nothing new is a no-op
+    assert st.compact_near_dedup_index(spark, str(tmp_path / "out")) == 0
+
+    # crash simulation: a covered batch dir the cleanup never removed —
+    # readers must tolerate the overlap
+    _sh.copytree(
+        index_root / "base-00000002", index_root / "batch-00000001"
+    )
+
+    feed(2)
+    run_stream()  # same checkpoint: only batch 2 is new
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(f"{tmp_path}/out/data/batch-*").collect()
+    }
+
+    # uncompacted fold over the same three batches
+    idx = dedup.minhash_index(
+        spark.createDataFrame([], "doc_id long, text string"),
+        n=3, num_hashes=64, bands=16,
+    )
+    want = set()
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        surv = dedup.dedup_delta_near(bdf, idx, **kw)
+        want |= {r.doc_id for r in surv.collect()}
+        idx = idx.unionByName(
+            dedup.minhash_index(surv, n=3, num_hashes=64, bands=16)
+        )
+    assert got == want
+    assert got == {0, 1, 3, 5}  # 2 and 4 are near-dups of admitted docs
