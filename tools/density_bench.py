@@ -88,10 +88,20 @@ def measure(sf_dir: str) -> None:
     d = io.load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # warm the scan outside the timed window
     t0 = time.monotonic()
+    # the registry dd_near_dedup_lsh configuration (round 7): one shared
+    # tokenize pass, no discarded est_jaccard join-backs
+    sh = dedup.doc_shingles(d, "text", "doc_id", 3).localCheckpoint(
+        eager=False
+    )
     cand = dedup.minhash_lsh_candidates(
-        d, num_hashes=registry._MH_K, bands=registry._MH_BANDS, hash_fn="md5_affine"
-    ).select("id_a", "id_b")
-    pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
+        d,
+        num_hashes=registry._MH_K,
+        bands=registry._MH_BANDS,
+        hash_fn="md5_affine",
+        include_est_jaccard=False,
+        shingles=sh,
+    )
+    pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5, shingles=sh)
     kept = dedup.drop_near_dups(d, pairs).count()
     elapsed = time.monotonic() - t0
     print(json.dumps({"n_docs": n_docs, "kept": kept, "sec": round(elapsed, 3)}))
@@ -149,12 +159,18 @@ def template_flood(n_templates: int) -> int:
     d = d.localCheckpoint()  # corpus fixed; time only the dedup chain
     bands, cap = 16, 1024
     t0 = time.monotonic()
+    # one tokenize pass shared by block and verify, est_jaccard join-backs
+    # skipped — the e2e near-dedup configuration (round 7)
+    sh = dedup.doc_shingles(d, "text", "doc_id", 3).localCheckpoint(
+        eager=False
+    )
     cand = dedup.minhash_lsh_candidates(
-        d, num_hashes=64, bands=bands, bucket_cap=cap
-    ).select("id_a", "id_b")
+        d, num_hashes=64, bands=bands, bucket_cap=cap,
+        include_est_jaccard=False, shingles=sh,
+    )
     n_cand = cand.count()
     t1 = time.monotonic()
-    pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
+    pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5, shingles=sh)
     kept = dedup.drop_near_dups(d, pairs).count()
     t2 = time.monotonic()
     assert n_cand <= bands * cap * n, (n_cand, bands * cap * n)
