@@ -35,11 +35,17 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1).rstrip(".")) if m else -1.0
 
 
-def _time_queries(spark, sf_dir: str, names: list[str], n_runs: int) -> dict[str, float]:
+def _time_queries(
+    spark, sf_dir: str, names: list[str], n_runs: int
+) -> tuple[dict[str, float], dict[str, float]]:
     # median of n runs per query: a one-off scheduler/GC hiccup on a single
     # run (observed: 0.55s → 1.77s on the same plan) must not read as a
-    # plan regression round-over-round.
-    timings: dict[str, float] = {}
+    # plan regression round-over-round. The per-query MIN rides along
+    # (VERDICT r7 #2): on a loaded multi-tenant host the min is the
+    # closest observable to the unloaded cost of the plan, so a judge can
+    # separate host noise from plan regressions without re-running.
+    med: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in names:
         q = REGISTRY[name]
         times = []
@@ -47,8 +53,16 @@ def _time_queries(spark, sf_dir: str, names: list[str], n_runs: int) -> dict[str
             t0 = time.perf_counter()
             q.build(spark, sf_dir).collect()
             times.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(times), 4)
-    return timings
+        med[name] = round(statistics.median(times), 4)
+        mins[name] = round(min(times), 4)
+    return med, mins
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return []
 
 
 def _record(line: str) -> None:
@@ -81,13 +95,15 @@ def main() -> None:
             driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
         )
         REGISTRY[name].build(spark, sf_dir).collect()  # warmup this plan
-        t = _time_queries(spark, sf_dir, [name], n_runs)
-        print(json.dumps(t))
+        med, mins = _time_queries(spark, sf_dir, [name], n_runs)
+        print(json.dumps({"median": med, "min": mins}))
         spark.stop()
         return
 
     if args[:1] == ["--isolate"]:
+        load_start = _loadavg()
         timings: dict[str, float] = {}
+        timings_min: dict[str, float] = {}
         for name in headline_queries():
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
@@ -102,7 +118,9 @@ def main() -> None:
                     f"--one {name} failed (exit {out.returncode}):\n"
                     f"{out.stderr[-4000:]}"
                 )
-            timings.update(json.loads(out.stdout.strip().splitlines()[-1]))
+            child = json.loads(out.stdout.strip().splitlines()[-1])
+            timings.update(child["median"])
+            timings_min.update(child["min"])
             print(f"{name}: {timings[name]}s", file=sys.stderr)
         total = round(sum(timings.values()), 4)
         line = json.dumps(
@@ -111,6 +129,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "value_min": round(sum(timings_min.values()), 4),
+                "loadavg": {"start": load_start, "end": _loadavg()},
                 "sf": _sf_of(sf_dir),
             }
         )
@@ -126,7 +147,10 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     REGISTRY["q1_pricing_summary"].build(spark, sf_dir).collect()
 
-    timings = _time_queries(spark, sf_dir, list(headline_queries()), n_runs)
+    load_start = _loadavg()
+    timings, timings_min = _time_queries(
+        spark, sf_dir, list(headline_queries()), n_runs
+    )
     total = round(sum(timings.values()), 4)
     line = json.dumps(
         {
@@ -134,6 +158,14 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            # VERDICT r7 #2 (load legibility): per-query min-of-N and the
+            # 1/5/15-min load averages bracketing the timed section, so
+            # every BENCH_r*.json carries its own host-noise context.
+            # value_min ≈ the plans' cost floor this host could show;
+            # value (median) is the official reading.
+            "queries_min": timings_min,
+            "value_min": round(sum(timings_min.values()), 4),
+            "loadavg": {"start": load_start, "end": _loadavg()},
             "sf": _sf_of(sf_dir),
         }
     )

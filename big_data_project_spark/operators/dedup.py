@@ -19,18 +19,17 @@ All hashing derives from md5 (stable across engines/sessions — Spark's
 No Python UDFs: signatures are built with explode + groupBy min, which
 keeps everything in whole-stage codegen.
 
-A note on ``localCheckpoint`` (ADVICE r6): every cut in this module (and
-in graph.py / text.py / vector.py) exists to stop Spark re-executing an
-expensive subtree referenced by several plan branches, or to keep
-iterative plans from growing without bound. localCheckpoint stores blocks
-on executors with lineage TRUNCATED, so on a real multi-node cluster an
-executor loss makes those blocks unrecoverable and fails the job — the
-right trade on local[n] (this repo's test/bench target, where executor ==
-driver and the failure domain is the whole process anyway), but a
-long-running production job on flaky hardware should swap these cuts for
-``spark.sparkContext.setCheckpointDir(...)`` + reliable ``checkpoint()``
-(same single-scan effect, HDFS-durable) — a one-line substitution at each
-cut site.
+A note on lineage cuts (ADVICE r6 → VERDICT r7 #5): every cut in this
+module (and in graph.py / text.py / vector.py) exists to stop Spark
+re-executing an expensive subtree referenced by several plan branches,
+or to keep iterative plans from growing without bound. All cut sites
+route through :func:`plans.lineage.lineage_cut`, which honors the
+session conf ``spark.bdps.lineageCut``: ``local`` (default —
+localCheckpoint, the right trade on local[n] where executor == driver),
+``reliable`` (``checkpoint()`` to a durable dir, survives executor loss
+— set this on a real cluster), or ``persist`` (MEMORY_AND_DISK,
+recompute-on-loss). Results are mode-invariant; see the lineage module
+docstring for the full trade table.
 """
 
 from __future__ import annotations
@@ -40,6 +39,8 @@ import functools
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from big_data_project_spark.plans.lineage import lineage_cut
 
 from big_data_project_spark.operators.cleaning import normalize_text_col
 from big_data_project_spark.operators.text import words_col
@@ -167,7 +168,7 @@ def jaccard_verify(
     sh = (
         shingles
         if shingles is not None
-        else doc_shingles(df, text, id_col, n).localCheckpoint(eager=False)
+        else doc_shingles(df, text, id_col, n).transform(lineage_cut)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     p = pairs.select("id_a", "id_b")
@@ -346,6 +347,17 @@ def minhash_lsh_candidates(
     signature checkpoint the main job needs anyway.
     ``bucket_cap=None`` disables the guard.
 
+    **The probe is EAGER** (ADVICE r7): with ``bucket_cap`` set,
+    *constructing* the returned DataFrame runs the shingle/signature jobs
+    up through the probe's ``isEmpty()`` — plan-only callers (``explain``,
+    registration sweeps) pay real compute per call, and the hot/not-hot
+    topology choice is frozen for the data as of THIS call. Re-executing
+    the returned plan later over a mutated source can exceed ``bucket_cap``
+    unguarded; for mutable sources rebuild per execution (the streaming
+    path, :func:`streaming.ops.near_dedup_stream`, already does — each
+    micro-batch calls this fresh). Pass ``bucket_cap=None`` when you only
+    need the plan.
+
     ``hash_fn="md5_affine"`` makes the whole candidate generation
     engine-exact (see :func:`minhash_signatures_agg`) — banding is md5 over
     decimal-rendered signature components, identical in DuckDB, and the
@@ -387,11 +399,11 @@ def minhash_lsh_candidates(
         )
 
     if include_est_jaccard:
-        sig = sig_raw.localCheckpoint(eager=False)
+        sig = sig_raw.transform(lineage_cut)
         banded = _band(sig)
     else:
         sig = None
-        banded = _band(sig_raw).localCheckpoint(eager=False)
+        banded = _band(sig_raw).transform(lineage_cut)
     join_keys = [
         F.col("a.band_id") == F.col("b.band_id"),
         F.col("a.band_hash") == F.col("b.band_hash"),
@@ -530,13 +542,19 @@ def minhash_index(
     signature agreement replaces exact Jaccard for the verify step — no
     corpus text is ever re-read. Parameters must match between index
     builds and probes (same shingle n, hash family, k, bands)."""
+    # The shingle/signature stages carry the id under the family-internal
+    # name 'doc_id' (doc_shingles renames on the way in), so the semi-join
+    # keys on that name and the final select aliases it back to ``id_col``
+    # — a custom id column round-trips (ADVICE r7).
     if shingles is not None:
-        src = shingles.join(df.select(id_col), id_col, "left_semi")
+        src = shingles.join(
+            df.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+        )
     else:
         src = doc_shingles(df, text, id_col, n)
     sig = minhash_signatures_agg(src, num_hashes, seed, hash_fn=hash_fn)
     return sig.select(
-        id_col,
+        F.col("doc_id").alias(id_col),
         "signature",
         F.expr(f"array({_band_exprs(num_hashes, bands)})").alias(
             "band_hashes"
@@ -601,7 +619,7 @@ def dedup_delta_near(
     fingerprints when sub-``n``-word rows need cross-batch dedup."""
     # ONE tokenize pass for the whole delta: the self-dedup's signatures
     # and the survivors' index rows both derive from this stream
-    sh = doc_shingles(new_df, text, id_col, n).localCheckpoint(eager=False)
+    sh = doc_shingles(new_df, text, id_col, n).transform(lineage_cut)
     self_pairs = minhash_lsh_candidates(
         new_df,
         text,
@@ -623,7 +641,7 @@ def dedup_delta_near(
     new_idx = minhash_index(
         batch_kept, text, id_col, n, num_hashes, bands, seed, hash_fn,
         shingles=sh,
-    ).localCheckpoint(eager=False)  # feeds band probe AND sig verify
+    ).transform(lineage_cut)  # feeds band probe AND sig verify
     nb = _explode_index(new_idx, id_col).withColumnRenamed(id_col, "_nid")
     ob = _explode_index(index_df, id_col).withColumnRenamed(id_col, "_oid")
     cand = nb.join(ob, ["band_id", "band_hash"]).select("_nid", "_oid").distinct()
@@ -719,13 +737,13 @@ def connected_components(
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()
+        .transform(lineage_cut, eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint()
+        .transform(lineage_cut, eager=True)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -746,7 +764,7 @@ def connected_components(
                 F.least("new_lbl", F.coalesce("p_lbl", "new_lbl")).alias("new_lbl"),
             )
         )
-        nxt = labels.join(jumped, "node").select("node", "lbl", "new_lbl").localCheckpoint()
+        nxt = labels.join(jumped, "node").select("node", "lbl", "new_lbl").transform(lineage_cut, eager=True)
         changed = nxt.where(F.col("new_lbl") != F.col("lbl")).count()
         # narrow projection over the already-checkpointed nxt — no second
         # materialization per round
@@ -860,7 +878,7 @@ def remove_hot_lines(
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text), sep, -1)).alias("_pos", "_line"),
-    ).localCheckpoint(eager=False)  # feeds hot-agg AND anti-join: split once
+    ).transform(lineage_cut)  # feeds hot-agg AND anti-join: split once
     hot = (
         lines.groupBy("_line")
         .agg(F.count_distinct(id_col).alias("_nd"))
@@ -1056,7 +1074,7 @@ def duplicate_spans(
         # side; without a cut the tokenize+explode+hash map pass runs
         # twice. localCheckpoint materializes it once — the storage cost
         # is the same order as the shuffle this branch already pays.
-        grams = grams.localCheckpoint(eager=False)
+        grams = grams.transform(lineage_cut)
         dup = (
             grams.groupBy("gh")
             .agg(F.count("*").alias("cnt"))

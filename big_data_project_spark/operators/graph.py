@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from big_data_project_spark.plans.lineage import lineage_cut
+
 #: 1.0 of rank mass, in integer pico-units.
 RANK_SCALE = 10**12
 
@@ -85,7 +87,7 @@ def pagerank(
             .where(nn)
             .distinct()
             .withColumn("w", F.lit(1).cast("long"))
-            .localCheckpoint()
+            .transform(lineage_cut, eager=True)
         )
     else:
         e = (
@@ -93,23 +95,23 @@ def pagerank(
             .where(nn & (F.col("w") > 0))
             .groupBy("src", "dst")
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint()
+            .transform(lineage_cut, eager=True)
         )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(lineage_cut, eager=True)
     )
     # Single-row node count: the one legal broadcast (bounded by construction).
     n_row = F.broadcast(nodes.agg(F.count("*").alias("_n")))
-    outdeg = e.groupBy("src").agg(F.sum("w").alias("deg")).localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("deg")).transform(lineage_cut, eager=True)
 
     dp = int(damping_permille)
     ranks = (
         nodes.crossJoin(n_row)
         .select("node", F.expr(f"CAST({RANK_SCALE} AS BIGINT) div _n").alias("r"))
-        .localCheckpoint()
+        .transform(lineage_cut, eager=True)
     )
     for _ in range(iterations):
         contribs = (
@@ -132,7 +134,7 @@ def pagerank(
                     f" + ({dp} * coalesce(s, CAST(0 AS BIGINT))) div 1000"
                 ).alias("r"),
             )
-            .localCheckpoint()
+            .transform(lineage_cut, eager=True)
         )
     return ranks.select(
         "node",
@@ -198,7 +200,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(lineage_cut, eager=True)
     )
     deg = (
         e.select(F.col("a").alias("x"))
@@ -216,7 +218,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     oriented = j.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint()
+    ).transform(lineage_cut, eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2, (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v"))

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from big_data_project_spark.plans.lineage import lineage_cut
+
 from big_data_project_spark.operators.cleaning import normalize_text_col
 
 # ---------------------------------------------------------------------------
@@ -1144,7 +1146,7 @@ def train_bpe(
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("cnt"))
         .select("cnt", bpe_wrap("w").alias("sym"))
-        .localCheckpoint()
+        .transform(lineage_cut, eager=True)
     )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -1172,7 +1174,7 @@ def train_bpe(
                 F.lit(BPE_SEP + a + BPE_SEP + BPE_SEP + b + BPE_SEP),
                 F.lit(BPE_SEP + a + b + BPE_SEP),
             ).alias("sym"),
-        ).localCheckpoint()
+        ).transform(lineage_cut, eager=True)
     return merges
 
 

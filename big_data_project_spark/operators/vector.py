@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from big_data_project_spark.plans.lineage import lineage_cut
+
 # ---------------------------------------------------------------------------
 # score expressions (JVM-side, codegen'd)
 # ---------------------------------------------------------------------------
@@ -593,6 +595,20 @@ def semantic_dedup(
       one. ``cluster_cap=None`` disables the guard (exact greedy at any
       cluster size — the oracle-pinned configuration).
 
+    **Guard composition** (ADVICE r7): the collapse runs FIRST, so with
+    both flags on the cap counts — and the star topology spans —
+    collapsed REPRESENTATIVES, not raw rows; non-min exact twins are
+    dropped by the collapse regardless of what the star later sees
+    (output-preserving per the collapse rule above). Any oracle or
+    external mirror of the capped semantics must collapse to min-id reps
+    before counting/pairing (``dd_semantic_capped`` does).
+
+    **The probe is EAGER** (ADVICE r7): with ``cluster_cap`` set,
+    constructing the result runs the assignment jobs through the probe's
+    ``isEmpty()``; the hot/not-hot decision is valid only for the data as
+    of the call. Plan-only callers pay compute; mutable sources should
+    rebuild per execution (the streaming path does).
+
     Nothing corpus-sized is broadcast; no Python; the only driver-side
     action is the probe's bounded isEmpty()."""
     full = embeddings.select(id_col, emb_col)
@@ -666,7 +682,7 @@ def semantic_dedup(
                 "_bucket", F.struct(F.negate(F.col("_s")), F.col("_bucket"))
             ).alias("cluster_id"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     pair_src = assigned.where(~F.col("_z"))
     star = None
@@ -809,7 +825,7 @@ def pq_codebooks(
         sub.withColumn("_hh", hh)
         .groupBy("s", F.pmod(F.col("_hh"), F.lit(n_codes)).alias("code"))
         .agg(F.min_by("sub", "_hh").alias("centroid"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
 
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from big_data_project_spark.plans.lineage import lineage_cut
+
 from big_data_project_spark.operators import curation, dedup
 from big_data_project_spark.operators.text import filter_quality, words_col
 
@@ -68,9 +70,7 @@ def curate_corpus(
         pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
     elif pair_source == "lsh":
         # one tokenize pass shared by block and verify (round 7)
-        sh = dedup.doc_shingles(d, "text", "doc_id", 3).localCheckpoint(
-            eager=False
-        )
+        sh = dedup.doc_shingles(d, "text", "doc_id", 3).transform(lineage_cut)
         cand = dedup.minhash_lsh_candidates(
             d, n=3, hash_fn=lsh_hash_fn, include_est_jaccard=False,
             shingles=sh,

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from big_data_project_spark.plans.lineage import lineage_cut
+
 from big_data_project_spark import io
 from big_data_project_spark import streaming
 from big_data_project_spark.operators import (
@@ -630,6 +632,17 @@ _WINDOW_SWAPS = [
     # rows stay value-hashed past-window in the full sweep.
     ("s_roundtrip_parquet", "utf8_script_lang_id"),
     ("n34_coalesce_assemble", "mm_mp3_frame_index"),
+    # round-8 (VERDICT r7 #3): driver-grade green on the round-7 flagships —
+    # dd_semantic_capped is the only oracle that value-hashes a FIRED
+    # hot-cluster guard's star semantics, dd_incremental_near is the
+    # streaming near-dedup's batch twin. o2_top_parts rotates out
+    # (TakeOrdered is plan-pinned by e3_knn_l2's zero-shuffle test and the
+    # ordering/top-k semantics stay in-window via q3_shipping_priority's
+    # ORDER BY + LIMIT 10); a1_counts rotates out (count/count-distinct is
+    # trivially covered by q1_pricing_summary + a4_grouping, both
+    # in-window). Both rotated-out rows stay value-hashed past-window.
+    ("o2_top_parts", "dd_semantic_capped"),
+    ("a1_counts", "dd_incremental_near"),
 ]
 
 
@@ -4105,9 +4118,7 @@ def tx_classifier(spark, sf_dir):
     ).cast("long")
     # the labeled corpus feeds training, scoring AND the actual-label
     # join; checkpoint so the scan + teacher-rule evaluation runs once
-    lby = docs.select("doc_id", "text", y.alias("y")).localCheckpoint(
-        eager=False
-    )
+    lby = docs.select("doc_id", "text", y.alias("y")).transform(lineage_cut)
     weights = text.train_hashed_classifier(
         lby.where(F.col("doc_id") % 2 == 0), "y"
     )
@@ -4420,23 +4431,34 @@ def dd_semantic(spark, sf_dir):
     b AS (SELECT vec_id, embedding, hh, hh % 8 AS bucket FROM h),
     cent AS (SELECT bucket, arg_min(embedding, hh) AS centroid
              FROM b GROUP BY bucket),
-    sc AS (SELECT e.vec_id, e.embedding, c.bucket,
+    nz AS (SELECT vec_id, embedding FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) <> 0),
+    reps AS (SELECT min(vec_id) AS vec_id, embedding
+             FROM nz GROUP BY embedding),
+    pool AS (SELECT vec_id, embedding, FALSE AS z FROM reps
+             UNION ALL
+             SELECT vec_id, embedding, TRUE AS z FROM embeddings
+             WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) = 0),
+    sc AS (SELECT e.vec_id, e.embedding, e.z, c.bucket,
                   list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                    CAST(c.centroid AS DOUBLE[])) AS s
-           FROM embeddings e CROSS JOIN cent c),
-    asg AS (SELECT vec_id, embedding, bucket AS cluster_id FROM (
+           FROM pool e CROSS JOIN cent c),
+    asg AS (SELECT vec_id, embedding, z, bucket AS cluster_id FROM (
               SELECT *, row_number() OVER (
                 PARTITION BY vec_id ORDER BY s DESC, bucket) AS rn
               FROM sc) WHERE rn = 1),
-    hot AS (SELECT cluster_id, min(vec_id) AS mn FROM asg
+    pr AS (SELECT vec_id, embedding, cluster_id FROM asg WHERE NOT z),
+    hot AS (SELECT cluster_id, min(vec_id) AS mn FROM pr
             GROUP BY cluster_id HAVING count(*) > 60),
-    allpairs AS (SELECT b.vec_id FROM asg a JOIN asg b
+    allpairs AS (SELECT b.vec_id FROM pr a JOIN pr b
                  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
                  WHERE a.cluster_id NOT IN (SELECT cluster_id FROM hot)
                    AND {_PAIR_COS.format(x="a", y="b")} >= 0.4),
     star AS (SELECT b.vec_id FROM hot h
-             JOIN asg a ON a.vec_id = h.mn
-             JOIN asg b ON b.cluster_id = h.cluster_id
+             JOIN pr a ON a.vec_id = h.mn
+             JOIN pr b ON b.cluster_id = h.cluster_id
                        AND b.vec_id <> h.mn
              WHERE {_PAIR_COS.format(x="a", y="b")} >= 0.4),
     dropped AS (SELECT vec_id FROM allpairs UNION SELECT vec_id FROM star)
@@ -4450,10 +4472,18 @@ def dd_semantic_capped(spark, sf_dir):
     ``cluster_cap=60`` so the guard FIRES at sf0.01 — clusters past the cap
     switch to the star candidate topology around the cluster minimum
     (bounded m−1 emission) while clusters under it keep exact all-pairs
-    greedy. The oracle mirrors both topologies exactly, so the guard's
-    output semantics — not just its boundedness — is driver-checked. The
-    production default (1024) makes the guard a flood-only device; this row
-    pins what it does when it fires."""
+    greedy. The oracle mirrors the engine's FULL capped semantics
+    (ADVICE r7): byte-identical embeddings collapse to their min-id
+    representative BEFORE the cap count and the star (``collapse_exact``
+    runs first in the engine, so the cap bounds representatives, not raw
+    rows, and non-min exact twins are dropped by the collapse
+    unconditionally — output-preserving at threshold 0.4); zero-norm
+    vectors skip pairing and survive. At sf0.01 the generated embeddings
+    have no exact dups or zero vectors, so reps == rows — but the oracle
+    now stays faithful on data that has them (pinned by
+    tests/test_dedup.py's exact-dup-in-hot-cluster case). The production
+    default (1024) makes the guard a flood-only device; this row pins what
+    it does when it fires."""
     import warnings
 
     with warnings.catch_warnings():
@@ -5050,9 +5080,7 @@ def dd_near_dedup_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     # ONE tokenize pass shared by block AND verify (round 7): the shingle
     # stream is the corpus scan both stages start from
-    sh = dedup.doc_shingles(d, "text", "doc_id", 3).localCheckpoint(
-        eager=False
-    )
+    sh = dedup.doc_shingles(d, "text", "doc_id", 3).transform(lineage_cut)
     cand = dedup.minhash_lsh_candidates(
         d,
         num_hashes=_MH_K,

@@ -14,6 +14,12 @@ tests meaningful (stream output ≡ batch output on the same rows).
 
 from big_data_project_spark.streaming.ops import (
     EVENTS_SCHEMA,
+    admitted_corpus,
+    compact_near_dedup,
+    compact_near_dedup_data,
+    compact_near_dedup_index,
+    curate_stream,
+    near_dedup_stream,
     enrich_stream,
     enrich_stream_fresh,
     ohlc_stream,
@@ -52,4 +58,10 @@ __all__ = [
     "purchases_with_recent_clicks",
     "upsert_sink",
     "user_totals_batch",
+    "near_dedup_stream",
+    "curate_stream",
+    "compact_near_dedup_index",
+    "compact_near_dedup_data",
+    "compact_near_dedup",
+    "admitted_corpus",
 ]

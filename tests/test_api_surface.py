@@ -266,7 +266,11 @@ def test_every_survey_family_has_a_window_entry():
                   "j3_customer_order_stats", "j4_semi_anti", "j5_asof_join",
                   "j6_cross_join"},
         "windows": {"w1_top_orders_per_customer", "w2_offsets", "w3_frames"},
-        "ordering/top-k": {"o1_ordered_scan", "o2_top_parts"},
+        # r8: o2_top_parts rotated past-window; q3's ORDER BY revenue
+        # DESC, o_orderdate LIMIT 10 carries multi-key sort + top-k
+        # in-window (TakeOrdered also plan-pinned via e3_knn_l2)
+        "ordering/top-k": {"o1_ordered_scan", "o2_top_parts",
+                           "q3_shipping_priority"},
         "streaming-batch-twins": {"st_tumbling_hourly", "st_sliding_halfhour",
                                   "st_sessionize", "st_dedup_events"},
         "udf-ladder": {"p6_row_udf", "u2_pandas_udf", "u3_weighted_avg_udaf"},

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from big_data_project_spark import io
 from big_data_project_spark.operators import dedup, vector
+from tests.conftest import assert_matches_oracle
 
 
 def test_approx_count_distinct_bound(spark, sf_dir):
@@ -370,6 +371,135 @@ def test_semantic_dedup_collapse_is_seed_invariant(spark):
         assert 1 not in kept_ids and 2 not in kept_ids and 5 not in kept_ids
         # zero vectors can neither drop nor be dropped
         assert {6, 7} <= kept_ids
+
+
+def test_minhash_index_and_delta_near_custom_id_col(spark):
+    """ADVICE r7 (low): minhash_index and dedup_delta_near must round-trip
+    a non-default id column (the shingle/signature stages carry it as
+    'doc_id' internally and alias it back on the way out) — both the
+    shared-shingles path and the self-tokenizing path."""
+    w = [f"tok{i}x" for i in range(40)]
+    rows = [(0, " ".join(w[:20])), (1, " ".join(w[20:40]))]
+    df = spark.createDataFrame(rows, "rid long, body string")
+    idx = dedup.minhash_index(df, text="body", id_col="rid")
+    assert idx.columns == ["rid", "signature", "band_hashes"]
+    assert idx.count() == 2
+    # shared-shingles path: precomputed stream covers a superset
+    sh = dedup.doc_shingles(df, text="body", id_col="rid")
+    idx_shared = dedup.minhash_index(
+        df.where(F.col("rid") == 0), text="body", id_col="rid", shingles=sh
+    )
+    assert {r.rid for r in idx_shared.collect()} == {0}
+    assert (
+        idx_shared.collect()[0].signature
+        == idx.where(F.col("rid") == 0).collect()[0].signature
+    )
+    # delta: batch with a near-dup of an indexed doc and one fresh doc
+    batch = spark.createDataFrame(
+        [(2, " ".join(w[:20]) + " extraword"),
+         (3, " ".join(f"fresh{i}q" for i in range(25)))],
+        "rid long, body string",
+    )
+    surv = dedup.dedup_delta_near(batch, idx, text="body", id_col="rid")
+    assert {r.rid for r in surv.collect()} == {3}
+
+
+def test_semantic_dedup_cap_counts_collapsed_reps(spark):
+    """ADVICE r7 (medium), engine half: with collapse_exact on, the
+    hot-cluster probe counts collapsed REPRESENTATIVES — raw rows past the
+    cap but reps under it must NOT fire the guard (output == exact greedy),
+    and a fired star never resurrects non-min exact twins (they are dropped
+    by the collapse before the star exists)."""
+    import warnings as w
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        # exact-dup group: rep 10 + twins 11/12; cos(vec0, v) = 0.1 < 0.4
+        (10, [0.1, 0.99499, 0.0, 0.0]),
+        (11, [0.1, 0.99499, 0.0, 0.0]),
+        (12, [0.1, 0.99499, 0.0, 0.0]),
+        (20, [0.6, 0.0, 0.8, 0.0]),        # cos(vec0, ·) = 0.6 → star-drops
+        (21, [0.5, 0.0, 0.866, 0.0]),      # 0.5 → star-drops
+        (22, [0.2, 0.0, 0.9798, 0.0]),     # 0.2 → star-keeps
+        (23, [0.15, 0.0, 0.98869, 0.0]),   # keeps
+        (24, [0.05, 0.0, 0.99875, 0.0]),   # keeps
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # 9 raw rows, 7 reps. cap=8: raw > cap but reps <= cap → NO fire, and
+    # the output is the exact greedy one (compare against uncapped).
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        capped8 = {
+            r.vec_id
+            for r in vector.semantic_dedup(
+                df, n_clusters=1, threshold=0.4, cluster_cap=8
+            ).collect()
+        }
+    assert not [x for x in rec if "hot-cluster" in str(x.message)]
+    uncapped = {
+        r.vec_id
+        for r in vector.semantic_dedup(
+            df, n_clusters=1, threshold=0.4, cluster_cap=None
+        ).collect()
+    }
+    assert capped8 == uncapped
+    # cap=6: 7 reps > cap → FIRES; star spans reps around min id 0.
+    # Twins 11/12 stay dropped (collapse), rep 10 survives (cos 0.1 < 0.4
+    # against the cluster min) — the case a raw-row-counting mirror gets
+    # wrong by keeping the twins.
+    with pytest.warns(UserWarning, match="hot-cluster"):
+        capped6 = {
+            r.vec_id
+            for r in vector.semantic_dedup(
+                df, n_clusters=1, threshold=0.4, cluster_cap=6
+            ).collect()
+        }
+    assert capped6 == {0, 10, 22, 23, 24}
+
+
+def test_dd_semantic_capped_oracle_models_collapse(spark, tmp_path):
+    """ADVICE r7 (medium), oracle half: the dd_semantic_capped registry
+    oracle must value-match the engine on a corpus WITH exact-duplicate
+    embeddings inside a hot cluster (the sf generator never produces one,
+    which is why r7's green was latent). 70 distinct near-identical reps
+    ×2 exact twins flood one cluster past cap=60; a dissimilar exact pair
+    (cos≈0.2 to the flood) rides along."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_project_spark.registry import REGISTRY
+
+    ids, vecs = [], []
+    for r in range(70):
+        v = [1.0, 0.001 * r, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        ids += [2 * r, 2 * r + 1]
+        vecs += [v, v]  # rep + exact twin
+    for i in (200, 201):  # exact pair, cos(base, ·) ≈ 0.2 < threshold
+        ids.append(i)
+        vecs.append([0.2, 0.0, 0.9798, 0.0, 0.0, 0.0, 0.0, 0.0])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = REGISTRY["dd_semantic_capped"].build(spark, str(tmp_path))
+    kept = {r.vec_id for r in got.collect()}
+    # non-min exact twins never survive, fired guard or not
+    assert 201 not in kept and not any(i % 2 for i in kept if i < 140)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet')"
+        )
+        assert_matches_oracle(got, con, REGISTRY["dd_semantic_capped"].oracle)
+    finally:
+        con.close()
 
 
 def test_semantic_dedup_threshold_above_self_cos_keeps_twins(spark):

@@ -36,8 +36,11 @@ def _run_bench(*args: str) -> str:
 
 def test_bench_one_runs_a_single_query_in_a_fresh_jvm(tmp_path):
     rec = json.loads(_run_bench("--one", "q1_pricing_summary"))
-    assert set(rec) == {"q1_pricing_summary"}
-    assert rec["q1_pricing_summary"] > 0
+    assert set(rec) == {"median", "min"}
+    assert rec["median"]["q1_pricing_summary"] > 0
+    assert (
+        rec["min"]["q1_pricing_summary"] <= rec["median"]["q1_pricing_summary"]
+    )
 
 
 def test_bench_default_json_contract():
@@ -46,6 +49,11 @@ def test_bench_default_json_contract():
     assert rec["unit"] == "sec"
     assert rec["sf"] == 0.001
     assert rec["value"] > 0 and len(rec["queries"]) >= 26
+    # VERDICT r7 #2: every bench record carries its own load context and
+    # the per-query cost floor
+    assert rec["value_min"] <= rec["value"]
+    assert set(rec["queries_min"]) == set(rec["queries"])
+    assert len(rec["loadavg"]["start"]) == 3 == len(rec["loadavg"]["end"])
     # history line appended (same JSON) — trim it so smoke runs don't
     # accumulate in the canonical record
     hist = os.path.join(REPO, "bench_history.jsonl")

@@ -1311,10 +1311,23 @@ def test_compact_near_dedup_index_preserves_results(spark, tmp_path):
     index_root = tmp_path / "out" / "index"
     assert sorted(_os.listdir(index_root)) == ["batch-00000000", "batch-00000001"]
 
+    # a concurrent micro-batch may already have listed the batch dirs —
+    # capture what such a reader would reference before compacting
+    pre_listed = [str(index_root / d) for d in sorted(_os.listdir(index_root))]
     k = st.compact_near_dedup_index(spark, str(tmp_path / "out"))
     assert k == 2
+    # deferred cleanup (ADVICE r7): the run that publishes base-K retires
+    # NOTHING base-K covers — every path a pre-compaction lister captured
+    # is still on disk and still readable
+    assert sorted(_os.listdir(index_root)) == [
+        "base-00000002", "batch-00000000", "batch-00000001"
+    ]
+    assert spark.read.parquet(*pre_listed).count() > 0
+    # the NEXT run retires the previous generation (and has nothing new
+    # to fold, so K stays 0)
+    assert st.compact_near_dedup_index(spark, str(tmp_path / "out")) == 0
     assert sorted(_os.listdir(index_root)) == ["base-00000002"]
-    # re-compacting with nothing new is a no-op
+    # idempotent from here
     assert st.compact_near_dedup_index(spark, str(tmp_path / "out")) == 0
 
     # crash simulation: a covered batch dir the cleanup never removed —
@@ -1345,3 +1358,96 @@ def test_compact_near_dedup_index_preserves_results(spark, tmp_path):
         )
     assert got == want
     assert got == {0, 1, 3, 5}  # 2 and 4 are near-dups of admitted docs
+
+
+def test_compact_near_dedup_data_preserves_corpus(spark, tmp_path):
+    """VERDICT r7 #4 (data-side compaction twin): folding the admitted
+    data/batch-* dirs into a base snapshot mid-stream — including a
+    crash-leftover covered batch dir — never changes what
+    admitted_corpus() reads, a resumed stream keeps publishing alongside
+    the base, and repeated compaction holds the dir count at O(1)."""
+    import os as _os
+    import shutil as _sh
+    import time as _time
+
+    from big_data_project_spark.streaming import ops as st
+
+    w = [f"dtok{i}z" for i in range(40)]
+    batches = [
+        [(0, " ".join(w[:20])), (1, " ".join(w[20:40]))],
+        [(2, " ".join(w[:20]) + " tailA"),
+         (3, " ".join(f"dn{i}w" for i in range(22)))],
+        [(4, " ".join(w[20:40]) + " tailB"),
+         (5, " ".join(f"dm{i}v" for i in range(24)))],
+    ]
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    kw = dict(n=3, num_hashes=64, bands=16, threshold=0.5)
+
+    def feed(i):
+        df = spark.createDataFrame(batches[i], "doc_id long, text string")
+        staged = str(tmp_path / f"dstage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(p for p in _os.listdir(staged) if p.endswith(".parquet"))
+        _sh.move(f"{staged}/{part}", str(stream_dir / f"b{i}.parquet"))
+        _time.sleep(1.1)
+
+    def run_stream():
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+        )
+        q = st.near_dedup_stream(
+            src, str(tmp_path / "out"), str(tmp_path / "ck"), **kw
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    feed(0); feed(1)
+    run_stream()
+    before = {
+        (r.doc_id, r.text)
+        for r in st.admitted_corpus(spark, str(tmp_path / "out")).collect()
+    }
+    assert {d for d, _ in before} == {0, 1, 3}  # 2 near-dups admitted 0
+
+    ik, dk = st.compact_near_dedup(spark, str(tmp_path / "out"))
+    assert (ik, dk) == (2, 2)
+    data_root = tmp_path / "out" / "data"
+    # grace generation: base + still-present covered batch dirs overlap —
+    # the reader must not double-count
+    assert "base-00000002" in _os.listdir(data_root)
+    mid = {
+        (r.doc_id, r.text)
+        for r in st.admitted_corpus(spark, str(tmp_path / "out")).collect()
+    }
+    assert mid == before
+    # crash-leftover simulation: a covered batch dir that cleanup never
+    # removed (duplicate content vs the base) is skipped by the reader
+    if not (data_root / "batch-00000001").exists():
+        _sh.copytree(data_root / "base-00000002", data_root / "batch-00000001")
+    assert {
+        (r.doc_id, r.text)
+        for r in st.admitted_corpus(spark, str(tmp_path / "out")).collect()
+    } == before
+
+    feed(2)
+    run_stream()  # same checkpoint: only batch 2 is new
+    after = {
+        (r.doc_id, r.text)
+        for r in st.admitted_corpus(spark, str(tmp_path / "out")).collect()
+    }
+    assert {d for d, _ in after} == {0, 1, 3, 5}
+    assert before <= after
+
+    # second compaction folds the new batch and retires the previous
+    # generation; dir count stays O(1) and the corpus is unchanged
+    st.compact_near_dedup(spark, str(tmp_path / "out"))
+    st.compact_near_dedup(spark, str(tmp_path / "out"))
+    dirs = sorted(_os.listdir(data_root))
+    assert dirs == ["base-00000003"]
+    assert {
+        (r.doc_id, r.text)
+        for r in st.admitted_corpus(spark, str(tmp_path / "out")).collect()
+    } == after
