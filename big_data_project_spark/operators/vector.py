@@ -520,6 +520,34 @@ def knn_topk_batch(
 _SELF_COS_SAFE = 1.0 - 1e-9
 
 
+def semantic_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The engine's verifiable centroid-seeding scheme (shared by
+    :func:`semantic_dedup`, :func:`dedup_delta_semantic` and the
+    streaming twin): every id md5-hashes to one of ``n_clusters``
+    buckets and the minimum-hash vector of each bucket becomes that
+    bucket's centroid — ONE map-side-combining groupBy, engine-exact
+    (md5 + integer arithmetic mirror in DuckDB). Returns
+    ``(_bucket, _centroid)``, ≤ ``n_clusters`` rows, always
+    broadcast-sized. Persist this once for a continuous ingest: cluster
+    equi-joins across batches are only meaningful against FIXED
+    centroids."""
+    hh = F.expr(
+        f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    return (
+        embeddings.select(F.col(id_col), F.col(emb_col), hh.alias("_hh"))
+        .withColumn("_bucket", F.pmod(F.col("_hh"), F.lit(n_clusters)))
+        .groupBy("_bucket")
+        .agg(F.min_by(emb_col, "_hh").alias("_centroid"))
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_clusters: int = 8,
@@ -528,6 +556,7 @@ def semantic_dedup(
     emb_col: str = "embedding",
     collapse_exact: bool = True,
     cluster_cap: int | None = 1024,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarsely cluster the embedding space, then drop every
@@ -614,16 +643,13 @@ def semantic_dedup(
     full = embeddings.select(id_col, emb_col)
     # Centroid seeding from the FULL id pool (md5-bucket minimum), never
     # the collapsed pool — keeps seeds independent of collapse_exact.
-    hh = F.expr(
-        f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10)"
-        " AS BIGINT)"
-    )
-    hashed = full.select(
-        F.col(id_col), F.col(emb_col), hh.alias("_hh")
-    ).withColumn("_bucket", F.pmod(F.col("_hh"), F.lit(n_clusters)))
-    centroids = F.broadcast(
-        hashed.groupBy("_bucket").agg(F.min_by(emb_col, "_hh").alias("_centroid"))
-    )
+    # ``centroids`` overrides the seeding with an EXTERNAL (persisted)
+    # (_bucket, _centroid) table — the continuous-ingest path, where
+    # cross-batch cluster equi-joins need fixed centroids
+    # (:func:`dedup_delta_semantic`); n_clusters is ignored then.
+    if centroids is None:
+        centroids = semantic_centroids(full, n_clusters, id_col, emb_col)
+    centroids = F.broadcast(centroids.select("_bucket", "_centroid"))
     # Zero-norm split: cosine(x, ·) is NULL exactly when norm(x)·norm(x)
     # underflows to 0 — those rows can neither drop nor be dropped, so
     # they skip pairing and survive unconditionally (they still get a
@@ -760,6 +786,93 @@ def semantic_dedup(
     )
     return assigned.join(dropped, id_col, "left_anti").select(
         id_col, "cluster_id"
+    )
+
+
+def semantic_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The PERSISTABLE semantic-dedup index: ``(id, embedding,
+    cluster_id)`` rows assigned against FIXED external centroids (max
+    inner product, ties to the smallest bucket — exactly
+    :func:`semantic_dedup`'s assignment rule). This is what a continuous
+    ingest stores per admitted batch so future deltas probe an equi-join
+    on ``cluster_id`` instead of re-scoring the corpus
+    (:func:`dedup_delta_semantic`, the embedding twin of
+    :func:`minhash_index`)."""
+    c = F.broadcast(centroids.select("_bucket", "_centroid"))
+    return (
+        df.select(id_col, emb_col)
+        .crossJoin(c)
+        .select(
+            id_col, emb_col, "_bucket",
+            dot(emb_col, "_centroid").alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.first(emb_col).alias(emb_col),
+            F.min_by(
+                "_bucket", F.struct(F.negate(F.col("_s")), F.col("_bucket"))
+            ).alias("cluster_id"),
+        )
+    )
+
+
+def dedup_delta_semantic(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    collapse_exact: bool = True,
+    cluster_cap: int | None = 1024,
+) -> DataFrame:
+    """SEMANTIC incremental dedup (VERDICT r7 #8) — the embedding twin of
+    :func:`operators.dedup.dedup_delta_near`: drop rows of ``new_df``
+    whose cosine similarity to anything in ``index_df`` (a
+    :func:`semantic_index` over the corpus admitted so far) reaches
+    ``threshold``, or to a smaller-id row within the batch itself.
+    Returns the surviving rows of ``new_df`` (all original columns).
+
+    Order of operations mirrors the MinHash twin: the batch self-dedups
+    FIRST through :func:`semantic_dedup` (collapse + hot-cluster star
+    guard included, run against the FIXED ``centroids`` so cluster ids
+    agree across batches), and only the self-survivors probe the index —
+    an m-strong embedding flood inside one batch collapses before ever
+    meeting the index. The probe is a cluster_id equi-join + cosine
+    filter; the index side of any cluster is NATURALLY bounded by the
+    packing number of the similarity space (admitted survivors are
+    pairwise below the threshold by construction), so no guard is needed
+    there — the quadratic term stays Σ|batch_cluster|·|index_cluster|,
+    never corpus².
+
+    Zero-norm batch vectors survive both stages (cosine NULL never
+    reaches the threshold), matching semantic_dedup's rule."""
+    kept = semantic_dedup(
+        new_df,
+        threshold=threshold,
+        id_col=id_col,
+        emb_col=emb_col,
+        collapse_exact=collapse_exact,
+        cluster_cap=cluster_cap,
+        centroids=centroids,
+    )
+    kq = new_df.select(id_col, emb_col).join(kept, id_col)
+    idx = index_df.select(
+        F.col("cluster_id").alias("_ic"), F.col(emb_col).alias("_ie")
+    )
+    probe_drops = (
+        kq.join(idx, kq["cluster_id"] == idx["_ic"])
+        .where(cosine(emb_col, "_ie") >= F.lit(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return new_df.join(kept.select(id_col), id_col, "left_semi").join(
+        probe_drops, id_col, "left_anti"
     )
 
 

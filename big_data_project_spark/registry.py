@@ -5183,6 +5183,78 @@ def dd_incremental_near(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@register(
+    "dd_incremental_semantic",
+    oracle=f"""
+    WITH snap AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 250),
+    delta AS (SELECT vec_id + 10000 AS vec_id, embedding, label
+              FROM embeddings WHERE vec_id >= 200),
+    h AS (SELECT vec_id, embedding,
+                 {_HEX_SEG.format(a=1, b=16).replace(
+                     "hx", "md5(CAST(vec_id AS VARCHAR))")} AS hh
+          FROM snap),
+    cent AS (SELECT hh % 8 AS bucket, arg_min(embedding, hh) AS centroid
+             FROM h GROUP BY 1),
+    asgd AS (SELECT vec_id, embedding, label, bucket AS cluster_id FROM (
+               SELECT d.vec_id, d.embedding, d.label, c.bucket,
+                      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                        list_dot_product(CAST(d.embedding AS DOUBLE[]),
+                                         CAST(c.centroid AS DOUBLE[])) DESC,
+                        c.bucket) AS rn
+               FROM delta d CROSS JOIN cent c) WHERE rn = 1),
+    asgs AS (SELECT vec_id, embedding, bucket AS cluster_id FROM (
+               SELECT s.vec_id, s.embedding, c.bucket,
+                      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                        list_dot_product(CAST(s.embedding AS DOUBLE[]),
+                                         CAST(c.centroid AS DOUBLE[])) DESC,
+                        c.bucket) AS rn
+               FROM snap s CROSS JOIN cent c) WHERE rn = 1),
+    selfdrop AS (SELECT DISTINCT b.vec_id FROM asgd a JOIN asgd b
+                 ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+                 WHERE {_PAIR_COS.format(x="a", y="b")} >= 0.4),
+    kept1 AS (SELECT vec_id, embedding, label, cluster_id FROM asgd
+              WHERE vec_id NOT IN (SELECT vec_id FROM selfdrop)),
+    probedrop AS (SELECT DISTINCT k.vec_id FROM kept1 k JOIN asgs s
+                  ON k.cluster_id = s.cluster_id
+                  WHERE {_PAIR_COS.format(x="k", y="s")} >= 0.4)
+    SELECT vec_id, label FROM kept1
+    WHERE vec_id NOT IN (SELECT vec_id FROM probedrop)
+    """,
+)
+def dd_incremental_semantic(spark, sf_dir):
+    """SEMANTIC incremental dedup under one value hash (VERDICT r7 #8's
+    batch-equivalent oracle, the embedding twin of dd_incremental_near):
+    the corpus as of the last run is vectors 0-249, whose
+    :func:`vector.semantic_index` (md5-seeded FIXED centroids + max-IP
+    assignments — the PERSISTED artifact, no corpus re-scoring) is probed
+    by a re-ingest delta re-delivering vectors 200-499 under fresh ids
+    (+10000). The delta first self-dedups within clusters (single-pass
+    greedy keep-first at cosine ≥ 0.4 — exact dups of snapshot rows and
+    within-delta semantic dups both drop), then the survivors probe the
+    index through a cluster_id equi-join. collapse_exact/cluster_cap are
+    off here so the oracle IS the exact greedy spec (the guarded configs
+    are pinned by dd_semantic_capped and pytest); the streaming twin
+    (streaming.ops.semantic_dedup_stream) folds this exact operator per
+    micro-batch — stream ≡ sequential-batch-fold is pinned in
+    tests/test_streaming.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    snap = emb.where(F.col("vec_id") < 250).select("vec_id", "embedding")
+    delta = emb.where(F.col("vec_id") >= 200).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    cents = vector.semantic_centroids(snap, n_clusters=8)
+    idx = vector.semantic_index(snap, cents)
+    return vector.dedup_delta_semantic(
+        delta,
+        idx,
+        cents,
+        threshold=0.4,
+        collapse_exact=False,
+        cluster_cap=None,
+    ).select("vec_id", "label")
+
+
 _Z_INTERLEAVE = " + ".join(
     f"(((s{j} >> {i}) & 1) << {i * 2 + j})"
     for i in range(16)

@@ -20,6 +20,7 @@ from big_data_project_spark.streaming.ops import (
     compact_near_dedup_index,
     curate_stream,
     near_dedup_stream,
+    semantic_dedup_stream,
     enrich_stream,
     enrich_stream_fresh,
     ohlc_stream,
@@ -59,6 +60,7 @@ __all__ = [
     "upsert_sink",
     "user_totals_batch",
     "near_dedup_stream",
+    "semantic_dedup_stream",
     "curate_stream",
     "compact_near_dedup_index",
     "compact_near_dedup_data",

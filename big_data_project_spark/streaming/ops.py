@@ -668,6 +668,71 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def _publish_parquet(df: DataFrame, final: str) -> None:
+    """Atomic directory publish shared by the continuous-ingest sinks:
+    write to a hidden temp sibling, ``os.rename`` into place (the loser
+    of a publish race just fails and cleans up). A dir that already
+    exists SKIPS — content is a pure function of its inputs, so the
+    existing dir is already correct: exactly-once at the directory
+    level, the same discipline as the tar/zip stream sinks."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(final):
+        return
+    tmp = os.path.join(
+        os.path.dirname(final),
+        f".{os.path.basename(final)}.{uuid.uuid4().hex}.tmp",
+    )
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)  # atomic; loser of a race just fails
+    except OSError:
+        if os.path.exists(final):  # racing attempt published first
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _prior_index_dirs(
+    index_root: str, batch_id: int, base_index_path: str | None = None
+) -> list[str]:
+    """Compaction-aware accumulated-index listing shared by the
+    continuous-ingest sinks: the newest ``base-<K>`` snapshot covers
+    every batch dir < K (see :func:`_compact_batch_root`); batch dirs a
+    compactor has folded but not yet retired are read AGAIN harmlessly —
+    index rows are per-doc idempotent (duplicate rows produce duplicate
+    candidate pairs, which the delta operators distinct() away), so a
+    crash between base publish and cleanup never changes results. The
+    CURRENT batch id's own dir is excluded so a replayed batch never
+    dedups against its own previous attempt."""
+    import os
+    import re
+
+    prior = []
+    if base_index_path is not None:
+        prior.append(base_index_path)
+    if not os.path.isdir(index_root):
+        return prior
+    base_pat = re.compile(r"^base-(\d{8})$")
+    pat = re.compile(r"^batch-(\d{8})$")
+    base_k = -1
+    for d in os.listdir(index_root):
+        m = base_pat.match(d)
+        if m:
+            base_k = max(base_k, int(m.group(1)))
+    if base_k >= 0:
+        prior.append(os.path.join(index_root, f"base-{base_k:08d}"))
+    for d in sorted(os.listdir(index_root)):
+        m = pat.match(d)
+        if m and base_k <= int(m.group(1)) < int(batch_id):
+            prior.append(os.path.join(index_root, d))
+    return prior
+
+
 def near_dedup_stream(
     docs: DataFrame,
     out_dir: str,
@@ -726,9 +791,6 @@ def near_dedup_stream(
 
     def process(batch_df: DataFrame, batch_id: int):
         import os
-        import re
-        import shutil
-        import uuid
 
         spark = batch_df.sparkSession
         data_root = os.path.join(out_dir, "data")
@@ -739,29 +801,7 @@ def near_dedup_stream(
         index_final = os.path.join(index_root, f"batch-{int(batch_id):08d}")
         if os.path.exists(data_final) and os.path.exists(index_final):
             return  # replay of a fully-published batch: nothing to redo
-        prior = []
-        if base_index_path is not None:
-            prior.append(base_index_path)
-        # compaction-aware listing: the newest base-<K> snapshot covers
-        # every batch dir < K (see compact_near_dedup_index); batch dirs
-        # a compactor has folded in but not yet deleted are read AGAIN
-        # harmlessly — index rows are per-doc idempotent (duplicate rows
-        # produce duplicate candidate pairs, which dedup_delta_near
-        # distinct()s away), so a crash between base publish and batch-dir
-        # cleanup never changes results.
-        base_pat = re.compile(r"^base-(\d{8})$")
-        base_k = -1
-        for d in os.listdir(index_root):
-            m = base_pat.match(d)
-            if m:
-                base_k = max(base_k, int(m.group(1)))
-        if base_k >= 0:
-            prior.append(os.path.join(index_root, f"base-{base_k:08d}"))
-        pat = re.compile(r"^batch-(\d{8})$")
-        for d in sorted(os.listdir(index_root)):
-            m = pat.match(d)
-            if m and base_k <= int(m.group(1)) < int(batch_id):
-                prior.append(os.path.join(index_root, d))
+        prior = _prior_index_dirs(index_root, int(batch_id), base_index_path)
         if prior:
             index_df = spark.read.parquet(*prior)
         else:
@@ -784,27 +824,8 @@ def near_dedup_stream(
         if admit is not None:
             survivors = admit(survivors)
         survivors = survivors.transform(lineage_cut)  # feeds BOTH writes: dedup+gate once
-
-        def publish(df: DataFrame, final: str) -> None:
-            if os.path.exists(final):
-                return
-            tmp = os.path.join(
-                os.path.dirname(final),
-                f".{os.path.basename(final)}.{uuid.uuid4().hex}.tmp",
-            )
-            try:
-                df.write.mode("overwrite").parquet(tmp)
-                os.rename(tmp, final)  # atomic; loser of a race just fails
-            except OSError:
-                if os.path.exists(final):  # racing attempt published first
-                    shutil.rmtree(tmp, ignore_errors=True)
-                else:
-                    raise
-            finally:
-                shutil.rmtree(tmp, ignore_errors=True)
-
-        publish(survivors, data_final)
-        publish(
+        _publish_parquet(survivors, data_final)
+        _publish_parquet(
             _dedup.minhash_index(
                 survivors, text, id_col, n, num_hashes, bands, seed, hash_fn
             ),
@@ -866,6 +887,103 @@ def curate_stream(
         threshold=threshold,
         admit=gate,
         **near_dedup_kwargs,
+    )
+
+
+def semantic_dedup_stream(
+    vectors: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    n_clusters: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    collapse_exact: bool = True,
+    cluster_cap: int | None = 1024,
+    base_index_path: str | None = None,
+    centroids_path: str | None = None,
+    admit=None,
+):
+    """STREAMING semantic dedup (VERDICT r7 #8): a continuously-ingesting
+    embedding stream deduped against everything admitted so far — the
+    embedding twin of :func:`near_dedup_stream`, built from the same
+    exactly-once pieces (atomic batch-dir publish, replay-skip,
+    compaction-aware index listing; :func:`compact_near_dedup` works on
+    this out_dir unchanged).
+
+    Per micro-batch (foreachBatch):
+
+    1. FIXED centroids: ``centroids_path`` (a persisted
+       :func:`operators.vector.semantic_centroids` artifact, e.g. from a
+       pre-existing corpus) or ``out_dir/centroids``, seeded from the
+       FIRST batch and published atomically — cross-batch cluster
+       equi-joins are only meaningful against one centroid table, so it
+       never reseeds (deterministic on replay: seeding is a pure
+       function of the batch ids);
+    2. the accumulated :func:`operators.vector.semantic_index` (prior
+       batches' admitted rows, base-snapshot aware) loads and the batch
+       runs :func:`operators.vector.dedup_delta_semantic` — capped
+       within-batch self-dedup first, then the cluster-equi-join probe;
+    3. ``admit`` (optional gate, same contract as near_dedup_stream)
+       filters survivors before they publish to ``data/batch-<id>`` and
+       index to ``index/batch-<id>``.
+
+    Read the admitted vectors with :func:`admitted_corpus`. Returns the
+    started query handle."""
+    from big_data_project_spark.operators import vector as _vector
+
+    def process(batch_df: DataFrame, batch_id: int):
+        import os
+
+        spark = batch_df.sparkSession
+        data_root = os.path.join(out_dir, "data")
+        index_root = os.path.join(out_dir, "index")
+        os.makedirs(data_root, exist_ok=True)
+        os.makedirs(index_root, exist_ok=True)
+        data_final = os.path.join(data_root, f"batch-{int(batch_id):08d}")
+        index_final = os.path.join(index_root, f"batch-{int(batch_id):08d}")
+        if os.path.exists(data_final) and os.path.exists(index_final):
+            return  # replay of a fully-published batch: nothing to redo
+        cpath = centroids_path or os.path.join(out_dir, "centroids")
+        if not os.path.exists(cpath):
+            _publish_parquet(
+                _vector.semantic_centroids(
+                    batch_df, n_clusters, id_col, emb_col
+                ),
+                cpath,
+            )
+        centroids = spark.read.parquet(cpath)
+        prior = _prior_index_dirs(index_root, int(batch_id), base_index_path)
+        if prior:
+            index_df = spark.read.parquet(*prior)
+        else:
+            index_df = _vector.semantic_index(
+                batch_df.limit(0), centroids, id_col, emb_col
+            )
+        survivors = _vector.dedup_delta_semantic(
+            batch_df,
+            index_df,
+            centroids,
+            threshold=threshold,
+            id_col=id_col,
+            emb_col=emb_col,
+            collapse_exact=collapse_exact,
+            cluster_cap=cluster_cap,
+        )
+        if admit is not None:
+            survivors = admit(survivors)
+        survivors = survivors.transform(lineage_cut)  # feeds BOTH writes
+        _publish_parquet(survivors, data_final)
+        _publish_parquet(
+            _vector.semantic_index(survivors, centroids, id_col, emb_col),
+            index_final,
+        )
+
+    return (
+        vectors.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
     )
 
 

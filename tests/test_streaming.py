@@ -1360,6 +1360,104 @@ def test_compact_near_dedup_index_preserves_results(spark, tmp_path):
     assert got == {0, 1, 3, 5}  # 2 and 4 are near-dups of admitted docs
 
 
+def test_semantic_dedup_stream_equals_sequential_batch_fold(spark, tmp_path):
+    """VERDICT r7 #8: the streaming SEMANTIC dedup twin. Embeddings
+    arriving in three micro-batches are cosine-deduped against everything
+    admitted so far (persisted semantic_index probed through a FIXED
+    centroid table seeded once from batch 0); the admitted set must equal
+    folding dedup_delta_semantic sequentially over the same batches, and
+    a fresh-checkpoint replay over the same out_dir must skip the
+    published dirs and leave the result unchanged."""
+    import os as _os
+    import shutil as _sh
+    import time as _time
+
+    from big_data_project_spark.operators import vector
+    from big_data_project_spark.streaming import ops as st
+
+    u = [1.0, 0.0, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    near_u = [0.995, 0.0999, 0.0, 0.0]
+    x = [0.0, 0.05, 0.9987, 0.0]
+    near_x = [0.0, 0.1, 0.995, 0.0]
+    y = [0.0, 0.03, 0.0, 0.9995]
+    batches = [
+        [(0, u), (1, far)],
+        [
+            (2, near_u),   # near-dup of ADMITTED 0 -> index probe drops
+            (3, x),        # fresh
+            (4, near_x),   # within-batch near-dup of 3 -> self-dedup drops
+            (5, far),      # exact dup of ADMITTED 1 -> index probe drops
+        ],
+        [
+            (6, near_x),   # near-dup of ADMITTED 3 (cross-batch index hit)
+            (7, y),        # fresh
+        ],
+    ]
+    schema = "vec_id long, embedding array<float>"
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        staged = str(tmp_path / f"estage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(p for p in _os.listdir(staged) if p.endswith(".parquet"))
+        _sh.move(f"{staged}/{part}", str(stream_dir / f"b{i}.parquet"))
+        _time.sleep(1.1)
+
+    kw = dict(n_clusters=2, threshold=0.8)
+
+    def run(out, ckpt):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+        )
+        q = st.semantic_dedup_stream(src, str(out), str(ckpt), **kw)
+        q.processAllAvailable()
+        q.stop()
+        return {
+            r.vec_id
+            for r in st.admitted_corpus(spark, str(out)).collect()
+        }
+
+    got = run(tmp_path / "out", tmp_path / "ck1")
+
+    # sequential batch fold with the SAME operator chain, centroids
+    # seeded once from batch 0 (the stream's rule)
+    cents = vector.semantic_centroids(
+        spark.createDataFrame(batches[0], schema), n_clusters=2
+    ).collect()
+    cents_df = spark.createDataFrame(cents)
+    idx = vector.semantic_index(
+        spark.createDataFrame([], schema), cents_df
+    )
+    want = set()
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, schema)
+        surv = vector.dedup_delta_semantic(
+            bdf, idx, cents_df, threshold=0.8
+        )
+        want |= {r.vec_id for r in surv.collect()}
+        idx = idx.unionByName(vector.semantic_index(surv, cents_df))
+
+    assert got == want
+    assert got == {0, 1, 3, 7}
+    # the index carries ONLY admitted vectors, assigned against the
+    # persisted centroids
+    indexed = {
+        r.vec_id
+        for r in spark.read.parquet(f"{tmp_path}/out/index/batch-*").collect()
+    }
+    assert indexed == {0, 1, 3, 7}
+    assert _os.path.exists(tmp_path / "out" / "centroids")
+
+    # full replay (fresh checkpoint, same out_dir): centroids are not
+    # reseeded, published dirs skip, result unchanged
+    again = run(tmp_path / "out", tmp_path / "ck2")
+    assert again == got
+
+
 def test_compact_near_dedup_data_preserves_corpus(spark, tmp_path):
     """VERDICT r7 #4 (data-side compaction twin): folding the admitted
     data/batch-* dirs into a base snapshot mid-stream — including a

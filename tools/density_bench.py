@@ -124,13 +124,32 @@ def timed_subprocess(sf_dir: str, runs: int) -> dict:
     return best
 
 
+#: 12-word boilerplate; variants below share its first 8 words (n-gram
+#: Jaccard 6/14 ≈ 0.43 — UNDER the 0.5 verify threshold, so a variant is
+#: NOT a true dup of the template, yet collides with the flood's hot
+#: buckets on ~43% of docs: the MIXED hot bucket the guard trades on.
+_TEMPLATE = (
+    "breaking news boilerplate template body repeated verbatim "
+    "across the crawl corpus"
+)
+
+
 def template_flood(n_templates: int) -> int:
     """Adversarial hot-bucket corpus (VERDICT r5 #2): n identical template
     docs + n organic docs. Unguarded banded LSH would emit
     bands·n²/2 candidate pairs (at 50k templates: 20 BILLION rows — the
     job-killer); the bucket_cap salt-split must complete in bounded time
     with candidates ≤ bands·cap·n and collapse the flood to ONE survivor.
-    Appends the measurement to bench_history.jsonl."""
+
+    VERDICT r7 #6 adds the MIXED-corpus recall measurement: 100 planted
+    variant PAIRS (ids ≥ 2n; each pair is a true near-dup of its twin at
+    J ≈ 10/11 but NOT of the template at J ≈ 0.43, while sharing enough
+    template shingles to land in the flood's hot star-guarded buckets on
+    ~43% of docs). ``guard_recall_sampled`` = fraction of the sampled
+    slice's UNGUARDED verified pairs whose duplication the guarded e2e
+    still catches (≤ 1 of the 2 endpoints survives) — quantifying the
+    documented star trade: intra-cluster pairs in a hot bucket must be
+    re-found by the other bands. Appends to bench_history.jsonl."""
     from pyspark.sql import functions as F
 
     from big_data_project_spark import io  # noqa: F401
@@ -139,13 +158,10 @@ def template_flood(n_templates: int) -> int:
 
     spark = get_spark(app_name="template-flood")
     n = n_templates
+    n_pairs = 100
     ids = spark.range(0, 2 * n, 1, 32)
     is_t = F.col("id") < n
-    text = F.when(
-        is_t,
-        F.lit("breaking news boilerplate template body repeated verbatim "
-              "across the crawl corpus"),
-    ).otherwise(
+    text = F.when(is_t, F.lit(_TEMPLATE)).otherwise(
         F.concat_ws(
             " ",
             *[
@@ -156,6 +172,20 @@ def template_flood(n_templates: int) -> int:
         )
     )
     d = ids.select(F.col("id").alias("doc_id"), text.alias("text"))
+    tw = _TEMPLATE.split()
+    variants = []
+    for j in range(n_pairs):
+        # 8 shared template words + 6 pair-unique: J(v, template) = 6/16
+        # and J(v_j, v_j') = 6/18 — both under the 0.5 verify line, so
+        # the ONLY true-dup link of a variant is its own twin
+        # (J = 12/13); ~27% of variants still share a band bucket with
+        # the flood (p = 1-(1-0.375^4)^16), making those buckets mixed.
+        v = " ".join(tw[:8] + [f"var{j}{c}" for c in "abcdef"])
+        variants.append((2 * n + 2 * j, v))
+        variants.append((2 * n + 2 * j + 1, v + f" var{j}tail"))
+    d = d.unionByName(
+        spark.createDataFrame(variants, "doc_id long, text string")
+    )
     d = d.localCheckpoint()  # corpus fixed; time only the dedup chain
     bands, cap = 16, 1024
     t0 = time.monotonic()
@@ -171,10 +201,42 @@ def template_flood(n_templates: int) -> int:
     n_cand = cand.count()
     t1 = time.monotonic()
     pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5, shingles=sh)
-    kept = dedup.drop_near_dups(d, pairs).count()
+    kept_df = dedup.drop_near_dups(d, pairs).localCheckpoint()
+    kept = kept_df.count()
     t2 = time.monotonic()
-    assert n_cand <= bands * cap * n, (n_cand, bands * cap * n)
-    assert kept == n + 1, kept  # one template survivor + n organic docs
+    assert n_cand <= bands * cap * (n + 2 * n_pairs), (n_cand,)
+    # flood + organic behavior unchanged by the variant planting: one
+    # template survivor, every organic doc kept
+    core_kept = kept_df.where(F.col("doc_id") < 2 * n).count()
+    assert core_kept == n + 1, core_kept
+    # --- guard recall on a sampled slice (VERDICT r7 #6) ---------------
+    # S = all variants + 250 flood + 250 organic docs; the unguarded pair
+    # set restricted to S is feasible (band digests are per-doc, so
+    # banding S alone reproduces exactly the full corpus's S-S buckets)
+    sample_cond = (
+        (F.col("doc_id") >= 2 * n)
+        | (F.col("doc_id") < 250)
+        | ((F.col("doc_id") >= n) & (F.col("doc_id") < n + 250))
+    )
+    dS = d.where(sample_cond).localCheckpoint()
+    candS = dedup.minhash_lsh_candidates(
+        dS, num_hashes=64, bands=bands, bucket_cap=None,
+        include_est_jaccard=False,
+    )
+    trueS = (
+        dedup.jaccard_verify(dS, candS, n=3, min_jaccard=0.5)
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    true_pairs = trueS.count()
+    surv = kept_df.select(F.col("doc_id"))
+    both_survive = (
+        trueS.join(surv.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(surv.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        .count()
+    )
+    recall = round(1.0 - both_survive / true_pairs, 4) if true_pairs else 1.0
     rec = {
         "metric": "lsh_template_flood_guarded",
         "n_templates": n,
@@ -185,6 +247,10 @@ def template_flood(n_templates: int) -> int:
         "cand_sec": round(t1 - t0, 3),
         "total_sec": round(t2 - t0, 3),
         "kept": kept,
+        "variant_pairs_planted": n_pairs,
+        "true_pairs_sampled": true_pairs,
+        "true_pairs_missed": both_survive,
+        "guard_recall_sampled": recall,
     }
     print(json.dumps(rec))
     with open(os.path.join(REPO, "bench_history.jsonl"), "a") as fh:
@@ -241,9 +307,35 @@ def embedding_flood(n_flood: int) -> int:
     df = ids.select(
         F.col("id").alias("vec_id"),
         F.when(is_f, flood_emb).otherwise(organic_emb).alias("embedding"),
+    )
+    # VERDICT r7 #6: planted MIXED-cluster variant pairs (ids ≥ 2n) —
+    # each v sits at cosine exactly 0.85 to the flood template (UNDER the
+    # 0.9 threshold, so never dropped by the star around the flood min)
+    # while its twin is the same direction rescaled (cosine 1 — a true
+    # pair). Max-IP assignment puts them in the flood's (fired) cluster,
+    # so the pair's only witness topology is the star — quantifying the
+    # recall the guard trades away for mixed hot clusters.
+    bnorm = math.sqrt(sum(b * b for b in base))
+    bhat = [b / bnorm for b in base]
+    n_pairs = 10
+    variants = []
+    for j in range(n_pairs):
+        w = [math.sin(1.7 * (k + 3) * (j + 5)) for k in range(64)]
+        proj = sum(wk * bk for wk, bk in zip(w, bhat))
+        w = [wk - proj * bk for wk, bk in zip(w, bhat)]
+        wn = math.sqrt(sum(wk * wk for wk in w))
+        v = [
+            0.85 * bk + math.sqrt(1 - 0.85 ** 2) * wk / wn
+            for bk, wk in zip(bhat, w)
+        ]
+        variants.append((2 * n + 2 * j, v))
+        variants.append((2 * n + 2 * j + 1, [1.001 * x for x in v]))
+    df = df.unionByName(
+        spark.createDataFrame(variants, "vec_id long, embedding array<double>")
     ).localCheckpoint()
     t0 = time.monotonic()
     kept = vector.semantic_dedup(df, n_clusters=8, threshold=0.9)
+    kept = kept.localCheckpoint()
     kept_rows = kept.count()
     flood_kept = kept.where(F.col("vec_id") < n).count()
     t1 = time.monotonic()
@@ -251,6 +343,51 @@ def embedding_flood(n_flood: int) -> int:
     assert flood_kept == 1, flood_kept
     # organic random 64-dim vectors essentially never reach cosine 0.9
     assert kept_rows >= n * 0.999 + 1, kept_rows
+    # --- guard recall on a sampled slice (VERDICT r7 #6) ---------------
+    # S = variants + 300 flood + 300 organic; ground truth = same-cluster
+    # pairs at cosine ≥ 0.9 under the SAME md5 centroids as the full run
+    sample_cond = (
+        (F.col("vec_id") >= 2 * n)
+        | (F.col("vec_id") < 300)
+        | ((F.col("vec_id") >= n) & (F.col("vec_id") < n + 300))
+    )
+    cents = vector.semantic_centroids(df, n_clusters=8)
+    asgS = vector.semantic_index(
+        df.where(sample_cond), cents
+    ).localCheckpoint()
+    a = asgS.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_ea"),
+    )
+    b = asgS.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_eb"),
+    )
+    trueS = (
+        a.join(b, ["cluster_id"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(vector.cosine("_ea", "_eb") >= 0.9)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    true_pairs = trueS.count()
+    true_variant = trueS.where(
+        (F.col("id_a") >= 2 * n) & (F.col("id_b") >= 2 * n)
+    ).count()
+    surv = kept.select("vec_id")
+    both = trueS.join(
+        surv.withColumnRenamed("vec_id", "id_a"), "id_a", "left_semi"
+    ).join(surv.withColumnRenamed("vec_id", "id_b"), "id_b", "left_semi")
+    both_survive = both.count()
+    both_variant = both.where(
+        (F.col("id_a") >= 2 * n) & (F.col("id_b") >= 2 * n)
+    ).count()
+    recall = round(1.0 - both_survive / true_pairs, 4) if true_pairs else 1.0
+    variant_recall = (
+        round(1.0 - both_variant / true_variant, 4) if true_variant else 1.0
+    )
     rec = {
         "metric": "semantic_embedding_flood_guarded",
         "n_flood": n,
@@ -259,6 +396,11 @@ def embedding_flood(n_flood: int) -> int:
         "flood_survivors": flood_kept,
         "unguarded_flood_pairs_would_be": n * (n - 1) // 2,
         "total_sec": round(t1 - t0, 3),
+        "variant_pairs_planted": n_pairs,
+        "true_pairs_sampled": true_pairs,
+        "true_pairs_missed": both_survive,
+        "guard_recall_sampled": recall,
+        "variant_pair_recall_sampled": variant_recall,
     }
     print(json.dumps(rec))
     with open(os.path.join(REPO, "bench_history.jsonl"), "a") as fh:
