@@ -65,7 +65,13 @@ def _u(df_col, salt, lo=0.0, hi=1.0):
     return (_h(df_col, F.lit(salt)) % 1_000_000) / 1_000_000 * (hi - lo) + lo
 
 
-def gen(spark: SparkSession, sf: float, out: str, zipf: float | None) -> None:
+def gen(
+    spark: SparkSession,
+    sf: float,
+    out: str,
+    zipf: float | None,
+    tables: set[str] | None = None,
+) -> None:
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
     n_part = int(200_000 * sf)
@@ -77,6 +83,12 @@ def gen(spark: SparkSession, sf: float, out: str, zipf: float | None) -> None:
     os.makedirs(out, exist_ok=True)
 
     def write(df, name, n_files=None):
+        # --tables subset: every table's exprs are lazy, so skipping the
+        # write skips its compute — documents-only generation at big SF
+        # (the dedup scale curves) avoids the 10M-events/sf pass
+        if tables is not None and name not in tables:
+            print(f"  {name}: skipped (--tables)")
+            return
         df.repartition(n_files or par).write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
         )
@@ -327,6 +339,11 @@ def main():
         help="make orders.o_custkey zipfian with this exponent (e.g. 1.2)",
     )
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to write (default: all)",
+    )
     args = ap.parse_args()
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
@@ -337,7 +354,13 @@ def main():
     )
     spark.sparkContext.setLogLevel("WARN")
     print(f"generating sf={args.sf} → {args.out} (zipf={args.skew_zipf})")
-    gen(spark, args.sf, args.out, args.skew_zipf)
+    gen(
+        spark,
+        args.sf,
+        args.out,
+        args.skew_zipf,
+        tables=set(args.tables.split(",")) if args.tables else None,
+    )
     print("done")
 
 
