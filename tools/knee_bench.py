@@ -59,7 +59,14 @@ def measure(sf_dir: str, num_hashes: int, bands: int) -> None:
     from big_data_project_spark.operators import dedup
     from big_data_project_spark.session import get_spark
 
-    spark = get_spark(app_name="knee-measure")
+    # 32g driver like bench.py: at sf25 (1.25M docs, ~44M shingle rows)
+    # the default 8g evicts localCheckpoint blocks mid-job and the scan
+    # dies on missing temp_local_* files — the local-mode analogue of the
+    # executor-loss caveat spark.bdps.lineageCut exists for
+    spark = get_spark(
+        app_name="knee-measure",
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    )
     d = io.load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # warm the scan outside the timed window
     rec: dict = {"metric": "dd_near_dedup_lsh_knee", "sf_dir": sf_dir,
