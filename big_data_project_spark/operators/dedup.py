@@ -764,7 +764,11 @@ def connected_components(
                 F.least("new_lbl", F.coalesce("p_lbl", "new_lbl")).alias("new_lbl"),
             )
         )
-        nxt = labels.join(jumped, "node").select("node", "lbl", "new_lbl").transform(lineage_cut, eager=True)
+        # LAZY cut: the changed-count below is the materializing action,
+        # so each round runs ONE job (an eager cut + count ran two)
+        nxt = labels.join(jumped, "node").select(
+            "node", "lbl", "new_lbl"
+        ).transform(lineage_cut)
         changed = nxt.where(F.col("new_lbl") != F.col("lbl")).count()
         # narrow projection over the already-checkpointed nxt — no second
         # materialization per round
@@ -796,10 +800,18 @@ def duplicate_clusters(
 def drop_near_dups(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-dedup applied: keep one representative per duplicate cluster
     (the minimum id). Composes with any pair source — jaccard_pairs,
-    minhash_lsh_candidates, or cosine_neardup_pairs."""
-    cl = duplicate_clusters(df, pairs, id_col)
-    keep = cl.where(F.col(id_col) == F.col("cluster_id")).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+    minhash_lsh_candidates, or cosine_neardup_pairs.
+
+    Scale shape (r8): anti-join against the DROP set — the component
+    nodes that are not their cluster's minimum — which is at most
+    #duplicate-docs rows (tiny relative to the corpus; AQE broadcasts
+    it), instead of semi-joining the corpus against a corpus-sized keep
+    list (two full shuffles of df at 100 TB)."""
+    cc = connected_components(pairs)
+    drops = cc.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
 
 
 def contamination_report(
