@@ -1458,6 +1458,75 @@ def test_semantic_dedup_stream_equals_sequential_batch_fold(spark, tmp_path):
     assert again == got
 
 
+def test_semantic_stream_compaction_and_zero_norm(spark, tmp_path):
+    """semantic_dedup_stream's docstring claims: (a) compact_near_dedup
+    works on its out_dir unchanged, (b) zero-norm vectors survive both
+    dedup stages (cosine NULL can never reach the threshold). Fold a
+    two-batch stream with a zero vector and an exact dup, compact twice,
+    and verify admitted_corpus is unchanged and O(1)-dir."""
+    import os as _os
+    import shutil as _sh
+    import time as _time
+
+    from big_data_project_spark.operators import vector
+    from big_data_project_spark.streaming import ops as st
+
+    u = [1.0, 0.0, 0.0, 0.0]
+    z = [0.0, 0.0, 0.0, 0.0]
+    batches = [
+        [(0, u), (1, z)],
+        [(2, u), (3, z), (4, [0.0, 1.0, 0.0, 0.0])],
+        # 2 = exact dup of admitted 0 -> dropped; 3 = zero-norm: SURVIVES
+        # even though 1 (identical zero vector) is already admitted
+    ]
+    schema = "vec_id long, embedding array<float>"
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        staged = str(tmp_path / f"zstage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(p for p in _os.listdir(staged) if p.endswith(".parquet"))
+        _sh.move(f"{staged}/{part}", str(stream_dir / f"b{i}.parquet"))
+        _time.sleep(1.1)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = st.semantic_dedup_stream(
+        src, str(tmp_path / "out"), str(tmp_path / "ck"),
+        n_clusters=2, threshold=0.8,
+    )
+    q.processAllAvailable()
+    q.stop()
+    want = {0, 1, 3, 4}
+    got = {
+        r.vec_id for r in st.admitted_corpus(spark, str(tmp_path / "out")).collect()
+    }
+    assert got == want
+    # batch twin agrees on the zero-norm rule
+    cents = spark.createDataFrame(
+        vector.semantic_centroids(
+            spark.createDataFrame(batches[0], schema), n_clusters=2
+        ).collect()
+    )
+    idx = vector.semantic_index(
+        spark.createDataFrame(batches[0], schema), cents
+    )
+    surv = vector.dedup_delta_semantic(
+        spark.createDataFrame(batches[1], schema), idx, cents, threshold=0.8
+    )
+    assert {r.vec_id for r in surv.collect()} == {3, 4}
+    # compaction on the semantic out_dir: same machinery, same guarantees
+    st.compact_near_dedup(spark, str(tmp_path / "out"))
+    st.compact_near_dedup(spark, str(tmp_path / "out"))
+    assert sorted(_os.listdir(tmp_path / "out" / "data")) == ["base-00000002"]
+    assert {
+        r.vec_id for r in st.admitted_corpus(spark, str(tmp_path / "out")).collect()
+    } == want
+
+
 def test_compact_near_dedup_data_preserves_corpus(spark, tmp_path):
     """VERDICT r7 #4 (data-side compaction twin): folding the admitted
     data/batch-* dirs into a base snapshot mid-stream — including a
