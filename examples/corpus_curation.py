@@ -139,6 +139,50 @@ def main() -> None:
         f"{fresh.count()} genuinely new after near-dedup vs the index"
     )
 
+    # --- continuous ingest: the same line as an UNBOUNDED stream --------
+    # (near-dedup vs the admitted index -> quality gate -> exactly-once
+    # batch-dir publish), then compaction folds the per-batch dirs into
+    # O(1) base snapshots and admitted_corpus reads through them.
+    import os
+    import shutil
+    import time as _time
+
+    from big_data_project_spark.streaming import ops as st
+
+    ingest_root = tempfile.mkdtemp(prefix="curated_stream_")
+    drop_dir = os.path.join(ingest_root, "in")
+    os.makedirs(drop_dir)
+    for i, frame in enumerate(
+        (docs.limit(150), delta.select("doc_id", "text").limit(80))
+    ):
+        staged = os.path.join(ingest_root, f"stage{i}")
+        frame.select("doc_id", "text").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(p for p in os.listdir(staged) if p.endswith(".parquet"))
+        shutil.move(f"{staged}/{part}", f"{drop_dir}/b{i}.parquet")
+        _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    q = st.curate_stream(
+        src,
+        os.path.join(ingest_root, "out"),
+        os.path.join(ingest_root, "ck"),
+        min_words=5,
+    )
+    q.processAllAvailable()
+    q.stop()
+    st.compact_near_dedup(spark, os.path.join(ingest_root, "out"))
+    admitted_now = st.admitted_corpus(spark, os.path.join(ingest_root, "out"))
+    print(
+        f"continuous ingest: {admitted_now.count()} docs admitted across "
+        "2 micro-batches (near-dup re-deliveries dropped via the persisted "
+        "index), index+data compacted to base snapshots"
+    )
+
     spark.stop()
 
 
