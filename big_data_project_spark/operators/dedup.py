@@ -152,6 +152,7 @@ def jaccard_verify(
     n: int = 3,
     min_jaccard: float = 0.0,
     shingles: DataFrame | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard computed only for the given candidate ``pairs``
     (id_a, id_b) — the verify half of the blocked-dedup recipe: LSH
@@ -162,7 +163,17 @@ def jaccard_verify(
 
     ``shingles``: share one precomputed (ideally lineage-cut)
     :func:`doc_shingles` stream with the blocking stage instead of
-    tokenizing the corpus a second time (see minhash_lsh_candidates)."""
+    tokenizing the corpus a second time (see minhash_lsh_candidates).
+
+    ``hash_shingles`` (round 8, the scale knob): compare xxhash64 of each
+    shingle instead of the string itself. The pair-expansion join — the
+    stage whose shuffle is candidates × shingles-per-doc rows, 11.4 GB at
+    sf25 k64/b8 and past-local-disk at k16/b4 — then moves 8-byte longs
+    instead of ~25-byte n-gram strings (~3× less shuffle). Results are
+    identical unless two DISTINCT shingles of a compared pair collide in
+    64 bits (≈ m²/2⁶⁵ for m distinct shingles — ~1e-9 even at 10⁵
+    shingles per doc pair), which is why it is opt-in rather than default:
+    the DuckDB oracles compare exact strings."""
     # the shingle stream feeds the size aggregate AND both join sides —
     # checkpoint so the corpus tokenizes once, not three times
     sh = (
@@ -170,6 +181,10 @@ def jaccard_verify(
         if shingles is not None
         else doc_shingles(df, text, id_col, n).transform(lineage_cut)
     )
+    if hash_shingles:
+        # per-doc shingles are already distinct (shingles_col), so the
+        # count aggregate below is unchanged modulo 64-bit collisions
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     p = pairs.select("id_a", "id_b")
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle").alias("_sa"))
@@ -300,6 +315,7 @@ def minhash_lsh_candidates(
     bucket_cap: int | None = 1024,
     include_est_jaccard: bool = True,
     shingles: DataFrame | None = None,
+    min_est_jaccard: float | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows-per-band),
     bucket-join on (band_id, band_hash), emit distinct candidate pairs with
@@ -318,6 +334,29 @@ def minhash_lsh_candidates(
     that re-verify candidates with EXACT Jaccard anyway — curate_corpus
     lsh mode, the near-dedup e2e line — pass False and skip two joins
     whose output they would discard.
+
+    ``min_est_jaccard`` — the FALSE-POSITIVE PREFILTER (round 8, the sf25
+    k16/b4 post-mortem): candidate pairs whose signature agreement rate is
+    below this bound are dropped BEFORE they ever reach the exact-verify
+    stage. On a low-entropy corpus (small vocabulary, templated text)
+    MinHash minima concentrate and band buckets collide far above the
+    true-Jaccard rate — measured cand/doc 11.38 at sf5 k16/b4 with ZERO
+    verified pairs, and at sf25 the verify stage's pair×shingle expansion
+    (candidates × ~35 shingle rows × both sides) spilled past local disk
+    and killed the job. The prefilter costs two hash joins of the DISTINCT
+    pair set against the signature table — linear in candidates, bytes =
+    candidates × signature width — instead of the verify join's
+    candidates × shingles-per-doc × string width. Set it to
+    ``verify_threshold − margin``: for ``k`` hashes the estimator's σ is
+    at most ``1/(2·sqrt(k))`` (binomial, worst case p=½ — 0.0625 at k=64),
+    so a margin of 0.2 at k=64 keeps a true threshold-Jaccard pair with
+    P(drop) ≈ Φ(−3.2) ≈ 7e-4 and tightens exponentially for pairs above
+    threshold. Pipelines that verify exactly afterwards lose NOTHING
+    else: every surviving pair is still exact-checked. Mirrorable in SQL
+    under ``hash_fn='md5_affine'`` (agreement is a sum of per-component
+    equality cases — see the dd_near_dedup_lsh oracle). Composes with
+    ``include_est_jaccard`` either way (filter-only when the column is
+    kept; join-filter-drop when it is not).
 
     100 TB shape: every stage is an equi-shuffle on bounded keys; candidate
     fan-out is controlled by band width. No all-pairs comparison happens.
@@ -372,13 +411,13 @@ def minhash_lsh_candidates(
     # re-executes the subtree per branch (measured 2.3s/branch at sf0.1);
     # with it the aggregate materializes once (docs × (8 + 8k) bytes —
     # the same order as its own shuffle) and every branch scans it.
-    # WHERE the cut goes depends on what downstream needs: with
-    # est_jaccard the signatures themselves are re-read by the pair
-    # join-backs, so the cut sits on sig; without it the signature array
-    # is consumed exactly once (by banding), so the cut moves AFTER the
-    # band digest — the probe and both self-join sides then scan
-    # precomputed (doc_id, band_id, band_hash) rows instead of each
-    # re-deriving bands·md5s per doc.
+    # WHERE the cut goes depends on what downstream needs: when the
+    # signatures are re-read by the pair join-backs (est_jaccard output
+    # OR the min_est_jaccard prefilter) the cut sits on sig; otherwise
+    # the signature array is consumed exactly once (by banding), so the
+    # cut moves AFTER the band digest — the probe and both self-join
+    # sides then scan precomputed (doc_id, band_id, band_hash) rows
+    # instead of each re-deriving bands·md5s per doc.
     sig_raw = minhash_signatures_agg(
         shingles if shingles is not None else doc_shingles(df, text, id_col, n),
         num_hashes,
@@ -398,7 +437,8 @@ def minhash_lsh_candidates(
             ),
         )
 
-    if include_est_jaccard:
+    need_sig = include_est_jaccard or min_est_jaccard is not None
+    if need_sig:
         sig = sig_raw.transform(lineage_cut)
         banded = _band(sig)
     else:
@@ -485,7 +525,7 @@ def minhash_lsh_candidates(
     if star is not None:
         pairs = pairs.unionByName(star)
     pairs = pairs.distinct()
-    if not include_est_jaccard:
+    if not need_sig:
         return pairs
     sa = sig.select(
         F.col("doc_id").alias("id_a"), F.col("signature").alias("_sig_a")
@@ -493,7 +533,7 @@ def minhash_lsh_candidates(
     sb = sig.select(
         F.col("doc_id").alias("id_b"), F.col("signature").alias("_sig_b")
     )
-    return (
+    out = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -514,6 +554,11 @@ def minhash_lsh_candidates(
             ).alias("est_jaccard"),
         )
     )
+    if min_est_jaccard is not None:
+        out = out.where(F.col("est_jaccard") >= min_est_jaccard)
+    if not include_est_jaccard:
+        out = out.select("id_a", "id_b")
+    return out
 
 
 def minhash_index(

@@ -594,6 +594,91 @@ def test_near_dedup_lsh_superset_of_exact_pairs(spark, sf_dir):
     assert len(lsh_keep) < d.count()
 
 
+def test_min_est_jaccard_prefilter_semantics(spark):
+    """min_est_jaccard drops candidate pairs below the signature-agreement
+    bound BEFORE verify ever sees them, with and without the est column
+    in the output (round 8, the sf25 k16/b4 post-mortem)."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    variant = base.replace("lazy", "sleepy")
+    docs = [(0, base), (1, variant),
+            (2, "alpha beta gamma delta " * 5), (3, "alpha beta gamma delta " * 5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(num_hashes=64, bands=16, hash_fn="md5_affine")
+
+    all_est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_candidates(df, **kw).collect()
+    }
+    assert (0, 1) in all_est and (2, 3) in all_est
+    cut = (all_est[(0, 1)] + all_est[(2, 3)]) / 2  # between the two pairs
+
+    filtered = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(
+            df, min_est_jaccard=cut, **kw
+        ).collect()
+    }
+    expected = {p for p, e in all_est.items() if e >= cut}
+    assert filtered == expected and (2, 3) in filtered and (0, 1) not in filtered
+
+    # without the est column: same pair set, 2-column schema
+    slim = dedup.minhash_lsh_candidates(
+        df, min_est_jaccard=cut, include_est_jaccard=False, **kw
+    )
+    assert slim.columns == ["id_a", "id_b"]
+    assert {(r.id_a, r.id_b) for r in slim.collect()} == expected
+
+    # min_est_jaccard=0.0 keeps everything (filter is >=)
+    keep_all = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(
+            df, min_est_jaccard=0.0, include_est_jaccard=False, **kw
+        ).collect()
+    }
+    assert keep_all == set(all_est)
+
+
+def test_min_est_prefilter_preserves_e2e_survivors(spark, sf_dir):
+    """The dd_near_dedup_lsh chain with the margin-0.2 prefilter
+    (min_est_jaccard = 0.5 − 0.2) must keep the SAME survivor set as the
+    unfiltered chain on the real documents table: the prefilter only
+    removes pairs the exact-Jaccard verify would reject anyway (a true
+    J≥0.5 pair estimating below 0.3 over 64 hashes is a ~Φ(−3.2) event,
+    and none exists in this corpus)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(d, "text", "doc_id", 3)
+
+    def survivors(**extra):
+        cand = dedup.minhash_lsh_candidates(
+            d, num_hashes=16, bands=4, hash_fn="md5_affine",
+            include_est_jaccard=False, shingles=sh, **extra,
+        )
+        pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5, shingles=sh)
+        return {r.doc_id for r in dedup.drop_near_dups(d, pairs).select("doc_id").collect()}
+
+    assert survivors(min_est_jaccard=0.3) == survivors()
+
+
+def test_hash_shingles_verify_identical_results(spark, sf_dir):
+    """jaccard_verify(hash_shingles=True) moves 8-byte longs through the
+    pair-expansion join instead of n-gram strings; the Jaccard values must
+    be identical (collision probability ~1e-9 at this scale)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, hash_fn="md5_affine",
+        include_est_jaccard=False,
+    ).transform(lambda x: x.localCheckpoint())
+    strs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_verify(d, cand, n=3).collect()
+    }
+    longs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_verify(d, cand, n=3, hash_shingles=True).collect()
+    }
+    assert strs == longs and strs
+
+
 def _pq_quant_error(spark, emb, cb):
     """Mean total quantization error Σ_s ||sub - centroid[code]||² per vec."""
     enc = vector.pq_encode(emb, cb, m=4, dim=64, keep=())

@@ -52,7 +52,13 @@ def _shuffle_totals(spark) -> tuple[int, int]:
     return r, w
 
 
-def measure(sf_dir: str, num_hashes: int, bands: int) -> None:
+def measure(
+    sf_dir: str,
+    num_hashes: int,
+    bands: int,
+    min_est: float | None = None,
+    hash_shingles: bool = False,
+) -> None:
     from pyspark.sql import functions as F
 
     from big_data_project_spark import io, registry
@@ -72,7 +78,9 @@ def measure(sf_dir: str, num_hashes: int, bands: int) -> None:
     rec: dict = {"metric": "dd_near_dedup_lsh_knee", "sf_dir": sf_dir,
                  "n_docs": n_docs,
                  "num_hashes": num_hashes or registry._MH_K,
-                 "bands": bands or registry._MH_BANDS}
+                 "bands": bands or registry._MH_BANDS,
+                 "min_est_jaccard": min_est,
+                 "hash_shingles": hash_shingles}
 
     r0, w0 = _shuffle_totals(spark)
     t0 = time.monotonic()
@@ -87,13 +95,15 @@ def measure(sf_dir: str, num_hashes: int, bands: int) -> None:
         hash_fn="md5_affine",
         include_est_jaccard=False,
         shingles=sh,
+        min_est_jaccard=min_est,
     ).localCheckpoint(eager=False)
     rec["n_candidates"] = cand.count()
     t1 = time.monotonic()
     r1, w1 = _shuffle_totals(spark)
     # ---- stage 2: exact Jaccard verify ---------------------------------
     pairs = dedup.jaccard_verify(
-        d, cand, n=3, min_jaccard=0.5, shingles=sh
+        d, cand, n=3, min_jaccard=0.5, shingles=sh,
+        hash_shingles=hash_shingles,
     ).localCheckpoint(eager=False)
     rec["n_verified_pairs"] = pairs.count()
     t2 = time.monotonic()
@@ -140,19 +150,28 @@ def main() -> int:
                     help="override MinHash k (default: registry _MH_K)")
     ap.add_argument("--bands", type=int, default=0,
                     help="override band count (default: registry _MH_BANDS)")
+    ap.add_argument("--min-est", type=float, default=None,
+                    help="min_est_jaccard candidate prefilter (round 8: "
+                    "signature-agreement bound applied before verify)")
+    ap.add_argument("--hash-shingles", action="store_true",
+                    help="verify over xxhash64(shingle) longs instead of "
+                    "strings (~3x less verify shuffle)")
     args = ap.parse_args()
     if args.measure:
-        measure(args.measure, args.num_hashes, args.bands)
+        measure(args.measure, args.num_hashes, args.bands,
+                args.min_est, args.hash_shingles)
         return 0
     if not args.dirs:
         ap.error("give at least one sf dir")
     recs = []
     for d in args.dirs:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--measure", d,
-             "--num-hashes", str(args.num_hashes), "--bands", str(args.bands)],
-            capture_output=True, text=True, cwd=REPO,
-        )
+        cmd = [sys.executable, os.path.abspath(__file__), "--measure", d,
+               "--num-hashes", str(args.num_hashes), "--bands", str(args.bands)]
+        if args.min_est is not None:
+            cmd += ["--min-est", str(args.min_est)]
+        if args.hash_shingles:
+            cmd.append("--hash-shingles")
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
         if out.returncode != 0:
             sys.exit(f"--measure {d} failed:\n{out.stderr[-4000:]}")
         rec = json.loads(out.stdout.strip().splitlines()[-1])
