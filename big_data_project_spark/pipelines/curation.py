@@ -39,6 +39,8 @@ def curate_corpus(
     seed: int = 7,
     pair_source: str = "exact",
     lsh_hash_fn: str = "xxhash64",
+    lsh_min_est_jaccard: float | None = None,
+    lsh_hash_shingles: bool = False,
 ) -> DataFrame:
     """Run the whole curation line over a ``documents``-shaped frame
     (doc_id, source, text). Returns one row per surviving document with its
@@ -64,7 +66,15 @@ def curate_corpus(
       them, so every exact-mode survivor also survives lsh mode
       (asserted in tests). ``lsh_hash_fn="md5_affine"`` makes the block
       stage engine-exact too (see minhash_signatures_agg) — the whole
-      lsh-mode line then carries a value-hash oracle (dd_near_dedup_lsh)."""
+      lsh-mode line then carries a value-hash oracle (dd_near_dedup_lsh).
+
+    ``lsh_min_est_jaccard`` / ``lsh_hash_shingles`` — the lsh-mode scale
+    knobs (round 8): the signature-agreement candidate prefilter and the
+    hashed-long verify join (see :func:`operators.dedup.
+    minhash_lsh_candidates` / :func:`operators.dedup.jaccard_verify`).
+    Set ``lsh_min_est_jaccard≈0.3`` (verify threshold 0.5 − margin 0.2)
+    on low-entropy corpora where band buckets collide far above the
+    true-Jaccard rate — value-hash-pinned by dd_near_dedup_lsh_prefilter."""
     d = dedup.drop_exact_dups(docs)
     if pair_source == "exact":
         pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
@@ -73,9 +83,12 @@ def curate_corpus(
         sh = dedup.doc_shingles(d, "text", "doc_id", 3).transform(lineage_cut)
         cand = dedup.minhash_lsh_candidates(
             d, n=3, hash_fn=lsh_hash_fn, include_est_jaccard=False,
-            shingles=sh,
+            shingles=sh, min_est_jaccard=lsh_min_est_jaccard,
         )
-        pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5, shingles=sh)
+        pairs = dedup.jaccard_verify(
+            d, cand, n=3, min_jaccard=0.5, shingles=sh,
+            hash_shingles=lsh_hash_shingles,
+        )
     else:
         raise ValueError("pair_source must be 'exact' or 'lsh'")
     d = dedup.drop_near_dups(d, pairs)

@@ -5103,6 +5103,78 @@ _DDN_AGREE = (
 
 
 @register(
+    "dd_near_dedup_lsh_prefilter",
+    oracle=_MH_BASE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + f""",
+    bands AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"h{b * _MH_RPB + r}" for r in range(_MH_RPB))
+        + ")) AS key FROM sigs"
+        for b in range(_MH_BANDS)
+    )}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    candf AS (SELECT c.id_a, c.id_b FROM cand c
+              JOIN sigs sa ON sa.doc_id = c.id_a
+              JOIN sigs sb ON sb.doc_id = c.id_b
+              WHERE CAST({_DDN_AGREE} AS DOUBLE) / {_MH_K} >= 0.3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS n_common
+               FROM candf c
+               JOIN sh a ON a.doc_id = c.id_a
+               JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+               GROUP BY c.id_a, c.id_b),
+    pairs AS (SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+                    >= 0.5),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+    lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u)
+    SELECT d.doc_id, d.source FROM documents d
+    LEFT JOIN lbl l ON l.doc_id = d.doc_id
+    WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id
+    """,
+)
+def dd_near_dedup_lsh_prefilter(spark, sf_dir):
+    """dd_near_dedup_lsh's SCALE configuration under the same value hash
+    (round 8, the sf25 k16/b4 post-mortem): candidates pass the
+    min_est_jaccard signature-agreement prefilter (threshold 0.5 − margin
+    0.2) before the exact verify's pair×shingle expansion — the stage
+    whose false-positive blowup on a low-entropy corpus spilled past
+    local disk at sf25 — and the verify join moves xxhash64(shingle)
+    longs instead of n-gram strings. The oracle mirrors the prefilter
+    EXACTLY (agreement is a sum of per-component equality cases over the
+    md5-affine signatures; estimates are multiples of 1/16, exactly
+    representable, so the >= 0.3 cut has no float-boundary risk) and
+    verifies over exact strings, proving the hashed-long join changes
+    nothing. Survivors are identical to dd_near_dedup_lsh's on this
+    corpus — the prefilter only removes pairs exact-verify would reject."""
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(d, "text", "doc_id", 3).transform(lineage_cut)
+    cand = dedup.minhash_lsh_candidates(
+        d,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        hash_fn="md5_affine",
+        include_est_jaccard=False,
+        shingles=sh,
+        min_est_jaccard=0.3,
+    )
+    pairs = dedup.jaccard_verify(
+        d, cand, n=3, min_jaccard=0.5, shingles=sh, hash_shingles=True
+    )
+    return dedup.drop_near_dups(d, pairs).select("doc_id", "source")
+
+
+@register(
     "dd_incremental_near",
     oracle=f"""
     WITH ad AS (

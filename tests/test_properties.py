@@ -536,6 +536,16 @@ def test_curate_corpus_lsh_mode_superset_of_exact(spark, sf_dir):
     for k in exact:
         assert exact[k] == lsh[k]
 
+    # the round-8 scale knobs (candidate prefilter + hashed-long verify)
+    # must not change the curated output on this corpus: the prefilter
+    # only removes pairs exact-verify rejects, hashing is collision-free
+    scaled = {r.doc_id: (r.split, r.shard, r.n_tokens)
+              for r in curate_corpus(
+                  docs, pair_source="lsh",
+                  lsh_min_est_jaccard=0.3, lsh_hash_shingles=True,
+              ).collect()}
+    assert scaled == lsh
+
 
 def test_operators_tolerate_empty_corpus(spark):
     """Every curation/dedup operator must run (and return zero rows, not
