@@ -557,6 +557,9 @@ def semantic_dedup(
     collapse_exact: bool = True,
     cluster_cap: int | None = 1024,
     centroids: DataFrame | None = None,
+    recover_bands: int = 0,
+    recover_bits: int = 16,
+    recover_seed: int = 42,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarsely cluster the embedding space, then drop every
@@ -632,6 +635,34 @@ def semantic_dedup(
     external mirror of the capped semantics must collapse to min-id reps
     before counting/pairing (``dd_semantic_capped`` does).
 
+    **Recovery bands** (``recover_bands``, round 8 — the measured answer
+    to the star's mixed-cluster recall trade): the r8 flood bench
+    quantified what the star guard loses — variant-pair recall **0.0**
+    at 50k flood scale (true near-dup pairs inside a fired cluster whose
+    members are below-threshold to the cluster MIN are never compared,
+    because one clustering is the only witness topology). With
+    ``recover_bands > 0``, members of FIRED clusters get the second
+    witness MinHash banding has structurally: each member is sign-LSH
+    banded (``recover_bands`` bands × ``recover_bits`` hyperplane bits,
+    the :func:`lsh_bucket_col` construction) and candidate pairs are
+    emitted within each ``(cluster_id, band, bucket)`` group — all-pairs
+    when the group is ≤ ``cluster_cap``, star around the group minimum
+    when it floods (so the flood stays bounded inside the recovery too:
+    ≤ bands·m extra candidates, never m²). A true pair at cos ≈ 1 agrees
+    on a band bucket with per-bit probability ≈ 1, while the flood
+    contaminates that bucket only when ALL ``recover_bits`` of its bits
+    agree with the pair's (p_bit^bits per band, ≈ 0.04 at 16 bits /
+    cos 0.85) — so B bands push P(pair muted everywhere) to ≈ 0.04^B.
+    Every recovered candidate is still exact-cosine-verified and is a
+    pair the UNGUARDED all-pairs join would have had (the bucket key
+    includes cluster_id), so recovery strictly moves a fired run's
+    output TOWARD the ``cluster_cap=None`` exact-greedy output — it can
+    add correct drops, never wrong ones. Costs nothing until the guard
+    fires (the banding exists only in the fired branch, over hot-cluster
+    members only). Default 0 keeps the pure-star fired semantics that
+    ``dd_semantic_capped`` pins; ``dd_semantic_recovered`` value-hashes
+    the recovered semantics end to end.
+
     **The probe is EAGER** (ADVICE r7): with ``cluster_cap`` set,
     constructing the result runs the assignment jobs through the probe's
     ``isEmpty()``; the hot/not-hot decision is valid only for the data as
@@ -640,6 +671,15 @@ def semantic_dedup(
 
     Nothing corpus-sized is broadcast; no Python; the only driver-side
     action is the probe's bounded isEmpty()."""
+    if recover_bands > 0 and recover_bands * recover_bits > 63:
+        # lsh_bucket_col packs the sign bits into ONE signed long; bit 63
+        # would overflow the literal — fail at call time, not only when
+        # the guard happens to fire
+        raise ValueError(
+            "recover_bands * recover_bits must be <= 63 "
+            f"(got {recover_bands} * {recover_bits}); use more bands of "
+            "fewer bits"
+        )
     full = embeddings.select(id_col, emb_col)
     # Centroid seeding from the FULL id pool (md5-bucket minimum), never
     # the collapsed pool — keeps seeds independent of collapse_exact.
@@ -761,6 +801,87 @@ def semantic_dedup(
                 .join(min_embs, ["_ida"])
                 .select("_ida", "_idb", "_ea", "_eb")
             )
+            if recover_bands > 0:
+                # Second witness topology for the muted rows (see the
+                # docstring): sign-LSH band the FIRED clusters' members,
+                # pair within (cluster_id, band, bucket) — all-pairs for
+                # groups ≤ cap, star around the group min past it. Only
+                # runs in this (already eager, already rare) branch.
+                dim = assigned.select(
+                    F.size(emb_col).alias("_d")
+                ).first()["_d"]
+                planes = _hyperplanes(
+                    dim, recover_bands * recover_bits, recover_seed
+                )
+                hot_members = marked.where(
+                    F.col("_min").isNotNull()
+                ).select("cluster_id", id_col, emb_col)
+                mask = (1 << recover_bits) - 1
+                keys = F.array(
+                    *[
+                        F.shiftrightunsigned(
+                            F.col("_sig"), g * recover_bits
+                        ).bitwiseAND(F.lit(mask))
+                        for g in range(recover_bands)
+                    ]
+                )
+                rb = (
+                    hot_members.withColumn(
+                        "_sig", lsh_bucket_col(emb_col, planes)
+                    )
+                    .select(
+                        "cluster_id",
+                        id_col,
+                        emb_col,
+                        F.posexplode(keys).alias("_band", "_bkey"),
+                    )
+                    .transform(lineage_cut)
+                )
+                bkeys = ["cluster_id", "_band", "_bkey"]
+                stats = rb.groupBy(*bkeys).agg(
+                    F.count("*").alias("_m"),
+                    F.min(id_col).alias("_bmin"),
+                )
+                rbm = rb.join(stats, bkeys)
+                small = rbm.where(F.col("_m") <= cluster_cap)
+                rec_all = (
+                    small.select(
+                        *bkeys,
+                        F.col(id_col).alias("_ida"),
+                        F.col(emb_col).alias("_ea"),
+                    )
+                    .join(
+                        small.select(
+                            *bkeys,
+                            F.col(id_col).alias("_idb"),
+                            F.col(emb_col).alias("_eb"),
+                        ),
+                        bkeys,
+                    )
+                    .where(F.col("_ida") < F.col("_idb"))
+                    .select("_ida", "_idb", "_ea", "_eb")
+                )
+                hotb = rbm.where(F.col("_m") > cluster_cap)
+                bmin_embs = hotb.where(
+                    F.col(id_col) == F.col("_bmin")
+                ).select(
+                    *bkeys,
+                    F.col(id_col).alias("_ida"),
+                    F.col(emb_col).alias("_ea"),
+                )
+                rec_star = (
+                    hotb.where(F.col(id_col) != F.col("_bmin"))
+                    .select(
+                        *bkeys,
+                        F.col(id_col).alias("_idb"),
+                        F.col(emb_col).alias("_eb"),
+                    )
+                    .join(bmin_embs, bkeys)
+                    .select("_ida", "_idb", "_ea", "_eb")
+                )
+                star = star.unionByName(rec_all).unionByName(
+                    rec_star
+                ).dropDuplicates(["_ida", "_idb"])
             pair_src = marked.where(F.col("_min").isNull()).drop("_min")
     a = pair_src.select(
         "cluster_id",
@@ -830,6 +951,8 @@ def dedup_delta_semantic(
     emb_col: str = "embedding",
     collapse_exact: bool = True,
     cluster_cap: int | None = 1024,
+    recover_bands: int = 0,
+    recover_bits: int = 16,
 ) -> DataFrame:
     """SEMANTIC incremental dedup (VERDICT r7 #8) — the embedding twin of
     :func:`operators.dedup.dedup_delta_near`: drop rows of ``new_df``
@@ -860,6 +983,8 @@ def dedup_delta_semantic(
         collapse_exact=collapse_exact,
         cluster_cap=cluster_cap,
         centroids=centroids,
+        recover_bands=recover_bands,
+        recover_bits=recover_bits,
     )
     kq = new_df.select(id_col, emb_col).join(kept, id_col)
     idx = index_df.select(

@@ -4497,6 +4497,128 @@ def dd_semantic_capped(spark, sf_dir):
         )
 
 
+#: Recovery-band oracle fragment (round 8): the engine's sign-LSH packed
+#: signature — 4 bands × 8 bits = 32 hyperplanes over dim 64, the SAME
+#: pure-python LCG planes the engine draws (vector._hyperplanes(64, 32, 42)),
+#: emitted as exact repr literals so DuckDB's list_dot_product sees
+#: bit-identical weights. repr is the shortest exact round-trip; both
+#: engines parse it back to the same double, and the comparison is a SIGN
+#: (not a value), so the mirror holds anywhere the proven-bit-identical
+#: left-fold dot holds.
+_REC_SIG = " + ".join(
+    "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST([" + ", ".join(repr(w) for w in plane) + "] AS DOUBLE[])) > 0 "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j, plane in enumerate(vector._hyperplanes(64, 32, 42))
+)
+
+
+@register(
+    "dd_semantic_recovered",
+    oracle=f"""
+    WITH h AS (SELECT vec_id, embedding,
+                      {_HEX_SEG.format(a=1, b=16).replace(
+                          "hx", "md5(CAST(vec_id AS VARCHAR))")} AS hh
+               FROM embeddings),
+    b AS (SELECT vec_id, embedding, hh, hh % 8 AS bucket FROM h),
+    cent AS (SELECT bucket, arg_min(embedding, hh) AS centroid
+             FROM b GROUP BY bucket),
+    nz AS (SELECT vec_id, embedding FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) <> 0),
+    reps AS (SELECT min(vec_id) AS vec_id, embedding
+             FROM nz GROUP BY embedding),
+    pool AS (SELECT vec_id, embedding, FALSE AS z FROM reps
+             UNION ALL
+             SELECT vec_id, embedding, TRUE AS z FROM embeddings
+             WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) = 0),
+    sc AS (SELECT e.vec_id, e.embedding, e.z, c.bucket,
+                  list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(c.centroid AS DOUBLE[])) AS s
+           FROM pool e CROSS JOIN cent c),
+    asg AS (SELECT vec_id, embedding, z, bucket AS cluster_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, bucket) AS rn
+              FROM sc) WHERE rn = 1),
+    pr AS (SELECT vec_id, embedding, cluster_id FROM asg WHERE NOT z),
+    hot AS (SELECT cluster_id, min(vec_id) AS mn FROM pr
+            GROUP BY cluster_id HAVING count(*) > 60),
+    allpairs AS (SELECT b.vec_id FROM pr a JOIN pr b
+                 ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+                 WHERE a.cluster_id NOT IN (SELECT cluster_id FROM hot)
+                   AND {_PAIR_COS.format(x="a", y="b")} >= 0.4),
+    star AS (SELECT b.vec_id FROM hot h
+             JOIN pr a ON a.vec_id = h.mn
+             JOIN pr b ON b.cluster_id = h.cluster_id
+                       AND b.vec_id <> h.mn
+             WHERE {_PAIR_COS.format(x="a", y="b")} >= 0.4),
+    hotm AS (SELECT p.vec_id, p.embedding, p.cluster_id FROM pr p
+             JOIN hot h ON p.cluster_id = h.cluster_id),
+    rsig AS (SELECT vec_id, embedding, cluster_id, ({_REC_SIG}) AS sg
+             FROM hotm),
+    rb AS (SELECT vec_id, embedding, cluster_id, g,
+                  (sg >> CAST(g * 8 AS INTEGER)) & 255 AS bkey
+           FROM rsig, (SELECT unnest(range(0, 4)) AS g)),
+    bst AS (SELECT cluster_id, g, bkey, count(*) AS m,
+                   min(vec_id) AS bmin
+            FROM rb GROUP BY 1, 2, 3),
+    rsm AS (SELECT r.* FROM rb r JOIN bst s
+            ON r.cluster_id = s.cluster_id AND r.g = s.g
+               AND r.bkey = s.bkey
+            WHERE s.m <= 60),
+    rec_all AS (SELECT b.vec_id FROM rsm a JOIN rsm b
+                ON a.cluster_id = b.cluster_id AND a.g = b.g
+                   AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+                WHERE {_PAIR_COS.format(x="a", y="b")} >= 0.4),
+    rht AS (SELECT r.*, s.bmin FROM rb r JOIN bst s
+            ON r.cluster_id = s.cluster_id AND r.g = s.g
+               AND r.bkey = s.bkey
+            WHERE s.m > 60),
+    rec_star AS (SELECT b.vec_id FROM rht b JOIN rb a
+                 ON a.vec_id = b.bmin AND a.cluster_id = b.cluster_id
+                    AND a.g = b.g AND a.bkey = b.bkey
+                 WHERE b.vec_id <> b.bmin
+                   AND {_PAIR_COS.format(x="a", y="b")} >= 0.4),
+    dropped AS (SELECT vec_id FROM allpairs
+                UNION SELECT vec_id FROM star
+                UNION SELECT vec_id FROM rec_all
+                UNION SELECT vec_id FROM rec_star)
+    SELECT vec_id, cluster_id FROM asg
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def dd_semantic_recovered(spark, sf_dir):
+    """The recovery band (round 8) under a VALUE HASH: the same fired-guard
+    configuration as dd_semantic_capped (cluster_cap=60, fires at sf0.01),
+    plus ``recover_bands=4 × recover_bits=8`` — members of fired clusters
+    get a second witness topology (sign-LSH banding, the lsh_bucket_col
+    construction over the engine's LCG hyperplanes), pairing within
+    (cluster_id, band, bucket): all-pairs for groups ≤ cap, star around
+    the group minimum past it. The r8 flood bench measured what the pure
+    star loses — variant-pair recall 0.0 in mixed hot clusters — and this
+    entry pins in SQL what the recovery gives back: every recovered drop
+    is a pair the UNGUARDED all-pairs join would have had (bucket keys
+    include cluster_id), so the output moves strictly toward the
+    cluster_cap=None exact-greedy output. The oracle mirrors the full
+    chain — collapse, zero-norm routing, cap count over reps, star,
+    recovery banding with per-bucket cap/star — engine-exactly (the
+    hyperplane sign is a SIGN compare over the proven-bit-identical dot
+    fold, and the packed signature is integer shift/mask both sides)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        return vector.semantic_dedup(
+            _t(spark, sf_dir, "embeddings"),
+            n_clusters=8,
+            threshold=0.4,
+            cluster_cap=60,
+            recover_bands=4,
+            recover_bits=8,
+        )
+
+
 #: PQ oracle fragments (m=4 subspaces × 16 dims, n_codes=16): subvector
 #: slice, the proven left-fold L2, and the shared train+encode CTE chain.
 _PQ_SUB = (

@@ -985,3 +985,154 @@ def test_sq8_reconstruction_error_within_half_step(spark, sf_dir):
         (F.col("sq_scale") / 2 + F.lit(1e-9)).alias("bound"),
     )
     assert joined.where(F.col("max_err") > F.col("bound")).count() == 0
+
+
+def test_semantic_dedup_recovery_restores_mixed_cluster_pairs(spark):
+    """Round 8: the recovery band gives a FIRED cluster the second witness
+    the r8 flood bench proved the pure star lacks (mixed-cluster variant
+    recall 0.0). A flood past the cap plus a planted variant pair —
+    below-threshold to the cluster min, near-identical to each other —
+    must lose the non-min variant WITH recovery (matching the
+    cluster_cap=None exact output) while the pure star misses it."""
+    import math
+    import warnings
+
+    rows = []
+    for i in range(30):  # near-identical flood, NOT byte-identical
+        rows.append((i, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1e-4 * (i + 1)]))
+    a = 0.7
+    b = math.sqrt(1 - a * a)
+    rows.append((100, [a, b, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    rows.append((101, [a, b, 0.0, 0.0, 0.0, 0.0, 1e-4, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(n_clusters=1, threshold=0.8, cluster_cap=10)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        star_only = sorted(
+            r.vec_id for r in vector.semantic_dedup(df, **kw).collect()
+        )
+        recovered = sorted(
+            r.vec_id
+            for r in vector.semantic_dedup(
+                df, recover_bands=4, recover_bits=8, **kw
+            ).collect()
+        )
+    exact = sorted(
+        r.vec_id
+        for r in vector.semantic_dedup(
+            df, n_clusters=1, threshold=0.8, cluster_cap=None
+        ).collect()
+    )
+    assert star_only == [0, 100, 101]  # the measured recall miss
+    assert exact == [0, 100]
+    assert recovered == exact  # recovery restores the exact fired output
+
+    # recovery is inert when the guard does not fire: same output as the
+    # plain capped (== uncapped) run on a corpus with no hot cluster
+    calm = spark.createDataFrame(
+        rows[:5] + rows[-2:], "vec_id long, embedding array<double>"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        plain = sorted(
+            r.vec_id
+            for r in vector.semantic_dedup(
+                calm, n_clusters=1, threshold=0.8, cluster_cap=100
+            ).collect()
+        )
+        rec = sorted(
+            r.vec_id
+            for r in vector.semantic_dedup(
+                calm,
+                n_clusters=1,
+                threshold=0.8,
+                cluster_cap=100,
+                recover_bands=4,
+                recover_bits=8,
+            ).collect()
+        )
+    assert rec == plain
+
+
+def test_dd_semantic_recovered_oracle_on_mixed_hot_cluster(spark, tmp_path):
+    """The dd_semantic_recovered oracle must value-match the engine on a
+    corpus where the recovery actually CHANGES the output (the sf
+    generator's hot clusters are organic, so at sf0.01 recovered ==
+    capped): a 70-strong near-identical flood (cap 60 fires) shares its
+    cluster with a planted variant pair at cos ≈ 0.3 to the flood
+    (below the 0.4 threshold — the star never drops them) and cos ≈ 1
+    to each other. Engine and DuckDB must agree that recovery drops the
+    non-min variant, landing on the exact cluster_cap=None output."""
+    import duckdb
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_project_spark.registry import REGISTRY
+    from tests.conftest import assert_matches_oracle
+
+    dim = 64
+    ids, vecs = [], []
+    for i in range(70):  # flood: near-identical, not byte-identical
+        v = [0.0] * dim
+        v[0] = 1.0
+        v[dim - 1] = 1e-4 * (i + 1)
+        ids.append(i)
+        vecs.append(v)
+    # variant pair: IP to every (flood-like) centroid ≈ 0.3 + delta*eps —
+    # the dim-63 component steers them into the flood's max-eps cluster
+    import math
+
+    a = 0.3
+    b = math.sqrt(1 - a * a)
+    for i, eps62 in ((200, 0.0), (201, 1e-4)):
+        v = [0.0] * dim
+        v[0] = a
+        v[1] = b
+        v[62] = eps62
+        v[dim - 1] = 1e-3
+        ids.append(i)
+        vecs.append(v)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        capped = {
+            r.vec_id
+            for r in REGISTRY["dd_semantic_capped"]
+            .build(spark, str(tmp_path))
+            .collect()
+        }
+        got = REGISTRY["dd_semantic_recovered"].build(spark, str(tmp_path))
+        kept = {r.vec_id for r in got.collect()}
+    exact = {
+        r.vec_id
+        for r in vector.semantic_dedup(
+            io.load_table(spark, str(tmp_path), "embeddings"),
+            n_clusters=8,
+            threshold=0.4,
+            cluster_cap=None,
+        ).collect()
+    }
+    assert 201 in capped  # the star's measured miss
+    assert kept == exact == {0, 200}  # recovery restores exact greedy
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet')"
+        )
+        assert_matches_oracle(
+            got, con, REGISTRY["dd_semantic_recovered"].oracle
+        )
+    finally:
+        con.close()

@@ -259,7 +259,7 @@ def template_flood(n_templates: int) -> int:
     return 0
 
 
-def embedding_flood(n_flood: int) -> int:
+def embedding_flood(n_flood: int, recover_bands: int = 0) -> int:
     """VERDICT r6 #2: the SEMANTIC twin of --template-flood. N near-but-
     NOT-byte-identical embeddings (same template vector, per-doc noise in
     two dims — collapse_exact cannot merge them) plus N organic random
@@ -334,7 +334,15 @@ def embedding_flood(n_flood: int) -> int:
         spark.createDataFrame(variants, "vec_id long, embedding array<double>")
     ).localCheckpoint()
     t0 = time.monotonic()
-    kept = vector.semantic_dedup(df, n_clusters=8, threshold=0.9)
+    kept = vector.semantic_dedup(
+        df,
+        n_clusters=8,
+        threshold=0.9,
+        recover_bands=recover_bands,
+        # 8-bit buckets: the dd_semantic_recovered registry config
+        # (bands x bits must fit the 63 packable sign bits)
+        recover_bits=8,
+    )
     kept = kept.localCheckpoint()
     kept_rows = kept.count()
     flood_kept = kept.where(F.col("vec_id") < n).count()
@@ -391,6 +399,7 @@ def embedding_flood(n_flood: int) -> int:
     rec = {
         "metric": "semantic_embedding_flood_guarded",
         "n_flood": n,
+        "recover_bands": recover_bands,
         "cluster_cap": 1024,
         "kept": kept_rows,
         "flood_survivors": flood_kept,
@@ -425,13 +434,18 @@ def main() -> int:
         "+ N organic vectors) through guarded semantic_dedup and record "
         "bounds",
     )
+    ap.add_argument(
+        "--recover-bands", type=int, default=0,
+        help="sign-LSH recovery bands for fired semantic clusters "
+        "(round 8: the second witness topology; 0 = pure star)",
+    )
     args = ap.parse_args()
 
     if args.template_flood:
         return template_flood(args.template_flood)
 
     if args.embedding_flood:
-        return embedding_flood(args.embedding_flood)
+        return embedding_flood(args.embedding_flood, args.recover_bands)
 
     if args.measure:
         measure(args.measure)
