@@ -561,6 +561,304 @@ def minhash_lsh_candidates(
     return out
 
 
+# ---------------------------------------------------------------------------
+# LSH parameter auto-tuning from measured shingle entropy (round 8: the
+# knee analysis operationalized — SCALE.md "Round-8 knee root-cause" ends
+# with "size rows-per-band to the corpus's shingle entropy"; this is the
+# API that does the sizing instead of leaving it as advice)
+# ---------------------------------------------------------------------------
+
+def lsh_band_collision_profile(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sample_docs: int = 2000,
+    probe_hashes: int = 16,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    rows_per_band_choices: tuple[int, ...] = (2, 3, 4, 5, 6, 8, 10, 12),
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Measure the EMPIRICAL band-collision behavior of a corpus at each
+    candidate band width: one row per ``r`` in ``rows_per_band_choices``
+    with ``(r, n_bands, m, collisions, fp_collisions, tp_pairs)``, where
+    the probe signature's ``probe_hashes`` components are split into
+    ``n_bands = probe_hashes // r`` disjoint ``r``-row bands (leftover
+    components unused), ``collisions`` counts (pair, band) incidences —
+    sampled doc pairs agreeing on a whole band, summed over bands — and
+    the incidences are split by each pair's EXACT shingle Jaccard over
+    the sample (``≥ threshold`` → a TRUE near-dup, counted once in
+    ``tp_pairs``; the rest are false positives, ``fp_collisions``
+    incidences).
+
+    Why band-level and not per-hash: LSH candidate volume is governed by
+    the probability that two docs agree on an ENTIRE ``r``-row band. A
+    mean-field model (per-hash rate ``q̂``, band rate ``q̂^r``) assumes
+    per-hash collisions are independent across hash functions for the
+    same pair — but on a low-entropy corpus the same frequent shingles
+    produce the minima for MANY hash functions at once, so collisions are
+    strongly pair-correlated and ``q̂^r`` under-predicts by orders of
+    magnitude (measured on the sf5 knee corpus: per-hash q̂ ≈ 8·10⁻⁴
+    predicts a 4-row band rate of 4·10⁻¹³; the observed rate is ~3·10⁻⁵
+    — eight orders off, SCALE.md "Round-8 knee root-cause"). Measuring
+    each width directly captures the correlation for free.
+
+    Why the TP/FP split: the two populations extrapolate differently.
+    False-positive collisions happen between RANDOM pairs, so their count
+    grows with C(n_docs, 2) — quadratic, the blowup the sf25 post-mortem
+    found. True near-dup pairs are a per-doc property (each doc has O(1)
+    duplicates), so their candidate contribution grows linearly. An
+    estimator that extrapolates both quadratically over-predicts by 100×+
+    on duplicate-heavy corpora and would over-band forever.
+
+    Why classification is EXACT Jaccard and not signature agreement: on a
+    low-entropy corpus the signature estimate is biased UP for unrelated
+    pairs (the same min-concentration that causes the collisions inflates
+    their apparent similarity — measured: a 12-word-vocabulary corpus
+    pushes typical random-pair agreement past 12/16 while true Jaccard
+    sits near 0.01), so an agreement-based classifier would launder the
+    very false positives it exists to count into the linear bucket. The
+    sample's shingles are already materialized; exact Jaccard over them
+    (:func:`jaccard_pairs`) is the bounded all-pairs oracle this module
+    already trusts, and its join cost is capped by C(sample_docs, 2).
+
+    Distributed shape: the sample is a global TakeOrdered on
+    ``md5(doc_id)`` (deterministic, skew-free, no rand()), signatures are
+    the same one-hash-aggregate as production and are lineage-cut once;
+    each width runs a bucket equi-self-join over the sampled band keys
+    (output bounded by C(sample_docs, 2)) plus two signature join-backs.
+    The result is ``len(rows_per_band_choices)`` rows of integers —
+    value-hash comparable across engines under ``hash_fn='md5_affine'``
+    (the ``dd_lsh_autotune`` oracle mirrors the whole procedure in
+    DuckDB)."""
+    sample = lineage_cut(
+        df.select(F.col(id_col), F.col(text))
+        .orderBy(F.expr(f"md5(CAST({id_col} AS STRING))"), F.col(id_col))
+        .limit(int(sample_docs))
+    )
+    sig = lineage_cut(
+        minhash_signatures_agg(
+            doc_shingles(sample, text, id_col, n), probe_hashes, seed, hash_fn=hash_fn
+        )
+    )
+    mrow = sig.agg(F.count("*").cast("long").alias("m"))
+    # exact-Jaccard TP set over the sample: bounded by C(sample_docs, 2)
+    tp_set = jaccard_pairs(sample, text, id_col, n, min_jaccard=threshold).select(
+        F.col("id_a").alias("ia"), F.col("id_b").alias("ib"), F.lit(1).alias("tp")
+    )
+    per_r = []
+    for r in rows_per_band_choices:
+        n_bands = probe_hashes // int(r)
+        if n_bands < 1:
+            continue
+        keys = sig.select(
+            F.col("doc_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    "_",
+                                    *[
+                                        F.element_at("signature", b * int(r) + j + 1)
+                                        for j in range(int(r))
+                                    ],
+                                ).cast("binary")
+                            ).alias("key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key")
+        pairs = (
+            keys.alias("x")
+            .join(
+                keys.alias("y"),
+                on=[
+                    F.col("x.band") == F.col("y.band"),
+                    F.col("x.key") == F.col("y.key"),
+                    F.col("x.doc_id") < F.col("y.doc_id"),
+                ],
+            )
+            .groupBy(
+                F.col("x.doc_id").alias("ia"), F.col("y.doc_id").alias("ib")
+            )
+            .agg(F.count("*").alias("hits"))
+        )
+        classified = pairs.join(tp_set, ["ia", "ib"], "left").select(
+            F.col("hits"), F.coalesce(F.col("tp"), F.lit(0)).alias("tp")
+        )
+        per_r.append(
+            classified.agg(
+                F.coalesce(F.sum("hits"), F.lit(0)).cast("long").alias("collisions"),
+                F.coalesce(
+                    F.sum(F.when(F.col("tp") == 0, F.col("hits"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("fp_collisions"),
+                F.coalesce(F.sum("tp"), F.lit(0)).cast("long").alias("tp_pairs"),
+            )
+            .crossJoin(F.broadcast(mrow))
+            .select(
+                F.lit(int(r)).alias("r"),
+                F.lit(n_bands).alias("n_bands"),
+                "m",
+                "collisions",
+                "fp_collisions",
+                "tp_pairs",
+            )
+        )
+    out = per_r[0]
+    for nxt in per_r[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+def lsh_param_choices(
+    threshold: float = 0.7,
+    max_num_hashes: int = 256,
+    rows_per_band_choices: tuple[int, ...] = (2, 3, 4, 5, 6, 8, 10, 12),
+) -> list[tuple[int, int, int]]:
+    """Candidate ``(rows_per_band, bands, num_hashes)`` configs for a
+    similarity threshold: ``bands = max(2, ceil(threshold^-r))`` anchors
+    the S-curve midpoint ``(1/bands)^(1/r)`` at-or-below the threshold
+    (recall at the threshold never drops as ``r`` grows), and configs
+    needing more than ``max_num_hashes`` total hashes are dropped.
+
+    ONE source for the engine's :func:`suggest_minhash_params` and the
+    registry oracle's SQL literals, so the two cannot drift."""
+    import math
+
+    out = []
+    inv = 1.0 / float(threshold)
+    for r in rows_per_band_choices:
+        t = 1.0
+        for _ in range(int(r)):
+            t *= inv
+        b = max(2, int(math.ceil(t)))
+        k = int(r) * b
+        if k > max_num_hashes:
+            continue
+        out.append((int(r), b, k))
+    return out
+
+
+def suggest_minhash_params(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    fp_budget_per_doc: float = 2.0,
+    sample_docs: int = 2000,
+    probe_hashes: int = 16,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    n_docs: int | None = None,
+    max_num_hashes: int = 256,
+    rows_per_band_choices: tuple[int, ...] = (2, 3, 4, 5, 6, 8, 10, 12),
+) -> dict:
+    """Pick ``(rows_per_band, bands, num_hashes)`` for
+    :func:`minhash_lsh_candidates` from the corpus's MEASURED min-collision
+    rate — the knee analysis (SCALE.md round 8) as an API.
+
+    Procedure: measure the corpus's EMPIRICAL band-collision behavior at
+    each candidate band width via :func:`lsh_band_collision_profile`,
+    split into false-positive incidences (random pairs — extrapolate
+    QUADRATICALLY: ``fp_rate_r = (fp_collisions_r + 1) / (n_bands_r ·
+    C(m, 2))``, add-one smoothed so an under-resolved sample never
+    reports exactly zero) and true near-dup pairs (a per-doc property —
+    extrapolate LINEARLY: ``2 · tp_pairs_r / m`` candidates per doc).
+    For each config from :func:`lsh_param_choices` the predicted
+    candidates per doc are ``bands · fp_rate_r · (n_docs − 1) / 2 +
+    2 · tp_pairs_r / m``; return the smallest ``rows_per_band`` whose
+    prediction fits ``fp_budget_per_doc`` (smallest = cheapest hashing
+    and gentlest S-curve for borderline pairs), else the config with the
+    smallest prediction flagged ``within_budget=False``.
+
+    The TP/FP split is what makes the estimator scale-honest: without it,
+    the few TRUE duplicate pairs any real corpus contains would be
+    extrapolated over C(n_docs, 2) and dominate every prediction at
+    crawl scale — over-banding forever on clean corpora. With it, a
+    duplicate-heavy but high-entropy corpus keeps small bands (its
+    candidates are the dedup's real work, linear in n), while a
+    low-entropy corpus — whose collisions are low-Jaccard random
+    pairs — gets the wide bands that kept sf25 from spilling.
+    Classification is EXACT shingle Jaccard ≥ ``threshold`` over the
+    sample (not signature agreement, which min-concentration biases up
+    on exactly the corpora that matter — see
+    :func:`lsh_band_collision_profile`). Resolution:
+    the smallest nonzero fp rate the sample can observe is ``1 /
+    (n_bands · C(m, 2))`` (~1.6·10⁻⁸ per band at the 2000-doc default)
+    — raise ``sample_docs`` when tuning for corpora above ~10⁹ docs.
+
+    The profile is a Spark job; only ``len(rows_per_band_choices)`` rows
+    of integers are collected (bounded, documented). The choice
+    arithmetic is pure IEEE-deterministic float ops written in the same
+    order as the ``dd_lsh_autotune`` DuckDB oracle's SQL, so the chosen
+    integers are value-hash checked cross-engine, not just plausible.
+
+    At 100 TB: run this on a sample-able prefix of the corpus before the
+    dedup job; re-run when the corpus's source mix shifts (entropy is a
+    property of the data, not the pipeline). Monitor cand/doc from
+    ``tools/knee_bench.py`` against ``est_cand_per_doc`` to catch
+    drift."""
+    if n_docs is None:
+        n_docs = df.count()
+    choices = lsh_param_choices(threshold, max_num_hashes, rows_per_band_choices)
+    choices = [(r, b, k) for r, b, k in choices if probe_hashes // r >= 1]
+    if not choices:
+        raise ValueError(
+            "no (rows_per_band, bands) choice fits max_num_hashes/probe_hashes"
+        )
+    # bounded collect: one row of six longs per candidate width.
+    rows = {
+        row["r"]: row
+        for row in lsh_band_collision_profile(
+            df, text, id_col, n, sample_docs, probe_hashes, seed, hash_fn,
+            tuple(r for r, _, _ in choices), threshold,
+        ).collect()
+    }
+    m = next(iter(rows.values()))["m"] if rows else 0
+    m = int(m or 0)
+    if m < 2:
+        r, b, k = choices[0]
+        return {
+            "rows_per_band": r, "bands": b, "num_hashes": k,
+            "fp_band_rates": {}, "est_cand_per_doc": 0.0, "within_budget": True,
+            "sample_m": m, "collisions_total": 0, "n_docs": int(n_docs),
+        }
+    pair_base = m * (m - 1) // 2  # even product → exact int
+    scored = []
+    rates = {}
+    for r, b, k in choices:
+        prow = rows[r]
+        # add-one smoothing; each division/multiply chain is mirrored
+        # literally (same operand order) in the oracle SQL.
+        fp_rate = (prow["fp_collisions"] + 1) / float(prow["n_bands"] * pair_base)
+        rates[r] = fp_rate
+        est = b * fp_rate * (n_docs - 1) / 2.0 + 2.0 * prow["tp_pairs"] / float(m)
+        scored.append((r, b, k, est))
+    budget = float(fp_budget_per_doc)
+    # selection key mirrors the oracle's ORDER BY: budget-satisfiers first
+    # by smallest r, then everything by smallest prediction.
+    r, b, k, est = min(
+        scored,
+        key=lambda s: (0 if s[3] <= budget else 1, s[0] if s[3] <= budget else 0, s[3], s[0]),
+    )
+    return {
+        "rows_per_band": r, "bands": b, "num_hashes": k,
+        "fp_band_rates": rates, "est_cand_per_doc": est,
+        "within_budget": est <= budget, "sample_m": m,
+        "collisions_total": int(sum(row["collisions"] for row in rows.values())),
+        "n_docs": int(n_docs),
+    }
+
+
 def minhash_index(
     df: DataFrame,
     text: str = "text",

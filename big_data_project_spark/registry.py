@@ -5296,6 +5296,137 @@ def dd_near_dedup_lsh_prefilter(spark, sf_dir):
     return dedup.drop_near_dups(d, pairs).select("doc_id", "source")
 
 
+# LSH auto-tune (round 8): candidate (r, b, k) literals come from
+# dedup.lsh_param_choices — ONE source for the engine choice loop and this
+# SQL, so the two cannot drift. The band-collision rate is measured per
+# candidate width (NOT a per-hash mean-field model — collisions are
+# pair-correlated across hash functions on low-entropy corpora, see the
+# lsh_band_collision_profile docstring), and every arithmetic step is
+# written in the same order in both engines, so the chosen integers are
+# bit-identical cross-engine.
+_AT_CHOICES = dedup.lsh_param_choices(threshold=0.7, max_num_hashes=256)
+_AT_BUDGET = 2.0
+_AT_SAMPLE = 500
+
+
+def _at_band_cte(r: int) -> str:
+    """Per-width CTEs mirroring lsh_band_collision_profile exactly: band
+    keys over sigs h0..h15, (pair, band) collision incidences via the
+    bucket self-join, incidences split by the sample's exact-Jaccard TP
+    set (tpp — signature agreement would be biased up on low-entropy
+    corpora, see the engine docstring)."""
+    nb = _MH_K // r
+    keys = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + ")) AS key FROM sigs"
+        for b in range(nb)
+    )
+    return (
+        f"bk{r} AS ({keys}),\n"
+        f"    prs{r} AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS hits\n"
+        f"               FROM bk{r} a JOIN bk{r} b\n"
+        f"                 ON a.band = b.band AND a.key = b.key\n"
+        f"                AND a.doc_id < b.doc_id\n"
+        f"               GROUP BY ia, ib),\n"
+        f"    cls{r} AS (SELECT p.hits,\n"
+        f"                      CASE WHEN t.ia IS NULL THEN 0 ELSE 1 END AS tp\n"
+        f"               FROM prs{r} p LEFT JOIN tpp t\n"
+        f"                 ON t.ia = p.ia AND t.ib = p.ib),\n"
+        f"    prof{r} AS (SELECT CAST(coalesce(sum(hits), 0) AS BIGINT) AS coll,\n"
+        f"                       CAST(coalesce(sum(CASE WHEN tp = 0 THEN hits END), 0)\n"
+        f"                            AS BIGINT) AS fpcoll,\n"
+        f"                       CAST(coalesce(sum(tp), 0) AS BIGINT) AS tppairs\n"
+        f"                FROM cls{r})"
+    )
+
+
+@register(
+    "dd_lsh_autotune",
+    oracle=f"""
+    WITH samp AS (SELECT doc_id, text FROM documents
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  LIMIT {_AT_SAMPLE}),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM samp)),
+    hxt AS (SELECT doc_id,
+                   ({_HEX_SEG.format(a=1, b=16).replace("hx", "md5(shingle)")})
+                     % {dedup._MINHASH_P} AS hx
+            FROM sh),
+    sigs AS (SELECT doc_id, {_MH_MINS} FROM hxt GROUP BY doc_id),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM sigs),
+    ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    cmn AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS nc
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY ia, ib),
+    tpp AS (SELECT ia, ib FROM cmn
+            JOIN ssz x ON x.doc_id = ia JOIN ssz y ON y.doc_id = ib
+            WHERE nc / (x.sz + y.sz - nc) >= 0.7),
+    {",    ".join(_at_band_cte(r) for r, _, _ in _AT_CHOICES)},
+    nd AS (SELECT count(*) AS n FROM documents),
+    est AS ({" UNION ALL ".join(
+        f"SELECT {r} AS r, {b} AS b, {k} AS k, "
+        f"{b} * ((fpcoll + 1) / CAST({_MH_K // r} * ((m * (m - 1)) // 2) AS DOUBLE))"
+        f" * (n - 1) / 2.0 + 2.0 * tppairs / CAST(m AS DOUBLE) AS est"
+        f" FROM prof{r}, mm, nd"
+        for r, b, k in _AT_CHOICES
+    )}),
+    tot AS (SELECT (SELECT m FROM mm) AS m,
+                   CAST({" + ".join(
+                       f"(SELECT coll FROM prof{r})" for r, _, _ in _AT_CHOICES
+                   )} AS BIGINT) AS coll)
+    SELECT CAST(r AS INT) AS rows_per_band, CAST(b AS INT) AS bands,
+           CAST(k AS INT) AS num_hashes, m AS sample_m,
+           coll AS collisions_total,
+           CAST(CASE WHEN est <= {_AT_BUDGET} THEN 1 ELSE 0 END AS INT)
+             AS within_budget
+    FROM est, tot
+    ORDER BY CASE WHEN est <= {_AT_BUDGET} THEN 0 ELSE 1 END,
+             CASE WHEN est <= {_AT_BUDGET} THEN r ELSE 0 END, est, r
+    LIMIT 1
+    """,
+)
+def dd_lsh_autotune(spark, sf_dir):
+    """LSH banding auto-tuned from the corpus's MEASURED band-collision
+    rates (round 8: the knee analysis as an API —
+    dedup.suggest_minhash_params). A deterministic md5-ordered 500-doc
+    sample is signed with the md5-affine probe family, the EMPIRICAL
+    band-collision rate is measured distributed at every candidate band
+    width (band-level, not a per-hash mean-field model — collisions are
+    pair-correlated on low-entropy corpora and q̂^r under-predicts by
+    orders of magnitude), and the smallest rows-per-band whose predicted
+    false-positive candidates/doc fit the budget wins. The oracle mirrors
+    the WHOLE procedure in DuckDB — sample order, signatures, per-width
+    banding and collision counting, the add-one-smoothed rate division,
+    the budget ORDER BY — so the chosen integers are value-hash-proven
+    cross-engine, not just plausible. This is the API that catches
+    entropy drift before a verify stage spills (sf25 k16/b4 post-mortem,
+    SCALE.md)."""
+    sug = dedup.suggest_minhash_params(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.7,
+        fp_budget_per_doc=_AT_BUDGET,
+        sample_docs=_AT_SAMPLE,
+        probe_hashes=_MH_K,
+        hash_fn="md5_affine",
+        max_num_hashes=256,
+    )
+    return spark.createDataFrame(
+        [(
+            sug["rows_per_band"], sug["bands"], sug["num_hashes"],
+            sug["sample_m"], sug["collisions_total"],
+            1 if sug["within_budget"] else 0,
+        )],
+        "rows_per_band int, bands int, num_hashes int, sample_m bigint, "
+        "collisions_total bigint, within_budget int",
+    )
+
+
 @register(
     "dd_incremental_near",
     oracle=f"""

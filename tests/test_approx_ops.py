@@ -1136,3 +1136,95 @@ def test_dd_semantic_recovered_oracle_on_mixed_hot_cluster(spark, tmp_path):
         )
     finally:
         con.close()
+
+
+# --- LSH auto-tune (round 8: suggest_minhash_params) ----------------------
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_lsh_autotune_entropy_drives_band_width(spark):
+    """The estimator's whole point: a low-entropy corpus (tiny vocabulary →
+    MinHash minima concentrate → band buckets collide between UNRELATED
+    docs) must be told to use wider bands at scale, while a high-entropy
+    corpus keeps the cheap narrow bands."""
+    # low-entropy but NOT duplicated: md5-mixed draws from a 6-word vocab
+    # (pairwise Jaccard ~0.03 — random pairs, never true near-dups; naive
+    # cyclic constructions collapse into identical-doc classes and get
+    # correctly classified TP instead)
+    import hashlib
+
+    vocab = [f"v{x}" for x in range(6)]
+
+    def _w(i, j):
+        return vocab[int(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:8], 16) % 6]
+
+    low = [" ".join(_w(i, j) for j in range(30)) for i in range(400)]
+    high = [
+        " ".join(f"w{i}x{j}" for j in range(30))  # no shared shingles at all
+        for i in range(400)
+    ]
+    # n chosen inside the 400-doc sample's resolution: the add-one
+    # smoothing floor is 1/(8·C(400,2)) ≈ 1.57e-6, so a zero-collision
+    # corpus predicts ~1.17 cand/doc at 5e5 docs — inside budget 2.0.
+    n_big = 500_000
+    s_low = dedup.suggest_minhash_params(
+        _docs_df(spark, low), sample_docs=400, n_docs=n_big
+    )
+    s_high = dedup.suggest_minhash_params(
+        _docs_df(spark, high), sample_docs=400, n_docs=n_big
+    )
+    assert s_high["rows_per_band"] == 2 and s_high["within_budget"]
+    assert s_low["rows_per_band"] > s_high["rows_per_band"]
+    assert s_low["est_cand_per_doc"] > s_high["est_cand_per_doc"]
+    # collisions really were observed on the low-entropy corpus
+    assert s_low["collisions_total"] > 0
+
+
+def test_lsh_autotune_true_dups_extrapolate_linearly(spark):
+    """TP/FP split: planted TRUE duplicate pairs are a per-doc property and
+    must NOT be extrapolated over C(n_docs, 2). A high-entropy corpus with
+    50 exact-dup pairs stays narrow-band and within budget at 10⁶ docs;
+    the same collisions counted as false positives would predict ~600
+    candidates/doc and over-band (500k docs: smoothing floor ≈ 1.17/doc,
+    TP term 0.2/doc — within budget only because the split works)."""
+    texts = [" ".join(f"w{i}x{j}" for j in range(30)) for i in range(400)]
+    for i in range(50):  # doc i+350 duplicates doc i exactly? no — pair up
+        texts[300 + i] = texts[i]
+    df = _docs_df(spark, texts)
+    s = dedup.suggest_minhash_params(df, sample_docs=400, n_docs=500_000)
+    assert s["rows_per_band"] == 2, s
+    assert s["within_budget"], s
+    # the duplicates DID collide (they agree on every band)
+    assert s["collisions_total"] >= 50 * (16 // 2)
+
+
+def test_lsh_autotune_deterministic(spark, sf_dir):
+    d = io.load_table(spark, sf_dir, "documents")
+    a = dedup.suggest_minhash_params(d, sample_docs=200)
+    b = dedup.suggest_minhash_params(d, sample_docs=200)
+    assert a == b
+    assert a["num_hashes"] == a["rows_per_band"] * a["bands"]
+
+
+def test_lsh_band_collision_profile_shape(spark, sf_dir):
+    d = io.load_table(spark, sf_dir, "documents")
+    rows = dedup.lsh_band_collision_profile(
+        d, sample_docs=100, rows_per_band_choices=(2, 4, 8)
+    ).collect()
+    by_r = {r["r"]: r for r in rows}
+    assert set(by_r) == {2, 4, 8}
+    assert all(r["m"] == rows[0]["m"] for r in rows)
+    assert by_r[2]["n_bands"] == 8 and by_r[8]["n_bands"] == 2
+    for r in rows:
+        assert r["fp_collisions"] + 0 <= r["collisions"]
+        assert r["tp_pairs"] >= 0
+    # wider bands never collide MORE often per band than narrower ones
+    # (a whole-band agreement at width 8 implies agreement at width 4 on
+    # its two halves — rates are monotone non-increasing in r per band,
+    # modulo the band-count normalization; check the raw incidence trend)
+    assert by_r[8]["collisions"] <= by_r[2]["collisions"]

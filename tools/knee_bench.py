@@ -156,7 +156,37 @@ def main() -> int:
     ap.add_argument("--hash-shingles", action="store_true",
                     help="verify over xxhash64(shingle) longs instead of "
                     "strings (~3x less verify shuffle)")
+    ap.add_argument("--suggest", action="store_true",
+                    help="skip the measurement; run "
+                    "dedup.suggest_minhash_params on each corpus (the "
+                    "knee analysis as an API) and record what banding it "
+                    "recommends for the corpus's measured entropy")
+    ap.add_argument("--suggest-sample", type=int, default=2000,
+                    help="sample size for --suggest (default 2000)")
     args = ap.parse_args()
+    if args.suggest:
+        if not args.dirs:
+            ap.error("give at least one sf dir")
+        from big_data_project_spark import io
+        from big_data_project_spark.operators import dedup
+        from big_data_project_spark.session import get_spark
+
+        spark = get_spark(app_name="knee-suggest")
+        for d in args.dirs:
+            df = io.load_table(spark, d, "documents")
+            s = dedup.suggest_minhash_params(
+                df, hash_fn="md5_affine", sample_docs=args.suggest_sample
+            )
+            rec = {
+                "metric": "dd_lsh_autotune_suggest", "sf_dir": d,
+                **{k: v for k, v in s.items() if k != "fp_band_rates"},
+                "fp_band_rates": {str(k): v for k, v in s["fp_band_rates"].items()},
+            }
+            with open(os.path.join(REPO, "bench_history.jsonl"), "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec))
+        spark.stop()
+        return 0
     if args.measure:
         measure(args.measure, args.num_hashes, args.bands,
                 args.min_est, args.hash_shingles)
