@@ -579,10 +579,12 @@ def lsh_band_collision_profile(
     hash_fn: str = "xxhash64",
     rows_per_band_choices: tuple[int, ...] = (2, 3, 4, 5, 6, 8, 10, 12),
     threshold: float = 0.7,
+    min_est_jaccard: float = 0.0,
 ) -> DataFrame:
     """Measure the EMPIRICAL band-collision behavior of a corpus at each
     candidate band width: one row per ``r`` in ``rows_per_band_choices``
-    with ``(r, n_bands, m, collisions, fp_collisions, tp_pairs)``, where
+    with ``(r, n_bands, m, collisions, fp_collisions, fp_keep_collisions,
+    tp_pairs)``, where
     the probe signature's ``probe_hashes`` components are split into
     ``n_bands = probe_hashes // r`` disjoint ``r``-row bands (leftover
     components unused), ``collisions`` counts (pair, band) incidences —
@@ -590,7 +592,13 @@ def lsh_band_collision_profile(
     the incidences are split by each pair's EXACT shingle Jaccard over
     the sample (``≥ threshold`` → a TRUE near-dup, counted once in
     ``tp_pairs``; the rest are false positives, ``fp_collisions``
-    incidences).
+    incidences). ``fp_keep_collisions`` further counts the
+    false-positive incidences whose probe-signature agreement rate is ≥
+    ``min_est_jaccard`` — the collisions the production
+    ``min_est_jaccard`` prefilter would NOT remove, so the suggester can
+    predict post-prefilter verify load (0.0 keeps everything; the cut's
+    granularity is 1/probe_hashes, matching a production run at
+    k=probe_hashes).
 
     Why band-level and not per-hash: LSH candidate volume is governed by
     the probability that two docs agree on an ENTIRE ``r``-row band. A
@@ -647,6 +655,15 @@ def lsh_band_collision_profile(
     tp_set = jaccard_pairs(sample, text, id_col, n, min_jaccard=threshold).select(
         F.col("id_a").alias("ia"), F.col("id_b").alias("ib"), F.lit(1).alias("tp")
     )
+    # probe-signature agreement rate per colliding pair — what the
+    # production min_est_jaccard prefilter would see at k=probe_hashes
+    agree = sum(
+        F.when(
+            F.element_at("sa.signature", i + 1) == F.element_at("sb.signature", i + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for i in range(probe_hashes)
+    )
     per_r = []
     for r in rows_per_band_choices:
         n_bands = probe_hashes // int(r)
@@ -689,8 +706,20 @@ def lsh_band_collision_profile(
             )
             .agg(F.count("*").alias("hits"))
         )
-        classified = pairs.join(tp_set, ["ia", "ib"], "left").select(
-            F.col("hits"), F.coalesce(F.col("tp"), F.lit(0)).alias("tp")
+        classified = (
+            pairs.join(tp_set, ["ia", "ib"], "left")
+            .join(sig.alias("sa"), F.col("ia") == F.col("sa.doc_id"))
+            .join(sig.alias("sb"), F.col("ib") == F.col("sb.doc_id"))
+            .select(
+                F.col("hits"),
+                F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+                F.when(
+                    (agree / F.lit(float(probe_hashes))) >= float(min_est_jaccard),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .alias("keep"),
+            )
         )
         per_r.append(
             classified.agg(
@@ -700,6 +729,12 @@ def lsh_band_collision_profile(
                 )
                 .cast("long")
                 .alias("fp_collisions"),
+                F.coalesce(
+                    F.sum(F.when((F.col("tp") == 0) & (F.col("keep") == 1), F.col("hits"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("fp_keep_collisions"),
                 F.coalesce(F.sum("tp"), F.lit(0)).cast("long").alias("tp_pairs"),
             )
             .crossJoin(F.broadcast(mrow))
@@ -709,6 +744,7 @@ def lsh_band_collision_profile(
                 "m",
                 "collisions",
                 "fp_collisions",
+                "fp_keep_collisions",
                 "tp_pairs",
             )
         )
@@ -761,6 +797,7 @@ def suggest_minhash_params(
     n_docs: int | None = None,
     max_num_hashes: int = 256,
     rows_per_band_choices: tuple[int, ...] = (2, 3, 4, 5, 6, 8, 10, 12),
+    min_est_jaccard: float | None = None,
 ) -> dict:
     """Pick ``(rows_per_band, bands, num_hashes)`` for
     :func:`minhash_lsh_candidates` from the corpus's MEASURED min-collision
@@ -802,6 +839,15 @@ def suggest_minhash_params(
     order as the ``dd_lsh_autotune`` DuckDB oracle's SQL, so the chosen
     integers are value-hash checked cross-engine, not just plausible.
 
+    ``min_est_jaccard`` — plan WITH the production candidate prefilter:
+    the false-positive rate only counts collisions whose probe-signature
+    agreement survives the cut (``fp_keep_collisions`` in the profile),
+    so the prediction is the post-prefilter VERIFY load — the quantity
+    that actually spilled at sf25 — and the selection picks the cheapest
+    banding for the prefiltered pipeline. The un-prefiltered prediction
+    is still returned as ``est_cand_per_doc_unfiltered`` (that is the
+    BLOCK stage's candidate output, which the prefilter joins against).
+
     At 100 TB: run this on a sample-able prefix of the corpus before the
     dedup job; re-run when the corpus's source mix shifts (entropy is a
     property of the data, not the pipeline). Monitor cand/doc from
@@ -821,6 +867,7 @@ def suggest_minhash_params(
         for row in lsh_band_collision_profile(
             df, text, id_col, n, sample_docs, probe_hashes, seed, hash_fn,
             tuple(r for r, _, _ in choices), threshold,
+            min_est_jaccard if min_est_jaccard is not None else 0.0,
         ).collect()
     }
     m = next(iter(rows.values()))["m"] if rows else 0
@@ -829,19 +876,31 @@ def suggest_minhash_params(
         r, b, k = choices[0]
         return {
             "rows_per_band": r, "bands": b, "num_hashes": k,
-            "fp_band_rates": {}, "est_cand_per_doc": 0.0, "within_budget": True,
+            "fp_band_rates": {}, "est_cand_per_doc": 0.0,
+            "est_cand_per_doc_unfiltered": 0.0, "within_budget": True,
             "sample_m": m, "collisions_total": 0, "n_docs": int(n_docs),
         }
     pair_base = m * (m - 1) // 2  # even product → exact int
     scored = []
     rates = {}
+    unfiltered = {}
     for r, b, k in choices:
         prow = rows[r]
         # add-one smoothing; each division/multiply chain is mirrored
         # literally (same operand order) in the oracle SQL.
-        fp_rate = (prow["fp_collisions"] + 1) / float(prow["n_bands"] * pair_base)
+        den = float(prow["n_bands"] * pair_base)
+        fp_col = (
+            prow["fp_keep_collisions"]
+            if min_est_jaccard is not None
+            else prow["fp_collisions"]
+        )
+        fp_rate = (fp_col + 1) / den
         rates[r] = fp_rate
-        est = b * fp_rate * (n_docs - 1) / 2.0 + 2.0 * prow["tp_pairs"] / float(m)
+        tp_term = 2.0 * prow["tp_pairs"] / float(m)
+        est = b * fp_rate * (n_docs - 1) / 2.0 + tp_term
+        unfiltered[r] = (
+            b * ((prow["fp_collisions"] + 1) / den) * (n_docs - 1) / 2.0 + tp_term
+        )
         scored.append((r, b, k, est))
     budget = float(fp_budget_per_doc)
     # selection key mirrors the oracle's ORDER BY: budget-satisfiers first
@@ -853,6 +912,7 @@ def suggest_minhash_params(
     return {
         "rows_per_band": r, "bands": b, "num_hashes": k,
         "fp_band_rates": rates, "est_cand_per_doc": est,
+        "est_cand_per_doc_unfiltered": unfiltered[r],
         "within_budget": est <= budget, "sample_m": m,
         "collisions_total": int(sum(row["collisions"] for row in rows.values())),
         "n_docs": int(n_docs),

@@ -41,6 +41,7 @@ def curate_corpus(
     lsh_hash_fn: str = "xxhash64",
     lsh_min_est_jaccard: float | None = None,
     lsh_hash_shingles: bool = False,
+    lsh_params: str | tuple[int, int] | None = None,
 ) -> DataFrame:
     """Run the whole curation line over a ``documents``-shaped frame
     (doc_id, source, text). Returns one row per surviving document with its
@@ -74,15 +75,36 @@ def curate_corpus(
     minhash_lsh_candidates` / :func:`operators.dedup.jaccard_verify`).
     Set ``lsh_min_est_jaccard≈0.3`` (verify threshold 0.5 − margin 0.2)
     on low-entropy corpora where band buckets collide far above the
-    true-Jaccard rate — value-hash-pinned by dd_near_dedup_lsh_prefilter."""
+    true-Jaccard rate — value-hash-pinned by dd_near_dedup_lsh_prefilter.
+
+    ``lsh_params`` sizes the banding: ``None`` keeps the
+    minhash_lsh_candidates defaults (k=64, 16 bands), an ``(num_hashes,
+    bands)`` tuple pins it, and ``"auto"`` runs
+    :func:`operators.dedup.suggest_minhash_params` on the deduped corpus
+    (threshold 0.5 = this pipeline's verify threshold, honoring
+    ``lsh_min_est_jaccard`` so the prediction is post-prefilter verify
+    load) and uses its pick — the measured-entropy sizing from the sf25
+    post-mortem, one eager profiling job before the dedup plan is
+    built."""
     d = dedup.drop_exact_dups(docs)
     if pair_source == "exact":
         pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
     elif pair_source == "lsh":
+        if lsh_params == "auto":
+            sug = dedup.suggest_minhash_params(
+                d, threshold=0.5, hash_fn=lsh_hash_fn,
+                min_est_jaccard=lsh_min_est_jaccard,
+            )
+            lsh_k, lsh_bands = sug["num_hashes"], sug["bands"]
+        elif lsh_params is not None:
+            lsh_k, lsh_bands = lsh_params
+        else:
+            lsh_k, lsh_bands = 64, 16
         # one tokenize pass shared by block and verify (round 7)
         sh = dedup.doc_shingles(d, "text", "doc_id", 3).transform(lineage_cut)
         cand = dedup.minhash_lsh_candidates(
-            d, n=3, hash_fn=lsh_hash_fn, include_est_jaccard=False,
+            d, n=3, num_hashes=lsh_k, bands=lsh_bands, hash_fn=lsh_hash_fn,
+            include_est_jaccard=False,
             shingles=sh, min_est_jaccard=lsh_min_est_jaccard,
         )
         pairs = dedup.jaccard_verify(

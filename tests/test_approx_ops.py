@@ -1228,3 +1228,30 @@ def test_lsh_band_collision_profile_shape(spark, sf_dir):
     # its two halves — rates are monotone non-increasing in r per band,
     # modulo the band-count normalization; check the raw incidence trend)
     assert by_r[8]["collisions"] <= by_r[2]["collisions"]
+
+
+def test_lsh_autotune_prefilter_prediction(spark):
+    """min_est_jaccard planning: with the production candidate prefilter
+    in the plan, the predicted verify load counts only false positives
+    whose signature agreement survives the cut — on a low-entropy corpus
+    a tight cut collapses the prediction and the suggester keeps cheap
+    narrow bands instead of over-banding."""
+    import hashlib
+
+    vocab = [f"v{x}" for x in range(6)]
+
+    def _w(i, j):
+        return vocab[int(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:8], 16) % 6]
+
+    low = [" ".join(_w(i, j) for j in range(30)) for i in range(400)]
+    df = _docs_df(spark, low)
+    plain = dedup.suggest_minhash_params(df, sample_docs=400, n_docs=500_000)
+    cut = dedup.suggest_minhash_params(
+        df, sample_docs=400, n_docs=500_000, min_est_jaccard=1.0
+    )
+    assert cut["est_cand_per_doc"] <= cut["est_cand_per_doc_unfiltered"]
+    assert cut["est_cand_per_doc"] < plain["est_cand_per_doc"]
+    # the tight cut removes the collision pressure entirely: narrow bands
+    # come back within budget
+    assert cut["rows_per_band"] <= plain["rows_per_band"]
+    assert cut["within_budget"]

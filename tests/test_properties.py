@@ -546,6 +546,17 @@ def test_curate_corpus_lsh_mode_superset_of_exact(spark, sf_dir):
               ).collect()}
     assert scaled == lsh
 
+    # lsh_params="auto" sizes the banding from measured entropy; it is a
+    # recall knob like any banding choice, so the same containment
+    # invariant holds against exact mode
+    auto = {r.doc_id: (r.split, r.shard, r.n_tokens)
+            for r in curate_corpus(
+                docs, pair_source="lsh", lsh_params="auto",
+            ).collect()}
+    assert set(exact) <= set(auto)
+    for k in exact:
+        assert exact[k] == auto[k]
+
 
 def test_operators_tolerate_empty_corpus(spark):
     """Every curation/dedup operator must run (and return zero rows, not
