@@ -10834,6 +10834,164 @@ def utf8_bpe_vocab(spark, sf_dir):
 
 
 # ===========================================================================
+# Lakehouse CDC surface (round 8): MERGE-upsert + SCD2 history to oracle
+# grade. The reference overwrites flat CSV/JSON each run (py:161, py:298);
+# these are the incremental-load twins a 100 TB lake needs instead.
+# ===========================================================================
+
+@register(
+    "mt_merge_upsert",
+    oracle="""
+    WITH tgt AS (SELECT c_custkey AS cust, c_name AS name,
+                        CAST(c_acctbal AS DOUBLE) AS acctbal
+                 FROM customer),
+    upd AS (
+      SELECT c_custkey + 1000000 AS cust, lower(c_name) AS name,
+             CAST(c_acctbal + 100.0 AS DOUBLE) AS acctbal
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey AS cust, upper(c_name) AS name,
+             CAST(c_acctbal - 50.0 AS DOUBLE) AS acctbal
+      FROM customer WHERE c_custkey % 10 = 7
+    )
+    SELECT t.cust, t.name, t.acctbal FROM tgt t
+    WHERE t.cust NOT IN (SELECT cust FROM upd)
+    UNION ALL
+    SELECT cust, name, acctbal FROM upd
+    """,
+)
+def mt_merge_upsert(spark, sf_dir):
+    """MERGE INTO emulation (maintenance.merge_upsert): a CDC batch of
+    brand-new keys (+1M offset) and changed existing keys lands on the
+    customer dimension — updates win on collision, untouched rows
+    survive. Plan shape: ONE anti-join (AQE broadcasts the small update
+    key set) + union — no full rewrite, no driver state; the same apply
+    is linear at 100 TB. Per-row double arithmetic is bit-exact across
+    engines, so the result value-hashes without decimal staging."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    c = _t(spark, sf_dir, "customer")
+    tgt = c.select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+    inserts = c.where(F.col("c_custkey") % 10 == 3).select(
+        (F.col("c_custkey") + 1000000).alias("cust"),
+        F.lower("c_name").alias("name"),
+        (F.col("c_acctbal") + 100.0).cast("double").alias("acctbal"),
+    )
+    changes = c.where(F.col("c_custkey") % 10 == 7).select(
+        F.col("c_custkey").alias("cust"),
+        F.upper("c_name").alias("name"),
+        (F.col("c_acctbal") - 50.0).cast("double").alias("acctbal"),
+    )
+    return mt.merge_upsert(tgt, inserts.unionByName(changes), "cust")
+
+
+@register(
+    "mt_scd2_orders",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey AS cust, c_mktsegment AS seg,
+             TIMESTAMP '1992-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    updraw AS (
+      SELECT o_custkey AS cust, year(o_orderdate) AS yr,
+             max(o_orderdate) AS u_ts, count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    updseg AS (
+      SELECT u.cust, u.u_ts,
+             CASE WHEN u.cnt >= 2 THEN 'HIGHVOL' ELSE c.c_mktsegment END AS seg
+      FROM updraw u JOIN customer c ON u.cust = c.c_custkey
+    ),
+    upd1 AS (
+      SELECT cust, seg, u_ts FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cust ORDER BY u_ts DESC, seg DESC) AS rn
+        FROM updseg) t WHERE rn = 1
+    ),
+    cls AS (
+      SELECT u.cust, u.u_ts, (o.cust IS NULL) AS is_new,
+             (o.cust IS NOT NULL AND u.seg IS DISTINCT FROM o.seg) AS is_chg
+      FROM upd1 u
+      LEFT JOIN (SELECT cust, seg FROM cur WHERE valid_to IS NULL) o
+        ON u.cust = o.cust
+    ),
+    closed AS (
+      SELECT c.cust, c.seg, c.valid_from,
+             CASE WHEN c.valid_to IS NULL AND k.cust IS NOT NULL
+                  THEN k.u_ts ELSE c.valid_to END AS valid_to
+      FROM cur c
+      LEFT JOIN (SELECT cust, u_ts FROM cls WHERE is_chg) k
+        ON c.cust = k.cust
+    ),
+    newv AS (
+      SELECT u.cust, u.seg, u.u_ts AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM upd1 u
+      WHERE u.cust IN (SELECT cust FROM cls WHERE is_new OR is_chg)
+    )
+    SELECT cust, seg,
+           CAST(epoch(valid_from) AS BIGINT) AS valid_from_s,
+           CAST(epoch(valid_to) AS BIGINT)   AS valid_to_s
+    FROM (SELECT cust, seg, valid_from, valid_to FROM closed
+          UNION ALL
+          SELECT cust, seg, valid_from, valid_to FROM newv)
+    """,
+)
+def mt_scd2_orders(spark, sf_dir):
+    """SCD2 dimension apply (maintenance.scd2_apply) to oracle grade: a
+    change feed derived from orders (per customer-year activity; >= 2
+    orders in the latest year reclassifies the segment to HIGHVOL) lands
+    on a customer dimension seeded as open versions. Exercises all
+    apply paths in one value-hashed result: multi-update-per-key
+    collapse to the latest ts (mirrored with ROW_NUMBER in the oracle),
+    null-safe change detection (IS DISTINCT FROM = negated eqNullSafe),
+    changed keys close-out + reopen, unchanged keys untouched, and
+    brand-new keys (the %7 slice missing from the seed) inserted as
+    open rows. The oracle replays the exact close/append algebra, so a
+    semantics drift in scd2_apply flips the hash."""
+    from big_data_project_spark.operators import maintenance as mt
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    current = c.where(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updraw = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(F.max("o_orderdate").alias("u_ts"), F.count("*").alias("cnt"))
+    updseg = (
+        updraw.alias("u")
+        .join(c.alias("cc"), F.col("u.cust") == F.col("cc.c_custkey"))
+        .select(
+            F.col("u.cust").alias("cust"),
+            F.col("u.u_ts").alias("u_ts"),
+            F.when(F.col("u.cnt") >= 2, F.lit("HIGHVOL"))
+            .otherwise(F.col("cc.c_mktsegment"))
+            .alias("seg"),
+        )
+    )
+    hist = mt.scd2_apply(current, updseg, "cust", "u_ts", ["seg"])
+    # timestamps leave as epoch-second longs (house rule: the driver's
+    # value compare is unit-sensitive on raw datetime columns — ns vs µs)
+    return hist.select(
+        "cust",
+        "seg",
+        F.col("valid_from").cast("long").alias("valid_from_s"),
+        F.col("valid_to").cast("long").alias("valid_to_s"),
+    )
+
+
+# ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is
 # re-ordered value-first: every SURVEY §2 operator family is represented in
