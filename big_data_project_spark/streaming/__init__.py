@@ -35,6 +35,7 @@ from big_data_project_spark.streaming.ops import (
     sliding_window_agg,
     stream_dedup,
     tumbling_window_agg,
+    scd2_sink,
     upsert_sink,
     versioned_upsert_sink,
     user_totals_batch,
@@ -57,6 +58,7 @@ __all__ = [
     "enrich_stream_fresh",
     "ohlc_stream",
     "purchases_with_recent_clicks",
+    "scd2_sink",
     "upsert_sink",
     "user_totals_batch",
     "near_dedup_stream",

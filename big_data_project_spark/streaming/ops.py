@@ -281,6 +281,64 @@ def upsert_sink(df: DataFrame, target_path: str, checkpoint: str, key: str):
     )
 
 
+def scd2_sink(
+    updates: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    key: str,
+    ts_col: str,
+    attrs: list[str],
+):
+    """T7d: streaming SCD2 — each micro-batch of dimension changes lands
+    on the persisted version HISTORY via maintenance.scd2_apply (latest-ts
+    collapse → null-safe change detection → close-out + append), rewritten
+    stage-and-swap so an executor loss mid-write cannot destroy history.
+    The continuous-CDC twin of the batch ``mt_scd2_orders`` semantics.
+
+    First batch seeds the history: scd2_apply against an empty current
+    turns every update into an open version (the brand-new-key path).
+    Replay safety: re-applying an already-applied batch is a no-op — each
+    key's open row then carries exactly the update's attrs, so change
+    detection finds nothing, and the new-key path can't fire because the
+    key now has an open row (pinned by
+    test_scd2_apply_is_idempotent_on_replay). Ordering contract: the feed
+    must be ts-monotonic per key ACROSS batches (standard CDC ordering —
+    a late older update would close an open row with valid_to <
+    valid_from); WITHIN a batch scd2_apply collapses to the latest ts.
+    History rewrite per trigger is the dim-table trade, same as
+    ``upsert_sink``; append-heavy facts belong in the plain parquet sink."""
+    from big_data_project_spark.operators.maintenance import (
+        atomic_overwrite,
+        path_exists,
+        recover_interrupted_swap,
+        scd2_apply,
+    )
+
+    def do_apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return  # no-data triggers must not churn-rewrite the history
+        recover_interrupted_swap(spark, target_path)
+        if path_exists(spark, target_path):
+            current = spark.read.parquet(target_path)
+        else:
+            current = (
+                batch_df.select(key, *attrs)
+                .limit(0)
+                .withColumn("valid_from", F.lit(None).cast("timestamp"))
+                .withColumn("valid_to", F.lit(None).cast("timestamp"))
+            )
+        hist = scd2_apply(current, batch_df, key, ts_col, attrs)
+        atomic_overwrite(hist, target_path)
+
+    return (
+        updates.writeStream.outputMode("update")
+        .foreachBatch(do_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,

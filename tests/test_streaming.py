@@ -240,6 +240,92 @@ def test_foreachbatch_upsert_sink(spark, tmp_path):
     assert final == {1: 9.0, 2: 2.0, 3: 3.0}, final
 
 
+def _scd2_feed(spark, rows):
+    return spark.createDataFrame(
+        rows, "cust long, seg string, u_ts string"
+    ).withColumn("u_ts", F.to_timestamp("u_ts"))
+
+
+def _scd2_seed(batch):
+    return (
+        batch.select("cust", "seg")
+        .limit(0)
+        .withColumn("valid_from", F.lit(None).cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+    )
+
+
+def _hist_set(df):
+    return {
+        (r.cust, r.seg, str(r.valid_from), str(r.valid_to))
+        for r in df.collect()
+    }
+
+
+def test_scd2_sink_stream_equals_sequential_fold(spark, tmp_path):
+    """Streaming SCD2 ≡ folding scd2_apply over the same batches, across a
+    checkpoint restart: b1 seeds, b2 exercises change/new/unchanged keys,
+    the stream is STOPPED and a fresh query resumes from the checkpoint
+    for b3 (multi-update-per-key collapse)."""
+    from big_data_project_spark.operators.maintenance import scd2_apply
+
+    src = str(tmp_path / "scd2_src")
+    target = str(tmp_path / "scd2_target")
+    ckpt = str(tmp_path / "scd2_ckpt")
+    b1 = _scd2_feed(spark, [(1, "A", "2024-01-01 00:00:00"),
+                            (2, "B", "2024-01-01 00:00:00")])
+    b2 = _scd2_feed(spark, [(1, "A2", "2024-01-02 00:00:00"),   # changed
+                            (2, "B", "2024-01-02 00:00:00"),    # unchanged
+                            (3, "C", "2024-01-02 00:00:00")])   # brand-new
+    b3 = _scd2_feed(spark, [(1, "A3", "2024-01-03 10:00:00"),   # collapsed,
+                            (1, "A4", "2024-01-03 11:00:00")])  # latest wins
+
+    b1.write.mode("overwrite").parquet(src)
+    reader = spark.readStream.schema(b1.schema).parquet(src)
+    q = st.scd2_sink(reader, target, ckpt, "cust", "u_ts", ["seg"])
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    # resume from the checkpoint with a brand-new query (crash shape)
+    reader2 = spark.readStream.schema(b1.schema).parquet(src)
+    q2 = st.scd2_sink(reader2, target, ckpt, "cust", "u_ts", ["seg"])
+    b3.write.mode("append").parquet(src)
+    q2.processAllAvailable()
+    q2.stop()
+
+    cur = _scd2_seed(b1)
+    for b in (b1, b2, b3):
+        cur = scd2_apply(cur, b, "cust", "u_ts", ["seg"])
+    got = _hist_set(spark.read.parquet(target))
+    want = _hist_set(cur)
+    assert got == want
+    # latest-per-key sanity: key 1 is open at A4, its A/A2 versions closed
+    open_rows = {r.cust: r.seg
+                 for r in spark.read.parquet(target)
+                 .where(F.col("valid_to").isNull()).collect()}
+    assert open_rows == {1: "A4", 2: "B", 3: "C"}
+    # closed 1:A, 1:A2 + open 1:A4, 2:B, 3:C — b3's A3 collapsed away
+    assert len(got) == 5
+
+
+def test_scd2_apply_is_idempotent_on_replay(spark):
+    """The scd2_sink replay-safety claim, pinned: re-applying an
+    already-applied batch to the post-apply history is a no-op (open rows
+    carry the update's attrs → change detection finds nothing; new-key
+    path can't fire)."""
+    from big_data_project_spark.operators.maintenance import scd2_apply
+
+    b1 = _scd2_feed(spark, [(1, "A", "2024-01-01 00:00:00"),
+                            (2, "B", "2024-01-01 00:00:00")])
+    b2 = _scd2_feed(spark, [(1, "A2", "2024-01-02 00:00:00"),
+                            (3, "C", "2024-01-02 00:00:00")])
+    cur = scd2_apply(_scd2_seed(b1), b1, "cust", "u_ts", ["seg"])
+    once = scd2_apply(cur, b2, "cust", "u_ts", ["seg"])
+    twice = scd2_apply(once, b2, "cust", "u_ts", ["seg"])
+    assert _hist_set(once) == _hist_set(twice)
+
+
 def test_session_native_equals_batch_at_sf001(spark):
     """Guard the T4 pair against drift at a 10× larger corpus than the
     stream≡batch fixture: the native session_window aggregation and the
