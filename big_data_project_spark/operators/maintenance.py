@@ -54,6 +54,16 @@ def scd2_apply(
     full-churn batch makes changed_keys as large as the dimension itself,
     and a mandatory broadcast would OOM the executors — the default plain
     join lets AQE broadcast it only when it measures small.
+
+    CHAINED applies must materialize between rounds (write the history
+    out, or ``plans.lineage.lineage_cut`` it): feeding one apply's LAZY
+    result straight into the next grows a self-referential union+join
+    plan that trips an AQE planner fault at depth ≥3 ("Can't zip RDDs
+    with unequal numbers of partitions", exchange-reuse under union —
+    observed on Spark 4.1.2, pinned by
+    test_scd2_fold_invariants_property). Every shipped path already
+    does this: ``scd2_sink`` persists the history to parquet per
+    micro-batch.
     """
     # ONE update per key per apply: a batch may carry several updates for
     # the same key — applying them all would fan out the close join (every

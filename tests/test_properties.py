@@ -1894,3 +1894,80 @@ def test_bmp_roundtrip_property(dims, seed, _pad_parity):
         for _ in range(w * h)
     ]
     assert mm.decode_bmp_24(mm.make_bmp_24(px, w, h)) == (h, w, "rgb", px)
+
+
+_SCD2_FEED = st.lists(
+    st.tuples(
+        st.integers(0, 4),        # key
+        st.integers(0, 2),        # batch index (ts-monotonic across batches)
+        st.integers(0, 9),        # day within the batch's window
+        st.sampled_from("ABCD"),  # attr value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_SCD2_FEED)
+def test_scd2_fold_invariants_property(spark, feed):
+    """scd2_apply folded batch-by-batch over ANY ts-monotonic change feed
+    (multiple updates per key per batch, unchanged re-sends, gaps) keeps
+    the SCD2 contract: exactly one OPEN version per key ever updated; each
+    key's version chain is contiguous (closed valid_to == next valid_from);
+    and the open (key → attr) map equals the ONE-SHOT apply of the whole
+    feed — batching can add intermediate versions but never change where
+    the dimension lands."""
+    from big_data_project_spark.operators.maintenance import scd2_apply
+    from big_data_project_spark.plans.lineage import lineage_cut
+
+    def mk(rows):
+        df = spark.createDataFrame(rows, "cust long, seg string, u_ts string")
+        return df.withColumn("u_ts", F.to_timestamp("u_ts"))
+
+    # batch i owns days [10i, 10i+9] -> strictly increasing ts across
+    # batches per key (the documented scd2_sink ordering contract)
+    def row(key, batch, day, attr):
+        return (key, attr, f"2024-01-{batch * 10 + day + 1:02d} 00:00:00")
+
+    batches = [
+        [row(*u) for u in feed if u[1] == b] for b in range(3)
+    ]
+    empty = (
+        spark.createDataFrame([], "cust long, seg string")
+        .withColumn("valid_from", F.lit(None).cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+    )
+    cur = empty
+    for b in batches:
+        if b:
+            # cut lineage between folds, as every production path does
+            # (scd2_sink persists the history to parquet per batch): a
+            # 3-deep LAZY self-referential apply chain trips a Spark AQE
+            # planner fault ("Can't zip RDDs with unequal numbers of
+            # partitions" — union + exchange reuse), which is exactly why
+            # scd2_apply's docstring requires materializing between
+            # chained applies
+            cur = lineage_cut(scd2_apply(cur, mk(b), "cust", "u_ts", ["seg"]))
+    hist = cur.collect()
+
+    keys_updated = {u[0] for u in feed}
+    open_rows = [r for r in hist if r.valid_to is None]
+    assert {r.cust for r in open_rows} == keys_updated
+    assert len(open_rows) == len(keys_updated)  # exactly one open per key
+
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r.cust, []).append(r)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r.valid_from)
+        for a, b_ in zip(rows, rows[1:]):
+            assert a.valid_to == b_.valid_from, (k, rows)
+        assert rows[-1].valid_to is None
+
+    oneshot = scd2_apply(
+        empty, mk([row(*u) for u in feed]), "cust", "u_ts", ["seg"]
+    ).collect()
+    open_fold = {r.cust: r.seg for r in open_rows}
+    open_oneshot = {r.cust: r.seg for r in oneshot if r.valid_to is None}
+    assert open_fold == open_oneshot
