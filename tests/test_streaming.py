@@ -294,9 +294,13 @@ def test_scd2_sink_stream_equals_sequential_fold(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
 
+    from big_data_project_spark.plans.lineage import lineage_cut
+
     cur = _scd2_seed(b1)
     for b in (b1, b2, b3):
-        cur = scd2_apply(cur, b, "cust", "u_ts", ["seg"])
+        # materialize between folds (see scd2_apply docstring: lazy
+        # chained applies trip an AQE planner fault at depth >= 3)
+        cur = lineage_cut(scd2_apply(cur, b, "cust", "u_ts", ["seg"]))
     got = _hist_set(spark.read.parquet(target))
     want = _hist_set(cur)
     assert got == want
