@@ -35,7 +35,10 @@ from big_data_project_spark.streaming.ops import (
     sliding_window_agg,
     stream_dedup,
     tumbling_window_agg,
+    compact_scd2_closed,
+    scd2_history,
     scd2_sink,
+    scd2_sink_incremental,
     upsert_sink,
     versioned_upsert_sink,
     user_totals_batch,
@@ -59,6 +62,9 @@ __all__ = [
     "ohlc_stream",
     "purchases_with_recent_clicks",
     "scd2_sink",
+    "scd2_sink_incremental",
+    "scd2_history",
+    "compact_scd2_closed",
     "upsert_sink",
     "user_totals_batch",
     "near_dedup_stream",

@@ -339,6 +339,107 @@ def scd2_sink(
     )
 
 
+def scd2_sink_incremental(
+    updates: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    key: str,
+    ts_col: str,
+    attrs: list[str],
+):
+    """T7d at scale: the O(dimension)-per-batch SCD2 sink. ``scd2_sink``
+    rewrites the FULL history every trigger — O(history), which grows
+    without bound on a long-running feed. But closed SCD2 versions are
+    IMMUTABLE once written, so this sink splits the layout:
+
+    - ``<target>/open``            — snapshot of open versions only,
+      stage-and-swap per batch (O(dimension), bounded by the key count);
+    - ``<target>/closed/batch-<e>`` — the versions closed BY batch e,
+      append-only (O(churn) per batch, never rewritten).
+
+    Each trigger applies the batch against the OPEN snapshot only — valid
+    because a key always has exactly one open row (the SCD2 invariant,
+    pinned by test_scd2_fold_invariants_property), so closed history can
+    never influence an apply. Read it back with :func:`scd2_history`;
+    bound the closed-dir count with :func:`compact_scd2_closed` (same
+    generation-deferred protocol as the near-dedup sides).
+
+    Crash/replay safety (closed-then-open write order): a retry from the
+    pre-swap state recomputes the SAME closed delta and overwrites its own
+    ``batch-<e>`` dir (idempotent); a replay AFTER the swap finds the open
+    snapshot already post-apply, the apply no-ops, the closed delta is
+    EMPTY and the existing ``batch-<e>`` dir is left alone (an empty
+    replay delta must not clobber the real one)."""
+    import os
+
+    from big_data_project_spark.operators.maintenance import (
+        atomic_overwrite,
+        path_exists,
+        recover_interrupted_swap,
+        scd2_apply,
+    )
+
+    open_path = os.path.join(target_path, "open")
+
+    def do_apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        recover_interrupted_swap(spark, open_path)
+        if path_exists(spark, open_path):
+            current = spark.read.parquet(open_path)
+        else:
+            current = (
+                batch_df.select(key, *attrs)
+                .limit(0)
+                .withColumn("valid_from", F.lit(None).cast("timestamp"))
+                .withColumn("valid_to", F.lit(None).cast("timestamp"))
+            )
+        # one materialization, two consumers (closed delta + open swap)
+        hist = lineage_cut(scd2_apply(current, batch_df, key, ts_col, attrs))
+        closed_delta = hist.where(F.col("valid_to").isNotNull())
+        if not closed_delta.isEmpty():
+            closed_dir = os.path.join(
+                target_path, "closed", f"batch-{epoch_id:08d}"
+            )
+            closed_delta.write.mode("overwrite").parquet(closed_dir)
+        atomic_overwrite(hist.where(F.col("valid_to").isNull()), open_path)
+
+    return (
+        updates.writeStream.outputMode("update")
+        .foreachBatch(do_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def scd2_history(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read the full SCD2 history of a :func:`scd2_sink_incremental`
+    target: the open snapshot plus the closed family through the
+    compaction-aware listing rule (newest base + batch dirs ≥ it)."""
+    import os
+
+    open_path = os.path.join(target_path, "open")
+    srcs = []
+    if os.path.isdir(open_path):
+        srcs.append(open_path)
+    srcs += _batch_family_sources(os.path.join(target_path, "closed"))
+    if not srcs:
+        raise FileNotFoundError(f"no scd2 history under {target_path}")
+    return spark.read.parquet(*srcs)
+
+
+def compact_scd2_closed(spark: SparkSession, target_path: str) -> int:
+    """Fold a :func:`scd2_sink_incremental` target's ``closed/batch-*``
+    dirs into one base snapshot (O(1) directories forever) — same
+    atomic-publish + generation-deferred cleanup as the near-dedup
+    index/data sides; safe against concurrent :func:`scd2_history`
+    readers per the same argument."""
+    import os
+
+    return _compact_batch_root(spark, os.path.join(target_path, "closed"))
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,
@@ -1189,22 +1290,33 @@ def admitted_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
     data_root = os.path.join(out_dir, "data")
     if not os.path.isdir(data_root):
         raise FileNotFoundError(f"no admitted data under {data_root}")
-    base_pat = re.compile(r"^base-(\d{8})$")
-    batch_pat = re.compile(r"^batch-(\d{8})$")
-    bases = sorted(
-        int(m.group(1))
-        for d in os.listdir(data_root)
-        if (m := base_pat.match(d))
-    )
-    base_k = bases[-1] if bases else -1
-    srcs = []
-    if base_k >= 0:
-        srcs.append(os.path.join(data_root, f"base-{base_k:08d}"))
-    srcs += sorted(
-        os.path.join(data_root, d)
-        for d in os.listdir(data_root)
-        if (m := batch_pat.match(d)) and int(m.group(1)) >= base_k
-    )
+    srcs = _batch_family_sources(data_root)
     if not srcs:
         raise FileNotFoundError(f"no admitted data under {data_root}")
     return spark.read.parquet(*srcs)
+
+
+def _batch_family_sources(root: str) -> list[str]:
+    """The shared reader rule for a compacted ``batch-*`` directory
+    family: the newest ``base-<K>`` snapshot (if any) plus every
+    ``batch-<id>`` dir with id ≥ K — tolerant of every compactor crash
+    state (overlap dirs are covered by the base and skipped; never
+    double-read). Used by :func:`admitted_corpus` (data side) and
+    :func:`scd2_history` (closed-version side)."""
+    import os
+    import re
+
+    base_pat = re.compile(r"^base-(\d{8})$")
+    batch_pat = re.compile(r"^batch-(\d{8})$")
+    names = os.listdir(root) if os.path.isdir(root) else []
+    bases = sorted(int(m.group(1)) for d in names if (m := base_pat.match(d)))
+    base_k = bases[-1] if bases else -1
+    srcs = []
+    if base_k >= 0:
+        srcs.append(os.path.join(root, f"base-{base_k:08d}"))
+    srcs += sorted(
+        os.path.join(root, d)
+        for d in names
+        if (m := batch_pat.match(d)) and int(m.group(1)) >= base_k
+    )
+    return srcs

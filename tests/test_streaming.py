@@ -313,6 +313,101 @@ def test_scd2_sink_stream_equals_sequential_fold(spark, tmp_path):
     assert len(got) == 5
 
 
+def test_scd2_sink_incremental_equals_full_rewrite(spark, tmp_path):
+    """The O(dimension)-per-batch sink lands on the same history as the
+    full-rewrite sink over the same feed (open snapshot + append-only
+    closed dirs ≡ one monolithic table), across a checkpoint restart."""
+    src = str(tmp_path / "src")
+    full_t, full_ck = str(tmp_path / "full"), str(tmp_path / "full_ck")
+    inc_t, inc_ck = str(tmp_path / "inc"), str(tmp_path / "inc_ck")
+    b1 = _scd2_feed(spark, [(1, "A", "2024-01-01 00:00:00"),
+                            (2, "B", "2024-01-01 00:00:00")])
+    b2 = _scd2_feed(spark, [(1, "A2", "2024-01-02 00:00:00"),
+                            (2, "B", "2024-01-02 00:00:00"),
+                            (3, "C", "2024-01-02 00:00:00")])
+    b3 = _scd2_feed(spark, [(2, "B2", "2024-01-03 00:00:00"),
+                            (3, "C2", "2024-01-03 00:00:00")])
+
+    b1.write.mode("overwrite").parquet(src)
+    args = ("cust", "u_ts", ["seg"])
+    qf = st.scd2_sink(
+        spark.readStream.schema(b1.schema).parquet(src), full_t, full_ck, *args
+    )
+    qi = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src), inc_t, inc_ck, *args
+    )
+    for q in (qf, qi):
+        q.processAllAvailable()
+    b2.write.mode("append").parquet(src)
+    for q in (qf, qi):
+        q.processAllAvailable()
+        q.stop()
+    # restart BOTH from their checkpoints for b3 (crash shape)
+    qf = st.scd2_sink(
+        spark.readStream.schema(b1.schema).parquet(src), full_t, full_ck, *args
+    )
+    qi = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src), inc_t, inc_ck, *args
+    )
+    b3.write.mode("append").parquet(src)
+    for q in (qf, qi):
+        q.processAllAvailable()
+        q.stop()
+
+    full = _hist_set(spark.read.parquet(full_t))
+    inc = _hist_set(st.scd2_history(spark, inc_t))
+    assert inc == full
+    assert len(inc) == 6  # per key: one closed + one open version
+
+    # fresh-checkpoint replay of the WHOLE feed against the lived-in
+    # target: every apply no-ops (open rows already carry the attrs),
+    # closed dirs are not clobbered by empty replay deltas
+    q3 = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src),
+        inc_t, str(tmp_path / "inc_ck2"), *args
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    assert _hist_set(st.scd2_history(spark, inc_t)) == full
+
+
+def test_scd2_incremental_compaction_preserves_history(spark, tmp_path):
+    """compact_scd2_closed folds closed/batch-* into a base snapshot:
+    history identical before/after, and dir count stays O(1) under
+    repeated compaction (generation-deferred cleanup retires a
+    generation per two calls)."""
+    import os
+
+    src = str(tmp_path / "src")
+    tgt, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    feed = [
+        _scd2_feed(spark, [(k, f"S{i}", f"2024-01-{i + 1:02d} 00:00:00")
+                           for k in range(4)])
+        for i in range(4)
+    ]
+    feed[0].write.mode("overwrite").parquet(src)
+    q = st.scd2_sink_incremental(
+        spark.readStream.schema(feed[0].schema).parquet(src),
+        tgt, ck, "cust", "u_ts", ["seg"],
+    )
+    q.processAllAvailable()
+    for b in feed[1:]:
+        b.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    q.stop()
+
+    before = _hist_set(st.scd2_history(spark, tgt))
+    assert len(before) == 16  # 4 keys x 4 versions (3 closed + 1 open)
+    k1 = st.compact_scd2_closed(spark, tgt)
+    assert k1 > 0
+    assert _hist_set(st.scd2_history(spark, tgt)) == before
+    k2 = st.compact_scd2_closed(spark, tgt)  # retires the generation
+    assert _hist_set(st.scd2_history(spark, tgt)) == before
+    closed_dirs = os.listdir(os.path.join(tgt, "closed"))
+    assert len([d for d in closed_dirs if d.startswith("batch-")]) == 0
+    assert len([d for d in closed_dirs if d.startswith("base-")]) <= 2
+
+
 def test_scd2_apply_is_idempotent_on_replay(spark):
     """The scd2_sink replay-safety claim, pinned: re-applying an
     already-applied batch to the post-apply history is a no-op (open rows
