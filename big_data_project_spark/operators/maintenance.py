@@ -124,6 +124,18 @@ def scd2_apply(
     return closed.unionByName(new_versions)
 
 
+def history_asof(history: DataFrame, ts) -> DataFrame:
+    """Time-travel read of an SCD2 history: the version of every key that
+    was current AT ``ts`` (valid_from ≤ ts < valid_to, open = unbounded).
+    Pure filter — partition-prunable when the history is laid out by
+    valid_from date."""
+    t = F.lit(ts).cast("timestamp")
+    return history.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+
+
 def latest_version(history: DataFrame, key: str, order_col: str) -> DataFrame:
     """Collapse a history table to the latest row per key (window+filter)."""
     w = Window.partitionBy(key).orderBy(F.col(order_col).desc())

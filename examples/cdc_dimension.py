@@ -9,8 +9,10 @@ seeded, a change feed derived from orders lands on it three ways —
 
   1. ``maintenance.merge_upsert``          — latest-state MERGE (no history)
   2. ``maintenance.scd2_apply``            — one batch SCD2 apply, full history
-  3. ``streaming.scd2_sink``               — the same apply as a continuous
-                                             stream of micro-batches, with a
+  3. ``streaming.scd2_sink_incremental``   — the same apply as a continuous
+                                             stream of micro-batches (open
+                                             snapshot + append-only closed
+                                             dirs, compacted), with a
                                              checkpoint restart mid-feed
 
 and the final history is read back via ``latest_version`` (the "current
@@ -104,7 +106,7 @@ def main() -> None:
         ]
         batches[0].write.mode("overwrite").parquet(src)
         schema = batches[0].schema
-        q = st.scd2_sink(
+        q = st.scd2_sink_incremental(
             spark.readStream.schema(schema).parquet(src),
             tgt, ckpt, "cust", "u_ts", ["seg"],
         )
@@ -116,7 +118,7 @@ def main() -> None:
         q.stop()
         print(f"  stream stopped after year {years[mid - 1]} — restarting "
               "from the checkpoint (crash shape)")
-        q2 = st.scd2_sink(
+        q2 = st.scd2_sink_incremental(
             spark.readStream.schema(schema).parquet(src),
             tgt, ckpt, "cust", "u_ts", ["seg"],
         )
@@ -125,21 +127,17 @@ def main() -> None:
             q2.processAllAvailable()
         q2.stop()
 
-        shist = spark.read.parquet(tgt)
+        k = st.compact_scd2_closed(spark, tgt)
+        shist = st.scd2_history(spark, tgt)
         open_now = shist.where(F.col("valid_to").isNull())
-        print(f"scd2_sink ({len(batches)} micro-batches, 1 restart): "
+        print(f"scd2_sink_incremental ({len(batches)} micro-batches, "
+              f"1 restart, closed dirs compacted to base-{k}): "
               f"{shist.count()} versions, {open_now.count()} open")
 
         # --- read-back: current view + as-of time travel ----------------
         cur_view = mt.latest_version(shist, "cust", "valid_from")
         asof = years[0] + 2
-        asof_rows = shist.where(
-            (F.col("valid_from") <= F.lit(f"{asof}-01-01").cast("timestamp"))
-            & (
-                F.col("valid_to").isNull()
-                | (F.col("valid_to") > F.lit(f"{asof}-01-01").cast("timestamp"))
-            )
-        )
+        asof_rows = mt.history_asof(shist, f"{asof}-01-01")
         seg_now = {r.seg for r in cur_view.select("seg").distinct().collect()}
         print(f"latest_version: {cur_view.count()} current rows, "
               f"segments {sorted(seg_now)}")

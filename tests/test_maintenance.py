@@ -83,6 +83,15 @@ def test_scd2_history(spark):
     ]
     latest = {r.id: r.tier for r in mt.latest_version(hist, "id", "valid_from").collect()}
     assert latest == {1: "platinum", 2: "silver", 3: "bronze"}
+    # time travel: before the June apply key 1 was gold and 3 absent;
+    # boundary semantics are [valid_from, valid_to) — AT the close instant
+    # the NEW version is current, not the closed one
+    asof_mar = {r.id: r.tier
+                for r in mt.history_asof(hist, "2024-03-01").collect()}
+    assert asof_mar == {1: "gold", 2: "silver"}
+    asof_jun = {r.id: r.tier
+                for r in mt.history_asof(hist, "2024-06-01").collect()}
+    assert asof_jun == {1: "platinum", 2: "silver", 3: "bronze"}
 
 
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
