@@ -416,7 +416,17 @@ def scd2_sink_incremental(
 def scd2_history(spark: SparkSession, target_path: str) -> DataFrame:
     """Read the full SCD2 history of a :func:`scd2_sink_incremental`
     target: the open snapshot plus the closed family through the
-    compaction-aware listing rule (newest base + batch dirs ≥ it)."""
+    compaction-aware listing rule (newest base + batch dirs ≥ it).
+
+    Consistency: between a crashed batch's closed-delta write and its
+    open-snapshot swap, a read can transiently see the just-closed
+    versions in BOTH states (closed in the delta, still open in the
+    stale snapshot). The window exists only while that batch is being
+    retried from the checkpoint — the retry's swap resolves it, same
+    self-healing stance as the index-read FileNotFound race in
+    :func:`_compact_batch_root`. Readers that need a committed view
+    read after the stream confirms the batch (or pin a compacted
+    base)."""
     import os
 
     open_path = os.path.join(target_path, "open")
