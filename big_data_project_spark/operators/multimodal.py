@@ -3519,6 +3519,51 @@ def detect_silence(
     )
 
 
+def audio_fingerprints(
+    feats: DataFrame,
+    window: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Volume-invariant audio fingerprint — the AUDIO member of the
+    perceptual-dedup family (aHash for images, md5 frame-sig for video):
+    recover the exact int16 samples from the float32 features (mono,
+    ``dim`` == sample count; v/32768 is float32-EXACT, see
+    :func:`detect_silence`), window them to integer sum-of-|sample|
+    energies, and pack the SIGN of each consecutive-energy delta into a
+    bit of one long. Uniform volume scaling multiplies every window
+    energy by the same factor, so the delta signs — and the fingerprint
+    — are unchanged: a re-encoded louder/quieter copy of the same audio
+    lands in the same dedup bucket while raw-byte hashing splits them.
+
+    Returns ``(id_col, fingerprint, n_windows)``. Pure Catalyst:
+    posexplode → window-id hash agg → per-doc lag (rows per doc ==
+    window count, bounded) → one packing agg; no UDF, no all-pairs."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from pyspark.sql.window import Window
+
+    s = (
+        feats.select(id_col, F.posexplode("features").alias("i", "_v"))
+        .withColumn("_sample", F.round(F.col("_v") * 32768).cast("long"))
+        .withColumn("win", (F.col("i") / window).cast("int"))
+    )
+    e = s.groupBy(id_col, "win").agg(
+        F.sum(F.abs(F.col("_sample"))).alias("energy")
+    )
+    w = Window.partitionBy(id_col).orderBy("win")
+    bits = (
+        e.withColumn("_prev", F.lag("energy").over(w))
+        .where(F.col("_prev").isNotNull())
+        .withColumn(
+            "bit", (F.col("energy") > F.col("_prev")).cast("long")
+        )
+    )
+    return bits.groupBy(id_col).agg(
+        F.sum(F.expr("bit * shiftleft(1L, win - 1)")).alias("fingerprint"),
+        (F.max("win") + 1).cast("long").alias("n_windows"),
+    )
+
+
 def resample_audio(
     feats: DataFrame,
     factor: int,

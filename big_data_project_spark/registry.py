@@ -10991,6 +10991,79 @@ def mt_scd2_orders(spark, sf_dir):
     )
 
 
+@register(
+    "mm_audio_dedup",
+    oracle="""
+    WITH p AS (SELECT doc_id,
+                      ((doc_id // 2) * 2654435761) % 8192 AS fingerprint
+               FROM documents),
+    g AS (SELECT fingerprint, min(doc_id) AS keeper,
+                 CAST(count(*) AS BIGINT) AS group_size
+          FROM p GROUP BY fingerprint)
+    SELECT p.doc_id, CAST(p.fingerprint AS BIGINT) AS fingerprint,
+           g.keeper, g.group_size
+    FROM p JOIN g USING (fingerprint)
+    """,
+)
+def mm_audio_dedup(spark, sf_dir):
+    """PERCEPTUAL AUDIO DEDUP value-hashed end to end — closes the
+    cross-modal dedup triangle (aHash images / md5 frame-sig video /
+    energy-delta fingerprint audio). Consecutive doc pairs carry the
+    SAME audio content keyed on doc_id//2 — but the odd member is a
+    VOLUME-HALVED re-encode (every sample exactly /2: samples are
+    planted even, so the division is lossless), so raw-byte hashing
+    splits every pair while the sign-of-energy-delta fingerprint
+    (``audio_fingerprints``) is scale-invariant and reunites them. The
+    13 delta bits are planted as (doc_id//2 * 2654435761) % 8192, so
+    the DECODED fingerprint must land exactly on that arithmetic (the
+    oracle's side) — a WAV parse, feature rounding, window split, or
+    bit-packing bug flips the hash, and pattern collisions between
+    different content keys merge groups identically on both sides.
+    Shuffles: explode + two hash aggs + a per-doc 14-row window + the
+    broadcastable group join — no all-pairs stage."""
+    from pyspark.sql import types as TT
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+    mkwav = multimodal.make_wav_pcm16
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                pat = ((i // 2) * 2654435761) % 8192
+                e, energies = 2000, [2000]
+                for j in range(13):
+                    e += 8 if (pat >> j) & 1 else -8
+                    energies.append(e)
+                scale = 2 if i % 2 else 1
+                samples = [
+                    v for en in energies for v in (en // scale, 0, 0, 0)
+                ]
+                out.append({"doc_id": i, "payload": mkwav(samples)})
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, out_schema)
+    feats = multimodal.decode_features(payloads, dim=56, decode="strict")
+    fp = multimodal.audio_fingerprints(feats, window=4)
+    groups = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    return fp.join(groups, "fingerprint").select(
+        "doc_id", F.col("fingerprint").cast("long").alias("fingerprint"),
+        "keeper", "group_size",
+    )
+
+
 # ===========================================================================
 # Driver-visibility ordering. Empirically (round 1) the driver's correctness
 # gate records exactly the FIRST 50 registered queries, so the registry is

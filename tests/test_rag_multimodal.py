@@ -1424,6 +1424,31 @@ def test_detect_silence_windows_and_threshold(spark):
     assert out[0].n_samples == out[1].n_samples == 4
 
 
+def test_audio_fingerprints_volume_invariant_content_sensitive(spark):
+    """The energy-delta fingerprint is invariant to uniform volume
+    scaling (same audio re-encoded at half/quarter volume → same
+    fingerprint) but flips when the energy CONTOUR changes — and the
+    packed bits are exactly the planted up/down pattern."""
+    ups = [2000, 2008, 2000, 2008, 2016]     # bits 1,0,1,1 -> 0b1101 = 13
+    down = [2000, 1992, 2000, 2008, 2016]    # bits 0,1,1,1 -> 0b1110 = 14
+    rows = []
+    for i, (pattern, scale) in enumerate(
+        [(ups, 1), (ups, 2), (ups, 4), (down, 1)]
+    ):
+        samples = [v for e in pattern for v in (e // scale, 0, 0, 0)]
+        wav = multimodal.make_wav_pcm16(samples, 8000)
+        rows.append((i, bytearray(wav)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = multimodal.decode_features(df, dim=20, decode="strict")
+    out = {
+        r.doc_id: (r.fingerprint, r.n_windows)
+        for r in multimodal.audio_fingerprints(feats, window=4).collect()
+    }
+    assert out[0] == (13, 5)
+    assert out[1] == out[2] == out[0]  # half + quarter volume: same print
+    assert out[3] == (14, 5)           # different contour: different print
+
+
 def test_video_fingerprints_exactness_and_frame_order(spark):
     """Identical videos share a fingerprint; swapping two frames (same
     pixel MULTISET, different order) must change it."""
