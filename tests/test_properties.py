@@ -1971,3 +1971,41 @@ def test_scd2_fold_invariants_property(spark, feed):
     open_fold = {r.cust: r.seg for r in open_rows}
     open_oneshot = {r.cust: r.seg for r in oneshot if r.valid_to is None}
     assert open_fold == open_oneshot
+
+
+_AUDIO_ENERGIES = st.lists(
+    st.integers(0, 8000).map(lambda v: 4 * v),  # multiples of 4: /2 and /4 exact
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_AUDIO_ENERGIES)
+def test_audio_fingerprint_scale_invariance_property(spark, energies):
+    """audio_fingerprints is invariant under exact uniform volume scaling
+    for ANY energy contour — including equal-energy plateaus (strict '>'
+    keeps bit=0 on both the original and the scaled copy) and zeros."""
+    from big_data_project_spark.operators import multimodal
+
+    rows = []
+    for i, scale in enumerate((1, 2, 4)):
+        samples = [v for e in energies for v in (e // scale, 0, 0, 0)]
+        rows.append((i, bytearray(multimodal.make_wav_pcm16(samples, 8000))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = multimodal.decode_features(
+        df, dim=4 * len(energies), decode="strict"
+    )
+    out = {
+        r.doc_id: (r.fingerprint, r.n_windows)
+        for r in multimodal.audio_fingerprints(feats, window=4).collect()
+    }
+    assert out[0] == out[1] == out[2]
+    assert out[0][1] == len(energies)
+    # the packed bits are exactly the strict-increase pattern
+    want = sum(
+        1 << (j - 1)
+        for j in range(1, len(energies))
+        if energies[j] > energies[j - 1]
+    )
+    assert out[0][0] == want
