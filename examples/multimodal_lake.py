@@ -212,6 +212,40 @@ def main(sf_dir: str) -> None:
         f"{agg.vbr} VBR"
     )
 
+    # --- 7. PERCEPTUAL AUDIO DEDUP: the same clip re-encoded at half
+    #        volume is a different byte string but the SAME audio —
+    #        the energy-delta fingerprint reunites the pairs -------------
+    mkwav = multimodal.make_wav_pcm16
+
+    def build_wavs(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                pat = ((i // 2) * 2654435761) % 8192
+                e, energies = 2000, [2000]
+                for j in range(13):
+                    e += 8 if (pat >> j) & 1 else -8
+                    energies.append(e)
+                scale = 2 if i % 2 else 1  # odd docs: half-volume re-encode
+                samples = [
+                    v for en in energies for v in (en // scale, 0, 0, 0)
+                ]
+                rows.append({"doc_id": i, "payload": mkwav(samples)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    wavs = docs.limit(64).select("doc_id").mapInPandas(build_wavs, out_schema)
+    afeats = multimodal.decode_features(wavs, dim=56, decode="strict")
+    fps = multimodal.audio_fingerprints(afeats, window=4)
+    n_groups = fps.select("fingerprint").distinct().count()
+    n_raw = wavs.select(F.md5(F.col("payload"))).distinct().count()
+    print(
+        f"audio dedup: {n_raw} distinct byte streams collapse to "
+        f"{n_groups} perceptual groups (volume-invariant fingerprint)"
+    )
+
     spark.stop()
     print("done.")
 
