@@ -364,13 +364,20 @@ def scd2_sink_incremental(
     bound the closed-dir count with :func:`compact_scd2_closed` (same
     generation-deferred protocol as the near-dedup sides).
 
-    Crash/replay safety (closed-then-open write order): a retry from the
-    pre-swap state recomputes the SAME closed delta and overwrites its own
-    ``batch-<e>`` dir (idempotent); a replay AFTER the swap finds the open
-    snapshot already post-apply, the apply no-ops, the closed delta is
-    EMPTY and the existing ``batch-<e>`` dir is left alone (an empty
-    replay delta must not clobber the real one)."""
+    Crash/replay safety (closed-then-open write order): closed deltas go
+    to the NEXT FREE ``batch-<n>`` dir — an existing dir is never reused
+    or clobbered, so a fresh-checkpoint batch that mixes replayed rows
+    (which no-op through change detection) with genuinely new updates
+    appends only the new closures while every earlier dir survives. The
+    one crash shape that double-writes — closed delta published, swap
+    missing, retry publishes the same rows to a new dir — yields EXACT
+    duplicate closed rows, which :func:`scd2_history` collapses with a
+    full-row dropDuplicates (legitimate version chains can never repeat a
+    full row: each close carries a distinct valid_from). A replay AFTER
+    the swap finds the open snapshot already post-apply, so its closed
+    delta is empty and nothing publishes."""
     import os
+    import re
 
     from big_data_project_spark.operators.maintenance import (
         atomic_overwrite,
@@ -380,6 +387,8 @@ def scd2_sink_incremental(
     )
 
     open_path = os.path.join(target_path, "open")
+    closed_root = os.path.join(target_path, "closed")
+    _num = re.compile(r"^(?:batch|base)-(\d{8})$")
 
     def do_apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -399,10 +408,21 @@ def scd2_sink_incremental(
         hist = lineage_cut(scd2_apply(current, batch_df, key, ts_col, attrs))
         closed_delta = hist.where(F.col("valid_to").isNotNull())
         if not closed_delta.isEmpty():
-            closed_dir = os.path.join(
-                target_path, "closed", f"batch-{epoch_id:08d}"
+            # next free index, also past any compaction base so the new
+            # dir stays visible to the newest-base + batches-≥-K listing
+            ids = [
+                int(m.group(1))
+                for d in (
+                    os.listdir(closed_root)
+                    if os.path.isdir(closed_root)
+                    else []
+                )
+                if (m := _num.match(d))
+            ]
+            nxt = (max(ids) + 1) if ids else 0
+            closed_delta.write.mode("overwrite").parquet(
+                os.path.join(closed_root, f"batch-{nxt:08d}")
             )
-            closed_delta.write.mode("overwrite").parquet(closed_dir)
         atomic_overwrite(hist.where(F.col("valid_to").isNull()), open_path)
 
     return (
@@ -436,7 +456,10 @@ def scd2_history(spark: SparkSession, target_path: str) -> DataFrame:
     srcs += _batch_family_sources(os.path.join(target_path, "closed"))
     if not srcs:
         raise FileNotFoundError(f"no scd2 history under {target_path}")
-    return spark.read.parquet(*srcs)
+    # full-row dedup: a crashed retry may have published the same closed
+    # delta twice (see scd2_sink_incremental) — legitimate chains never
+    # repeat a full row, so this collapses only the crash artifact
+    return spark.read.parquet(*srcs).dropDuplicates()
 
 
 def compact_scd2_closed(spark: SparkSession, target_path: str) -> int:

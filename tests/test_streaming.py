@@ -371,6 +371,66 @@ def test_scd2_sink_incremental_equals_full_rewrite(spark, tmp_path):
     assert _hist_set(st.scd2_history(spark, inc_t)) == full
 
 
+def test_scd2_incremental_double_publish_and_mixed_fresh_checkpoint(
+    spark, tmp_path
+):
+    """The two hard crash shapes of the incremental sink: (1) a crashed
+    retry publishes the same closed delta to a second dir — scd2_history's
+    full-row dedup collapses it; (2) a FRESH checkpoint whose batch 0
+    mixes replayed rows with genuinely NEW updates appends only the new
+    closures to a new dir — earlier closed dirs are never reused or
+    clobbered (the pre-fix code overwrote closed/batch-00000000 and lost
+    the first life's closures)."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    tgt, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    b1 = _scd2_feed(spark, [(1, "A", "2024-01-01 00:00:00"),
+                            (2, "B", "2024-01-01 00:00:00")])
+    b2 = _scd2_feed(spark, [(1, "A2", "2024-01-02 00:00:00")])
+    b1.write.mode("overwrite").parquet(src)
+    q = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src),
+        tgt, ck, "cust", "u_ts", ["seg"],
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    want = _hist_set(st.scd2_history(spark, tgt))
+    assert len(want) == 3  # 1:A closed, 1:A2 open, 2:B open
+
+    # (1) simulate the crashed-retry double publish: same rows, next dir
+    closed = os.path.join(tgt, "closed")
+    dirs = sorted(d for d in os.listdir(closed) if d.startswith("batch-"))
+    shutil.copytree(
+        os.path.join(closed, dirs[-1]),
+        os.path.join(closed, f"batch-{len(dirs) + 10:08d}"),
+    )
+    assert _hist_set(st.scd2_history(spark, tgt)) == want
+
+    # (2) fresh checkpoint, batch 0 = ALL old files + one new update
+    b3 = _scd2_feed(spark, [(2, "B2", "2024-01-03 00:00:00")])
+    b3.write.mode("append").parquet(src)
+    q2 = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src),
+        tgt, str(tmp_path / "ck2"), "cust", "u_ts", ["seg"],
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = _hist_set(st.scd2_history(spark, tgt))
+    # 1:A closed (FIRST life's closure — the pre-fix code lost it),
+    # 1:A2 open, 2:B now closed at 01-03, 2:B2 open
+    assert len(got) == 4
+    open_now = {r.cust: r.seg
+                for r in st.scd2_history(spark, tgt)
+                .where(F.col("valid_to").isNull()).collect()}
+    assert open_now == {1: "A2", 2: "B2"}
+    closed_first_life = {r for r in want if r[3] != "None"}
+    assert closed_first_life <= got  # closed versions are immutable
+
+
 def test_scd2_incremental_compaction_preserves_history(spark, tmp_path):
     """compact_scd2_closed folds closed/batch-* into a base snapshot:
     history identical before/after, and dir count stays O(1) under
