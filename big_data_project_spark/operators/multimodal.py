@@ -3551,15 +3551,19 @@ def audio_fingerprints(
         F.sum(F.abs(F.col("_sample"))).alias("energy")
     )
     w = Window.partitionBy(id_col).orderBy("win")
-    bits = (
-        e.withColumn("_prev", F.lag("energy").over(w))
-        .where(F.col("_prev").isNotNull())
-        .withColumn(
-            "bit", (F.col("energy") > F.col("_prev")).cast("long")
-        )
+    # window 0 has no predecessor: its bit is pinned 0 rather than the
+    # row filtered out, so a clip shorter than two windows still returns
+    # (fingerprint=0, n_windows=1) instead of vanishing from the output
+    bits = e.withColumn("_prev", F.lag("energy").over(w)).withColumn(
+        "bit",
+        (
+            F.col("_prev").isNotNull() & (F.col("energy") > F.col("_prev"))
+        ).cast("long"),
     )
     return bits.groupBy(id_col).agg(
-        F.sum(F.expr("bit * shiftleft(1L, win - 1)")).alias("fingerprint"),
+        F.sum(
+            F.expr("bit * shiftleft(1L, greatest(win, 1) - 1)")
+        ).alias("fingerprint"),
         (F.max("win") + 1).cast("long").alias("n_windows"),
     )
 

@@ -1449,6 +1449,18 @@ def test_audio_fingerprints_volume_invariant_content_sensitive(spark):
     assert out[3] == (14, 5)           # different contour: different print
 
 
+def test_audio_fingerprints_single_window_clip_survives(spark):
+    """A clip shorter than two windows has no deltas to sign — it must
+    still appear in the output as (fingerprint=0, n_windows=1), not
+    silently vanish (dedup over a mixed-length corpus would otherwise
+    drop every short clip from consideration)."""
+    wav = multimodal.make_wav_pcm16([100, 200, 300, 400], 8000)
+    df = spark.createDataFrame([(7, bytearray(wav))], "doc_id long, payload binary")
+    feats = multimodal.decode_features(df, dim=4, decode="strict")
+    out = multimodal.audio_fingerprints(feats, window=4).collect()
+    assert [(r.doc_id, r.fingerprint, r.n_windows) for r in out] == [(7, 0, 1)]
+
+
 def test_video_fingerprints_exactness_and_frame_order(spark):
     """Identical videos share a fingerprint; swapping two frames (same
     pixel MULTISET, different order) must change it."""
