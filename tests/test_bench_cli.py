@@ -54,6 +54,13 @@ def test_bench_default_json_contract():
     assert rec["value_min"] <= rec["value"]
     assert set(rec["queries_min"]) == set(rec["queries"])
     assert len(rec["loadavg"]["start"]) == 3 == len(rec["loadavg"]["end"])
+    # round-8 host-noise forensics: co-tenant steal share of the timed
+    # section and the page-cache state bracketing it (the host reclaims
+    # the guest cache; a cold-start reading must be attributable)
+    assert "steal_share" in rec and "cached_gb" in rec
+    if rec["steal_share"] is not None:
+        assert 0.0 <= rec["steal_share"] <= 1.0
+    assert set(rec["cached_gb"]) == {"start", "end"}
     # history line appended (same JSON) — trim it so smoke runs don't
     # accumulate in the canonical record
     hist = os.path.join(REPO, "bench_history.jsonl")
