@@ -74,7 +74,10 @@ def _cpu_jiffies() -> dict[str, int]:
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
-        vals = [int(x) for x in parts[1:]]
+        # fields 1-8 only (user..steal): guest/guest_nice are already
+        # accounted inside user/nice, so including them would inflate the
+        # total and underestimate steal_share on nested-guest hosts
+        vals = [int(x) for x in parts[1:9]]
         return {"total": sum(vals), "steal": vals[7] if len(vals) > 7 else 0}
     except (OSError, ValueError, IndexError):  # pragma: no cover
         return {}

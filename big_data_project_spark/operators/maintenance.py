@@ -169,6 +169,34 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def list_dir(spark: SparkSession, path: str) -> list[str]:
+    """Child names of a directory via the Hadoop FileSystem — works on
+    file://, hdfs:// and any object store with an FS impl. The batch-dir
+    family sinks/readers (scd2_sink_incremental, admitted_corpus,
+    compaction) route through this instead of driver-local os.listdir so
+    a non-local target doesn't silently read as empty (ADVICE r8).
+    Returns [] for a missing path."""
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def rename_path(spark: SparkSession, src: str, dst: str) -> None:
+    """FS rename with the False-return turned into an error (Hadoop
+    reports failure by returning False, not raising)."""
+    fs, hsrc, jvm = _fs(spark, src)
+    if not fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def delete_path(spark: SparkSession, path: str) -> None:
+    """Recursive FS delete; no-op when the path is already gone."""
+    fs, hpath, _ = _fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def recover_interrupted_swap(spark: SparkSession, path: str) -> bool:
     """If a previous stage-and-swap died between its two renames, the only
     copy of the data sits at ``path__old`` with ``path`` missing — restore

@@ -3537,7 +3537,16 @@ def audio_fingerprints(
 
     Returns ``(id_col, fingerprint, n_windows)``. Pure Catalyst:
     posexplode → window-id hash agg → per-doc lag (rows per doc ==
-    window count, bounded) → one packing agg; no UDF, no all-pairs."""
+    window count, bounded) → one packing agg; no UDF, no all-pairs.
+
+    Clips longer than 64 windows: JVM long shifts are mod 64, so a naive
+    shiftleft pack would silently alias window 65 onto window 1 (ADVICE
+    r8). Windows 1-64 pack positionally as before (bit = win-1); every
+    window ≥ 65 folds into the same long by XOR-ing xxhash64(win) when
+    its delta-sign bit is set — distinct sign patterns keep distinct
+    fingerprints w.h.p., volume invariance is unchanged (the folded term
+    depends only on the bit), and clips ≤ 65 windows keep their exact
+    pre-fix fingerprints (the overflow term is 0)."""
     if window < 1:
         raise ValueError("window must be >= 1")
     from pyspark.sql.window import Window
@@ -3560,10 +3569,12 @@ def audio_fingerprints(
             F.col("_prev").isNotNull() & (F.col("energy") > F.col("_prev"))
         ).cast("long"),
     )
+    base = F.sum(
+        F.expr("IF(win <= 64, bit * shiftleft(1L, greatest(win, 1) - 1), 0L)")
+    )
+    overflow = F.expr("bit_xor(IF(win >= 65 AND bit = 1, xxhash64('afp', win), 0L))")
     return bits.groupBy(id_col).agg(
-        F.sum(
-            F.expr("bit * shiftleft(1L, greatest(win, 1) - 1)")
-        ).alias("fingerprint"),
+        base.bitwiseXOR(overflow).alias("fingerprint"),
         (F.max("win") + 1).cast("long").alias("n_windows"),
     )
 

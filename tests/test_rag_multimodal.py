@@ -1449,6 +1449,57 @@ def test_audio_fingerprints_volume_invariant_content_sensitive(spark):
     assert out[3] == (14, 5)           # different contour: different print
 
 
+def test_audio_fingerprints_no_alias_past_64_windows(spark):
+    """ADVICE r8: JVM long shifts are mod 64, so a naive pack would alias
+    window 65 onto window 1 and merge unrelated long clips in dedup.
+    Adversarial pair: doc A has bit(win1)=1/bit(win65)=0, doc B the
+    reverse, all other bits equal — under the wrapped-shift pack their
+    fingerprints collide EXACTLY; the xxhash64 overflow fold keeps them
+    distinct. Volume invariance must survive the overflow path too."""
+    # window=1: each sample is one window, energy = |sample|; bit(w) is
+    # the sign of energy[w]-energy[w-1]. 70 windows => wins 65..69 fold.
+    up, down = 2, -2  # even steps so a half-volume copy stays integral
+    base = 1000
+
+    def energies(bits):  # bits[w] for w=1..69
+        e = [base]
+        for b in bits:
+            e.append(e[-1] + (up if b else down))
+        return e
+
+    bits_a = [1] * 69
+    bits_a[64] = 0          # win65 down  (bits_a[w-1] is win w's bit)
+    bits_b = [1] * 69
+    bits_b[0] = 0           # win1 down
+    rows = [
+        (0, [v / 32768.0 for v in energies(bits_a)]),
+        (1, [v / 32768.0 for v in energies(bits_b)]),
+        (2, [v / 2 / 32768.0 for v in energies(bits_a)]),  # A half volume
+    ]
+    feats = spark.createDataFrame(rows, "doc_id long, features array<float>")
+    out = {
+        r.doc_id: (r.fingerprint, r.n_windows)
+        for r in multimodal.audio_fingerprints(feats, window=1).collect()
+    }
+    assert out[0][1] == out[1][1] == 70
+    assert out[0][0] != out[1][0]   # the wrapped-shift pack collides here
+    assert out[2] == out[0]         # volume invariance incl. folded wins
+
+
+def test_audio_fingerprints_64_window_clip_unchanged_by_fold(spark):
+    """Clips of ≤ 65 windows keep their exact pre-fix fingerprints (the
+    overflow fold contributes 0): pin the full-64-bit positional pack,
+    including bit 63 (win 64) landing on the long's sign bit."""
+    # 65 windows: win 0 pinned 0, wins 1..64 all up => bits 0..63 all set
+    e = [1000 + 2 * i for i in range(65)]
+    feats = spark.createDataFrame(
+        [(0, [v / 32768.0 for v in e])], "doc_id long, features array<float>"
+    )
+    row = multimodal.audio_fingerprints(feats, window=1).collect()[0]
+    assert row.n_windows == 65
+    assert row.fingerprint == -1  # all 64 bits set
+
+
 def test_audio_fingerprints_single_window_clip_survives(spark):
     """A clip shorter than two windows has no deltas to sign — it must
     still appear in the output as (fingerprint=0, n_windows=1), not

@@ -468,6 +468,93 @@ def test_scd2_incremental_compaction_preserves_history(spark, tmp_path):
     assert len([d for d in closed_dirs if d.startswith("base-")]) <= 2
 
 
+def test_scd2_equal_ts_flipflop_across_batches_not_merged(spark, tmp_path):
+    """ADVICE r8: an attr flip-flop A→B→A at the SAME timestamp across
+    batches produces two byte-identical closed versions — a bare
+    full-row dedup would silently drop one real version. The closed
+    deltas are epoch-tagged, so scd2_history keeps both while still
+    collapsing genuine crash double-publishes (which share an epoch)."""
+    src = str(tmp_path / "src")
+    tgt, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    t1, t2 = "2024-01-01 00:00:00", "2024-01-02 00:00:00"
+    batches = [
+        _scd2_feed(spark, [(1, "A", t1)]),
+        _scd2_feed(spark, [(1, "B", t2)]),
+        _scd2_feed(spark, [(1, "A", t2)]),  # equal-ts flip
+        _scd2_feed(spark, [(1, "B", t2)]),  # ...and flop
+        _scd2_feed(spark, [(1, "A", t2)]),  # closes (1,B,t2,t2) AGAIN
+    ]
+    batches[0].write.mode("overwrite").parquet(src)
+    q = st.scd2_sink_incremental(
+        spark.readStream.schema(batches[0].schema).parquet(src),
+        tgt, ck, "cust", "u_ts", ["seg"],
+    )
+    q.processAllAvailable()
+    for b in batches[1:]:
+        b.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    q.stop()
+
+    hist = st.scd2_history(spark, tgt)
+    # closed: (A,t1,t2), (B,t2,t2) x2 — TWO identical real versions —
+    # plus (A,t2,t2); open: (A,t2,null) => 5 rows total
+    assert hist.count() == 5
+    b_closed = hist.where(
+        (F.col("seg") == "B") & F.col("valid_to").isNotNull()
+    )
+    assert b_closed.count() == 2
+    # and the epoch tag never leaks into the read-back schema
+    assert "_scd2_epoch" not in hist.columns
+
+
+def test_scd2_closed_publish_atomic_crash_leftovers_invisible(
+    spark, tmp_path
+):
+    """ADVICE r8 (medium): a crash mid-publish of a closed delta must not
+    leave a committed-looking poison dir. The sink writes to a
+    dot-prefixed temp and renames — so the only crash artifact is an
+    invisible ``.batch-*.tmp`` dir that (a) scd2_history never reads,
+    (b) the next-free-index scan never counts, and (c) compaction
+    ignores."""
+    import os
+
+    src = str(tmp_path / "src")
+    tgt, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    b1 = _scd2_feed(spark, [(1, "A", "2024-01-01 00:00:00")])
+    b2 = _scd2_feed(spark, [(1, "A2", "2024-01-02 00:00:00")])
+    b1.write.mode("overwrite").parquet(src)
+    q = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src),
+        tgt, ck, "cust", "u_ts", ["seg"],
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+
+    # simulate the crash artifact: a half-written temp with only the
+    # committer's _temporary marker inside (what a bare write.parquet
+    # would have left at batch-<n> — the old poison shape)
+    closed = os.path.join(tgt, "closed")
+    poison = os.path.join(closed, ".batch-00000042.deadbeef.tmp")
+    os.makedirs(os.path.join(poison, "_temporary"))
+    want = _hist_set(st.scd2_history(spark, tgt))
+    assert len(want) == 2  # 1:A closed, 1:A2 open — poison invisible
+
+    # next publish skips the temp when scanning for the free index
+    b3 = _scd2_feed(spark, [(1, "A3", "2024-01-03 00:00:00")])
+    b3.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    names = sorted(
+        d for d in os.listdir(closed) if d.startswith("batch-")
+    )
+    assert names == ["batch-00000000", "batch-00000001"]
+
+    # compaction folds the committed dirs and is not tripped by the temp
+    assert st.compact_scd2_closed(spark, tgt) > 0
+    assert len(_hist_set(st.scd2_history(spark, tgt))) == 3
+
+
 def test_scd2_apply_is_idempotent_on_replay(spark):
     """The scd2_sink replay-safety claim, pinned: re-applying an
     already-applied batch to the post-apply history is a no-op (open rows

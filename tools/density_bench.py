@@ -435,8 +435,10 @@ def main() -> int:
         "bounds",
     )
     ap.add_argument(
-        "--recover-bands", type=int, default=0,
-        help="sign-LSH recovery bands for fired semantic clusters "
+        "--recover-bands", type=int, default=4,
+        help="sign-LSH recovery bands for fired semantic clusters — "
+        "default 4 matches the production recover_bands='auto' config "
+        "(r9); pass 0 to pin the pure-star guard "
         "(round 8: the second witness topology; 0 = pure star)",
     )
     args = ap.parse_args()
