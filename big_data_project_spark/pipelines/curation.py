@@ -42,6 +42,7 @@ def curate_corpus(
     lsh_min_est_jaccard: float | None = None,
     lsh_hash_shingles: bool = False,
     lsh_params: str | tuple[int, int] | None = None,
+    lsh_drift_factor: float = 8.0,
 ) -> DataFrame:
     """Run the whole curation line over a ``documents``-shaped frame
     (doc_id, source, text). Returns one row per surviving document with its
@@ -77,6 +78,20 @@ def curate_corpus(
     on low-entropy corpora where band buckets collide far above the
     true-Jaccard rate — value-hash-pinned by dd_near_dedup_lsh_prefilter.
 
+    ``lsh_drift_factor`` (round 9, VERDICT r8 #6 — the sf25 post-mortem's
+    "monitor cand/doc" takeaway as code): in ``lsh_params="auto"`` mode,
+    after candidates are built the REALIZED cand/doc is compared against
+    the profile's ``est_cand_per_doc`` prediction; past
+    ``max(est, 1) × lsh_drift_factor`` a UserWarning fires naming both
+    numbers and the mitigations (raise ``lsh_min_est_jaccard``,
+    re-profile with a bigger sample, pre-shard by entropy). The profile
+    comes from a 2000-doc sample — a corpus whose duplicate/entropy
+    structure the sample under-represents is exactly how the sf25 run
+    died, and the drift is visible the moment candidates exist, long
+    before the verify shuffle spills. The candidate count rides the
+    lineage-cut candidates the verify stage consumes anyway — one extra
+    count job, auto mode only.
+
     ``lsh_params`` sizes the banding: ``None`` keeps the
     minhash_lsh_candidates defaults (k=64, 16 bands), an ``(num_hashes,
     bands)`` tuple pins it, and ``"auto"`` runs
@@ -107,6 +122,31 @@ def curate_corpus(
             include_est_jaccard=False,
             shingles=sh, min_est_jaccard=lsh_min_est_jaccard,
         )
+        if lsh_params == "auto":
+            # drift guard (r9, VERDICT r8 #6): the profile predicted
+            # cand/doc from a sample — verify the corpus agrees before
+            # the verify join pays for the difference. The cut also
+            # keeps the verify stage from re-blocking.
+            cand = cand.transform(lineage_cut)
+            n_docs = max(d.count(), 1)
+            realized = cand.count() / n_docs
+            predicted = max(float(sug["est_cand_per_doc"]), 1.0)
+            if realized > predicted * lsh_drift_factor:
+                import warnings
+
+                warnings.warn(
+                    "curate_corpus(lsh_params='auto'): realized "
+                    f"candidates/doc = {realized:.1f} exceeds the "
+                    f"sampled profile's prediction ({predicted:.1f}) by "
+                    f"more than {lsh_drift_factor}x — the 2000-doc "
+                    "profile under-represents this corpus's duplicate/"
+                    "entropy structure (the sf25 failure shape). The "
+                    "verify join will be much larger than planned: "
+                    "consider lsh_min_est_jaccard~=(threshold-0.2), a "
+                    "larger profiling sample, or sharding the corpus "
+                    "by entropy before dedup.",
+                    stacklevel=2,
+                )
         pairs = dedup.jaccard_verify(
             d, cand, n=3, min_jaccard=0.5, shingles=sh,
             hash_shingles=lsh_hash_shingles,

@@ -558,6 +558,61 @@ def test_curate_corpus_lsh_mode_superset_of_exact(spark, sf_dir):
         assert exact[k] == auto[k]
 
 
+def test_curate_corpus_auto_drift_guard(spark):
+    """VERDICT r8 #6: the cand/doc drift guard. lsh_params="auto" sizes
+    banding from a 2000-doc md5 sample; a low-entropy flood living
+    ENTIRELY outside that sample (the planted drift corpus) makes the
+    realized candidates/doc exceed the profile's prediction by far more
+    than the factor — the guard must warn. The same flood placed INSIDE
+    the sample is predicted, so no warning."""
+    import hashlib
+    import warnings as w
+
+    import pytest
+
+    from big_data_project_spark.pipelines.curation import curate_corpus
+
+    n, n_flood = 2500, 400
+    by_md5 = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    template = " ".join(f"w{j}" for j in range(30))
+
+    def corpus(flood_ids):
+        flood = set(flood_ids)
+        rows = [
+            (
+                i,
+                "web",
+                template + f" uniq{i}"
+                if i in flood
+                else " ".join(f"u{i}x{j}" for j in range(30)),
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    # flood on the md5-LARGEST ids: none of them make the 2000-doc
+    # profile sample, so the profile sees a clean high-entropy corpus
+    # while the real corpus carries an 80k-pair flood
+    with pytest.warns(UserWarning, match="candidates/doc"):
+        curate_corpus(
+            corpus(by_md5[-n_flood:]), pair_source="lsh", lsh_params="auto"
+        )
+
+    # flood on the md5-SMALLEST ids: fully sampled, prediction includes
+    # it (tp term), realized load is in line -> no drift warning
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        curate_corpus(
+            corpus(by_md5[:n_flood]), pair_source="lsh", lsh_params="auto"
+        )
+    assert not [x for x in rec if "candidates/doc" in str(x.message)]
+
+
 def test_operators_tolerate_empty_corpus(spark):
     """Every curation/dedup operator must run (and return zero rows, not
     throw) on an empty documents-shaped frame — the first micro-batch of a
