@@ -175,10 +175,15 @@ def main() -> int:
         for d in args.dirs:
             df = io.load_table(spark, d, "documents")
             s = dedup.suggest_minhash_params(
-                df, hash_fn="md5_affine", sample_docs=args.suggest_sample
+                df, hash_fn="md5_affine", sample_docs=args.suggest_sample,
+                # --min-est composes (r9, VERDICT r8 #4): the profile then
+                # predicts POST-prefilter verify load and sizes banding
+                # for the prefiltered pipeline
+                min_est_jaccard=args.min_est,
             )
             rec = {
                 "metric": "dd_lsh_autotune_suggest", "sf_dir": d,
+                "min_est_jaccard": args.min_est,
                 **{k: v for k, v in s.items() if k != "fp_band_rates"},
                 "fp_band_rates": {str(k): v for k, v in s["fp_band_rates"].items()},
             }
