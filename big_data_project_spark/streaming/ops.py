@@ -376,22 +376,27 @@ def scd2_sink_incremental(
     dir is never reused or clobbered, so a fresh-checkpoint batch that
     mixes replayed rows (which no-op through change detection) with
     genuinely new updates appends only the new closures while every
-    earlier dir survives. The one crash shape that double-writes —
-    closed delta published, swap missing, retry publishes the same rows
-    to a new dir — yields duplicate closed rows TAGGED WITH THE SAME
-    ``_scd2_epoch`` (foreachBatch retries reuse the epoch id), which
-    :func:`scd2_history` collapses with a full-row-including-epoch
-    dropDuplicates. The tag is what makes the dedup safe under equal
-    timestamps (ADVICE r8): an attr flip-flop A→B→A at the SAME ts
-    across two batches produces two byte-identical closed versions that
-    a bare full-row dedup would wrongly merge — their epochs differ, so
-    both survive. (Within ONE batch, equal-ts updates for a key collapse
-    to a single arbitrary winner in scd2_apply — strictly-increasing ts
-    per key remains the recommended feed contract.) A replay AFTER the
-    swap finds the open snapshot already post-apply, so its closed delta
-    is empty and nothing publishes. All directory listing/rename goes
-    through the Hadoop FileSystem, so hdfs:///object-store targets work
-    the same as local paths."""
+    earlier dir survives. The one crash shape that used to double-write
+    — closed delta published, swap missing, retry recomputes the same
+    delta — is now SKIPPED at the source: before publishing, the delta
+    is compared against the newest batch dir's row multiset, and an
+    exact match means that dir IS the unswapped prior attempt (a real
+    re-close of byte-identical version rows would need the key reopened
+    by an intervening apply, whose own closed publish would be newest
+    instead), so only the open swap is retried. Closed rows also carry
+    a ``_scd2_epoch`` tag and :func:`scd2_history` runs a
+    full-row-including-epoch dedup as the belt (pre-fix dirs; the
+    compacted-away-mid-crash corner). The tag keeps the belt safe under
+    equal timestamps (ADVICE r8): an attr flip-flop A→B→A at the SAME
+    ts across two batches produces two byte-identical closed versions
+    that a bare full-row dedup would wrongly merge — their epochs
+    differ, so both survive. (Within ONE batch, equal-ts updates for a
+    key collapse to a single arbitrary winner in scd2_apply —
+    strictly-increasing ts per key remains the recommended feed
+    contract.) A replay AFTER the swap finds the open snapshot already
+    post-apply, so its closed delta is empty and nothing publishes. All
+    directory listing/rename goes through the Hadoop FileSystem, so
+    hdfs:///object-store targets work the same as local paths."""
     import re
     import uuid
 
@@ -428,12 +433,47 @@ def scd2_sink_incremental(
         if not closed_delta.isEmpty():
             # next free index, also past any compaction base so the new
             # dir stays visible to the newest-base + batches-≥-K listing
-            ids = [
-                int(m.group(1))
-                for d in list_dir(spark, closed_root)
-                if (m := _num.match(d))
-            ]
+            names = list_dir(spark, closed_root)
+            ids = [int(m.group(1)) for d in names if (m := _num.match(d))]
             nxt = (max(ids) + 1) if ids else 0
+            # Replay-skip (r9): if the NEWEST batch dir already holds
+            # EXACTLY this delta (row multiset), it is our own earlier
+            # attempt — crash between publish and swap, retried from the
+            # same checkpoint OR from a fresh one. Soundness: a REAL
+            # re-close of byte-identical version rows needs the closed
+            # key reopened first, and the reopening apply publishes its
+            # own closed dir in between — so an identical newest dir can
+            # only be the unswapped prior attempt (whose swap this retry
+            # now completes). Content — not epoch — is the test: a fresh
+            # checkpoint renumbers epochs, which is precisely the shape
+            # that used to double-publish. Makes the closed publish
+            # idempotent at the source; scd2_history's epoch-aware dedup
+            # stays as the belt for pre-fix dirs and for the
+            # compacted-away-mid-crash corner (see compact_scd2_closed).
+            batch_ids = [
+                int(m.group(1))
+                for d in names
+                if (m := re.match(r"^batch-(\d{8})$", d))
+            ]
+            if batch_ids:
+                prev = spark.read.parquet(
+                    posixpath.join(
+                        closed_root, f"batch-{max(batch_ids):08d}"
+                    )
+                )
+                body = (
+                    prev.drop("_scd2_epoch")
+                    if "_scd2_epoch" in prev.columns
+                    else prev
+                )
+                if (
+                    closed_delta.exceptAll(body).isEmpty()
+                    and body.exceptAll(closed_delta).isEmpty()
+                ):
+                    atomic_overwrite(
+                        hist.where(F.col("valid_to").isNull()), open_path
+                    )
+                    return
             tmp = posixpath.join(
                 closed_root, f".batch-{nxt:08d}.{uuid.uuid4().hex}.tmp"
             )
@@ -496,7 +536,16 @@ def compact_scd2_closed(spark: SparkSession, target_path: str) -> int:
     dirs into one base snapshot (O(1) directories forever) — same
     atomic-publish + generation-deferred cleanup as the near-dedup
     index/data sides; safe against concurrent :func:`scd2_history`
-    readers per the same argument."""
+    readers per the same argument.
+
+    Caveat: run while the sink is live or after it confirmed its last
+    batch. Compacting while the sink is DOWN mid-crash (closed delta
+    published, open swap missing) can fold the unswapped delta into the
+    base before the retry runs, so the retry's replay-skip finds no
+    matching newest batch dir and republishes — scd2_history's
+    epoch-aware dedup still collapses the duplicate for a
+    same-checkpoint retry; only the triple of crash + compact-while-down
+    + checkpoint reset can leave a visible duplicate version."""
     import os
 
     return _compact_batch_root(spark, os.path.join(target_path, "closed"))

@@ -555,6 +555,60 @@ def test_scd2_closed_publish_atomic_crash_leftovers_invisible(
     assert len(_hist_set(st.scd2_history(spark, tgt))) == 3
 
 
+def test_scd2_closed_publish_replay_skip_across_checkpoint_reset(
+    spark, tmp_path
+):
+    """r9 replay-skip: crash between the closed-delta publish and the
+    open swap, then a CHECKPOINT RESET (fresh epochs — the shape the
+    epoch-tagged dedup alone cannot collapse). The retry recomputes the
+    same delta; the sink must recognize the newest batch dir as its own
+    unswapped attempt by CONTENT and only redo the swap — one closed
+    dir, no duplicate version in history."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    tgt, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    b1 = _scd2_feed(spark, [(1, "A", "2024-01-01 00:00:00"),
+                            (2, "B", "2024-01-01 00:00:00")])
+    b2 = _scd2_feed(spark, [(1, "A2", "2024-01-02 00:00:00")])
+    b1.write.mode("overwrite").parquet(src)
+    q = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src),
+        tgt, ck, "cust", "u_ts", ["seg"],
+    )
+    q.processAllAvailable()
+    open_dir = os.path.join(tgt, "open")
+    saved_open = str(tmp_path / "open_v1")
+    shutil.copytree(open_dir, saved_open)  # pre-b2 open snapshot
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    # simulate the crash: closed dir exists (published) but the open
+    # swap "never happened" — restore the stale snapshot; and the
+    # operator resets the checkpoint (fresh epochs)
+    shutil.rmtree(open_dir)
+    shutil.copytree(saved_open, open_dir)
+    shutil.rmtree(ck)
+    q2 = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src),
+        tgt, str(tmp_path / "ck2"), "cust", "u_ts", ["seg"],
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    closed = os.path.join(tgt, "closed")
+    dirs = [d for d in os.listdir(closed) if d.startswith("batch-")]
+    assert dirs == ["batch-00000000"]  # skipped, not republished
+    hist = st.scd2_history(spark, tgt)
+    assert hist.count() == 3  # 1:A closed, 1:A2 open, 2:B open — no dup
+    assert hist.where(F.col("valid_to").isNotNull()).count() == 1
+    open_now = {r.cust: r.seg
+                for r in hist.where(F.col("valid_to").isNull()).collect()}
+    assert open_now == {1: "A2", 2: "B"}
+
+
 def test_scd2_apply_is_idempotent_on_replay(spark):
     """The scd2_sink replay-safety claim, pinned: re-applying an
     already-applied batch to the post-apply history is a no-op (open rows
