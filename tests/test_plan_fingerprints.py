@@ -46,6 +46,11 @@ def test_every_headliner_is_pinned():
 
 @pytest.mark.parametrize("name", sorted(PINNED))
 def test_headliner_plan_fingerprint(spark, name):
+    # earlier suite modules legitimately .cache() tables over the same
+    # parquet paths; Spark's CacheManager would rewrite this query's
+    # matching scan fragments into InMemoryTableScan and the digest
+    # would drift on SESSION state, not plan changes — neutralize it
+    spark.catalog.clearCache()
     df = reg.REGISTRY[name].build(spark, FP_SF_DIR)
     got = plan_fingerprint(df)
     want = PINNED[name]
