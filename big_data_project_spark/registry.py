@@ -656,6 +656,14 @@ _WINDOW_SWAPS = [
     # past-window in the full sweep.
     ("p2_record_id", "dd_near_dedup_lsh_prefilter"),
     ("r1_prompt_assembly", "mm_audio_dedup"),
+    # round-9 stretch (VERDICT r8 #8): the CDC lane gets driver-grade
+    # green — mt_scd2_orders value-hashes the full SCD2 close/reopen/
+    # insert algebra (the lane this round hardened with atomic epoch-
+    # tagged publishes + the replay skip). c4_union_all rotates out:
+    # set-ops stay in-window via c5_setops, and the union-by-name
+    # semantics run value-hashed inside in-window pl_social_real_data
+    # (CNBC file1+file2). Stays value-hashed past-window in the sweep.
+    ("c4_union_all", "mt_scd2_orders"),
 ]
 
 

@@ -252,7 +252,11 @@ def test_every_survey_family_has_a_window_entry():
         "cast/null": {"p3_p4_cast_null_default"},
         "filter": {"p5_filter_project"},
         "cleaning": {"c1c2_clean_text", "c3_dedup_deterministic"},
+        # r9 stretch: c4_union_all rotated out (set-ops stay via c5;
+        # union-by-name also runs inside in-window pl_social_real_data)
+        # for mt_scd2_orders — the CDC lane's first driver-window row
         "set-ops": {"c4_union_all", "c5_setops"},
+        "cdc": {"mt_merge_upsert", "mt_scd2_orders"},
         "nlp": {"n1_ner_gazetteer", "n2_sentiment_lexicon",
                 "n34_coalesce_assemble", "n5_token_stats"},
         "utf8/multilingual": {"utf8_script_lang_id", "utf8_nfc_dedup",
