@@ -40,6 +40,20 @@ import re
 
 from pyspark.sql import DataFrame
 
+#: Non-headliner registry entries whose PLANS are scale-load-bearing
+#: enough to pin alongside the 32 bench headliners: the sf25/sf50
+#: ceiling-closer, the fired-guard star topology, the CDC algebra, and
+#: the auto-params ANN path. tools/regen_plan_fingerprints.py pins
+#: headliners + these; tests/test_plan_fingerprints.py enforces the
+#: union.
+EXTRA_PINNED_QUERIES = (
+    "dd_near_dedup_lsh_prefilter",
+    "dd_semantic_capped",
+    "mt_merge_upsert",
+    "mt_scd2_orders",
+    "e5_auto_lsh_topk",
+)
+
 #: basenames that are not stable across runs: uuid/hex fragments, tmp
 #: staging dirs, checkpoint/batch dirs with generated indices
 _DYNAMIC_BASE = re.compile(r"[0-9a-f]{8}|tmp|temp|checkpoint|batch-|base-", re.I)

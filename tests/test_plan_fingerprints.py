@@ -26,7 +26,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from big_data_project_spark import registry as reg
-from big_data_project_spark.plans.fingerprint import plan_fingerprint
+from big_data_project_spark.plans.fingerprint import (
+    EXTRA_PINNED_QUERIES,
+    plan_fingerprint,
+)
 
 #: the SF the digests were pinned at — NOT the test-session SF_DIR:
 #: planning inputs (file sizes for broadcast decisions) must match the
@@ -39,19 +42,27 @@ with open(_FP_PATH) as _fh:
 
 
 def test_every_headliner_is_pinned():
-    """Completeness: a new bench headliner must ship with a pinned
-    digest (regen tool adds it) — otherwise the gate silently thins."""
-    assert set(PINNED) == set(reg.headline_queries())
+    """Completeness: a new bench headliner (or EXTRA_PINNED_QUERIES
+    entry) must ship with a pinned digest (regen tool adds it) —
+    otherwise the gate silently thins."""
+    assert set(PINNED) == set(reg.headline_queries()) | set(
+        EXTRA_PINNED_QUERIES
+    )
 
 
 @pytest.mark.parametrize("name", sorted(PINNED))
 def test_headliner_plan_fingerprint(spark, name):
+    import warnings
+
     # earlier suite modules legitimately .cache() tables over the same
     # parquet paths; Spark's CacheManager would rewrite this query's
     # matching scan fragments into InMemoryTableScan and the digest
     # would drift on SESSION state, not plan changes — neutralize it
     spark.catalog.clearCache()
-    df = reg.REGISTRY[name].build(spark, FP_SF_DIR)
+    with warnings.catch_warnings():
+        # dd_semantic_capped deliberately fires the hot-cluster guard
+        warnings.simplefilter("ignore", UserWarning)
+        df = reg.REGISTRY[name].build(spark, FP_SF_DIR)
     got = plan_fingerprint(df)
     want = PINNED[name]
     assert got == want, (

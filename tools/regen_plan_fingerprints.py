@@ -34,18 +34,24 @@ OUT = os.path.join(REPO, "tests", "plan_fingerprints.json")
 
 
 def main(only: list[str]) -> int:
+    import warnings
+
     from big_data_project_spark import registry as reg
-    from big_data_project_spark.plans.fingerprint import plan_fingerprint
+    from big_data_project_spark.plans.fingerprint import (
+        EXTRA_PINNED_QUERIES,
+        plan_fingerprint,
+    )
     from big_data_project_spark.session import get_spark
 
     spark = get_spark(
         app_name="regen-plan-fingerprints", cpus="4", shuffle_partitions=8
     )
+    warnings.simplefilter("ignore", UserWarning)  # fired-guard pins warn
     current = {}
     if os.path.exists(OUT):
         with open(OUT) as fh:
             current = json.load(fh)
-    names = list(reg.headline_queries())
+    names = list(reg.headline_queries()) + list(EXTRA_PINNED_QUERIES)
     todo = [n for n in names if not only or n in only]
     for name in todo:
         df = reg.REGISTRY[name].build(spark, SF_DIR)
