@@ -1072,16 +1072,20 @@ def near_dedup_stream(
     from big_data_project_spark.operators import dedup as _dedup
 
     def process(batch_df: DataFrame, batch_id: int):
-        import os
+        from big_data_project_spark.operators.maintenance import path_exists
 
         spark = batch_df.sparkSession
-        data_root = os.path.join(out_dir, "data")
-        index_root = os.path.join(out_dir, "index")
-        os.makedirs(data_root, exist_ok=True)
-        os.makedirs(index_root, exist_ok=True)
-        data_final = os.path.join(data_root, f"batch-{int(batch_id):08d}")
-        index_final = os.path.join(index_root, f"batch-{int(batch_id):08d}")
-        if os.path.exists(data_final) and os.path.exists(index_final):
+        data_root = posixpath.join(out_dir, "data")
+        index_root = posixpath.join(out_dir, "index")
+        data_final = posixpath.join(data_root, f"batch-{int(batch_id):08d}")
+        index_final = posixpath.join(
+            index_root, f"batch-{int(batch_id):08d}"
+        )
+        # FS-routed (ADVICE r8): a non-local out_dir must see the same
+        # replay-skip; parquet writers create parent dirs themselves
+        if path_exists(spark, data_final) and path_exists(
+            spark, index_final
+        ):
             return  # replay of a fully-published batch: nothing to redo
         prior = _prior_index_dirs(spark, index_root, int(batch_id), base_index_path)
         if prior:
@@ -1225,19 +1229,22 @@ def semantic_dedup_stream(
     from big_data_project_spark.operators import vector as _vector
 
     def process(batch_df: DataFrame, batch_id: int):
-        import os
+        from big_data_project_spark.operators.maintenance import path_exists
 
         spark = batch_df.sparkSession
-        data_root = os.path.join(out_dir, "data")
-        index_root = os.path.join(out_dir, "index")
-        os.makedirs(data_root, exist_ok=True)
-        os.makedirs(index_root, exist_ok=True)
-        data_final = os.path.join(data_root, f"batch-{int(batch_id):08d}")
-        index_final = os.path.join(index_root, f"batch-{int(batch_id):08d}")
-        if os.path.exists(data_final) and os.path.exists(index_final):
+        data_root = posixpath.join(out_dir, "data")
+        index_root = posixpath.join(out_dir, "index")
+        data_final = posixpath.join(data_root, f"batch-{int(batch_id):08d}")
+        index_final = posixpath.join(
+            index_root, f"batch-{int(batch_id):08d}"
+        )
+        # FS-routed (ADVICE r8), same as near_dedup_stream
+        if path_exists(spark, data_final) and path_exists(
+            spark, index_final
+        ):
             return  # replay of a fully-published batch: nothing to redo
-        cpath = centroids_path or os.path.join(out_dir, "centroids")
-        if not os.path.exists(cpath):
+        cpath = centroids_path or posixpath.join(out_dir, "centroids")
+        if not path_exists(spark, cpath):
             _publish_parquet(
                 _vector.semantic_centroids(
                     batch_df, n_clusters, id_col, emb_col
