@@ -88,9 +88,10 @@ def curate_corpus(
     comes from a 2000-doc sample — a corpus whose duplicate/entropy
     structure the sample under-represents is exactly how the sf25 run
     died, and the drift is visible the moment candidates exist, long
-    before the verify shuffle spills. The candidate count rides the
-    lineage-cut candidates the verify stage consumes anyway — one extra
-    count job, auto mode only.
+    before the verify shuffle spills. Cost (auto mode only): ONE extra
+    eager job — a count over the lineage-cut candidates the verify
+    stage consumes anyway; the corpus doc count reuses the figure the
+    profiling job already computed (ADVICE r9).
 
     ``lsh_params`` sizes the banding: ``None`` keeps the
     minhash_lsh_candidates defaults (k=64, 16 bands), an ``(num_hashes,
@@ -128,7 +129,10 @@ def curate_corpus(
             # the verify join pays for the difference. The cut also
             # keeps the verify stage from re-blocking.
             cand = cand.transform(lineage_cut)
-            n_docs = max(d.count(), 1)
+            # the profiling job already counted the deduped corpus —
+            # reuse it instead of re-running the drop_exact_dups stage
+            # (ADVICE r9: the re-count was a second full extra job)
+            n_docs = max(int(sug["n_docs"]), 1)
             realized = cand.count() / n_docs
             predicted = max(float(sug["est_cand_per_doc"]), 1.0)
             if realized > predicted * lsh_drift_factor:

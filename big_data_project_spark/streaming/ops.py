@@ -376,14 +376,18 @@ def scd2_sink_incremental(
     dir is never reused or clobbered, so a fresh-checkpoint batch that
     mixes replayed rows (which no-op through change detection) with
     genuinely new updates appends only the new closures while every
-    earlier dir survives. The one crash shape that used to double-write
-    — closed delta published, swap missing, retry recomputes the same
-    delta — is now SKIPPED at the source: before publishing, the delta
-    is compared against the newest batch dir's row multiset, and an
-    exact match means that dir IS the unswapped prior attempt (a real
-    re-close of byte-identical version rows would need the key reopened
-    by an intervening apply, whose own closed publish would be newest
-    instead), so only the open swap is retried. Closed rows also carry
+    earlier dir survives — including after a crash BETWEEN a closed
+    publish and its open swap. That crash shape — closed delta
+    published, swap missing, retry recomputes a delta that CONTAINS the
+    published one — is SKIPPED at the source: before publishing, the
+    newest batch dir's row multiset is checked for containment in the
+    delta; containment means that dir IS the unswapped prior attempt (a
+    real re-close of byte-identical version rows would need the key
+    reopened by an intervening apply, whose own closed publish would be
+    newest instead), so only the rows the prior attempt did not publish
+    land in a new dir (none, for a same-checkpoint retry; the genuinely
+    new closures, for a fresh-checkpoint mixed batch — ADVICE r9)
+    before the open swap is retried. Closed rows also carry
     a ``_scd2_epoch`` tag and :func:`scd2_history` runs a
     full-row-including-epoch dedup as the belt (pre-fix dirs; the
     compacted-away-mid-crash corner). The tag keeps the belt safe under
@@ -436,19 +440,28 @@ def scd2_sink_incremental(
             names = list_dir(spark, closed_root)
             ids = [int(m.group(1)) for d in names if (m := _num.match(d))]
             nxt = (max(ids) + 1) if ids else 0
-            # Replay-skip (r9): if the NEWEST batch dir already holds
-            # EXACTLY this delta (row multiset), it is our own earlier
-            # attempt — crash between publish and swap, retried from the
-            # same checkpoint OR from a fresh one. Soundness: a REAL
-            # re-close of byte-identical version rows needs the closed
-            # key reopened first, and the reopening apply publishes its
-            # own closed dir in between — so an identical newest dir can
-            # only be the unswapped prior attempt (whose swap this retry
-            # now completes). Content — not epoch — is the test: a fresh
-            # checkpoint renumbers epochs, which is precisely the shape
-            # that used to double-publish. Makes the closed publish
-            # idempotent at the source; scd2_history's epoch-aware dedup
-            # stays as the belt for pre-fix dirs and for the
+            # Replay-skip (r9, subset case r10): if the NEWEST batch dir
+            # is CONTAINED in this delta (row multiset), it is our own
+            # earlier attempt — crash between publish and swap, retried
+            # from the same checkpoint OR from a fresh one. Soundness: a
+            # REAL re-close of byte-identical version rows needs the
+            # closed key reopened first, and the reopening apply
+            # publishes its own closed dir in between — so a newest dir
+            # whose EVERY row recurs in the current delta can only be
+            # the unswapped prior attempt (whose swap this retry now
+            # completes). Two shapes: the dirs match EXACTLY (same-batch
+            # retry) → only the swap is redone; the delta is a STRICT
+            # superset (fresh-checkpoint retry whose batch 0 also
+            # carries new closures for other keys — ADVICE r9: the
+            # exact-match-only r9 skip republished the whole delta here
+            # and epoch-aware dedup then kept both copies of the old
+            # closures) → only the rows the prior attempt did NOT
+            # publish land in the new dir, then the swap is redone.
+            # Content — not epoch — is the test: a fresh checkpoint
+            # renumbers epochs, which is precisely the shape that used
+            # to double-publish. Makes the closed publish idempotent at
+            # the source; scd2_history's epoch-aware dedup stays as the
+            # belt for pre-fix dirs and for the
             # compacted-away-mid-crash corner (see compact_scd2_closed).
             batch_ids = [
                 int(m.group(1))
@@ -466,14 +479,16 @@ def scd2_sink_incremental(
                     if "_scd2_epoch" in prev.columns
                     else prev
                 )
-                if (
-                    closed_delta.exceptAll(body).isEmpty()
-                    and body.exceptAll(closed_delta).isEmpty()
-                ):
-                    atomic_overwrite(
-                        hist.where(F.col("valid_to").isNull()), open_path
-                    )
-                    return
+                if body.exceptAll(closed_delta).isEmpty():
+                    # newest dir ⊆ delta: prior attempt's rows are
+                    # already durable — publish only what it missed
+                    closed_delta = closed_delta.exceptAll(body)
+                    if closed_delta.isEmpty():
+                        atomic_overwrite(
+                            hist.where(F.col("valid_to").isNull()),
+                            open_path,
+                        )
+                        return
             tmp = posixpath.join(
                 closed_root, f".batch-{nxt:08d}.{uuid.uuid4().hex}.tmp"
             )
@@ -940,13 +955,23 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 
 def _publish_parquet(df: DataFrame, final: str) -> None:
     """Atomic directory publish shared by the continuous-ingest sinks:
-    write to a hidden temp sibling, ``os.rename`` into place (the loser
-    of a publish race just fails and cleans up). A dir that already
-    exists SKIPS — content is a pure function of its inputs, so the
-    existing dir is already correct: exactly-once at the directory
+    write to a hidden temp sibling, FS-rename into place. A dir that
+    already exists SKIPS — content is a pure function of its inputs, so
+    the existing dir is already correct: exactly-once at the directory
     level, the same discipline as the tar/zip stream sinks. FS-routed
     (Hadoop FileSystem), so non-local out_dirs publish the same way
-    (ADVICE r8)."""
+    (ADVICE r8).
+
+    Lost-race handling (ADVICE r9): on HDFS/object stores the loser's
+    rename onto an existing ``final`` raises and the except branch
+    cleans up — but local ``RawLocalFileSystem.rename`` falls back to
+    ``FileUtil.copy(deleteSource=true)`` when ``File.renameTo`` fails,
+    which COPIES the temp dir INTO the existing final (as
+    ``final/.<tmp-name>``) and returns true. The dot-prefixed nested
+    dir is invisible to parquet reads (content stays correct), but it
+    is garbage inside a published dir — so the loser re-checks ``final``
+    right before renaming (narrows the window to check→rename) and
+    sweeps any nested copy of its own temp dir afterwards."""
     import uuid
 
     from big_data_project_spark.operators.maintenance import (
@@ -964,11 +989,18 @@ def _publish_parquet(df: DataFrame, final: str) -> None:
     )
     try:
         df.write.mode("overwrite").parquet(tmp)
+        if path_exists(spark, final):  # lost the race during the write
+            return
         try:
             rename_path(spark, tmp, final)
         except IOError:
             if not path_exists(spark, final):  # not a lost publish race
                 raise
+        # local-FS copy-INTO fallback: our temp landed nested inside the
+        # winner's dir — remove it (uuid name, so it is provably ours)
+        nested = posixpath.join(final, posixpath.basename(tmp))
+        if path_exists(spark, nested):
+            delete_path(spark, nested)
     finally:
         delete_path(spark, tmp)
 

@@ -431,6 +431,126 @@ def test_scd2_incremental_double_publish_and_mixed_fresh_checkpoint(
     assert closed_first_life <= got  # closed versions are immutable
 
 
+def test_scd2_incremental_unswapped_publish_then_mixed_fresh_checkpoint(
+    spark, tmp_path
+):
+    """ADVICE r9 (medium): the WORST crash shape — closed delta published
+    but the open swap missing, then a CHECKPOINT RESET whose retried
+    batch also carries new closures for OTHER keys. The recomputed delta
+    is then a strict SUPERSET of the newest batch dir, so the r9
+    exact-match replay-skip never fired: the whole delta republished
+    under a new epoch and scd2_history's epoch-aware dedup kept BOTH
+    copies of the previously-published closures. The subset-aware skip
+    publishes only the genuinely new closures and completes the swap —
+    history holds each closed version exactly once."""
+    import os
+
+    from big_data_project_spark.operators.maintenance import scd2_apply
+    from big_data_project_spark.plans.lineage import lineage_cut
+
+    src = str(tmp_path / "src")
+    tgt, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    b1 = _scd2_feed(spark, [(1, "A", "2024-01-01 00:00:00"),
+                            (2, "B", "2024-01-01 00:00:00")])
+    b2 = _scd2_feed(spark, [(1, "A2", "2024-01-02 00:00:00")])
+    b1.write.mode("overwrite").parquet(src)
+    q = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src),
+        tgt, ck, "cust", "u_ts", ["seg"],
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    # closed/batch-00000000 = {1: A t1→t2}; now simulate the crash: the
+    # publish survived but the open swap did not — roll the open
+    # snapshot back to its post-b1 state (all rows still open)
+    post_b1_open = lineage_cut(
+        scd2_apply(_scd2_seed(b1), b1, "cust", "u_ts", ["seg"])
+    )
+    post_b1_open.write.mode("overwrite").parquet(os.path.join(tgt, "open"))
+
+    # checkpoint reset: batch 0 of the new query replays EVERYTHING plus
+    # one new update that closes key 2 — the recomputed delta
+    # {1:A closed, 2:B closed} strictly contains the published dir
+    b3 = _scd2_feed(spark, [(2, "B2", "2024-01-03 00:00:00")])
+    b3.write.mode("append").parquet(src)
+    q2 = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src),
+        tgt, str(tmp_path / "ck2"), "cust", "u_ts", ["seg"],
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    hist = st.scd2_history(spark, tgt)
+    got = _hist_set(hist)
+    assert got == {
+        (1, "A", "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+        (1, "A2", "2024-01-02 00:00:00", "None"),
+        (2, "B", "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+        (2, "B2", "2024-01-03 00:00:00", "None"),
+    }
+    # the duplicate the pre-fix code produced survives dropDuplicates
+    # (different epochs) — so pin the ROW COUNT, not just the set
+    assert hist.count() == 4
+    # and the prior attempt's rows were NOT republished: the new dir
+    # holds only the genuinely new closure
+    closed = os.path.join(tgt, "closed")
+    dirs = sorted(d for d in os.listdir(closed) if d.startswith("batch-"))
+    assert len(dirs) == 2
+    newest = spark.read.parquet(os.path.join(closed, dirs[-1]))
+    assert [(r.cust, r.seg) for r in newest.collect()] == [(2, "B")]
+
+
+def test_publish_parquet_lost_race_sweeps_nested_copy(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9 (low): local RawLocalFileSystem.rename falls back to
+    FileUtil.copy(deleteSource=true) when final already exists — the
+    loser's temp dir lands INSIDE the published dir as an invisible
+    dot-dir and rename returns true (no IOError), so the old
+    'loser's rename fails' reasoning never ran. Force that exact
+    interleaving through the REAL code path by making the loser's
+    existence checks of ``final`` lie (as if final appeared just after
+    its last check): _publish_parquet's post-rename sweep must leave the
+    published dir byte-clean and the winner's content untouched."""
+    import os
+
+    from big_data_project_spark.operators import maintenance as mt
+    from big_data_project_spark.streaming.ops import _publish_parquet
+
+    final = str(tmp_path / "batch-00000000")
+    df1 = spark.createDataFrame([(1, "x")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "y")], "id long, v string")
+    _publish_parquet(df1, final)  # winner publishes first
+
+    real = mt.path_exists
+    lies = {"n": 0}
+
+    def lying_path_exists(spark_, path):
+        # the loser's two pre-rename checks of FINAL race-lose; every
+        # other probe (the nested-dir sweep, IOError branch) sees truth
+        if path == final and lies["n"] < 2:
+            lies["n"] += 1
+            return False
+        return real(spark_, path)
+
+    monkeypatch.setattr(mt, "path_exists", lying_path_exists)
+    _publish_parquet(df2, final)  # loser: rename hits an existing final
+    monkeypatch.setattr(mt, "path_exists", real)
+
+    # winner's content intact, no nested dot-dir garbage, no tmp sibling
+    got = [(r.id, r.v) for r in spark.read.parquet(final).collect()]
+    assert got == [(1, "x")]
+    assert not any(
+        name.startswith(".") and name.endswith(".tmp")
+        for name in os.listdir(final)
+    )
+    assert not any(
+        name.endswith(".tmp") for name in os.listdir(os.path.dirname(final))
+    )
+
+
 def test_scd2_incremental_compaction_preserves_history(spark, tmp_path):
     """compact_scd2_closed folds closed/batch-* into a base snapshot:
     history identical before/after, and dir count stays O(1) under
