@@ -100,6 +100,21 @@ def _cached_gb() -> float | None:
     return None
 
 
+def _regime(cached_start: float | None) -> str:
+    """Label the cache regime the run STARTED in (VERDICT r9 #4): the
+    host caps/reclaims the guest page cache, and same-code readings span
+    27.0s (warm) to 37.9s (cold) — so round-over-round deltas are only
+    meaningful WITHIN a regime. The sf0.1 working set is ~2.5 GiB of
+    parquet + footers; a start cache under 4 GiB means the warmup's
+    reads were already being reclaimed and the timed section pays
+    backing-store latency (round-8 forensics: 1 GiB cached on a 125 GiB
+    box right after a 42s reading at 2% steal). bench_history analysis
+    compares like-for-like on this field."""
+    if cached_start is None:
+        return "unknown"
+    return "cold-cache" if cached_start < 4.0 else "warm-cache"
+
+
 def _steal_share(start: dict) -> float | None:
     """Fraction of the timed section's jiffies stolen by co-tenants."""
     end = _cpu_jiffies()
@@ -180,6 +195,7 @@ def main() -> None:
                 "loadavg": {"start": load_start, "end": _loadavg()},
                 "steal_share": _steal_share(cpu_start),
                 "cached_gb": {"start": cached_start, "end": _cached_gb()},
+                "regime": _regime(cached_start),
                 "sf": _sf_of(sf_dir),
             }
         )
@@ -227,6 +243,9 @@ def main() -> None:
             # (round-8 forensics: readings track steal, not loadavg)
             "steal_share": _steal_share(cpu_start),
             "cached_gb": {"start": cached_start, "end": _cached_gb()},
+            # cache-regime label so BENCH_r*.json deltas compare
+            # like-for-like (VERDICT r9 #4)
+            "regime": _regime(cached_start),
             "sf": _sf_of(sf_dir),
         }
     )

@@ -5477,6 +5477,60 @@ def dd_lsh_autotune(spark, sf_dir):
 
 
 @register(
+    "dd_shard_by_entropy",
+    oracle="""
+    WITH samp AS (SELECT doc_id, text FROM documents
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  LIMIT 200),
+    ssh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM samp)),
+    hot AS (SELECT shingle FROM (
+              SELECT shingle, count(*) AS c FROM ssh GROUP BY shingle)
+            ORDER BY c DESC, shingle LIMIT 256),
+    dsh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)),
+    mass AS (SELECT d.doc_id,
+                    CAST(coalesce(sum(CASE WHEN h.shingle IS NOT NULL
+                                           THEN 1 END), 0) AS BIGINT)
+                      / count(*) AS m
+             FROM dsh d LEFT JOIN hot h ON h.shingle = d.shingle
+             GROUP BY d.doc_id)
+    SELECT doc.doc_id,
+           CAST(coalesce(least(CAST(floor(m * 4) AS INT), 3), 0) AS INT)
+             AS entropy_shard
+    FROM documents doc LEFT JOIN mass ON mass.doc_id = doc.doc_id
+    """,
+)
+def dd_shard_by_entropy(spark, sf_dir):
+    """Entropy sharding (VERDICT r9 #5 — the drift guard's 'shard the
+    corpus by entropy before dedup' advice as code), VALUE-hashed: the
+    deterministic md5-ordered 200-doc sample's 256 most frequent
+    shingles (ties by shingle string) form the hot set; each document's
+    shard is floor(hot-mass x n_shards) clipped to n_shards-1, hot-mass
+    = |distinct shingles ∩ hot| / |distinct shingles| (no-shingle docs
+    shard 0). The oracle mirrors the whole derivation — sample order,
+    distinct shingling, tie-broken top-k, the double-division mass, the
+    floor/least clip — so the assignment every shard-scoped dedup run
+    hangs off is cross-engine-proven. Composition correctness (sharded
+    candidates == union of per-shard runs) is pinned by
+    tests/test_approx_ops.py::test_sharded_candidates_equal_union_of_
+    per_shard_runs; the recall trade is documented on
+    dedup.shard_by_entropy."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.shard_by_entropy(docs, n_shards=4, sample_docs=200).select(
+        "doc_id", "entropy_shard"
+    )
+
+
+@register(
     "dd_incremental_near",
     oracle=f"""
     WITH ad AS (

@@ -283,6 +283,41 @@ def upsert_sink(df: DataFrame, target_path: str, checkpoint: str, key: str):
     )
 
 
+def _warn_equal_ts_collisions(
+    batch_df: DataFrame, key: str, ts_col: str, attrs: list[str],
+    epoch_id: int,
+) -> None:
+    """Feed-contract probe (VERDICT r9 #6, opt-in via ``check_feed``):
+    strict-increasing ts per key is the recommended CDC feed contract —
+    ACROSS batches the epoch tags keep equal-ts flip-flops apart, but
+    WITHIN one batch two updates for the same key at the same ts with
+    DIFFERENT attrs collapse to one arbitrary winner in scd2_apply, and
+    nothing in the output says a version was dropped. This probe pays
+    one small aggregation per batch (two count-distincts over the
+    batch, which is dimension-churn sized) and warns when the batch
+    holds such a collision, naming what the output means. Exact
+    duplicate rows (same key, ts AND attrs — the replay shape) are NOT
+    flagged: collapsing them loses nothing."""
+    import warnings
+
+    row = batch_df.agg(
+        F.countDistinct(F.col(key), F.col(ts_col)).alias("kt"),
+        F.countDistinct(F.col(key), F.col(ts_col), *[F.col(a) for a in attrs]).alias("kta"),
+    ).collect()[0]
+    if row["kta"] > row["kt"]:
+        warnings.warn(
+            f"scd2 sink (batch {epoch_id}): {row['kta'] - row['kt']} "
+            "same-key same-timestamp update(s) with CONFLICTING attrs in "
+            "one batch — the feed violates the strict-increasing-ts-per-"
+            "key contract. scd2_apply keeps ONE arbitrary winner per "
+            f"(key, ts); the losing version(s) are silently absent from "
+            "the history. Fix the feed's ts resolution (or split the "
+            "conflicting updates across batches, where epoch tags keep "
+            "both versions).",
+            stacklevel=2,
+        )
+
+
 def scd2_sink(
     updates: DataFrame,
     target_path: str,
@@ -290,6 +325,7 @@ def scd2_sink(
     key: str,
     ts_col: str,
     attrs: list[str],
+    check_feed: bool = False,
 ):
     """T7d: streaming SCD2 — each micro-batch of dimension changes lands
     on the persisted version HISTORY via maintenance.scd2_apply (latest-ts
@@ -307,8 +343,12 @@ def scd2_sink(
     must be ts-monotonic per key ACROSS batches (standard CDC ordering —
     a late older update would close an open row with valid_to <
     valid_from); WITHIN a batch scd2_apply collapses to the latest ts.
-    History rewrite per trigger is the dim-table trade, same as
-    ``upsert_sink``; append-heavy facts belong in the plain parquet sink."""
+    ``check_feed=True`` adds the per-batch equal-ts collision probe
+    (:func:`_warn_equal_ts_collisions`) that warns when one batch holds
+    conflicting same-key same-ts updates — the shape the collapse would
+    otherwise silently halve. History rewrite per trigger is the
+    dim-table trade, same as ``upsert_sink``; append-heavy facts belong
+    in the plain parquet sink."""
     from big_data_project_spark.operators.maintenance import (
         atomic_overwrite,
         path_exists,
@@ -320,6 +360,8 @@ def scd2_sink(
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return  # no-data triggers must not churn-rewrite the history
+        if check_feed:
+            _warn_equal_ts_collisions(batch_df, key, ts_col, attrs, epoch_id)
         recover_interrupted_swap(spark, target_path)
         if path_exists(spark, target_path):
             current = spark.read.parquet(target_path)
@@ -348,6 +390,7 @@ def scd2_sink_incremental(
     key: str,
     ts_col: str,
     attrs: list[str],
+    check_feed: bool = False,
 ):
     """T7d at scale: the O(dimension)-per-batch SCD2 sink. ``scd2_sink``
     rewrites the FULL history every trigger — O(history), which grows
@@ -397,7 +440,10 @@ def scd2_sink_incremental(
     differ, so both survive. (Within ONE batch, equal-ts updates for a
     key collapse to a single arbitrary winner in scd2_apply —
     strictly-increasing ts per key remains the recommended feed
-    contract.) A replay AFTER the swap finds the open snapshot already
+    contract; ``check_feed=True`` turns that prose into a per-batch
+    probe that WARNS when a batch holds conflicting same-key same-ts
+    updates, see :func:`_warn_equal_ts_collisions`.) A replay AFTER the
+    swap finds the open snapshot already
     post-apply, so its closed delta is empty and nothing publishes. All
     directory listing/rename goes through the Hadoop FileSystem, so
     hdfs:///object-store targets work the same as local paths."""
@@ -421,6 +467,8 @@ def scd2_sink_incremental(
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        if check_feed:
+            _warn_equal_ts_collisions(batch_df, key, ts_col, attrs, epoch_id)
         recover_interrupted_swap(spark, open_path)
         if path_exists(spark, open_path):
             current = spark.read.parquet(open_path)

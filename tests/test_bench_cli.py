@@ -61,6 +61,13 @@ def test_bench_default_json_contract():
     if rec["steal_share"] is not None:
         assert 0.0 <= rec["steal_share"] <= 1.0
     assert set(rec["cached_gb"]) == {"start", "end"}
+    # VERDICT r9 #4: every record labels its cache regime so
+    # round-over-round deltas compare like-for-like
+    assert rec["regime"] in {"cold-cache", "warm-cache", "unknown"}
+    if rec["cached_gb"]["start"] is not None:
+        assert rec["regime"] == (
+            "cold-cache" if rec["cached_gb"]["start"] < 4.0 else "warm-cache"
+        )
     # history line appended (same JSON) — trim it so smoke runs don't
     # accumulate in the canonical record
     hist = os.path.join(REPO, "bench_history.jsonl")

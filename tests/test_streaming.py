@@ -551,6 +551,61 @@ def test_publish_parquet_lost_race_sweeps_nested_copy(
     )
 
 
+def test_scd2_check_feed_warns_on_same_batch_equal_ts_flipflop(
+    spark, tmp_path
+):
+    """VERDICT r9 #6: the strict-increasing-ts-per-key feed contract was
+    prose only — an equal-ts same-key conflict inside ONE batch still
+    collapses to an arbitrary winner silently (epoch tags only protect
+    across batches). check_feed=True plants a per-batch probe: a batch
+    holding (1, A, t) AND (1, B, t) must WARN, naming that the losing
+    version is absent from history; exact duplicate rows (the replay
+    shape) must NOT warn. The output under the warning: exactly one of
+    the conflicting versions survives as the open row."""
+    import warnings
+
+    t1 = "2024-01-01 00:00:00"
+    src = str(tmp_path / "src")
+    # batch 1: a genuine conflict (same key, same ts, different attrs)
+    # plus an exact duplicate of another key (must not add to the count)
+    b1 = _scd2_feed(spark, [(1, "A", t1), (1, "B", t1),
+                            (2, "C", t1), (2, "C", t1)])
+    b1.write.mode("overwrite").parquet(src)
+    q = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src),
+        str(tmp_path / "t"), str(tmp_path / "ck"),
+        "cust", "u_ts", ["seg"], check_feed=True,
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        q.processAllAvailable()
+    q.stop()
+    hits = [w for w in rec if "same-timestamp" in str(w.message)]
+    assert len(hits) == 1
+    assert "1 same-key same-timestamp" in str(hits[0].message)
+    assert "arbitrary winner" in str(hits[0].message)
+    # one arbitrary winner per (key, ts): key 1 is A or B, key 2 is C
+    hist = st.scd2_history(spark, str(tmp_path / "t"))
+    open_rows = {r.cust: r.seg for r in hist.collect()}
+    assert hist.count() == 2
+    assert open_rows[1] in {"A", "B"} and open_rows[2] == "C"
+
+    # clean-feed leg: the full-rewrite sink with check_feed must stay
+    # silent on a contract-honoring batch
+    b2 = _scd2_feed(spark, [(1, "D", "2024-01-02 00:00:00")])
+    b2.write.mode("overwrite").parquet(str(tmp_path / "src2"))
+    q2 = st.scd2_sink(
+        spark.readStream.schema(b2.schema).parquet(str(tmp_path / "src2")),
+        str(tmp_path / "t2"), str(tmp_path / "ck2"),
+        "cust", "u_ts", ["seg"], check_feed=True,
+    )
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        q2.processAllAvailable()
+    q2.stop()
+    assert [w for w in rec2 if "same-timestamp" in str(w.message)] == []
+
+
 def test_scd2_incremental_compaction_preserves_history(spark, tmp_path):
     """compact_scd2_closed folds closed/batch-* into a base snapshot:
     history identical before/after, and dir count stays O(1) under
