@@ -45,6 +45,12 @@ from big_data_project_spark.plans.lineage import lineage_cut
 from big_data_project_spark.operators.cleaning import normalize_text_col
 from big_data_project_spark.operators.text import words_col
 
+#: The hot-bucket guard's default cap, shared by minhash_lsh_candidates,
+#: dedup_delta_near and the planners that must model the guard
+#: (suggest_minhash_params(bucket_cap=...), curate_corpus's drift guard)
+#: so planner and pipeline cannot drift apart.
+DEFAULT_BUCKET_CAP = 1024
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -312,7 +318,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     seed: int = 42,
     hash_fn: str = "xxhash64",
-    bucket_cap: int | None = 1024,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     include_est_jaccard: bool = True,
     shingles: DataFrame | None = None,
     min_est_jaccard: float | None = None,
@@ -815,6 +821,86 @@ def lsh_param_choices(
     return out
 
 
+def lsh_capped_load_audit(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    bucket_cap: int = 1024,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT candidate-load audit for one banding config (round 10 — the
+    sf50 calibration root-cause): one row ``(n_buckets, hot_buckets,
+    max_occupancy, uncapped_pairs, capped_pairs)`` where the pair sums
+    walk the FULL corpus's band-bucket occupancy histogram —
+    ``Σ C(c,2)`` for the unguarded self-join, ``Σ (c>cap ? c−1 :
+    C(c,2))`` for what :func:`minhash_lsh_candidates`'s hot-bucket
+    guard actually emits.
+
+    Why this exists: the sampled profile behind
+    :func:`suggest_minhash_params` extrapolates PAIR RATES, which
+    predicts the UNGUARDED join — but every production path runs with
+    ``bucket_cap`` set, and on a low-entropy corpus the guard is the
+    dominant term. Measured at sf50 (2.5M docs, k9/b3): true unguarded
+    load 267.2 cand/doc, guarded load 34.3, realized (guarded +
+    prefilter + cross-band distinct) 32.8 — the r9 'sample over-predicts
+    3.5×' post-mortem was really 'the sample predicts the unguarded
+    join while production pays the guarded one'. This audit closes the
+    gap exactly (34.3 vs 32.8 = 1.05×).
+
+    Cost and 100 TB shape: ONE linear pass — shingle → k-hash min-agg →
+    band digests → count per (band_id, band_hash) — with an 8-byte-key
+    count shuffle and a one-row aggregate; no self-join, no pair
+    materialization (the sf50 audit ran in 27s where the block stage
+    takes 426s). Run it on the suggester's chosen config before
+    committing a 100 TB dedup; ``shingles`` shares the tokenize pass.
+    Slight over-count vs realized candidates by construction: pairs
+    colliding in MULTIPLE bands count once per band here but once total
+    after the candidate distinct(), and the ``min_est_jaccard``
+    prefilter removes more — so the capped figure is a safe upper
+    bound. SQL-mirrorable under ``hash_fn='md5_affine'`` (the
+    ``dd_lsh_cap_audit`` registry oracle runs it in DuckDB)."""
+    sig = minhash_signatures_agg(
+        shingles if shingles is not None else doc_shingles(df, text, id_col, n),
+        num_hashes,
+        seed,
+        hash_fn=hash_fn,
+    )
+    occ = (
+        sig.select(
+            F.posexplode(
+                F.expr(f"array({_band_exprs(num_hashes, bands)})")
+            ).alias("band_id", "band_hash")
+        )
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("c"))
+    )
+    cap = int(bucket_cap)
+    return occ.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("c") > cap, 1).otherwise(0))
+        .cast("long")
+        .alias("hot_buckets"),
+        F.max("c").cast("long").alias("max_occupancy"),
+        # integer pair arithmetic (div, not /: Spark's / is double) —
+        # exact in long for any occupancy a single bucket can hold
+        F.sum(F.expr("(CAST(c AS BIGINT) * (c - 1)) div 2"))
+        .cast("long")
+        .alias("uncapped_pairs"),
+        F.sum(
+            F.when(F.col("c") > cap, F.col("c") - 1).otherwise(
+                F.expr("(CAST(c AS BIGINT) * (c - 1)) div 2")
+            )
+        )
+        .cast("long")
+        .alias("capped_pairs"),
+    )
+
+
 def suggest_minhash_params(
     df: DataFrame,
     text: str = "text",
@@ -830,6 +916,8 @@ def suggest_minhash_params(
     max_num_hashes: int = 256,
     rows_per_band_choices: tuple[int, ...] = (2, 3, 4, 5, 6, 8, 10, 12),
     min_est_jaccard: float | None = None,
+    bucket_cap: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> dict:
     """Pick ``(rows_per_band, bands, num_hashes)`` for
     :func:`minhash_lsh_candidates` from the corpus's MEASURED min-collision
@@ -880,10 +968,29 @@ def suggest_minhash_params(
     is still returned as ``est_cand_per_doc_unfiltered`` (that is the
     BLOCK stage's candidate output, which the prefilter joins against).
 
-    At 100 TB: run this on a sample-able prefix of the corpus before the
-    dedup job; re-run when the corpus's source mix shifts (entropy is a
-    property of the data, not the pipeline). Monitor cand/doc from
-    ``tools/knee_bench.py`` against ``est_cand_per_doc`` to catch
+    ``bucket_cap`` — plan WITH the production hot-bucket guard (round
+    10, the sf50 calibration root-cause): the sampled predictions above
+    model the UNGUARDED self-join, but production candidate runs cap
+    hot buckets (star topology past ``bucket_cap``), and on low-entropy
+    corpora the guard dominates — at sf50 the true unguarded load was
+    267.2 cand/doc while the guarded pipeline realized 32.8, so the r9
+    'sample over-predicts 3.5×' reading was a comparison of an
+    unguarded prediction against a guarded run. Pass the cap the
+    pipeline will use and the CHOSEN config gets an exact
+    :func:`lsh_capped_load_audit` pass (one extra linear scan, no
+    self-join — 27s at sf50): ``est_cand_per_doc_capped`` (sf50: 34.3,
+    within 5% of realized) plus ``est_cand_per_doc_uncapped_exact``,
+    ``audit_hot_buckets``, ``audit_max_occupancy``. ``shingles`` shares
+    a precomputed tokenize pass with the audit. The sampled
+    ``est_cand_per_doc`` stays the (oracle-mirrored) selection key —
+    it is the right REFUSAL signal, since a config whose unguarded load
+    explodes leans on the guard's recall trade.
+
+    At 100 TB: run this on a sample-able prefix of the corpus before
+    the dedup job; re-run when the corpus's source mix shifts (entropy
+    is a property of the data, not the pipeline). Monitor cand/doc from
+    ``tools/knee_bench.py`` against ``est_cand_per_doc_capped`` when
+    the cap is modeled (``est_cand_per_doc`` otherwise) to catch
     drift."""
     if n_docs is None:
         n_docs = df.count()
@@ -941,7 +1048,7 @@ def suggest_minhash_params(
         scored,
         key=lambda s: (0 if s[3] <= budget else 1, s[0] if s[3] <= budget else 0, s[3], s[0]),
     )
-    return {
+    out = {
         "rows_per_band": r, "bands": b, "num_hashes": k,
         "fp_band_rates": rates, "est_cand_per_doc": est,
         "est_cand_per_doc_unfiltered": unfiltered[r],
@@ -949,6 +1056,44 @@ def suggest_minhash_params(
         "collisions_total": int(sum(row["collisions"] for row in rows.values())),
         "n_docs": int(n_docs),
     }
+    if bucket_cap is not None:
+        # Cap-aware calibration (round 10, VERDICT r9 #3): the sampled
+        # predictions above model the UNGUARDED self-join, but every
+        # production candidate run caps hot buckets at bucket_cap —
+        # measured at sf50 the guarded load is 7.8× below the unguarded
+        # (34.3 vs 267.2 cand/doc) and within 5% of realized. The audit
+        # is one extra LINEAR pass over df at the CHOSEN config (no
+        # self-join; 27s where the sf50 block stage takes 426s), exact
+        # rather than extrapolated, collected as a single row.
+        arow = lsh_capped_load_audit(
+            df, text, id_col, n, num_hashes=k, bands=b, seed=seed,
+            hash_fn=hash_fn, bucket_cap=bucket_cap, shingles=shingles,
+        ).collect()[0]
+        out["bucket_cap"] = int(bucket_cap)
+        out["est_cand_per_doc_capped"] = arow["capped_pairs"] / float(n_docs)
+        out["est_cand_per_doc_uncapped_exact"] = (
+            arow["uncapped_pairs"] / float(n_docs)
+        )
+        out["audit_hot_buckets"] = int(arow["hot_buckets"])
+        out["audit_max_occupancy"] = int(arow["max_occupancy"])
+        # The audit counts (pair, band) INCIDENCES (a high-J pair
+        # recurs in many bands), while est_cand_per_doc's tp term
+        # counts distinct pairs — so a sample-vs-audit drift check
+        # needs the SAMPLED prediction in incidence units too:
+        # fp side is already incidence-derived (b · rate · pairs), tp
+        # side scales the sample's measured tp incidences per band to
+        # the config's band count (tp pairs are per-doc linear):
+        # b · tp_incid_r / (n_bands_r · m).
+        prow = rows[r]
+        fp_unfilt = (prow["fp_collisions"] + 1) / float(
+            prow["n_bands"] * pair_base
+        )
+        tp_incid = prow["collisions"] - prow["fp_collisions"]
+        out["est_incidences_per_doc_sampled"] = (
+            b * fp_unfilt * (n_docs - 1) / 2.0
+            + b * tp_incid / float(prow["n_bands"] * m)
+        )
+    return out
 
 
 def shard_by_entropy(
@@ -992,6 +1137,27 @@ def shard_by_entropy(
     (2–8); raise it only when the drift guard says candidate volume,
     not recall, is the binding constraint. Exact-duplicate pairs have
     identical mass and are NEVER split.
+
+    WHEN IT BITES — measured (SCALE.md round 10, bench_history
+    ``dd_shard_mixed_bench`` / ``dd_shard_perband_bench``):
+
+    - MIXED corpora (a low-entropy subpopulation sharing shingle space
+      with a high-entropy bulk — crawl + template farm): on a 230k-doc
+      corpus with a 13% vocabulary-subset flood, sharding separated
+      97.5% of the flood and cut candidates 33% at unchanged banding
+      (the cross-population pairs), 35.5% with per-shard banding (wide
+      bands on the low-entropy shards only — run
+      :func:`suggest_minhash_params` per shard and union the drops).
+    - HOMOGENEOUS low-entropy corpora: degenerate by construction —
+      every doc has the same hot-mass (sf50: 2,499,998 of 2.5M docs in
+      one shard), so sharding is a no-op; use the ``min_est_jaccard``
+      prefilter and wider bands there instead.
+    - SIZE ``hot_shingles`` TO THE SUBPOPULATION: the mass signal only
+      separates when the hot set covers the low-entropy population's
+      shingle space (the 230k measurement needed 2048 hot shingles for
+      a 1728-shingle flood space; at the 256 default the histogram
+      collapsed to one shard). Rule of thumb: a couple× the suspect
+      subpopulation's distinct-shingle count.
 
     Distributed shape: one bounded sample pass, then one corpus shingle
     pass + broadcast semi-count + per-doc aggregate joined back on
@@ -1106,7 +1272,7 @@ def dedup_delta_near(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     threshold: float = 0.5,
-    bucket_cap: int | None = 1024,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """NEAR-dup incremental dedup (the MinHash twin of
     :func:`dedup_against_snapshot`, VERDICT r6 #7): drop rows of

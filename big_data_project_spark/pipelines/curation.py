@@ -78,20 +78,32 @@ def curate_corpus(
     on low-entropy corpora where band buckets collide far above the
     true-Jaccard rate — value-hash-pinned by dd_near_dedup_lsh_prefilter.
 
-    ``lsh_drift_factor`` (round 9, VERDICT r8 #6 — the sf25 post-mortem's
-    "monitor cand/doc" takeaway as code): in ``lsh_params="auto"`` mode,
-    after candidates are built the REALIZED cand/doc is compared against
-    the profile's ``est_cand_per_doc`` prediction; past
-    ``max(est, 1) × lsh_drift_factor`` a UserWarning fires naming both
-    numbers and the mitigations (raise ``lsh_min_est_jaccard``,
-    re-profile with a bigger sample, pre-shard by entropy). The profile
-    comes from a 2000-doc sample — a corpus whose duplicate/entropy
-    structure the sample under-represents is exactly how the sf25 run
-    died, and the drift is visible the moment candidates exist, long
-    before the verify shuffle spills. Cost (auto mode only): ONE extra
-    eager job — a count over the lineage-cut candidates the verify
-    stage consumes anyway; the corpus doc count reuses the figure the
-    profiling job already computed (ADVICE r9).
+    ``lsh_drift_factor`` (round 9, VERDICT r8 #6; recalibrated round 10
+    — VERDICT r9 #3): in ``lsh_params="auto"`` mode TWO apples-to-apples
+    drift checks guard the plan, each firing a UserWarning past the
+    factor:
+
+    - PLAN-TIME sample blindness: the sampled profile's unguarded
+      prediction vs the capped-load audit's EXACT unguarded figure —
+      a gap means the md5 sample missed part of the corpus's
+      duplicate/entropy structure (the sf25 shape), visible before any
+      candidate is built.
+    - RUN-TIME mutation: realized cand/doc vs the audit's CAPPED
+      figure (``est_cand_per_doc_capped`` — exact and models the
+      hot-bucket guard the candidate run below actually has; at sf50
+      within 5% of realized where r9's unguarded sampled figure read
+      3.5× over purely because the guard was unmodeled). The audit is
+      exact for the corpus it scanned, so a fire here means the corpus
+      changed between planning and blocking.
+
+    Mitigations named in both: raise ``lsh_min_est_jaccard``, a larger
+    profiling sample, entropy-sharding via
+    :func:`operators.dedup.shard_by_entropy`. Cost (auto mode only):
+    TWO extra eager jobs — the linear capped-load audit at the chosen
+    config (shares the tokenize pass; no self-join) and a count over
+    the lineage-cut candidates the verify stage consumes anyway; the
+    corpus doc count reuses the figure the profiling job already
+    computed (ADVICE r9).
 
     ``lsh_params`` sizes the banding: ``None`` keeps the
     minhash_lsh_candidates defaults (k=64, 16 bands), an ``(num_hashes,
@@ -106,18 +118,55 @@ def curate_corpus(
     if pair_source == "exact":
         pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
     elif pair_source == "lsh":
+        # one tokenize pass shared by block, verify AND (in auto mode)
+        # the planner's capped-load audit (round 7 / round 10)
+        sh = dedup.doc_shingles(d, "text", "doc_id", 3).transform(lineage_cut)
         if lsh_params == "auto":
             sug = dedup.suggest_minhash_params(
                 d, threshold=0.5, hash_fn=lsh_hash_fn,
                 min_est_jaccard=lsh_min_est_jaccard,
+                # model the guard the candidate run below actually has
+                # (round 10): the drift prediction is then the GUARDED
+                # load — at sf50 the unguarded prediction read 3.5x over
+                # realized purely because the guard was unmodeled
+                bucket_cap=dedup.DEFAULT_BUCKET_CAP,
+                shingles=sh,
             )
             lsh_k, lsh_bands = sug["num_hashes"], sug["bands"]
+            # PLAN-TIME drift check (round 10): compare the sampled
+            # UNGUARDED incidence prediction against the audit's exact
+            # unguarded incidences — same units (a high-J pair recurs
+            # in many bands, so distinct-pair figures are NOT
+            # comparable to the audit), so a gap is sample blindness
+            # (a flood living outside the md5 sample, the sf25 shape),
+            # visible before a single candidate is built.
+            sampled_unf = max(
+                float(sug["est_incidences_per_doc_sampled"]), 1.0
+            )
+            exact_unf = float(sug["est_cand_per_doc_uncapped_exact"])
+            if exact_unf > sampled_unf * lsh_drift_factor:
+                import warnings
+
+                warnings.warn(
+                    "curate_corpus(lsh_params='auto'): exact unguarded "
+                    f"candidates/doc = {exact_unf:.1f} (capped-load "
+                    "audit, band incidences) exceeds the sampled "
+                    f"profile's prediction ({sampled_unf:.1f}) by more "
+                    f"than {lsh_drift_factor}x — the profiling sample "
+                    "is blind to part of this corpus's duplicate/"
+                    "entropy structure (the sf25 failure shape). The "
+                    "hot-bucket guard will carry the excess at its "
+                    "documented recall trade: consider "
+                    "lsh_min_est_jaccard~=(threshold-0.2), a larger "
+                    "profiling sample, or entropy-sharding the corpus "
+                    "before dedup (dedup.shard_by_entropy + "
+                    "minhash_lsh_candidates(shard_col=...)).",
+                    stacklevel=2,
+                )
         elif lsh_params is not None:
             lsh_k, lsh_bands = lsh_params
         else:
             lsh_k, lsh_bands = 64, 16
-        # one tokenize pass shared by block and verify (round 7)
-        sh = dedup.doc_shingles(d, "text", "doc_id", 3).transform(lineage_cut)
         cand = dedup.minhash_lsh_candidates(
             d, n=3, num_hashes=lsh_k, bands=lsh_bands, hash_fn=lsh_hash_fn,
             include_est_jaccard=False,
@@ -134,21 +183,25 @@ def curate_corpus(
             # (ADVICE r9: the re-count was a second full extra job)
             n_docs = max(int(sug["n_docs"]), 1)
             realized = cand.count() / n_docs
-            predicted = max(float(sug["est_cand_per_doc"]), 1.0)
+            # compare against the GUARDED prediction (round 10): the
+            # exact capped audit, not the sampled unguarded figure —
+            # realized candidates come from the guarded pipeline
+            predicted = max(float(sug["est_cand_per_doc_capped"]), 1.0)
             if realized > predicted * lsh_drift_factor:
                 import warnings
 
                 warnings.warn(
                     "curate_corpus(lsh_params='auto'): realized "
                     f"candidates/doc = {realized:.1f} exceeds the "
-                    f"sampled profile's prediction ({predicted:.1f}) by "
-                    f"more than {lsh_drift_factor}x — the 2000-doc "
-                    "profile under-represents this corpus's duplicate/"
-                    "entropy structure (the sf25 failure shape). The "
-                    "verify join will be much larger than planned: "
-                    "consider lsh_min_est_jaccard~=(threshold-0.2), a "
-                    "larger profiling sample, or sharding the corpus "
-                    "by entropy before dedup.",
+                    f"capped-audit prediction ({predicted:.1f}) by "
+                    f"more than {lsh_drift_factor}x — the audit is "
+                    "exact for the corpus it scanned, so this means "
+                    "the corpus MUTATED between planning and blocking. "
+                    "The verify join will be much larger than planned: "
+                    "re-plan on the current corpus (re-run "
+                    "lsh_params='auto'), or entropy-shard it first "
+                    "(dedup.shard_by_entropy + "
+                    "minhash_lsh_candidates(shard_col=...)).",
                     stacklevel=2,
                 )
         pairs = dedup.jaccard_verify(

@@ -1300,6 +1300,52 @@ def test_lsh_band_collision_profile_shape(spark, sf_dir):
     assert by_r[8]["collisions"] <= by_r[2]["collisions"]
 
 
+def test_suggest_capped_audit_within_2x_of_realized(spark):
+    """VERDICT r9 #3 (calibration): the sf50 '3.5x over-prediction'
+    root-cause was the sampled profile modeling the UNGUARDED self-join
+    while production pays the hot-bucket-GUARDED load. Planted
+    low-entropy corpus (12-word vocab, md5-mixed — min-collisions
+    concentrate, buckets exceed the cap): the capped-load audit must be
+    a true upper bound on realized guarded candidates AND within 2x of
+    them, while the sampled unguarded figure reads far over — the exact
+    miscalibration the audit fixes. (Measured here: sampled 4.8/doc,
+    exact unguarded 7.0, capped audit 1.98, realized 1.63.)"""
+    import hashlib
+
+    vocab = [f"v{x}" for x in range(12)]
+
+    def _w(i, j):
+        return vocab[int(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:8], 16) % 12]
+
+    texts = [" ".join(_w(i, j) for j in range(30)) for i in range(3000)]
+    df = _docs_df(spark, texts)
+    cap = 32
+    sug = dedup.suggest_minhash_params(
+        df, sample_docs=600, bucket_cap=cap, hash_fn="md5_affine"
+    )
+    realized = (
+        dedup.minhash_lsh_candidates(
+            df,
+            num_hashes=sug["num_hashes"],
+            bands=sug["bands"],
+            include_est_jaccard=False,
+            bucket_cap=cap,
+            hash_fn="md5_affine",
+        ).count()
+        / 3000.0
+    )
+    assert sug["audit_hot_buckets"] > 0  # the guard genuinely fires
+    assert sug["est_cand_per_doc_capped"] < sug["est_cand_per_doc_uncapped_exact"]
+    # the audit is an upper bound (incidences >= distinct pairs;
+    # guarded topology identical) ...
+    assert realized <= sug["est_cand_per_doc_capped"] + 1e-9
+    # ... and CALIBRATED: within 2x of what the guarded pipeline pays
+    assert sug["est_cand_per_doc_capped"] <= 2.0 * realized
+    # while the sampled unguarded figure over-reads by >2x — comparing
+    # it against a guarded run is the r9 misreading
+    assert sug["est_cand_per_doc"] > 2.0 * realized
+
+
 def test_shard_by_entropy_assignment_properties(spark):
     """VERDICT r9 #5: shard ids are in [0, n_shards), deterministic, and
     the structural guarantees hold — exact duplicates (identical shingle

@@ -58,6 +58,7 @@ def measure(
     bands: int,
     min_est: float | None = None,
     hash_shingles: bool = False,
+    shards: int | None = None,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -80,10 +81,16 @@ def measure(
                  "num_hashes": num_hashes or registry._MH_K,
                  "bands": bands or registry._MH_BANDS,
                  "min_est_jaccard": min_est,
-                 "hash_shingles": hash_shingles}
+                 "hash_shingles": hash_shingles,
+                 "entropy_shards": shards}
 
     r0, w0 = _shuffle_totals(spark)
     t0 = time.monotonic()
+    # ---- stage 0 (--shards): entropy shard assignment ------------------
+    if shards is not None:
+        d = dedup.shard_by_entropy(d, n_shards=shards).localCheckpoint(
+            eager=True
+        )
     # ---- stage 1: shared tokenize + blocked candidates ----------------
     sh = dedup.doc_shingles(d, "text", "doc_id", 3).localCheckpoint(
         eager=False
@@ -96,6 +103,7 @@ def measure(
         include_est_jaccard=False,
         shingles=sh,
         min_est_jaccard=min_est,
+        shard_col="entropy_shard" if shards is not None else None,
     ).localCheckpoint(eager=False)
     rec["n_candidates"] = cand.count()
     t1 = time.monotonic()
@@ -163,6 +171,16 @@ def main() -> int:
                     "recommends for the corpus's measured entropy")
     ap.add_argument("--suggest-sample", type=int, default=2000,
                     help="sample size for --suggest (default 2000)")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="entropy-shard the corpus first (round 10, "
+                    "VERDICT r9 #5): shard_by_entropy + shard-scoped "
+                    "band keys; candidates form within shards only "
+                    "(documented recall trade)")
+    ap.add_argument("--cap", type=int, default=None,
+                    help="model the hot-bucket guard in --suggest: run "
+                    "the exact capped-load audit at the chosen config "
+                    "(round 10 — pass the bucket_cap the dedup run "
+                    "will use, normally 1024)")
     args = ap.parse_args()
     if args.suggest:
         if not args.dirs:
@@ -180,6 +198,9 @@ def main() -> int:
                 # predicts POST-prefilter verify load and sizes banding
                 # for the prefiltered pipeline
                 min_est_jaccard=args.min_est,
+                # --cap composes (r10, VERDICT r9 #3): the chosen config
+                # additionally gets the exact guarded-load audit
+                bucket_cap=args.cap,
             )
             rec = {
                 "metric": "dd_lsh_autotune_suggest", "sf_dir": d,
@@ -194,7 +215,7 @@ def main() -> int:
         return 0
     if args.measure:
         measure(args.measure, args.num_hashes, args.bands,
-                args.min_est, args.hash_shingles)
+                args.min_est, args.hash_shingles, args.shards)
         return 0
     if not args.dirs:
         ap.error("give at least one sf dir")
@@ -206,6 +227,8 @@ def main() -> int:
             cmd += ["--min-est", str(args.min_est)]
         if args.hash_shingles:
             cmd.append("--hash-shingles")
+        if args.shards is not None:
+            cmd += ["--shards", str(args.shards)]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
         if out.returncode != 0:
             sys.exit(f"--measure {d} failed:\n{out.stderr[-4000:]}")
