@@ -54,31 +54,21 @@ EXTRA_PINNED_QUERIES = (
     "e5_auto_lsh_topk",
 )
 
-#: Second digest set, pinned at sf1 (VERDICT r9 #1): broadcast decisions
-#: are SIZE-dependent, so a gate pinned only at sf0.01 — where every
-#: dimension auto-broadcasts — cannot see a lost broadcast that only
-#: manifests above the 10 MB threshold (orders/events cross it at sf1;
-#: q5/q17's lineitem⋈orders legs genuinely flip BHJ→SMJ between the two
-#: SFs). Pinned: the 5 EXTRA_PINNED_QUERIES plus the most shuffle-heavy
-#: headliners (ranked by exchange count in the sf0.01 digests) plus the
-#: north-star dedup chain. Inputs regenerate deterministically via
-#: ``python tools/gen_testdata.py --sf 1 --out testdata_local/sf1``
-#: (hash-of-id data, fixed file counts — the test fixture rebuilds it
-#: when the per-round wipe removed it).
-SF1_PINNED_QUERIES = (
-    "pl_hybrid_retrieval",
-    "q8_market_share",
-    "tx_classifier",
-    "q5_local_supplier",
-    "dd_line_dedup",
-    "e9_pq_adc_topk",
-    "q17_correlated_subquery",
-    "dd_decontaminate",
-    "r6_rag_batch",
-    "q13_customer_distribution",
-    "dd_span_dedup",
-    "dd_near_dedup_lsh",
-) + EXTRA_PINNED_QUERIES
+#: The second digest set is pinned at sf1 (VERDICT r9 #1): broadcast
+#: decisions are SIZE-dependent, so a gate pinned only at sf0.01 —
+#: where every dimension auto-broadcasts — cannot see a lost broadcast
+#: that only manifests above the 10 MB threshold (orders/events cross
+#: it at sf1; q5/q17's lineitem⋈orders legs genuinely flip BHJ→SMJ
+#: between the two SFs). The sf1 section pins the SAME universe as the
+#: sf0.01 one — every bench headliner plus EXTRA_PINNED_QUERIES (the
+#: r9 verdict asked for the 10 most shuffle-heavy; pinning all also
+#: freezes at-scale scan pruning/pushdown for the scan-bound
+#: headliners, at ~60s extra gate cost) — so both the regen tool and
+#: the test derive the name list from ``registry.headline_queries()``
+#: + ``EXTRA_PINNED_QUERIES`` directly. Inputs regenerate
+#: deterministically via ``python tools/gen_testdata.py --sf 1 --out
+#: testdata_local/sf1`` (hash-of-id data, fixed file counts — the test
+#: fixture rebuilds it when the per-round wipe removed it).
 
 #: basenames that are not stable across runs: uuid/hex fragments, tmp
 #: staging dirs, checkpoint/batch dirs with generated indices

@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 from big_data_project_spark import registry as reg
 from big_data_project_spark.plans.fingerprint import (
     EXTRA_PINNED_QUERIES,
-    SF1_PINNED_QUERIES,
     plan_fingerprint,
 )
 
@@ -82,15 +81,11 @@ def sf1_dir():
 
 def test_every_headliner_is_pinned():
     """Completeness: a new bench headliner (or EXTRA_PINNED_QUERIES
-    entry) must ship with a pinned digest (regen tool adds it) —
-    otherwise the gate silently thins. Same for the sf1 section: its
-    pin list and json section must stay in lockstep, and every sf1 pin
-    is also sf0.01-pinned (the sf1 set is the shuffle-heavy SUBSET)."""
-    assert set(PINNED["sf0.01"]) == set(reg.headline_queries()) | set(
-        EXTRA_PINNED_QUERIES
-    )
-    assert set(PINNED["sf1"]) == set(SF1_PINNED_QUERIES)
-    assert set(SF1_PINNED_QUERIES) <= set(PINNED["sf0.01"])
+    entry) must ship with a pinned digest AT BOTH SFs (regen tool adds
+    them) — otherwise the gate silently thins."""
+    want = set(reg.headline_queries()) | set(EXTRA_PINNED_QUERIES)
+    assert set(PINNED["sf0.01"]) == want
+    assert set(PINNED["sf1"]) == want
 
 
 def _check_fingerprint(spark, sf, name, sf_dir):

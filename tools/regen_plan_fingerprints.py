@@ -53,7 +53,6 @@ def main(only: list[str]) -> int:
     from big_data_project_spark import registry as reg
     from big_data_project_spark.plans.fingerprint import (
         EXTRA_PINNED_QUERIES,
-        SF1_PINNED_QUERIES,
         plan_fingerprint,
     )
     from big_data_project_spark.session import get_spark
@@ -75,10 +74,8 @@ def main(only: list[str]) -> int:
             current.update(loaded)
         else:  # legacy flat format (pre-r10): all pins were sf0.01
             current["sf0.01"] = loaded
-    pinned_names = {
-        "sf0.01": list(reg.headline_queries()) + list(EXTRA_PINNED_QUERIES),
-        "sf1": list(SF1_PINNED_QUERIES),
-    }
+    all_names = list(reg.headline_queries()) + list(EXTRA_PINNED_QUERIES)
+    pinned_names = {"sf0.01": all_names, "sf1": all_names}
     for sf, names in pinned_names.items():
         for name in names:
             if only and name not in only:
