@@ -880,21 +880,31 @@ def lsh_capped_load_audit(
         .agg(F.count("*").alias("c"))
     )
     cap = int(bucket_cap)
+    # coalesce(…, 0): the aggregates must stay non-null on an EMPTY
+    # corpus (first micro-batch of a new feed) — sum/max over zero rows
+    # are null otherwise
     return occ.agg(
         F.count("*").cast("long").alias("n_buckets"),
-        F.sum(F.when(F.col("c") > cap, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("c") > cap, 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("hot_buckets"),
-        F.max("c").cast("long").alias("max_occupancy"),
+        F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_occupancy"),
         # integer pair arithmetic (div, not /: Spark's / is double) —
         # exact in long for any occupancy a single bucket can hold
-        F.sum(F.expr("(CAST(c AS BIGINT) * (c - 1)) div 2"))
+        F.coalesce(
+            F.sum(F.expr("(CAST(c AS BIGINT) * (c - 1)) div 2")), F.lit(0)
+        )
         .cast("long")
         .alias("uncapped_pairs"),
-        F.sum(
-            F.when(F.col("c") > cap, F.col("c") - 1).otherwise(
-                F.expr("(CAST(c AS BIGINT) * (c - 1)) div 2")
-            )
+        F.coalesce(
+            F.sum(
+                F.when(F.col("c") > cap, F.col("c") - 1).otherwise(
+                    F.expr("(CAST(c AS BIGINT) * (c - 1)) div 2")
+                )
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("capped_pairs"),
@@ -1013,12 +1023,24 @@ def suggest_minhash_params(
     m = int(m or 0)
     if m < 2:
         r, b, k = choices[0]
-        return {
+        out = {
             "rows_per_band": r, "bands": b, "num_hashes": k,
             "fp_band_rates": {}, "est_cand_per_doc": 0.0,
             "est_cand_per_doc_unfiltered": 0.0, "within_budget": True,
             "sample_m": m, "collisions_total": 0, "n_docs": int(n_docs),
         }
+        if bucket_cap is not None:
+            # keep the bucket_cap contract on the degenerate corpus
+            # (callers like curate_corpus's drift guard read these
+            # keys unconditionally); a <2-doc corpus has no pairs
+            out.update({
+                "bucket_cap": int(bucket_cap),
+                "est_cand_per_doc_capped": 0.0,
+                "est_cand_per_doc_uncapped_exact": 0.0,
+                "audit_hot_buckets": 0, "audit_max_occupancy": 0,
+                "est_incidences_per_doc_sampled": 0.0,
+            })
+        return out
     pair_base = m * (m - 1) // 2  # even product → exact int
     scored = []
     rates = {}
@@ -1069,10 +1091,11 @@ def suggest_minhash_params(
             df, text, id_col, n, num_hashes=k, bands=b, seed=seed,
             hash_fn=hash_fn, bucket_cap=bucket_cap, shingles=shingles,
         ).collect()[0]
+        den_docs = float(max(int(n_docs), 1))
         out["bucket_cap"] = int(bucket_cap)
-        out["est_cand_per_doc_capped"] = arow["capped_pairs"] / float(n_docs)
+        out["est_cand_per_doc_capped"] = arow["capped_pairs"] / den_docs
         out["est_cand_per_doc_uncapped_exact"] = (
-            arow["uncapped_pairs"] / float(n_docs)
+            arow["uncapped_pairs"] / den_docs
         )
         out["audit_hot_buckets"] = int(arow["hot_buckets"])
         out["audit_max_occupancy"] = int(arow["max_occupancy"])

@@ -5554,11 +5554,12 @@ def dd_shard_by_entropy(spark, sf_dir):
     SELECT CAST(count(*) AS BIGINT) AS n_buckets,
            CAST(coalesce(sum(CASE WHEN c > 2 THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS hot_buckets,
-           CAST(max(c) AS BIGINT) AS max_occupancy,
-           CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS uncapped_pairs,
-           CAST(sum(CASE WHEN c > 2 THEN c - 1
-                         ELSE (c * (c - 1)) // 2 END) AS BIGINT)
-             AS capped_pairs
+           CAST(coalesce(max(c), 0) AS BIGINT) AS max_occupancy,
+           CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+             AS uncapped_pairs,
+           CAST(coalesce(sum(CASE WHEN c > 2 THEN c - 1
+                                  ELSE (c * (c - 1)) // 2 END), 0)
+                AS BIGINT) AS capped_pairs
     FROM occ
     """,
 )

@@ -649,6 +649,20 @@ def test_operators_tolerate_empty_corpus(spark):
     ]
     for df in outs:
         assert df.count() == 0
+    # round 10: shard assignment returns the (empty) frame + shard col;
+    # the capped-load audit returns its ONE summary row with zeroed
+    # (not null) aggregates; the suggester's bucket_cap contract holds
+    # on a <2-doc corpus (curate's drift guard reads the keys
+    # unconditionally)
+    assert dd.shard_by_entropy(empty).count() == 0
+    arow = dd.lsh_capped_load_audit(empty).collect()[0]
+    assert arow.asDict() == {
+        "n_buckets": 0, "hot_buckets": 0, "max_occupancy": 0,
+        "uncapped_pairs": 0, "capped_pairs": 0,
+    }
+    sug = dd.suggest_minhash_params(empty, bucket_cap=1024)
+    assert sug["est_cand_per_doc_capped"] == 0.0
+    assert sug["est_incidences_per_doc_sampled"] == 0.0
 
 
 def test_quality_rules_match_python_model(spark):
