@@ -449,9 +449,15 @@ def minhash_lsh_candidates(
         # the join is per-doc (one sig row each side, co-keyed) and
         # happens BEFORE the bands explode, so it costs one linear
         # shuffle, not bands× of one
+        # null shards default to "0" (shard_by_entropy's no-shingle
+        # bucket): concat_ws silently DROPS null args, which would give
+        # null-shard docs an unprefixed band key — an implicit extra
+        # shard whose members could never pair with their shard-0 twins
         shard_map = df.select(
             F.col(id_col).alias("doc_id"),
-            F.col(shard_col).cast("string").alias("_shard"),
+            F.coalesce(
+                F.col(shard_col).cast("string"), F.lit("0")
+            ).alias("_shard"),
         )
         sig_raw = sig_raw.join(shard_map, "doc_id")
     band_exprs = _band_exprs(num_hashes, bands)
@@ -892,7 +898,11 @@ def lsh_capped_load_audit(
         .alias("hot_buckets"),
         F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_occupancy"),
         # integer pair arithmetic (div, not /: Spark's / is double) —
-        # exact in long for any occupancy a single bucket can hold
+        # exact while per-bucket c*(c-1) fits a long, i.e. occupancy up
+        # to ~4.3e9 docs in ONE band bucket (and total pairs within
+        # BIGINT, ~9.2e18). Past that the UNGUARDED figure is
+        # meaningless anyway (no engine runs that join); the capped
+        # branch (c-1 per hot bucket) stays exact at any scale.
         F.coalesce(
             F.sum(F.expr("(CAST(c AS BIGINT) * (c - 1)) div 2")), F.lit(0)
         )
@@ -1188,6 +1198,10 @@ def shard_by_entropy(
     KB broadcast and the shard column rides the existing dedup scans."""
     if n_shards < 2:
         raise ValueError("n_shards must be >= 2 (1 shard = no sharding)")
+    # re-sharding an already-sharded frame replaces the column (the
+    # join below would otherwise raise an ambiguous-reference error)
+    if out_col in df.columns:
+        df = df.drop(out_col)
     sample = lineage_cut(
         df.select(F.col(id_col), F.col(text))
         .orderBy(F.expr(f"md5(CAST({id_col} AS STRING))"), F.col(id_col))

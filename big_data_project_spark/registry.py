@@ -5504,7 +5504,10 @@ def dd_lsh_autotune(spark, sf_dir):
              FROM dsh d LEFT JOIN hot h ON h.shingle = d.shingle
              GROUP BY d.doc_id)
     SELECT doc.doc_id,
-           CAST(coalesce(least(CAST(floor(m * 4) AS INT), 3), 0) AS INT)
+           -- coalesce INSIDE the arithmetic: DuckDB's least() ignores
+           -- NULL arguments, so least(NULL-mass-shard, 3) would be 3 —
+           -- a no-shingle doc must shard to 0, like the engine
+           CAST(least(CAST(floor(coalesce(m, 0) * 4) AS INT), 3) AS INT)
              AS entropy_shard
     FROM documents doc LEFT JOIN mass ON mass.doc_id = doc.doc_id
     """,

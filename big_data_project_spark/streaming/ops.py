@@ -300,9 +300,15 @@ def _warn_equal_ts_collisions(
     flagged: collapsing them loses nothing."""
     import warnings
 
+    # struct-wrapped distincts: count(DISTINCT a, b, ...) silently drops
+    # any row with a NULL column, so a (key, ts, NULL-attr) conflicting
+    # with (key, ts, 'A') would go uncounted — the struct itself is
+    # never null, and null FIELDS inside it compare like values
     row = batch_df.agg(
-        F.countDistinct(F.col(key), F.col(ts_col)).alias("kt"),
-        F.countDistinct(F.col(key), F.col(ts_col), *[F.col(a) for a in attrs]).alias("kta"),
+        F.countDistinct(F.struct(F.col(key), F.col(ts_col))).alias("kt"),
+        F.countDistinct(
+            F.struct(F.col(key), F.col(ts_col), *[F.col(a) for a in attrs])
+        ).alias("kta"),
     ).collect()[0]
     if row["kta"] > row["kt"]:
         warnings.warn(
@@ -430,7 +436,12 @@ def scd2_sink_incremental(
     newest instead), so only the rows the prior attempt did not publish
     land in a new dir (none, for a same-checkpoint retry; the genuinely
     new closures, for a fresh-checkpoint mixed batch — ADVICE r9)
-    before the open swap is retried. Closed rows also carry
+    before the open swap is retried. Repeated crash-retry cycles leave
+    a CHAIN of such fragments; the skip walks the trailing dirs
+    newest-first, subtracting every one contained in the remaining
+    delta, so the k-th retry publishes only what the first k−1 attempts
+    missed — each closed version lands in durable storage exactly once
+    no matter how many times the swap loses the race with the crash. Closed rows also carry
     a ``_scd2_epoch`` tag and :func:`scd2_history` runs a
     full-row-including-epoch dedup as the belt (pre-fix dirs; the
     compacted-away-mid-crash corner). The tag keeps the belt safe under
@@ -516,27 +527,37 @@ def scd2_sink_incremental(
                 for d in names
                 if (m := re.match(r"^batch-(\d{8})$", d))
             ]
-            if batch_ids:
+            # Walk the TRAILING dirs newest-first, not just the newest
+            # (ADVICE r9 follow-up): each repeated crash between a
+            # remainder publish and the open swap leaves one more
+            # durable FRAGMENT of this same logical apply (attempt 1
+            # published D, attempt 2 published E = delta − D, ...).
+            # Every trailing dir fully contained in the remaining delta
+            # is such a fragment — subtract it; the first dir holding
+            # any row NOT in the delta is pre-swap history (the reopen
+            # argument above) and ends the walk. Normal operation pays
+            # one containment probe (the newest dir is almost never
+            # contained); each crash retry adds one more bounded probe.
+            for bid in sorted(batch_ids, reverse=True):
                 prev = spark.read.parquet(
-                    posixpath.join(
-                        closed_root, f"batch-{max(batch_ids):08d}"
-                    )
+                    posixpath.join(closed_root, f"batch-{bid:08d}")
                 )
                 body = (
                     prev.drop("_scd2_epoch")
                     if "_scd2_epoch" in prev.columns
                     else prev
                 )
-                if body.exceptAll(closed_delta).isEmpty():
-                    # newest dir ⊆ delta: prior attempt's rows are
-                    # already durable — publish only what it missed
-                    closed_delta = closed_delta.exceptAll(body)
-                    if closed_delta.isEmpty():
-                        atomic_overwrite(
-                            hist.where(F.col("valid_to").isNull()),
-                            open_path,
-                        )
-                        return
+                if not body.exceptAll(closed_delta).isEmpty():
+                    break
+                # this dir's rows are already durable — publish only
+                # what the prior attempts missed
+                closed_delta = closed_delta.exceptAll(body)
+                if closed_delta.isEmpty():
+                    atomic_overwrite(
+                        hist.where(F.col("valid_to").isNull()),
+                        open_path,
+                    )
+                    return
             tmp = posixpath.join(
                 closed_root, f".batch-{nxt:08d}.{uuid.uuid4().hex}.tmp"
             )

@@ -1381,6 +1381,13 @@ def test_shard_by_entropy_assignment_properties(spark):
     d = {r.doc_id: r.entropy_shard for r in
          dedup.shard_by_entropy(dup, n_shards=4, sample_docs=100).collect()}
     assert d[0] == d[1] and d[2] == d[3]
+    # no-shingle docs (< 3 words) shard to 0 — the null-mass branch the
+    # dd_shard_by_entropy oracle must mirror (DuckDB least() ignores
+    # NULLs, so a naive coalesce-outside-least reads 3 there)
+    short = _docs_df(spark, [texts[0], "two words", ""])
+    s = {r.doc_id: r.entropy_shard for r in
+         dedup.shard_by_entropy(short, n_shards=4, sample_docs=10).collect()}
+    assert s[1] == 0 and s[2] == 0
 
 
 def test_sharded_candidates_equal_union_of_per_shard_runs(spark):

@@ -551,6 +551,73 @@ def test_publish_parquet_lost_race_sweeps_nested_copy(
     )
 
 
+def test_scd2_incremental_double_crash_chain_publishes_each_version_once(
+    spark, tmp_path
+):
+    """Code-review r10: the subset replay-skip must hold across a CHAIN
+    of crashes, not just one — attempt 1 publishes D (swap lost),
+    attempt 2 publishes the remainder E (swap lost AGAIN), attempt 3
+    must publish NOTHING (D and E are both durable) and only complete
+    the swap. A newest-dir-only check would re-publish D as a third dir
+    and epoch-aware dedup would keep the duplicate closed versions."""
+    import os
+
+    from big_data_project_spark.operators.maintenance import scd2_apply
+    from big_data_project_spark.plans.lineage import lineage_cut
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    b1 = _scd2_feed(spark, [(1, "A", "2024-01-01 00:00:00"),
+                            (2, "B", "2024-01-01 00:00:00")])
+    b2 = _scd2_feed(spark, [(1, "A2", "2024-01-02 00:00:00")])
+    b1.write.mode("overwrite").parquet(src)
+    q = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src),
+        tgt, str(tmp_path / "ck"), "cust", "u_ts", ["seg"],
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    post_b1_open = lineage_cut(
+        scd2_apply(_scd2_seed(b1), b1, "cust", "u_ts", ["seg"])
+    )
+    # crash 1: batch dir {1:A closed} durable, swap lost
+    post_b1_open.write.mode("overwrite").parquet(os.path.join(tgt, "open"))
+    # retry 1 (checkpoint reset, mixed batch: replays + closes key 2)
+    b3 = _scd2_feed(spark, [(2, "B2", "2024-01-03 00:00:00")])
+    b3.write.mode("append").parquet(src)
+    q2 = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src),
+        tgt, str(tmp_path / "ck2"), "cust", "u_ts", ["seg"],
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    # crash 2: the remainder dir {2:B closed} is durable too, but the
+    # swap is AGAIN lost
+    post_b1_open.write.mode("overwrite").parquet(os.path.join(tgt, "open"))
+    # retry 2 (another checkpoint reset): delta is still {1:A, 2:B} —
+    # BOTH fragments are durable, so nothing may publish
+    q3 = st.scd2_sink_incremental(
+        spark.readStream.schema(b1.schema).parquet(src),
+        tgt, str(tmp_path / "ck3"), "cust", "u_ts", ["seg"],
+    )
+    q3.processAllAvailable()
+    q3.stop()
+
+    hist = st.scd2_history(spark, tgt)
+    assert hist.count() == 4  # each version exactly once, no epoch dups
+    assert _hist_set(hist) == {
+        (1, "A", "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+        (1, "A2", "2024-01-02 00:00:00", "None"),
+        (2, "B", "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+        (2, "B2", "2024-01-03 00:00:00", "None"),
+    }
+    closed = os.path.join(tgt, "closed")
+    dirs = sorted(d for d in os.listdir(closed) if d.startswith("batch-"))
+    assert len(dirs) == 2  # D and E only — retry 2 published nothing
+
+
 def test_scd2_check_feed_warns_on_same_batch_equal_ts_flipflop(
     spark, tmp_path
 ):
@@ -566,9 +633,10 @@ def test_scd2_check_feed_warns_on_same_batch_equal_ts_flipflop(
 
     t1 = "2024-01-01 00:00:00"
     src = str(tmp_path / "src")
-    # batch 1: a genuine conflict (same key, same ts, different attrs)
+    # batch 1: a genuine conflict (same key, same ts, different attrs —
+    # one side NULL, the shape a bare multi-column countDistinct drops)
     # plus an exact duplicate of another key (must not add to the count)
-    b1 = _scd2_feed(spark, [(1, "A", t1), (1, "B", t1),
+    b1 = _scd2_feed(spark, [(1, None, t1), (1, "B", t1),
                             (2, "C", t1), (2, "C", t1)])
     b1.write.mode("overwrite").parquet(src)
     q = st.scd2_sink_incremental(
@@ -584,11 +652,11 @@ def test_scd2_check_feed_warns_on_same_batch_equal_ts_flipflop(
     assert len(hits) == 1
     assert "1 same-key same-timestamp" in str(hits[0].message)
     assert "arbitrary winner" in str(hits[0].message)
-    # one arbitrary winner per (key, ts): key 1 is A or B, key 2 is C
+    # one arbitrary winner per (key, ts): key 1 is NULL or B, key 2 is C
     hist = st.scd2_history(spark, str(tmp_path / "t"))
     open_rows = {r.cust: r.seg for r in hist.collect()}
     assert hist.count() == 2
-    assert open_rows[1] in {"A", "B"} and open_rows[2] == "C"
+    assert open_rows[1] in {None, "B"} and open_rows[2] == "C"
 
     # clean-feed leg: the full-rewrite sink with check_feed must stay
     # silent on a contract-honoring batch
