@@ -5534,6 +5534,97 @@ def dd_shard_by_entropy(spark, sf_dir):
 
 
 @register(
+    "dd_shard_near_dedup",
+    oracle=_MH_BASE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + f""",
+    samp AS (SELECT doc_id, text FROM documents
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             LIMIT 200),
+    ssh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM samp)),
+    hot AS (SELECT shingle FROM (
+              SELECT shingle, count(*) AS c FROM ssh GROUP BY shingle)
+            ORDER BY c DESC, shingle LIMIT 256),
+    mass AS (SELECT s.doc_id,
+                    CAST(coalesce(sum(CASE WHEN h.shingle IS NOT NULL
+                                           THEN 1 END), 0) AS BIGINT)
+                      / count(*) AS m
+             FROM sh s LEFT JOIN hot h ON h.shingle = s.shingle
+             GROUP BY s.doc_id),
+    shard AS (SELECT doc.doc_id,
+                     CAST(least(CAST(floor(coalesce(m, 0) * 4) AS INT), 3)
+                          AS INT) AS es
+              FROM documents doc LEFT JOIN mass ON mass.doc_id = doc.doc_id),
+    bands AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"h{b * _MH_RPB + r}" for r in range(_MH_RPB))
+        + ")) AS key FROM sigs"
+        for b in range(_MH_BANDS)
+    )}),
+    sbands AS (SELECT b.doc_id, b.band,
+                      concat_ws('|', CAST(s.es AS VARCHAR), b.key) AS key
+               FROM bands b JOIN shard s ON s.doc_id = b.doc_id),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sbands a JOIN sbands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS n_common
+               FROM cand c
+               JOIN sh a ON a.doc_id = c.id_a
+               JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+               GROUP BY c.id_a, c.id_b),
+    pairs AS (SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+                    >= 0.5),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+    lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u)
+    SELECT d.doc_id, d.source FROM documents d
+    LEFT JOIN lbl l ON l.doc_id = d.doc_id
+    WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id
+    """,
+)
+def dd_shard_near_dedup(spark, sf_dir):
+    """The ENTROPY-SHARDED near-dedup chain end to end under one value
+    hash (round 10, VERDICT r9 #5): shard_by_entropy assignment →
+    md5-affine MinHash-LSH blocking with SHARD-SCOPED band keys
+    (candidates form within a shard only) → exact Jaccard verify on the
+    blocked candidates → connected components → min-id representative.
+    The oracle mirrors every stage — the deterministic sample/hot-set/
+    mass/floor shard derivation, the ``shard|band_hash`` scoped key
+    concat, verify, and the recursive-CTE closure — so the sharded
+    lane's survivors are engine-exact, not just union-equivalence
+    pytest-pinned. Cross-shard near-dup pairs are unfindable by
+    construction (the documented recall trade; exact duplicates never
+    split)."""
+    d = _t(spark, sf_dir, "documents")
+    ds = dedup.shard_by_entropy(d, n_shards=4, sample_docs=200)
+    sh = dedup.doc_shingles(d, "text", "doc_id", 3).transform(lineage_cut)
+    cand = dedup.minhash_lsh_candidates(
+        ds,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        hash_fn="md5_affine",
+        include_est_jaccard=False,
+        shingles=sh,
+        shard_col="entropy_shard",
+    )
+    pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5, shingles=sh)
+    return dedup.drop_near_dups(d, pairs).select("doc_id", "source")
+
+
+@register(
     "dd_lsh_cap_audit",
     oracle=f"""
     WITH sh AS (

@@ -1031,16 +1031,18 @@ def _publish_parquet(df: DataFrame, final: str) -> None:
     (Hadoop FileSystem), so non-local out_dirs publish the same way
     (ADVICE r8).
 
-    Lost-race handling (ADVICE r9): on HDFS/object stores the loser's
-    rename onto an existing ``final`` raises and the except branch
-    cleans up — but local ``RawLocalFileSystem.rename`` falls back to
-    ``FileUtil.copy(deleteSource=true)`` when ``File.renameTo`` fails,
-    which COPIES the temp dir INTO the existing final (as
-    ``final/.<tmp-name>``) and returns true. The dot-prefixed nested
-    dir is invisible to parquet reads (content stays correct), but it
-    is garbage inside a published dir — so the loser re-checks ``final``
-    right before renaming (narrows the window to check→rename) and
-    sweeps any nested copy of its own temp dir afterwards."""
+    Lost-race handling (ADVICE r9): a rename onto an existing ``final``
+    does NOT reliably fail — local ``RawLocalFileSystem.rename`` falls
+    back to ``FileUtil.copy(deleteSource=true)`` when ``File.renameTo``
+    fails, and HDFS rename follows posix move-into-directory semantics;
+    either way the loser's temp dir lands INSIDE the existing final (as
+    ``final/.<tmp-name>``) with rename reporting success. The
+    dot-prefixed nested dir is invisible to parquet reads (content
+    stays correct), but it is garbage inside a published dir — so the
+    loser re-checks ``final`` right before renaming (narrows the window
+    to check→rename), sweeps any nested copy of its own temp dir
+    afterwards, and the IOError branch stays as the belt for
+    filesystems that do refuse the rename."""
     import uuid
 
     from big_data_project_spark.operators.maintenance import (
