@@ -43,9 +43,24 @@ def main() -> None:
     n1 = d.count()
     print(f"exact dedup          : {n1} kept ({n0 - n1} dropped)")
 
-    cand = dedup.minhash_lsh_candidates(d, n=3, hash_fn="md5_affine").select(
-        "id_a", "id_b"
+    # plan the banding BEFORE paying for it (round 10): the sampled
+    # profile picks rows-per-band from the corpus's measured entropy,
+    # and bucket_cap adds the exact guarded-load audit — the number the
+    # production (hot-bucket-capped) pipeline will actually pay
+    plan = dedup.suggest_minhash_params(
+        d, threshold=0.5, hash_fn="md5_affine", bucket_cap=1024
     )
+    print(
+        f"banding plan         : k={plan['num_hashes']} "
+        f"b={plan['bands']} (r={plan['rows_per_band']}), "
+        f"guarded cand/doc ~{plan['est_cand_per_doc_capped']:.2f} "
+        f"(within_budget={plan['within_budget']})"
+    )
+
+    cand = dedup.minhash_lsh_candidates(
+        d, n=3, num_hashes=plan["num_hashes"], bands=plan["bands"],
+        hash_fn="md5_affine",
+    ).select("id_a", "id_b")
     pairs = dedup.jaccard_verify(d, cand, n=3, min_jaccard=0.5)
     d = dedup.drop_near_dups(d, pairs)
     n2 = d.count()
