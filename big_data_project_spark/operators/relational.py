@@ -61,11 +61,17 @@ def dsum(expr: Column | str, scale: int = 2) -> Column:
     scale (2 for prices, 4 for price×discount products, …) is exact — the
     double is within ~1e-12·magnitude of the decimal grid point, so every
     engine rounds to the same decimal regardless of tie rules — and the
-    decimal sum is then exact and order-free. The final cast back to double
-    is a single correctly-rounded conversion on both engines as long as the
-    scaled integer fits in 2^53 (sum·10^scale < 9e15 — holds through sf≥1
-    for this schema). DuckDB mirror:
-    ``CAST(sum(CAST(x AS DECIMAL(30,s))) AS DOUBLE)``.
+    decimal sum is then exact and order-free. The final cast back to
+    double: Spark's BigDecimal→double is correctly rounded at ANY
+    magnitude, but DuckDB's direct ``CAST(DECIMAL AS DOUBLE)`` divides a
+    rounded hugeint→double by 10^scale — two roundings — and drifts 1 ulp
+    once ``sum·10^scale`` exceeds 2^53 (measured: the scale-6 q1 charge
+    sums at sf1, 2.8e10·1e6 — found by the round-10 sf1 spot-sweep).
+    DuckDB mirror: ``CAST(sum(CAST(x AS DECIMAL(30,s))) AS DOUBLE)``
+    while the scaled sum fits 2^53;
+    ``CAST(CAST(sum(...) AS VARCHAR) AS DOUBLE)`` past it (the VARCHAR
+    render is exact and strtod is correctly rounded — always safe, used
+    by the q1 oracle).
     """
     c = F.col(expr) if isinstance(expr, str) else expr
     return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")

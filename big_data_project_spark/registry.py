@@ -69,17 +69,25 @@ def _t(spark, sf_dir, name):
 
 @register(
     "q1_pricing_summary",
+    # Final decimal→double conversions route through VARCHAR (round 10,
+    # found by the sf1 oracle spot-sweep): DuckDB's direct
+    # CAST(DECIMAL AS DOUBLE) divides a double-rounded hugeint by
+    # 10^scale — TWO roundings — while Spark's BigDecimal→double is
+    # correctly rounded, so once the scaled sum exceeds 2^53 (the
+    # scale-6 charge sums do at sf1: 2.8e10·1e6) the engines drift by
+    # 1 ulp. CAST(d AS VARCHAR) is exact and strtod is correctly
+    # rounded, restoring bit-equality at any scale.
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)      AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)      AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE)
                                                                         AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
                                                                         AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*)      AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / count(*)      AS avg_disc,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) / count(*)      AS avg_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) / count(*)      AS avg_disc,
            count(*)                                                           AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -425,9 +433,13 @@ def w1_top_orders_per_customer(spark, sf_dir):
 
 @register(
     "w2_offsets",
+    # delta stays the RAW double difference (round 10, sf1 spot-sweep):
+    # the old round(δ, 2) hit .005-tie values at sf1 row volume
+    # (0.06% of rows) where the engines' tie rules differ — the
+    # subtraction itself is bit-identical on both engines
     oracle="""
     SELECT user_id, event_id, value,
-           round(value - lag(value) OVER w0, 2) AS delta,
+           value - lag(value) OVER w0           AS delta,
            lead(event_id) OVER w0               AS next_event,
            first_value(event_id) OVER wf        AS first_event,
            nth_value(event_id, 2) OVER wf       AS second_event
@@ -448,7 +460,7 @@ def w2_offsets(spark, sf_dir):
         "user_id",
         "event_id",
         "value",
-        F.round(F.col("value") - F.lag("value").over(base), 2).alias("delta"),
+        (F.col("value") - F.lag("value").over(base)).alias("delta"),
         F.lead("event_id").over(base).alias("next_event"),
         F.first("event_id").over(wf).alias("first_event"),
         F.nth_value("event_id", 2).over(wf).alias("second_event"),
