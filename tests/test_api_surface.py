@@ -288,7 +288,9 @@ def test_every_survey_family_has_a_window_entry():
                                   "st_sessionize", "st_dedup_events"},
         "udf-ladder": {"p6_row_udf", "u2_pandas_udf", "u3_weighted_avg_udaf"},
         # r9: dd_near_dedup_lsh_prefilter rotated IN (the sf25 ceiling
-        # closer gets driver-grade green, VERDICT r8 #2)
+        # closer, VERDICT r8 #2); r11: rotated back OUT for
+        # pl_curation_e2e (VERDICT r10 #3) — carried in-window by
+        # dd_near_dedup_lsh + the exact-survivor containment pytest
         "llm-dedup": {"dd_exact_groups", "dd_near_dedup_lsh",
                       "dd_near_dedup_lsh_prefilter"},
         # r10 (VERDICT r9 #2): the production-DEFAULT semantic path
@@ -318,6 +320,16 @@ def test_every_survey_family_has_a_window_entry():
         # the carriers stay in-window so the coverage argument holds.
         "record-id-carrier": {"pl_sec_real_data"},
         "prompt-assembly-carrier": {"r3_run_rag"},
+        # r11 (VERDICT r10 #3 + stretch #8): the four lanes that had
+        # never held a driver-window slot each get one — and this test
+        # pins that they KEEP one. pl_curation_e2e = mixture/budget/
+        # dedup end-to-end; gr_pagerank_weighted = graph flagship;
+        # ts_ohlc = time-series candle rollup; ev_funnel = ordered-step
+        # event funnel.
+        "curation-e2e": {"pl_curation_e2e"},
+        "graph": {"gr_pagerank_weighted"},
+        "time-series": {"ts_ohlc"},
+        "events": {"ev_funnel"},
     }
     out = {fam for fam, names in families.items() if not names & set(window)}
     assert out == set(), f"families with no driver-window entry: {out}"
@@ -338,17 +350,27 @@ def test_window_swaps_actually_straddle_the_boundary():
     """Each _WINDOW_SWAPS pair must trade an in-window row for a
     past-window row — otherwise registration drift (new entries inserted
     mid-file) silently no-ops the swap, which is exactly what happened to
-    the original s_roundtrip_text/e11 pair in round 5."""
+    the original s_roundtrip_text/e11 pair in round 5.
+
+    Round 11 is the first time a previously rotated-IN row rotates back
+    OUT (dd_near_dedup_lsh_prefilter etc.), so the check mirrors
+    ordered_names()'s SEQUENTIAL application: each swap must straddle the
+    boundary at the moment it is applied, and its in_name must be inside
+    the window immediately after — not necessarily in the FINAL window,
+    which later swaps may legitimately rotate it back out of."""
     from big_data_project_spark import registry as reg
 
-    raw = list(reg.REGISTRY)
+    names = list(reg.REGISTRY)
     for out_name, in_name in reg._WINDOW_SWAPS:
-        i, j = raw.index(out_name), raw.index(in_name)
+        i, j = names.index(out_name), names.index(in_name)
         assert (i < 50) != (j < 50), (
             f"window swap ({out_name}, {in_name}) does not straddle the "
-            f"50-slot boundary (positions {i}, {j}) — it is a no-op"
+            f"50-slot boundary (positions {i}, {j}) at the point it is "
+            f"applied — it is a no-op"
         )
-        assert in_name in list(reg.queries())[:50]
+        names[i], names[j] = names[j], names[i]
+        assert in_name in names[:50]
+    assert names[:50] == list(reg.queries())[:50]
 
 
 def test_rank_bounded_matches_window_rank(spark):

@@ -44,19 +44,21 @@ def test_bench_one_runs_a_single_query_in_a_fresh_jvm(tmp_path):
 
 
 def test_bench_default_json_contract():
-    rec = json.loads(_run_bench())
+    line = _run_bench()
+    # VERDICT r10 #1: the driver captures only a 2000-char stdout tail —
+    # BENCH_r10.json arrived "parsed": null when the final line outgrew
+    # it. The stdout line must stay inside the capture window FOREVER,
+    # regardless of headliner growth.
+    assert len(line) <= 2000, f"bench stdout line is {len(line)} chars"
+    rec = json.loads(line)
     assert rec["metric"] == "headline_queries_total"
     assert rec["unit"] == "sec"
     assert rec["sf"] == 0.001
-    assert rec["value"] > 0 and len(rec["queries"]) >= 26
-    # VERDICT r7 #2: every bench record carries its own load context and
-    # the per-query cost floor
+    assert rec["value"] > 0 and len(rec["queries"]) >= 1
+    assert rec.get("queries_omitted", 0) + len(rec["queries"]) >= 26
+    # VERDICT r7 #2: the compact line still carries the cost floor and
+    # its own host-noise context
     assert rec["value_min"] <= rec["value"]
-    assert set(rec["queries_min"]) == set(rec["queries"])
-    assert len(rec["loadavg"]["start"]) == 3 == len(rec["loadavg"]["end"])
-    # round-8 host-noise forensics: co-tenant steal share of the timed
-    # section and the page-cache state bracketing it (the host reclaims
-    # the guest cache; a cold-start reading must be attributable)
     assert "steal_share" in rec and "cached_gb" in rec
     if rec["steal_share"] is not None:
         assert 0.0 <= rec["steal_share"] <= 1.0
@@ -68,11 +70,19 @@ def test_bench_default_json_contract():
         assert rec["regime"] == (
             "cold-cache" if rec["cached_gb"]["start"] < 4.0 else "warm-cache"
         )
-    # history line appended (same JSON) — trim it so smoke runs don't
-    # accumulate in the canonical record
+    # the FULL record (every query, median + min, loadavg brackets) went
+    # to bench_history.jsonl under the id the line references — trim it
+    # after checking so smoke runs don't accumulate in the canonical
+    # record
     hist = os.path.join(REPO, "bench_history.jsonl")
     with open(hist) as fh:
         lines = fh.readlines()
-    assert json.loads(lines[-1])["sf"] == 0.001
+    full = json.loads(lines[-1])
+    assert full["id"] == rec["history_ref"]
+    assert full["sf"] == 0.001
+    assert len(full["queries"]) >= 26
+    assert set(full["queries_min"]) == set(full["queries"])
+    assert len(full["loadavg"]["start"]) == 3 == len(full["loadavg"]["end"])
+    assert full["value"] == rec["value"]
     with open(hist, "w") as fh:
         fh.writelines(lines[:-1])
