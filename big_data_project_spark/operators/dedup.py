@@ -1150,9 +1150,10 @@ def shard_by_entropy(
     id_col: str = "doc_id",
     n: int = 3,
     n_shards: int = 4,
-    sample_docs: int = 2000,
+    sample_docs: int | None = 2000,
     hot_shingles: int = 256,
     out_col: str = "entropy_shard",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each document an entropy shard (VERDICT r9 #5 — the drift
     guard's "shard the corpus by entropy before dedup" advice as code):
@@ -1210,27 +1211,46 @@ def shard_by_entropy(
     Distributed shape: one bounded sample pass, then one corpus shingle
     pass + broadcast semi-count + per-doc aggregate joined back on
     ``id_col`` — linear, no self-joins. At 100 TB the hot set is a few
-    KB broadcast and the shard column rides the existing dedup scans."""
+    KB broadcast and the shard column rides the existing dedup scans.
+
+    ``sample_docs=None`` (round 11) profiles the hot set from the FULL
+    corpus — no md5 global sort, one linear shingle count + top-k. Use
+    it when a SAMPLE cannot be trusted: the curate_corpus drift guard
+    fires precisely because the md5 sample missed a subpopulation, and
+    shard_by_entropy's default sample shares that exact md5 order, so a
+    sampled hot set would be blind to the same flood the sharding is
+    meant to contain. ``shingles`` shares a precomputed
+    :func:`doc_shingles` stream for the corpus mass pass (and, with
+    ``sample_docs=None``, the hot-set pass too — zero extra tokenizes
+    inside a block/verify pipeline)."""
     if n_shards < 2:
         raise ValueError("n_shards must be >= 2 (1 shard = no sharding)")
     # re-sharding an already-sharded frame replaces the column (the
     # join below would otherwise raise an ambiguous-reference error)
     if out_col in df.columns:
         df = df.drop(out_col)
-    sample = lineage_cut(
-        df.select(F.col(id_col), F.col(text))
-        .orderBy(F.expr(f"md5(CAST({id_col} AS STRING))"), F.col(id_col))
-        .limit(int(sample_docs))
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, text, id_col, n)
     )
+    if sample_docs is None:
+        hot_src = sh
+    else:
+        sample = lineage_cut(
+            df.select(F.col(id_col), F.col(text))
+            .orderBy(F.expr(f"md5(CAST({id_col} AS STRING))"), F.col(id_col))
+            .limit(int(sample_docs))
+        )
+        hot_src = doc_shingles(sample, text, id_col, n)
     hot = (
-        doc_shingles(sample, text, id_col, n)
+        hot_src
         .groupBy("shingle")
         .agg(F.count("*").alias("_cnt"))
         .orderBy(F.col("_cnt").desc(), F.col("shingle"))
         .limit(int(hot_shingles))
         .select("shingle")
     )
-    sh = doc_shingles(df, text, id_col, n)
     marked = sh.join(
         F.broadcast(hot.withColumn("_hot", F.lit(1))), "shingle", "left"
     )

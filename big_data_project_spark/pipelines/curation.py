@@ -43,6 +43,9 @@ def curate_corpus(
     lsh_hash_shingles: bool = False,
     lsh_params: str | tuple[int, int] | None = None,
     lsh_drift_factor: float = 8.0,
+    shard_by_entropy: bool | str = False,
+    entropy_shards: int = 4,
+    entropy_hot_shingles: int | None = None,
 ) -> DataFrame:
     """Run the whole curation line over a ``documents``-shaped frame
     (doc_id, source, text). Returns one row per surviving document with its
@@ -113,7 +116,40 @@ def curate_corpus(
     ``lsh_min_est_jaccard`` so the prediction is post-prefilter verify
     load) and uses its pick — the measured-entropy sizing from the sf25
     post-mortem, one eager profiling job before the dedup plan is
-    built."""
+    built.
+
+    ``shard_by_entropy`` (round 11, VERDICT r10 #7 — the drift guard's
+    own advice, wired): ``True`` entropy-shards the deduped corpus
+    (:func:`operators.dedup.shard_by_entropy`, sharing this pipeline's
+    tokenize pass) and scopes the LSH band keys per shard
+    (``minhash_lsh_candidates(shard_col=...)``) — candidates form
+    within shards only, at the documented recall trade (mixed corpora
+    only; a homogeneous corpus lands in one shard and nothing changes).
+    ``"auto"`` arms it on the PLAN-TIME blindness signal: sharding
+    engages only when the sampled profile under-predicts the exact
+    unguarded audit by more than ``lsh_drift_factor`` — the flood shape
+    sharding exists for. Because that firing means md5 samples are
+    blind to the flood, auto mode profiles the hot-shingle set from
+    the FULL corpus (``sample_docs=None`` — one linear count, no
+    sample to be blind). Requires ``pair_source="lsh"`` (exact mode has
+    no band keys to scope); ``"auto"`` additionally requires
+    ``lsh_params="auto"`` (the audit is its trigger signal).
+    ``entropy_shards`` / ``entropy_hot_shingles`` forward to
+    :func:`operators.dedup.shard_by_entropy` — size the hot set to
+    ~2x the suspect subpopulation's distinct shingles when known."""
+    if shard_by_entropy not in (False, True, "auto"):
+        raise ValueError("shard_by_entropy must be False, True or 'auto'")
+    if shard_by_entropy and pair_source != "lsh":
+        raise ValueError(
+            "shard_by_entropy requires pair_source='lsh' — exact mode "
+            "has no band keys to shard-scope"
+        )
+    if shard_by_entropy == "auto" and lsh_params != "auto":
+        raise ValueError(
+            "shard_by_entropy='auto' keys off the lsh_params='auto' "
+            "capped-load audit; pass lsh_params='auto' (or "
+            "shard_by_entropy=True to shard unconditionally)"
+        )
     d = dedup.drop_exact_dups(docs)
     if pair_source == "exact":
         pairs = dedup.jaccard_pairs(d, n=3, min_jaccard=0.5)
@@ -121,6 +157,7 @@ def curate_corpus(
         # one tokenize pass shared by block, verify AND (in auto mode)
         # the planner's capped-load audit (round 7 / round 10)
         sh = dedup.doc_shingles(d, "text", "doc_id", 3).transform(lineage_cut)
+        plan_blind = False
         if lsh_params == "auto":
             sug = dedup.suggest_minhash_params(
                 d, threshold=0.5, hash_fn=lsh_hash_fn,
@@ -144,9 +181,17 @@ def curate_corpus(
                 float(sug["est_incidences_per_doc_sampled"]), 1.0
             )
             exact_unf = float(sug["est_cand_per_doc_uncapped_exact"])
-            if exact_unf > sampled_unf * lsh_drift_factor:
+            plan_blind = exact_unf > sampled_unf * lsh_drift_factor
+            if plan_blind:
                 import warnings
 
+                auto_note = (
+                    " shard_by_entropy='auto' is armed: entropy-"
+                    "sharding ENGAGES for this run (full-corpus hot "
+                    "set)."
+                    if shard_by_entropy == "auto"
+                    else ""
+                )
                 warnings.warn(
                     "curate_corpus(lsh_params='auto'): exact unguarded "
                     f"candidates/doc = {exact_unf:.1f} (capped-load "
@@ -159,18 +204,37 @@ def curate_corpus(
                     "documented recall trade: consider "
                     "lsh_min_est_jaccard~=(threshold-0.2), a larger "
                     "profiling sample, or entropy-sharding the corpus "
-                    "before dedup (dedup.shard_by_entropy + "
-                    "minhash_lsh_candidates(shard_col=...)).",
+                    "before dedup (shard_by_entropy=True|'auto' here, "
+                    "or dedup.shard_by_entropy + "
+                    "minhash_lsh_candidates(shard_col=...))."
+                    + auto_note,
                     stacklevel=2,
                 )
         elif lsh_params is not None:
             lsh_k, lsh_bands = lsh_params
         else:
             lsh_k, lsh_bands = 64, 16
+        # entropy sharding (VERDICT r10 #7): True = always; "auto" =
+        # only when the plan-time blindness signal fired. The shard
+        # assignment shares this pipeline's tokenize stream; in auto
+        # mode the hot set is profiled from the FULL corpus
+        # (sample_docs=None) because the trigger itself proved md5
+        # samples blind to the flood the sharding must contain.
+        do_shard = shard_by_entropy is True or (
+            shard_by_entropy == "auto" and plan_blind
+        )
+        if do_shard:
+            shard_kw: dict = {"n_shards": entropy_shards, "shingles": sh}
+            if entropy_hot_shingles is not None:
+                shard_kw["hot_shingles"] = entropy_hot_shingles
+            if shard_by_entropy == "auto":
+                shard_kw["sample_docs"] = None
+            d = dedup.shard_by_entropy(d, **shard_kw)
         cand = dedup.minhash_lsh_candidates(
             d, n=3, num_hashes=lsh_k, bands=lsh_bands, hash_fn=lsh_hash_fn,
             include_est_jaccard=False,
             shingles=sh, min_est_jaccard=lsh_min_est_jaccard,
+            shard_col="entropy_shard" if do_shard else None,
         )
         if lsh_params == "auto":
             # drift guard (r9, VERDICT r8 #6): the profile predicted
@@ -211,6 +275,10 @@ def curate_corpus(
     else:
         raise ValueError("pair_source must be 'exact' or 'lsh'")
     d = dedup.drop_near_dups(d, pairs)
+    # the entropy-shard column is block-stage plumbing, not output
+    # schema (and "shard" in the RESULT is the packing shard) — drop is
+    # a no-op when sharding didn't run
+    d = d.drop("entropy_shard")
     if eval_df is not None:
         d = dedup.decontaminate(d, eval_df, n=8)
     # full Gopher/C4 rule set (word count, mean word length, dup-trigram

@@ -613,6 +613,105 @@ def test_curate_corpus_auto_drift_guard(spark):
     assert not [x for x in rec if "candidates/doc" in str(x.message)]
 
 
+def test_curate_corpus_shard_by_entropy_wiring(spark):
+    """VERDICT r10 #7: the drift guard's 'shard the corpus' advice is
+    now a curate_corpus flag. On a mixed corpus (template flood + unique
+    bulk, the shape sharding exists for) the sharded pipeline must keep
+    the SAME survivors as unsharded lsh mode — same-template near-dups
+    co-shard (near-identical hot-mass), so sharding only removes
+    cross-population candidates that exact-verify rejects anyway — with
+    the output schema unchanged (no entropy_shard leak; 'shard' in the
+    result stays the PACKING shard). Invalid combinations raise."""
+    import pytest as _pytest
+
+    from big_data_project_spark.pipelines.curation import curate_corpus
+
+    template = " ".join(f"t{j % 5}" for j in range(30))
+    texts = [template + f" v{i}" for i in range(40)]
+    texts += [" ".join(f"u{i}x{j}" for j in range(30)) for i in range(25)]
+    docs = spark.createDataFrame(
+        [(i, "web", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    plain = curate_corpus(docs, pair_source="lsh")
+    sharded = curate_corpus(
+        docs, pair_source="lsh", shard_by_entropy=True, entropy_shards=4,
+    )
+    assert sharded.columns == plain.columns
+    assert "entropy_shard" not in sharded.columns
+    a = {r.doc_id: (r.split, r.shard, r.n_tokens) for r in plain.collect()}
+    b = {r.doc_id: (r.split, r.shard, r.n_tokens) for r in sharded.collect()}
+    assert a == b
+
+    with _pytest.raises(ValueError, match="pair_source='lsh'"):
+        curate_corpus(docs, pair_source="exact", shard_by_entropy=True)
+    with _pytest.raises(ValueError, match="lsh_params='auto'"):
+        curate_corpus(docs, pair_source="lsh", shard_by_entropy="auto")
+    with _pytest.raises(ValueError, match="False, True or 'auto'"):
+        curate_corpus(docs, pair_source="lsh", shard_by_entropy="yes")
+
+
+def test_curate_corpus_auto_shard_engages_on_blind_corpus(spark):
+    """shard_by_entropy='auto' arms on the PLAN-TIME blindness signal:
+    on the planted out-of-sample flood corpus (the drift-guard test's
+    shape) the warning must say sharding ENGAGED, and the output must
+    equal the unsharded run's (the flood is one template family —
+    near-identical hot-mass co-shards it; auto mode profiles the hot
+    set from the FULL corpus precisely because md5 samples are blind
+    here). On a clean corpus auto must NOT shard (and not warn)."""
+    import hashlib
+    import warnings as w
+
+    import pytest as _pytest
+
+    from big_data_project_spark.pipelines.curation import curate_corpus
+
+    n, n_flood = 2500, 400
+    by_md5 = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    template = " ".join(f"w{j}" for j in range(30))
+    flood = set(by_md5[-n_flood:])
+    rows = [
+        (
+            i,
+            "web",
+            template + f" uniq{i}"
+            if i in flood
+            else " ".join(f"u{i}x{j}" for j in range(30)),
+        )
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    with _pytest.warns(UserWarning, match="entropy-sharding ENGAGES"):
+        auto = curate_corpus(
+            docs, pair_source="lsh", lsh_params="auto",
+            shard_by_entropy="auto",
+        )
+    with _pytest.warns(UserWarning, match="candidates/doc"):
+        plain = curate_corpus(docs, pair_source="lsh", lsh_params="auto")
+    a = {r.doc_id: (r.split, r.shard, r.n_tokens) for r in plain.collect()}
+    b = {r.doc_id: (r.split, r.shard, r.n_tokens) for r in auto.collect()}
+    assert a == b
+
+    # clean corpus: no blindness signal -> no shard, no warning
+    clean = spark.createDataFrame(
+        [(i, "web", " ".join(f"c{i}x{j}" for j in range(30)))
+         for i in range(300)],
+        "doc_id long, source string, text string",
+    )
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        curate_corpus(
+            clean, pair_source="lsh", lsh_params="auto",
+            shard_by_entropy="auto",
+        )
+    assert not [x for x in rec if "candidates/doc" in str(x.message)]
+
+
 def test_operators_tolerate_empty_corpus(spark):
     """Every curation/dedup operator must run (and return zero rows, not
     throw) on an empty documents-shaped frame — the first micro-batch of a
