@@ -67,11 +67,14 @@ def dsum(expr: Column | str, scale: int = 2) -> Column:
     rounded hugeint→double by 10^scale — two roundings — and drifts 1 ulp
     once ``sum·10^scale`` exceeds 2^53 (measured: the scale-6 q1 charge
     sums at sf1, 2.8e10·1e6 — found by the round-10 sf1 spot-sweep).
-    DuckDB mirror: ``CAST(sum(CAST(x AS DECIMAL(30,s))) AS DOUBLE)``
-    while the scaled sum fits 2^53;
-    ``CAST(CAST(sum(...) AS VARCHAR) AS DOUBLE)`` past it (the VARCHAR
-    render is exact and strtod is correctly rounded — always safe, used
-    by the q1 oracle).
+    DuckDB mirror: ``CAST(CAST(sum(CAST(x AS DECIMAL(30,s))) AS
+    VARCHAR) AS DOUBLE)`` — the VARCHAR render is exact and strtod is
+    correctly rounded, so the route is safe at ANY magnitude. Since
+    round 11 (VERDICT r10 #4) EVERY decimal-sum oracle in the registry
+    uses it (the direct ``CAST(DECIMAL AS DOUBLE)`` form was only safe
+    while the scaled sum fit 2^53 — q1's scale-6 sums crossed that at
+    sf1 already, and the remaining scale-4 oracles would have crossed
+    past ~sf10; pre-empted rather than rediscovered as sweep failures).
     """
     c = F.col(expr) if isinstance(expr, str) else expr
     return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")

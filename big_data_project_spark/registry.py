@@ -12,6 +12,8 @@ BOTH sides so cross-engine summation-order noise cannot flip the hash.
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -49,11 +51,71 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+_DSUM_CLOSE_RE = re.compile(
+    r"^\s*sum\s*\(\s*CAST\s*\(.*AS\s+DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)\s*\)"
+    r"\s*\)(\s+OVER\s*\(.*\))?\s+AS\s+DOUBLE\s*$",
+    re.S | re.I,
+)
+
+
+def _apply_dsum_varchar_rule(sql: str | None) -> str | None:
+    """Route every decimal-sum's final DOUBLE conversion through VARCHAR
+    in the DuckDB oracle (VERDICT r10 #4, rule documented at
+    :func:`operators.relational.dsum`): DuckDB's direct ``CAST(DECIMAL
+    AS DOUBLE)`` double-rounds (hugeint→double, then ÷10^scale) and
+    drifts 1 ulp from Spark's correctly-rounded BigDecimal→double once
+    the scaled sum exceeds 2^53 — q1's scale-6 sums crossed that at sf1
+    (caught by the r10 spot-sweep); the remaining scale-4 oracles would
+    have crossed past ~sf10. ``CAST(d AS VARCHAR)`` renders the decimal
+    exactly and strtod is correctly rounded, so the route is safe at ANY
+    magnitude — which is why the rule is applied MECHANICALLY here, at
+    registration, to every oracle: rewriting ``CAST(sum(CAST(x AS
+    DECIMAL(p,s))) [OVER (…)] AS DOUBLE)`` (the dsum/davg mirror shape,
+    balanced-paren matched) into ``CAST(CAST(…) AS VARCHAR) AS
+    DOUBLE)``. Spark-side SQL templates shared with oracles keep the
+    direct form — Spark's conversion is already correct, and wrapping
+    there would change the pinned physical plans for nothing. Oracles
+    written in either form are therefore equivalent, and a future
+    big-SF sweep cannot rediscover the 2^53 hazard as a failure."""
+    if sql is None or "DECIMAL" not in sql.upper():
+        return sql
+    out: list[str] = []
+    i = 0
+    while True:
+        j = sql.find("CAST(", i)
+        if j == -1:
+            out.append(sql[i:])
+            return "".join(out)
+        depth, close = 0, -1
+        for k in range(j + 4, len(sql)):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = k
+                    break
+        if close == -1:  # unbalanced tail: leave untouched
+            out.append(sql[i:])
+            return "".join(out)
+        inside = sql[j + 5:close]
+        if _DSUM_CLOSE_RE.match(inside):
+            body = re.sub(r"\s+AS\s+DOUBLE\s*$", "", inside, flags=re.S | re.I)
+            out.append(sql[i:j])
+            out.append(f"CAST(CAST({body} AS VARCHAR) AS DOUBLE)")
+            i = close + 1
+        else:
+            out.append(sql[i:j + 5])
+            i = j + 5
+
+
 def register(
     name: str, oracle: str | None = None, headline: bool = False, note: str = ""
 ):
     def deco(fn):
-        REGISTRY[name] = Query(name, fn, oracle, headline, note)
+        REGISTRY[name] = Query(
+            name, fn, _apply_dsum_varchar_rule(oracle), headline, note
+        )
         return fn
 
     return deco

@@ -335,6 +335,59 @@ def test_every_survey_family_has_a_window_entry():
     assert out == set(), f"families with no driver-window entry: {out}"
 
 
+def test_dsum_varchar_rule_applied_to_every_oracle():
+    """VERDICT r10 #4: DuckDB's direct CAST(DECIMAL AS DOUBLE) drifts
+    1 ulp from Spark once the scaled sum exceeds 2^53 (q1 crossed it at
+    sf1; the scale-4 oracles would cross past ~sf10). The VARCHAR route
+    is safe at any magnitude and is applied MECHANICALLY at
+    registration — so re-applying the rule to every registered oracle
+    must be a FIXPOINT (nothing left to wrap), Spark-side shared SQL
+    templates must keep the direct form (their pinned plans prove it),
+    and the transformer must handle the real shapes."""
+    from big_data_project_spark import registry as reg
+
+    wrapped = 0
+    for name, q in reg.REGISTRY.items():
+        if q.oracle is None:
+            continue
+        assert reg._apply_dsum_varchar_rule(q.oracle) == q.oracle, (
+            f"{name}: oracle still contains an unwrapped decimal-sum "
+            "DOUBLE conversion"
+        )
+        wrapped += q.oracle.count("AS VARCHAR) AS DOUBLE")
+    assert wrapped >= 50  # the rule genuinely fires across the registry
+    # Spark-side shared templates stay direct (wrapping them would
+    # change the pinned q3/q5/q10/q17/q18 physical plans for nothing)
+    for tmpl in (reg._Q3_SQL, reg._Q5_SQL, reg._Q10_SQL, reg._Q17_SQL,
+                 reg._Q18_SQL):
+        assert "AS VARCHAR) AS DOUBLE" not in tmpl
+
+    f = reg._apply_dsum_varchar_rule
+    # plain dsum mirror
+    assert f("CAST(sum(CAST(x AS DECIMAL(30,2))) AS DOUBLE) AS a") == (
+        "CAST(CAST(sum(CAST(x AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)"
+        " AS a"
+    )
+    # nested parens + CASE WHEN + windowed OVER
+    assert f(
+        "CAST(sum(CAST(CASE WHEN t = 'O' THEN q END AS DECIMAL(30,4)))"
+        " OVER (PARTITION BY k) AS DOUBLE)"
+    ) == (
+        "CAST(CAST(sum(CAST(CASE WHEN t = 'O' THEN q END AS "
+        "DECIMAL(30,4))) OVER (PARTITION BY k) AS VARCHAR) AS DOUBLE)"
+    )
+    # idempotent; leaves non-decimal sums, HAVING decimal compares and
+    # integer sums alone
+    for s in (
+        "CAST(CAST(sum(CAST(x AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)",
+        "CAST(sum(x) AS DOUBLE)",
+        "HAVING sum(CAST(q AS DECIMAL(30,2))) > 300",
+        "CAST(sum(CAST(v AS BIGINT)) AS BIGINT)",
+        None,
+    ):
+        assert f(s) == s
+
+
 def test_row_udf_proof_stays_registered_with_oracle():
     """VERDICT r6 #8: p6_row_udf is the registry's only row-Python-UDF
     (U1) proof and lives PAST the driver window since the round-6 swap.
