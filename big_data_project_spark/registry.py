@@ -5727,6 +5727,151 @@ def dd_shard_near_dedup(spark, sf_dir):
 
 
 @register(
+    "cu_sharded_curation",
+    oracle=f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\\s+') AS w,
+             md5(regexp_replace(regexp_replace(lower(text), '<[^>]*>', '', 'g'),
+                 '[^a-zA-Z0-9\\s]', '', 'g')) AS fp
+      FROM documents),
+    d1 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM base)
+      WHERE rn = 1),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM d1),
+    samp AS (SELECT doc_id, text FROM d1
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             LIMIT 2000),
+    ssh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM samp)),
+    hot AS (SELECT shingle FROM (
+              SELECT shingle, count(*) AS c FROM ssh GROUP BY shingle)
+            ORDER BY c DESC, shingle LIMIT 256),
+    mass AS (SELECT s.doc_id,
+                    CAST(coalesce(sum(CASE WHEN h.shingle IS NOT NULL
+                                           THEN 1 END), 0) AS BIGINT)
+                      / count(*) AS m
+             FROM sh s LEFT JOIN hot h ON h.shingle = s.shingle
+             GROUP BY s.doc_id),
+    shard AS (SELECT d1.doc_id,
+                     CAST(least(CAST(floor(coalesce(m, 0) * 4) AS INT), 3)
+                          AS INT) AS es
+              FROM d1 LEFT JOIN mass ON mass.doc_id = d1.doc_id),
+    hxt AS (SELECT doc_id,
+                   ({_HEX_SEG.format(a=1, b=16).replace("hx", "md5(shingle)")})
+                     % {dedup._MINHASH_P} AS hx
+            FROM sh),
+    sigs AS (SELECT doc_id, {_MH_MINS} FROM hxt GROUP BY doc_id),
+    bands AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"h{b * _MH_RPB + r}" for r in range(_MH_RPB))
+        + ")) AS key FROM sigs"
+        for b in range(_MH_BANDS)
+    )}),
+    sbands AS (SELECT b.doc_id, b.band,
+                      concat_ws('|', CAST(s.es AS VARCHAR), b.key) AS key
+               FROM bands b JOIN shard s ON s.doc_id = b.doc_id),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sbands a JOIN sbands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS n_common
+               FROM cand c
+               JOIN sh a ON a.doc_id = c.id_a
+               JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+               GROUP BY c.id_a, c.id_b),
+    pairs AS (SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+                    >= 0.5),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+    lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u),
+    d2 AS (
+      SELECT d1.* FROM d1 LEFT JOIN lbl ON lbl.doc_id = d1.doc_id
+      WHERE coalesce(lbl.cluster_id, d1.doc_id) = d1.doc_id),
+    d4 AS (
+      SELECT * FROM d2
+      WHERE len(w) >= 20 AND len(w) <= 100000
+        AND 10 * CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+              >= 30 * len(w)
+        AND 10 * CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+              <= 100 * len(w)
+        AND 1000 * (CASE WHEN len(w) >= 3
+                         THEN (len(w) - 2) - len(list_distinct(
+                                list_transform(range(1, len(w) - 1),
+                                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))
+                         ELSE 0 END)
+              <= 50 * (CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END)
+        AND len(regexp_extract_all(text, '\\b(the|a|of|and|is)\\b')) >= 2
+        AND 1000 * len(list_filter(w, x -> regexp_full_match(x, '[A-Za-z]+')))
+              >= 700 * len(w)
+        AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3),
+    d6 AS (
+      SELECT doc_id, source,
+             CASE WHEN {_cu_bucket(8)} < 100 THEN 'test'
+                  WHEN {_cu_bucket(8)} < 200 THEN 'val'
+                  ELSE 'train' END AS split,
+             ({_cu_bucket(0)}) % 8 AS shard,
+             CAST(len(w) AS BIGINT) AS n_tokens
+      FROM d4),
+    c AS (
+      SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d6)
+    SELECT doc_id, source, split, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def cu_sharded_curation(spark, sf_dir):
+    """The round-11 sharded-curation flag under one value hash: the
+    curation line with ``pair_source="lsh"`` AND
+    ``shard_by_entropy=True`` — exact dedup → entropy-shard assignment
+    (deterministic md5 sample → hot-shingle mass → floor bucketing,
+    sharing the pipeline's single tokenize pass) → md5-affine
+    MinHash-LSH blocking with SHARD-SCOPED band keys → exact Jaccard
+    verify → component drop → quality gate → split → packing. The
+    oracle mirrors every stage (the ``shard|band_hash`` scoped concat
+    included), so ``curate_corpus(shard_by_entropy=True)`` is
+    engine-exact end to end, not just pytest union-equivalent —
+    the driver-visible proof that the drift guard's "shard the corpus"
+    advice composes with the full pipeline. Mixture off; split/pack
+    seeds match pl_curation_e2e so the tails share one mirror."""
+    from big_data_project_spark.pipelines.curation import curate_corpus
+
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_words=20,
+        min_diversity=0.3,
+        mixture=None,
+        seed=7,
+        pair_source="lsh",
+        lsh_hash_fn="md5_affine",
+        lsh_params=(_MH_K, _MH_BANDS),
+        shard_by_entropy=True,
+        entropy_shards=4,
+    )
+
+
+@register(
     "dd_lsh_cap_audit",
     oracle=f"""
     WITH sh AS (

@@ -38,13 +38,20 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("driver-check")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # big-SF sweeps (sf1+: 6M-row lineitem, 50k-doc LSH chains) need
+    # more than the 1g local default; the driver contract itself stays
+    # vanilla — this only applies when the env knob is explicitly set
+    if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"]
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     # smoke: entry()

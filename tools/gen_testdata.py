@@ -36,8 +36,15 @@ from pyspark.sql import functions as F
 WORDS = (
     "batch part spark line column order small sort fast value scan hash slow "
     "group agg filter query big key window row table stream merge data vector "
-    "join plan shuffle disk"
-).split()  # 30 words, the sf0.1 documents vocabulary shape
+    "join a customer the"
+).split()  # 30 words — the driver corpus's EXACT en vocabulary (round 11
+# fidelity fix: the old list had disk/plan/shuffle where the driver has
+# a/customer/the, so generated corpora carried ZERO stopwords and the
+# Gopher stopword-floor quality rule rejected every doc — pl_curation_e2e
+# read 0 rows at sf1 and the whole quality-gated lane was untestable at
+# locally generated SFs; 'dup' — the 31st driver token — appears only in
+# the driver's planted-duplicate docs, which this generator plants by
+# exact repetition instead)
 
 LANGS = [("en", 70), ("fr", 10), ("de", 8), ("zh", 7), ("es", 5)]
 
@@ -304,17 +311,32 @@ def gen(
     ).withColumn("n_chars", F.length("text").cast("long"))
     write(docs, "documents")
 
-    # --- embeddings: 64-dim, 10 planted Gaussian-ish clusters -------------
-    # center[label][i] in [-2, 2]; point = center + noise*0.25 — REAL
-    # cluster geometry, so IVF/LSH recall tests exercise pruning honestly.
+    # --- embeddings: 64-dim, driver-faithful geometry ---------------------
+    # Round-11 fidelity fix: the driver's embeddings are UNIT-NORM with
+    # essentially no label-geometry correlation (measured at sf0.01:
+    # norm-mean 1.0, within-label cos 0.002 ≈ cross-label 0.000). The old
+    # generator planted 10 tight clusters (norm ~9.3, within-cos 0.985),
+    # which made every semantic-dedup entry collapse to 0 rows at
+    # generated SFs (all 300 delta vectors within cos 0.4 of the
+    # snapshot vs the driver's 80) — trivially-green oracle rows.
+    # Cluster-recall tests plant their own geometry in-test; the shared
+    # corpora should match the driver shape. Hash-uniform components on
+    # [-1, 1] normalized to the unit sphere: deterministic, label-
+    # independent, near-orthogonal pairs in 64-dim (cos std ~1/8).
     label = (_h(F.col("id"), F.lit("vl")) % 10).cast("int")
     dims = F.sequence(F.lit(1), F.lit(64))
-    emb = F.transform(
+    raw = F.transform(
         dims,
         lambda i: (
-            ((_h(F.col("label"), i, F.lit("vc")) % 400).cast("double") / 100 - 2.0)
-            + ((_h(F.col("id"), i, F.lit("vn")) % 100).cast("double") / 200 - 0.25)
-        ).cast("float"),
+            (_h(F.col("id"), i, F.lit("vn")) % 20001).cast("double") / 10000.0
+            - 1.0
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    emb = F.transform(
+        raw, lambda x: (x / F.greatest(norm, F.lit(1e-12))).cast("float")
     )
     vecs = (
         spark.range(0, n_vecs, 1, par)
