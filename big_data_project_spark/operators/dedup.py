@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from big_data_project_spark.plans.lineage import lineage_cut
+from big_data_project_spark.plans.parallelism import spread_input
 
 from big_data_project_spark.operators.cleaning import normalize_text_col
 from big_data_project_spark.operators.text import words_col
@@ -102,8 +103,13 @@ def shingles_col(words: Column, n: int = 3) -> Column:
 
 def doc_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exploded (id, shingle) pairs — the input of both exact Jaccard and
-    MinHash."""
-    bound = df.select(F.col(id_col).alias("doc_id"), words_col(text).alias("_w"))
+    MinHash. The corpus is spread to the session's parallelism floor
+    BEFORE tokenize/explode (r11, guide §2.5): a single-row-group file
+    otherwise runs the whole shingle+hash map stage on one task; at
+    scale, where the scan already splits, the spread is a no-op."""
+    bound = spread_input(df, id_col).select(
+        F.col(id_col).alias("doc_id"), words_col(text).alias("_w")
+    )
     return bound.select(
         "doc_id", F.explode(shingles_col(F.col("_w"), n)).alias("shingle")
     )
@@ -1459,6 +1465,12 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+#: session conf: edge-count threshold below which connected_components
+#: solves the duplicate-pair graph with a DRIVER-side union-find instead
+#: of the iterative distributed fixpoint. "0" disables the fast path.
+CC_LOCAL_THRESHOLD_KEY = "spark.bdps.ccLocalThreshold"
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -1489,6 +1501,60 @@ def connected_components(
     e = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).where(F.col("u") != F.col("v"))
+    # Bounded-graph fast path (optimization r11): real dup-pair graphs
+    # are tiny relative to the corpus (pairs survive banding + exact
+    # verify), yet the iterative fixpoint below costs ~8 fixed jobs
+    # (two eager cuts + a count per round) — measured 1.1 s of pure
+    # scheduling for a 253-edge graph. When the edge list fits under the
+    # conf cap, collect it (ONE incremental-limit job; the cap bounds
+    # driver memory to thr edges — the same bounded-collect contract as
+    # the BPE top-1 / MMR ≤k sites) and run union-find on the driver;
+    # the result is the identical (node, min-id cluster) labeling. A
+    # graph past the cap falls through to the distributed fixpoint, so
+    # at 100 TB nothing ever collects unboundedly. The probe costs the
+    # big case one extra partial pass of the pair source; the small case
+    # — the overwhelmingly common one — replaces the whole iteration.
+    thr = int(
+        pairs.sparkSession.conf.get(CC_LOCAL_THRESHOLD_KEY, "100000")
+    )
+    if thr > 0:
+        head = e.limit(thr + 1).collect()
+        if len(head) <= thr:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                u, v = row[0], row[1]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[ru] = rv
+            comp_min: dict = {}
+            for n in parent:
+                r = find(n)
+                m = comp_min.get(r)
+                if m is None or n < m:
+                    comp_min[r] = n
+            from pyspark.sql import types as _T
+
+            utype = e.schema[0].dataType
+            schema = _T.StructType(
+                [
+                    _T.StructField("node", utype),
+                    _T.StructField("cluster_id", utype),
+                ]
+            )
+            return pairs.sparkSession.createDataFrame(
+                [(n, comp_min[find(n)]) for n in parent], schema
+            )
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -1519,17 +1585,38 @@ def connected_components(
                 F.least("new_lbl", F.coalesce("p_lbl", "new_lbl")).alias("new_lbl"),
             )
         )
-        # LAZY cut: the changed-count below is the materializing action,
-        # so each round runs ONE job (an eager cut + count ran two)
-        nxt = labels.join(jumped, "node").select(
+        # STATS FIREWALL per round (optimization r11, found via guide
+        # §7.3 driver thread dump): Spark 4's localCheckpoint REWRITES
+        # the new LogicalRDD's statistics from the ORIGIN plan
+        # (LogicalRDD.rewriteStatsAndConstraints), and this round's plan
+        # references the previous round's label table ~5× in
+        # multiplicative (join sizeInBytes = product) positions — so the
+        # carried sizeInBytes estimate grows as a ~7-fold DIGIT
+        # multiplication per round. By round ~9 the estimate is a
+        # BigInteger with tens of millions of digits and the driver spends
+        # minutes per Toom-Cook multiply inside stats estimation: the
+        # fixpoint hangs in PLANNING, not execution. The firewall:
+        # persist the round, let the changed-count materialize the cache,
+        # THEN cut lineage — the checkpoint's origin plan is now the
+        # materialized InMemoryRelation, whose computeStats is the ACTUAL
+        # cached byte size, so every round restarts from honest O(data)
+        # stats. Costs one extra cheap job per round (checkpoint reads
+        # the cache); the driver fast path above already absorbs small
+        # graphs, so this path only ever runs where the join work
+        # dominates that overhead.
+        cached = labels.join(jumped, "node").select(
             "node", "lbl", "new_lbl"
-        ).transform(lineage_cut)
-        changed = nxt.where(F.col("new_lbl") != F.col("lbl")).count()
-        # narrow projection over the already-checkpointed nxt — no second
-        # materialization per round
-        labels = nxt.select("node", F.col("new_lbl").alias("lbl"))
+        ).persist()
+        changed = cached.where(F.col("new_lbl") != F.col("lbl")).count()
         if changed == 0:
+            # converged: new_lbl == lbl everywhere, so the previous
+            # (already-cut) labels ARE the fixpoint — skip the cut job
+            cached.unpersist()
             break
+        labels = lineage_cut(cached, eager=True).select(
+            "node", F.col("new_lbl").alias("lbl")
+        )
+        cached.unpersist()
     else:  # loop exhausted without a fixpoint — labels would be WRONG
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
@@ -1823,7 +1910,9 @@ def duplicate_spans(
     count. The hash substitutes for gram equality (a 64-bit collision
     would merge two unrelated grams); at the paper's scale that chance is
     ~(grams²)/2⁶⁵ — accepted, as in the MinHash family above."""
-    toks = docs.select(
+    # input-parallelism floor before the tokenize+gram explode (r11,
+    # guide §2.5): no-op whenever the scan already splits
+    toks = spread_input(docs, id_col).select(
         F.col(id_col).alias("doc_id"), words_col(text).alias("w")
     ).where(F.size("w") >= n)
     grams = toks.select(

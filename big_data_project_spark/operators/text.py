@@ -17,11 +17,14 @@ scale linearly with the corpus.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from big_data_project_spark.plans.lineage import lineage_cut
+from big_data_project_spark.plans.parallelism import spread_input
 
 from big_data_project_spark.operators.cleaning import normalize_text_col
 
@@ -407,10 +410,14 @@ def quality_rule_flags(
     Every comparison is integer arithmetic on exact counters (mean word
     length as 10*chars vs threshold*words, rates as permille cross-
     multiplication) — no float thresholds, so the decision is bit-identical
-    on every engine and the whole operator is oracle-able. One scan, no
-    shuffle; the words array is bound ONCE (see shingles_col on why
-    re-evaluating split inside a lambda is quadratic)."""
-    b = df.select(
+    on every engine and the whole operator is oracle-able. One scan; the
+    words array is bound ONCE (see shingles_col on why re-evaluating
+    split inside a lambda is quadratic). The corpus is spread to the
+    parallelism floor first (r11, guide §2.5): the rule expressions are
+    per-row heavy (trigram transforms, array_distinct), and a single-
+    row-group input would otherwise evaluate them all on one task; at
+    scale the spread is a no-op and the operator remains shuffle-free."""
+    b = spread_input(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.col(text).alias("_t"),
         words_col(text).alias("_w"),
@@ -782,34 +789,91 @@ def bm25_topk(
     TakeOrderedAndProject."""
     if not query_terms:
         raise ValueError("bm25_topk requires at least one query term")
-    toks = docs.select(
+    # Optimization round 11 (guide §2.3/§2.4): the query's terms are plan
+    # literals, so per-doc term frequencies are ARRAY EXPRESSIONS over one
+    # tokenize — not an explode + three aggregates. The old shape ran the
+    # scan+tokenize FOUR times (tfq, dl twice, stats) with 5 exchanges;
+    # this shape reads the corpus twice (per-doc stats + the one-row
+    # corpus-stats aggregate) with 1 exchange, and the per-doc side stays
+    # a narrow map into TakeOrderedAndProject.
+    #
+    # Value equivalence with the old explode shape (oracle-hash-pinned by
+    # tx_bm25 / pl_hybrid_retrieval):
+    # - per-term score for an ABSENT term is exactly 0.0 (tf=0 zeroes the
+    #   numerator), and `acc + 0.0` is an identity on the non-negative
+    #   partial sums, so folding over ALL query terms in sorted order
+    #   equals the old fold over the doc's present terms (array_sort on
+    #   struct(term, ts) ordered by the term string; Python's sorted()
+    #   and UTF8String both order by code point);
+    # - candidate docs are exactly those with >= 1 matching term
+    #   (greatest(tf…) > 0 mirrors the old semi-join through tfq);
+    # - n_docs / sum_dl count docs with >= 1 token, as the old dl table
+    #   did (explode emits no row for an empty array).
+    terms = sorted({str(t) for t in query_terms})
+    tf_cols = [f"_tf{i}" for i in range(len(terms))]
+
+    def _lit(t: str) -> str:
+        # SQL single-quoted literal: double the quotes, double backslashes
+        return "'" + t.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    # ONE corpus pass: explode (whole-stage codegen, unlike interpreted
+    # array higher-order functions) into a doc-keyed aggregate carrying
+    # document length plus one conditional count per query term. The
+    # aggregate is map-side partial (per-partition one row per doc before
+    # the shuffle). BOTH downstream branches (corpus stats, candidate
+    # scoring) read the same aggregate subtree; its scan→spread→explode→
+    # partial-agg prefix ends in an identical Exchange on both sides, so
+    # exchange reuse executes the expensive prefix once — no lineage cut
+    # (and its extra materialization job) needed. Aggregates are SQL
+    # strings: one JVM-side parse each instead of per-Column py4j chatter.
+    toks = spread_input(docs, id_col).select(
         F.col(id_col).alias("doc_id"), F.explode(words_col(text)).alias("term")
     )
-    tfq = (
-        toks.where(F.col("term").isin(*[str(t) for t in query_terms]))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS dl"),
+        *[
+            F.expr(
+                f"CAST(count(CASE WHEN term = {_lit(t)} THEN 1 END)"
+                f" AS BIGINT) AS {c}"
+            )
+            for c, t in zip(tf_cols, terms)
+        ],
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    dfq = tfq.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # corpus stats (n_docs / sum_dl / per-term df) derive from the SAME
+    # per-doc table — no second corpus scan; a doc with zero tokens emits
+    # no explode rows, so n_docs counts docs with >= 1 token exactly as
+    # the old dl table did
     stats = F.broadcast(
-        dl.agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("dl").cast("long").alias("sum_dl"),
+        per_doc.agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+            F.expr("CAST(sum(dl) AS BIGINT) AS sum_dl"),
+            *[
+                F.expr(
+                    f"CAST(sum(CAST({c} > 0 AS BIGINT)) AS BIGINT) AS _df{i}"
+                )
+                for i, c in enumerate(tf_cols)
+            ],
         )
     )
-    ts = (
-        tfq.join(dl, "doc_id")
-        .join(dfq, "term")
-        .crossJoin(stats)
-        .select("doc_id", "term", F.expr(bm25_score_sql(k1, b)).alias("ts"))
+    cand = per_doc.where(
+        F.expr(
+            f"greatest({', '.join(tf_cols)}) > 0"
+            if len(tf_cols) > 1
+            else f"{tf_cols[0]} > 0"
+        )
     )
-    score = ts.groupBy("doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "ts"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["ts"],
-        ).alias("score")
+    # the shared score template, re-bound per term (word-boundary swap of
+    # the tf/df column names keeps the float chain byte-identical)
+    score_sql = "CAST(0.0 AS DOUBLE)"
+    for i in range(len(terms)):
+        ts_i = re.sub(
+            r"\bdf\b",
+            f"_df{i}",
+            re.sub(r"\btf\b", f"_tf{i}", bm25_score_sql(k1, b)),
+        )
+        score_sql = f"({score_sql} + {ts_i})"
+    score = cand.crossJoin(stats).select(
+        "doc_id", F.expr(score_sql).alias("score")
     )
     return score.orderBy(F.col("score").desc(), "doc_id").limit(k)
 

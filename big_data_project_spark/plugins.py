@@ -39,6 +39,56 @@ def hash_embed(text: str, dim: int = 16) -> list[float]:
     return [x / n for x in out]
 
 
+def hash_embed_cols(text_col, dim: int):
+    """Catalyst (JVM-codegen) form of :func:`hash_embed`: the raw
+    per-dimension column and the L2 norm column, bit-identical to the
+    Python chain (optimization round 11, guide §4.1 — prefer built-ins
+    over the Python boundary).
+
+    Why each step is exactly the Python value:
+    - ``sha2(concat(text, '\\x00', i), 256)`` hashes the same UTF-8 bytes
+      as ``sha256(f"{text}\\x00{i}".encode())``;
+    - ``conv(substring(hex, 1, 16), 16, 10)`` is the unsigned 64-bit value
+      of the first 8 digest bytes (= ``int.from_bytes(h[:8], "big")``),
+      rendered in decimal; casting that decimal string to double is
+      correctly rounded (Java parseDouble), and Python's ``int / float``
+      is the correctly rounded quotient — division by 2**63 is an exact
+      exponent shift, so the two routes agree for every digest;
+    - the norm is the same left fold ``0.0 + x₀² + x₁² + …`` (Python's
+      ``sum`` starts at 0), and ``or 1.0`` only fires at exactly 0.0.
+
+    Pinned bit-identical against the Python reference in
+    tests/test_rag_multimodal.py (and by every e*/pl_* oracle hash).
+
+    Each returned piece is ONE ``F.expr`` SQL string, not a Column-API
+    chain: every higher-order-function lambda built through the Column
+    API costs ~20 ms of py4j roundtrips at plan-build time (r11 cProfile
+    of pl_hybrid_retrieval: 3,000 roundtrips/build), while a SQL string
+    is parsed JVM-side in one call — the same driver-chatter rule the
+    MinHash aggregate documents (registry minhash note). ``CAST(X'00' AS
+    STRING)`` is the NUL separator (binary→string cast is UTF-8 decode);
+    2**63 as ``9.223372036854775808E18`` parses exactly."""
+    col = str(text_col)
+    comp = (
+        f"CAST(conv(substring(sha2(concat(coalesce(CAST(`{col}` AS STRING),"
+        " ''), CAST(X'00' AS STRING), CAST(i AS STRING)), 256), 1, 16),"
+        " 16, 10) AS DOUBLE) / 9.223372036854775808E18"
+        " - CAST(1.0 AS DOUBLE)"
+    )
+    raw = F.expr(f"transform(sequence(0, {int(dim) - 1}), i -> {comp})")
+
+    def _norm(raw_col_name: str):
+        n = (
+            f"sqrt(aggregate(`{raw_col_name}`, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x * x))"
+        )
+        return F.expr(
+            f"CASE WHEN {n} = 0.0 THEN CAST(1.0 AS DOUBLE) ELSE {n} END"
+        )
+
+    return raw, _norm
+
+
 #: Per-Python-worker model-handle cache. Worker processes are REUSED across
 #: tasks (spark.python.worker.reuse, default true), so a handle loaded once
 #: per process serves every subsequent task — the property that makes model
@@ -130,6 +180,36 @@ class Embedder:
         # two Embedders with the same model_name but different injected
         # loaders must not share a worker-side handle
         loader_key = self._loader_key
+        # input-parallelism floor (r11, guide §2.5): embedding cost is per
+        # row (dim× hash chain, or a model forward pass) — a single-row-
+        # group input must not serialize it on one task. No-op for local
+        # literal frames (query vectors) and at-scale splittable scans.
+        from big_data_project_spark.plans.parallelism import spread_input
+
+        df = spread_input(df)
+        if not use_model:
+            # Deterministic branch: the hash-embed chain is plain hashing
+            # + float arithmetic, so it runs as JVM-codegen expressions —
+            # no Python workers, no Arrow transfer, no row pickling
+            # (guide §4.1: built-ins over UDFs). Bit-identical to the
+            # mapInPandas closure it replaces (see hash_embed_cols); the
+            # raw array and norm are materialized as intermediate columns
+            # so the dim× sha256 chain is evaluated once, not once per
+            # consumer (CollapseProject keeps multi-referenced non-cheap
+            # aliases in their own project).
+            raw, norm_of = hash_embed_cols(text_col, dim)
+            return (
+                df.withColumn("__he_raw", raw)
+                .withColumn("__he_n", norm_of("__he_raw"))
+                .withColumn(
+                    out_col,
+                    F.expr(
+                        "transform(`__he_raw`,"
+                        " x -> CAST(x / `__he_n` AS FLOAT))"
+                    ),
+                )
+                .drop("__he_raw", "__he_n")
+            )
         fields = df.schema.fields
         out_schema = T.StructType(
             list(fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]

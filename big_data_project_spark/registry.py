@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from big_data_project_spark.plans.lineage import lineage_cut
+from big_data_project_spark.plans.parallelism import spread_input
 
 from big_data_project_spark import io
 from big_data_project_spark import streaming
@@ -6224,7 +6225,10 @@ def pl_rag_index_e2e(spark, sf_dir):
     embedder = Embedder(model_name=None, dim=8)
     emb = embedder.transform(chunks, text_col="chunk_text")
     q = embedder.transform(
-        spark.createDataFrame([(_RAG_QTEXT,)], ["chunk_text"]),
+        # coalesce(1): createDataFrame parallelizes even one row across
+        # defaultParallelism slices — 32 near-empty tasks of scheduling
+        # overhead (~0.2 s, r11 profile) for a single query vector
+        spark.createDataFrame([(_RAG_QTEXT,)], ["chunk_text"]).coalesce(1),
         text_col="chunk_text",
     ).select(F.col("embedding").alias("q"))
     scored = emb.crossJoin(F.broadcast(q)).select(
@@ -6343,8 +6347,13 @@ def mm_strict_decode(spark, sf_dir):
     codec seam."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -6534,8 +6543,13 @@ def mm_jpeg_decode(spark, sf_dir):
     locals BY VALUE), keeping the entry hostile-cwd-safe."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -6606,8 +6620,13 @@ def mm_jpeg_progressive(spark, sf_dir):
     baseline entry."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -6674,8 +6693,13 @@ def mm_gif_decode(spark, sf_dir):
     are factory-locals pickled BY VALUE (hostile-cwd-safe)."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -6743,8 +6767,13 @@ def mm_transcode(spark, sf_dir):
     container. All codec functions are factory-locals pickled BY VALUE."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -6814,8 +6843,13 @@ def mm_flac_decode(spark, sf_dir):
     functions are factory-locals pickled BY VALUE (hostile-cwd-safe)."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -6908,8 +6942,13 @@ def mm_video_frames(spark, sf_dir):
     multimodal story."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -6993,8 +7032,13 @@ def mm_adpcm_decode(spark, sf_dir):
     Codec functions are factory-locals pickled BY VALUE."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -7071,8 +7115,13 @@ def mm_scene_detect(spark, sf_dir):
     factory-locals pickled BY VALUE."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -7137,8 +7186,13 @@ def mm_video_transcode(spark, sf_dir):
     functions are factory-locals pickled BY VALUE."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -7283,8 +7337,13 @@ def mm_caption_align(spark, sf_dir):
     VALUE."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -7358,7 +7417,9 @@ def mm_video_dedup(spark, sf_dir):
     VALUE."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     out_schema = TT.StructType(
         [
             TT.StructField("doc_id", TT.LongType()),
@@ -7437,8 +7498,13 @@ def mm_silence_detect(spark, sf_dir):
     stage: posexplode → window id → one hash aggregation."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -7680,8 +7746,13 @@ def mm_resize(spark, sf_dir):
     pickled BY VALUE."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -7748,8 +7819,13 @@ def mm_audio_resample(spark, sf_dir):
     Catalyst after the decode stage."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -9967,7 +10043,9 @@ def pl_hybrid_retrieval(spark, sf_dir):
     embedder = Embedder(model_name=None, dim=8)
     emb = embedder.transform(docs)
     q = embedder.transform(
-        spark.createDataFrame([(_HY_QTEXT,)], ["text"])
+        # coalesce(1): one row must not schedule defaultParallelism tasks
+        # (r11 profile: 0.23 s of pure scheduling for the query vector)
+        spark.createDataFrame([(_HY_QTEXT,)], ["text"]).coalesce(1)
     ).select(F.col("embedding").alias("q"))
     scored = emb.crossJoin(F.broadcast(q)).select(
         "doc_id", vector.dot("embedding", "q").alias("score")
@@ -10989,8 +11067,13 @@ def mm_mp3_frame_index(spark, sf_dir):
     environment — see the scope note at multimodal.py's MP3 section."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    docs = spread_input(
+        # input-parallelism floor before the per-row Python codec work
+        # (r11, guide §2.5): no-op when the scan already splits
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+        ),
+        "doc_id",
     )
     out_schema = TT.StructType(
         [
@@ -11524,7 +11607,9 @@ def mm_audio_dedup(spark, sf_dir):
     broadcastable group join — no all-pairs stage."""
     from pyspark.sql import types as TT
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     out_schema = TT.StructType(
         [
             TT.StructField("doc_id", TT.LongType()),

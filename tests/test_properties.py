@@ -305,6 +305,53 @@ def test_connected_components_collapses_chains(spark):
     assert got == expect
 
 
+def test_connected_components_local_fast_path_equals_distributed(spark):
+    """r11 optimization pin: the driver union-find fast path (fires when
+    the edge list fits under spark.bdps.ccLocalThreshold) must produce the
+    IDENTICAL (node, min-id cluster) labeling as the distributed pointer-
+    jumping fixpoint. Run the same seeded random graph through both paths
+    by toggling the conf, including the threshold boundary (edges == thr
+    takes the fast path; edges == thr with thr-1 falls through)."""
+    import random
+
+    from big_data_project_spark.operators import dedup as dd
+
+    rng = random.Random(11)
+    edges = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+            )
+            if a != b
+        }
+    )
+    pdf = spark.createDataFrame(edges, "id_a long, id_b long")
+    key = dd.CC_LOCAL_THRESHOLD_KEY
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "0")  # disabled → distributed fixpoint
+        dist = {
+            r.node: r.cluster_id for r in dd.connected_components(pdf).collect()
+        }
+        spark.conf.set(key, str(len(edges)))  # == edge count → fast path
+        fast = {
+            r.node: r.cluster_id for r in dd.connected_components(pdf).collect()
+        }
+        spark.conf.set(key, str(len(edges) - 1))  # one under → falls through
+        over = {
+            r.node: r.cluster_id for r in dd.connected_components(pdf).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert fast == dist == over
+    # sanity: the graph actually has multi-node components
+    assert any(v != k for k, v in dist.items())
+
+
 def test_drop_near_dups_keeps_one_per_cluster(spark, sf_dir):
     """Cluster reps are exactly the per-component min ids; singletons
     survive untouched."""

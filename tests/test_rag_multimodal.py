@@ -58,6 +58,40 @@ def test_hash_embedder_mapinpandas(spark):
     assert abs(norm - 1.0) < 1e-5
 
 
+def test_catalyst_hash_embed_bit_identical_to_python(spark):
+    """r11 optimization pin: the Embedder's deterministic branch moved from
+    a mapInPandas Python closure to Catalyst expressions (hash_embed_cols).
+    The swap is only legal because every float32 is BIT-identical to the
+    Python hash_embed chain — compare bit patterns, not approximate values,
+    across ASCII / empty / NULL / multibyte UTF-8 / quote-and-backslash
+    inputs (the SQL-literal escaping edge cases)."""
+    import struct as _struct
+
+    texts = [
+        "hello",
+        "",
+        None,  # old path: `t or ""`; new path: coalesce(.., '')
+        "héllo wörld",
+        "naïve — テスト ✓",
+        "it's a 'quoted' \\ backslash\ttab\nnewline",
+        "x" * 997,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.embedding
+        for r in plugins.Embedder(dim=16).transform(df).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = plugins.hash_embed(t if t is not None else "", 16)
+        assert len(got[i]) == 16
+        for a, b in zip(got[i], expect):
+            # float32 round of the double is the comparison unit: collect
+            # widens float32 back to double, so re-pack both sides
+            assert _struct.pack("<f", a) == _struct.pack("<f", b), (i, t, a, b)
+
+
 def test_decode_features_fake_and_strict(spark):
     df = spark.createDataFrame([(1, "some bytes"), (2, "other")],
                                "doc_id long, text string")
