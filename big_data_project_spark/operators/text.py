@@ -423,7 +423,7 @@ def quality_rule_flags(
         words_col(text).alias("_w"),
     )
     e = _quality_exprs(
-        F.col("_w"),
+        "_w",
         "_t",
         min_words,
         max_words,
@@ -437,7 +437,7 @@ def quality_rule_flags(
 
 
 def _quality_exprs(
-    w: Column,
+    w_name: str,
     text_col: str,
     min_words: int,
     max_words: int,
@@ -447,30 +447,37 @@ def _quality_exprs(
     min_stopword_hits: int,
     min_alpha_permille: int,
 ) -> dict[str, Column]:
-    """The rule expressions over an already-BOUND words array ``w`` (never
-    pass a raw split here — see shingles_col on quadratic re-evaluation
-    inside lambdas)."""
+    """The rule expressions over an already-BOUND words array column
+    named ``w_name`` (never pass a raw split here — see shingles_col on
+    quadratic re-evaluation inside lambdas)."""
+    w = F.col(w_name)
     n = F.size(w).cast("long")
-    total_chars = F.aggregate(
-        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    # the three lambda HOFs below build as single SQL parses (r11, guide
+    # §1.2 step 2): identical expression trees (same CAST(0 AS BIGINT)
+    # zero, same try_element_at/concat_ws/rlike calls), ~60 ms less py4j
+    # chatter per plan build. ``w`` is always the bound `_w` column here.
+    ws = f"`{w_name}`"
+    total_chars = F.expr(
+        f"aggregate({ws}, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
     )
-    tri = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ",
-            F.try_element_at(w, i),
-            F.try_element_at(w, i + 1),
-            F.try_element_at(w, i + 2),
-        ),
+    tri_sql = (
+        f"transform(sequence(1, greatest(size({ws}) - 2, 1)), "
+        f"i -> concat_ws(' ', try_element_at({ws}, i), "
+        f"try_element_at({ws}, i + 1), try_element_at({ws}, i + 2)))"
     )
     n_tri = F.when(n >= 3, n - 2).otherwise(F.lit(0)).cast("long")
     n_dup = (
-        F.when(n >= 3, (n - 2) - F.size(F.array_distinct(tri)))
+        F.when(
+            n >= 3,
+            (n - 2) - F.expr(f"size(array_distinct({tri_sql}))"),
+        )
         .otherwise(F.lit(0))
         .cast("long")
     )
     stop = _hits(text_col, LANG_STOPWORDS["en"]).cast("long")
-    alpha = F.size(F.filter(w, lambda x: x.rlike("^[A-Za-z]+$"))).cast("long")
+    alpha = F.expr(
+        f"size(filter({ws}, x -> x rlike '^[A-Za-z]+$'))"
+    ).cast("long")
     len_ok = (n >= min_words) & (n <= max_words)
     word_len_ok = (10 * total_chars >= min_mean_word_len_x10 * n) & (
         10 * total_chars <= max_mean_word_len_x10 * n
@@ -513,7 +520,7 @@ def filter_quality(
     computed inline, and the temporaries dropped — so the operator costs no
     shuffle and pushes through any downstream join."""
     e = _quality_exprs(
-        F.col("_qw"),
+        "_qw",
         text,
         min_words,
         max_words,

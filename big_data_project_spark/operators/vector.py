@@ -33,13 +33,40 @@ from big_data_project_spark.plans.lineage import lineage_cut
 # score expressions (JVM-side, codegen'd)
 # ---------------------------------------------------------------------------
 
+def _q_ident(name: str) -> str:
+    """Backtick-quote a column reference with F.col semantics: dots are
+    qualifier separators (``a.embedding`` → `a`.`embedding`)."""
+    return ".".join(f"`{p}`" for p in name.split("."))
+
+
+def _d_sql(name: str) -> str:
+    """SQL text of :func:`_d` for a plain column name."""
+    return f"transform({_q_ident(name)}, x -> CAST(x AS DOUBLE))"
+
+
 def _d(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: x.cast("double"))
+    # string fast path (optimization r11, guide §1.2 step 2): each
+    # Column-API lambda HOF costs ~20 ms of py4j roundtrips at plan-BUILD
+    # time; one F.expr parse builds the identical expression tree JVM-side
+    # (0.0D zero, CAST(.. AS DOUBLE) lambda — same literals, same casts,
+    # bit-identical values; oracle hashes + plan pins hold). Column-object
+    # inputs keep the original construction.
+    if isinstance(col, str):
+        return F.expr(_d_sql(col))
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({_d_sql(a)}, {_d_sql(b)}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Inner product Σ a_i·b_i in double, left-to-right accumulation."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(_d(a), _d(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -50,6 +77,11 @@ def dot(a: Column | str, b: Column | str) -> Column:
 def l2_sq(a: Column | str, b: Column | str) -> Column:
     """Squared L2 distance Σ (a_i−b_i)². (No sqrt: ordering-equivalent and
     avoids one more rounding step.)"""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({_d_sql(a)}, {_d_sql(b)}, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -58,6 +90,8 @@ def l2_sq(a: Column | str, b: Column | str) -> Column:
 
 
 def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_dot_sql(a, a)})")
     return F.sqrt(dot(a, a))
 
 
@@ -68,6 +102,11 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     # try_divide is bit-identical to `/` for every nonzero denominator and
     # yields NULL for zero norms, so a NULL-rejecting threshold filter
     # (`cosine >= t`) simply never matches degenerate vectors.
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"try_divide({_dot_sql(a, b)}, "
+            f"sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+        )
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
@@ -1039,16 +1078,15 @@ def pq_subvectors(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    parts = F.array(
-        *[
-            F.struct(
-                F.lit(s).cast("long").alias("s"),
-                F.slice(_d(emb_col), s * dsub + 1, dsub).alias("sub"),
-            )
-            for s in range(m)
-        ]
+    # one SQL parse instead of m·4 Column-API py4j roundtrips (r11, guide
+    # §1.2 step 2): named_struct/`{s}L` build the same literals the
+    # lit(s).cast("long") form constant-folds to — values identical
+    parts = ", ".join(
+        f"named_struct('s', {s}L, 'sub', "
+        f"slice({_d_sql(emb_col)}, {s * dsub + 1}, {dsub}))"
+        for s in range(m)
     )
-    return df.select(*keep, F.inline(parts))
+    return df.select(*keep, F.expr(f"inline(array({parts}))"))
 
 
 def pq_codebooks(
@@ -1197,13 +1235,9 @@ def pq_adc_topk(
         .groupBy(id_col)
         .agg(
             *[F.first(c).alias(c) for c in keep],
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "qd"))),
-                    lambda x: x["qd"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(s, qd))), x -> x.qd), 0.0D, (acc, x) -> acc + x)"
             ).alias("adist"),
         )
     )
@@ -1265,14 +1299,16 @@ def sq8_encode(
     itself is value-hashable (e11_sq8_encode). Output
     ``(id, *keep, sq_scale, codes array<int>)`` — a production sink packs
     codes into a binary column; the array keeps them oracle-visible."""
-    absmax = F.array_max(
-        F.transform(F.col(emb_col), lambda x: F.abs(x.cast("double")))
+    absmax = (
+        f"array_max(transform(`{emb_col}`, x -> abs(CAST(x AS DOUBLE))))"
     )
-    scale = F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax / F.lit(127.0))
+    scale = F.expr(
+        f"CASE WHEN {absmax} = 0.0D THEN 1.0D ELSE {absmax} / 127.0D END"
+    )
     enc = embeddings.withColumn("sq_scale", scale)
-    codes = F.transform(
-        F.col(emb_col),
-        lambda x: F.round(x.cast("double") / F.col("sq_scale")).cast("int"),
+    codes = F.expr(
+        f"transform(`{emb_col}`, "
+        "x -> CAST(round(CAST(x AS DOUBLE) / sq_scale) AS INT))"
     )
     return enc.select(id_col, *keep, "sq_scale", codes.alias("codes"))
 
@@ -1292,8 +1328,8 @@ def sq8_topk(
     unlike PQ's ADC — the whole approximate path is value-hashable
     (e11_sq8_topk mirrors the reconstruction in SQL). Quality gate vs
     exact knn lives in pytest (near-lossless: int8 of a ±1-ish range)."""
-    recon = F.transform(
-        F.col("codes"), lambda c: c.cast("double") * F.col("sq_scale")
+    recon = F.expr(
+        "transform(codes, c -> CAST(c AS DOUBLE) * sq_scale)"
     )
     scored = encoded.crossJoin(query).withColumn("_r", recon)
     if metric == "ip":
