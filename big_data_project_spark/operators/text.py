@@ -51,13 +51,22 @@ def assemble_doc_text(
 # N5 token / text statistics
 # ---------------------------------------------------------------------------
 
+def words_sql(col_name: str) -> str:
+    """SQL text of :func:`words_col` for a plain column name (r11, guide
+    §1.2 step 2: one parse instead of a ~20 ms py4j lambda-HOF build).
+    Identical expression tree — same split pattern, same != '' filter."""
+    ident = ".".join(f"`{p}`" for p in col_name.split("."))
+    return f"filter(split(trim({ident}), '\\\\s+'), x -> x != '')"
+
+
 def words_col(col: Column | str) -> Column:
     """Whitespace tokenization. Empty / whitespace-only text tokenizes to
     an EMPTY array — split() alone returns [''] (size 1), which would count
     every empty document as one word in token accounting, chunking, and
     packing."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.trim(c), "\\s+"), lambda x: x != "")
+    if isinstance(col, str):
+        return F.expr(words_sql(col))
+    return F.filter(F.split(F.trim(col), "\\s+"), lambda x: x != "")
 
 
 def token_stats(df: DataFrame, text: str = "text", with_bpe: bool = False) -> DataFrame:
@@ -1048,8 +1057,13 @@ def hash_bucket(col: Column | str, n_buckets: int) -> Column:
     feature hashing trick (fastText/Vowpal): fixed-width feature space, no
     vocab table to build, ship, or grow. md5 (not xxhash64) so the bucket
     is engine-exact / oracle-mirrorable."""
-    c = F.col(col) if isinstance(col, str) else col
-    h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+    if isinstance(col, str):
+        ident = ".".join(f"`{p}`" for p in col.split("."))
+        return F.expr(
+            f"CAST(pmod(CAST(conv(substring(md5({ident}), 1, 15), 16, 10) "
+            f"AS BIGINT), {int(n_buckets)}) AS BIGINT)"
+        )
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
     return F.pmod(h, F.lit(n_buckets)).cast("long")
 
 
@@ -1072,13 +1086,18 @@ def train_hashed_classifier(
     majority). Output ``(bucket, n0, n1, w_milli)`` — at most
     ``n_buckets`` rows, a genuinely broadcast-safe model (fixed width by
     construction, unlike a vocabulary)."""
-    toks = df.select(F.col(label_col).cast("long").alias("_y"),
-                     F.explode(words_col(text)).alias("t"))
+    # selectExpr strings: one JVM parse per projection instead of ~40
+    # Column-API py4j roundtrips (r11, guide §1.2 step 2); identical
+    # expression trees, value-pinned by the tx_classifier oracle
+    toks = df.selectExpr(
+        f"CAST(`{label_col}` AS BIGINT) AS _y",
+        f"explode({words_sql(text)}) AS t",
+    )
     per_bucket = (
         toks.groupBy(hash_bucket("t", n_buckets).alias("bucket"))
         .agg(
-            F.sum(1 - F.col("_y")).cast("long").alias("n0"),
-            F.sum("_y").cast("long").alias("n1"),
+            F.expr("CAST(sum(1 - _y) AS BIGINT) AS n0"),
+            F.expr("CAST(sum(_y) AS BIGINT) AS n1"),
         )
     )
     prior = F.broadcast(
@@ -1109,8 +1128,8 @@ def classify_hashed(
     = score > threshold. The model is broadcast (≤ n_buckets rows — safe
     by construction); scoring is a narrow explode + broadcast join + one
     groupBy(id): the 100 TB shape of every model-based quality gate."""
-    toks = df.select(
-        F.col(id_col), F.explode_outer(words_col(text)).alias("t")
+    toks = df.selectExpr(
+        f"`{id_col}`", f"explode_outer({words_sql(text)}) AS t"
     ).withColumn("bucket", hash_bucket("t", n_buckets))
     # null token (empty doc) → null bucket → no match; left join keeps the row
     scored = toks.join(
@@ -1119,15 +1138,16 @@ def classify_hashed(
     return (
         scored.groupBy(id_col)
         .agg(
-            F.sum(F.col("t").isNotNull().cast("long")).cast("long")
-            .alias("n_tokens"),
-            F.coalesce(F.sum("w_milli"), F.lit(0)).cast("long")
+            F.expr(
+                "CAST(sum(CAST((t IS NOT NULL) AS BIGINT)) AS BIGINT)"
+            ).alias("n_tokens"),
+            F.expr("CAST(coalesce(sum(w_milli), 0) AS BIGINT)")
             .alias("score_milli"),
         )
-        .select(
-            id_col, "n_tokens", "score_milli",
-            (F.col("score_milli") > threshold_milli).cast("int")
-            .alias("predicted"),
+        .selectExpr(
+            f"`{id_col}`", "n_tokens", "score_milli",
+            f"CAST((score_milli > {int(threshold_milli)}) AS INT)"
+            " AS predicted",
         )
     )
 
