@@ -1552,13 +1552,9 @@ def connected_components(
                     _T.StructField("cluster_id", utype),
                 ]
             )
-            # coalesce(1): createDataFrame parallelizes over
-            # defaultParallelism slices — 32 near-empty tasks for a
-            # label table this small (≤ thr rows by construction); one
-            # slice feeds the downstream (AQE-broadcast) join in one task
             return pairs.sparkSession.createDataFrame(
                 [(n, comp_min[find(n)]) for n in parent], schema
-            ).coalesce(1)
+            )
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
