@@ -207,35 +207,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # and the DuckDB oracle side is tz-naive — pin UTC here so results are
     # correct under any host JVM timezone, not just UTC containers.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Session-scoped PLAN-HANDLE memo (optimization r11, guide §6 "file
+    # Session-scoped SCHEMA memo (optimization r11, guide §6 "file
     # listing ... cached per session"): every spark.read.parquet call pays
-    # driver-side file listing + footer/schema read (~0.1 s here; minutes
+    # driver-side footer/schema inference (~0.1 s here; minutes of listing
     # on a heavily-partitioned at-scale table) even though the table's
     # layout is fixed for the life of the session — exactly the repeated
-    # work a catalog/manifest format exists to avoid. The cached object is
-    # an UNEXECUTED logical plan: no rows, no results — every action on it
-    # still scans the parquet inputs from storage, so bench/oracle runs
-    # compute from the files every time. The dict lives on the session
-    # object, so a new session (the driver's, a test's) always re-lists.
-    cache = getattr(spark, "_bdps_table_cache", None)
+    # work a catalog exists to avoid. Only the SCHEMA is cached (what a
+    # catalog would hold): each call still constructs a FRESH reader/
+    # relation, so no rows are ever cached, every action scans the parquet
+    # inputs, and — load-bearing, found the hard way — consecutive plans
+    # do NOT share Dataset/expression identity. A first cut memoized the
+    # DataFrame handle itself; every build of a query then produced
+    # byte-equal analyzed plans (same exprIds from the shared relation),
+    # and the localCheckpoint-heavy near-dedup chain turned erratic
+    # (2.1 s → 2.3–9.4 s swings) once the shared bench session had aged
+    # ~130 builds. Schema-only caching keeps the driver-cost win (~0.1 s
+    # per table per build) with none of that: aged-session A/B below 2 s
+    # again. The dict lives on the session object, so a new session (the
+    # driver's, a test's) always re-infers.
+    cache = getattr(spark, "_bdps_schema_cache", None)
     if cache is None:
         cache = {}
-        spark._bdps_table_cache = cache
+        spark._bdps_schema_cache = cache
+    if name == "events":
+        return _load_events(spark, sf_dir, cache)
     key = (sf_dir, name)
-    df = cache.get(key)
-    if df is None:
-        df = (
-            _load_events(spark, sf_dir)
-            if name == "events"
-            else spark.read.parquet(table_path(sf_dir, name))
-        )
-        cache[key] = df
-    return df
+    schema = cache.get(key)
+    if schema is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        cache[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(table_path(sf_dir, name))
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _load_events(
+    spark: SparkSession, sf_dir: str, schema_cache: dict | None = None
+) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    key = (sf_dir, "events")
+    cached = schema_cache.get(key) if schema_cache is not None else None
+    if cached is not None:
+        raw = spark.read.schema(cached).parquet(table_path(sf_dir, "events"))
+    else:
+        raw = spark.read.parquet(table_path(sf_dir, "events"))
+        if schema_cache is not None:
+            schema_cache[key] = raw.schema
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
