@@ -27,30 +27,30 @@ NOTES = {
         "0.074→0.061 s exec) was NOT adopted; not worth a plan change."
     ),
     "p5_filter_project": "Examined. Scan+filter+project, PushedFilters green; left alone.",
-    "q3_shipping_priority": "Examined. BHJ + TakeOrderedAndProject already; benefits from #8 (3 tables).",
+    "q3_shipping_priority": "Examined. BHJ + TakeOrderedAndProject already; benefits from #8 schema memo (3 tables).",
     "mm_jpeg_decode": (
         "Wave-1 spread_input (#4). Two MapInPandas nodes = fixture JPEG "
         "ENCODE (test-data synthesis, inherently Python) + the strict decode "
         "operator itself; at scale payloads come from storage, leaving one "
         "Python node. Real per-row codec work — left alone."
     ),
-    "j1_revenue_by_segment": "Examined. BHJ, partial agg; benefits from #8.",
-    "j2_part_revenue_by_brand": "Examined. BHJ BuildRight + partial agg — the right shape; benefits from #8.",
+    "j1_revenue_by_segment": "Examined. BHJ, partial agg; benefits from #8 schema memo.",
+    "j2_part_revenue_by_brand": "Examined. BHJ BuildRight + partial agg — the right shape; benefits from #8 schema memo.",
     "w1_top_orders_per_customer": "Examined. Single window over partitioned keys; left alone.",
     "dd_near_dedup_lsh": (
         "Wave-1 #6/#7 (CC fast path + stats firewall) and stage decomposition "
         "this session: build 1.27 s driver chatter (0.83 s = two justified "
         "localCheckpoint plan-builds), sh-mat 0.11, cand 0.22, verify 0.56, "
         "CC+final 1.1. The two cuts are the one-tokenize-pass contract and "
-        "stay; #9 trimmed helper chatter; #10 coalesced the CC label frame."
+        "stay; #9 trimmed helper chatter; #8 first cut regressed it in aged sessions (root-caused + fixed, see #8)."
     ),
     "e3_knn_l2": "#9: dot/l2 folds build as one SQL parse; zero-shuffle plan pinned.",
     "st_tumbling_hourly": "Examined. Native window agg, batch twin; left alone.",
     "dd_exact_groups": "Examined. Hash-group + min-id keeper; one shuffle; left alone.",
     "tx_text_analysis": "#9 via words_col string path.",
-    "q5_local_supplier": "Examined. 6-table BHJ chain; #8 removed 5 per-build re-listings (jobs 13→7).",
+    "q5_local_supplier": "Examined. 6-table BHJ chain; #8 schema memo removed 5 per-build schema inferences (jobs 13→7).",
     "q17_correlated_subquery": "Examined. Subquery scan deduped via exchange reuse (pinned); left alone.",
-    "q10_returned_items": "Examined. BHJ + agg; benefits from #8.",
+    "q10_returned_items": "Examined. BHJ + agg; benefits from #8 schema memo.",
     "r6_rag_batch": "Wave-1 #1 (Catalyst hash-embed). Batched retrieval+prompt+generate+evaluate; left alone.",
     "q18_large_orders": "Examined. Semi-join on the having-agg; exchange reuse; left alone.",
     "dd_decontaminate": "Examined. N-gram blocked semi-join (never all-pairs); benefits from #9 words_col.",
@@ -62,7 +62,7 @@ NOTES = {
     "mm_strict_decode": "Wave-1 #4 spread_input. Same two-Python-node fixture+decode shape as mm_jpeg; left alone.",
     "mm_video_frames": "Wave-1 #4 spread_input. Pure-Catalyst GIF decode; single-Python-node plan pinned; left alone.",
     "q6_forecast_revenue": "Examined. Scan+filter+global agg; left alone.",
-    "q8_market_share": "Examined. 7-table join tree; #8 removed 0.77 s/build of re-listing (jobs 16→9).",
+    "q8_market_share": "Examined. 7-table join tree; #8 schema memo removed 0.77 s/build of schema inference (jobs 16→9).",
     "q13_customer_distribution": "Examined. Outer join + two-level agg; left alone.",
     "dd_span_dedup": (
         "Wave-1 #4 spread_input; #9 words_col. The skew-safe gram cut "
