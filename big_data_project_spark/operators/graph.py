@@ -105,7 +105,20 @@ def pagerank(
     )
     # Single-row node count: the one legal broadcast (bounded by construction).
     n_row = F.broadcast(nodes.agg(F.count("*").alias("_n")))
-    outdeg = e.groupBy("src").agg(F.sum("w").alias("deg")).transform(lineage_cut, eager=True)
+    # Iteration-invariant edge⋈out-degree, hoisted OUT of the loop (r12,
+    # guide §2.4 "remove shuffles outright"): the old shape re-joined
+    # outdeg onto e inside EVERY iteration although neither side changes
+    # between iterations — one equi-join (and its exchange pair) per
+    # iteration for a subtree that is a constant of the loop. Computed
+    # once, cut once; per-iteration joins drop from 2 to 1. deg covers
+    # every src of e by construction, so the inner joins commute and the
+    # contribution values are bit-identical (oracle-pinned by
+    # gr_pagerank_weighted's integer chain).
+    ew = (
+        e.join(
+            e.groupBy("src").agg(F.sum("w").alias("deg")), "src"
+        ).transform(lineage_cut, eager=True)
+    )
 
     dp = int(damping_permille)
     ranks = (
@@ -115,8 +128,7 @@ def pagerank(
     )
     for _ in range(iterations):
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 # exact floor(r*w/deg) without the int64-overflowing product
@@ -134,7 +146,14 @@ def pagerank(
                     f" + ({dp} * coalesce(s, CAST(0 AS BIGINT))) div 1000"
                 ).alias("r"),
             )
-            .transform(lineage_cut, eager=True)
+            # LAZY cut (r12, VERDICT r11 #4): each iteration's label table
+            # has exactly ONE consumer (the next iteration's contribution
+            # join, or the final projection), so the eager materialization
+            # job bought nothing — the lazy checkpoint still truncates
+            # lineage at construction and its blocks materialize once,
+            # inside the next action's stages (no per-stage double-compute
+            # risk: single consumer). One job fewer per iteration.
+            .transform(lineage_cut)
         )
     return ranks.select(
         "node",
