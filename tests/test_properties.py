@@ -352,6 +352,46 @@ def test_connected_components_local_fast_path_equals_distributed(spark):
     assert any(v != k for k, v in dist.items())
 
 
+def test_connected_components_long_chain_bounded(spark):
+    """r12 regression pin for the r11 stats firewall + the folded
+    convergence observation: a PATH graph forces the distributed
+    pointer-jumping fixpoint through ~log2(diameter) rounds (here ≥ 8 —
+    the regime where Spark 4's localCheckpoint stats rewrite used to
+    multiply the carried sizeInBytes estimate into a BigInteger with
+    millions of digits and the driver hung in planning, minutes per
+    round). The pin: the whole run completes quickly (generous wall
+    ceiling, far under one pre-fix round) AND labels are exact — every
+    node labels to the path minimum."""
+    import time as _time
+
+    from big_data_project_spark.operators import dedup as dd
+
+    n = 600  # path 0-1-2-...-599: diameter 599 → ~10 jump rounds
+    pdf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    key = dd.CC_LOCAL_THRESHOLD_KEY
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "0")  # force the distributed fixpoint
+        t0 = _time.perf_counter()
+        got = {
+            r.node: r.cluster_id for r in dd.connected_components(pdf).collect()
+        }
+        elapsed = _time.perf_counter() - t0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == {i: 0 for i in range(n)}
+    # pre-firewall this regime hung for MINUTES PER ROUND in Catalyst
+    # stats estimation; post-firewall the whole fixpoint is seconds. The
+    # ceiling is deliberately loose (shared CI host) while still far
+    # below one pre-fix planning stall.
+    assert elapsed < 120, f"distributed CC took {elapsed:.1f}s — stats growth?"
+
+
 def test_drop_near_dups_keeps_one_per_cluster(spark, sf_dir):
     """Cluster reps are exactly the per-component min ids; singletons
     survive untouched."""
