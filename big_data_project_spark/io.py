@@ -225,6 +225,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # per table per build) with none of that: aged-session A/B below 2 s
     # again. The dict lives on the session object, so a new session (the
     # driver's, a test's) always re-infers.
+    # CONTRACT (ADVICE r11): the memo assumes table files are IMMUTABLE for
+    # the life of the session — true for the driver's read-only scale-factor
+    # dirs this loader serves. A path whose parquet is rewritten in-session
+    # with a DIFFERENT schema would be read through the stale memo
+    # (explicit-schema reads surface mismatches as nulls/errors rather than
+    # re-inferring); such paths must not go through load_table, or must
+    # clear spark._bdps_schema_cache (the invalidation hook) first.
     cache = getattr(spark, "_bdps_schema_cache", None)
     if cache is None:
         cache = {}

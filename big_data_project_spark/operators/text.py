@@ -51,12 +51,19 @@ def assemble_doc_text(
 # N5 token / text statistics
 # ---------------------------------------------------------------------------
 
+def q_ident(name: str) -> str:
+    """Backtick-quote a column reference with F.col semantics for SQL-text
+    interpolation (ADVICE r11, text.py twin of vector._q_ident): dots are
+    qualifier separators, embedded backticks are doubled so a hostile
+    name cannot break out of the quoting into the expression text."""
+    return ".".join(f"`{p.replace('`', '``')}`" for p in name.split("."))
+
+
 def words_sql(col_name: str) -> str:
     """SQL text of :func:`words_col` for a plain column name (r11, guide
     §1.2 step 2: one parse instead of a ~20 ms py4j lambda-HOF build).
     Identical expression tree — same split pattern, same != '' filter."""
-    ident = ".".join(f"`{p}`" for p in col_name.split("."))
-    return f"filter(split(trim({ident}), '\\\\s+'), x -> x != '')"
+    return f"filter(split(trim({q_ident(col_name)}), '\\\\s+'), x -> x != '')"
 
 
 def words_col(col: Column | str) -> Column:
@@ -465,7 +472,7 @@ def _quality_exprs(
     # §1.2 step 2): identical expression trees (same CAST(0 AS BIGINT)
     # zero, same try_element_at/concat_ws/rlike calls), ~60 ms less py4j
     # chatter per plan build. ``w`` is always the bound `_w` column here.
-    ws = f"`{w_name}`"
+    ws = q_ident(w_name)
     total_chars = F.expr(
         f"aggregate({ws}, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
     )
@@ -1058,10 +1065,9 @@ def hash_bucket(col: Column | str, n_buckets: int) -> Column:
     vocab table to build, ship, or grow. md5 (not xxhash64) so the bucket
     is engine-exact / oracle-mirrorable."""
     if isinstance(col, str):
-        ident = ".".join(f"`{p}`" for p in col.split("."))
         return F.expr(
-            f"CAST(pmod(CAST(conv(substring(md5({ident}), 1, 15), 16, 10) "
-            f"AS BIGINT), {int(n_buckets)}) AS BIGINT)"
+            f"CAST(pmod(CAST(conv(substring(md5({q_ident(col)}), 1, 15), "
+            f"16, 10) AS BIGINT), {int(n_buckets)}) AS BIGINT)"
         )
     h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
     return F.pmod(h, F.lit(n_buckets)).cast("long")
@@ -1090,7 +1096,7 @@ def train_hashed_classifier(
     # Column-API py4j roundtrips (r11, guide §1.2 step 2); identical
     # expression trees, value-pinned by the tx_classifier oracle
     toks = df.selectExpr(
-        f"CAST(`{label_col}` AS BIGINT) AS _y",
+        f"CAST({q_ident(label_col)} AS BIGINT) AS _y",
         f"explode({words_sql(text)}) AS t",
     )
     per_bucket = (
@@ -1129,7 +1135,7 @@ def classify_hashed(
     by construction); scoring is a narrow explode + broadcast join + one
     groupBy(id): the 100 TB shape of every model-based quality gate."""
     toks = df.selectExpr(
-        f"`{id_col}`", f"explode_outer({words_sql(text)}) AS t"
+        f"{q_ident(id_col)}", f"explode_outer({words_sql(text)}) AS t"
     ).withColumn("bucket", hash_bucket("t", n_buckets))
     # null token (empty doc) → null bucket → no match; left join keeps the row
     scored = toks.join(
@@ -1145,7 +1151,7 @@ def classify_hashed(
             .alias("score_milli"),
         )
         .selectExpr(
-            f"`{id_col}`", "n_tokens", "score_milli",
+            f"{q_ident(id_col)}", "n_tokens", "score_milli",
             f"CAST((score_milli > {int(threshold_milli)}) AS INT)"
             " AS predicted",
         )

@@ -35,8 +35,10 @@ from big_data_project_spark.plans.lineage import lineage_cut
 
 def _q_ident(name: str) -> str:
     """Backtick-quote a column reference with F.col semantics: dots are
-    qualifier separators (``a.embedding`` → `a`.`embedding`)."""
-    return ".".join(f"`{p}`" for p in name.split("."))
+    qualifier separators (``a.embedding`` → `a`.`embedding`); embedded
+    backticks are doubled (SQL escape) so a hostile name cannot break out
+    of the quoting into the expression text (ADVICE r11)."""
+    return ".".join(f"`{p.replace('`', '``')}`" for p in name.split("."))
 
 
 def _d_sql(name: str) -> str:
@@ -1299,15 +1301,18 @@ def sq8_encode(
     itself is value-hashable (e11_sq8_encode). Output
     ``(id, *keep, sq_scale, codes array<int>)`` — a production sink packs
     codes into a binary column; the array keeps them oracle-visible."""
+    # _q_ident, not a whole-name backtick (ADVICE r11): a dotted qualified
+    # name that resolved via F.col keeps resolving on the string fast path
     absmax = (
-        f"array_max(transform(`{emb_col}`, x -> abs(CAST(x AS DOUBLE))))"
+        f"array_max(transform({_q_ident(emb_col)}, "
+        "x -> abs(CAST(x AS DOUBLE))))"
     )
     scale = F.expr(
         f"CASE WHEN {absmax} = 0.0D THEN 1.0D ELSE {absmax} / 127.0D END"
     )
     enc = embeddings.withColumn("sq_scale", scale)
     codes = F.expr(
-        f"transform(`{emb_col}`, "
+        f"transform({_q_ident(emb_col)}, "
         "x -> CAST(round(CAST(x AS DOUBLE) / sq_scale) AS INT))"
     )
     return enc.select(id_col, *keep, "sq_scale", codes.alias("codes"))
