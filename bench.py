@@ -241,12 +241,22 @@ def main() -> None:
         return
 
     if args[:1] == ["--isolate"]:
+        # optional name list (r12, VERDICT r11 #5): a full 32-headliner
+        # isolated sweep at sf5 costs ~4 min/query on the page-cache-capped
+        # host (~2h/row), so the same-regime comparator pair runs a
+        # representative subset instead. ADDITIVE only — the driver's
+        # `python bench.py` default path is untouched, and a subset record
+        # carries its own query dict so it can never be confused with a
+        # full-sweep total.
+        subset = [a for a in args[1:] if a in REGISTRY]
+        if args[1:] and not subset:
+            sys.exit(f"--isolate names unknown: {args[1:]}")
         cpu_start = _cpu_jiffies()
         cached_start = _cached_gb()
         load_start = _loadavg()
         timings: dict[str, float] = {}
         timings_min: dict[str, float] = {}
-        for name in headline_queries():
+        for name in subset or headline_queries():
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
                 capture_output=True,
