@@ -104,33 +104,35 @@ def evaluate_response(
     - clarity   : reference semantics (py:588-590): word count < 100 AND
                   sentence count > 1, where sentences = count('.') + 1
     - grounding : fraction of answer terms present in the context
-    """
-    q_terms = F.array_distinct(_terms(F.col(question_col)))
-    a_terms = F.array_distinct(_terms(F.col(answer_col)))
-    ctx_terms = _terms(F.col(context_col))
 
-    def coverage(terms: Column) -> Column:
-        hits = F.size(F.array_intersect(terms, ctx_terms))
-        return hits / F.size(terms)
+    Built as ONE selectExpr parse (r12, guide §1.2 step 2 — the Column-API
+    form cost ~0.7 s of py4j chatter per plan build, cProfile'd on
+    r6_rag_batch): the SQL text reproduces the identical expression tree —
+    same split/trim/lower terms, same int/int `/` (double division), `0.5D`
+    double literal, 2-arg replace (delete '.') — so values are bit-identical;
+    pinned by the r3/r4/r6 oracle hashes and the scoring unit tests."""
+    from big_data_project_spark.operators.text import q_ident
 
-    accuracy = coverage(q_terms)
-    n_words = F.size(_terms(F.col(answer_col)))
-    n_sentences = (
-        F.length(answer_col) - F.length(F.replace(F.col(answer_col), F.lit(".")))
-        + F.lit(1)
-    )
-    grounding = coverage(a_terms)
-    return df.select(
-        *keep_cols,
-        question_col,
-        accuracy.alias("accuracy"),
-        F.when(accuracy > 0.5, "High").otherwise("Low").alias("accuracy_label"),
-        n_words.cast("long").alias("answer_words"),
-        n_sentences.cast("long").alias("answer_sentences"),
-        F.when((n_words < 100) & (n_sentences > 1), "High")
-        .otherwise("Low")
-        .alias("clarity_label"),
-        grounding.alias("grounding"),
+    q, a, c = q_ident(question_col), q_ident(answer_col), q_ident(context_col)
+
+    def terms(ident: str) -> str:
+        return f"split(trim(lower({ident})), '\\\\s+')"
+
+    qt, at, ct = f"array_distinct({terms(q)})", f"array_distinct({terms(a)})", terms(c)
+    acc = f"(size(array_intersect({qt}, {ct})) / size({qt}))"
+    grd = f"(size(array_intersect({at}, {ct})) / size({at}))"
+    nw = f"size({terms(a)})"
+    ns = f"((length({a}) - length(replace({a}, '.'))) + 1)"
+    return df.selectExpr(
+        *[q_ident(k) for k in keep_cols],
+        q,
+        f"{acc} AS accuracy",
+        f"CASE WHEN {acc} > 0.5D THEN 'High' ELSE 'Low' END AS accuracy_label",
+        f"CAST({nw} AS BIGINT) AS answer_words",
+        f"CAST({ns} AS BIGINT) AS answer_sentences",
+        f"CASE WHEN ({nw} < 100) AND ({ns} > 1) THEN 'High' ELSE 'Low' END"
+        " AS clarity_label",
+        f"{grd} AS grounding",
     )
 
 
