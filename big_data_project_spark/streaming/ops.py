@@ -532,22 +532,11 @@ def scd2_sink_incremental(
                 .withColumn("valid_to", F.lit(None).cast("timestamp"))
             )
         # One materialization, two consumers (closed delta + open swap).
-        # Function-scoped PERSIST instead of localCheckpoint (r12, VERDICT
-        # r11 #3): a lazy localCheckpoint on an AQE plan still executes
-        # the upstream shuffle stages at the cut CALL — one eager pass of
-        # the apply plan per trigger before any consumer ran, plus a full
-        # physical plan build. persist() is pure metadata at call time;
-        # the first consumer below materializes the cache and the second
-        # reads it, and the cache entry lives only inside this do_apply
-        # call (unpersisted in the finally), so nothing leaks across
-        # triggers. Lineage is kept, which is fine here: each trigger's
-        # `current` comes from parquet, never from a prior trigger's lazy
-        # frame, so the chained-apply plan-growth caveat in scd2_apply's
-        # docstring does not arise.
-        # one materialization, two consumers (closed delta + open swap).
         # (r12 note: a persist-based cut was tried here — both plain and
         # persist+count — and measured SLOWER than the localCheckpoint in
-        # an interleaved same-host A/B, so the conf-routed cut stays.)
+        # an interleaved same-host A/B: the first consumer is a limit-1
+        # isEmpty, which caches only a few partitions, so later consumers
+        # re-ran the apply shuffles. The conf-routed cut stays.)
         hist = lineage_cut(scd2_apply(current, batch_df, key, ts_col, attrs))
         _do_publish(spark, hist, epoch_id)
 
